@@ -1,0 +1,180 @@
+package graft.filters
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Compiles the [[FilterNode]] algebra to a Catalyst [[Column]] expression.
+ *
+ * Design stance (SURVEY.md §4, §7): the reference evaluates its filter tree
+ * row-by-row in Go (reference: app/server/gateway/filter.go:123-312); here the
+ * whole tree becomes ONE declarative Column so Catalyst can push scalar
+ * conjuncts into the Parquet scan, reorder cheap predicates first, and keep
+ * everything inside whole-stage codegen. No custom rule is needed — pushdown
+ * and short-circuiting are free once the tree is a Column.
+ *
+ * Null discipline: every leaf is wrapped in `coalesce(p, false)` so a missing
+ * path / NULL value never matches — mirroring the reference's "absent path =>
+ * return false" (reference: app/server/gateway/filter_native.go:369-371) —
+ * except IS_EMPTY which *matches* NULL by definition.
+ */
+object FilterCompiler {
+
+  /** Resolution context: how a relative path becomes a Column, and its type. */
+  private final case class Ctx(
+      resolve: Seq[String] => Column,
+      typeOf: Seq[String] => Option[DataType])
+
+  /** Compile against a DataFrame (schema-aware: IS_EMPTY branches on type). */
+  def compile(node: FilterNode, df: DataFrame): Column =
+    compileNode(node, rootCtx(Some(df.schema)))
+
+  /** Compile schema-blind (IS_EMPTY only checks NULL for non-string paths). */
+  def compile(node: FilterNode): Column =
+    compileNode(node, rootCtx(None))
+
+  private def rootCtx(schema: Option[StructType]): Ctx = Ctx(
+    resolve = parts => parts.tail.foldLeft(col(parts.head))((c, p) => c(p)),
+    typeOf = parts => schema.flatMap(s => resolveType(s, parts)))
+
+  private def elemCtx(elem: Column, elemType: Option[DataType]): Ctx = Ctx(
+    resolve = parts => parts.foldLeft(elem)((c, p) => c(p)),
+    typeOf = parts => elemType.flatMap {
+      case st: StructType => resolveType(st, "_" +: parts) // dummy head consumed below
+      case _ => None
+    })
+
+  /** Walk a StructType along `parts` (head = top-level column). */
+  private def resolveType(schema: StructType, parts: Seq[String]): Option[DataType] = {
+    def step(dt: DataType, rest: Seq[String]): Option[DataType] = rest match {
+      case Seq() => Some(dt)
+      case p +: tail => dt match {
+        case st: StructType => st.find(_.name.equalsIgnoreCase(p)).flatMap(f => step(f.dataType, tail))
+        case mt: MapType    => step(mt.valueType, tail)
+        case at: ArrayType  => step(at.elementType, rest) // transparent for [*]-style use
+        case _ => None
+      }
+    }
+    schema.find(_.name.equalsIgnoreCase(parts.head)).flatMap(f => step(f.dataType, parts.tail))
+  }
+
+  private def fieldCol(ref: FieldRef, ctx: Ctx): Column = ref match {
+    case FieldRef.Path(parts) => ctx.resolve(parts)
+    case FieldRef.Len(of)     => size(ctx.resolve(of.parts))
+  }
+
+  private def noNull(c: Column): Column = coalesce(c, lit(false))
+
+  private def compileNode(node: FilterNode, ctx: Ctx): Column = node match {
+
+    case Group(_, Seq()) => lit(true) // empty group = pass-all (proto:2554-2601)
+    case Group(BoolOp.And, cs) => cs.map(compileNode(_, ctx)).reduce(_ && _)
+    case Group(BoolOp.Or, cs)  => cs.map(compileNode(_, ctx)).reduce(_ || _)
+
+    case Cmp(f, op, v) =>
+      val c = fieldCol(f, ctx)
+      val l = lit(v)
+      noNull(op match {
+        case CmpOp.Equal              => c === l
+        case CmpOp.NotEqual           => c =!= l
+        case CmpOp.GreaterThan        => c > l
+        case CmpOp.GreaterThanOrEqual => c >= l
+        case CmpOp.LessThan           => c < l
+        case CmpOp.LessThanOrEqual    => c <= l
+        case CmpOp.Contains           => c.contains(l)
+        case CmpOp.NotContains        => !c.contains(l)
+        case CmpOp.StartsWith         => c.startsWith(l)
+        case CmpOp.EndsWith           => c.endsWith(l)
+      })
+
+    case IsEmpty(f, negate) =>
+      val c = fieldCol(f, ctx)
+      val dt = f match {
+        case FieldRef.Path(parts) => ctx.typeOf(parts)
+        case FieldRef.Len(_)      => Some(IntegerType)
+      }
+      val empty = dt match {
+        case Some(StringType)                  => c.isNull || c === lit("")
+        case Some(_: ArrayType) | Some(_: MapType) => c.isNull || size(c) === lit(0)
+        case _                                 => c.isNull
+      }
+      if (negate) !empty else empty
+
+    case HasKey(f, k, negate) =>
+      val p = map_contains_key(fieldCol(f, ctx), lit(k))
+      noNull(if (negate) !p else p)
+
+    case SliceContains(f, v, negate) =>
+      val p = array_contains(fieldCol(f, ctx), lit(v))
+      noNull(if (negate) !p else p)
+
+    case SliceContainsSubstring(f, sub, negate) =>
+      // case-INsensitive by spec (proto:2042-2043) vs case-sensitive CONTAINS.
+      val p = exists(fieldCol(f, ctx), e => lower(e).contains(lit(sub.toLowerCase)))
+      noNull(if (negate) !p else p)
+
+    case In(f, vs) =>
+      noNull(fieldCol(f, ctx).isin(vs: _*))
+
+    case AnyElement(slice, pred) =>
+      val arr = ctx.resolve(slice.parts)
+      val elemType = ctx.typeOf(slice.parts)
+      noNull(exists(arr, e => noNull(compileNode(pred, elemCtx(e, elemType)))))
+
+    case NestedSliceWhere(slice, q, elemFilter) =>
+      val arr = ctx.resolve(slice.parts)
+      val elemType = ctx.typeOf(slice.parts)
+      def pred(e: Column): Column = noNull(compileNode(elemFilter, elemCtx(e, elemType)))
+      q match {
+        case Quantifier.Any  => noNull(exists(arr, pred))
+        case Quantifier.All  => noNull(forall(arr, pred))
+        case Quantifier.None => noNull(!exists(arr, pred))
+        case Quantifier.Count(op, n) =>
+          val cnt = size(filter(arr, pred(_))) // size(NULL)=NULL => no match
+          noNull(op match {
+            case CmpOp.Equal              => cnt === n
+            case CmpOp.NotEqual           => cnt =!= n
+            case CmpOp.GreaterThan        => cnt > n
+            case CmpOp.GreaterThanOrEqual => cnt >= n
+            case CmpOp.LessThan           => cnt < n
+            case CmpOp.LessThanOrEqual    => cnt <= n
+            case other => throw new IllegalArgumentException(s"COUNT quantifier with $other")
+          })
+      }
+
+    case PhraseMatch(path, words, negate) =>
+      val m = ctx.resolve(path.parts)
+      val p = words match {
+        case Seq()  => lit(true)
+        case Seq(w) => map_contains_key(m, lit(w))
+        case w0 +: rest =>
+          // positions of w0 where every following word sits at pos+i
+          // (reference: app/server/gateway/filter.go:560-589)
+          exists(element_at(m, lit(w0)), p0 =>
+            rest.zipWithIndex.map { case (w, i) =>
+              coalesce(array_contains(element_at(m, lit(w)), p0 + lit(i + 1)), lit(false))
+            }.reduce(_ && _))
+      }
+      noNull(if (negate) !p else p)
+
+    case VectorSimilar(path, query, minSim) =>
+      val v = ctx.resolve(path.parts)
+      val score = graft.functions.VectorFunctions.cosine(v, query)
+      noNull(size(v) === lit(query.length) && score >= lit(minSim))
+
+    case GeoWithin(latP, lonP, refLat, refLon, radiusKm, inside) =>
+      val lat = ctx.resolve(latP.parts).cast(DoubleType)
+      val lon = ctx.resolve(lonP.parts).cast(DoubleType)
+      val dist = graft.functions.GeoFunctions.haversineKm(lat, lon, lit(refLat), lit(refLon))
+      val notNullIsland = !(lat === lit(0.0) && lon === lit(0.0))
+      val p =
+        if (inside) {
+          // conservative bounding-box pre-filter ANDed in front so Catalyst
+          // short-circuits the trig for far-away rows (reference: filter.go:34-56)
+          graft.functions.GeoFunctions.bboxPrefilter(lat, lon, refLat, refLon, radiusKm) &&
+            dist <= lit(radiusKm)
+        } else dist > lit(radiusKm)
+      noNull(notNullIsland && p)
+  }
+}

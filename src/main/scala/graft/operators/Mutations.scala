@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Write-side semantics as batch MERGE-style transforms.
+ *
+ * The reference applies these per-key under a per-key FIFO guard on a live
+ * server (reference: proto/hydraide.proto:874-1040 Set matrix;
+ * 1607-2149 conditional increments; 2150-2231 set-slice ops;
+ * app/core/hydra/swamp/swamp.go:1274-2017). In Spark the same semantics are
+ * a single declarative plan: a full-outer join on the key (shuffle-by-key is
+ * the distributed analogue of their per-key lock — each key lands in exactly
+ * one task) followed by conditional column rewrites. Small delta sets should
+ * be broadcast so the 100 TB base table never shuffles.
+ */
+object Mutations {
+
+  /** Per-row outcome, mirroring Set_Response status (proto:1031-1040). */
+  val StatusNew = "NEW"
+  val StatusUpdated = "UPDATED"
+  val StatusUnchanged = "NOTHING_CHANGED"
+  val StatusDeleted = "DELETED"
+
+  sealed trait WriteMode
+  case object Upsert extends WriteMode      // CreateIfNotExist + Overwrite
+  case object InsertOnly extends WriteMode  // CreateIfNotExist, no overwrite
+  case object UpdateOnly extends WriteMode  // Overwrite existing only
+
+  /**
+   * The reference's `Set` matrix: merge `delta` into `base` on `keyCol`.
+   * Output = post-state plus a `_status` column (NEW / UPDATED /
+   * NOTHING_CHANGED) so callers get the per-key response the reference
+   * returns. Value columns = all non-key columns shared by both sides.
+   */
+  def set(base: DataFrame, delta: DataFrame, keyCol: String,
+          mode: WriteMode = Upsert): DataFrame = {
+    val valueCols = base.columns.filter(_ != keyCol).toSeq
+    require(valueCols.forall(delta.columns.contains),
+      s"delta must carry all value columns ${valueCols.mkString(",")}")
+
+    val b = base.as("b")
+    val d = delta.as("d")
+    val joined = b.join(d, col(s"b.$keyCol") === col(s"d.$keyCol"), "full_outer")
+
+    val inBase = col(s"b.$keyCol").isNotNull
+    val inDelta = col(s"d.$keyCol").isNotNull
+    val changed = valueCols.map(c => !(col(s"b.$c") <=> col(s"d.$c"))).reduce(_ || _)
+
+    val takeDelta: Column = mode match {
+      case Upsert     => inDelta
+      case InsertOnly => inDelta && !inBase
+      case UpdateOnly => inDelta && inBase
+    }
+
+    val status = when(!inBase && takeDelta, StatusNew)
+      .when(inBase && takeDelta && changed, StatusUpdated)
+      .otherwise(StatusUnchanged)
+
+    val outKey = coalesce(col(s"b.$keyCol"), col(s"d.$keyCol")).as(keyCol)
+    val outVals = valueCols.map(c =>
+      when(takeDelta, col(s"d.$c")).otherwise(col(s"b.$c")).as(c))
+
+    val keep: Column = mode match {
+      case Upsert | InsertOnly => lit(true) // base ∪ delta
+      case UpdateOnly          => inBase    // delta-only keys are dropped
+    }
+
+    joined
+      .filter(keep)
+      .select((outKey +: outVals :+ status.as("_status")): _*)
+  }
+
+  /** Per-key delete with statuses (proto:1517-1557): anti-join rewrite. */
+  def deleteKeys(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
+    base.join(keys.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+
+  /**
+   * Conditional increment (the 10 `IncrementXxx` RPCs, proto:1607-2149):
+   * add `delta` to `valueCol` only where `condition` holds on the CURRENT
+   * value; emits `_applied` so callers see per-key outcomes. Batch form of
+   * the reference's read-modify-write under lock.
+   */
+  def incrementWhere(base: DataFrame, valueCol: String,
+                     delta: Column, condition: Column): DataFrame = {
+    val applied = coalesce(condition, lit(false))
+    base
+      .withColumn("_applied", applied)
+      .withColumn(valueCol, when(applied, col(valueCol) + delta).otherwise(col(valueCol)))
+  }
+
+  /**
+   * Set-semantics slice ops on an array column (Uint32Slice push/delete,
+   * proto:2150-2231): union keeps the array deduplicated, delete removes
+   * all occurrences; result stays sorted for deterministic comparisons.
+   */
+  def slicePush(arr: Column, values: Seq[Long]): Column =
+    array_sort(array_union(coalesce(arr, array()), array(values.map(lit): _*)))
+
+  def sliceDelete(arr: Column, values: Seq[Long]): Column =
+    array_sort(array_except(coalesce(arr, array()), array(values.map(lit): _*)))
+
+  def sliceContains(arr: Column, value: Long): Column =
+    coalesce(array_contains(arr, lit(value)), lit(false))
+
+  def sliceSize(arr: Column): Column = coalesce(size(arr), lit(0))
+}

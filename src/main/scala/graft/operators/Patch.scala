@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Structural patch semantics — nested-field surgery on struct/array columns.
+ *
+ * The reference patches msgpack blobs in place with ordered SET / DELETE /
+ * INC / APPEND / PREPEND / REMOVE_AT / REMOVE_VAL / MERGE ops on dotted
+ * paths, guarded by an optional PatchCondition, preserving the numeric type
+ * of incremented fields (reference: proto/hydraide.proto:2988-3255;
+ * app/core/hydra/swamp/treasure/msgpackpatch). With native nested columns
+ * the same ops are `withField` / `dropFields` / array surgery, and the
+ * "untouched fields stay identical" invariant is free: a column rewrite
+ * only touches the named field. Type preservation = the expression keeps the
+ * field's Catalyst type (INC on a ByteType stays ByteType via cast-back).
+ */
+object Patch {
+
+  sealed trait PatchOp
+  final case class SetField(path: String, value: Column) extends PatchOp
+  final case class DeleteField(path: String) extends PatchOp
+  /** INC preserves the field's numeric type (proto:3084-3089). */
+  final case class IncField(path: String, delta: Column) extends PatchOp
+  final case class Append(path: String, values: Column) extends PatchOp
+  final case class Prepend(path: String, values: Column) extends PatchOp
+  final case class RemoveAt(path: String, index: Int) extends PatchOp
+  final case class RemoveVal(path: String, value: Column) extends PatchOp
+
+  /** Condition on the current row gating the whole patch (PatchCondition,
+    * proto:3401-3433): unmet => row unchanged (all-or-nothing per key). */
+  def applyPatch(df: DataFrame, structCol: String, ops: Seq[PatchOp],
+                 condition: Column = lit(true)): DataFrame = {
+    val patched = ops.foldLeft(col(structCol)) { (cur, op) => applyOp(df, structCol, cur, op) }
+    df.withColumn(structCol,
+      when(coalesce(condition, lit(false)), patched).otherwise(col(structCol)))
+  }
+
+  private def applyOp(df: DataFrame, structCol: String, cur: Column, op: PatchOp): Column =
+    op match {
+      case SetField(p, v)   => cur.withField(p, v)
+      case DeleteField(p)   => cur.dropFields(p)
+      case IncField(p, d) =>
+        val field = fieldRef(cur, p)
+        val fieldType = fieldTypeOf(df, structCol, p)
+        // cast-back keeps int8 + 1 a ByteType, mirroring the reference's
+        // exact type-code preservation (msgpackpatch/numeric.go)
+        val incd = fieldType.map(t => (field + d).cast(t)).getOrElse(field + d)
+        cur.withField(p, incd)
+      case Append(p, vs)    => cur.withField(p, concat(coalesce(fieldRef(cur, p), array()), vs))
+      case Prepend(p, vs)   => cur.withField(p, concat(vs, coalesce(fieldRef(cur, p), array())))
+      case RemoveAt(p, i) =>
+        val a = fieldRef(cur, p)
+        // 1-based slice arithmetic; removing index i (0-based)
+        cur.withField(p,
+          concat(slice(a, lit(1), lit(i)), slice(a, lit(i + 2), greatest(size(a) - i - 1, lit(0)))))
+      case RemoveVal(p, v)  => cur.withField(p, array_remove(fieldRef(cur, p), v))
+    }
+
+  private def fieldRef(struct: Column, dotted: String): Column =
+    dotted.split('.').foldLeft(struct)((c, part) => c(part))
+
+  private def fieldTypeOf(df: DataFrame, structCol: String, dotted: String) = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType, parts: List[String]): Option[DataType] = (dt, parts) match {
+      case (t, Nil) => Some(t)
+      case (st: StructType, p :: rest) =>
+        st.find(_.name == p).flatMap(f => walk(f.dataType, rest))
+      case _ => None
+    }
+    df.schema.find(_.name == structCol)
+      .flatMap(f => walk(f.dataType, dotted.split('.').toList))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.filters.{FilterCompiler, FilterNode}
+
+/**
+ * Atomic select+delete ("shift") and quota ("Cap") semantics.
+ *
+ * The reference shifts expired/matching treasures under the swamp lock so
+ * concurrent callers get disjoint sets (reference: proto/hydraide.proto:
+ * 1109-1263, 3435-3457; app/server/gateway/gateway.go:1038-1195,
+ * gateway_shift_matching.go:25-243). In a batch engine the "atomicity" is
+ * the job boundary: one job computes the claimed set and the survivor set
+ * from the same snapshot; the claimed rows are the job output and the
+ * survivor set is what gets written back. Concurrent disjointness is a
+ * storage-transaction concern (Delta/Iceberg optimistic commit), documented
+ * as such in SURVEY.md §7.4.
+ */
+object Shift {
+
+  final case class ShiftResult(claimed: DataFrame, remaining: DataFrame)
+
+  /**
+   * Claim up to `howMany` expired rows, oldest expiry first (deterministic
+   * tie-break on the key), and return both the claimed set and the survivor
+   * set computed from the same snapshot. `ShiftExpiredTreasures` equivalent.
+   */
+  def shiftExpired(df: DataFrame, expiryCol: String, keyCol: String,
+                   now: java.sql.Timestamp, howMany: Int): ShiftResult = {
+    val expired = df.filter(col(expiryCol).isNotNull && col(expiryCol) < lit(now))
+    val claimed = expired.orderBy(col(expiryCol).asc, col(keyCol).asc).limit(howMany)
+    val remaining = df.join(claimed.select(keyCol), Seq(keyCol), "left_anti")
+    ShiftResult(claimed, remaining)
+  }
+
+  /** `ShiftByKeys`: atomic get-and-delete of an explicit key list. */
+  def shiftByKeys(df: DataFrame, keyCol: String, keys: Seq[Any]): ShiftResult = {
+    val claimed = df.filter(col(keyCol).isin(keys: _*))
+    val remaining = df.filter(!col(keyCol).isin(keys: _*))
+    ShiftResult(claimed, remaining)
+  }
+
+  /** `ShiftMatchingTreasures`: parametric filter + axis order + bound. */
+  def shiftMatching(df: DataFrame, filter: FilterNode, orderCol: String,
+                    ascending: Boolean, keyCol: String, howMany: Int): ShiftResult = {
+    val ord = if (ascending) col(orderCol).asc else col(orderCol).desc
+    val claimed = df.filter(FilterCompiler.compile(filter, df))
+      .orderBy(ord, col(keyCol).asc).limit(howMany)
+    val remaining = df.join(claimed.select(keyCol), Seq(keyCol), "left_anti")
+    ShiftResult(claimed, remaining)
+  }
+
+  /**
+   * Cap quota (proto:1152-1173; docs/features/cap-quota.md): a write batch
+   * is admitted only while `count(rows matching capFilter)` after the write
+   * stays <= maxMatching. Returns the would-be result annotated with a
+   * `_cap_reached` flag; the caller commits or rejects the whole batch —
+   * same all-or-nothing contract as the reference's `CapReached`.
+   */
+  def capGate(post: DataFrame, capFilter: Column, maxMatching: Long): DataFrame = {
+    val capCount = post.filter(capFilter).select(count(lit(1)).as("_c"))
+    post.crossJoin(broadcast(capCount))
+      .withColumn("_cap_reached", col("_c") > lit(maxMatching))
+      .drop("_c")
+  }
+}
