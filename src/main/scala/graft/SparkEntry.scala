@@ -203,11 +203,582 @@ object SparkEntry {
       Some("SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity),2) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")))
 
   // ==========================================================================
+  // §2.3 joins (reference has none — GetByKeys/reverse-index patterns + the
+  // real joins the new engine exposes) and §2.7 set ops
+  // ==========================================================================
+
+  private val joinQueries = Seq(
+    Q("q_join_agg", // broadcast dims; fact table never shuffles for the join
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("rev")),
+      Some("SELECT n_name, count(*) AS cnt, round(sum(o_totalprice),2) AS rev FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")),
+
+    Q("q_semi_join", // EXISTS — GetByKeys-shaped membership (proto:1447-1482)
+      (s, d) => t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_totalprice") > 400000.0).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi"),
+      Some("SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)")),
+
+    Q("q_anti_join", // NOT EXISTS
+      (s, d) => t(s, d, "customer").join(
+        t(s, d, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti"),
+      Some("SELECT * FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)")),
+
+    Q("q_get_by_keys", // big key list => broadcast hash semi-join (§2.1 Get/GetByKeys)
+      (s, d) => {
+        val keys = t(s, d, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(100)
+          .select(col("o_orderkey"))
+        t(s, d, "lineitem").join(broadcast(keys),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      },
+      Some("SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM (SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100))")),
+
+    Q("q_union",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+          .union(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
+          .distinct()
+      },
+      Some("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0")),
+
+    Q("q_intersect",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+          .intersect(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
+      },
+      Some("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0")),
+
+    Q("q_except",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+          .except(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
+      },
+      Some("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0")),
+
+    Q("q_explode_revindex", // word -> doc-id reverse index (proto:2150-2231 pattern)
+      (s, d) => t(s, d, "documents")
+        .select(explode(array_distinct(split(col("text"), " "))).as("word"), col("doc_id"))
+        .filter(col("word").isin("data", "spark", "vector"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc")),
+      Some("SELECT word, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM (SELECT unnest(list_distinct(string_split(text,' '))) AS word, doc_id FROM documents) WHERE word IN ('data','spark','vector') GROUP BY word")),
+
+    Q("q_intersection_search", // "docs containing word A AND word B" (why-hydraide.md)
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(FilterCompiler.compile(Group.and(
+          SliceContains(FieldRef("toks"), "data"),
+          SliceContains(FieldRef("toks"), "batch"))))
+        .select(col("doc_id")),
+      Some("SELECT doc_id FROM documents WHERE list_contains(string_split(text,' '), 'data') AND list_contains(string_split(text,' '), 'batch')")))
+
+  // ==========================================================================
+  // window functions (§2.5 extension — absent in reference)
+  // ==========================================================================
+
+  private val windowQueries = {
+    import org.apache.spark.sql.expressions.Window
+    Seq(
+      Q("q_window_topn",
+        (s, d) => {
+          val w = Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          t(s, d, "orders")
+            .withColumn("rn", row_number().over(w))
+            .withColumn("rnk", rank().over(w))
+            .filter(col("rn") <= 3)
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              col("rn"), col("rnk"))
+        },
+        Some("SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders) WHERE rn <= 3")),
+
+      Q("q_window_running",
+        (s, d) => {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          t(s, d, "events")
+            .select(col("event_id"), col("user_id"),
+              round(sum(col("value")).over(w), 2).as("running"))
+        },
+        Some("SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING), 2) AS running FROM events")),
+
+      Q("q_window_lag",
+        (s, d) => {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)
+          t(s, d, "events")
+            .select(col("event_id"), col("user_id"),
+              round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+        },
+        Some("SELECT event_id, user_id, round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 2) AS delta FROM events")))
+  }
+
+  // ==========================================================================
+  // exotic predicates: geo / vector / phrase / nested-slice quantifiers
+  // ==========================================================================
+
+  /** Deterministic synthetic coordinates derived from the customer key —
+    * identical arithmetic on the oracle side. */
+  private def withGeo(df: DataFrame): DataFrame = df
+    .withColumn("lat", (col("c_custkey") % 120) - 60 + lit(0.25))
+    .withColumn("lon", ((col("c_custkey") * 7) % 360) - 180 + lit(0.25))
+
+  private val geoSqlLatLon =
+    "(SELECT c_custkey, (c_custkey % 120) - 60 + 0.25 AS lat, ((c_custkey * 7) % 360) - 180 + 0.25 AS lon FROM customer)"
+
+  /** Haversine SQL mirroring GeoFunctions.haversineKm term-for-term. */
+  private def geoSqlDist(refLat: Double, refLon: Double): String =
+    s"2.0 * 6371.0 * asin(sqrt(pow(sin(radians($refLat - lat) / 2), 2) + " +
+      s"cos(radians(lat)) * cos(radians($refLat)) * pow(sin(radians($refLon - lon) / 2), 2)))"
+
+  private def queryVec(s: SparkSession, d: String): Array[Float] =
+    t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  private val exoticQueries = Seq(
+    Q("q_geo_inside", // INSIDE radius + bbox pre-filter (filter.go:14-56)
+      (s, d) => {
+        val geo = withGeo(t(s, d, "customer"))
+        geo.filter(FilterCompiler.compile(
+            GeoWithin(FieldRef("lat"), FieldRef("lon"), 10.0, 20.0, 3000.0), geo))
+          .select(col("c_custkey"),
+            round(GF.haversineKm(col("lat"), col("lon"), lit(10.0), lit(20.0)), 3)
+              .as("dist_km"))
+      },
+      Some(s"SELECT c_custkey, round(${geoSqlDist(10.0, 20.0)}, 3) AS dist_km FROM $geoSqlLatLon WHERE NOT (lat = 0.0 AND lon = 0.0) AND ${geoSqlDist(10.0, 20.0)} <= 3000.0")),
+
+    Q("q_geo_band", // OUTSIDE r1 AND INSIDE r2 (band) — filter matrix shape
+      (s, d) => {
+        val geo = withGeo(t(s, d, "customer"))
+        geo.filter(FilterCompiler.compile(Group.and(
+            GeoWithin(FieldRef("lat"), FieldRef("lon"), 10.0, 20.0, 8000.0, inside = false),
+            GeoWithin(FieldRef("lat"), FieldRef("lon"), 10.0, 20.0, 12000.0)), geo))
+          .select(col("c_custkey"))
+      },
+      Some(s"SELECT c_custkey FROM $geoSqlLatLon WHERE NOT (lat = 0.0 AND lon = 0.0) AND ${geoSqlDist(10.0, 20.0)} > 8000.0 AND ${geoSqlDist(10.0, 20.0)} <= 12000.0")),
+
+    Q("q_vector_topk", // brute-force cosine top-k (TakeOrderedAndProject)
+      (s, d) => Similarity.bruteForceTopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryVec(s, d), 20),
+      Some("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score FROM embeddings e, q ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, vec_id ASC LIMIT 20")),
+
+    Q("q_vector_threshold", // VectorFilter >= minSim (proto:2688-2711)
+      (s, d) => Similarity.thresholdScan(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryVec(s, d), 0.25),
+      Some("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score FROM embeddings e, q WHERE list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) >= 0.25")),
+
+    Q("q_ann_ivf", // IVF probe path — centroids are engine-side: rows-only
+      (s, d) => Similarity.ivfTopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryVec(s, d), 10),
+      None),
+
+    Q("q_cosine_pairs", // exact pairwise kernel on a bounded slice
+      (s, d) => {
+        val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        val a = e.as("a"); val b = e.as("b")
+        a.join(b, col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("key_a"), col("b.vec_id").as("key_b"),
+            round(VF.dot(col("a.embedding"), col("b.embedding")), 6).as("cosine"))
+          .filter(col("cosine") >= 0.25)
+      },
+      Some("SELECT a.vec_id AS key_a, b.vec_id AS key_b, round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine FROM embeddings a, embeddings b WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.25")),
+
+    Q("q_phrase_match", // consecutive word positions (filter.go:560-589)
+      (s, d) => t(s, d, "documents")
+        .withColumn("word_index", TF.wordIndex(col("text")))
+        .filter(FilterCompiler.compile(
+          PhraseMatch(FieldRef("word_index"), Seq("data", "batch"))))
+        .select(col("doc_id")),
+      Some("SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% data batch %'")),
+
+    Q("q_phrase_negate",
+      (s, d) => t(s, d, "documents")
+        .withColumn("word_index", TF.wordIndex(col("text")))
+        .filter(FilterCompiler.compile(Group.and(
+          PhraseMatch(FieldRef("word_index"), Seq("spark", "join"), negate = true),
+          Cmp(FieldRef("lang"), CmpOp.Equal, "en"))))
+        .select(col("doc_id")),
+      Some("SELECT doc_id FROM documents WHERE NOT (' ' || text || ' ' LIKE '% spark join %') AND lang = 'en'")),
+
+    Q("q_haskey", // HAS_KEY on the word-index map (filter_native.go:346-361)
+      (s, d) => t(s, d, "documents")
+        .withColumn("word_index", TF.wordIndex(col("text")))
+        .filter(FilterCompiler.compile(HasKey(FieldRef("word_index"), "vector")))
+        .select(col("doc_id")),
+      Some("SELECT doc_id FROM documents WHERE list_contains(string_split(text,' '), 'vector')")),
+
+    Q("q_slice_contains_substring", // case-INsensitive over array (proto:2042)
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(FilterCompiler.compile(
+          SliceContainsSubstring(FieldRef("toks"), "ATA"))) // mixed case on purpose
+        .select(col("doc_id")),
+      Some("SELECT doc_id FROM documents WHERE len(list_filter(string_split(text,' '), x -> contains(lower(x), 'ata'))) > 0")))
+
+  /** lineitems re-nested per order: the quantified-nested-slice fixture
+    * (FIXTURES.md §5). */
+  private def nestedOrders(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))).as("items"))
+
+  private val nestedQueries = Seq(
+    Q("q_nested_any", // ANY quantifier (proto:2603-2645)
+      (s, d) => nestedOrders(s, d)
+        .filter(FilterCompiler.compile(NestedSliceWhere(FieldRef("items"),
+          Quantifier.Any, Cmp(FieldRef("l_quantity"), CmpOp.GreaterThanOrEqual, 49.0))))
+        .select(col("l_orderkey")),
+      Some("SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING bool_or(l_quantity >= 49.0)")),
+
+    Q("q_nested_all",
+      (s, d) => nestedOrders(s, d)
+        .filter(FilterCompiler.compile(NestedSliceWhere(FieldRef("items"),
+          Quantifier.All, Cmp(FieldRef("l_quantity"), CmpOp.GreaterThan, 5.0))))
+        .select(col("l_orderkey")),
+      Some("SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING bool_and(l_quantity > 5.0)")),
+
+    Q("q_nested_none",
+      (s, d) => nestedOrders(s, d)
+        .filter(FilterCompiler.compile(NestedSliceWhere(FieldRef("items"),
+          Quantifier.None, Cmp(FieldRef("l_returnflag"), CmpOp.Equal, "R"))))
+        .select(col("l_orderkey")),
+      Some("SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 0")),
+
+    Q("q_nested_count", // COUNT(op, n) quantifier
+      (s, d) => nestedOrders(s, d)
+        .filter(FilterCompiler.compile(NestedSliceWhere(FieldRef("items"),
+          Quantifier.Count(CmpOp.GreaterThanOrEqual, 3),
+          Cmp(FieldRef("l_extendedprice"), CmpOp.GreaterThan, 30000.0))))
+        .select(col("l_orderkey")),
+      Some("SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(CASE WHEN l_extendedprice > 30000.0 THEN 1 ELSE 0 END) >= 3")),
+
+    Q("q_nested_len", // `#len` pseudo-field (filter.go:323-390)
+      (s, d) => nestedOrders(s, d)
+        .filter(FilterCompiler.compile(
+          Cmp(FieldRef.Len(FieldRef("items")), CmpOp.Equal, 7)))
+        .select(col("l_orderkey")),
+      Some("SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 7")))
+
+  // ==========================================================================
+  // §2.10 mutations as transforms
+  // ==========================================================================
+
+  private def custBase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+
+  private def custDelta(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    c.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 500).as("c_acctbal"), col("c_mktsegment"))
+      .unionByName(c.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 100000).as("c_custkey"),
+          lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+  }
+
+  private val setSqlDelta =
+    "(SELECT c_custkey, c_acctbal + 500 AS c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 10 = 0 UNION ALL SELECT c_custkey + 100000, 0.0, 'NEW' FROM customer WHERE c_custkey % 100 = 0)"
+
+  private def setSql(takeDelta: String, keep: String): String =
+    s"""SELECT coalesce(b.c_custkey, d.c_custkey) AS c_custkey,
+        round(CASE WHEN $takeDelta THEN d.c_acctbal ELSE b.c_acctbal END, 2) AS bal,
+        CASE WHEN $takeDelta THEN d.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+        CASE WHEN b.c_custkey IS NULL AND ($takeDelta) THEN 'NEW'
+             WHEN b.c_custkey IS NOT NULL AND ($takeDelta) AND (b.c_acctbal IS DISTINCT FROM d.c_acctbal OR b.c_mktsegment IS DISTINCT FROM d.c_mktsegment) THEN 'UPDATED'
+             ELSE 'NOTHING_CHANGED' END AS _status
+        FROM (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer) b
+        FULL OUTER JOIN $setSqlDelta d ON b.c_custkey = d.c_custkey
+        WHERE $keep"""
+
+  private def setOut(df: DataFrame): DataFrame =
+    df.select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"),
+      col("c_mktsegment"), col("_status"))
+
+  private val mutationQueries = Seq(
+    Q("q_set_upsert", // Set matrix: CreateIfNotExist+Overwrite (proto:874-1040)
+      (s, d) => setOut(Mutations.set(custBase(s, d), custDelta(s, d), "c_custkey")),
+      Some(setSql("d.c_custkey IS NOT NULL", "TRUE"))),
+
+    Q("q_set_insert_only",
+      (s, d) => setOut(Mutations.set(custBase(s, d), custDelta(s, d), "c_custkey",
+        Mutations.InsertOnly)),
+      Some(setSql("d.c_custkey IS NOT NULL AND b.c_custkey IS NULL", "TRUE"))),
+
+    Q("q_set_update_only",
+      (s, d) => setOut(Mutations.set(custBase(s, d), custDelta(s, d), "c_custkey",
+        Mutations.UpdateOnly)),
+      Some(setSql("d.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL",
+        "b.c_custkey IS NOT NULL"))),
+
+    Q("q_increment_cond", // conditional increment (proto:1607-2149)
+      (s, d) => Mutations.incrementWhere(custBase(s, d), "c_acctbal",
+          lit(100.0), col("c_acctbal") < 1000.0)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"), col("_applied")),
+      Some("SELECT c_custkey, round(CASE WHEN c_acctbal < 1000.0 THEN c_acctbal + 100.0 ELSE c_acctbal END, 2) AS bal, c_acctbal < 1000.0 AS _applied FROM customer")),
+
+    Q("q_slice_ops", // Uint32Slice push/delete/size (proto:2150-2231)
+      (s, d) => t(s, d, "lineitem").filter(col("l_linenumber") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(collect_set(col("l_partkey")).as("ids"))
+        .select(col("l_suppkey"),
+          array_join(Mutations.sliceDelete(
+            Mutations.slicePush(col("ids"), Seq(1L, 2L, 3L)), Seq(5L, 7L)), ",").as("ids_str"),
+          Mutations.sliceSize(Mutations.sliceDelete(
+            Mutations.slicePush(col("ids"), Seq(1L, 2L, 3L)), Seq(5L, 7L))).as("n")),
+      Some("SELECT l_suppkey, array_to_string(list_sort(list_filter(list_distinct(list(DISTINCT l_partkey) || [1,2,3]), x -> x NOT IN (5,7))), ',') AS ids_str, len(list_sort(list_filter(list_distinct(list(DISTINCT l_partkey) || [1,2,3]), x -> x NOT IN (5,7)))) AS n FROM lineitem WHERE l_linenumber = 1 GROUP BY l_suppkey")),
+
+    Q("q_delete_keys",
+      (s, d) => Mutations.deleteKeys(t(s, d, "customer"),
+        t(s, d, "customer").filter(col("c_custkey") % 7 === 0).select(col("c_custkey")),
+        "c_custkey"),
+      Some("SELECT * FROM customer WHERE c_custkey % 7 <> 0")),
+
+    Q("q_patch_struct", // structural patch + condition gate (proto:2988-3255)
+      (s, d) => {
+        val base = t(s, d, "orders").withColumn("body", struct(
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          array(col("o_orderpriority")).as("tags")))
+        Patch.applyPatch(base, "body",
+            Seq(Patch.SetField("status", lit("PATCHED")),
+              Patch.IncField("price", lit(10.0)),
+              Patch.Append("tags", array(lit("x")))),
+            condition = col("o_totalprice") > 200000.0)
+          .select(col("o_orderkey"), col("body.status").as("status"),
+            round(col("body.price"), 2).as("price"),
+            array_join(col("body.tags"), ",").as("tags"))
+      },
+      Some("SELECT o_orderkey, CASE WHEN o_totalprice > 200000.0 THEN 'PATCHED' ELSE o_orderstatus END AS status, round(CASE WHEN o_totalprice > 200000.0 THEN o_totalprice + 10.0 ELSE o_totalprice END, 2) AS price, CASE WHEN o_totalprice > 200000.0 THEN o_orderpriority || ',x' ELSE o_orderpriority END AS tags FROM orders")),
+
+    Q("q_shift_expired", // atomic claim of oldest-expired (proto:1109-1151)
+      (s, d) => Shift.shiftExpired(t(s, d, "events"), "ts", "event_id",
+          java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 200)
+        .claimed.select(col("event_id"), col("ts"), col("event_type")),
+      Some("SELECT event_id, ts, event_type FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00' ORDER BY ts ASC, event_id ASC LIMIT 200")),
+
+    Q("q_shift_remaining", // the survivor side of the same snapshot
+      (s, d) => Shift.shiftExpired(t(s, d, "events"), "ts", "event_id",
+          java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 200)
+        .remaining.agg(count(lit(1)).as("cnt")),
+      Some("SELECT (SELECT count(*) FROM events) - least(200, (SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00')) AS cnt")),
+
+    Q("q_shift_matching", // parametric shift (proto:1174-1263)
+      (s, d) => Shift.shiftMatching(t(s, d, "events"),
+          Cmp(FieldRef("event_type"), CmpOp.Equal, "error"),
+          orderCol = "value", ascending = false, keyCol = "event_id", howMany = 50)
+        .claimed.select(col("event_id"), round(col("value"), 2).as("v")),
+      Some("SELECT event_id, round(value, 2) AS v FROM events WHERE event_type = 'error' ORDER BY value DESC, event_id ASC LIMIT 50")),
+
+    Q("q_cap_gate", // Cap quota + CapReached flag (proto:1152-1173)
+      (s, d) => Shift.capGate(
+          t(s, d, "events").filter(col("event_type") === "purchase"),
+          col("value") > 90.0, maxMatching = 50)
+        .select(col("event_id"), col("_cap_reached")),
+      Some("SELECT event_id, (SELECT count(*) FROM events WHERE event_type = 'purchase' AND value > 90.0) > 50 AS _cap_reached FROM events WHERE event_type = 'purchase'")),
+
+    Q("q_cdc_diff", // SubscribeToEvents event algebra (proto:755-801)
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val oldSnap = o.filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val newSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        graft.streaming.ChangeFeed.diff(oldSnap, newSnap, "o_orderkey")
+          .select(col("o_orderkey"), col("_status"),
+            round(col("o_totalprice"), 2).as("price_new"),
+            round(col("old_o_totalprice"), 2).as("price_old"))
+      },
+      Some("""SELECT * FROM (
+        SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+          CASE WHEN o.o_orderkey IS NULL THEN 'NEW' WHEN n.o_orderkey IS NULL THEN 'DELETED'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'MODIFIED' END AS _status,
+          round(n.o_totalprice, 2) AS price_new, round(o.o_totalprice, 2) AS price_old
+        FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0) o
+        FULL OUTER JOIN (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0) n
+        ON o.o_orderkey = n.o_orderkey) WHERE _status IS NOT NULL""")))
+
+  // ==========================================================================
+  // event-time windows (§2.9 — new capability vs reference's [from,to) scans)
+  // ==========================================================================
+
+  private val timeQueries = Seq(
+    Q("q_tumbling_window",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("val")),
+      Some("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS val FROM events GROUP BY 1, 2")),
+
+    Q("q_sliding_window",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("n")),
+      Some("SELECT ws AS window_start, count(*) AS n FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws FROM events UNION ALL SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' FROM events) GROUP BY ws")),
+
+    Q("q_session_window", // gap-based sessionization
+      (s, d) => t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("session_start"), col("user_id"), col("n")),
+      Some("""WITH t AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS brk FROM events),
+        s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM t)
+        SELECT min(ts) AS session_start, user_id, count(*) AS n FROM s GROUP BY user_id, sid""")))
+
+  // ==========================================================================
+  // training-data pipeline: dedup / text analysis / fingerprints
+  // ==========================================================================
+
+  private def sqlHash32(e: String) = s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
+
+  private val sqlShingles3 = // mirrors TextFunctions.shingles(text, 3)
+    "CASE WHEN len(string_split(text,' ')) >= 3 THEN list_transform(range(1, len(string_split(text,' ')) - 1), i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) ELSE [array_to_string(string_split(text,' '), ' ')] END"
+
+  private def sqlLangHits(ws: Seq[String]) =
+    s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
+
+  private val sqlLangId: String = {
+    val hits = TF.LangMarkers.map { case (l, ws) => s"${sqlLangHits(ws)} AS h_$l" }
+    val best = s"greatest(${TF.LangMarkers.map("h_" + _._1).mkString(",")})"
+    val cases = TF.LangMarkers.map { case (l, _) => s"WHEN h_$l = $best THEN '$l'" }
+    s"""SELECT doc_id, CASE WHEN $best = 0 THEN 'und' ${cases.mkString(" ")} ELSE 'und' END AS lang_pred
+        FROM (SELECT doc_id, ${hits.mkString(", ")} FROM documents)"""
+  }
+
+  private val sqlQuality: String = {
+    val stop = TF.Stopwords.map("'" + _ + "'").mkString(",")
+    s"""SELECT doc_id, round(ls * 0.4 + ss * 0.3 + pp * 0.3, 6) AS quality FROM (
+        SELECT doc_id,
+          least(len(string_split(text,' ')) / 50.0, 1.0) AS ls,
+          least((len(list_filter(string_split(text,' '), t -> t IN ($stop)))::DOUBLE / greatest(len(string_split(text,' ')), 1)::DOUBLE) * 5.0, 1.0) AS ss,
+          greatest(1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / greatest(length(text), 1)::DOUBLE) * 5.0, 0.0) AS pp
+        FROM documents)"""
+  }
+
+  private val sqlSimhash: String = {
+    val terms = (0 until 32).map { b =>
+      s"(CASE WHEN len(list_filter(hs, h -> (h >> $b) % 2 = 1)) * 2 >= len(hs) THEN ${1L << b} ELSE 0 END)"
+    }
+    s"""SELECT doc_id, (${terms.mkString(" + ")}) AS simhash FROM
+        (SELECT doc_id, list_transform(string_split(text,' '), t -> ${sqlHash32("t")}) AS hs FROM documents)"""
+  }
+
+  private val sqlMinhashSig: String = {
+    val sig = TF.minhashParams(8).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${TF.MinhashPrime}))"
+    }
+    s"""SELECT doc_id, array_to_string([${sig.mkString(", ")}], ',') AS sig FROM
+        (SELECT doc_id, list_transform($sqlShingles3, x -> ${sqlHash32("x")}) AS hs FROM documents)"""
+  }
+
+  private val textQueries = Seq(
+    Q("q_dedup_exact", // hash-groupBy dedup, min-key winner
+      (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1")),
+
+    Q("q_dedup_prefix", // fingerprint dedup on a 5-token prefix key
+      (s, d) => Dedup.exact(
+          t(s, d, "documents").withColumn("_pfx",
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5))),
+          "_pfx", "doc_id")
+        .select(col("doc_id")),
+      Some("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(array_to_string(string_split(text,' ')[1:5], ' ')) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1")),
+
+    Q("q_ngram_jaccard", // exact n-gram Jaccard near-dup pairs (banded)
+      (s, d) => Dedup.ngramJaccardJoin(t(s, d, "documents"), "text", "doc_id",
+        shingleN = 3, minJaccard = 0.5),
+      Some(s"""WITH sh AS (SELECT doc_id, list_distinct($sqlShingles3) AS s FROM documents),
+        b AS (SELECT doc_id, s, floor(len(s) / 10)::INT AS nb FROM sh)
+        SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+          round(len(list_intersect(a.s, b.s))::DOUBLE / CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1 ELSE len(list_distinct(a.s || b.s)) END, 6) AS jaccard
+        FROM b a JOIN b b ON a.nb = b.nb AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE / CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1 ELSE len(list_distinct(a.s || b.s)) END >= 0.5""")),
+
+    Q("q_minhash_neardup", // MinHash+LSH candidates (probabilistic): rows-only
+      (s, d) => Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+      None),
+
+    Q("q_minhash_sig", // the signature itself is oracle-checked exactly
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(TF.minhashSignature(TF.shingles(col("text"), 3), 8), ",").as("sig")),
+      Some(sqlMinhashSig)),
+
+    Q("q_simhash",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TF.simhash32(col("text")).as("simhash")),
+      Some(sqlSimhash)),
+
+    Q("q_simhash_neardup", // SimHash near-dup pairs: rows-only (engine-side banding)
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 2),
+      None),
+
+    Q("q_embedding_neardup", // hyperplane-LSH near-dup: rows-only (seeded planes)
+      (s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"), "embedding", "vec_id",
+        minCosine = 0.3),
+      None),
+
+    Q("q_token_count",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_obs")),
+      Some("SELECT doc_id, len(string_split(text,' ')) AS n_tokens, length(text) AS n_chars_obs FROM documents")),
+
+    Q("q_langid",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred")),
+      Some(sqlLangId)),
+
+    Q("q_quality",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality")),
+      Some(sqlQuality)),
+
+    Q("q_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TF.fingerprint64(col("text")).as("fp")),
+      Some("SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents")),
+
+    Q("q_media_features", // multimodal plumbing; decode stub, real schema/batching
+      (s, d) => Multimodal.extractFeatures(
+          Multimodal.asMedia(t(s, d, "documents"), "doc_id", col("text"), "text/plain"))
+        .select(col("media_id"), col("features.n_bytes").as("n_bytes"),
+          col("features.sha_prefix").as("sha_prefix")),
+      Some("SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes, substr(md5(text), 1, 8) AS sha_prefix FROM documents")),
+
+    Q("q_media_frames", // frame-sampling explode plumbing
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.asMedia(t(s, d, "documents").filter(col("doc_id") < 20),
+            "doc_id", col("text"), "video/fake"), 4)
+        .select(col("media_id"), col("frame_no"), col("frame_offset_ms")),
+      Some("SELECT doc_id AS media_id, f AS frame_no, (f * 1000) // 4 AS frame_offset_ms FROM documents, (SELECT unnest(range(0, 4)) AS f) WHERE doc_id < 20")))
+
+  // ==========================================================================
   // assembled
   // ==========================================================================
 
   private val allQueries: Seq[Q] =
-    filterQueries ++ indexQueries ++ aggQueries
+    filterQueries ++ indexQueries ++ aggQueries ++ joinQueries ++ windowQueries ++
+      exoticQueries ++ nestedQueries ++ mutationQueries ++ timeQueries ++ textQueries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

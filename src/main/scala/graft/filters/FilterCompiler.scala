@@ -156,7 +156,10 @@ object FilterCompiler {
               coalesce(array_contains(element_at(m, lit(w)), p0 + lit(i + 1)), lit(false))
             }.reduce(_ && _))
       }
-      noNull(if (negate) !p else p)
+      // "phrase absent" (first word missing => NULL) is a non-match BEFORE
+      // negation: NOT(phrase) must match docs lacking the words entirely
+      val matched = noNull(p)
+      if (negate) !matched else matched
 
     case VectorSimilar(path, query, minSim) =>
       val v = ctx.resolve(path.parts)

@@ -27,15 +27,29 @@ object GeoFunctions {
    * Conservative bounding box around the reference point, ANDed in front of
    * the haversine so far-away rows short-circuit on two cheap comparisons
    * (the reference builds the same box before evaluating haversine,
-   * filter.go:34-56). 5% margin keeps it strictly conservative so the
-   * box never excludes a point the exact distance would include.
+   * filter.go:34-56).
+   *
+   * Strictness matters more than tightness: the box must NEVER exclude a
+   * point within the radius, or results diverge from the exact predicate.
+   * The longitude width is therefore computed at the worst-case latitude
+   * inside the band (standard `asin(sin(r/R)/cos(lat_max))` formula), a 5%
+   * margin absorbs float noise, and the box degrades to pass-all near the
+   * poles / for hemisphere-scale radii where no box is valid.
    */
   def bboxPrefilter(lat: Column, lon: Column,
                     refLat: Double, refLon: Double, radiusKm: Double): Column = {
-    val latDelta = math.toDegrees(radiusKm / EarthRadiusKm) * 1.05
-    val cosLat = math.max(math.cos(math.toRadians(refLat)), 1e-9)
-    val lonDelta = math.min(math.toDegrees(radiusKm / (EarthRadiusKm * cosLat)) * 1.05, 180.0)
-    lat.between(refLat - latDelta, refLat + latDelta) &&
-      lon.between(refLon - lonDelta, refLon + lonDelta)
+    val latDeltaRad = radiusKm / EarthRadiusKm
+    val latDelta = math.toDegrees(latDeltaRad) * 1.05
+    val latBound = lat.between(refLat - latDelta, refLat + latDelta)
+    // worst-case |latitude| reached inside the band
+    val maxAbsLat = math.min(math.abs(refLat) + math.toDegrees(latDeltaRad), 90.0)
+    val sinR = math.sin(math.min(latDeltaRad, math.Pi / 2))
+    val cosMax = math.cos(math.toRadians(maxAbsLat))
+    if (maxAbsLat >= 89.0 || sinR >= cosMax) latBound // lon box undefined: lat-only
+    else {
+      val lonDelta = math.min(
+        math.toDegrees(math.asin(math.min(sinR / cosMax, 1.0))) * 1.05, 180.0)
+      latBound && lon.between(refLon - lonDelta, refLon + lonDelta)
+    }
   }
 }

@@ -73,12 +73,18 @@ object TextFunctions {
    */
   val MinhashPrime = 4294967311L // smallest prime > 2^32
 
-  def minhashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column = {
+  /** Fixed-seed (a,b) permutation params. Kept < 2^20 so a*h (h < 2^32)
+    * stays < 2^52 — no int64 overflow in ANY engine evaluating the same
+    * formula (differential-oracle requirement; overflow semantics differ
+    * across engines). */
+  def minhashParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    val params = Seq.fill(k)((math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1,
-                              math.abs(rnd.nextLong()) % MinhashPrime))
+    Seq.fill(k)(((rnd.nextInt(1 << 20) + 1).toLong, rnd.nextInt(1 << 20).toLong))
+  }
+
+  def minhashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column = {
     val hashes = transform(shingleArr, s => hash32(s))
-    array(params.map { case (a, b) =>
+    array(minhashParams(k, seed).map { case (a, b) =>
       array_min(transform(hashes, h => (h * a + b) % MinhashPrime))
     }: _*)
   }
@@ -126,14 +132,21 @@ object TextFunctions {
       }: _*))
   }
 
-  /** Predicted language = argmax marker ratio; "und" when all scores are 0. */
+  /** Marker hit count for one language's word list. */
+  def langHits(text: Column, lang: String): Column = {
+    val ws = LangMarkers.toMap.apply(lang)
+    size(filter(tokens(text), t => t.isin(ws: _*)))
+  }
+
+  /** Predicted language = argmax marker hits, first-listed language wins
+    * ties; "und" when no marker hits at all. Shape chosen (greatest + CASE
+    * chain) so the DuckDB oracle is the literal same expression. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = LangMarkers.map { case (lang, ws) =>
-      struct(size(filter(toks, t => t.isin(ws: _*))).as("hits"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+    val hits = LangMarkers.map { case (lang, _) => lang -> langHits(text, lang) }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (lang, h)) => acc.when(h === best, lit(lang))
+    }.otherwise(lit("und"))
   }
 
   // --- quality scoring ------------------------------------------------------

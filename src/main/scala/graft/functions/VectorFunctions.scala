@@ -67,12 +67,15 @@ case class DotProductConst(child: Expression, query: Array[Float])
     val n = arr.numElements()
     if (n != query.length) 0.0
     else {
+      // promote BOTH operands to double before multiplying — bit-identical
+      // to a double-precision dot product (and to DuckDB's DOUBLE[] path),
+      // where float*float would round the product to float first
       var acc = 0.0
       var i = 0
       if (elementIsDouble) {
-        while (i < n) { acc += arr.getDouble(i) * query(i); i += 1 }
+        while (i < n) { acc += arr.getDouble(i) * query(i).toDouble; i += 1 }
       } else {
-        while (i < n) { acc += arr.getFloat(i) * query(i); i += 1 }
+        while (i < n) { acc += arr.getFloat(i).toDouble * query(i).toDouble; i += 1 }
       }
       acc
     }
@@ -90,7 +93,7 @@ case class DotProductConst(child: Expression, query: Array[Float])
          |double $acc = 0.0;
          |if ($n == $qRef.length) {
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $c.$getter($i) * $qRef[$i];
+         |    $acc += ((double) $c.$getter($i)) * ((double) $qRef[$i]);
          |  }
          |}
          |${ev.value} = $acc;

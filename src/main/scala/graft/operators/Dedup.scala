@@ -93,8 +93,9 @@ object Dedup {
   def ngramJaccardJoin(df: DataFrame, textCol: String, keyCol: String,
                        shingleN: Int, minJaccard: Double): DataFrame = {
     val sh = df.select(col(keyCol), array_distinct(TF.shingles(col(textCol), shingleN)).as("_sh"))
-    // block on a cheap feature (shingle-count band) to avoid the full cross
-    val withLen = sh.withColumn("_nb", (size(col("_sh")) / 10).cast(IntegerType))
+    // block on a cheap feature (shingle-count band) to avoid the full cross;
+    // floor() (not cast-truncate) so the banding is engine-portable
+    val withLen = sh.withColumn("_nb", floor(size(col("_sh")) / 10).cast(IntegerType))
     val a = withLen.as("a"); val b = withLen.as("b")
     a.join(b, col("a._nb") === col("b._nb") && col(s"a.$keyCol") < col(s"b.$keyCol"))
       .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Subscribe/CDC semantics (reference: proto/hydraide.proto:755-801,
+ * app/server/gateway/gateway.go:1597-1727 — every write emits
+ * NEW/MODIFIED/DELETED with the old value to subscribers, FIFO per swamp).
+ *
+ * Spark is micro-batch: the per-write push becomes a per-batch change set.
+ * The kernel below computes the exact event rows (status, new, old) between
+ * two keyed snapshots; the streaming layer applies it inside foreachBatch
+ * against maintained state, giving the same event algebra with batch
+ * latency (documented divergence, SURVEY.md §7.4-2).
+ */
+object ChangeFeed {
+
+  val New = "NEW"
+  val Modified = "MODIFIED"
+  val Deleted = "DELETED"
+
+  /**
+   * Event rows between snapshots: full-outer join on the key; one output row
+   * per changed key with status + old/new value columns (`<c>` = new,
+   * `old_<c>` = old). Unchanged keys emit nothing — same as the reference,
+   * which only notifies on actual content change (swamp.go:2152,2214).
+   */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame = {
+    val valueCols = oldSnap.columns.filter(_ != keyCol).toSeq
+    val o = oldSnap.as("o")
+    val n = newSnap.as("n")
+    val joined = o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+
+    val inOld = col(s"o.$keyCol").isNotNull
+    val inNew = col(s"n.$keyCol").isNotNull
+    val changed = valueCols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+
+    val status = when(!inOld && inNew, New)
+      .when(inOld && !inNew, Deleted)
+      .when(inOld && inNew && changed, Modified)
+
+    joined
+      .withColumn("_status", status)
+      .filter(col("_status").isNotNull)
+      .select(
+        Seq(coalesce(col(s"n.$keyCol"), col(s"o.$keyCol")).as(keyCol), col("_status")) ++
+          valueCols.map(c => col(s"n.$c").as(c)) ++
+          valueCols.map(c => col(s"o.$c").as(s"old_$c")): _*)
+  }
+}

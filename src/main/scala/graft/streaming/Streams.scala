@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/**
+ * Structured Streaming surfaces for the reference's reactive features:
+ * SubscribeToEvents (change feed), SubscribeToInfo (live counts), TTL
+ * expiration with watermarks, and windowed aggregation — the capabilities
+ * HydrAIDE exposes over gRPC streams (reference: proto/hydraide.proto:
+ * 363-395, 735-801) re-expressed as streaming queries.
+ */
+object Streams {
+
+  /**
+   * SubscribeToEvents: treat the incoming stream as an upsert/delete command
+   * log (`op` column: U/D) and emit CDC events per micro-batch against a
+   * driver-held state snapshot (foreachBatch). The sink receives exactly the
+   * reference's event rows: key, status NEW/MODIFIED/DELETED, new + old.
+   *
+   * State is per-query and in-memory here; production would back it with a
+   * Delta table MERGE inside the same foreachBatch — semantics identical.
+   */
+  def subscribeToEvents(
+      commands: DataFrame,          // streaming: op STRING, key, value cols...
+      keyCol: String,
+      onEvents: DataFrame => Unit): DataStreamWriter[Row] = {
+    var state: Option[DataFrame] = None
+    commands.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dataCols = batch.columns.filter(_ != "op").toSeq
+        val cur = state.getOrElse(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            batch.drop("op").schema))
+        // last command per key wins inside one batch (FIFO per key)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(monotonically_increasing_id().desc)
+        val lastPerKey = batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val upserts = lastPerKey.filter(col("op") === "U").select(dataCols.map(col): _*)
+        val deletes = lastPerKey.filter(col("op") === "D").select(col(keyCol))
+        val next = cur
+          .join(lastPerKey.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(upserts)
+          .localCheckpoint(true) // cut lineage growth across batches
+        val events = ChangeFeed.diff(cur, next, keyCol)
+        state = Some(next)
+        onEvents(events)
+      }
+  }
+
+  /** SubscribeToInfo: live per-source row counts, update mode. */
+  def subscribeToInfo(events: DataFrame, groupCol: String): DataFrame =
+    events.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+
+  /** TTL expiration in event time: rows whose expiry passed the watermark
+    * are dropped from downstream windows (beacon ExpiredAt semantics,
+    * proto:986-1001, moved onto watermarks). */
+  def withTtl(stream: DataFrame, tsCol: String, ttl: String): DataFrame =
+    stream
+      .withWatermark(tsCol, ttl)
+      .withColumn("_expires_at", col(tsCol) + expr(s"INTERVAL $ttl"))
+
+  /** Tumbling-window aggregation with watermarking. */
+  def windowedCounts(stream: DataFrame, tsCol: String, groupCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("n"), col("val"))
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.filters._
+
+/**
+ * Truth tables for the filter algebra — mirrors the reference's operator ×
+ * type × nil/missing/mismatch matrix (reference: filter_test.go,
+ * filter_nested_slice_test.go; semantics cited in FilterAst.scala).
+ */
+class FilterSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keysMatching(node: FilterNode, df: org.apache.spark.sql.DataFrame,
+                           keyCol: String = "k"): Set[String] =
+    df.filter(FilterCompiler.compile(node, df)).select(keyCol)
+      .collect().map(_.getString(0)).toSet
+
+  // --- scalar compare + null discipline -----------------------------------
+
+  private lazy val scalars = Seq(
+    ("a", Some(10L), Some("hello world")),
+    ("b", Some(20L), Some("")),
+    ("c", None, Some("HELLO")),
+    ("d", Some(30L), None)
+  ).toDF("k", "num", "s")
+
+  test("EQUAL matches value; NULL never matches") {
+    assert(keysMatching(Cmp(FieldRef("num"), CmpOp.Equal, 10L), scalars) == Set("a"))
+  }
+  test("NOT_EQUAL does not match NULL (missing => no match)") {
+    assert(keysMatching(Cmp(FieldRef("num"), CmpOp.NotEqual, 10L), scalars) == Set("b", "d"))
+  }
+  test("ordered comparators") {
+    assert(keysMatching(Cmp(FieldRef("num"), CmpOp.GreaterThan, 10L), scalars) == Set("b", "d"))
+    assert(keysMatching(Cmp(FieldRef("num"), CmpOp.LessThanOrEqual, 20L), scalars) == Set("a", "b"))
+  }
+  test("CONTAINS is case-sensitive; STARTS/ENDS_WITH") {
+    assert(keysMatching(Cmp(FieldRef("s"), CmpOp.Contains, "hello"), scalars) == Set("a"))
+    assert(keysMatching(Cmp(FieldRef("s"), CmpOp.StartsWith, "HE"), scalars) == Set("c"))
+    assert(keysMatching(Cmp(FieldRef("s"), CmpOp.EndsWith, "world"), scalars) == Set("a"))
+  }
+  test("IS_EMPTY matches NULL and empty string; negation excludes both") {
+    assert(keysMatching(IsEmpty(FieldRef("s")), scalars) == Set("b", "d"))
+    assert(keysMatching(IsEmpty(FieldRef("s"), negate = true), scalars) == Set("a", "c"))
+  }
+  test("empty FilterGroup = pass-all") {
+    assert(keysMatching(Group.passAll, scalars) == Set("a", "b", "c", "d"))
+  }
+  test("AND / OR composition") {
+    val node = Group.or(
+      Group.and(Cmp(FieldRef("num"), CmpOp.Equal, 10L),
+        Cmp(FieldRef("s"), CmpOp.Contains, "world")),
+      Cmp(FieldRef("s"), CmpOp.Equal, "HELLO"))
+    assert(keysMatching(node, scalars) == Set("a", "c"))
+  }
+  test("IN set membership; NULL not in any set") {
+    assert(keysMatching(In(FieldRef("num"), Seq(10L, 30L)), scalars) == Set("a", "d"))
+  }
+
+  // --- slices / maps -------------------------------------------------------
+
+  private lazy val slices = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("a", Seq(1L, 2L, 3L), Seq("Foo", "BAR"), Map("x" -> Seq(0, 5))),
+      Row("b", Seq.empty[Long], Seq.empty[String], Map.empty[String, Seq[Int]]),
+      Row("c", null, null, null))),
+    StructType(Seq(
+      StructField("k", StringType),
+      StructField("nums", ArrayType(LongType)),
+      StructField("strs", ArrayType(StringType)),
+      StructField("m", MapType(StringType, ArrayType(IntegerType))))))
+
+  test("SLICE_CONTAINS; null slice never matches, even negated") {
+    assert(keysMatching(SliceContains(FieldRef("nums"), 2L), slices) == Set("a"))
+    assert(keysMatching(SliceContains(FieldRef("nums"), 9L, negate = true), slices) == Set("a", "b"))
+  }
+  test("SLICE_CONTAINS_SUBSTRING is case-insensitive") {
+    assert(keysMatching(SliceContainsSubstring(FieldRef("strs"), "bar"), slices) == Set("a"))
+    assert(keysMatching(SliceContainsSubstring(FieldRef("strs"), "OO"), slices) == Set("a"))
+  }
+  test("HAS_KEY / HAS_NOT_KEY; null map never matches") {
+    assert(keysMatching(HasKey(FieldRef("m"), "x"), slices) == Set("a"))
+    assert(keysMatching(HasKey(FieldRef("m"), "y", negate = true), slices) == Set("a", "b"))
+  }
+  test("IS_EMPTY on arrays and maps") {
+    assert(keysMatching(IsEmpty(FieldRef("nums")), slices) == Set("b", "c"))
+  }
+  test("#len pseudo-field") {
+    assert(keysMatching(Cmp(FieldRef.Len(FieldRef("nums")), CmpOp.Equal, 3), slices) == Set("a"))
+    assert(keysMatching(Cmp(FieldRef.Len(FieldRef("nums")), CmpOp.Equal, 0), slices) == Set("b"))
+  }
+
+  // --- quantified nested slices (empty-slice law: ANY=false, ALL/NONE=true,
+  //     COUNT compares 0; null slice never matches) -------------------------
+
+  private lazy val nested = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("a", Seq(Row(1L, "ready"), Row(5L, "done"))),
+      Row("empty", Seq.empty[Row]),
+      Row("nil", null))),
+    StructType(Seq(
+      StructField("k", StringType),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("clicks", LongType), StructField("status", StringType))))))))
+
+  private def quant(q: Quantifier, pred: FilterNode = Cmp(FieldRef("clicks"), CmpOp.GreaterThan, 2L)) =
+    NestedSliceWhere(FieldRef("items"), q, pred)
+
+  test("ANY: empty => false, nil => false") {
+    assert(keysMatching(quant(Quantifier.Any), nested) == Set("a"))
+  }
+  test("ALL: empty => true, nil => false") {
+    assert(keysMatching(quant(Quantifier.All,
+      Cmp(FieldRef("clicks"), CmpOp.GreaterThanOrEqual, 1L)), nested) == Set("a", "empty"))
+  }
+  test("NONE: empty => true") {
+    assert(keysMatching(quant(Quantifier.None,
+      Cmp(FieldRef("status"), CmpOp.Equal, "failed")), nested) == Set("a", "empty"))
+  }
+  test("COUNT compares 0 on empty") {
+    assert(keysMatching(quant(Quantifier.Count(CmpOp.Equal, 0)), nested) == Set("empty"))
+    assert(keysMatching(quant(Quantifier.Count(CmpOp.GreaterThanOrEqual, 1)), nested) == Set("a"))
+  }
+  test("AnyElement wildcard [*]") {
+    assert(keysMatching(AnyElement(FieldRef("items"),
+      Cmp(FieldRef("status"), CmpOp.Equal, "done")), nested) == Set("a"))
+  }
+
+  // --- phrase --------------------------------------------------------------
+
+  private lazy val phrases = Seq(
+    ("a", "general terms conditions apply"),
+    ("b", "terms general conditions"),
+    ("c", "no relevant words")
+  ).toDF("k", "text")
+    .withColumn("wi", graft.functions.TextFunctions.wordIndex(col("text")))
+
+  test("phrase = consecutive positions only") {
+    assert(keysMatching(PhraseMatch(FieldRef("wi"), Seq("general", "terms")), phrases) == Set("a"))
+    assert(keysMatching(PhraseMatch(FieldRef("wi"), Seq("general", "terms", "conditions")), phrases) == Set("a"))
+  }
+  test("phrase negate matches docs lacking the words entirely") {
+    assert(keysMatching(PhraseMatch(FieldRef("wi"), Seq("general", "terms"), negate = true),
+      phrases) == Set("b", "c"))
+  }
+  test("single-word phrase = key containment") {
+    assert(keysMatching(PhraseMatch(FieldRef("wi"), Seq("conditions")), phrases) == Set("a", "b"))
+  }
+
+  // --- vector / geo ---------------------------------------------------------
+
+  test("vector: dimension mismatch never matches; threshold respected") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", Seq(1.0f, 0.0f)),
+        Row("b", Seq(0.0f, 1.0f)),
+        Row("short", Seq(1.0f)))),
+      StructType(Seq(StructField("k", StringType),
+        StructField("v", ArrayType(FloatType)))))
+    assert(keysMatching(VectorSimilar(FieldRef("v"), Array(1.0f, 0.0f), 0.9), df) == Set("a"))
+  }
+
+  test("geo: inside/outside radius; Null Island excluded") {
+    val df = Seq(
+      ("near", 10.1, 20.1),
+      ("far", -40.0, 120.0),
+      ("nullisland", 0.0, 0.0)
+    ).toDF("k", "lat", "lon")
+    assert(keysMatching(GeoWithin(FieldRef("lat"), FieldRef("lon"), 10.0, 20.0, 100.0), df) == Set("near"))
+    assert(keysMatching(GeoWithin(FieldRef("lat"), FieldRef("lon"), 10.0, 20.0, 100.0,
+      inside = false), df) == Set("far"))
+  }
+}

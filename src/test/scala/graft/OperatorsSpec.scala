@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators._
+import graft.functions.{VectorFunctions => VF}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Set matrix (proto:874-1040) -----------------------------------------
+
+  private lazy val base = Seq(("k1", 10.0), ("k2", 20.0)).toDF("key", "v")
+  private lazy val delta = Seq(("k2", 20.0), ("k3", 30.0), ("k4", 40.0)).toDF("key", "v")
+
+  private def statuses(mode: Mutations.WriteMode) =
+    Mutations.set(base, delta, "key", mode).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+
+  test("set upsert: NEW / UPDATED / NOTHING_CHANGED per key") {
+    val m = statuses(Mutations.Upsert)
+    assert(m == Map("k1" -> "NOTHING_CHANGED", "k2" -> "NOTHING_CHANGED",
+      "k3" -> "NEW", "k4" -> "NEW"))
+    val upd = Mutations.set(base, Seq(("k1", 99.0)).toDF("key", "v"), "key")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(upd("k1") == (99.0, "UPDATED"))
+  }
+  test("set insert-only never touches existing rows") {
+    val out = Mutations.set(base, Seq(("k1", 99.0), ("k5", 5.0)).toDF("key", "v"),
+      "key", Mutations.InsertOnly).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out("k1") == (10.0, "NOTHING_CHANGED"))
+    assert(out("k5") == (5.0, "NEW"))
+  }
+  test("set update-only drops unknown keys") {
+    val m = statuses(Mutations.UpdateOnly)
+    assert(m.keySet == Set("k1", "k2"))
+  }
+
+  // --- increment / slices ---------------------------------------------------
+
+  test("conditional increment applies only where condition holds on current value") {
+    val out = Mutations.incrementWhere(base, "v", lit(5.0), col("v") < 15.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out("k1") == (15.0, true) && out("k2") == (20.0, false))
+  }
+
+  test("slice push/delete keep set semantics, sorted") {
+    val df = Seq(("k", Seq(3L, 1L))).toDF("key", "ids")
+    val out = df.select(
+      Mutations.slicePush(col("ids"), Seq(2L, 3L)).as("pushed"),
+      Mutations.sliceDelete(col("ids"), Seq(1L, 9L)).as("deleted")).head()
+    assert(out.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(out.getSeq[Long](1) == Seq(3L))
+  }
+
+  // --- patch (proto:2988-3255) ----------------------------------------------
+
+  test("patch: SET/INC/APPEND under condition; INC preserves numeric type") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("a", org.apache.spark.sql.Row(1.toByte, Seq("t1")), true),
+        org.apache.spark.sql.Row("b", org.apache.spark.sql.Row(2.toByte, Seq("t2")), false))),
+      StructType(Seq(
+        StructField("k", StringType),
+        StructField("body", StructType(Seq(
+          StructField("n", ByteType), StructField("tags", ArrayType(StringType))))),
+        StructField("cond", BooleanType))))
+    val out = Patch.applyPatch(df, "body",
+      Seq(Patch.IncField("n", lit(1)), Patch.Append("tags", array(lit("x")))),
+      condition = col("cond"))
+    // type preserved: ByteType + 1 stays ByteType (msgpackpatch/numeric.go)
+    assert(out.schema("body").dataType.asInstanceOf[StructType]("n").dataType == ByteType)
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getStruct(1).getByte(0), r.getStruct(1).getSeq[String](1))).toMap
+    assert(rows("a") == (2.toByte, Seq("t1", "x")))
+    assert(rows("b") == (2.toByte, Seq("t2"))) // condition unmet: untouched
+  }
+
+  test("patch: RemoveAt / RemoveVal / Delete / Prepend") {
+    val df = Seq(("a", (Seq(10, 20, 30), "keep"))).toDF("k", "body")
+    val out = Patch.applyPatch(df, "body", Seq(
+      Patch.RemoveAt("_1", 1),
+      Patch.Prepend("_1", array(lit(5)))))
+      .select(col("body._1")).head().getSeq[Int](0)
+    assert(out == Seq(5, 10, 30))
+  }
+
+  // --- shift / cap -----------------------------------------------------------
+
+  test("shift claims oldest-first, claimed and remaining are disjoint and complete") {
+    val df = Seq(
+      ("e1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("e2", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("e3", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      ("e4", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    ).toDF("key", "exp")
+    val r = Shift.shiftExpired(df, "exp", "key",
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), 2)
+    assert(r.claimed.select("key").as[String].collect().toSeq == Seq("e1", "e2"))
+    assert(r.remaining.select("key").as[String].collect().toSet == Set("e3", "e4"))
+  }
+
+  test("cap gate flags when post-state exceeds quota") {
+    val df = Seq.tabulate(10)(i => (s"k$i", i)).toDF("key", "v")
+    val flagged = Shift.capGate(df, col("v") >= 5, maxMatching = 3)
+    assert(flagged.select("_cap_reached").distinct().as[Boolean].head())
+    val ok = Shift.capGate(df, col("v") >= 8, maxMatching = 3)
+    assert(!ok.select("_cap_reached").distinct().as[Boolean].head())
+  }
+
+  // --- vector expression cross-check ----------------------------------------
+
+  test("custom DotProductConst == HOF formulation, handles dim mismatch") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(Seq(0.5f, 0.5f, 0.7f)),
+        org.apache.spark.sql.Row(Seq(0.1f, 0.2f)))),
+      StructType(Seq(StructField("v", ArrayType(FloatType)))))
+    val q = Array(0.3f, 0.4f, 0.5f)
+    val both = df.filter(size(col("v")) === 3)
+      .select(VF.cosine(col("v"), q).as("fast"), VF.cosineHof(col("v"), q).as("ref"))
+      .head()
+    assert(math.abs(both.getDouble(0) - both.getDouble(1)) < 1e-12)
+    // mismatch => 0.0 (guarded by size() in filters)
+    val mm = df.filter(size(col("v")) === 2).select(VF.cosine(col("v"), q)).head().getDouble(0)
+    assert(mm == 0.0)
+  }
+
+  // --- dedup / similarity -----------------------------------------------------
+
+  test("exact dedup keeps min-key winner per digest") {
+    val df = Seq((3L, "same text"), (1L, "same text"), (2L, "other")).toDF("id", "text")
+    val kept = Dedup.exact(df, "text", "id").select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val c = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val pairs = Dedup.minhashLsh(df, "text", "id", shingleN = 3,
+      numHashes = 16, bands = 4, threshold = 0.5)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force topK is ordered and bounded") {
+    val rows = (0 until 50).map { i =>
+      val x = i / 50.0
+      org.apache.spark.sql.Row(i.toLong, Seq(x.toFloat, math.sqrt(1 - x * x).toFloat))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val top = Similarity.bruteForceTopK(df, "embedding", "vec_id", Array(1.0f, 0.0f), 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(49L, 48L, 47L, 46L, 45L))
+  }
+
+  // --- multimodal plumbing ----------------------------------------------------
+
+  test("media features: schema, determinism, null payload") {
+    val df = Seq((1L, "abc"), (2L, null.asInstanceOf[String])).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", col("payload"), "text/plain")
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema.fieldNames.toSet == Set("media_id", "meta", "features"))
+    val out = feats.select(col("media_id"), col("features.n_bytes")).as[(Long, Long)]
+      .collect().toMap
+    assert(out(1L) == 3L && out(2L) == 0L)
+  }
+
+  test("frame sampling emits n evenly spaced stubs") {
+    val df = Seq((1L, "x")).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMedia(df, "id", col("payload"), "video/fake"), 4)
+    assert(frames.select("frame_offset_ms").as[Long].collect().toSeq == Seq(0L, 250L, 500L, 750L))
+  }
+
+  // --- changefeed --------------------------------------------------------------
+
+  test("cdc diff emits NEW/MODIFIED/DELETED with old values, nothing for unchanged") {
+    val oldS = Seq(("k1", 1), ("k2", 2), ("k3", 3)).toDF("key", "v")
+    val newS = Seq(("k2", 2), ("k3", 33), ("k4", 4)).toDF("key", "v")
+    val ev = graft.streaming.ChangeFeed.diff(oldS, newS, "key")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(ev.keySet == Set("k1", "k3", "k4")) // k2 unchanged => silent
+    assert(ev("k1") == ("DELETED", None, Some(1)))
+    assert(ev("k3") == ("MODIFIED", Some(33), Some(3)))
+    assert(ev("k4") == ("NEW", Some(4), None))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.filters._
+import graft.functions.{VectorFunctions => VF}
+
+/**
+ * Law-style properties for the expression compiler (SURVEY.md §7.4-6):
+ * quantifier laws, null discipline, custom-expression/HOF equivalence.
+ * Fixed-seed pseudo-random fuzz — same style as the reference's property
+ * tests (reference: msgpackpatch/property_test.go:12-27, seed 0xC0FFEE).
+ */
+class PropertiesSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(0xC0FFEE)
+
+  private def randArr(): Seq[Long] =
+    Seq.fill(rnd.nextInt(8))(rnd.nextLong() % 16)
+
+  private def evalQuant(arrs: Seq[Option[Seq[Long]]], q: Quantifier): Seq[Boolean] = {
+    val rows = arrs.zipWithIndex.map { case (a, i) => Row(i.toLong, a.orNull) }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("id", LongType), StructField("xs", ArrayType(LongType)))))
+    // empty relative path => the element itself is the comparand
+    val pred = NestedSliceWhere(FieldRef.Path(Seq("xs")), q,
+      Cmp(FieldRef.Path(Seq.empty), CmpOp.GreaterThan, 7L))
+    df.withColumn("m", FilterCompiler.compile(pred, df))
+      .orderBy("id").select("m").collect().map(_.getBoolean(0)).toSeq
+  }
+
+  test("quantifier laws over 200 random slices (ANY=!NONE, ANY=COUNT>=1, empty-slice table)") {
+    val arrs = Seq.fill(200)(randArr())
+    val opts = arrs.map(Option(_))
+    val any = evalQuant(opts, Quantifier.Any)
+    val none = evalQuant(opts, Quantifier.None)
+    val all = evalQuant(opts, Quantifier.All)
+    val cnt = evalQuant(opts, Quantifier.Count(CmpOp.GreaterThanOrEqual, 1))
+    arrs.indices.foreach { i =>
+      assert(any(i) == !none(i), s"ANY == !NONE violated: ${arrs(i)}")
+      assert(any(i) == cnt(i), s"ANY == COUNT>=1 violated: ${arrs(i)}")
+      assert(any(i) == arrs(i).exists(_ > 7))
+      assert(all(i) == arrs(i).forall(_ > 7))
+      if (arrs(i).isEmpty) assert(!any(i) && all(i) && none(i))
+    }
+  }
+
+  test("null slice never matches any quantifier") {
+    val r = Seq(Quantifier.Any, Quantifier.All, Quantifier.None,
+      Quantifier.Count(CmpOp.Equal, 0)).map(q => evalQuant(Seq(None), q).head)
+    assert(r == Seq(false, false, false, false))
+  }
+
+  test("custom cosine expression == HOF formulation on 50 random vectors") {
+    val vecs = Seq.fill(50)(Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val q = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }),
+      StructType(Seq(StructField("id", LongType), StructField("v", ArrayType(FloatType)))))
+    df.select(VF.cosine(col("v"), q).as("fast"), VF.cosineHof(col("v"), q).as("ref"))
+      .collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("filter-tree compilation is total over 100 random and/or trees") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("num", "s")
+    def leaf(): FilterNode = rnd.nextInt(4) match {
+      case 0 => Cmp(FieldRef("num"), CmpOp.GreaterThan, rnd.nextLong() % 100)
+      case 1 => Cmp(FieldRef("s"), CmpOp.Contains, rnd.alphanumeric.take(3).mkString)
+      case 2 => IsEmpty(FieldRef("s"))
+      case _ => In(FieldRef("num"), Seq(rnd.nextLong() % 100, rnd.nextLong() % 100))
+    }
+    def tree(depth: Int): FilterNode =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => Group(BoolOp.And, Seq.fill(2)(tree(depth - 1)))
+        case 1 => Group(BoolOp.Or, Seq.fill(2)(tree(depth - 1)))
+        case _ => Group.passAll
+      }
+    (1 to 100).foreach { _ =>
+      val n = df.filter(FilterCompiler.compile(tree(3), df)).count()
+      assert(n >= 0 && n <= 2)
+    }
+  }
+
+  test("set upsert is idempotent: applying the same delta twice changes nothing") {
+    import spark.implicits._
+    val base = Seq(("a", 1.0), ("b", 2.0)).toDF("key", "v")
+    val delta = Seq(("b", 5.0), ("c", 3.0)).toDF("key", "v")
+    val once = Mutationsish(base, delta)
+    val twice = Mutationsish(once, delta)
+    assert(once.orderBy("key").collect().toSeq == twice.orderBy("key").collect().toSeq)
+  }
+
+  private def Mutationsish(base: org.apache.spark.sql.DataFrame,
+                           delta: org.apache.spark.sql.DataFrame) =
+    graft.operators.Mutations.set(base.select("key", "v"), delta, "key")
+      .select("key", "v")
+}

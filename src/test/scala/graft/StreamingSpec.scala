@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/**
+ * Structured Streaming behavior: the Subscribe event algebra over a live
+ * command stream (NEW/MODIFIED/DELETED with old values, per micro-batch)
+ * and watermarked windowed aggregation — the reference's reactive layer
+ * (proto:363-395,755-801) on Spark's micro-batch model.
+ */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Cmd(op: String, key: String, v: Int)
+
+  test("subscribeToEvents emits NEW / MODIFIED / DELETED across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Cmd]
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String, Option[Int], Option[Int])]()
+
+    val q = Streams.subscribeToEvents(input.toDF(), "key", events =>
+      seen ++= events.collect().map(r => (
+        r.getString(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Int])))
+    ).start()
+
+    input.addData(Cmd("U", "k1", 1), Cmd("U", "k2", 2))
+    q.processAllAvailable()
+    input.addData(Cmd("U", "k1", 10), Cmd("D", "k2", 0), Cmd("U", "k3", 3))
+    q.processAllAvailable()
+    q.stop()
+
+    val byBatch = seen.toSeq
+    assert(byBatch.take(2).map(e => (e._1, e._2)).toSet == Set("k1" -> "NEW", "k2" -> "NEW"))
+    val second = byBatch.drop(2).map(e => e._1 -> e).toMap
+    assert(second("k1")._2 == "MODIFIED" && second("k1")._3 == Some(10) && second("k1")._4 == Some(1))
+    assert(second("k2")._2 == "DELETED" && second("k2")._3 == None && second("k2")._4 == Some(2))
+    assert(second("k3")._2 == "NEW" && second("k3")._3 == Some(3))
+  }
+
+  case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
+
+  test("windowed counts with watermark produce per-window aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = Streams.windowedCounts(input.toDF(), "ts", "event_type",
+      windowLen = "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData(Ev(ts(1), "click", 1.0), Ev(ts(2), "click", 2.0), Ev(ts(12), "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_out")
+      .select(col("window_start").cast("string"), col("n"), col("val"))
+      .as[(String, Long, Double)].collect().map { case (k, v, w) => (k, (v, w)) }.toMap
+    assert(rows("2024-01-01 10:00:00") == (2L, 3.0))
+    assert(rows("2024-01-01 10:10:00") == (1L, 4.0))
+  }
+
+  test("TTL column marks expiry horizon in event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val ttld = Streams.withTtl(input.toDF(), "ts", "30 minutes")
+    val q = ttld.writeStream.outputMode("append").format("memory")
+      .queryName("ttl_out").start()
+    input.addData(Ev(java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "x", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val exp = spark.table("ttl_out").select(col("_expires_at").cast("string")).as[String].head()
+    assert(exp == "2024-01-01 10:30:00")
+  }
+}
