@@ -14,10 +14,19 @@ import org.apache.spark.sql.types._
  * everything inside whole-stage codegen. No custom rule is needed — pushdown
  * and short-circuiting are free once the tree is a Column.
  *
- * Null discipline: every leaf is wrapped in `coalesce(p, false)` so a missing
- * path / NULL value never matches — mirroring the reference's "absent path =>
- * return false" (reference: app/server/gateway/filter_native.go:369-371) —
- * except IS_EMPTY which *matches* NULL by definition.
+ * Null discipline: the reference's "absent path => no match"
+ * (reference: app/server/gateway/filter_native.go:369-371) falls out of SQL
+ * three-valued logic — a NULL input propagates NULL through every leaf and
+ * through the AND/OR tree (the algebra has no group-level NOT), and the
+ * WHERE boundary treats NULL as no-match. Leaves are therefore NOT wrapped
+ * in `coalesce(p, false)`: the wrapper would be semantically redundant AND
+ * it blocks Parquet predicate pushdown (a coalesce'd comparison is opaque to
+ * the data-source filter translator — at 100 TB that is the difference
+ * between skipping row groups and scanning them). coalesce appears in
+ * exactly two places where NULL *must* become a concrete false before
+ * further logic: inside quantifier lambdas (per-element votes) and ahead of
+ * explicit negation (PhraseMatch.negate). IS_EMPTY *matches* NULL by
+ * definition.
  */
 object FilterCompiler {
 
@@ -75,7 +84,7 @@ object FilterCompiler {
     case Cmp(f, op, v) =>
       val c = fieldCol(f, ctx)
       val l = lit(v)
-      noNull(op match {
+      (op match {
         case CmpOp.Equal              => c === l
         case CmpOp.NotEqual           => c =!= l
         case CmpOp.GreaterThan        => c > l
@@ -103,36 +112,36 @@ object FilterCompiler {
 
     case HasKey(f, k, negate) =>
       val p = map_contains_key(fieldCol(f, ctx), lit(k))
-      noNull(if (negate) !p else p)
+      if (negate) !p else p
 
     case SliceContains(f, v, negate) =>
       val p = array_contains(fieldCol(f, ctx), lit(v))
-      noNull(if (negate) !p else p)
+      if (negate) !p else p
 
     case SliceContainsSubstring(f, sub, negate) =>
       // case-INsensitive by spec (proto:2042-2043) vs case-sensitive CONTAINS.
       val p = exists(fieldCol(f, ctx), e => lower(e).contains(lit(sub.toLowerCase)))
-      noNull(if (negate) !p else p)
+      if (negate) !p else p
 
     case In(f, vs) =>
-      noNull(fieldCol(f, ctx).isin(vs: _*))
+      fieldCol(f, ctx).isin(vs: _*)
 
     case AnyElement(slice, pred) =>
       val arr = ctx.resolve(slice.parts)
       val elemType = ctx.typeOf(slice.parts)
-      noNull(exists(arr, e => noNull(compileNode(pred, elemCtx(e, elemType)))))
+      exists(arr, e => noNull(compileNode(pred, elemCtx(e, elemType))))
 
     case NestedSliceWhere(slice, q, elemFilter) =>
       val arr = ctx.resolve(slice.parts)
       val elemType = ctx.typeOf(slice.parts)
       def pred(e: Column): Column = noNull(compileNode(elemFilter, elemCtx(e, elemType)))
       q match {
-        case Quantifier.Any  => noNull(exists(arr, pred))
-        case Quantifier.All  => noNull(forall(arr, pred))
-        case Quantifier.None => noNull(!exists(arr, pred))
+        case Quantifier.Any  => exists(arr, pred)
+        case Quantifier.All  => forall(arr, pred)
+        case Quantifier.None => !exists(arr, pred)
         case Quantifier.Count(op, n) =>
           val cnt = size(filter(arr, pred(_))) // size(NULL)=NULL => no match
-          noNull(op match {
+          (op match {
             case CmpOp.Equal              => cnt === n
             case CmpOp.NotEqual           => cnt =!= n
             case CmpOp.GreaterThan        => cnt > n
@@ -164,7 +173,7 @@ object FilterCompiler {
     case VectorSimilar(path, query, minSim) =>
       val v = ctx.resolve(path.parts)
       val score = graft.functions.VectorFunctions.cosine(v, query)
-      noNull(size(v) === lit(query.length) && score >= lit(minSim))
+      size(v) === lit(query.length) && score >= lit(minSim)
 
     case GeoWithin(latP, lonP, refLat, refLon, radiusKm, inside) =>
       val lat = ctx.resolve(latP.parts).cast(DoubleType)
@@ -178,6 +187,6 @@ object FilterCompiler {
           graft.functions.GeoFunctions.bboxPrefilter(lat, lon, refLat, refLon, radiusKm) &&
             dist <= lit(radiusKm)
         } else dist > lit(radiusKm)
-      noNull(notNullIsland && p)
+      notNullIsland && p
   }
 }

@@ -26,7 +26,8 @@ class PropertiesSpec extends SparkSpec {
     // empty relative path => the element itself is the comparand
     val pred = NestedSliceWhere(FieldRef.Path(Seq("xs")), q,
       Cmp(FieldRef.Path(Seq.empty), CmpOp.GreaterThan, 7L))
-    df.withColumn("m", FilterCompiler.compile(pred, df))
+    // evaluate at the WHERE boundary: NULL (missing slice) = no match
+    df.withColumn("m", coalesce(FilterCompiler.compile(pred, df), lit(false)))
       .orderBy("id").select("m").collect().map(_.getBoolean(0)).toSeq
   }
 
