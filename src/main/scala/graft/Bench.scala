@@ -22,9 +22,13 @@ object Bench {
     // warmup: exercise scan + shuffle + codegen machinery once
     Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count().collect()
 
+    // Time FULL evaluation of every output column: `df.count()` lets Catalyst
+    // prune projections (a compute-heavy select would be timed as just the
+    // scan), so we count the *internal-row* RDD of the final plan — every
+    // expression in the query runs, nothing is collected to the driver.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -394,28 +394,35 @@ object SparkEntry {
       },
       Some("SELECT a.vec_id AS key_a, b.vec_id AS key_b, round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine FROM embeddings a, embeddings b WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.25")),
 
-    Q("q_phrase_match", // consecutive word positions (filter.go:560-589)
+    Q("q_phrase_match", // consecutive word positions (filter.go:560-589) —
+      // scan form: O(tokens × |phrase|) sliding check over the token array,
+      // no per-row word-index construction (round-1's O(distinct × tokens))
       (s, d) => t(s, d, "documents")
-        .withColumn("word_index", TF.wordIndex(col("text")))
+        .withColumn("toks", split(col("text"), " "))
         .filter(FilterCompiler.compile(
-          PhraseMatch(FieldRef("word_index"), Seq("data", "batch"))))
+          PhraseInTokens(FieldRef("toks"), Seq("data", "batch"))))
         .select(col("doc_id")),
       Some("SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% data batch %'")),
 
     Q("q_phrase_negate",
       (s, d) => t(s, d, "documents")
-        .withColumn("word_index", TF.wordIndex(col("text")))
+        .withColumn("toks", split(col("text"), " "))
         .filter(FilterCompiler.compile(Group.and(
-          PhraseMatch(FieldRef("word_index"), Seq("spark", "join"), negate = true),
+          PhraseInTokens(FieldRef("toks"), Seq("spark", "join"), negate = true),
           Cmp(FieldRef("lang"), CmpOp.Equal, "en"))))
         .select(col("doc_id")),
       Some("SELECT doc_id FROM documents WHERE NOT (' ' || text || ' ' LIKE '% spark join %') AND lang = 'en'")),
 
-    Q("q_haskey", // HAS_KEY on the word-index map (filter_native.go:346-361)
-      (s, d) => t(s, d, "documents")
-        .withColumn("word_index", TF.wordIndex(col("text")))
-        .filter(FilterCompiler.compile(HasKey(FieldRef("word_index"), "vector")))
-        .select(col("doc_id")),
+    Q("q_haskey", // HAS_KEY on a word map (filter_native.go:346-361): the map
+      // is an O(tokens) distinct-token set, not the O(distinct × tokens)
+      // positions index — containment needs no positions
+      (s, d) => {
+        val uniq = array_distinct(split(col("text"), " "))
+        t(s, d, "documents")
+          .withColumn("word_set", map_from_arrays(uniq, transform(uniq, _ => lit(1))))
+          .filter(FilterCompiler.compile(HasKey(FieldRef("word_set"), "vector")))
+          .select(col("doc_id"))
+      },
       Some("SELECT doc_id FROM documents WHERE list_contains(string_split(text,' '), 'vector')")),
 
     Q("q_slice_contains_substring", // case-INsensitive over array (proto:2042)
@@ -688,6 +695,53 @@ object SparkEntry {
         (SELECT doc_id, list_transform($sqlShingles3, x -> ${sqlHash32("x")}) AS hs FROM documents)"""
   }
 
+  /**
+   * DuckDB mirror of Dedup.minhashLsh: persisted-signature LSH banding for
+   * candidates + exact Jaccard verify on candidate pairs only. Every
+   * primitive is bit-identical across engines (md5-derived 32-bit hashes,
+   * overflow-safe permutation params, integer band slices), which is what
+   * lets a probabilistic-candidate pipeline be oracle-checked exactly.
+   */
+  private def sqlLshNearDup(numHashes: Int, bands: Int, threshold: Double): String = {
+    val r = numHashes / bands
+    val sigTerms = TF.minhashParams(numHashes).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${TF.MinhashPrime}))"
+    }
+    val bandIdx = (0 until bands).mkString(", ")
+    val bandTerms = (0 until bands).map(bd =>
+      s"md5(array_to_string(sig[${bd * r + 1}:${bd * r + r}], ','))")
+    s"""WITH sh AS (SELECT doc_id, list_distinct($sqlShingles3) AS s FROM documents),
+        sg AS (SELECT doc_id, [${sigTerms.mkString(", ")}] AS sig
+               FROM (SELECT doc_id, list_transform(s, x -> ${sqlHash32("x")}) AS hs FROM sh)),
+        banded AS (SELECT doc_id, unnest([$bandIdx]) AS band,
+                   unnest([${bandTerms.mkString(", ")}]) AS bh FROM sg),
+        cand AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+                 FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        scored AS (SELECT key_a, key_b,
+            CASE WHEN len(list_distinct(sa.s || sb.s)) = 0 THEN 0.0
+                 ELSE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE
+            END AS j
+          FROM cand
+          JOIN sh sa ON cand.key_a = sa.doc_id
+          JOIN sh sb ON cand.key_b = sb.doc_id)
+        SELECT key_a, key_b, round(j, 6) AS jaccard FROM scored WHERE j >= $threshold"""
+  }
+
+  /** DuckDB mirror of Dedup.simhashPairs: 4×8-bit table-split banding,
+    * Hamming via bit_count(xor). */
+  private val sqlSimhashPairs: String = {
+    val bandTerms = (0 until 4).map(tb => s"(simhash >> ${tb * 8}) % 256")
+    s"""WITH sg AS ($sqlSimhash),
+        banded AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS t,
+                   unnest([${bandTerms.mkString(", ")}]) AS band FROM sg),
+        cand AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+                 bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+                 FROM banded a JOIN banded b
+                 ON a.t = b.t AND a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT key_a, key_b, hamming FROM cand WHERE hamming <= 2"""
+  }
+
   private val textQueries = Seq(
     Q("q_dedup_exact", // hash-groupBy dedup, min-key winner
       (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")
@@ -702,20 +756,18 @@ object SparkEntry {
         .select(col("doc_id")),
       Some("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(array_to_string(string_split(text,' ')[1:5], ' ')) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1")),
 
-    Q("q_ngram_jaccard", // exact n-gram Jaccard near-dup pairs (banded)
+    Q("q_ngram_jaccard", // exact n-gram Jaccard near-dup via high-recall LSH
+      // candidates (32 hashes × 16 bands ⇒ ~99% recall at j=0.5) + exact
+      // verify — replaces round-1's shingle-count-band all-pairs self-join
       (s, d) => Dedup.ngramJaccardJoin(t(s, d, "documents"), "text", "doc_id",
         shingleN = 3, minJaccard = 0.5),
-      Some(s"""WITH sh AS (SELECT doc_id, list_distinct($sqlShingles3) AS s FROM documents),
-        b AS (SELECT doc_id, s, floor(len(s) / 10)::INT AS nb FROM sh)
-        SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-          round(len(list_intersect(a.s, b.s))::DOUBLE / CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1 ELSE len(list_distinct(a.s || b.s)) END, 6) AS jaccard
-        FROM b a JOIN b b ON a.nb = b.nb AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.s, b.s))::DOUBLE / CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 1 ELSE len(list_distinct(a.s || b.s)) END >= 0.5""")),
+      Some(sqlLshNearDup(numHashes = 32, bands = 16, threshold = 0.5))),
 
-    Q("q_minhash_neardup", // MinHash+LSH candidates (probabilistic): rows-only
+    Q("q_minhash_neardup", // MinHash+LSH pairs — deterministic hashing makes
+      // even the probabilistic candidate set oracle-checkable exactly
       (s, d) => Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
-      None),
+      Some(sqlLshNearDup(numHashes = 16, bands = 4, threshold = 0.5))),
 
     Q("q_minhash_sig", // the signature itself is oracle-checked exactly
       (s, d) => t(s, d, "documents")
@@ -728,9 +780,9 @@ object SparkEntry {
         .select(col("doc_id"), TF.simhash32(col("text")).as("simhash")),
       Some(sqlSimhash)),
 
-    Q("q_simhash_neardup", // SimHash near-dup pairs: rows-only (engine-side banding)
+    Q("q_simhash_neardup", // SimHash near-dup pairs, banding mirrored exactly
       (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 2),
-      None),
+      Some(sqlSimhashPairs)),
 
     Q("q_embedding_neardup", // hyperplane-LSH near-dup: rows-only (seeded planes)
       (s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -773,12 +825,157 @@ object SparkEntry {
       Some("SELECT doc_id AS media_id, f AS frame_no, (f * 1000) // 4 AS frame_offset_ms FROM documents, (SELECT unnest(range(0, 4)) AS f) WHERE doc_id < 20")))
 
   // ==========================================================================
+  // round-2 reference capabilities: profile mode, filter labels, patch
+  // expired/merge, existence probes, batch LWW, type discipline
+  // ==========================================================================
+
+  /** Profile fixture: one swamp per customer, fields as rows (long format);
+    * 'name' is withheld for every 10th entity to exercise the
+    * missing-treasure => NULL pivot path. */
+  private def profileLong(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_custkey").as("entity"),
+        explode(array(
+          struct(lit("segment").as("field"), col("c_mktsegment").as("value")),
+          struct(lit("name").as("field"), col("c_name").as("value")),
+          struct(lit("nation").as("field"), col("c_nationkey").cast("string").as("value"))
+        )).as("fv"))
+      .select(col("entity"), col("fv.field").as("field"), col("fv.value").as("value"))
+      .filter(!(col("field") === "name" && col("entity") % 10 === 0))
+
+  private val sqlProfileLong =
+    """(SELECT c_custkey AS entity, 'segment' AS field, c_mktsegment AS value FROM customer
+        UNION ALL SELECT c_custkey, 'name', c_name FROM customer WHERE c_custkey % 10 <> 0
+        UNION ALL SELECT c_custkey, 'nation', c_nationkey::VARCHAR FROM customer)"""
+
+  private val sqlProfileWide =
+    s"""(SELECT entity,
+          max(CASE WHEN field = 'segment' THEN value END) AS segment,
+          max(CASE WHEN field = 'name' THEN value END) AS name,
+          max(CASE WHEN field = 'nation' THEN value END) AS nation
+        FROM $sqlProfileLong GROUP BY entity)"""
+
+  private val referenceQueries = Seq(
+    Q("q_profile_stream", // GetStream pivot (proto:2916-2932, gateway.go:942-1036)
+      (s, d) => Profile.getStream(profileLong(s, d), "entity", "field", "value",
+        Seq("segment", "name", "nation")),
+      Some(s"SELECT * FROM $sqlProfileWide")),
+
+    Q("q_profile_filtered", // GetStream + TreasureKey filters on pivoted fields
+      (s, d) => Profile.getStreamFiltered(profileLong(s, d), "entity", "field", "value",
+        Seq("segment", "name", "nation"),
+        Group.and(
+          Cmp(FieldRef("segment"), CmpOp.Equal, "BUILDING"),
+          Cmp(FieldRef("nation"), CmpOp.Equal, "5"))),
+      Some(s"SELECT * FROM $sqlProfileWide WHERE segment = 'BUILDING' AND nation = '5'")),
+
+    Q("q_filter_labels", // SearchResultMeta labels (proto:2779-2796): OR does
+      // not short-circuit label collection — a row matching both branches
+      // reports both labels
+      (s, d) => {
+        val df = t(s, d, "orders")
+        val node = Group.or(
+          Labeled("big", Cmp(FieldRef("o_totalprice"), CmpOp.GreaterThan, 300000.0)),
+          Labeled("urgent", Cmp(FieldRef("o_orderpriority"), CmpOp.Equal, "1-URGENT")))
+        val (pred, labels) = FilterCompiler.compileWithLabels(node, df)
+        df.filter(pred)
+          .select(col("o_orderkey"), array_join(labels, ",").as("matched_labels"))
+      },
+      Some("SELECT o_orderkey, array_to_string(list_sort(list_filter([CASE WHEN o_totalprice > 300000.0 THEN 'big' END, CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' END], x -> x IS NOT NULL)), ',') AS matched_labels FROM orders WHERE o_totalprice > 300000.0 OR o_orderpriority = '1-URGENT'")),
+
+    Q("q_patch_expired", // lease/renew (gateway_patch_expired.go:31-270)
+      (s, d) => {
+        val base = t(s, d, "orders").withColumn("body", struct(
+          col("o_orderstatus").as("status"), col("o_totalprice").as("price")))
+        Patch.patchExpired(base, "body",
+            Seq(Patch.SetField("status", lit("EXPIRED")),
+              Patch.IncField("price", lit(1.0))),
+            expiryCol = "o_orderdate", keyCol = "o_orderkey",
+            now = java.sql.Timestamp.valueOf("1993-01-01 00:00:00"), howMany = 500)
+          .select(col("o_orderkey"), col("body.status").as("status"),
+            round(col("body.price"), 2).as("price"), col("_patched"))
+      },
+      Some("""WITH claimed AS (SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1993-01-01 00:00:00' ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 500)
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey IN (SELECT o_orderkey FROM claimed) THEN 'EXPIRED' ELSE o_orderstatus END AS status,
+          round(CASE WHEN o_orderkey IN (SELECT o_orderkey FROM claimed) THEN o_totalprice + 1.0 ELSE o_totalprice END, 2) AS price,
+          o_orderkey IN (SELECT o_orderkey FROM claimed) AS _patched
+        FROM orders""")),
+
+    Q("q_patch_merge", // the 8th patch opcode (proto:3084-3089): map merge,
+      // incoming keys override, others survive
+      (s, d) => {
+        val base = t(s, d, "orders").withColumn("body", struct(
+          map(lit("status"), col("o_orderstatus"),
+            lit("prio"), col("o_orderpriority")).as("attrs"),
+          col("o_totalprice").as("price")))
+        Patch.applyPatch(base, "body",
+            Seq(Patch.MergeMap("attrs",
+              map(lit("status"), lit("X"), lit("src"), lit("patch")))),
+            condition = col("o_totalprice") > 250000.0)
+          .select(col("o_orderkey"),
+            element_at(col("body.attrs"), "status").as("status"),
+            element_at(col("body.attrs"), "prio").as("prio"),
+            element_at(col("body.attrs"), "src").as("src"))
+      },
+      Some("SELECT o_orderkey, CASE WHEN o_totalprice > 250000.0 THEN 'X' ELSE o_orderstatus END AS status, o_orderpriority AS prio, CASE WHEN o_totalprice > 250000.0 THEN 'patch' END AS src FROM orders")),
+
+    Q("q_keys_exist", // AreKeysExist (proto:310-340, gateway.go:1481-1596)
+      (s, d) => Existence.areKeysExist(t(s, d, "customer"), "c_custkey",
+        Seq(1L, 7L, 50L, 99999999L)),
+      Some("SELECT k AS key, k IN (SELECT c_custkey FROM customer) AS is_present FROM (SELECT unnest([1, 7, 50, 99999999]::BIGINT[]) AS k)")),
+
+    Q("q_chronicle_lww", // batch last-write-wins rebuild (chronicler/v2/reader.go)
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey").as("key"),
+          col("o_totalprice").as("price"))
+        val log = o.select(col("key"), col("price"), lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(o.filter(col("key") % 3 === 0)
+            .select(col("key"), (col("price") + 1).as("price"),
+              lit(2L).as("seq"), lit("U").as("op")))
+          .unionByName(o.filter(col("key") % 5 === 0)
+            .select(col("key"), lit(0.0).as("price"),
+              lit(3L).as("seq"), lit("D").as("op")))
+        Chronicle.lastWriteWins(log, "key", "seq", "op")
+          .select(col("key"), round(col("price"), 2).as("price"))
+      },
+      Some("SELECT o_orderkey AS key, round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END, 2) AS price FROM orders WHERE o_orderkey % 5 <> 0")),
+
+    Q("q_filter_type_mismatch", // type mismatch => no match (filter.go:392-493),
+      // not Spark's implicit stringify-and-compare
+      (s, d) => {
+        val df = t(s, d, "orders")
+        df.filter(FilterCompiler.compile(Group.or(
+          Cmp(FieldRef("o_custkey"), CmpOp.Equal, "42"),      // string vs int64
+          Cmp(FieldRef("o_totalprice"), CmpOp.Contains, "9"), // CONTAINS on double
+          Cmp(FieldRef("o_orderstatus"), CmpOp.Equal, "P")), df))
+      },
+      Some("SELECT * FROM orders WHERE o_orderstatus = 'P'")),
+
+    Q("q_filter_u64", // uint64 literal as Decimal(20,0): no int64 overflow
+      // (filter.go:410-415 guard)
+      (s, d) => {
+        val df = t(s, d, "orders")
+        df.filter(FilterCompiler.compile(Group.and(
+          Cmp(FieldRef("o_orderkey"), CmpOp.LessThan,
+            U64(BigInt("18446744073709551615"))), // uint64 max: always true
+          Cmp(FieldRef("o_custkey"), CmpOp.LessThanOrEqual, 100L)), df))
+      },
+      Some("SELECT * FROM orders WHERE o_custkey <= 100")),
+
+    Q("q_shift_by_keys", // ShiftByKeys claim side (proto:1109-1151)
+      (s, d) => Shift.shiftByKeys(t(s, d, "customer"), "c_custkey",
+        (100L to 160L).toSeq).claimed,
+      Some("SELECT * FROM customer WHERE c_custkey BETWEEN 100 AND 160")))
+
+  // ==========================================================================
   // assembled
   // ==========================================================================
 
   private val allQueries: Seq[Q] =
     filterQueries ++ indexQueries ++ aggQueries ++ joinQueries ++ windowQueries ++
-      exoticQueries ++ nestedQueries ++ mutationQueries ++ timeQueries ++ textQueries
+      exoticQueries ++ nestedQueries ++ mutationQueries ++ timeQueries ++
+      textQueries ++ referenceQueries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -113,6 +113,36 @@ final case class PhraseMatch(
     negate: Boolean = false) extends FilterNode
 
 /**
+ * Same phrase semantics evaluated directly over a token ARRAY — the scan
+ * form: an O(tokens × |phrase|) sliding check with no per-row index
+ * construction. This is the hot-path variant; [[PhraseMatch]] stays for
+ * data that already carries the reference's word-index map shape.
+ */
+final case class PhraseInTokens(
+    tokens: FieldRef.Path,
+    words: Seq[String],
+    negate: Boolean = false) extends FilterNode
+
+/**
+ * Attaches a result label to a predicate subtree. When compiled with
+ * [[FilterCompiler.compileWithLabels]], each labeled subtree is ALSO
+ * projected as its own boolean so the per-row `matched_labels` can be
+ * emitted — OR groups do not short-circuit label collection, mirroring
+ * the reference (reference: proto/hydraide.proto:2779-2796,
+ * app/server/gateway/filter_native.go:24-77). Transparent for plain
+ * `compile` (the label does not change match semantics).
+ */
+final case class Labeled(label: String, child: FilterNode) extends FilterNode
+
+/**
+ * Unsigned-64 literal wrapper for [[Cmp]]/[[In]] values: compiled as
+ * DecimalType(20,0) so values above Long.MaxValue compare correctly against
+ * signed columns instead of overflowing (reference:
+ * app/server/gateway/filter.go:410-415 uint64 guard).
+ */
+final case class U64(value: BigInt)
+
+/**
  * Cosine similarity of a pre-L2-normalized float vector vs a query vector
  * >= minSimilarity; dimension mismatch => no match
  * (reference: proto/hydraide.proto:2688-2711, filter_native.go:528-585).

@@ -35,13 +35,45 @@ object FilterCompiler {
       resolve: Seq[String] => Column,
       typeOf: Seq[String] => Option[DataType])
 
-  /** Compile against a DataFrame (schema-aware: IS_EMPTY branches on type). */
+  /** Compile against a DataFrame (schema-aware: IS_EMPTY branches on type,
+    * and scalar compares apply the reference's type-mismatch ⇒ no-match
+    * discipline — reference: app/server/gateway/filter.go:392-493). */
   def compile(node: FilterNode, df: DataFrame): Column =
     compileNode(node, rootCtx(Some(df.schema)))
 
-  /** Compile schema-blind (IS_EMPTY only checks NULL for non-string paths). */
+  /** Compile schema-blind (IS_EMPTY only checks NULL for non-string paths;
+    * scalar compares fall back to Spark implicit casts). */
   def compile(node: FilterNode): Column =
     compileNode(node, rootCtx(None))
+
+  /**
+   * Compile + per-row matched-labels column (SearchResultMeta semantics,
+   * reference: proto/hydraide.proto:2779-2796, filter_native.go:24-77).
+   * Every [[Labeled]] subtree is ALSO projected as its own boolean, so an OR
+   * group never short-circuits label collection — a row matching several
+   * labeled branches reports all of them. Returns (predicate,
+   * matched_labels: sorted array<string> of the labels whose subtree
+   * matched on that row).
+   */
+  def compileWithLabels(node: FilterNode, df: DataFrame): (Column, Column) = {
+    val ctx = rootCtx(Some(df.schema))
+    val pred = compileNode(node, ctx)
+    val labeled = collectLabels(node)
+    val labelsCol =
+      if (labeled.isEmpty) array().cast(ArrayType(StringType))
+      else array_sort(filter(
+        array(labeled.map { case (lbl, n) =>
+          when(noNull(compileNode(n, ctx)), lit(lbl))
+        }: _*),
+        e => e.isNotNull))
+    (pred, labelsCol)
+  }
+
+  private def collectLabels(node: FilterNode): Seq[(String, FilterNode)] = node match {
+    case Labeled(l, c)   => (l -> c) +: collectLabels(c)
+    case Group(_, cs)    => cs.flatMap(collectLabels)
+    case _               => Nil
+  }
 
   private def rootCtx(schema: Option[StructType]): Ctx = Ctx(
     resolve = parts => parts.tail.foldLeft(col(parts.head))((c, p) => c(p)),
@@ -50,7 +82,7 @@ object FilterCompiler {
   private def elemCtx(elem: Column, elemType: Option[DataType]): Ctx = Ctx(
     resolve = parts => parts.foldLeft(elem)((c, p) => c(p)),
     typeOf = parts => elemType.flatMap {
-      case st: StructType => resolveType(st, "_" +: parts) // dummy head consumed below
+      case st: StructType => resolveType(st, parts) // head = element field name
       case _ => None
     })
 
@@ -75,27 +107,85 @@ object FilterCompiler {
 
   private def noNull(c: Column): Column = coalesce(c, lit(false))
 
+  // --- type-mismatch discipline (reference: filter.go:392-493) --------------
+  // The reference coerces within the numeric family (toInt64/toUint64/
+  // toFloat64 matrix) but returns NO MATCH for cross-family compares
+  // (string vs number, bool vs number, ...). Spark's implicit casts would
+  // instead stringify/parse — so when the column type is known we compile an
+  // incompatible compare to lit(false) outright. Unknown types (schema-blind
+  // compile, unresolvable path) keep legacy implicit-cast behavior.
+
+  private def litFamily(v: Any): Char = v match {
+    case _: String => 'S'
+    case _: Boolean => 'B'
+    case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double => 'N'
+    case _: BigDecimal | _: BigInt | _: java.math.BigDecimal => 'N'
+    case U64(_) => 'N'
+    case _: java.sql.Timestamp | _: java.sql.Date => 'T'
+    case _: java.time.Instant | _: java.time.LocalDate | _: java.time.LocalDateTime => 'T'
+    case _ => '?'
+  }
+
+  private def colFamily(dt: DataType): Char = dt match {
+    case StringType => 'S'
+    case BooleanType => 'B'
+    case _: NumericType => 'N'
+    case TimestampType | DateType | TimestampNTZType => 'T'
+    case _ => '?'
+  }
+
+  /** uint64 literals become Decimal(20,0) so values past Long.MaxValue
+    * compare correctly instead of overflowing (filter.go:410-415). */
+  private def litOf(v: Any): Column = v match {
+    case U64(b) => lit(new java.math.BigDecimal(b.bigInteger)).cast(DecimalType(20, 0))
+    case other  => lit(other)
+  }
+
+  private def typeOfField(f: FieldRef, ctx: Ctx): Option[DataType] = f match {
+    case FieldRef.Path(parts) => ctx.typeOf(parts)
+    case FieldRef.Len(_)      => Some(IntegerType)
+  }
+
+  private def compatible(f: FieldRef, v: Any, stringOp: Boolean, ctx: Ctx): Boolean =
+    typeOfField(f, ctx) match {
+      case Some(dt) =>
+        val cf = colFamily(dt); val lf = litFamily(v)
+        if (cf == '?' || lf == '?') true
+        else if (stringOp) cf == 'S' && lf == 'S'
+        else cf == lf
+      case None => true
+    }
+
   private def compileNode(node: FilterNode, ctx: Ctx): Column = node match {
 
     case Group(_, Seq()) => lit(true) // empty group = pass-all (proto:2554-2601)
     case Group(BoolOp.And, cs) => cs.map(compileNode(_, ctx)).reduce(_ && _)
     case Group(BoolOp.Or, cs)  => cs.map(compileNode(_, ctx)).reduce(_ || _)
 
+    case Labeled(_, child) => compileNode(child, ctx) // label is metadata-only
+
     case Cmp(f, op, v) =>
-      val c = fieldCol(f, ctx)
-      val l = lit(v)
-      (op match {
-        case CmpOp.Equal              => c === l
-        case CmpOp.NotEqual           => c =!= l
-        case CmpOp.GreaterThan        => c > l
-        case CmpOp.GreaterThanOrEqual => c >= l
-        case CmpOp.LessThan           => c < l
-        case CmpOp.LessThanOrEqual    => c <= l
-        case CmpOp.Contains           => c.contains(l)
-        case CmpOp.NotContains        => !c.contains(l)
-        case CmpOp.StartsWith         => c.startsWith(l)
-        case CmpOp.EndsWith           => c.endsWith(l)
-      })
+      val stringOp = op match {
+        case CmpOp.Contains | CmpOp.NotContains | CmpOp.StartsWith | CmpOp.EndsWith => true
+        case _ => false
+      }
+      if (!compatible(f, v, stringOp, ctx)) lit(false) // mismatch => no match
+      else {
+        val c = fieldCol(f, ctx)
+        val l = litOf(v)
+        (op match {
+          case CmpOp.Equal              => c === l
+          case CmpOp.NotEqual           => c =!= l
+          case CmpOp.GreaterThan        => c > l
+          case CmpOp.GreaterThanOrEqual => c >= l
+          case CmpOp.LessThan           => c < l
+          case CmpOp.LessThanOrEqual    => c <= l
+          case CmpOp.Contains           => c.contains(l)
+          case CmpOp.NotContains        => !c.contains(l)
+          case CmpOp.StartsWith         => c.startsWith(l)
+          case CmpOp.EndsWith           => c.endsWith(l)
+        })
+      }
 
     case IsEmpty(f, negate) =>
       val c = fieldCol(f, ctx)
@@ -124,7 +214,10 @@ object FilterCompiler {
       if (negate) !p else p
 
     case In(f, vs) =>
-      fieldCol(f, ctx).isin(vs: _*)
+      if (vs.nonEmpty && !compatible(f, vs.head, stringOp = false, ctx)) lit(false)
+      else if (vs.exists(_.isInstanceOf[U64]))
+        vs.map(v => fieldCol(f, ctx) === litOf(v)).reduce(_ || _)
+      else fieldCol(f, ctx).isin(vs: _*) // InSet: stays pushdown-eligible
 
     case AnyElement(slice, pred) =>
       val arr = ctx.resolve(slice.parts)
@@ -167,6 +260,26 @@ object FilterCompiler {
       }
       // "phrase absent" (first word missing => NULL) is a non-match BEFORE
       // negation: NOT(phrase) must match docs lacking the words entirely
+      val matched = noNull(p)
+      if (negate) !matched else matched
+
+    case PhraseInTokens(path, words, negate) =>
+      // O(tokens × |phrase|) sliding check over the token array — the scan
+      // form of phrase search (reference: filter.go:560-589 semantics), with
+      // no per-row word-index construction. Stays inside whole-stage codegen.
+      val toks = ctx.resolve(path.parts)
+      val p = words match {
+        case Seq()  => lit(true)
+        case Seq(w) => array_contains(toks, lit(w))
+        case ws =>
+          val n = ws.length
+          when(size(toks) >= n,
+            exists(sequence(lit(1), size(toks) - lit(n - 1)), i =>
+              ws.zipWithIndex.map { case (w, j) =>
+                element_at(toks, i + lit(j)) === lit(w)
+              }.reduce(_ && _)))
+            .otherwise(lit(false))
+      }
       val matched = noNull(p)
       if (negate) !matched else matched
 

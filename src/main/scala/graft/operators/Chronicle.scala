@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch last-write-wins rebuild + compaction over an append-only command
+ * log — the chronicler-reader semantics (reference:
+ * app/core/hydra/swamp/chronicler/v2/reader.go:1-325 rebuilds current state
+ * by replaying the log last-write-wins per key; compactor.go:1-361 rewrites
+ * the log down to that state).
+ *
+ * Spark form: one window shuffle on the key; `row_number() = 1` over
+ * (seq DESC) picks each key's final command; keys whose final command is a
+ * delete are dropped. The sequence column must be a total order of the log
+ * (file offset, commit version, ingest timestamp) — per-key ordering is all
+ * that matters, so any monotone-per-key column works. At 100 TB this is a
+ * single hash-partition-by-key pass, the same shape as the reference's
+ * per-swamp replay but parallel over all swamps at once.
+ */
+object Chronicle {
+
+  /**
+   * Current state from a command log: latest entry per `keyCol` by `seqCol`;
+   * keys whose latest `opCol` equals `deleteOp` are gone. Output columns =
+   * the log's data columns (op/seq retained for provenance-free callers to
+   * drop).
+   */
+  def lastWriteWins(log: DataFrame, keyCol: String, seqCol: String,
+                    opCol: String, deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("_rn")
+  }
+
+  /** Compaction (`OPTIMIZE`-style rewrite): replace the log at `outPath`
+    * with its LWW state — the batch twin of the reference's compactor. */
+  def compact(log: DataFrame, keyCol: String, seqCol: String, opCol: String,
+              outPath: String, deleteOp: String = "D"): Unit =
+    lastWriteWins(log, keyCol, seqCol, opCol, deleteOp)
+      .write.mode("overwrite").parquet(outPath)
+}

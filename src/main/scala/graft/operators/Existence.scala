@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Existence probes — `IsKeyExist` / `AreKeysExist` / `IsSwampExist`
+ * (reference: proto/hydraide.proto:310-340,
+ * app/server/gateway/gateway.go:1481-1596).
+ *
+ * Scale shape: the probed key list is tiny, so it is pushed INTO the scan
+ * (`isin` compiles to a parquet pushdown filter that prunes row groups on
+ * min/max stats); the matching keys that come back are at most |keys| rows,
+ * broadcast back onto the probe list. The 100 TB table is never shuffled
+ * and never fully scanned.
+ */
+object Existence {
+
+  /** Per-key presence: one row per probed key with `is_present`. */
+  def areKeysExist(df: DataFrame, keyCol: String, keys: Seq[Any]): DataFrame = {
+    val spark = df.sparkSession
+    val keyType = df.schema(keyCol).dataType
+    val probe = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(Row(_)), 1),
+      StructType(Seq(StructField("key", keyType, nullable = false))))
+    val found = df.filter(col(keyCol).isin(keys: _*))
+      .select(col(keyCol).as("key")).distinct()
+      .withColumn("_p", lit(true))
+    probe.join(broadcast(found), Seq("key"), "left_outer")
+      .select(col("key"), coalesce(col("_p"), lit(false)).as("is_present"))
+  }
+
+  /** Single-key probe: true iff the key exists. */
+  def isKeyExist(df: DataFrame, keyCol: String, key: Any): Boolean =
+    !df.filter(col(keyCol) === lit(key)).isEmpty
+
+  /** Swamp (table) existence = registered in the catalog or present on
+    * storage (reference checks the filesystem the same way). */
+  def isSwampExist(spark: SparkSession, dir: String, name: String): Boolean =
+    graft.Catalog.isRegistered(name) ||
+      new java.io.File(s"$dir/$name.parquet").exists()
+}

@@ -27,6 +27,10 @@ object Patch {
   final case class Prepend(path: String, values: Column) extends PatchOp
   final case class RemoveAt(path: String, index: Int) extends PatchOp
   final case class RemoveVal(path: String, value: Column) extends PatchOp
+  /** MERGE: shallow-merge a map value into a map field — incoming keys
+    * override existing ones, other keys survive (the 8th patch opcode,
+    * proto:3084-3089; msgpackpatch/apply.go merge case). */
+  final case class MergeMap(path: String, value: Column) extends PatchOp
 
   /** Condition on the current row gating the whole patch (PatchCondition,
     * proto:3401-3433): unmet => row unchanged (all-or-nothing per key). */
@@ -56,7 +60,46 @@ object Patch {
         cur.withField(p,
           concat(slice(a, lit(1), lit(i)), slice(a, lit(i + 2), greatest(size(a) - i - 1, lit(0)))))
       case RemoveVal(p, v)  => cur.withField(p, array_remove(fieldRef(cur, p), v))
+      case MergeMap(p, v) =>
+        // incoming keys win: strip overridden keys from the original first
+        // (map_concat alone would throw on duplicates under the default
+        // EXCEPTION dedup policy); NULL original => the incoming map
+        val orig = fieldRef(cur, p)
+        cur.withField(p,
+          when(orig.isNull, v).otherwise(
+            map_concat(map_filter(orig, (k, _) => !map_contains_key(v, k)), v)))
     }
+
+  /**
+   * `PatchExpiredTreasures(Many)` — the lease/renew pattern (reference:
+   * app/server/gateway/gateway_patch_expired.go:31-270,
+   * app/core/hydra/swamp/swamp_patch_expired.go:34-173): select up to
+   * `howMany` rows whose `expiryCol` is before `now` (optionally narrowed by
+   * `selection`), oldest expiry first with a deterministic key tie-break,
+   * and apply the patch ops to exactly those rows in place; everything else
+   * is untouched. Adds `_patched` so callers see which rows were claimed
+   * (the reference returns the patched keys).
+   *
+   * Scale shape: the claim set is `filter → orderBy → limit` — a
+   * per-partition top-K (TakeOrderedAndProject) merging `howMany` keys on
+   * the driver, then BROADCAST back onto the table, so the big table never
+   * shuffles. The row cap makes the broadcast safe by construction.
+   */
+  def patchExpired(df: DataFrame, structCol: String, ops: Seq[PatchOp],
+                   expiryCol: String, keyCol: String,
+                   now: java.sql.Timestamp, howMany: Int,
+                   selection: Column = lit(true)): DataFrame = {
+    val claimed = df
+      .filter(col(expiryCol).isNotNull && col(expiryCol) < lit(now) && selection)
+      .orderBy(col(expiryCol).asc, col(keyCol).asc)
+      .limit(howMany)
+      .select(col(keyCol))
+      .withColumn("_hit", lit(true))
+    val marked = df.join(broadcast(claimed), Seq(keyCol), "left_outer")
+    applyPatch(marked, structCol, ops, condition = col("_hit"))
+      .withColumn("_patched", coalesce(col("_hit"), lit(false)))
+      .drop("_hit")
+  }
 
   private def fieldRef(struct: Column, dotted: String): Column =
     dotted.split('.').foldLeft(struct)((c, part) => c(part))

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Bounded-state SubscribeToEvents: the state-store form of the change feed
+ * (reference: proto/hydraide.proto:755-801 — every write emits
+ * NEW/MODIFIED/DELETED with the old value, FIFO per key).
+ *
+ * `flatMapGroupsWithState` keeps ONE entry per live key in Spark's
+ * checkpointed state store (bounded, spillable, fault-tolerant) — unlike a
+ * driver-held snapshot DataFrame, this survives restarts and scales with
+ * executor count. Per-key FIFO is explicit: commands inside a micro-batch
+ * are replayed in `seq` order, so correctness does not depend on partition
+ * layout. Every state transition emits its event (not just the batch-final
+ * one), matching the reference's per-write notification.
+ */
+object StatefulFeed {
+
+  /** An upsert/delete command. `seq` must be monotone per key. */
+  final case class Command(key: String, seq: Long, op: String, value: String)
+
+  /** Stored per-key state. */
+  final case class KV(value: String, seq: Long)
+
+  /** Emitted change event (old_value NULL for NEW, value NULL for DELETED). */
+  final case class Change(key: String, seq: Long, _status: String,
+                          value: String, old_value: String)
+
+  implicit private val kvEnc: Encoder[KV] = Encoders.product[KV]
+  implicit private val changeEnc: Encoder[Change] = Encoders.product[Change]
+  implicit private val strEnc: Encoder[String] = Encoders.STRING
+
+  def changeFeed(commands: Dataset[Command]): Dataset[Change] =
+    commands
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, cmds: Iterator[Command], state: GroupState[KV]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Change]
+          // replay in sequence order; drop commands at-or-before the stored
+          // seq (exactly-once under at-least-once replay)
+          cmds.toSeq.sortBy(_.seq)
+            .filter(c => cur.forall(_.seq < c.seq))
+            .foreach { c =>
+              (c.op, cur) match {
+                case ("U", None) =>
+                  cur = Some(KV(c.value, c.seq))
+                  out += Change(key, c.seq, ChangeFeed.New, c.value, null)
+                case ("U", Some(p)) if p.seq >= c.seq => () // stale replay
+                case ("U", Some(p)) =>
+                  cur = Some(KV(c.value, c.seq))
+                  if (p.value != c.value)
+                    out += Change(key, c.seq, ChangeFeed.Modified, c.value, p.value)
+                case ("D", Some(p)) if p.seq < c.seq =>
+                  cur = None
+                  out += Change(key, c.seq, ChangeFeed.Deleted, null, p.value)
+                case _ => () // D on absent key / stale delete: no event
+              }
+            }
+          cur match {
+            case Some(kv) => state.update(kv)
+            case None     => if (state.exists) state.remove()
+          }
+          out.iterator
+      }
+}

@@ -20,27 +20,36 @@ object Streams {
    * driver-held state snapshot (foreachBatch). The sink receives exactly the
    * reference's event rows: key, status NEW/MODIFIED/DELETED, new + old.
    *
-   * State is per-query and in-memory here; production would back it with a
-   * Delta table MERGE inside the same foreachBatch — semantics identical.
+   * `seqCol` is the command order: per-key last-write-wins picks the highest
+   * sequence, so ordering is correct however the micro-batch is partitioned
+   * (a position-derived order like monotonically_increasing_id encodes
+   * (partition, offset) and is arbitrary across partitions — the round-1
+   * bug). Producers always have one: a log offset, a commit LSN, an ingest
+   * timestamp.
+   *
+   * State is per-query and in-memory here, fine for demos; the BOUNDED form
+   * is [[StatefulFeed.changeFeed]] (state-store backed, per-key), or a Delta
+   * MERGE inside the same foreachBatch — semantics identical.
    */
   def subscribeToEvents(
-      commands: DataFrame,          // streaming: op STRING, key, value cols...
+      commands: DataFrame,          // streaming: op STRING, seq, key, value cols...
       keyCol: String,
+      seqCol: String,
       onEvents: DataFrame => Unit): DataStreamWriter[Row] = {
     var state: Option[DataFrame] = None
     commands.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val dataCols = batch.columns.filter(_ != "op").toSeq
+        val dataCols = batch.columns.filter(c => c != "op" && c != seqCol).toSeq
         val cur = state.getOrElse(
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            batch.drop("op").schema))
-        // last command per key wins inside one batch (FIFO per key)
+            batch.drop("op", seqCol).schema))
+        // last command per key wins inside one batch (FIFO per key by seq)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol)).orderBy(monotonically_increasing_id().desc)
+          .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
         val lastPerKey = batch.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
+          .filter(col("_rn") === 1).drop("_rn", seqCol)
         val upserts = lastPerKey.filter(col("op") === "U").select(dataCols.map(col): _*)
         val deletes = lastPerKey.filter(col("op") === "D").select(col(keyCol))
         val next = cur

@@ -150,6 +150,61 @@ class FilterSemanticsSpec extends SparkSpec {
     assert(keysMatching(PhraseMatch(FieldRef("wi"), Seq("conditions")), phrases) == Set("a", "b"))
   }
 
+  // PhraseInTokens (the scan form) must agree with the map form everywhere
+  private lazy val tokenized = phrases.withColumn("toks", split(col("text"), " "))
+
+  test("token-array phrase: consecutive positions only, same truth table") {
+    assert(keysMatching(PhraseInTokens(FieldRef("toks"), Seq("general", "terms")), tokenized) == Set("a"))
+    assert(keysMatching(PhraseInTokens(FieldRef("toks"), Seq("general", "terms", "conditions")), tokenized) == Set("a"))
+    assert(keysMatching(PhraseInTokens(FieldRef("toks"), Seq("conditions")), tokenized) == Set("a", "b"))
+    assert(keysMatching(PhraseInTokens(FieldRef("toks"), Seq("general", "terms"), negate = true),
+      tokenized) == Set("b", "c"))
+    // phrase longer than the doc: no match, negate matches
+    assert(keysMatching(PhraseInTokens(FieldRef("toks"),
+      Seq("no", "relevant", "words", "here", "at", "all")), tokenized) == Set.empty)
+  }
+
+  // --- type-mismatch discipline (filter.go:392-493) ------------------------
+
+  test("cross-family compare => no match (not an implicit cast)") {
+    // string literal vs numeric column: Spark's cast would parse "10" == 10
+    assert(keysMatching(Cmp(FieldRef("num"), CmpOp.Equal, "10"), scalars) == Set.empty)
+    // numeric literal vs string column
+    assert(keysMatching(Cmp(FieldRef("s"), CmpOp.Equal, 5L), scalars) == Set.empty)
+    // CONTAINS on a numeric column
+    assert(keysMatching(Cmp(FieldRef("num"), CmpOp.Contains, "1"), scalars) == Set.empty)
+    // IN with mismatched member type
+    assert(keysMatching(In(FieldRef("num"), Seq("10", "20")), scalars) == Set.empty)
+  }
+
+  test("uint64 literal: no int64 overflow, numeric-family compatible") {
+    val u = U64(BigInt("18446744073709551615")) // 2^64 - 1
+    assert(keysMatching(Cmp(FieldRef("num"), CmpOp.LessThan, u), scalars) == Set("a", "b", "d"))
+    assert(keysMatching(Cmp(FieldRef("num"), CmpOp.Equal, u), scalars) == Set.empty)
+    assert(keysMatching(In(FieldRef("num"), Seq(U64(BigInt(10)), U64(BigInt(30)))), scalars) == Set("a", "d"))
+  }
+
+  // --- labels (SearchResultMeta) -------------------------------------------
+
+  test("labels: OR collects ALL matching branches, no short-circuit") {
+    val node = Group.or(
+      Labeled("big", Cmp(FieldRef("num"), CmpOp.GreaterThanOrEqual, 20L)),
+      Labeled("hello", Cmp(FieldRef("s"), CmpOp.Contains, "hello")))
+    val (pred, labels) = FilterCompiler.compileWithLabels(node, scalars)
+    val out = scalars.filter(pred)
+      .select(col("k"), array_join(labels, ",").as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "hello", "b" -> "big", "d" -> "big"))
+    // a row matching both branches reports both labels
+    val both = Group.or(
+      Labeled("n10", Cmp(FieldRef("num"), CmpOp.Equal, 10L)),
+      Labeled("w", Cmp(FieldRef("s"), CmpOp.EndsWith, "world")))
+    val (p2, l2) = FilterCompiler.compileWithLabels(both, scalars)
+    val a = scalars.filter(p2).select(col("k"), array_join(l2, ",").as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a("a") == "n10,w")
+  }
+
   // --- vector / geo ---------------------------------------------------------
 
   test("vector: dimension mismatch never matches; threshold respected") {

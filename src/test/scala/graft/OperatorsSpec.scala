@@ -178,6 +178,114 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.select("frame_offset_ms").as[Long].collect().toSeq == Seq(0L, 250L, 500L, 750L))
   }
 
+  // --- round-2 operators -------------------------------------------------------
+
+  test("ngram Jaccard via LSH candidates finds the planted near-dup, skips the rest") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val c = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardJoin(df, "text", "id", shingleN = 3, minJaccard = 0.5)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash pairs find the planted near-dup with small hamming") {
+    val a = (1 to 60).map(i => s"w$i").mkString(" ")
+    val b = (1 to 60).map(i => if (i == 60) "CHANGED" else s"w$i").mkString(" ")
+    val c = (100 to 160).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "id", maxHamming = 8)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("profile pivot: one wide row per entity, missing field => NULL") {
+    val long = Seq(
+      (1L, "name", "alice"), (1L, "city", "berlin"),
+      (2L, "name", "bob")
+    ).toDF("entity", "field", "value")
+    val wide = Profile.getStream(long, "entity", "field", "value", Seq("name", "city"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(wide(1L) == ("alice", Some("berlin")))
+    assert(wide(2L) == ("bob", None))
+  }
+
+  test("profile filtered: TreasureKey predicate applies post-pivot") {
+    val long = Seq(
+      (1L, "status", "active"), (2L, "status", "inactive"), (3L, "other", "x")
+    ).toDF("entity", "field", "value")
+    val got = Profile.getStreamFiltered(long, "entity", "field", "value", Seq("status"),
+      graft.filters.Cmp(graft.filters.FieldRef("status"), graft.filters.CmpOp.Equal, "active"))
+      .select("entity").as[Long].collect().toSet
+    assert(got == Set(1L)) // entity 3 has NULL status => no match
+  }
+
+  test("chronicle LWW: latest seq wins, delete tombstones remove the key") {
+    val log = Seq(
+      ("k1", 1.0, 1L, "U"), ("k1", 2.0, 2L, "U"),
+      ("k2", 9.0, 1L, "U"), ("k2", 0.0, 2L, "D"),
+      ("k3", 5.0, 1L, "U")
+    ).toDF("key", "v", "seq", "op")
+    val state = Chronicle.lastWriteWins(log, "key", "seq", "op")
+      .select("key", "v").as[(String, Double)].collect().toMap
+    assert(state == Map("k1" -> 2.0, "k3" -> 5.0))
+  }
+
+  test("existence probes") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val got = Existence.areKeysExist(df, "id", Seq(1L, 9L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 9L -> false))
+    assert(Existence.isKeyExist(df, "id", 2L))
+    assert(!Existence.isKeyExist(df, "id", 42L))
+  }
+
+  test("swamp catalog register / load / deregister") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    Seq((1L, "x")).toDF("id", "v").write.mode("overwrite").parquet(s"$tmp/t.parquet")
+    Catalog.register(spark, Catalog.SwampSpec("cat_t", s"$tmp/t.parquet"))
+    assert(Catalog.isRegistered("cat_t"))
+    assert(spark.sql("SELECT count(*) FROM cat_t").head().getLong(0) == 1L)
+    assert(Catalog.load(spark, "cat_t").count() == 1L)
+    Catalog.deregister(spark, "cat_t")
+    assert(!Catalog.isRegistered("cat_t"))
+  }
+
+  test("patch MERGE: incoming keys override, existing keys survive, null map replaced") {
+    val df = Seq((1L, Map("a" -> "1", "b" -> "2")), (2L, null.asInstanceOf[Map[String, String]]))
+      .toDF("id", "m").withColumn("body", struct(col("m").as("attrs")))
+    val out = Patch.applyPatch(df, "body",
+        Seq(Patch.MergeMap("attrs", map(lit("b"), lit("X"), lit("c"), lit("3")))))
+      .select(col("id"), col("body.attrs")).as[(Long, Map[String, String])]
+      .collect().toMap
+    assert(out(1L) == Map("a" -> "1", "b" -> "X", "c" -> "3"))
+    assert(out(2L) == Map("b" -> "X", "c" -> "3"))
+  }
+
+  test("patchExpired claims oldest-expired up to N; the rest untouched") {
+    val rows = (1 to 10).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00"), "live"))
+    val df = rows.toDF("id", "exp", "st").withColumn("body", struct(col("st").as("status")))
+    val out = Patch.patchExpired(df, "body", Seq(Patch.SetField("status", lit("claimed"))),
+        expiryCol = "exp", keyCol = "id",
+        now = java.sql.Timestamp.valueOf("2024-01-08 00:00:00"), howMany = 3)
+      .select(col("id"), col("body.status"), col("_patched"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    // expired = ids 1..7; oldest three claimed
+    assert((1L to 3L).forall(i => out(i) == ("claimed", true)))
+    assert((4L to 10L).forall(i => out(i) == ("live", false)))
+  }
+
+  test("fan-out write partitions by tag and prunes on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fan").toString
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq("b"))).toDF("id", "tags")
+    FanOut.writeTagPartitions(df, "tags", s"$tmp/out")
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.filter(col("tag") === "b").select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(back.filter(col("tag") === "a").count() == 1L)
+  }
+
   // --- changefeed --------------------------------------------------------------
 
   test("cdc diff emits NEW/MODIFIED/DELETED with old values, nothing for unchanged") {

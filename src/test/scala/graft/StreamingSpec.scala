@@ -13,23 +13,23 @@ import graft.streaming.Streams
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  case class Cmd(op: String, key: String, v: Int)
+  case class Cmd(op: String, seq: Long, key: String, v: Int)
 
   test("subscribeToEvents emits NEW / MODIFIED / DELETED across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Cmd]
     val seen = scala.collection.mutable.ArrayBuffer[(String, String, Option[Int], Option[Int])]()
 
-    val q = Streams.subscribeToEvents(input.toDF(), "key", events =>
+    val q = Streams.subscribeToEvents(input.toDF(), "key", "seq", events =>
       seen ++= events.collect().map(r => (
         r.getString(0), r.getString(1),
         Option(r.get(2)).map(_.asInstanceOf[Int]),
         Option(r.get(3)).map(_.asInstanceOf[Int])))
     ).start()
 
-    input.addData(Cmd("U", "k1", 1), Cmd("U", "k2", 2))
+    input.addData(Cmd("U", 1, "k1", 1), Cmd("U", 2, "k2", 2))
     q.processAllAvailable()
-    input.addData(Cmd("U", "k1", 10), Cmd("D", "k2", 0), Cmd("U", "k3", 3))
+    input.addData(Cmd("U", 3, "k1", 10), Cmd("D", 4, "k2", 0), Cmd("U", 5, "k3", 3))
     q.processAllAvailable()
     q.stop()
 
@@ -39,6 +39,55 @@ class StreamingSpec extends SparkSpec {
     assert(second("k1")._2 == "MODIFIED" && second("k1")._3 == Some(10) && second("k1")._4 == Some(1))
     assert(second("k2")._2 == "DELETED" && second("k2")._3 == None && second("k2")._4 == Some(2))
     assert(second("k3")._2 == "NEW" && second("k3")._3 == Some(3))
+  }
+
+  test("per-key last-write-wins follows the explicit seq, not partition order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Cmd]
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String, Option[Int])]()
+
+    // repartition(8): position-derived ordering (the round-1 bug) would pick
+    // an arbitrary survivor; the explicit seq must make it deterministic
+    val q = Streams.subscribeToEvents(input.toDF().repartition(8), "key", "seq", events =>
+      seen ++= events.collect().map(r => (
+        r.getString(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int])))
+    ).start()
+
+    input.addData((1 to 20).map(i => Cmd("U", i.toLong, "k", i)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(seen.toSeq == Seq(("k", "NEW", Some(20))))
+  }
+
+  test("stateful change feed: per-write events in seq order, bounded state") {
+    import graft.streaming.StatefulFeed
+    import graft.streaming.StatefulFeed.Command
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Command]
+    val feed = StatefulFeed.changeFeed(input.toDS().repartition(8))
+    val q = feed.writeStream.outputMode("append").format("memory")
+      .queryName("sf_out").start()
+
+    input.addData(Command("a", 1, "U", "v1"), Command("a", 2, "U", "v2"),
+      Command("b", 1, "U", "w1"))
+    q.processAllAvailable()
+    input.addData(Command("a", 3, "D", ""), Command("b", 2, "U", "w1"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sf_out")
+      .select("key", "seq", "_status", "value", "old_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(rows == Set(
+      ("a", 1L, "NEW", Some("v1"), None),
+      ("a", 2L, "MODIFIED", Some("v2"), Some("v1")),
+      ("b", 1L, "NEW", Some("w1"), None),
+      ("a", 3L, "DELETED", None, Some("v2"))))
+    // b's second write carried the same value => no event (reference only
+    // notifies on actual content change)
   }
 
   case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
