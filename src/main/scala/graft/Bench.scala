@@ -32,7 +32,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = run only the named queries (local iteration aid);
+    // the driver invokes with no args and gets the full suite
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val results = wanted.map { case (name, fn) =>
       val sec =
         try math.min(timeOnce(fn), timeOnce(fn))
         catch { case _: Throwable => -1.0 }
