@@ -512,6 +512,51 @@ object SparkEntry {
     df.select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"),
       col("c_mktsegment"), col("_status"))
 
+  /**
+   * Per-width conditional-increment matrix — one query per typed RPC width
+   * (reference: proto/hydraide.proto:1607-2149 IncrementInt8..IncrementFloat64).
+   * Each fixture column is cast to the width's exact type and the oracle
+   * casts identically, so `schema_match` proves the type survives the
+   * read-modify-write (uint32 is carried as int64, the same convention as
+   * uint64 => Decimal(20,0)).
+   */
+  private val incrementWidthQueries: Seq[Q] = {
+    import org.apache.spark.sql.types._
+    final case class W(name: String, mkV: Column, sqlV: String,
+                       delta: Column, sqlDelta: String)
+    val widths = Seq(
+      W("i8", (col("c_custkey") % 50).cast(ByteType),
+        "CAST(c_custkey % 50 AS TINYINT)", lit(5), "5"),
+      W("i16", (col("c_custkey") % 1000).cast(ShortType),
+        "CAST(c_custkey % 1000 AS SMALLINT)", lit(5), "5"),
+      W("i32", (col("c_custkey") % 100000).cast(IntegerType),
+        "CAST(c_custkey % 100000 AS INTEGER)", lit(5), "5"),
+      W("i64", col("c_custkey").cast(LongType),
+        "CAST(c_custkey AS BIGINT)", lit(5), "5"),
+      W("u32", (lit(3000000000L) + col("c_custkey")).cast(LongType),
+        "CAST(3000000000 + c_custkey AS BIGINT)", lit(5), "5"),
+      W("f32", col("c_acctbal").cast(FloatType),
+        "CAST(c_acctbal AS REAL)", lit(0.25), "0.25::DOUBLE"),
+      W("f64", col("c_acctbal").cast(DoubleType),
+        "CAST(c_acctbal AS DOUBLE)", lit(0.25), "0.25::DOUBLE"))
+    widths.map { w =>
+      Q(s"q_increment_${w.name}",
+        (s, d) => Mutations.incrementWhere(
+            t(s, d, "customer").select(col("c_custkey"), w.mkV.as("v")),
+            "v", w.delta, col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("v"), col("_applied")),
+        Some(s"""SELECT c_custkey,
+            CASE WHEN c_custkey % 3 = 0
+                 THEN CAST(${w.sqlV} + ${w.sqlDelta} AS ${sqlTypeOf(w.sqlV)})
+                 ELSE ${w.sqlV} END AS v,
+            c_custkey % 3 = 0 AS _applied FROM customer"""))
+    }
+  }
+
+  /** Extract the target type name from a `CAST(... AS T)` fixture string. */
+  private def sqlTypeOf(castExpr: String): String =
+    castExpr.reverse.dropWhile(_ == ')').reverse.split(" AS ").last
+
   private val mutationQueries = Seq(
     Q("q_set_upsert", // Set matrix: CreateIfNotExist+Overwrite (proto:874-1040)
       (s, d) => setOut(Mutations.set(custBase(s, d), custDelta(s, d), "c_custkey")),
@@ -527,6 +572,12 @@ object SparkEntry {
         Mutations.UpdateOnly)),
       Some(setSql("d.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL",
         "b.c_custkey IS NOT NULL"))),
+
+    Q("q_set_dryrun", // the (CreateIfNotExist=false, Overwrite=false) cell:
+      // data identical to base, _status still populated (proto:1028-1040)
+      (s, d) => setOut(Mutations.set(custBase(s, d), custDelta(s, d), "c_custkey",
+        Mutations.DryRun)),
+      Some(setSql("FALSE", "b.c_custkey IS NOT NULL"))),
 
     Q("q_increment_cond", // conditional increment (proto:1607-2149)
       (s, d) => Mutations.incrementWhere(custBase(s, d), "c_acctbal",
@@ -974,7 +1025,8 @@ object SparkEntry {
 
   private val allQueries: Seq[Q] =
     filterQueries ++ indexQueries ++ aggQueries ++ joinQueries ++ windowQueries ++
-      exoticQueries ++ nestedQueries ++ mutationQueries ++ timeQueries ++
+      exoticQueries ++ nestedQueries ++ mutationQueries ++ incrementWidthQueries ++
+      timeQueries ++
       textQueries ++ referenceQueries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

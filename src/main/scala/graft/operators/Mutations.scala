@@ -18,16 +18,24 @@ import org.apache.spark.sql.types._
  */
 object Mutations {
 
-  /** Per-row outcome, mirroring Set_Response status (proto:1031-1040). */
+  /** Per-row outcome, mirroring Set_Response status (proto:1028-1040). */
   val StatusNew = "NEW"
   val StatusUpdated = "UPDATED"
   val StatusUnchanged = "NOTHING_CHANGED"
   val StatusDeleted = "DELETED"
+  val StatusNotFound = "NOT_FOUND"
 
   sealed trait WriteMode
   case object Upsert extends WriteMode      // CreateIfNotExist + Overwrite
   case object InsertOnly extends WriteMode  // CreateIfNotExist, no overwrite
   case object UpdateOnly extends WriteMode  // Overwrite existing only
+  /** The (CreateIfNotExist=false, Overwrite=false) cell of the matrix:
+    * nothing is ever written — the output data equals `base` exactly and
+    * only `_status` carries information (proto:1028-1040 NOTHING_CHANGED =
+    * "skipped due to Overwrite=false"). Delta-only keys have no data row to
+    * report on (the reference answers NOT_FOUND out-of-band) — use
+    * [[setStatuses]] for the per-delta-key status view that includes them. */
+  case object DryRun extends WriteMode
 
   /**
    * The reference's `Set` matrix: merge `delta` into `base` on `keyCol`.
@@ -53,6 +61,7 @@ object Mutations {
       case Upsert     => inDelta
       case InsertOnly => inDelta && !inBase
       case UpdateOnly => inDelta && inBase
+      case DryRun     => lit(false)
     }
 
     val status = when(!inBase && takeDelta, StatusNew)
@@ -65,12 +74,43 @@ object Mutations {
 
     val keep: Column = mode match {
       case Upsert | InsertOnly => lit(true) // base ∪ delta
-      case UpdateOnly          => inBase    // delta-only keys are dropped
+      case UpdateOnly | DryRun => inBase    // delta-only keys are dropped
     }
 
     joined
       .filter(keep)
       .select((outKey +: outVals :+ status.as("_status")): _*)
+  }
+
+  /**
+   * Per-delta-key status view — the KeysAndStatuses half of Set_Response
+   * (proto:1020-1040) as its own DataFrame: one row per delta key with the
+   * outcome the given mode would (or did) produce, including the NOT_FOUND
+   * outcome for keys [[set]] cannot represent as data rows. The delta is
+   * the small side, so the base probe is a broadcast-able semi-lookup at
+   * scale.
+   */
+  def setStatuses(base: DataFrame, delta: DataFrame, keyCol: String,
+                  mode: WriteMode = Upsert): DataFrame = {
+    val valueCols = base.columns.filter(_ != keyCol).filter(delta.columns.contains).toSeq
+    val b = base.as("b")
+    val d = delta.as("d")
+    val joined = d.join(b, col(s"b.$keyCol") === col(s"d.$keyCol"), "left_outer")
+    val inBase = col(s"b.$keyCol").isNotNull
+    val changed =
+      if (valueCols.isEmpty) lit(false)
+      else valueCols.map(c => !(col(s"b.$c") <=> col(s"d.$c"))).reduce(_ || _)
+    val status = mode match {
+      case Upsert =>
+        when(!inBase, StatusNew).when(changed, StatusUpdated).otherwise(StatusUnchanged)
+      case InsertOnly =>
+        when(!inBase, StatusNew).otherwise(StatusUnchanged)
+      case UpdateOnly =>
+        when(!inBase, StatusNotFound).when(changed, StatusUpdated).otherwise(StatusUnchanged)
+      case DryRun =>
+        when(!inBase, StatusNotFound).otherwise(StatusUnchanged)
+    }
+    joined.select(col(s"d.$keyCol").as(keyCol), status.as("_status"))
   }
 
   /** Per-key delete with statuses (proto:1517-1557): anti-join rewrite. */
@@ -85,10 +125,17 @@ object Mutations {
    */
   def incrementWhere(base: DataFrame, valueCol: String,
                      delta: Column, condition: Column): DataFrame = {
+    // The reference exposes one typed RPC per width (Int8..Uint64, Float32/
+    // 64, proto:1607-2149) and preserves the value's exact type through the
+    // read-modify-write (swamp.go:1274-2017). Spark's `+` widens to the
+    // delta's type, so cast the result back to the column's declared type —
+    // the output schema is byte-for-byte the input schema plus `_applied`.
+    val origType = base.schema(valueCol).dataType
     val applied = coalesce(condition, lit(false))
     base
       .withColumn("_applied", applied)
-      .withColumn(valueCol, when(applied, col(valueCol) + delta).otherwise(col(valueCol)))
+      .withColumn(valueCol,
+        when(applied, (col(valueCol) + delta).cast(origType)).otherwise(col(valueCol)))
   }
 
   /**

@@ -36,6 +36,24 @@ class OperatorsSpec extends SparkSpec {
     val m = statuses(Mutations.UpdateOnly)
     assert(m.keySet == Set("k1", "k2"))
   }
+  test("set dry-run writes nothing: data == base, statuses populated") {
+    val out = Mutations.set(base, Seq(("k1", 99.0), ("k5", 5.0)).toDF("key", "v"),
+      "key", Mutations.DryRun).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out == Map("k1" -> (10.0, "NOTHING_CHANGED"), "k2" -> (20.0, "NOTHING_CHANGED")))
+  }
+  test("setStatuses: per-delta-key outcomes include NOT_FOUND") {
+    val d = Seq(("k1", 99.0), ("k2", 20.0), ("k5", 5.0)).toDF("key", "v")
+    def m(mode: Mutations.WriteMode) =
+      Mutations.setStatuses(base, d, "key", mode).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m(Mutations.Upsert) ==
+      Map("k1" -> "UPDATED", "k2" -> "NOTHING_CHANGED", "k5" -> "NEW"))
+    assert(m(Mutations.UpdateOnly) ==
+      Map("k1" -> "UPDATED", "k2" -> "NOTHING_CHANGED", "k5" -> "NOT_FOUND"))
+    assert(m(Mutations.DryRun) ==
+      Map("k1" -> "NOTHING_CHANGED", "k2" -> "NOTHING_CHANGED", "k5" -> "NOT_FOUND"))
+  }
 
   // --- increment / slices ---------------------------------------------------
 
@@ -43,6 +61,20 @@ class OperatorsSpec extends SparkSpec {
     val out = Mutations.incrementWhere(base, "v", lit(5.0), col("v") < 15.0)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
     assert(out("k1") == (15.0, true) && out("k2") == (20.0, false))
+  }
+
+  test("incrementWhere preserves the column's exact numeric type per width") {
+    // proto:1607-2149: one typed RPC per width; the value's type must
+    // survive the read-modify-write even when the delta is wider
+    val df = Seq((1L, 10.toByte, 10.toShort, 10, 10L, 1.5f))
+      .toDF("k", "i8", "i16", "i32", "i64", "f32")
+    Seq("i8" -> ByteType, "i16" -> ShortType, "i32" -> IntegerType,
+        "i64" -> LongType, "f32" -> FloatType).foreach { case (c, dt) =>
+      val out = Mutations.incrementWhere(df, c, lit(5.0), lit(true))
+      assert(out.schema(c).dataType == dt, s"$c widened to ${out.schema(c).dataType}")
+    }
+    val r = Mutations.incrementWhere(df, "i8", lit(5), lit(true)).head()
+    assert(r.getByte(r.fieldIndex("i8")) == 15.toByte)
   }
 
   test("slice push/delete keep set semantics, sorted") {
