@@ -190,11 +190,19 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("set_size")),
       Some("SELECT l_suppkey, count(DISTINCT l_partkey) AS set_size FROM lineitem GROUP BY l_suppkey")),
 
-    Q("q_approx_distinct", // HLL — the 100 TB substitute for exact distinct
+    Q("q_approx_distinct", // HLL — the 100 TB substitute for exact distinct.
+      // The sketch value is engine-specific, so the oracle checks the
+      // published-error-bound PREDICATE (|approx-exact|/exact within 3x the
+      // default rsd=0.05) plus the exact count — differential where the
+      // value itself cannot be
       (s, d) => t(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             countDistinct(col("l_partkey")).as("exact_parts")),
-      None), // sketch values are engine-specific: rows-only check
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          (abs(col("approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.15).as("within_bound"),
+          col("exact_parts")),
+      Some("SELECT TRUE AS within_bound, count(DISTINCT l_partkey) AS exact_parts FROM lineitem")),
 
     Q("q_rollup", // grouping-sets surface the reference lacks (§2.4)
       (s, d) => t(s, d, "lineitem")
@@ -377,10 +385,12 @@ object SparkEntry {
         t(s, d, "embeddings"), "embedding", "vec_id", queryVec(s, d), 0.25),
       Some("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) SELECT vec_id, round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score FROM embeddings e, q WHERE list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) >= 0.25")),
 
-    Q("q_ann_ivf", // IVF probe path — centroids are engine-side: rows-only
+    Q("q_ann_ivf", // IVF probe path — seeded centroids mirrored into the
+      // oracle as constants (see sqlIvfTopK), so even the ANN routing is
+      // differentially checked
       (s, d) => Similarity.ivfTopK(
         t(s, d, "embeddings"), "embedding", "vec_id", queryVec(s, d), 10),
-      None),
+      Some(sqlIvfTopK)),
 
     Q("q_cosine_pairs", // exact pairwise kernel on a bounded slice
       (s, d) => {
@@ -793,6 +803,54 @@ object SparkEntry {
         SELECT key_a, key_b, hamming FROM cand WHERE hamming <= 2"""
   }
 
+  /** A float[] constant as a DuckDB DOUBLE[] literal — Double.toString is
+    * shortest-round-trip, and DuckDB's parser is correctly rounding, so the
+    * parsed doubles are bit-identical to the Scala-side promotion. */
+  private def sqlVec(v: Array[Float]): String =
+    "[" + v.map(_.toDouble.toString).mkString(",") + "]::DOUBLE[]"
+
+  /**
+   * DuckDB mirror of Dedup.embeddingNearDup: the multi-probe candidate set
+   * is by construction "bucket Hamming distance <= 1", which the oracle can
+   * state directly as an all-pairs predicate (fine at oracle scale; the
+   * Spark side is the scalable formulation). Seeded hyperplanes are embedded
+   * as constants, same trick as sqlLshNearDup.
+   */
+  private lazy val sqlEmbeddingNearDup: String = {
+    val bkt = Dedup.hyperplanes(8, 64, 42L).zipWithIndex.map { case (h, p) =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${sqlVec(h)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, ($bkt) AS bkt FROM embeddings),
+        p AS (SELECT a.vec_id AS key_a, b2.vec_id AS key_b,
+              round(list_dot_product(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine
+              FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
+              AND bit_count(xor(a.bkt, b2.bkt)) <= 1)
+        SELECT key_a, key_b, cosine FROM p WHERE cosine >= 0.3"""
+  }
+
+  /** DuckDB mirror of Similarity.ivfTopK: seeded centroids as constants;
+    * per-row argmax assignment (ties => larger index, matching Spark's
+    * struct-max) and the probed-list ranking both in double precision. */
+  private lazy val sqlIvfTopK: String = {
+    val nlist = 16; val nprobe = 4; val k = 10
+    val cents = Similarity.ivfCentroids(nlist, 64, 7L)
+    val sCols = cents.zipWithIndex.map { case (c, i) =>
+      s"list_dot_product(embedding::DOUBLE[], ${sqlVec(c)}) AS s$i" }
+    val best = s"greatest(${(0 until nlist).map("s" + _).mkString(",")})"
+    val lstCase = (nlist - 1 to 0 by -1).map(i => s"WHEN s$i = $best THEN $i").mkString(" ")
+    val centVals = cents.zipWithIndex.map { case (c, i) => s"($i, ${sqlVec(c)})" }.mkString(", ")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cent(i, c) AS (SELECT * FROM (VALUES $centVals)),
+        probed AS (SELECT i FROM cent, q ORDER BY list_dot_product(c, qv) DESC, i ASC LIMIT $nprobe),
+        scored AS (SELECT vec_id, (CASE $lstCase END) AS lst,
+                          list_dot_product(embedding::DOUBLE[], qv) AS score
+                   FROM (SELECT vec_id, embedding, ${sCols.mkString(", ")}
+                         FROM embeddings WHERE len(embedding) = 64), q)
+        SELECT vec_id, round(score, 6) AS score FROM scored
+        WHERE lst IN (SELECT i FROM probed)
+        ORDER BY score DESC, vec_id ASC LIMIT $k"""
+  }
+
   private val textQueries = Seq(
     Q("q_dedup_exact", // hash-groupBy dedup, min-key winner
       (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")
@@ -835,10 +893,12 @@ object SparkEntry {
       (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 2),
       Some(sqlSimhashPairs)),
 
-    Q("q_embedding_neardup", // hyperplane-LSH near-dup: rows-only (seeded planes)
+    Q("q_embedding_neardup", // hyperplane-LSH near-dup with Hamming-1
+      // multi-probe + bucket-skew salting; seeded planes mirrored into the
+      // oracle as constants
       (s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"), "embedding", "vec_id",
         minCosine = 0.3),
-      None),
+      Some(sqlEmbeddingNearDup)),
 
     Q("q_token_count",
       (s, d) => t(s, d, "documents")

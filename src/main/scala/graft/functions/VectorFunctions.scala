@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
@@ -37,8 +37,14 @@ object VectorFunctions {
       lit(0.0), (acc, x) => acc + x)
   }
 
-  /** Dot product between two vector columns (for pairwise similarity). */
+  /** Dot product between two vector columns (for pairwise similarity) —
+    * codegen'd two-child sibling of [[DotProductConst]]: one primitive loop,
+    * no per-element lambda calls or intermediate zipped arrays. */
   def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** HOF formulation of [[dot]] — cross-check baseline used in tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)),
       (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -103,4 +109,63 @@ case class DotProductConst(child: Expression, query: Array[Float])
 
   override protected def withNewChildInternal(newChild: Expression): DotProductConst =
     copy(child = newChild)
+}
+
+/**
+ * `dot(a, b)` between two array columns as a codegen'd scalar expression.
+ * NULL on either side => NULL; dimension mismatch => 0.0. Element types may
+ * be float or double on either side independently; all arithmetic is done
+ * in double (bit-identical to DuckDB's DOUBLE[] list_dot_product).
+ * Null ELEMENTS are not supported (embeddings are dense).
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) 0.0
+    else {
+      val aIsD = isDouble(left); val bIsD = isDouble(right)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (aIsD) a.getDouble(i) else a.getFloat(i).toDouble
+        val y = if (bIsD) b.getDouble(i) else b.getFloat(i).toDouble
+        acc += x * y
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (isDouble(left)) "getDouble" else "getFloat"
+    val bGet = if (isDouble(right)) "getDouble" else "getFloat"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |double $acc = 0.0;
+         |if ($n == $b.numElements()) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
 }

@@ -23,6 +23,29 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
  */
 object Dedup {
 
+  /**
+   * Signature tables are persisted so band generation and candidate
+   * verification reuse one computation. The handles are tracked here so the
+   * caches can be released: the returned DataFrames are lazy, which means
+   * the library cannot safely unpersist before the caller consumes them —
+   * call [[releaseCaches]] after consuming pipeline outputs (or rely on
+   * Spark's LRU eviction; at cluster scale the persist becomes an explicit
+   * materialized signature table instead).
+   */
+  private val cached = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.add(p)
+    p
+  }
+
+  /** Unpersist every signature table cached by dedup pipelines so far. */
+  def releaseCaches(): Unit = {
+    var df = cached.poll()
+    while (df != null) { df.unpersist(blocking = false); df = cached.poll() }
+  }
+
   /** Exact dedup on a digest of `textCol`: keeps the row with the smallest
     * key per digest (deterministic winner), drops the rest. Shuffles only
     * (digest, key) — the canonical 100 TB-safe formulation. */
@@ -55,10 +78,9 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
 
-    val base = df
+    val base = tracked(df
       .select(col(keyCol), array_distinct(TF.shingles(col(textCol), shingleN)).as("_sh"))
-      .withColumn("_sig", TF.minhashSignature(col("_sh"), numHashes))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_sig", TF.minhashSignature(col("_sh"), numHashes)))
 
     // band id -> hash of that band's signature slice; only (key, band, hash)
     // rows enter the self-join shuffle
@@ -104,8 +126,7 @@ object Dedup {
     * HOF reduction) is computed once, not once per join side. */
   def simhashPairs(df: DataFrame, textCol: String, keyCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(keyCol), TF.simhash32(col(textCol)).as("_sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = tracked(df.select(col(keyCol), TF.simhash32(col(textCol)).as("_sig")))
     val tables = 4
     val banded = sigs.select(col(keyCol), col("_sig"),
       posexplode(array((0 until tables).map { t =>
@@ -122,26 +143,62 @@ object Dedup {
       .dropDuplicates("key_a", "key_b")
   }
 
+  /** Seeded random hyperplanes — exposed so the DuckDB oracle can embed the
+    * exact same constants (differential-testing requirement). */
+  def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
   /**
    * Embedding-cosine near-dup: random-hyperplane LSH buckets (sign bits of
-   * `planes` fixed random projections), exact cosine verification within
-   * buckets. Pre-normalized vectors => cosine = dot.
+   * `planes` fixed random projections), exact cosine verification. Result =
+   * all pairs whose buckets are within Hamming distance 1 with cosine >=
+   * `minCosine`. Pre-normalized vectors => cosine = dot.
+   *
+   * Scale features:
+   *  - **multi-probe**: each row probes its home bucket plus every 1-bit
+   *    flip, so a near-dup pair straddling one hyperplane (the dominant
+   *    boundary-recall failure of single-probe LSH) is still compared. Each
+   *    qualifying pair is generated exactly once: the lower key's single
+   *    matching probe hits the higher key's home bucket — no dedup shuffle.
+   *  - **skew guard**: per-bucket counts (a tiny <= 2^planes-row table,
+   *    broadcast) split oversized home buckets into ceil(cnt/maxBucket)
+   *    deterministic salt groups; probe rows replicate across the target
+   *    bucket's groups, so one hot bucket can no longer serialize the join
+   *    into a single O(n^2) task. The pair set is unchanged — salting only
+   *    re-blocks the work.
    */
   def embeddingNearDup(df: DataFrame, vecCol: String, keyCol: String,
                        minCosine: Double = 0.95, planes: Int = 8,
-                       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val hyps = Array.fill(planes)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+                       dim: Int = 64, seed: Long = 42L,
+                       maxBucket: Long = 100000L): DataFrame = {
+    val hyps = hyperplanes(planes, dim, seed)
     val bucket = (0 until planes).map { p =>
       when(VF.cosine(col(vecCol), hyps(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-    val bucketed = df.select(col(keyCol), col(vecCol)).withColumn("_bkt", bucket)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = bucketed.as("a"); val b = bucketed.as("b")
-    a.join(b, col("a._bkt") === col("b._bkt") && col(s"a.$keyCol") < col(s"b.$keyCol"))
-      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
-        round(VF.dot(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cosine"))
+    val bucketed = tracked(df.select(col(keyCol), col(vecCol)).withColumn("_bkt", bucket))
+
+    val counts = bucketed.groupBy("_bkt").agg(count(lit(1)).as("_cnt"))
+      .select(col("_bkt"),
+        greatest(lit(1L), ceil(col("_cnt").cast("double") / maxBucket).cast("long")).as("_g"))
+
+    val home = bucketed.join(broadcast(counts), Seq("_bkt"))
+      .select(col("_bkt"), pmod(hash(col(keyCol)), col("_g")).as("_salt"),
+        col(keyCol).as("key_b"), col(vecCol).as("_vb"))
+
+    val probeBkts = array(
+      (col("_bkt") +: (0 until planes).map(p => col("_bkt").bitwiseXOR(lit(1L << p)))): _*)
+    val probes = bucketed
+      .select(col(keyCol).as("key_a"), col(vecCol).as("_va"), explode(probeBkts).as("_bkt"))
+      .join(broadcast(counts), Seq("_bkt")) // also prunes probes into empty buckets
+      .withColumn("_salt", explode(sequence(lit(0L), col("_g") - 1)))
+
+    probes.join(home, Seq("_bkt", "_salt"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        round(VF.dot(col("_va"), col("_vb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

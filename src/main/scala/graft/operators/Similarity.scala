@@ -45,25 +45,36 @@ object Similarity {
    * the table is partitioned by `_list`, turning a query into a partition-
    * pruned scan of nprobe/nlist of the data.
    */
-  def ivfTopK(df: DataFrame, vecCol: String, keyCol: String,
-              query: Array[Float], k: Int,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
-    val dim = query.length
+  /** Seeded, L2-normalized coarse centroids — exposed so the DuckDB oracle
+    * can embed the exact same constants (differential-testing requirement). */
+  def ivfCentroids(nlist: Int, dim: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    val centroids = Array.fill(nlist) {
+    Array.fill(nlist) {
       val v = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
       val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
       v.map(_ / n)
     }
+  }
+
+  def ivfTopK(df: DataFrame, vecCol: String, keyCol: String,
+              query: Array[Float], k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
+    val dim = query.length
+    val centroids = ivfCentroids(nlist, dim, seed)
 
     // nearest-centroid id as a column: argmax over nlist constant dots
+    // (struct max = lexicographic on (score, i): ties pick the larger i)
     val assign = (0 until nlist).map { i =>
       struct(VF.cosine(col(vecCol), centroids(i)).as("s"), lit(i).as("i"))
     }
     val listId = array_max(array(assign: _*))("i")
 
     val probed = {
-      val qScores = centroids.map(c => (c.zip(query).map { case (a, b) => a * b }.sum))
+      // double-precision, ascending-index accumulation — the same arithmetic
+      // as the row-side assignment and the DuckDB mirror, so the probed set
+      // is engine-independent
+      val qScores = centroids.map(
+        _.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum)
       qScores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2)
     }
 

@@ -159,6 +159,25 @@ class OperatorsSpec extends SparkSpec {
     assert(mm == 0.0)
   }
 
+  test("custom two-child DotProduct == HOF formulation, mixed element types") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(Seq(0.5f, 0.5f, 0.7f), Seq(0.3, 0.4, 0.5)),
+        org.apache.spark.sql.Row(Seq(0.1f, 0.2f, 0.3f), Seq(1.0, 2.0, 3.0)))),
+      StructType(Seq(StructField("a", ArrayType(FloatType)),
+        StructField("b", ArrayType(DoubleType)))))
+    df.select(VF.dot(col("a"), col("b")).as("fast"),
+        VF.dotHof(col("a"), col("b")).as("ref"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      }
+    // dim mismatch => 0.0; NULL side => NULL
+    val mm = df.select(VF.dot(col("a"), slice(col("b"), 1, 2))).head().getDouble(0)
+    assert(mm == 0.0)
+    val nl = df.select(VF.dot(col("a"), lit(null).cast(ArrayType(DoubleType)))).head()
+    assert(nl.isNullAt(0))
+  }
+
   // --- dedup / similarity -----------------------------------------------------
 
   test("exact dedup keeps min-key winner per digest") {
@@ -220,6 +239,35 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccardJoin(df, "text", "id", shingleN = 3, minJaccard = 0.5)
       .select("key_a", "key_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embedding near-dup: multi-probe catches boundary pair; salting keeps all pairs under skew") {
+    val planes = 3; val dim = 4
+    val hyps = Dedup.hyperplanes(planes, dim, 42L)
+    // construct v1/v2 straddling exactly hyperplane 0: project a base vector
+    // onto h0's orthogonal complement, then nudge +/- along h0
+    val u = { val h = hyps(0).map(_.toDouble); val n = math.sqrt(h.map(x => x * x).sum); h.map(_ / n) }
+    val x = Array(1.0, 0.5, -0.25, 0.8)
+    val proj = x.zip(u).map { case (a, b) => a * b }.sum
+    val w = x.zip(u).map { case (a, b) => a - proj * b }
+    def nudge(s: Double) = w.zip(u).map { case (p, q) => (p + s * q).toFloat }
+    val v1 = nudge(-0.001); val v2 = nudge(0.001)
+    def bkt(v: Array[Float]) = (0 until planes).map { p =>
+      val d = v.zip(hyps(p)).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (d >= 0) 1L << p else 0L
+    }.sum
+    assert(java.lang.Long.bitCount(bkt(v1) ^ bkt(v2)) == 1) // fixture sanity
+
+    val hot = Seq(0.5f, 0.5f, 0.5f, 0.5f) // 30 identical rows => skewed bucket
+    val df = (Seq(1L -> v1.toSeq, 2L -> v2.toSeq) ++ (10L until 40L).map(_ -> hot))
+      .toDF("vec_id", "embedding")
+    val keys = Dedup.embeddingNearDup(df, "embedding", "vec_id", minCosine = 0.5,
+        planes = planes, dim = dim, seed = 42L, maxBucket = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.contains((1L, 2L)), "hamming-1 boundary pair missed")
+    assert(keys.length == keys.distinct.length, "pair generated more than once")
+    assert(keys.count { case (a, b) => a >= 10 && b >= 10 } == 30 * 29 / 2,
+      "salting dropped pairs from the oversized bucket")
   }
 
   test("simhash pairs find the planted near-dup with small hamming") {
