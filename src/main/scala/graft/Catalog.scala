@@ -27,10 +27,20 @@ object Catalog {
 
   private val registry = TrieMap.empty[String, SwampSpec]
 
-  /** Register (or re-register) a swamp binding and expose it as a view. */
+  /**
+   * Register (or re-register) a swamp binding and expose it as a view.
+   * Like the reference's RegisterSwamp — which binds a pattern before any
+   * data exists — registration tolerates a missing/empty path: the spec is
+   * stored unconditionally and the view is created lazily if the source
+   * can't be read yet. [[load]] always re-reads the source (fresh file
+   * listing) and refreshes the view, so files written after registration
+   * are visible.
+   */
   def register(spark: SparkSession, spec: SwampSpec): Unit = {
     registry.put(spec.name, spec)
-    load(spark, spec.name).createOrReplaceTempView(spec.name)
+    try load(spark, spec.name)
+    catch { case _: org.apache.spark.sql.AnalysisException => () // no data yet
+    }
   }
 
   /** Remove the binding (data untouched, as in the reference). */
@@ -39,14 +49,33 @@ object Catalog {
     spark.catalog.dropTempView(name)
   }
 
+  /**
+   * Destroy — the reference's `Destroy`/`DestroyBulk`
+   * (proto/hydraide.proto:689-733): remove the binding AND delete the
+   * swamp's storage, through the session's Hadoop FileSystem so any
+   * supported scheme works. Returns true iff data was actually deleted.
+   */
+  def destroy(spark: SparkSession, name: String): Boolean = {
+    val path = registry.get(name).map(_.path)
+    deregister(spark, name)
+    path.exists { pth =>
+      val p = new org.apache.hadoop.fs.Path(pth)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.delete(p, true)
+    }
+  }
+
   def isRegistered(name: String): Boolean = registry.contains(name)
 
   def spec(name: String): Option[SwampSpec] = registry.get(name)
 
-  /** Load a registered swamp as a DataFrame. */
+  /** Load a registered swamp as a DataFrame (fresh file listing) and
+    * refresh its temp view so SQL resolution sees the same data. */
   def load(spark: SparkSession, name: String): DataFrame = {
     val s = registry.getOrElse(name,
       throw new IllegalArgumentException(s"swamp not registered: $name"))
-    spark.read.format(s.format).options(s.options).load(s.path)
+    val df = spark.read.format(s.format).options(s.options).load(s.path)
+    df.createOrReplaceTempView(s.name)
+    df
   }
 }

@@ -72,7 +72,23 @@ object FilterCompiler {
   private def collectLabels(node: FilterNode): Seq[(String, FilterNode)] = node match {
     case Labeled(l, c)   => (l -> c) +: collectLabels(c)
     case Group(_, cs)    => cs.flatMap(collectLabels)
+    // Labels are per-ROW metadata; a label buried in a per-ELEMENT predicate
+    // has no well-defined row projection. Silently dropping it (the old
+    // behavior) loses data — reject loudly instead.
+    case AnyElement(_, p)          => requireNoLabels(p, "AnyElement"); Nil
+    case NestedSliceWhere(_, _, p) => requireNoLabels(p, "NestedSliceWhere"); Nil
     case _               => Nil
+  }
+
+  private def requireNoLabels(node: FilterNode, where: String): Unit = node match {
+    case Labeled(l, _) => throw new IllegalArgumentException(
+      s"Labeled('$l') inside $where is not supported: labels are per-row " +
+        "metadata and a per-element match cannot be projected as a row " +
+        "label — lift the label above the quantifier")
+    case Group(_, cs)              => cs.foreach(requireNoLabels(_, where))
+    case AnyElement(_, p)          => requireNoLabels(p, where)
+    case NestedSliceWhere(_, _, p) => requireNoLabels(p, where)
+    case _                         => ()
   }
 
   private def rootCtx(schema: Option[StructType]): Ctx = Ctx(
@@ -156,6 +172,76 @@ object FilterCompiler {
       case None => true
     }
 
+  // --- numeric literal vs timestamp column: Unix-seconds coercion -----------
+  // The reference stores time.Time and coerces it to Unix seconds for
+  // numeric compares (filter.go:420-421 `n.UTC().Unix()` — i.e. the COLUMN
+  // is truncated to whole seconds, then integer-compared). Mirroring that
+  // with unix_seconds(col) would kill parquet pushdown, so each truncating
+  // compare is rewritten as an equivalent RANGE predicate on the raw column
+  // (floor(x) >= n  <=>  x >= n, etc. for integer n) — exact reference
+  // semantics, still a pushdown-eligible timestamp comparison.
+
+  private def isTsNumericLit(f: FieldRef, v: Any, ctx: Ctx): Boolean =
+    typeOfField(f, ctx).exists(dt =>
+      dt == TimestampType || dt == TimestampNTZType) &&
+      litFamily(v) == 'N' && !v.isInstanceOf[U64]
+
+  /** Reference toInt64: floats truncate toward zero (filter.go:418-419). */
+  private def litSeconds(v: Any): Long = v match {
+    case n: Byte => n.toLong
+    case n: Short => n.toLong
+    case n: Int => n.toLong
+    case n: Long => n
+    case n: Float => n.toLong
+    case n: Double => n.toLong
+    case n: BigDecimal => n.toLong
+    case n: BigInt => n.toLong
+    case n: java.math.BigDecimal => n.longValue
+    case other => throw new IllegalArgumentException(s"not a numeric literal: $other")
+  }
+
+  private def tsSecondsCompare(c: Column, op: CmpOp, secs: Long): Column = {
+    def ts(n: Long) = timestamp_seconds(lit(n))
+    val col = c.cast(TimestampType) // NTZ interpreted in session tz
+    op match {
+      case CmpOp.Equal              => col >= ts(secs) && col < ts(secs + 1)
+      case CmpOp.NotEqual           => !(col >= ts(secs) && col < ts(secs + 1))
+      case CmpOp.GreaterThan        => col >= ts(secs + 1)
+      case CmpOp.GreaterThanOrEqual => col >= ts(secs)
+      case CmpOp.LessThan           => col < ts(secs)
+      case CmpOp.LessThanOrEqual    => col < ts(secs + 1)
+      case _                        => lit(false) // string ops on time: no match
+    }
+  }
+
+  /** One scalar compare with the full coercion discipline — shared by Cmp
+    * and by In() members that need non-isin compilation. */
+  private def scalarCompare(f: FieldRef, op: CmpOp, v: Any, ctx: Ctx): Column = {
+    val stringOp = op match {
+      case CmpOp.Contains | CmpOp.NotContains | CmpOp.StartsWith | CmpOp.EndsWith => true
+      case _ => false
+    }
+    if (!stringOp && isTsNumericLit(f, v, ctx))
+      tsSecondsCompare(fieldCol(f, ctx), op, litSeconds(v))
+    else if (!compatible(f, v, stringOp, ctx)) lit(false) // mismatch => no match
+    else {
+      val c = fieldCol(f, ctx)
+      val l = litOf(v)
+      op match {
+        case CmpOp.Equal              => c === l
+        case CmpOp.NotEqual           => c =!= l
+        case CmpOp.GreaterThan        => c > l
+        case CmpOp.GreaterThanOrEqual => c >= l
+        case CmpOp.LessThan           => c < l
+        case CmpOp.LessThanOrEqual    => c <= l
+        case CmpOp.Contains           => c.contains(l)
+        case CmpOp.NotContains        => !c.contains(l)
+        case CmpOp.StartsWith         => c.startsWith(l)
+        case CmpOp.EndsWith           => c.endsWith(l)
+      }
+    }
+  }
+
   private def compileNode(node: FilterNode, ctx: Ctx): Column = node match {
 
     case Group(_, Seq()) => lit(true) // empty group = pass-all (proto:2554-2601)
@@ -164,28 +250,7 @@ object FilterCompiler {
 
     case Labeled(_, child) => compileNode(child, ctx) // label is metadata-only
 
-    case Cmp(f, op, v) =>
-      val stringOp = op match {
-        case CmpOp.Contains | CmpOp.NotContains | CmpOp.StartsWith | CmpOp.EndsWith => true
-        case _ => false
-      }
-      if (!compatible(f, v, stringOp, ctx)) lit(false) // mismatch => no match
-      else {
-        val c = fieldCol(f, ctx)
-        val l = litOf(v)
-        (op match {
-          case CmpOp.Equal              => c === l
-          case CmpOp.NotEqual           => c =!= l
-          case CmpOp.GreaterThan        => c > l
-          case CmpOp.GreaterThanOrEqual => c >= l
-          case CmpOp.LessThan           => c < l
-          case CmpOp.LessThanOrEqual    => c <= l
-          case CmpOp.Contains           => c.contains(l)
-          case CmpOp.NotContains        => !c.contains(l)
-          case CmpOp.StartsWith         => c.startsWith(l)
-          case CmpOp.EndsWith           => c.endsWith(l)
-        })
-      }
+    case Cmp(f, op, v) => scalarCompare(f, op, v, ctx)
 
     case IsEmpty(f, negate) =>
       val c = fieldCol(f, ctx)
@@ -214,10 +279,19 @@ object FilterCompiler {
       if (negate) !p else p
 
     case In(f, vs) =>
-      if (vs.nonEmpty && !compatible(f, vs.head, stringOp = false, ctx)) lit(false)
-      else if (vs.exists(_.isInstanceOf[U64]))
-        vs.map(v => fieldCol(f, ctx) === litOf(v)).reduce(_ || _)
-      else fieldCol(f, ctx).isin(vs: _*) // InSet: stays pushdown-eligible
+      // EVERY member is validated against the column family (not just the
+      // head): a mismatched member can never match, so it is dropped — a
+      // mixed list like In(numCol, Seq(1L, "2")) matches only the 1L, and
+      // an all-mismatch list compiles to no-match. Members that need a
+      // coercion (U64 decimal widening, numeric-vs-timestamp Unix seconds)
+      // fall back to an OR of scalar compares; the plain path stays `isin`
+      // (InSet: pushdown-eligible).
+      val good = vs.filter(v =>
+        compatible(f, v, stringOp = false, ctx) || isTsNumericLit(f, v, ctx))
+      if (good.isEmpty) lit(false)
+      else if (good.exists(v => v.isInstanceOf[U64] || isTsNumericLit(f, v, ctx)))
+        good.map(v => scalarCompare(f, CmpOp.Equal, v, ctx)).reduce(_ || _)
+      else fieldCol(f, ctx).isin(good: _*)
 
     case AnyElement(slice, pred) =>
       val arr = ctx.resolve(slice.parts)

@@ -36,8 +36,12 @@ object Existence {
     !df.filter(col(keyCol) === lit(key)).isEmpty
 
   /** Swamp (table) existence = registered in the catalog or present on
-    * storage (reference checks the filesystem the same way). */
+    * storage (reference checks the filesystem the same way). Storage is
+    * probed through the session's Hadoop FileSystem so HDFS/S3/file: paths
+    * all work — `java.io.File` would silently answer false off-local. */
   def isSwampExist(spark: SparkSession, dir: String, name: String): Boolean =
-    graft.Catalog.isRegistered(name) ||
-      new java.io.File(s"$dir/$name.parquet").exists()
+    graft.Catalog.isRegistered(name) || {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
 }

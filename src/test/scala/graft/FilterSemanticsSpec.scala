@@ -177,6 +177,44 @@ class FilterSemanticsSpec extends SparkSpec {
     assert(keysMatching(In(FieldRef("num"), Seq("10", "20")), scalars) == Set.empty)
   }
 
+  test("IN validates EVERY member: mixed list keeps only family-compatible members") {
+    // old behavior checked only the head: Seq(10L, "20") would implicitly
+    // cast "20" — the exact behavior the discipline suppresses
+    assert(keysMatching(In(FieldRef("num"), Seq(10L, "20")), scalars) == Set("a"))
+    assert(keysMatching(In(FieldRef("num"), Seq("10", 20L)), scalars) == Set("b"))
+    assert(keysMatching(In(FieldRef("num"), Seq[Any]()), scalars) == Set.empty)
+  }
+
+  private lazy val times = Seq(
+    ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
+    ("b", java.sql.Timestamp.valueOf("2024-01-01 00:00:10.700")), // sub-second
+    ("c", java.sql.Timestamp.valueOf("2024-01-01 00:00:11"))
+  ).toDF("k", "ts")
+
+  test("numeric literal vs timestamp column compares as Unix seconds, truncating") {
+    // reference filter.go:420-421: time.Time -> n.UTC().Unix() (whole
+    // seconds); 10.7s truncates to 10s and must EQUAL 10, not exceed it
+    val secs10 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10").getTime / 1000
+    assert(keysMatching(Cmp(FieldRef("ts"), CmpOp.Equal, secs10), times) == Set("a", "b"))
+    assert(keysMatching(Cmp(FieldRef("ts"), CmpOp.GreaterThan, secs10), times) == Set("c"))
+    assert(keysMatching(Cmp(FieldRef("ts"), CmpOp.GreaterThanOrEqual, secs10), times) == Set("a", "b", "c"))
+    assert(keysMatching(Cmp(FieldRef("ts"), CmpOp.LessThanOrEqual, secs10), times) == Set("a", "b"))
+    assert(keysMatching(Cmp(FieldRef("ts"), CmpOp.LessThan, secs10), times) == Set.empty)
+    assert(keysMatching(In(FieldRef("ts"), Seq(secs10)), times) == Set("a", "b"))
+    // string ops on a timestamp stay no-match
+    assert(keysMatching(Cmp(FieldRef("ts"), CmpOp.Contains, "2024"), times) == Set.empty)
+  }
+
+  test("Labeled inside a quantifier predicate is rejected loudly") {
+    val node = NestedSliceWhere(FieldRef("items"), Quantifier.Any,
+      Labeled("x", Cmp(FieldRef("q"), CmpOp.GreaterThan, 1L)))
+    val df = Seq(("a", Seq(2L))).toDF("k", "items")
+      .select(col("k"), transform(col("items"), q => struct(q.as("q"))).as("items"))
+    assertThrows[IllegalArgumentException] {
+      FilterCompiler.compileWithLabels(Group.and(node), df)
+    }
+  }
+
   test("uint64 literal: no int64 overflow, numeric-family compatible") {
     val u = U64(BigInt("18446744073709551615")) // 2^64 - 1
     assert(keysMatching(Cmp(FieldRef("num"), CmpOp.LessThan, u), scalars) == Set("a", "b", "d"))

@@ -332,6 +332,49 @@ class OperatorsSpec extends SparkSpec {
     assert(!Catalog.isRegistered("cat_t"))
   }
 
+  test("register before data exists; load sees files written after registration") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lazy").toString
+    Catalog.register(spark, Catalog.SwampSpec("lazy_t", s"$tmp/t.parquet"))
+    assert(Catalog.isRegistered("lazy_t")) // no throw, binding stored
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(s"$tmp/t.parquet")
+    assert(Catalog.load(spark, "lazy_t").count() == 2L)
+    assert(spark.sql("SELECT count(*) FROM lazy_t").head().getLong(0) == 2L)
+    Catalog.deregister(spark, "lazy_t")
+  }
+
+  test("destroy deletes storage through the Hadoop filesystem; isSwampExist probes it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_destroy").toString
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$tmp/d.parquet")
+    // file:-scheme path exercises the FileSystem (not java.io.File) probe
+    assert(Existence.isSwampExist(spark, s"file://$tmp", "d"))
+    assert(!Existence.isSwampExist(spark, s"file://$tmp", "nope"))
+    Catalog.register(spark, Catalog.SwampSpec("destroy_t", s"$tmp/d.parquet"))
+    assert(Catalog.destroy(spark, "destroy_t"))
+    assert(!Catalog.isRegistered("destroy_t"))
+    assert(!Existence.isSwampExist(spark, tmp, "d"))
+    assert(!new java.io.File(s"$tmp/d.parquet").exists())
+  }
+
+  test("compaction round-trip: fewer files, state equivalent to LWW") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val log = (1L to 50L).flatMap(k => Seq(
+      (s"k$k", k * 1.0, 1L, "U"),
+      (s"k$k", k * 2.0, 2L, "U")) ++
+      (if (k % 5 == 0) Seq((s"k$k", 0.0, 3L, "D")) else Nil))
+      .toDF("key", "v", "seq", "op")
+    log.repartition(8).write.parquet(s"$tmp/log") // fragmented: 8 files
+    val fragmented = spark.read.parquet(s"$tmp/log")
+    Chronicle.compact(fragmented.coalesce(1), "key", "seq", "op", s"$tmp/compacted")
+    val re = spark.read.parquet(s"$tmp/compacted")
+    val want = Chronicle.lastWriteWins(fragmented, "key", "seq", "op")
+      .select("key", "v").as[(String, Double)].collect().toMap
+    val got = re.select("key", "v").as[(String, Double)].collect().toMap
+    assert(got == want && got.size == 40 && got("k1") == 2.0 && !got.contains("k5"))
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/compacted") < parquetFiles(s"$tmp/log"))
+  }
+
   test("patch MERGE: incoming keys override, existing keys survive, null map replaced") {
     val df = Seq((1L, Map("a" -> "1", "b" -> "2")), (2L, null.asInstanceOf[Map[String, String]]))
       .toDF("id", "m").withColumn("body", struct(col("m").as("attrs")))

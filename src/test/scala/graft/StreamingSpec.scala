@@ -90,6 +90,70 @@ class StreamingSpec extends SparkSpec {
     // notifies on actual content change)
   }
 
+  test("tombstone: replayed stale upsert cannot resurrect a deleted key") {
+    import graft.streaming.StatefulFeed
+    import graft.streaming.StatefulFeed.Command
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Command]
+    val q = StatefulFeed.changeFeed(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("tomb_out").start()
+
+    input.addData(Command("a", 1, "U", "v1"), Command("a", 2, "U", "v2"))
+    q.processAllAvailable()
+    input.addData(Command("a", 3, "D", ""))
+    q.processAllAvailable()
+    // at-least-once redelivery of the OLD upsert after the delete: without a
+    // tombstone this re-emitted NEW(v2)
+    input.addData(Command("a", 2, "U", "v2"))
+    q.processAllAvailable()
+    // a genuinely newer write after the delete IS a NEW
+    input.addData(Command("a", 4, "U", "v4"))
+    q.processAllAvailable()
+    q.stop()
+
+    val events = spark.table("tomb_out").select("seq", "_status", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(events == Set(
+      (1L, "NEW", Some("v1")),
+      (2L, "MODIFIED", Some("v2")),
+      (3L, "DELETED", None),
+      (4L, "NEW", Some("v4"))))
+  }
+
+  test("file-source E2E: parquet command increments -> changeFeed -> events") {
+    // closes the MemoryStream-only gap: a real file source with schema,
+    // discovery of files written after the query starts, and checkpointed
+    // state across micro-batches
+    import graft.streaming.StatefulFeed
+    import graft.streaming.StatefulFeed.Command
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val srcDir = s"$tmp/commands"
+    def writeBatch(cmds: Command*): Unit =
+      cmds.toSeq.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+
+    writeBatch(Command("a", 1, "U", "v1"), Command("b", 1, "U", "w1"))
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Command]].schema)
+      .parquet(srcDir).as[Command]
+    val q = StatefulFeed.changeFeed(src).writeStream
+      .outputMode("append").format("memory").queryName("e2e_out")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    q.processAllAvailable()
+    writeBatch(Command("a", 2, "U", "v2"), Command("b", 2, "D", ""))
+    q.processAllAvailable()
+    q.stop()
+
+    val events = spark.table("e2e_out")
+      .select("key", "seq", "_status", "value", "old_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(events == Set(
+      ("a", 1L, "NEW", Some("v1"), None),
+      ("b", 1L, "NEW", Some("w1"), None),
+      ("a", 2L, "MODIFIED", Some("v2"), Some("v1")),
+      ("b", 2L, "DELETED", None, Some("w1"))))
+  }
+
   case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 
   test("windowed counts with watermark produce per-window aggregates") {
