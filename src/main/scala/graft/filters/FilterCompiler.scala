@@ -339,20 +339,13 @@ object FilterCompiler {
 
     case PhraseInTokens(path, words, negate) =>
       // O(tokens × |phrase|) sliding check over the token array — the scan
-      // form of phrase search (reference: filter.go:560-589 semantics), with
-      // no per-row word-index construction. Stays inside whole-stage codegen.
+      // form of phrase search (reference: filter.go:560-589 semantics) as a
+      // zero-allocation codegen'd Expression (TokensContainPhrase); the
+      // earlier HOF form allocated a window-index array per row.
       val toks = ctx.resolve(path.parts)
       val p = words match {
-        case Seq()  => lit(true)
-        case Seq(w) => array_contains(toks, lit(w))
-        case ws =>
-          val n = ws.length
-          when(size(toks) >= n,
-            exists(sequence(lit(1), size(toks) - lit(n - 1)), i =>
-              ws.zipWithIndex.map { case (w, j) =>
-                element_at(toks, i + lit(j)) === lit(w)
-              }.reduce(_ && _)))
-            .otherwise(lit(false))
+        case Seq() => lit(true)
+        case ws    => graft.functions.PhraseFunctions.phraseInTokens(toks, ws)
       }
       val matched = noNull(p)
       if (negate) !matched else matched
