@@ -117,6 +117,19 @@ object Mutations {
   def deleteKeys(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
     base.join(keys.select(keyCol).distinct(), Seq(keyCol), "left_anti")
 
+  /** Per-key outcome of a delete — DELETED for keys that existed,
+    * NOT_FOUND otherwise (the reference's per-key error statuses,
+    * proto:1517-1557). One row per requested key; the base probe is a
+    * broadcast-able semi-lookup like [[setStatuses]]. */
+  def deleteStatuses(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
+    val k = keys.select(keyCol).distinct().as("d")
+    val b = base.select(keyCol).distinct().as("b")
+    k.join(b, col(s"d.$keyCol") === col(s"b.$keyCol"), "left_outer")
+      .select(col(s"d.$keyCol").as(keyCol),
+        when(col(s"b.$keyCol").isNotNull, StatusDeleted)
+          .otherwise(StatusNotFound).as("_status"))
+  }
+
   /**
    * Conditional increment (the 10 `IncrementXxx` RPCs, proto:1607-2149):
    * add `delta` to `valueCol` only where `condition` holds on the CURRENT

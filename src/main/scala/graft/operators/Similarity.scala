@@ -86,4 +86,44 @@ object Similarity {
       .limit(k)
       .select(col(keyCol), round(col("score"), 6).as("score"))
   }
+
+  /**
+   * Materialize the IVF index: assign every row its nearest coarse centroid
+   * ONCE and write partitioned by `_list`. This is the 100 TB form — the
+   * per-query variant above recomputes nlist dot products per row per
+   * query; after this one-time build, a query is a PARTITION-PRUNED scan of
+   * nprobe/nlist of the data (verify: PartitionFilters in the scan node).
+   */
+  def ivfBuild(df: DataFrame, vecCol: String, keyCol: String, outPath: String,
+               dim: Int, nlist: Int = 16, seed: Long = 7L): Unit = {
+    val centroids = ivfCentroids(nlist, dim, seed)
+    val assign = (0 until nlist).map { i =>
+      struct(VF.cosine(col(vecCol), centroids(i)).as("s"), lit(i).as("i"))
+    }
+    df.filter(size(col(vecCol)) === dim)
+      .withColumn("_list", array_max(array(assign: _*))("i"))
+      .write.mode("overwrite").partitionBy("_list").parquet(outPath)
+  }
+
+  /** Query a prebuilt IVF index (written by [[ivfBuild]] with the same
+    * nlist/seed): routes to the nprobe nearest lists — a partition filter,
+    * so only nprobe/nlist of the files are read — then brute-forces those
+    * rows. Results are identical to [[ivfTopK]] on the same parameters. */
+  def ivfTopKPrebuilt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                      vecCol: String, keyCol: String,
+                      query: Array[Float], k: Int,
+                      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
+    val centroids = ivfCentroids(nlist, query.length, seed)
+    val probed = {
+      val qScores = centroids.map(
+        _.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+      qScores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2)
+    }
+    spark.read.parquet(indexPath)
+      .filter(col("_list").isin(probed: _*)) // partition pruning
+      .withColumn("score", VF.cosine(col(vecCol), query))
+      .orderBy(col("score").desc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol), round(col("score"), 6).as("score"))
+  }
 }

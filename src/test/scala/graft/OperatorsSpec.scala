@@ -212,6 +212,70 @@ class OperatorsSpec extends SparkSpec {
 
   // --- multimodal plumbing ----------------------------------------------------
 
+  test("prebuilt IVF: partition-pruned scan, same results as per-query form") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val rnd = new scala.util.Random(5)
+    def vec() = {
+      val v = Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    val df = (0L until 200L).map(i => i -> vec()).toDF("vec_id", "embedding")
+    Similarity.ivfBuild(df, "embedding", "vec_id", s"$tmp/idx", dim = 8, nlist = 8)
+    val q = df.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+
+    val pre = Similarity.ivfTopKPrebuilt(spark, s"$tmp/idx", "embedding", "vec_id",
+      q, 5, nlist = 8, nprobe = 2)
+    val direct = Similarity.ivfTopK(df, "embedding", "vec_id", q, 5,
+      nlist = 8, nprobe = 2)
+    assert(pre.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))) ==
+      direct.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))))
+    // the probe must reach the scan as a PARTITION filter (pruned read),
+    // not a post-scan predicate
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_list"))
+  }
+
+  test("bucketed join: co-partitioned tables join with no Exchange") {
+    def reset(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a crashed prior JVM can leave the managed location without the
+      // catalog entry; saveAsTable then refuses LOCATION_ALREADY_EXISTS
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    reset("bkt_a"); reset("bkt_b")
+    Bucketing.writeBucketed(
+      (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va"), "bkt_a", "k", 4)
+    Bucketing.writeBucketed(
+      (500L to 1500L).map(i => (i, s"b$i")).toDF("k", "vb"), "bkt_b", "k", 4)
+    // disable broadcast so the planner must pick sort-merge — the big-big
+    // join shape bucketing exists for; small inputs would otherwise take
+    // a BroadcastHashJoin and never exercise the bucketed path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+      assert(joined.count() == 501)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
+        s"expected a bucketed sort-merge join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("deleteStatuses: DELETED for existing keys, NOT_FOUND otherwise") {
+    val keys = Seq("k1", "k9").toDF("key")
+    val m = Mutations.deleteStatuses(base, keys, "key")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("k1" -> "DELETED", "k9" -> "NOT_FOUND"))
+  }
+
   test("media features: schema, determinism, null payload") {
     val df = Seq((1L, "abc"), (2L, null.asInstanceOf[String])).toDF("id", "payload")
     val media = Multimodal.asMedia(df, "id", col("payload"), "text/plain")
