@@ -200,16 +200,19 @@ object FilterCompiler {
     case other => throw new IllegalArgumentException(s"not a numeric literal: $other")
   }
 
-  private def tsSecondsCompare(c: Column, op: CmpOp, secs: Long): Column = {
-    def ts(n: Long) = timestamp_seconds(lit(n))
-    val col = c.cast(TimestampType) // NTZ interpreted in session tz
+  private def tsSecondsCompare(c: Column, dt: DataType, op: CmpOp, secs: Long): Column = {
+    // cast the LITERAL to the column's exact type (constant-folded), never
+    // the column — a cast on the column side would block parquet pushdown.
+    // For NTZ the epoch literal is interpreted in the session tz (pinned
+    // UTC by every entry point), matching the reference's UTC Unix seconds.
+    def ts(n: Long) = timestamp_seconds(lit(n)).cast(dt)
     op match {
-      case CmpOp.Equal              => col >= ts(secs) && col < ts(secs + 1)
-      case CmpOp.NotEqual           => !(col >= ts(secs) && col < ts(secs + 1))
-      case CmpOp.GreaterThan        => col >= ts(secs + 1)
-      case CmpOp.GreaterThanOrEqual => col >= ts(secs)
-      case CmpOp.LessThan           => col < ts(secs)
-      case CmpOp.LessThanOrEqual    => col < ts(secs + 1)
+      case CmpOp.Equal              => c >= ts(secs) && c < ts(secs + 1)
+      case CmpOp.NotEqual           => !(c >= ts(secs) && c < ts(secs + 1))
+      case CmpOp.GreaterThan        => c >= ts(secs + 1)
+      case CmpOp.GreaterThanOrEqual => c >= ts(secs)
+      case CmpOp.LessThan           => c < ts(secs)
+      case CmpOp.LessThanOrEqual    => c < ts(secs + 1)
       case _                        => lit(false) // string ops on time: no match
     }
   }
@@ -222,7 +225,7 @@ object FilterCompiler {
       case _ => false
     }
     if (!stringOp && isTsNumericLit(f, v, ctx))
-      tsSecondsCompare(fieldCol(f, ctx), op, litSeconds(v))
+      tsSecondsCompare(fieldCol(f, ctx), typeOfField(f, ctx).get, op, litSeconds(v))
     else if (!compatible(f, v, stringOp, ctx)) lit(false) // mismatch => no match
     else {
       val c = fieldCol(f, ctx)

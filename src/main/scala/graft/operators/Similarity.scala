@@ -37,14 +37,6 @@ object Similarity {
       .filter(col("score") >= minSim)
       .select(col(keyCol), round(col("score"), 6).as("score"))
 
-  /**
-   * IVF-style ANN: deterministic coarse centroids (seeded); each row assigned to
-   * its nearest centroid once (a column of argmax over nlist dot products,
-   * all broadcast constants); the query probes `nprobe` nearest lists and
-   * brute-forces only those rows. At scale the assignment is precomputed and
-   * the table is partitioned by `_list`, turning a query into a partition-
-   * pruned scan of nprobe/nlist of the data.
-   */
   /** Seeded, L2-normalized coarse centroids — exposed so the DuckDB oracle
     * can embed the exact same constants (differential-testing requirement). */
   def ivfCentroids(nlist: Int, dim: Int, seed: Long): Array[Array[Float]] = {
@@ -56,6 +48,14 @@ object Similarity {
     }
   }
 
+  /**
+   * IVF-style ANN, per-query-assignment form: deterministic seeded coarse
+   * centroids; each row assigned to its nearest centroid (argmax over nlist
+   * constant dots); the query probes `nprobe` nearest lists and brute-forces
+   * only those rows. For repeated querying use [[ivfBuild]] +
+   * [[ivfTopKPrebuilt]], which precompute the assignment and turn the probe
+   * into a partition-pruned scan.
+   */
   def ivfTopK(df: DataFrame, vecCol: String, keyCol: String,
               query: Array[Float], k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
@@ -69,13 +69,13 @@ object Similarity {
     }
     val listId = array_max(array(assign: _*))("i")
 
-    val probed = {
+    val probed: Seq[Int] = {
       // double-precision, ascending-index accumulation — the same arithmetic
       // as the row-side assignment and the DuckDB mirror, so the probed set
       // is engine-independent
       val qScores = centroids.map(
         _.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum)
-      qScores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2)
+      qScores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toIndexedSeq
     }
 
     df.filter(size(col(vecCol)) === dim)
@@ -114,10 +114,10 @@ object Similarity {
                       query: Array[Float], k: Int,
                       nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
     val centroids = ivfCentroids(nlist, query.length, seed)
-    val probed = {
+    val probed: Seq[Int] = {
       val qScores = centroids.map(
         _.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum)
-      qScores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2)
+      qScores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toIndexedSeq
     }
     spark.read.parquet(indexPath)
       .filter(col("_list").isin(probed: _*)) // partition pruning

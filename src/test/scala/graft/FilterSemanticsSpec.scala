@@ -205,6 +205,20 @@ class FilterSemanticsSpec extends SparkSpec {
     assert(keysMatching(Cmp(FieldRef("ts"), CmpOp.Contains, "2024"), times) == Set.empty)
   }
 
+  test("Unix-seconds timestamp compare reaches the parquet scan as a pushed filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tspush").toString
+    times.write.parquet(s"$tmp/t.parquet")
+    val onDisk = spark.read.parquet(s"$tmp/t.parquet")
+    val secs10 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10").getTime / 1000
+    val plan = onDisk
+      .filter(FilterCompiler.compile(
+        Cmp(FieldRef("ts"), CmpOp.GreaterThanOrEqual, secs10), onDisk))
+      .queryExecution.executedPlan.toString
+    // the range rewrite must keep the raw column comparable: a cast on the
+    // column side would leave PushedFilters with only IsNotNull
+    assert(plan.contains("GreaterThanOrEqual(ts,"), s"timestamp bound not pushed:\n$plan")
+  }
+
   test("Labeled inside a quantifier predicate is rejected loudly") {
     val node = NestedSliceWhere(FieldRef("items"), Quantifier.Any,
       Labeled("x", Cmp(FieldRef("q"), CmpOp.GreaterThan, 1L)))
