@@ -64,6 +64,39 @@ class PropertiesSpec extends SparkSpec {
       .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("TokensContainPhrase == Scala sliding check on 300 random token arrays") {
+    val vocab = Vector("a", "b", "c", "ab")
+    def randToks() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    val phrases = Seq(Seq("a"), Seq("a", "b"), Seq("c", "a", "b"), Seq("zz"))
+    val toksSeq = Seq.fill(300)(randToks())
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        toksSeq.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }),
+      StructType(Seq(StructField("id", LongType),
+        StructField("toks", ArrayType(StringType)))))
+    phrases.foreach { ph =>
+      val got = df
+        .withColumn("m", graft.functions.PhraseFunctions.phraseInTokens(col("toks"), ph))
+        .orderBy("id").select("m").collect().map(_.getBoolean(0)).toSeq
+      val want = toksSeq.map(_.sliding(ph.length).exists(_.toSeq == ph))
+      assert(got == want, s"phrase $ph diverged from the reference sliding check")
+    }
+  }
+
+  test("two-child DotProduct == HOF on 50 random float/double vector pairs") {
+    val rows = Seq.fill(50)((Seq.fill(16)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.zipWithIndex.map { case ((a, b), i) =>
+        Row(i.toLong, a, b) }),
+      StructType(Seq(StructField("id", LongType),
+        StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(DoubleType)))))
+    df.select(VF.dot(col("a"), col("b")).as("fast"),
+        VF.dotHof(col("a"), col("b")).as("ref"))
+      .collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
   test("filter-tree compilation is total over 100 random and/or trees") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("num", "s")
