@@ -928,6 +928,36 @@ object SparkEntry {
         .select(col("doc_id"), TF.fingerprint64(col("text")).as("fp")),
       Some("SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents")),
 
+    Q("q_contamination", // decontamination: per-doc distinct-shingle overlap
+      // vs a benchmark corpus (docs 0..19 stand in for the eval set)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminationOverlap(docs, docs.filter(col("doc_id") < 20),
+          "text", "doc_id", shingleN = 3)
+          .filter(col("overlap") >= 3)
+      },
+      Some(s"""WITH b AS (SELECT DISTINCT unnest(list_distinct($sqlShingles3)) AS sh
+                FROM documents WHERE doc_id < 20),
+          e AS (SELECT doc_id, unnest(list_distinct($sqlShingles3)) AS sh FROM documents)
+          SELECT doc_id, count(*) AS overlap FROM e JOIN b USING (sh)
+          GROUP BY doc_id HAVING count(*) >= 3""")),
+
+    Q("q_pii_scan", // PII flags; synthetic emails/phones planted on a
+      // deterministic subset so both truth values are exercised
+      (s, d) => t(s, d, "documents")
+        .withColumn("body", when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" contact: user"), col("doc_id"),
+              lit("@example.com or 555-867-5309")))
+          .otherwise(col("text")))
+        .select(col("doc_id"), TF.hasEmail(col("body")).as("has_email"),
+          TF.hasPhoneLike(col("body")).as("has_phone")),
+      Some("""SELECT doc_id,
+          regexp_matches(body, '[a-z0-9._]+@[a-z0-9-]+\.[a-z]{2,}') AS has_email,
+          regexp_matches(body, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}') AS has_phone
+          FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+            THEN text || ' contact: user' || doc_id || '@example.com or 555-867-5309'
+            ELSE text END AS body FROM documents)""")),
+
     Q("q_media_features", // multimodal plumbing; decode stub, real schema/batching
       (s, d) => Multimodal.extractFeatures(
           Multimodal.asMedia(t(s, d, "documents"), "doc_id", col("text"), "text/plain"))

@@ -185,6 +185,17 @@ object TextFunctions {
     }.otherwise(lit("und"))
   }
 
+  // --- PII scanning ---------------------------------------------------------
+
+  /** Email-shaped substring present. Pattern kept in the RE2-compatible
+    * subset so Spark (java.util.regex) and DuckDB (RE2) agree exactly. */
+  def hasEmail(text: Column): Column =
+    text.rlike("[a-z0-9._]+@[a-z0-9-]+\\.[a-z]{2,}")
+
+  /** Phone-shaped digit group (NNN-NNN-NNNN / NNN-NNNN-NNNN). */
+  def hasPhoneLike(text: Column): Column =
+    text.rlike("[0-9]{3}-[0-9]{3,4}-[0-9]{4}")
+
   // --- quality scoring ------------------------------------------------------
 
   val Stopwords: Seq[String] = Seq(

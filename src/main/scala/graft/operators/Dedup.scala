@@ -143,6 +143,29 @@ object Dedup {
       .dropDuplicates("key_a", "key_b")
   }
 
+  /**
+   * Benchmark-contamination check — the decontamination pass every training
+   * pipeline runs before a model sees the corpus: per document, how many
+   * distinct n-gram shingles it shares with a benchmark/eval corpus.
+   * Scale shape: the benchmark set is tiny relative to the corpus, so its
+   * distinct shingle set is BROADCAST; the corpus explodes to (key, shingle)
+   * and the broadcast join filters before the per-key count — the 100 TB
+   * side never shuffles its text, only surviving (key, shingle) pairs reach
+   * the count shuffle.
+   */
+  def contaminationOverlap(docs: DataFrame, benchmark: DataFrame,
+                           textCol: String, keyCol: String,
+                           shingleN: Int = 3): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
+      .distinct()
+    docs
+      .select(col(keyCol), explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
+      .join(broadcast(benchSh), Seq("_sh"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("overlap"))
+  }
+
   /** Seeded random hyperplanes — exposed so the DuckDB oracle can embed the
     * exact same constants (differential-testing requirement). */
   def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Float]] = {

@@ -334,6 +334,19 @@ class OperatorsSpec extends SparkSpec {
       "salting dropped pairs from the oversized bucket")
   }
 
+  test("contamination overlap counts shared distinct shingles vs the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox is here"), // shares shingle "quick brown fox"
+      (3L, "completely different words entirely now")
+    ).toDF("id", "text")
+    val bench = Seq((99L, "the quick brown fox runs")).toDF("id", "text")
+    val got = Dedup.contaminationOverlap(docs, bench, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc1 shares "the quick brown" + "quick brown fox"; doc2 shares one
+    assert(got == Map(1L -> 2L, 2L -> 1L)) // doc3 absent: zero overlap
+  }
+
   test("simhash pairs find the planted near-dup with small hamming") {
     val a = (1 to 60).map(i => s"w$i").mkString(" ")
     val b = (1 to 60).map(i => if (i == 60) "CHANGED" else s"w$i").mkString(" ")
