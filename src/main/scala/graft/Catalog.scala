@@ -65,6 +65,10 @@ object Catalog {
     }
   }
 
+  /** DestroyBulk (proto:263-278): destroy many swamps, per-name outcome. */
+  def destroyBulk(spark: SparkSession, names: Seq[String]): Map[String, Boolean] =
+    names.map(n => n -> destroy(spark, n)).toMap
+
   def isRegistered(name: String): Boolean = registry.contains(name)
 
   def spec(name: String): Option[SwampSpec] = registry.get(name)

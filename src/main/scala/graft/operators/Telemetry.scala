@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/**
+ * Engine telemetry — the Spark-native analogue of the reference's
+ * telemetry RPC family (reference: proto/hydraide.proto:566-609
+ * SubscribeToTelemetry / GetTelemetryHistory / GetErrorDetails /
+ * GetTelemetryStats). The reference streams server-side metrics; here the
+ * engine IS the session, so telemetry hooks Spark's QueryExecutionListener:
+ * every action is recorded (name, wall time, success/error) into a bounded
+ * in-memory ring, queryable as DataFrames — history, error details, and
+ * aggregate stats — plus a subscribe callback for live consumption.
+ *
+ * Deliberately driver-local and bounded: metrics are per-session metadata
+ * (thousands of rows), not data-plane state — nothing here touches
+ * executors or scales with input size.
+ */
+object Telemetry {
+
+  final case class QueryRecord(
+      fn: String, startedAtMs: Long, durationMs: Double, error: String)
+
+  private val maxRecords = 10000
+  private val records = new ConcurrentLinkedQueue[QueryRecord]
+  private val installed = new AtomicBoolean(false)
+  @volatile private var subscriber: QueryRecord => Unit = _ => ()
+
+  private def record(r: QueryRecord): Unit = {
+    records.add(r)
+    while (records.size > maxRecords) records.poll() // bounded ring
+    subscriber(r)
+  }
+
+  private val listener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit =
+      record(QueryRecord(funcName, System.currentTimeMillis(),
+        durationNs / 1e6, null))
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           exception: Exception): Unit =
+      record(QueryRecord(funcName, System.currentTimeMillis(), 0.0,
+        String.valueOf(exception)))
+  }
+
+  /** Install the listener on the session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (installed.compareAndSet(false, true))
+      spark.listenerManager.register(listener)
+
+  /** SubscribeToTelemetry: live per-record callback (single subscriber). */
+  def subscribe(f: QueryRecord => Unit): Unit = subscriber = f
+
+  /** GetTelemetryHistory: every recorded action as a DataFrame. */
+  def history(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    records.iterator().asScala.toSeq.toDF()
+  }
+
+  /** GetErrorDetails: the failed actions only. */
+  def errors(spark: SparkSession): DataFrame =
+    history(spark).filter("error IS NOT NULL")
+
+  /** GetTelemetryStats: per-action-kind aggregate (count, mean/max ms). */
+  def stats(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    history(spark).groupBy(col("fn"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("durationMs")), 3).as("mean_ms"),
+        round(max(col("durationMs")), 3).as("max_ms"),
+        count(when(col("error").isNotNull, 1)).as("n_errors"))
+  }
+
+  /** Test/maintenance hook. */
+  def clear(): Unit = records.clear()
+}

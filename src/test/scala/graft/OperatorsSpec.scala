@@ -276,6 +276,27 @@ class OperatorsSpec extends SparkSpec {
     assert(m == Map("k1" -> "DELETED", "k9" -> "NOT_FOUND"))
   }
 
+  test("telemetry: history/stats/errors record actions via QueryExecutionListener") {
+    Telemetry.clear()
+    Telemetry.install(spark)
+    val live = new java.util.concurrent.atomic.AtomicInteger(0)
+    Telemetry.subscribe(_ => live.incrementAndGet())
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").count()
+    Seq((3L, "z")).toDF("id", "v").collect()
+    // listener delivery is async: poll until both actions arrive
+    val deadline = System.currentTimeMillis() + 15000
+    while (Telemetry.history(spark).count() < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val hist = Telemetry.history(spark)
+    assert(hist.count() >= 2)
+    assert(hist.filter("durationMs >= 0 AND error IS NULL").count() >= 2)
+    val stats = Telemetry.stats(spark).collect()
+    assert(stats.nonEmpty && stats.map(_.getLong(1)).sum >= 2)
+    assert(Telemetry.errors(spark).count() == 0)
+    assert(live.get() >= 2) // SubscribeToTelemetry callback fired
+    Telemetry.subscribe(_ => ())
+  }
+
   test("media features: schema, determinism, null payload") {
     val df = Seq((1L, "abc"), (2L, null.asInstanceOf[String])).toDF("id", "payload")
     val media = Multimodal.asMedia(df, "id", col("payload"), "text/plain")
