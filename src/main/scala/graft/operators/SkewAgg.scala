@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Two-stage salted aggregation for pathologically skewed keys — the manual
+ * fallback when AQE's skew handling can't help (AQE splits skewed JOIN
+ * partitions, but a hash aggregation with one hot key still funnels that
+ * key's every row through a single reducer).
+ *
+ * Stage 1 shuffles on (key, salt) — the hot key spreads over `saltBuckets`
+ * reducers, each computing a partial aggregate; stage 2 shuffles only the
+ * tiny per-(key, salt) partials on the key. Works for any algebraic
+ * aggregate (sum/count/min/max and compositions); non-algebraic aggregates
+ * (exact distinct, medians) need their own decomposition.
+ *
+ * The reference sidesteps skew structurally — one swamp per key pattern
+ * (docs/how-hydraide-works.md "deterministic naming") — which is exactly
+ * what salting reconstructs inside a shuffle.
+ */
+object SkewAgg {
+
+  /** Per-key sums of `valueCols` with salt-spread partials. Deterministic
+    * output (sums are reordered only); salt derived from a hash of the
+    * full row's values so even a single-key dataset spreads. */
+  def saltedSum(df: DataFrame, keyCol: String, valueCols: Seq[String],
+                saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = df.withColumn("_salt",
+      pmod(hash(valueCols.map(col) :+ monotonically_increasing_id(): _*),
+        lit(saltBuckets)))
+    val partial = salted.groupBy(col(keyCol), col("_salt"))
+      .agg(valueCols.head -> "sum", valueCols.tail.map(_ -> "sum"): _*)
+      .toDF(Seq(keyCol, "_salt") ++ valueCols.map(c => s"_p_$c"): _*)
+    partial.groupBy(col(keyCol))
+      .agg(sum(s"_p_${valueCols.head}").as(valueCols.head),
+        valueCols.tail.map(c => sum(s"_p_$c").as(c)): _*)
+  }
+
+  /** Per-key counts with salt-spread partials. */
+  def saltedCount(df: DataFrame, keyCol: String,
+                  saltBuckets: Int = 16): DataFrame =
+    df.withColumn("_one", lit(1L))
+      .transform(d => saltedSum(d, keyCol, Seq("_one"), saltBuckets))
+      .withColumnRenamed("_one", "cnt")
+
+  /** Generic two-stage form: caller supplies the partial aggregates
+    * (run per (key, salt)) and the merge aggregates (run per key over the
+    * partial columns). */
+  def salted(df: DataFrame, keyCol: String,
+             partialAggs: Seq[Column], mergeAggs: Seq[Column],
+             saltCol: Column): DataFrame =
+    df.withColumn("_salt", saltCol)
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(col(keyCol))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+}

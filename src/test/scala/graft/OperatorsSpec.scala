@@ -276,6 +276,25 @@ class OperatorsSpec extends SparkSpec {
     assert(m == Map("k1" -> "DELETED", "k9" -> "NOT_FOUND"))
   }
 
+  test("salted aggregation equals plain aggregation on a skewed dataset") {
+    // 10k rows of one hot key + a long tail
+    val skewed = ((1 to 10000).map(i => ("hot", i.toDouble)) ++
+      (1 to 100).map(i => (s"k$i", i.toDouble))).toDF("key", "v")
+    val want = skewed.groupBy("key").agg(sum("v").as("v"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val gotSum = SkewAgg.saltedSum(skewed, "key", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotCnt = SkewAgg.saltedCount(skewed, "key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotSum == want.map { case (k, (s, _)) => k -> s })
+    assert(gotCnt == want.map { case (k, (_, c)) => k -> c })
+    // salts actually spread the hot key over multiple partial groups
+    val spread = skewed.withColumn("_salt",
+        pmod(hash(col("v"), monotonically_increasing_id()), lit(16)))
+      .filter(col("key") === "hot").select("_salt").distinct().count()
+    assert(spread > 1)
+  }
+
   test("telemetry: history/stats/errors record actions via QueryExecutionListener") {
     Telemetry.clear()
     Telemetry.install(spark)
