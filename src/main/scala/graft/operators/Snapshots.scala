@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Versioned snapshot tables with an atomically-swapped pointer — the
+ * minimal transactional sink the mutation operators need for write-back.
+ * The reference gets atomicity from single-writer per-swamp files (write
+ * new chronicle, swap — app/core/hydra/swamp/chronicler/v2/writer.go,
+ * compactor.go); the distributed analogue is: write an immutable version
+ * directory, then flip one pointer file via an atomic rename.
+ *
+ * Layout: `<table>/v=<N>/…parquet`, `<table>/_latest` containing N.
+ * Guarantees:
+ *  - readers resolve `_latest` once and then read only immutable files —
+ *    a concurrent commit can never show them a half-written version;
+ *  - commits are last-writer-wins on the pointer (optimistic; callers that
+ *    need compare-and-swap semantics check `currentVersion` before
+ *    committing and retry on mismatch);
+ *  - old versions stay readable until [[vacuum]] — time travel for free.
+ *
+ * This is deliberately a pointer-swap design, not a log-structured table
+ * format: the engine's mutations are whole-relation rewrites (Set matrix,
+ * shift survivors, compaction), so one pointer per table is sufficient and
+ * every storage scheme with atomic rename (HDFS, posix) supports it.
+ */
+object Snapshots {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pointer(dir: String) = new Path(s"$dir/_latest")
+
+  /** Latest committed version, if any. */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    if (!f.exists(pointer(dir))) None
+    else {
+      val in = f.open(pointer(dir))
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Write `df` as the next immutable version and atomically flip the
+    * pointer. Returns the committed version number. */
+  def commit(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    df.write.mode("errorifexists").parquet(s"$dir/v=$next")
+    val f = fs(spark, dir)
+    val tmp = new Path(s"$dir/_latest.tmp.${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    // FileContext.rename exposes the atomic-overwrite flavor publicly
+    // (FileSystem's 2-arg rename refuses an existing destination)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
+    next
+  }
+
+  /** Read the latest snapshot (or a pinned historical `version`). */
+  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $dir"))
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** Drop all versions strictly older than `keepFrom`. */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Unit = {
+    val f = fs(spark, dir)
+    val st = f.listStatus(new Path(dir))
+    st.filter(_.getPath.getName.startsWith("v="))
+      .filter(_.getPath.getName.stripPrefix("v=").toLong < keepFrom)
+      .foreach(s => f.delete(s.getPath, true))
+  }
+}

@@ -276,6 +276,22 @@ class OperatorsSpec extends SparkSpec {
     assert(m == Map("k1" -> "DELETED", "k9" -> "NOT_FOUND"))
   }
 
+  test("snapshot commit/read/time-travel/vacuum with atomic pointer swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
+    assert(Snapshots.currentVersion(spark, dir).isEmpty)
+    val v0 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    assert(v0 == 0L)
+    // shift-style rewrite: claim key 1, commit survivors as the next version
+    val survivors = Snapshots.read(spark, dir).filter(col("k") =!= 1L)
+    val v1 = Snapshots.commit(survivors, dir)
+    assert(v1 == 1L && Snapshots.currentVersion(spark, dir).contains(1L))
+    assert(Snapshots.read(spark, dir).count() == 1)
+    assert(Snapshots.read(spark, dir, Some(0L)).count() == 2) // time travel
+    Snapshots.vacuum(spark, dir, keepFrom = 1L)
+    assertThrows[Exception](Snapshots.read(spark, dir, Some(0L)).collect())
+    assert(Snapshots.read(spark, dir).count() == 1) // latest untouched
+  }
+
   test("salted aggregation equals plain aggregation on a skewed dataset") {
     // 10k rows of one hot key + a long tail
     val skewed = ((1 to 10000).map(i => ("hot", i.toDouble)) ++
