@@ -596,6 +596,35 @@ object SparkEntry {
         Mutations.DryRun)),
       Some(setSql("FALSE", "b.c_custkey IS NOT NULL"))),
 
+    Q("q_set_statuses", // per-delta-key status view incl. NOT_FOUND
+      (s, d) => Mutations.setStatuses(custBase(s, d), custDelta(s, d), "c_custkey",
+        Mutations.UpdateOnly),
+      Some(s"""SELECT d.c_custkey AS c_custkey,
+          CASE WHEN b.c_custkey IS NULL THEN 'NOT_FOUND'
+               WHEN b.c_acctbal IS DISTINCT FROM d.c_acctbal
+                 OR b.c_mktsegment IS DISTINCT FROM d.c_mktsegment THEN 'UPDATED'
+               ELSE 'NOTHING_CHANGED' END AS _status
+          FROM $setSqlDelta d
+          LEFT JOIN (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer) b
+          ON b.c_custkey = d.c_custkey""")),
+
+    Q("q_delete_statuses", // DELETED / NOT_FOUND per requested key
+      (s, d) => Mutations.deleteStatuses(t(s, d, "customer"),
+        t(s, d, "customer").filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 50).as("c_custkey")),
+        "c_custkey"),
+      Some("""SELECT k AS c_custkey,
+          CASE WHEN k IN (SELECT c_custkey FROM customer) THEN 'DELETED'
+               ELSE 'NOT_FOUND' END AS _status
+          FROM (SELECT DISTINCT c_custkey + 50 AS k FROM customer WHERE c_custkey % 100 = 0)""")),
+
+    Q("q_salted_sum", // hot-key-safe two-stage aggregation == plain GROUP BY
+      (s, d) => SkewAgg.saltedSum(
+          t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+          "l_returnflag", Seq("l_quantity"))
+        .select(col("l_returnflag"), round(col("l_quantity"), 2).as("qty")),
+      Some("SELECT l_returnflag, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY l_returnflag")),
+
     Q("q_increment_cond", // conditional increment (proto:1607-2149)
       (s, d) => Mutations.incrementWhere(custBase(s, d), "c_acctbal",
           lit(100.0), col("c_acctbal") < 1000.0)
