@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.functions.{DotProduct, DotProductConst, TokensContainPhrase}
+
+/**
+ * SQL surface for the engine's custom expressions, registered through the
+ * standard extension point: `spark.sql.extensions=graft.GraftExtensions`
+ * (or `SparkSession.builder.withExtensions(new GraftExtensions)`), so
+ * `spark.sql("... WHERE graft_phrase(toks, 'a', 'b')")` parses, analyzes,
+ * and codegens like any built-in. The DataFrame API does not need this —
+ * the typed wrappers in graft.functions build the expressions directly —
+ * but a SQL-first user of the engine gets the same operators.
+ *
+ * Functions:
+ *  - `graft_phrase(tokens, w1, w2, ...)` — consecutive-token phrase match
+ *  - `graft_dot(a, b)` — double-precision dot product of two array columns
+ *  - `graft_cosine(v, constArray)` — dot vs a constant (foldable) query
+ *    vector; dimension mismatch => 0.0
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def foldableString(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn expects literal arguments")
+    String.valueOf(e.eval())
+  }
+
+  private def foldableFloats(e: Expression, fn: String): Array[Float] = {
+    require(e.foldable, s"$fn expects a literal query vector")
+    val arr = e.eval().asInstanceOf[ArrayData]
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        (0 until arr.numElements()).map { i =>
+          Literal(arr.get(i, et), et).eval() match {
+            case f: Float => f
+            case d: Double => d.toFloat
+            case n: Number => n.floatValue()
+            case other => throw new IllegalArgumentException(
+              s"$fn: non-numeric vector element $other")
+          }
+        }.toArray
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected an array literal, got $other")
+    }
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_phrase",
+      new ExpressionInfo(classOf[TokensContainPhrase].getName, "graft_phrase"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty, "graft_phrase(tokens, w1, ...)")
+        TokensContainPhrase(exprs.head,
+          exprs.tail.map(foldableString(_, "graft_phrase")))
+      }),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(a, b)")
+        DotProduct(exprs(0), exprs(1))
+      }),
+    ("graft_cosine",
+      new ExpressionInfo(classOf[DotProductConst].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_cosine(v, constVector)")
+        DotProductConst(exprs(0), foldableFloats(exprs(1), "graft_cosine"))
+      }))
+
+  /** Register on an already-constructed session (tests, shared REPLs). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      GraftBridge.registerFunction(spark, name, info, builder)
+    }
+}

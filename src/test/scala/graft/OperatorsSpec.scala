@@ -276,6 +276,26 @@ class OperatorsSpec extends SparkSpec {
     assert(m == Map("k1" -> "DELETED", "k9" -> "NOT_FOUND"))
   }
 
+  test("SQL surface: graft_phrase / graft_dot / graft_cosine resolve and agree with the typed API") {
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox", Seq(0.5f, 0.5f)),
+        (2L, "fox brown quick the", Seq(1.0f, 0.0f)))
+      .toDF("id", "text", "v")
+      .withColumn("toks", split(col("text"), " "))
+      .createOrReplaceTempView("sqlext_t")
+    val phrase = spark.sql(
+      "SELECT id FROM sqlext_t WHERE graft_phrase(toks, 'quick', 'brown')")
+      .collect().map(_.getLong(0)).toSet
+    assert(phrase == Set(1L))
+    val dots = spark.sql(
+      "SELECT round(graft_dot(v, v), 6) AS d, round(graft_cosine(v, array(1.0D, 0.0D)), 6) AS c FROM sqlext_t ORDER BY id")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(dots(0) == (0.5, 0.5) && dots(1) == (1.0, 1.0))
+    // dimension mismatch in graft_cosine => 0.0
+    assert(spark.sql("SELECT graft_cosine(v, array(1.0D)) FROM sqlext_t LIMIT 1")
+      .head().getDouble(0) == 0.0)
+  }
+
   test("snapshot commit/read/time-travel/vacuum with atomic pointer swap") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
     assert(Snapshots.currentVersion(spark, dir).isEmpty)
