@@ -485,6 +485,19 @@ class OperatorsSpec extends SparkSpec {
     assert(!Catalog.isRegistered("cat_t"))
   }
 
+  test("catalog supports non-parquet formats (csv with header, json)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    df.write.option("header", "true").csv(s"$tmp/c")
+    df.write.json(s"$tmp/j")
+    Catalog.register(spark, Catalog.SwampSpec("fmt_csv", s"$tmp/c", "csv",
+      Map("header" -> "true", "inferSchema" -> "true")))
+    Catalog.register(spark, Catalog.SwampSpec("fmt_json", s"$tmp/j", "json"))
+    assert(Catalog.load(spark, "fmt_csv").count() == 2)
+    assert(spark.sql("SELECT sum(id) FROM fmt_json").head().getLong(0) == 3L)
+    Catalog.deregister(spark, "fmt_csv"); Catalog.deregister(spark, "fmt_json")
+  }
+
   test("register before data exists; load sees files written after registration") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lazy").toString
     Catalog.register(spark, Catalog.SwampSpec("lazy_t", s"$tmp/t.parquet"))

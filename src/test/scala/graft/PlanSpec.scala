@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Plan-shape regression suite: the scale-design invariants (pushdown,
+ * pruning, broadcast choices, top-k without global sort, no accidental
+ * products) pinned as tests so a future refactor can't silently regress
+ * them. Runs against sf0.001 — plan SHAPE is scale-independent.
+ */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scalar filters reach the parquet scan as pushed filters") {
+    assert(plan("q_filter_eq").contains("EqualTo(o_custkey,42)"))
+    // plan strings truncate long filter lists; a prefix inside PushedFilters
+    // is sufficient evidence the range bound reached the scan
+    assert(plan("q_filter_and_range").contains("GreaterThan(o_total"))
+  }
+
+  test("KeysOnly prunes the read schema to the key column") {
+    val p = plan("q_keys_only")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"projection not pruned:\n$p")
+  }
+
+  test("half-open time window pushes both bounds") {
+    val p = plan("q_filter_time_window")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,") &&
+      p.contains("LessThan(o_orderdate,"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q_vector_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins broadcast; the fact side never sort-merges") {
+    val p = plan("q_join_agg")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
+  test("GetByKeys is a broadcast left-semi join") {
+    val p = plan("q_get_by_keys")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"))
+  }
+
+  test("no query plans a CartesianProduct or a non-codegen Python eval") {
+    // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
+    // bounded kernel (cap-gate 1-row count; bounded all-pairs cosine)
+    val bnljAllowed = Set("q_cap_gate", "q_cosine_pairs")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!p.contains("BatchEvalPython"), s"$name leaves codegen for Python")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+}
