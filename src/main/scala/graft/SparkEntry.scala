@@ -758,23 +758,25 @@ object SparkEntry {
   private def sqlLangHits(ws: Seq[String]) =
     s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
 
-  private val sqlLangId: String = {
+  private def sqlLangIdFrom(src: String): String = {
     val hits = TF.LangMarkers.map { case (l, ws) => s"${sqlLangHits(ws)} AS h_$l" }
     val best = s"greatest(${TF.LangMarkers.map("h_" + _._1).mkString(",")})"
     val cases = TF.LangMarkers.map { case (l, _) => s"WHEN h_$l = $best THEN '$l'" }
     s"""SELECT doc_id, CASE WHEN $best = 0 THEN 'und' ${cases.mkString(" ")} ELSE 'und' END AS lang_pred
-        FROM (SELECT doc_id, ${hits.mkString(", ")} FROM documents)"""
+        FROM (SELECT doc_id, ${hits.mkString(", ")} FROM $src)"""
   }
+  private val sqlLangId: String = sqlLangIdFrom("documents")
 
-  private val sqlQuality: String = {
+  private def sqlQualityFrom(src: String): String = {
     val stop = TF.Stopwords.map("'" + _ + "'").mkString(",")
     s"""SELECT doc_id, round(ls * 0.4 + ss * 0.3 + pp * 0.3, 6) AS quality FROM (
         SELECT doc_id,
           least(len(string_split(text,' ')) / 50.0, 1.0) AS ls,
           least((len(list_filter(string_split(text,' '), t -> t IN ($stop)))::DOUBLE / greatest(len(string_split(text,' ')), 1)::DOUBLE) * 5.0, 1.0) AS ss,
           greatest(1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / greatest(length(text), 1)::DOUBLE) * 5.0, 0.0) AS pp
-        FROM documents)"""
+        FROM $src)"""
   }
+  private val sqlQuality: String = sqlQualityFrom("documents")
 
   private val sqlSimhash: String = {
     val terms = (0 until 32).map { b =>
@@ -956,6 +958,24 @@ object SparkEntry {
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), TF.fingerprint64(col("text")).as("fp")),
       Some("SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents")),
+
+    Q("q_curation", // the flagship training-data curation pipeline: exact
+      // dedup -> quality gate -> language gate -> length gate, one pass
+      (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("lang_pred", TF.langId(col("text")))
+        .filter(col("quality") >= 0.4 && col("lang_pred") === "en" &&
+          TF.tokenCount(col("text")) >= 8)
+        .select(col("doc_id"), col("quality")),
+      Some(s"""WITH dd AS (SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+          q AS (${sqlQualityFrom("dd")}),
+          l AS (${sqlLangIdFrom("dd")})
+          SELECT dd.doc_id AS doc_id, q.quality AS quality
+          FROM dd JOIN q USING (doc_id) JOIN l USING (doc_id)
+          WHERE q.quality >= 0.4 AND l.lang_pred = 'en'
+            AND len(string_split(dd.text, ' ')) >= 8""")),
 
     Q("q_contamination", // decontamination: per-doc distinct-shingle overlap
       // vs a benchmark corpus (docs 0..19 stand in for the eval set)
@@ -1155,9 +1175,11 @@ object SparkEntry {
       timeQueries ++
       textQueries ++ referenceQueries
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The curation
+    * pipeline (dedup -> quality -> language -> length) is the engine's
+    * showcase: four operator families composed in one declarative pass. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_index_order_limit")(spark, "/root/testdata/sf0.001")
+    queries("q_curation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.fn).toMap
