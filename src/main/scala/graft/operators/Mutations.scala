@@ -51,7 +51,15 @@ object Mutations {
 
     val b = base.as("b")
     val d = delta.as("d")
-    val joined = b.join(d, col(s"b.$keyCol") === col(s"d.$keyCol"), "full_outer")
+    // UpdateOnly/DryRun never emit delta-only keys, so a LEFT join is
+    // equivalent — and unlike full_outer it lets the planner BROADCAST a
+    // small delta instead of shuffling the 100 TB base by key. Upsert/
+    // InsertOnly genuinely need the delta-only side => full_outer.
+    val joinType = mode match {
+      case UpdateOnly | DryRun => "left_outer"
+      case _                   => "full_outer"
+    }
+    val joined = b.join(d, col(s"b.$keyCol") === col(s"d.$keyCol"), joinType)
 
     val inBase = col(s"b.$keyCol").isNotNull
     val inDelta = col(s"d.$keyCol").isNotNull
