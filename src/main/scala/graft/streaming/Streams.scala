@@ -62,6 +62,13 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment: each streaming event joins a broadcast
+    * static dimension — the subscribe-then-GetByKeys composition clients of
+    * the reference do in application code, fused into the stream. The dim
+    * is broadcast so the stream never shuffles. */
+  def enrich(stream: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), on, "left_outer")
+
   /** SubscribeToInfo: live per-source row counts, update mode. */
   def subscribeToInfo(events: DataFrame, groupCol: String): DataFrame =
     events.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))

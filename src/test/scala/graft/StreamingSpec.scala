@@ -154,6 +154,21 @@ class StreamingSpec extends SparkSpec {
       ("b", 2L, "DELETED", None, Some("w1"))))
   }
 
+  test("stream-static enrichment joins a broadcast dimension per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Cmd]
+    val dim = Seq(("k1", "gold"), ("k2", "silver")).toDF("key", "tier")
+    val q = Streams.enrich(input.toDF(), dim, Seq("key"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    input.addData(Cmd("U", 1, "k1", 10), Cmd("U", 2, "k3", 30))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_out").select("key", "tier")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map("k1" -> Some("gold"), "k3" -> None))
+  }
+
   case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 
   test("windowed counts with watermark produce per-window aggregates") {
