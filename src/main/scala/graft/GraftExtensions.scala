@@ -23,10 +23,14 @@ import graft.functions.{DotProduct, DotProductConst, TokensContainPhrase}
  *    vector; dimension mismatch => 0.0
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // lambda-aware CSE: hoists repeated higher-order subtrees codegen's own
+    // subexpression elimination cannot (see graft.plans.LambdaCse)
+    ext.injectOptimizerRule(_ => graft.plans.LambdaCse)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.plans.LambdaCse
+
+/**
+ * LambdaCse optimizer rule: the naive duplicated-HOF projection (the exact
+ * shape that cost 12 s/query before the manual let-binding rewrite) must be
+ * hoisted automatically — same results, one evaluation of the shared
+ * subtree — while non-duplicated and nondeterministic shapes pass through
+ * untouched.
+ */
+class LambdaCseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations = Seq(LambdaCse)
+    try f finally spark.experimental.extraOptimizations = Nil
+  }
+
+  /** The round-1 minhash shape: k reductions over one shared hash array. */
+  private def naiveSig(k: Int) = {
+    val hashes = transform(TF.shingles(col("text"), 3), s => TF.hash32(s))
+    array(TF.minhashParams(k).map { case (a, b) =>
+      array_min(transform(hashes, h => (h * a + b) % TF.MinhashPrime))
+    }: _*)
+  }
+
+  test("duplicated HOF subtree is hoisted; results identical") {
+    // parquet-backed source: a local Seq would be constant-folded into a
+    // LocalRelation before the plan can be inspected
+    val df = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), col("text")).limit(50)
+    val naive = df.select(col("id"), array_join(naiveSig(8), ",").as("sig"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+
+    val (optimized, planStr) = withRule {
+      val q = df.select(col("id"), array_join(naiveSig(8), ",").as("sig"))
+      (q.orderBy("id").collect().map(_.getString(1)).toSeq,
+        q.queryExecution.optimizedPlan.toString)
+    }
+    assert(optimized == naive)
+    // the shingle pipeline (split -> slice -> concat) must survive ONCE,
+    // not once per permutation
+    val splits = "split\\(".r.findAllIn(planStr).length
+    assert(splits <= 2, s"expected the shared subtree hoisted, got $splits splits:\n$planStr")
+    assert(planStr.contains("_graft_cse"), "let-binding variable absent from plan")
+  }
+
+  test("no rewrite without duplication or for nondeterministic subtrees") {
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "xs")
+    withRule {
+      val single = df.select(aggregate(col("xs"), lit(0.0), (a, x) => a + x).as("s"))
+      assert(!single.queryExecution.optimizedPlan.toString.contains("_graft_cse"))
+      val nondet = df.select(
+        (transform(col("xs"), x => x + rand(7)).getItem(0) +
+          transform(col("xs"), x => x + rand(7)).getItem(0)).as("r"))
+      assert(!nondet.queryExecution.optimizedPlan.toString.contains("_graft_cse"))
+      nondet.collect() // still executes fine
+    }
+  }
+
+  test("oracle queries unaffected by the rule (spot check)") {
+    withRule {
+      val out = SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id").limit(5).collect().map(_.getString(1)).toSeq
+      val ref = SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")
+      spark.experimental.extraOptimizations = Nil
+      val want = ref.orderBy("doc_id").limit(5).collect().map(_.getString(1)).toSeq
+      assert(out == want)
+    }
+  }
+}
