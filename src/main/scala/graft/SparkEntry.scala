@@ -959,6 +959,12 @@ object SparkEntry {
         .select(col("doc_id"), TF.fingerprint64(col("text")).as("fp")),
       Some("SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents")),
 
+    Q("q_sample", // deterministic hash-bucket sample: reproducible across
+      // engines/cluster layouts, mirrored exactly in DuckDB via md5
+      (s, d) => Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 10)
+        .select(col("doc_id")),
+      Some(s"SELECT doc_id FROM documents WHERE ${sqlHash32("doc_id::VARCHAR")} % 100 < 10")),
+
     Q("q_curation", // the flagship training-data curation pipeline: exact
       // dedup -> quality gate -> language gate -> length gate, one pass
       (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")

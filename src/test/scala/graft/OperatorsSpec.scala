@@ -410,6 +410,19 @@ class OperatorsSpec extends SparkSpec {
       "salting dropped pairs from the oversized bucket")
   }
 
+  test("train/val split is complementary and deterministic") {
+    val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val (train, valid) = Sampling.trainValSplit(df, "id", valPercent = 10)
+    val t = train.select("id").as[Long].collect().toSet
+    val v = valid.select("id").as[Long].collect().toSet
+    assert((t & v).isEmpty && (t | v).size == 1000)
+    assert(v.size > 30 && v.size < 250) // ~10% with hash noise
+    // deterministic: re-evaluation yields the identical membership
+    val v2 = Sampling.trainValSplit(df.repartition(7), "id", 10)._2
+      .select("id").as[Long].collect().toSet
+    assert(v2 == v)
+  }
+
   test("contamination overlap counts shared distinct shingles vs the benchmark") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
