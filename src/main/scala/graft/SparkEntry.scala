@@ -965,6 +965,14 @@ object SparkEntry {
         .select(col("doc_id")),
       Some(s"SELECT doc_id FROM documents WHERE ${sqlHash32("doc_id::VARCHAR")} % 100 < 10")),
 
+    Q("q_source_quota", // corpus balancing: at most 15 docs per source
+      (s, d) => Sampling.perGroupQuota(t(s, d, "documents"),
+          "source", "doc_id", "doc_id", 15)
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id ASC, doc_id ASC) AS rn
+          FROM documents) WHERE rn <= 15""")),
+
     Q("q_curation", // the flagship training-data curation pipeline: exact
       // dedup -> quality gate -> language gate -> length gate, one pass
       (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")

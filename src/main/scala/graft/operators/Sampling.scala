@@ -33,4 +33,17 @@ object Sampling {
     val b = keyBucket(keyCol)
     (df.filter(b >= valPercent), df.filter(b < valPercent))
   }
+
+  /** Per-group quota — the corpus-balancing cap ("at most n documents per
+    * source/domain") applied deterministically: rank within the group by
+    * (orderCol, keyCol) and keep the first n. One key shuffle; at scale the
+    * window is the same hash-partition pass any grouped op pays. */
+  def perGroupQuota(df: DataFrame, groupCol: String, orderCol: String,
+                    keyCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol).asc, col(keyCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
 }
