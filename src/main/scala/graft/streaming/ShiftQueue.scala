@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming shift queue — the stateful form of `ShiftExpiredTreasures`
+ * (reference: proto/hydraide.proto:1109-1151; the batch form is
+ * operators/Shift.scala): items enqueue with an expiry; a CLAIM command
+ * atomically removes and emits up to `n` expired items, oldest expiry
+ * first. Because all commands for one queue pass through that key's single
+ * state-store entry, concurrent claimers get DISJOINT sets by construction
+ * — the same guarantee the reference gets from its per-swamp lock, here
+ * from per-key single-writer state.
+ *
+ * Commands (one Dataset, discriminated by `op`):
+ *  - op = "E": enqueue (id, expireAtMs, value)
+ *  - op = "C": claim up to `n` items with expireAtMs < nowMs
+ *
+ * Output: one row per claimed item, tagged with the claim's `claimId` so
+ * each caller can collect exactly its own set.
+ */
+object ShiftQueue {
+
+  final case class Cmd(queue: String, op: String, seq: Long,
+                       id: String, expireAtMs: Long, value: String,
+                       claimId: String, n: Int, nowMs: Long)
+
+  object Cmd {
+    def enqueue(queue: String, seq: Long, id: String,
+                expireAtMs: Long, value: String): Cmd =
+      Cmd(queue, "E", seq, id, expireAtMs, value, null, 0, 0L)
+    def claim(queue: String, seq: Long, claimId: String, n: Int, nowMs: Long): Cmd =
+      Cmd(queue, "C", seq, null, 0L, null, claimId, n, nowMs)
+  }
+
+  final case class Item(id: String, expireAtMs: Long, value: String)
+
+  final case class Claimed(queue: String, claimId: String, id: String,
+                           expireAtMs: Long, value: String)
+
+  /** State wrapper: the per-queue pending set (public — the state-store
+    * encoder's generated code constructs it reflectively). */
+  final case class QueueState(items: List[Item])
+  implicit private val stateEnc: Encoder[QueueState] = Encoders.product[QueueState]
+  implicit private val claimedEnc: Encoder[Claimed] = Encoders.product[Claimed]
+  implicit private val strEnc: Encoder[String] = Encoders.STRING
+
+  def run(commands: Dataset[Cmd]): Dataset[Claimed] =
+    commands
+      .groupByKey(_.queue)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (queue: String, cmds: Iterator[Cmd], state: GroupState[QueueState]) =>
+          var items = state.getOption.map(_.items).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Claimed]
+          // commands replay in seq order: enqueue/claim interleavings are
+          // deterministic however the micro-batch was partitioned
+          cmds.toSeq.sortBy(_.seq).foreach {
+            case c if c.op == "E" =>
+              if (!items.exists(_.id == c.id))
+                items = Item(c.id, c.expireAtMs, c.value) :: items
+            case c if c.op == "C" =>
+              val (expired, live) = items.partition(_.expireAtMs < c.nowMs)
+              val take = expired.sortBy(i => (i.expireAtMs, i.id)).take(c.n)
+              val takenIds = take.map(_.id).toSet
+              items = live ++ expired.filterNot(i => takenIds(i.id))
+              out ++= take.map(i => Claimed(queue, c.claimId, i.id, i.expireAtMs, i.value))
+            case _ => ()
+          }
+          if (items.isEmpty) { if (state.exists) state.remove() }
+          else state.update(QueueState(items))
+          out.iterator
+      }
+}

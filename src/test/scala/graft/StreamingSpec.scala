@@ -169,6 +169,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map("k1" -> Some("gold"), "k3" -> None))
   }
 
+  test("streaming shift queue: claims are oldest-first, bounded, and disjoint") {
+    import graft.streaming.ShiftQueue
+    import graft.streaming.ShiftQueue.{Cmd => QCmd}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[QCmd]
+    val q = ShiftQueue.run(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("queue_out").start()
+
+    input.addData(
+      QCmd.enqueue("q1", 1, "a", expireAtMs = 100, "va"),
+      QCmd.enqueue("q1", 2, "b", expireAtMs = 50, "vb"),
+      QCmd.enqueue("q1", 3, "c", expireAtMs = 900, "vc"))
+    q.processAllAvailable()
+    // first claim at now=500: a and b expired; n=1 takes the OLDEST (b)
+    input.addData(QCmd.claim("q1", 4, "claim1", n = 1, nowMs = 500))
+    q.processAllAvailable()
+    // second claim: b is gone (disjointness); only a remains expired
+    input.addData(QCmd.claim("q1", 5, "claim2", n = 5, nowMs = 500))
+    q.processAllAvailable()
+    q.stop()
+
+    val claimed = spark.table("queue_out")
+      .select("claimId", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(claimed == Set(("claim1", "b"), ("claim2", "a"))) // c unexpired, kept
+  }
+
   case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 
   test("windowed counts with watermark produce per-window aggregates") {
