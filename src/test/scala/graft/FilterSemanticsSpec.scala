@@ -219,6 +219,24 @@ class FilterSemanticsSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(ts,"), s"timestamp bound not pushed:\n$plan")
   }
 
+  test("IN with native timestamp literals still takes the isin path") {
+    val t10 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    assert(keysMatching(In(FieldRef("ts"), Seq(t10)), times) == Set("a"))
+    // mixed timestamp + numeric members: both semantics honored per member
+    val secs10 = t10.getTime / 1000
+    assert(keysMatching(In(FieldRef("ts"), Seq[Any](t10, secs10)), times) == Set("a", "b"))
+  }
+
+  test("NULL literal never matches; equality on missing column type is total") {
+    assert(keysMatching(Cmp(FieldRef("num"), CmpOp.Equal, null), scalars) == Set.empty)
+    // unresolvable path (schema-blind ctx would throw at execution only if
+    // the column is truly absent; via df-compile the column must exist)
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      scalars.filter(FilterCompiler.compile(
+        Cmp(FieldRef("nope"), CmpOp.Equal, 1L), scalars)).collect()
+    }
+  }
+
   test("Labeled inside a quantifier predicate is rejected loudly") {
     val node = NestedSliceWhere(FieldRef("items"), Quantifier.Any,
       Labeled("x", Cmp(FieldRef("q"), CmpOp.GreaterThan, 1L)))
