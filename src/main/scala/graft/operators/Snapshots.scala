@@ -68,6 +68,30 @@ object Snapshots {
     spark.read.parquet(s"$dir/v=$v")
   }
 
+  /**
+   * Durable Set: merge a delta into the latest snapshot with the full
+   * [[Mutations.set]] matrix semantics and commit the post-state as the
+   * next version (first commit = the delta itself for createable modes).
+   * This is the write-back loop of the reference's Set RPC — read current
+   * swamp state, apply the upsert matrix, persist atomically — expressed
+   * as snapshot-in, snapshot-out. Returns the committed version.
+   */
+  def mergeCommit(spark: SparkSession, dir: String, delta: DataFrame,
+                  keyCol: String,
+                  mode: Mutations.WriteMode = Mutations.Upsert): Long = {
+    val next = currentVersion(spark, dir) match {
+      case None =>
+        mode match {
+          case Mutations.Upsert | Mutations.InsertOnly => delta
+          case _ => delta.limit(0) // nothing to update against
+        }
+      case Some(v) =>
+        Mutations.set(read(spark, dir, Some(v)), delta, keyCol, mode)
+          .drop("_status")
+    }
+    commit(next, dir)
+  }
+
   /** Drop all versions strictly older than `keepFrom`. */
   def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Unit = {
     val f = fs(spark, dir)

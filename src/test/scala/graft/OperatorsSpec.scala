@@ -312,6 +312,22 @@ class OperatorsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 1) // latest untouched
   }
 
+  test("mergeCommit: durable Set loop over snapshot versions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    Snapshots.mergeCommit(spark, dir, Seq(("k1", 1.0), ("k2", 2.0)).toDF("key", "v"), "key")
+    Snapshots.mergeCommit(spark, dir, Seq(("k2", 9.0), ("k3", 3.0)).toDF("key", "v"), "key")
+    val got = Snapshots.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("k1" -> 1.0, "k2" -> 9.0, "k3" -> 3.0))
+    // update-only merge cannot add keys; k2 reverts, k9 dropped
+    Snapshots.mergeCommit(spark, dir, Seq(("k2", 2.0), ("k9", 9.9)).toDF("key", "v"),
+      "key", Mutations.UpdateOnly)
+    val got2 = Snapshots.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got2 == Map("k1" -> 1.0, "k2" -> 2.0, "k3" -> 3.0))
+    assert(Snapshots.currentVersion(spark, dir).contains(2L)) // 3 commits: v0..v2
+  }
+
   test("salted aggregation equals plain aggregation on a skewed dataset") {
     // 10k rows of one hot key + a long tail
     val skewed = ((1 to 10000).map(i => ("hot", i.toDouble)) ++
