@@ -61,6 +61,17 @@ class LambdaCseSpec extends SparkSpec {
     }
   }
 
+  test("rule optimizes the ENTIRE query surface without breaking a plan") {
+    withRule {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+        catch { case e: Throwable =>
+          fail(s"LambdaCse broke $name: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
   test("oracle queries unaffected by the rule (spot check)") {
     withRule {
       val out = SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")
