@@ -450,13 +450,13 @@ object SparkEntry {
     * instead of paying the collect_list shuffle each. */
   private val nestedCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  CacheRegistry.onRelease(() => nestedCache.clear()) // released ⇒ drop memo too
   private def nestedOrders(s: SparkSession, d: String): DataFrame =
     nestedCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d",
-      t(s, d, "lineitem")
+      CacheRegistry.track(t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(collect_list(struct(col("l_quantity"), col("l_extendedprice"),
-          col("l_returnflag"))).as("items"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          col("l_returnflag"))).as("items"))))
 
   private val nestedQueries = Seq(
     Q("q_nested_any", // ANY quantifier (proto:2603-2645)
@@ -917,13 +917,13 @@ object SparkEntry {
       Some(sqlLshNearDup(numHashes = 16, bands = 4, threshold = 0.5))),
 
     Q("q_minhash_sig", // the signature itself is oracle-checked exactly
-      (s, d) => t(s, d, "documents")
+      (s, d) => Tables.spread(t(s, d, "documents"))
         .select(col("doc_id"),
           array_join(TF.minhashSignature(TF.shingles(col("text"), 3), 8), ",").as("sig")),
       Some(sqlMinhashSig)),
 
     Q("q_simhash",
-      (s, d) => t(s, d, "documents")
+      (s, d) => Tables.spread(t(s, d, "documents"))
         .select(col("doc_id"), TF.simhash32(col("text")).as("simhash")),
       Some(sqlSimhash)),
 

@@ -24,27 +24,34 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 object Dedup {
 
   /**
-   * Signature tables are persisted so band generation and candidate
-   * verification reuse one computation. The handles are tracked here so the
-   * caches can be released: the returned DataFrames are lazy, which means
-   * the library cannot safely unpersist before the caller consumes them —
-   * call [[releaseCaches]] after consuming pipeline outputs (or rely on
-   * Spark's LRU eviction; at cluster scale the persist becomes an explicit
-   * materialized signature table instead).
+   * Persist a signature table, tracked in [[graft.CacheRegistry]] so the
+   * caches can be released after the pipeline outputs are consumed.
+   *
+   * The persist is LAZY by choice: every consumer here self-joins the
+   * table, and the self-join's two shuffle-map stages run concurrently, so
+   * a not-yet-materialized cache can be computed once per racing stage
+   * ("Asked to cache already cached data" warnings). That duplicate work
+   * fully overlaps in wall-clock (measured faster than an eager count(),
+   * which serializes materialization before the join) — but it IS duplicate
+   * CPU, which is why at real cluster scale the persist becomes an explicit
+   * materialized signature-table write (one pass, then pure reads).
    */
-  private val cached = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private def tracked(df: DataFrame): DataFrame =
+    graft.CacheRegistry.track(df, StorageLevel.MEMORY_AND_DISK)
 
-  private def tracked(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.add(p)
-    p
+  /** Spread target for the CPU-heavy signature scans feeding a self-join:
+    * enough parallelism to cover the hashing work on a small input without
+    * drowning the many short downstream join stages in per-task overhead
+    * (32-way spread measured ~2x slower end-to-end than 8-way at sf0.1).
+    * Identity at cluster scale — see [[graft.Tables.spread]]. */
+  private def spreadModest(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    graft.Tables.spread(df, math.max(4, p / 4))
   }
 
-  /** Unpersist every signature table cached by dedup pipelines so far. */
-  def releaseCaches(): Unit = {
-    var df = cached.poll()
-    while (df != null) { df.unpersist(blocking = false); df = cached.poll() }
-  }
+  /** Unpersist every signature table cached by dedup pipelines so far
+    * (delegates to the engine-wide registry). */
+  def releaseCaches(): Unit = graft.CacheRegistry.releaseAll()
 
   /** Exact dedup on a digest of `textCol`: keeps the row with the smallest
     * key per digest (deterministic winner), drops the rest. Shuffles only
@@ -78,7 +85,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
 
-    val base = tracked(df
+    val base = tracked(spreadModest(df)
       .select(col(keyCol), array_distinct(TF.shingles(col(textCol), shingleN)).as("_sh"))
       .withColumn("_sig", TF.minhashSignature(col("_sh"), numHashes)))
 
@@ -126,7 +133,8 @@ object Dedup {
     * HOF reduction) is computed once, not once per join side. */
   def simhashPairs(df: DataFrame, textCol: String, keyCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = tracked(df.select(col(keyCol), TF.simhash32(col(textCol)).as("_sig")))
+    val sigs = tracked(spreadModest(df)
+      .select(col(keyCol), TF.simhash32(col(textCol)).as("_sig")))
     val tables = 4
     val banded = sigs.select(col(keyCol), col("_sig"),
       posexplode(array((0 until tables).map { t =>
@@ -159,7 +167,7 @@ object Dedup {
     val benchSh = benchmark
       .select(explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
       .distinct()
-    docs
+    spreadModest(docs)
       .select(col(keyCol), explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
       .join(broadcast(benchSh), Seq("_sh"))
       .groupBy(col(keyCol))
@@ -201,7 +209,8 @@ object Dedup {
       when(VF.cosine(col(vecCol), hyps(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-    val bucketed = tracked(df.select(col(keyCol), col(vecCol)).withColumn("_bkt", bucket))
+    val bucketed = tracked(spreadModest(df)
+      .select(col(keyCol), col(vecCol)).withColumn("_bkt", bucket))
 
     val counts = bucketed.groupBy("_bkt").agg(count(lit(1)).as("_cnt"))
       .select(col("_bkt"),
