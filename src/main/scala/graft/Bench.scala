@@ -10,14 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = EngineSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: exercise scan + shuffle + codegen machinery once
@@ -43,10 +36,17 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Emission order is chosen for tail-truncation survival: the driver
+    // retains only the LAST ~2 KB of stdout, so the per-query map is sorted
+    // ASCENDING by time (cheap queries first — if anything is cut, it's
+    // them) and the headline total comes after the map, at the very end of
+    // the line. Seconds are rounded to 1 ms to keep the line short.
+    val qs = results.sortBy(_._2).map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val total = BigDecimal(results.map(_._2).filter(_ >= 0).sum)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/**
+ * Proof that the engine's extension surface is wired into the DEFAULT entry
+ * points, not just into specs that opt in: the shared test session is built
+ * by the same [[EngineSession]] builder as Bench/Verify/Explain, so what
+ * these tests observe is what a driver run gets.
+ */
+class ExtensionsWiringSpec extends SparkSpec {
+
+  test("LambdaCse sits in the session's optimizer batches") {
+    val rules = spark.sessionState.optimizer.batches.flatMap(_.rules)
+    assert(rules.contains(graft.plans.LambdaCse),
+      "LambdaCse not injected — EngineSession extension wiring broken")
+  }
+
+  test("graft_* SQL functions resolve through plain spark.sql") {
+    val dot = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val phrase = spark.sql(
+      "SELECT graft_phrase(array('big', 'data', 'batch'), 'data', 'batch') AS p")
+      .head().getBoolean(0)
+    assert(phrase)
+  }
+
+  test("naive duplicated-HOF projection is hoisted via the default session") {
+    // the exact round-2 pathology: k independent reductions over one shared
+    // hash-array subtree — with the rule wired in, the shingle pipeline
+    // must survive only once in the optimized plan, with NO per-query setup
+    val df = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), col("text")).limit(50)
+    val hashes = transform(TF.shingles(col("text"), 3), s => TF.hash32(s))
+    val naive = df.select(col("id"), array(TF.minhashParams(4).map { case (a, b) =>
+      array_min(transform(hashes, h => (h * a + b) % TF.MinhashPrime))
+    }: _*).as("sig"))
+    val planStr = naive.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(planStr).length
+    assert(planStr.contains("_graft_cse"), s"hoist variable missing:\n$planStr")
+    assert(splits <= 2, s"shared subtree not hoisted ($splits splits):\n$planStr")
+    assert(naive.count() == 50) // still executes
+  }
+}

@@ -10,12 +10,10 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  // the same construction path as the shipped mains (EngineSession), so
+  // every plan assertion in the suites runs under the driver's real config
+  // — extensions (SQL fns + LambdaCse) included
+  lazy val session: SparkSession = EngineSession.builder("local[4]", "4")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }
