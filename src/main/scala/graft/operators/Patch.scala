@@ -41,34 +41,54 @@ object Patch {
       when(coalesce(condition, lit(false)), patched).otherwise(col(structCol)))
   }
 
-  private def applyOp(df: DataFrame, structCol: String, cur: Column, op: PatchOp): Column =
+  private def applyOp(df: DataFrame, structCol: String, cur: Column, op: PatchOp): Column = {
+    def indexed(p: String) = p.contains('[')
+    val mergeLeaf: Column => Column = { orig =>
+      // incoming keys win: strip overridden keys from the original first
+      // (map_concat alone would throw on duplicates under the default
+      // EXCEPTION dedup policy); NULL original => the incoming map
+      val v = op.asInstanceOf[MergeMap].value
+      when(orig.isNull, v).otherwise(
+        map_concat(map_filter(orig, (k, _) => !map_contains_key(v, k)), v))
+    }
     op match {
+      case SetField(p, v) if indexed(p) => rebuildPath(cur, p, _ => v)
       case SetField(p, v)   => cur.withField(p, v)
+      case DeleteField(p) if indexed(p) =>
+        parsePath(p).last match {
+          case ISeg(i) => // delete the ELEMENT: rebuild the parent array
+            val parent = p.substring(0, p.lastIndexOf('['))
+            rebuildPath(cur, parent, a => removeAt(a, i))
+          case FSeg(_) => throw new IllegalArgumentException(
+            s"DeleteField('$p'): dropping a struct field inside ONE array " +
+              "element is inexpressible — Spark arrays are homogeneous, so " +
+              "the patched element would need a different type than its " +
+              "siblings. Drop the field across all elements (transform) or " +
+              "remove the element itself (path ending in [i]).")
+        }
       case DeleteField(p)   => cur.dropFields(p)
       case IncField(p, d) =>
-        val field = fieldRef(cur, p)
         val fieldType = fieldTypeOf(df, structCol, p)
         // cast-back keeps int8 + 1 a ByteType, mirroring the reference's
         // exact type-code preservation (msgpackpatch/numeric.go)
-        val incd = fieldType.map(t => (field + d).cast(t)).getOrElse(field + d)
-        cur.withField(p, incd)
+        def incd(field: Column) =
+          fieldType.map(t => (field + d).cast(t)).getOrElse(field + d)
+        if (indexed(p)) rebuildPath(cur, p, incd)
+        else cur.withField(p, incd(fieldRef(cur, p)))
+      case Append(p, vs) if indexed(p) =>
+        rebuildPath(cur, p, a => concat(coalesce(a, array()), vs))
       case Append(p, vs)    => cur.withField(p, concat(coalesce(fieldRef(cur, p), array()), vs))
+      case Prepend(p, vs) if indexed(p) =>
+        rebuildPath(cur, p, a => concat(vs, coalesce(a, array())))
       case Prepend(p, vs)   => cur.withField(p, concat(vs, coalesce(fieldRef(cur, p), array())))
-      case RemoveAt(p, i) =>
-        val a = fieldRef(cur, p)
-        // 1-based slice arithmetic; removing index i (0-based)
-        cur.withField(p,
-          concat(slice(a, lit(1), lit(i)), slice(a, lit(i + 2), greatest(size(a) - i - 1, lit(0)))))
+      case RemoveAt(p, i) if indexed(p) => rebuildPath(cur, p, a => removeAt(a, i))
+      case RemoveAt(p, i)   => cur.withField(p, removeAt(fieldRef(cur, p), i))
+      case RemoveVal(p, v) if indexed(p) => rebuildPath(cur, p, a => array_remove(a, v))
       case RemoveVal(p, v)  => cur.withField(p, array_remove(fieldRef(cur, p), v))
-      case MergeMap(p, v) =>
-        // incoming keys win: strip overridden keys from the original first
-        // (map_concat alone would throw on duplicates under the default
-        // EXCEPTION dedup policy); NULL original => the incoming map
-        val orig = fieldRef(cur, p)
-        cur.withField(p,
-          when(orig.isNull, v).otherwise(
-            map_concat(map_filter(orig, (k, _) => !map_contains_key(v, k)), v)))
+      case MergeMap(p, _) if indexed(p) => rebuildPath(cur, p, mergeLeaf)
+      case MergeMap(p, _)   => cur.withField(p, mergeLeaf(fieldRef(cur, p)))
     }
+  }
 
   /**
    * `PatchExpiredTreasures(Many)` — the lease/renew pattern (reference:
@@ -101,18 +121,74 @@ object Patch {
       .drop("_hit")
   }
 
+  // ---------------------------------------------------------------------
+  // Dotted paths with array indices — `items[2].price` (reference:
+  // msgpackpatch/path.go addresses array elements on dotted paths). A path
+  // is a list of segments: struct-field names and 0-based array indices.
+  // ---------------------------------------------------------------------
+
+  private sealed trait Seg
+  private final case class FSeg(name: String) extends Seg
+  private final case class ISeg(idx: Int) extends Seg
+
+  private val SegRe = "^([^\\[\\]]+)((?:\\[\\d+\\])*)$".r
+
+  private def parsePath(dotted: String): List[Seg] =
+    dotted.split('.').toList.flatMap {
+      case SegRe(name, idxs) =>
+        FSeg(name) :: "\\d+".r.findAllIn(idxs).map(s => ISeg(s.toInt)).toList
+      case other => throw new IllegalArgumentException(
+        s"unsupported patch path segment '$other' in '$dotted'")
+    }
+
   private def fieldRef(struct: Column, dotted: String): Column =
-    dotted.split('.').foldLeft(struct)((c, part) => c(part))
+    parsePath(dotted).foldLeft(struct) {
+      case (c, FSeg(n)) => c(n)
+      case (c, ISeg(i)) => c.getItem(i)
+    }
+
+  /**
+   * Rebuild the column along `segs`, applying `leaf` at the target. An
+   * index segment rewrites ONLY that element via a position-indexed
+   * `transform` — every other element passes through untouched, so the
+   * "untouched stays identical" invariant holds inside arrays too. The
+   * leaf function must be type-preserving when it sits under an index
+   * (Spark arrays are homogeneous: per-element field add/drop is
+   * inexpressible by the type system — element-level set/inc/remove are
+   * the supported indexed ops, a documented divergence from msgpack's
+   * heterogeneous lists).
+   */
+  private def rebuild(cur: Column, segs: List[Seg], leaf: Column => Column): Column =
+    segs match {
+      case Nil => leaf(cur)
+      case FSeg(n) :: rest => cur.withField(n, rebuild(cur(n), rest, leaf))
+      case ISeg(i) :: rest =>
+        transform(cur, (x, j) => when(j === i, rebuild(x, rest, leaf)).otherwise(x))
+    }
+
+  /** `rebuild` from the op's path — shared by the indexed-path branches. */
+  private def rebuildPath(cur: Column, dotted: String, leaf: Column => Column): Column = {
+    val segs = parsePath(dotted)
+    segs.head match {
+      case FSeg(n) => cur.withField(n, rebuild(cur(n), segs.tail, leaf))
+      case _ => throw new IllegalArgumentException(s"path must start with a field: $dotted")
+    }
+  }
+
+  /** Remove the element at 0-based `i` (1-based slice arithmetic). */
+  private def removeAt(a: Column, i: Int): Column =
+    concat(slice(a, lit(1), lit(i)), slice(a, lit(i + 2), greatest(size(a) - i - 1, lit(0))))
 
   private def fieldTypeOf(df: DataFrame, structCol: String, dotted: String) = {
     import org.apache.spark.sql.types._
-    def walk(dt: DataType, parts: List[String]): Option[DataType] = (dt, parts) match {
+    def walk(dt: DataType, segs: List[Seg]): Option[DataType] = (dt, segs) match {
       case (t, Nil) => Some(t)
-      case (st: StructType, p :: rest) =>
+      case (st: StructType, FSeg(p) :: rest) =>
         st.find(_.name == p).flatMap(f => walk(f.dataType, rest))
+      case (ArrayType(et, _), ISeg(_) :: rest) => walk(et, rest)
       case _ => None
     }
     df.schema.find(_.name == structCol)
-      .flatMap(f => walk(f.dataType, dotted.split('.').toList))
+      .flatMap(f => walk(f.dataType, parsePath(dotted)))
   }
 }

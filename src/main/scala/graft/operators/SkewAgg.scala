@@ -21,15 +21,19 @@ import org.apache.spark.sql.functions._
  */
 object SkewAgg {
 
-  /** Per-key sums of `valueCols` with salt-spread partials. Deterministic
-    * output (sums are reordered only); salt derived from a hash of the
-    * full row's values so even a single-key dataset spreads. */
+  /** Per-key sums of `valueCols` with salt-spread partials. The salt is a
+    * pure hash of (key, values) — fully deterministic across runs AND task
+    * retries, so the partial-sum grouping (and with it any last-ulp float
+    * accumulation order) is stable; the earlier
+    * `monotonically_increasing_id` salt changed on retry. Identical rows
+    * salt identically (slightly lumpier spread), which only matters for a
+    * corpus of exact duplicate rows — where dedup, not salting, is the
+    * tool. */
   def saltedSum(df: DataFrame, keyCol: String, valueCols: Seq[String],
                 saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
     val salted = df.withColumn("_salt",
-      pmod(hash(valueCols.map(col) :+ monotonically_increasing_id(): _*),
-        lit(saltBuckets)))
+      pmod(hash(col(keyCol) +: valueCols.map(col): _*), lit(saltBuckets)))
     val partial = salted.groupBy(col(keyCol), col("_salt"))
       .agg(valueCols.head -> "sum", valueCols.tail.map(_ -> "sum"): _*)
       .toDF(Seq(keyCol, "_salt") ++ valueCols.map(c => s"_p_$c"): _*)

@@ -61,6 +61,39 @@ object Snapshots {
     next
   }
 
+  /**
+   * Compare-and-swap commit — the distributed analogue of the reference's
+   * per-swamp single-writer guarantee (reference: app/core/hydra/lock/
+   * lock.go:13-70 serializes all writes per swamp; per-key guard
+   * guard.go): write `df` as version `expected+1` ONLY if the table is
+   * still at `expected` (None = must be empty). Returns Some(version) on
+   * success, None on a detected conflict — never a silent clobber.
+   *
+   * Two racing committers cannot both win: they target the same `v=N+1`
+   * directory and the `errorifexists` parquet write is the exclusivity
+   * gate (a filesystem-atomic mkdir under every Hadoop FS), so the loser
+   * fails before the pointer flip; the pointer is re-checked after the
+   * data write for the belt-and-braces case of a committer that raced a
+   * full commit+vacuum cycle. Callers retry by re-reading, re-merging,
+   * and calling commitIf with the fresh version.
+   */
+  def commitIf(df: DataFrame, dir: String, expected: Option[Long]): Option[Long] = {
+    val spark = df.sparkSession
+    if (currentVersion(spark, dir) != expected) return None
+    val next = expected.map(_ + 1).getOrElse(0L)
+    try df.write.mode("errorifexists").parquet(s"$dir/v=$next")
+    catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    if (currentVersion(spark, dir) != expected) return None
+    val f = fs(spark, dir)
+    val tmp = new Path(s"$dir/_latest.tmp.${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
+    Some(next)
+  }
+
   /** Read the latest snapshot (or a pinned historical `version`). */
   def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(

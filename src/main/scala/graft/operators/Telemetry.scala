@@ -77,6 +77,25 @@ object Telemetry {
         count(when(col("error").isNotNull, 1)).as("n_errors"))
   }
 
+  /**
+   * Durable history: append the current ring to a parquet table and clear
+   * it (GetTelemetryHistory across restarts, proto:576-584 — the reference
+   * persists telemetry server-side; here the session is the server, so
+   * durability is an explicit flush). Returns rows flushed. Call it
+   * periodically or at session teardown; the parquet table is queryable
+   * with plain `spark.read.parquet`.
+   */
+  def flushHistory(spark: SparkSession, path: String): Long = {
+    // drain FIRST (atomic per record): nothing recorded during the write —
+    // including the flush's own actions — can be lost or double-flushed
+    val drained = Iterator.continually(records.poll()).takeWhile(_ != null).toSeq
+    if (drained.nonEmpty) {
+      import spark.implicits._
+      drained.toDF().write.mode("append").parquet(path)
+    }
+    drained.size.toLong
+  }
+
   /** Test/maintenance hook. */
   def clear(): Unit = records.clear()
 }

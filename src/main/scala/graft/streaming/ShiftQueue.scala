@@ -39,8 +39,19 @@ object ShiftQueue {
   final case class Claimed(queue: String, claimId: String, id: String,
                            expireAtMs: Long, value: String)
 
-  /** State wrapper: the per-queue pending set (public — the state-store
-    * encoder's generated code constructs it reflectively). */
+  /**
+   * State wrapper: the per-queue pending set (public — the state-store
+   * encoder's generated code constructs it reflectively).
+   *
+   * Size envelope: the list is deserialized, scanned per claim (one
+   * partition + sort of the expired side), and re-serialized once per
+   * micro-batch that touches the queue — O(n log n) in PENDING items, not
+   * in traffic. Intended for queues up to ~10^5 pending items per key
+   * (lease/retry work queues, the reference's use case); beyond that,
+   * shard the queue key (the reference does exactly this with per-swamp
+   * queues, e.g. `queue/shard-N`) so each state entry stays bounded.
+   * Within-batch cost is verified by the StreamingSpec envelope test.
+   */
   final case class QueueState(items: List[Item])
   implicit private val stateEnc: Encoder[QueueState] = Encoders.product[QueueState]
   implicit private val claimedEnc: Encoder[Claimed] = Encoders.product[Claimed]

@@ -368,6 +368,28 @@ class OperatorsSpec extends SparkSpec {
     Telemetry.subscribe(_ => ())
   }
 
+  test("telemetry flushHistory persists the ring to parquet and clears it") {
+    Telemetry.clear()
+    Telemetry.install(spark)
+    Seq((1L, "x")).toDF("id", "v").count()
+    val deadline = System.currentTimeMillis() + 15000
+    while (Telemetry.history(spark).count() < 1 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tele").toString + "/hist"
+    val flushed = Telemetry.flushHistory(spark, dir)
+    assert(flushed >= 1)
+    assert(spark.read.parquet(dir).count() == flushed) // durable
+    // the drained records are gone from the ring (the flush's OWN actions
+    // may appear afterwards — that's correct, they're new history)
+    // appends accumulate: second flush adds rows instead of overwriting
+    Seq((2L, "y")).toDF("id", "v").count()
+    while (!Telemetry.history(spark).collect().exists(_.getString(3) == null) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val flushed2 = Telemetry.flushHistory(spark, dir)
+    assert(flushed2 >= 1)
+    assert(spark.read.parquet(dir).count() == flushed + flushed2)
+  }
+
   test("media features: schema, determinism, null payload") {
     val df = Seq((1L, "abc"), (2L, null.asInstanceOf[String])).toDF("id", "payload")
     val media = Multimodal.asMedia(df, "id", col("payload"), "text/plain")
@@ -602,6 +624,83 @@ class OperatorsSpec extends SparkSpec {
     val back = spark.read.parquet(s"$tmp/out")
     assert(back.filter(col("tag") === "b").select("id").as[Long].collect().toSet == Set(1L, 2L))
     assert(back.filter(col("tag") === "a").count() == 1L)
+  }
+
+  // --- CAS commits / cache lifecycle / salt determinism / indexed patch --------
+
+  test("commitIf: racing committers get one winner and one detected conflict") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cas").toString + "/t"
+    val a = Seq((1L, "a")).toDF("k", "v")
+    assert(Snapshots.commitIf(a, dir, None).contains(0L))
+    // both committers read version 0; the first wins...
+    assert(Snapshots.commitIf(Seq((2L, "b")).toDF("k", "v"), dir, Some(0L)).contains(1L))
+    // ...the second still expects 0 => conflict detected, nothing clobbered
+    assert(Snapshots.commitIf(Seq((3L, "c")).toDF("k", "v"), dir, Some(0L)).isEmpty)
+    assert(Snapshots.currentVersion(spark, dir).contains(1L))
+    assert(Snapshots.read(spark, dir).collect().map(_.getString(1)).toSeq == Seq("b"))
+    // retry against the fresh version succeeds; None on a non-empty table fails
+    assert(Snapshots.commitIf(Seq((3L, "c")).toDF("k", "v"), dir, Some(1L)).contains(2L))
+    assert(Snapshots.commitIf(a, dir, None).isEmpty)
+  }
+
+  test("commitIf: a racer's written-but-unflipped version dir loses the write race") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cas2").toString + "/t"
+    Snapshots.commitIf(Seq((1L, "a")).toDF("k", "v"), dir, None)
+    // a racer passed the version check and wrote v=1 data, pointer not yet
+    // flipped — our errorifexists write must detect it and concede
+    Seq((9L, "x")).toDF("k", "v").write.parquet(s"$dir/v=1")
+    assert(Snapshots.commitIf(Seq((2L, "b")).toDF("k", "v"), dir, Some(0L)).isEmpty)
+  }
+
+  test("CacheRegistry: releaseAll unpersists every tracked cache and runs hooks") {
+    import org.apache.spark.storage.StorageLevel
+    val df = CacheRegistry.track(Seq((1, 2)).toDF("a", "b"))
+    df.count()
+    assert(df.storageLevel != StorageLevel.NONE)
+    var hookRan = false
+    CacheRegistry.onRelease(() => hookRan = true)
+    CacheRegistry.releaseAll()
+    assert(df.storageLevel == StorageLevel.NONE)
+    assert(CacheRegistry.trackedCount == 0)
+    assert(hookRan)
+  }
+
+  test("salted sum is retry-deterministic: pure row-hash salt, bit-identical reruns") {
+    val df = (1 to 2000).map(i => ("hot", i * 0.1)).toDF("key", "v")
+    def run() = SkewAgg.saltedSum(df, "key", Seq("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(run() == run()) // exact double equality: same partial grouping
+    // and no nondeterministic expression anywhere in the plan
+    val plan = SkewAgg.saltedSum(df, "key", Seq("v")).queryExecution.analyzed
+    val nondet = plan.collect { case p => p.expressions }.flatten.filterNot(_.deterministic)
+    assert(nondet.isEmpty, s"nondeterministic exprs in salted plan: $nondet")
+  }
+
+  test("indexed patch paths: element-level set/inc/remove; per-element field drop rejected") {
+    val df = Seq((1L, 10.0)).toDF("k", "p")
+      .withColumn("body", struct(array(
+        struct(col("p").as("price"), lit(1).as("qty")),
+        struct((col("p") + 1).as("price"), lit(2).as("qty"))).as("items")))
+      .drop("p")
+    val out = Patch.applyPatch(df, "body", Seq(
+        Patch.SetField("items[1].qty", lit(7)),
+        Patch.IncField("items[0].price", lit(1)))) // int delta: double preserved
+      .select(col("body.items").getItem(0).getField("price"),
+        col("body.items").getItem(0).getField("qty"),
+        col("body.items").getItem(1).getField("price"),
+        col("body.items").getItem(1).getField("qty"))
+      .head()
+    assert(out.getDouble(0) == 11.0 && out.getInt(1) == 1)
+    assert(out.getDouble(2) == 11.0 && out.getInt(3) == 7)
+    // whole-element removal keeps the array type
+    val removed = Patch.applyPatch(df, "body", Seq(Patch.DeleteField("items[0]")))
+      .select(size(col("body.items")), col("body.items").getItem(0).getField("qty")).head()
+    assert(removed.getInt(0) == 1 && removed.getInt(1) == 2)
+    // heterogeneous per-element drop is a loud error, not silent corruption
+    val e = intercept[IllegalArgumentException] {
+      Patch.applyPatch(df, "body", Seq(Patch.DeleteField("items[0].qty")))
+    }
+    assert(e.getMessage.contains("homogeneous"))
   }
 
   // --- changefeed --------------------------------------------------------------

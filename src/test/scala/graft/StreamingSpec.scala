@@ -195,6 +195,36 @@ class StreamingSpec extends SparkSpec {
     assert(claimed == Set(("claim1", "b"), ("claim2", "a"))) // c unexpired, kept
   }
 
+  test("streaming shift queue: stays correct and prompt at the documented size envelope") {
+    // QueueState's per-batch cost is O(pending), so a queue holding
+    // thousands of items must still claim correctly in ordinary batch time
+    // (the documented envelope is ~1e5; 5k keeps the test fast)
+    import graft.streaming.ShiftQueue
+    import graft.streaming.ShiftQueue.{Cmd => QCmd}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[QCmd]
+    val q = ShiftQueue.run(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("queue_env_out").start()
+
+    val n = 5000
+    input.addData((1 to n).map(i =>
+      QCmd.enqueue("big", i.toLong, s"item$i", expireAtMs = i.toLong, s"v$i")): _*)
+    q.processAllAvailable()
+    // claim 100: the 100 oldest-expiring of the 4999 expired (now=5000)
+    input.addData(QCmd.claim("big", n + 1L, "c1", n = 100, nowMs = 5000))
+    q.processAllAvailable()
+    // a second claim gets the NEXT 100 — disjoint even at volume
+    input.addData(QCmd.claim("big", n + 2L, "c2", n = 100, nowMs = 5000))
+    q.processAllAvailable()
+    q.stop()
+
+    val byClaim = spark.table("queue_env_out").collect()
+      .groupBy(_.getString(1)).map { case (c, rows) =>
+        c -> rows.map(_.getLong(3)).sorted.toSeq }
+    assert(byClaim("c1") == (1L to 100L))
+    assert(byClaim("c2") == (101L to 200L))
+  }
+
   case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 
   test("windowed counts with watermark produce per-window aggregates") {
