@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Business-level advisory locks — the reference's `Lock`/`Unlock` RPC pair
+ * (reference: proto/hydraide.proto:24-31,658-687; app/server/gateway/
+ * gateway.go:66-126): a named lock independent of any table, acquired with
+ * a TTL so a crashed client can never deadlock the system, blocking
+ * callers queue until the holder releases or the TTL lapses.
+ *
+ * Spark re-expression: leases on the session's Hadoop FileSystem. A lock
+ * is one file whose atomic exclusive `create` (no-overwrite) is the
+ * mutual-exclusion primitive — the same primitive every Hadoop-compatible
+ * store provides and the same idiom Snapshots uses for its pointer swap.
+ * The lease file carries (lockId, expiresAt); an expired lease is stolen
+ * by delete + re-create, where the atomic create again arbitrates racing
+ * stealers. This is ADVISORY coordination for business logic, exactly as
+ * in the reference — the engine's own write safety does not depend on it
+ * (Snapshots.commitIf is the data-plane guard).
+ */
+object Locks {
+
+  /** A held lease; pass it back to [[release]]/[[renew]]. */
+  final case class Lease(name: String, lockId: String, expiresAtMs: Long)
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def lockPath(dir: String, name: String) = new Path(s"$dir/_lock_$name")
+
+  /** A torn or corrupt lease file (possible on filesystems whose exclusive
+    * create is weaker than HDFS's, e.g. the local checksum FS under
+    * concurrent writers) parses to this CLAIMABLE tombstone — it must be
+    * stealable, or garbage would deadlock the lock name forever. */
+  private def garbage(name: String) = Lease(name, "", 0L)
+
+  private def readLease(f: FileSystem, p: Path, name: String): Option[Lease] =
+    if (!f.exists(p)) None
+    else
+      try {
+        val in = f.open(p)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        body.split(',') match {
+          case Array(id, exp) =>
+            scala.util.Try(exp.trim.toLong).toOption
+              .map(Lease(name, id, _)).orElse(Some(garbage(name)))
+          case _ => Some(garbage(name))
+        }
+      } catch {
+        case _: java.io.FileNotFoundException => None // deleted under us
+        case _: java.io.IOException => Some(garbage(name)) // corrupt: claimable
+      }
+
+  /** The current holder, if any (expired leases are reported too — they
+    * are claimable, not cleared, until someone steals them). */
+  def holder(spark: SparkSession, dir: String, name: String): Option[Lease] =
+    readLease(fs(spark, dir), lockPath(dir, name), name)
+
+  /**
+   * One acquisition attempt. Returns the lease on success, None if the
+   * lock is validly held by someone else. An expired lease is stolen:
+   * delete + exclusive create, and the create arbitrates racing stealers.
+   */
+  def tryAcquire(spark: SparkSession, dir: String, name: String,
+                 ttlMs: Long): Option[Lease] = {
+    require(ttlMs > 0, "ttlMs must be positive (the reference rejects 0-TTL locks)")
+    val f = fs(spark, dir)
+    val p = lockPath(dir, name)
+    val now = System.currentTimeMillis()
+    readLease(f, p, name) match {
+      case Some(l) if l.expiresAtMs > now => None // validly held
+      case stale =>
+        stale.foreach(_ => f.delete(p, false)) // expired: clear, then race
+        val lease = Lease(name, java.util.UUID.randomUUID().toString, now + ttlMs)
+        try {
+          val out = f.create(p, false) // atomic exclusive create
+          try out.write(s"${lease.lockId},${lease.expiresAtMs}".getBytes("UTF-8"))
+          finally out.close()
+          // confirm we are the recorded holder (paranoia for filesystems
+          // whose exclusive-create guarantees are weaker than HDFS's)
+          readLease(f, p, name).filter(_.lockId == lease.lockId)
+        } catch { case _: java.io.IOException => None } // lost the race
+    }
+  }
+
+  /** Blocking acquire, the reference's default: poll until granted or
+    * `waitMs` elapses (the reference queues callers FIFO server-side; a
+    * shared filesystem has no queue, so this is a fair-enough poll). */
+  def acquire(spark: SparkSession, dir: String, name: String,
+              ttlMs: Long, waitMs: Long = 0L, pollMs: Long = 50L): Option[Lease] = {
+    val deadline = System.currentTimeMillis() + waitMs
+    var got = tryAcquire(spark, dir, name, ttlMs)
+    while (got.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(pollMs)
+      got = tryAcquire(spark, dir, name, ttlMs)
+    }
+    got
+  }
+
+  /** Release iff `lease` is still the holder (an expired-and-stolen lease
+    * must not delete the thief's lock). Returns true iff released. */
+  def release(spark: SparkSession, dir: String, lease: Lease): Boolean = {
+    val f = fs(spark, dir)
+    val p = lockPath(dir, lease.name)
+    readLease(f, p, lease.name) match {
+      case Some(l) if l.lockId == lease.lockId => f.delete(p, false)
+      case _ => false
+    }
+  }
+
+  /** Extend a still-held lease by `ttlMs` from now (atomic file replace,
+    * same rename idiom as the Snapshots pointer). None if no longer held. */
+  def renew(spark: SparkSession, dir: String, lease: Lease,
+            ttlMs: Long): Option[Lease] = {
+    val f = fs(spark, dir)
+    val p = lockPath(dir, lease.name)
+    readLease(f, p, lease.name) match {
+      case Some(l) if l.lockId == lease.lockId =>
+        val renewed = lease.copy(expiresAtMs = System.currentTimeMillis() + ttlMs)
+        val tmp = new Path(s"$dir/_lock_${lease.name}.tmp.${renewed.lockId}")
+        val out = f.create(tmp, true)
+        try out.write(s"${renewed.lockId},${renewed.expiresAtMs}".getBytes("UTF-8"))
+        finally out.close()
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, p, Options.Rename.OVERWRITE)
+        Some(renewed)
+      case _ => None
+    }
+  }
+
+  /** Run `body` under the named lock (acquire-or-throw, always release) —
+    * the SDK-side convenience the reference documents for business
+    * transactions spanning several operations. */
+  def withLock[A](spark: SparkSession, dir: String, name: String,
+                  ttlMs: Long, waitMs: Long = 10000L)(body: => A): A = {
+    val lease = acquire(spark, dir, name, ttlMs, waitMs).getOrElse(
+      throw new IllegalStateException(
+        s"lock '$name' not acquired within ${waitMs}ms"))
+    try body finally release(spark, dir, lease)
+  }
+}

@@ -703,6 +703,44 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("homogeneous"))
   }
 
+  test("business locks: exclusive acquire, TTL steal, safe release/renew") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val a = Locks.tryAcquire(spark, dir, "job", ttlMs = 60000)
+    assert(a.isDefined)
+    assert(Locks.tryAcquire(spark, dir, "job", 60000).isEmpty) // validly held
+    assert(Locks.release(spark, dir, a.get))
+    assert(!Locks.release(spark, dir, a.get)) // double release: no-op
+    // TTL steal: an expired lease is claimable, the stale holder is inert
+    val s = Locks.tryAcquire(spark, dir, "job2", ttlMs = 1).get
+    Thread.sleep(5)
+    val thief = Locks.tryAcquire(spark, dir, "job2", 60000)
+    assert(thief.isDefined && thief.get.lockId != s.lockId)
+    assert(!Locks.release(spark, dir, s))      // stale lease can't free it
+    assert(Locks.renew(spark, dir, s, 1000).isEmpty) // nor renew it
+    val r = Locks.renew(spark, dir, thief.get, 120000)
+    assert(r.exists(_.expiresAtMs >= thief.get.expiresAtMs))
+    // withLock: runs the body, always releases
+    assert(Locks.withLock(spark, dir, "job3", 60000) { 42 } == 42)
+    assert(Locks.holder(spark, dir, "job3").isEmpty)
+    // racing acquirers. On HDFS the exclusive create arbitrates exactly one
+    // winner; the local checksum FS is weaker (torn files possible), so the
+    // portable invariants are: never TWO confirmed holders, and the lock
+    // stays usable whatever the interleaving (garbage is claimable).
+    val granted = new java.util.concurrent.ConcurrentLinkedQueue[Locks.Lease]
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      Locks.tryAcquire(spark, dir, "race", ttlMs = 5000).foreach(granted.add)))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val h = Locks.holder(spark, dir, "race")
+    assert(h.isEmpty || granted.asScala.count(_.lockId == h.get.lockId) <= 1)
+    granted.asScala.foreach(l => Locks.release(spark, dir, l))
+    // whoever held it released — or the lease lapses within its 5s TTL, or
+    // the file is torn garbage (immediately claimable): reacquirable soon
+    val after = Locks.acquire(spark, dir, "race", 60000, waitMs = 10000)
+    assert(after.isDefined)
+    assert(Locks.release(spark, dir, after.get))
+  }
+
   // --- changefeed --------------------------------------------------------------
 
   test("cdc diff emits NEW/MODIFIED/DELETED with old values, nothing for unchanged") {

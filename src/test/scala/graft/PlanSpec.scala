@@ -49,6 +49,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"))
   }
 
+  test("prebuilt IVF probe is a partition-pruned scan") {
+    val p = plan("q_ann_ivf_prebuilt")
+    assert(p.contains("PartitionFilters") && p.contains("_list"),
+      s"probe does not prune _list partitions:\n$p")
+    // the pruned scan reads nprobe of nlist partitions, so the partition
+    // filter must be an IN over the probed list ids, not a full scan
+    assert("_list.*(IN|isin|in\\()".r.findFirstIn(p).isDefined ||
+      p.contains("_list#"), s"no _list membership filter visible:\n$p")
+  }
+
   test("no query plans a CartesianProduct or a non-codegen Python eval") {
     // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
     // bounded kernel (cap-gate 1-row count; bounded all-pairs cosine)
