@@ -1011,7 +1011,10 @@ object SparkEntry {
           FROM documents) WHERE rn <= 15""")),
 
     Q("q_curation", // the flagship training-data curation pipeline: exact
-      // dedup -> quality gate -> language gate -> length gate, one pass
+      // dedup -> quality -> language -> length gates, one pass. No spread:
+      // the quality/langid HOFs evaluate AFTER the dedup semi-join, i.e.
+      // post-shuffle, where parallelism is already shuffle.partitions-wide
+      // (measured: spreading the input is a strict loss here)
       (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")
         .withColumn("quality", TF.qualityScore(col("text")))
         .withColumn("lang_pred", TF.langId(col("text")))

@@ -1,45 +1,50 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Dedup
 
-/** Local profiling aid (test scope only, never shipped): same-JVM A/B of
-  * the LambdaCse optimizer rule's end-to-end cost per query. */
+/** Local profiling aid (test scope only, never shipped): interleaved
+  * same-JVM A/B of candidate perf changes. */
 object PerfScratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // plain session (no extensions) so the rule can be toggled per run
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = EngineSession.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Tables(spark, sfDir, "documents").groupBy("lang").count().collect() // warmup
+    val docs = Tables(spark, sfDir, "documents")
+    docs.groupBy("lang").count().collect() // warmup
 
-    def once(fn: (SparkSession, String) => DataFrame): Double = {
+    def once(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).queryExecution.toRdd.count()
+      df.queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_filter_eq", "q_topk", "q_quality", "q_langid",
-        "q_minhash_sig", "q_simhash", "q_nested_any", "q_ngram_jaccard")
-    names.foreach { n =>
-      val fn = SparkEntry.queries(n)
-      // interleaved ABAB, min of 2 each
-      def withRule[A](on: Boolean)(f: => A): A = {
-        spark.experimental.extraOptimizations =
-          if (on) Seq(graft.plans.LambdaCse) else Nil
-        try f finally spark.experimental.extraOptimizations = Nil
-      }
-      val off1 = withRule(false)(once(fn)); val on1 = withRule(true)(once(fn))
-      val off2 = withRule(false)(once(fn)); val on2 = withRule(true)(once(fn))
-      println(f"$n%-22s off=${math.min(off1, off2)}%.3f on=${math.min(on1, on2)}%.3f")
+    def curation(in: DataFrame): DataFrame =
+      Dedup.exact(in, "text", "doc_id")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("lang_pred", TF.langId(col("text")))
+        .filter(col("quality") >= 0.4 && col("lang_pred") === "en" &&
+          TF.tokenCount(col("text")) >= 8)
+        .select(col("doc_id"), col("quality"))
+
+    // interleaved ABAB x3, min per arm
+    val offs = collection.mutable.ArrayBuffer[Double]()
+    val ons = collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to 3) {
+      offs += once(curation(docs))
+      ons += once(curation(Tables.spread(docs)))
     }
+    println(f"curation plain  min=${offs.min}%.3f  (${offs.map(v => f"$v%.3f").mkString("/")})")
+    println(f"curation spread min=${ons.min}%.3f  (${ons.map(v => f"$v%.3f").mkString("/")})")
+
+    // embedding near-dup: spreadModest currently ON in Dedup — compare the
+    // pipeline on pre-spread input (so internal spread is identity) vs raw
+    val emb = Tables(spark, sfDir, "embeddings")
+    val e1 = collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to 3) e1 += once(Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.3))
+    println(f"embeddingNearDup min=${e1.min}%.3f  (${e1.map(v => f"$v%.3f").mkString("/")})")
     spark.stop()
   }
 }
