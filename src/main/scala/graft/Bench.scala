@@ -40,8 +40,12 @@ object Bench {
     // retains only the LAST ~2 KB of stdout, so the per-query map is sorted
     // ASCENDING by time (cheap queries first — if anything is cut, it's
     // them) and the headline total comes after the map, at the very end of
-    // the line. Seconds are rounded to 1 ms to keep the line short.
-    val qs = results.sortBy(_._2).map { case (k, v) =>
+    // the line. FAILED queries (sentinel -1.0) sort LAST, not first — a
+    // truncated line must never hide which queries errored. Seconds are
+    // rounded to 1 ms to keep the line short.
+    val qs = results.sortBy { case (_, v) =>
+      if (v < 0) Double.MaxValue else v
+    }.map { case (k, v) =>
       "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
     val total = BigDecimal(results.map(_._2).filter(_ >= 0).sum)

@@ -31,9 +31,12 @@ object CacheRegistry {
     p
   }
 
-  /** Register a cleanup callback run by [[releaseAll]] — operators that
-    * memoize cached frames (e.g. per-(session, dir) fixtures) hook their
-    * memo invalidation here so a released cache is never handed back. */
+  /** Register a cleanup callback run by EVERY [[releaseAll]] — operators
+    * that memoize cached frames (e.g. per-(session, dir) fixtures) hook
+    * their memo invalidation here so a released cache is never handed
+    * back. Hooks are PERSISTENT (not drained with the caches): register
+    * once per memo site at object-init time, not per pipeline run —
+    * per-run registration would accumulate closures for the JVM lifetime. */
   def onRelease(hook: () => Unit): Unit = hooks.add(hook)
 
   /** Number of currently tracked persisted handles (test observability). */

@@ -71,18 +71,51 @@ object Locks {
     val now = System.currentTimeMillis()
     readLease(f, p, name) match {
       case Some(l) if l.expiresAtMs > now => None // validly held
-      case stale =>
-        stale.foreach(_ => f.delete(p, false)) // expired: clear, then race
-        val lease = Lease(name, java.util.UUID.randomUUID().toString, now + ttlMs)
+      case Some(stale) =>
+        // Expired: STEAL via atomic rename-away, never a blind delete — a
+        // blind delete could destroy a DIFFERENT (fresh, valid) lease
+        // written between our read and our delete, yielding two confirmed
+        // holders. Rename arbitrates: exactly one stealer moves the file;
+        // it then verifies it moved the lease it observed. If a fresh
+        // lease got moved instead (read→steal window), it is restored.
+        val tomb = new Path(s"$dir/_lock_$name.tomb.${java.util.UUID.randomUUID()}")
         try {
-          val out = f.create(p, false) // atomic exclusive create
-          try out.write(s"${lease.lockId},${lease.expiresAtMs}".getBytes("UTF-8"))
-          finally out.close()
-          // confirm we are the recorded holder (paranoia for filesystems
-          // whose exclusive-create guarantees are weaker than HDFS's)
-          readLease(f, p, name).filter(_.lockId == lease.lockId)
-        } catch { case _: java.io.IOException => None } // lost the race
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+            .rename(p, tomb)
+        } catch { case _: java.io.IOException => return None } // lost steal race
+        readLease(f, tomb, name) match {
+          case Some(moved) if moved.expiresAtMs > System.currentTimeMillis() &&
+                              moved.lockId != stale.lockId =>
+            // we moved someone's FRESH lease: put it back (best effort —
+            // restore can only fail if yet another create won meanwhile,
+            // in which case the moved lease had already lost anyway)
+            try {
+              org.apache.hadoop.fs.FileContext
+                .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+                .rename(tomb, p)
+            } catch { case _: java.io.IOException => f.delete(tomb, false) }
+            None
+          case _ =>
+            f.delete(tomb, false)
+            create(f, p, name, ttlMs)
+        }
+      case None => create(f, p, name, ttlMs)
     }
+  }
+
+  private def create(f: FileSystem, p: Path, name: String,
+                     ttlMs: Long): Option[Lease] = {
+    val lease = Lease(name, java.util.UUID.randomUUID().toString,
+      System.currentTimeMillis() + ttlMs)
+    try {
+      val out = f.create(p, false) // atomic exclusive create
+      try out.write(s"${lease.lockId},${lease.expiresAtMs}".getBytes("UTF-8"))
+      finally out.close()
+      // confirm we are the recorded holder (paranoia for filesystems
+      // whose exclusive-create guarantees are weaker than HDFS's)
+      readLease(f, p, name).filter(_.lockId == lease.lockId)
+    } catch { case _: java.io.IOException => None } // lost the race
   }
 
   /** Blocking acquire, the reference's default: poll until granted or
@@ -99,13 +132,26 @@ object Locks {
     got
   }
 
-  /** Release iff `lease` is still the holder (an expired-and-stolen lease
-    * must not delete the thief's lock). Returns true iff released. */
+  /** release/renew are check-then-act (no filesystem CAS exists for file
+    * content), so both refuse to touch a lease within this margin of its
+    * expiry: in that window a thief may legitimately steal between our
+    * read and our write, and acting on the dying lease would clobber the
+    * thief's fresh one. A holder that close to expiry must let the TTL
+    * lapse and re-acquire — the same rule the reference's TTL enforces. */
+  val ExpiryMarginMs: Long = 500L
+
+  private def safelyHeld(l: Lease, lease: Lease): Boolean =
+    l.lockId == lease.lockId &&
+      l.expiresAtMs > System.currentTimeMillis() + ExpiryMarginMs
+
+  /** Release iff `lease` is still the holder AND not about to expire (an
+    * expired-or-dying lease must not delete a thief's fresh lock).
+    * Returns true iff released. */
   def release(spark: SparkSession, dir: String, lease: Lease): Boolean = {
     val f = fs(spark, dir)
     val p = lockPath(dir, lease.name)
     readLease(f, p, lease.name) match {
-      case Some(l) if l.lockId == lease.lockId => f.delete(p, false)
+      case Some(l) if safelyHeld(l, lease) => f.delete(p, false)
       case _ => false
     }
   }
@@ -117,7 +163,7 @@ object Locks {
     val f = fs(spark, dir)
     val p = lockPath(dir, lease.name)
     readLease(f, p, lease.name) match {
-      case Some(l) if l.lockId == lease.lockId =>
+      case Some(l) if safelyHeld(l, lease) =>
         val renewed = lease.copy(expiresAtMs = System.currentTimeMillis() + ttlMs)
         val tmp = new Path(s"$dir/_lock_${lease.name}.tmp.${renewed.lockId}")
         val out = f.create(tmp, true)

@@ -22,18 +22,25 @@ import org.apache.spark.sql.functions._
 object SkewAgg {
 
   /** Per-key sums of `valueCols` with salt-spread partials. The salt is a
-    * pure hash of (key, values) — fully deterministic across runs AND task
-    * retries, so the partial-sum grouping (and with it any last-ulp float
-    * accumulation order) is stable; the earlier
-    * `monotonically_increasing_id` salt changed on retry. Identical rows
-    * salt identically (slightly lumpier spread), which only matters for a
-    * corpus of exact duplicate rows — where dedup, not salting, is the
-    * tool. */
+    * pure hash of EVERY input column — fully deterministic across runs AND
+    * task retries, so the partial-sum grouping (and with it any last-ulp
+    * float accumulation order) is stable; the earlier
+    * `monotonically_increasing_id` salt changed on retry. Hashing all
+    * columns (not just key + aggregated values) matters: a salt of
+    * (key, value) alone collapses whenever the value is low-cardinality —
+    * for [[saltedCount]]'s constant 1 it put EVERY row of a hot key in one
+    * bucket, which is no salting at all. Rows identical across the full
+    * row still collapse (content hashing can't split them) — there, dedup
+    * or a pre-aggregated (row, multiplicity) form is the tool. */
+  /** The deterministic row salt [[saltedSum]]/[[saltedCount]] use —
+    * exposed so its spreading behavior is directly testable. */
+  def rowSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
+
   def saltedSum(df: DataFrame, keyCol: String, valueCols: Seq[String],
                 saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    val salted = df.withColumn("_salt",
-      pmod(hash(col(keyCol) +: valueCols.map(col): _*), lit(saltBuckets)))
+    val salted = df.withColumn("_salt", rowSalt(df, saltBuckets))
     val partial = salted.groupBy(col(keyCol), col("_salt"))
       .agg(valueCols.head -> "sum", valueCols.tail.map(_ -> "sum"): _*)
       .toDF(Seq(keyCol, "_salt") ++ valueCols.map(c => s"_p_$c"): _*)

@@ -43,22 +43,38 @@ object Snapshots {
     }
   }
 
-  /** Write `df` as the next immutable version and atomically flip the
-    * pointer. Returns the committed version number. */
-  def commit(df: DataFrame, dir: String): Long = {
-    val spark = df.sparkSession
-    val next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
-    df.write.mode("errorifexists").parquet(s"$dir/v=$next")
+  private def fc(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** Atomically flip the pointer file to `next` (write-temp + rename-
+    * overwrite — FileContext exposes the atomic-overwrite flavor publicly;
+    * FileSystem's 2-arg rename refuses an existing destination). */
+  private def flipPointer(spark: SparkSession, dir: String, next: Long): Unit = {
     val f = fs(spark, dir)
     val tmp = new Path(s"$dir/_latest.tmp.${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    // FileContext.rename exposes the atomic-overwrite flavor publicly
-    // (FileSystem's 2-arg rename refuses an existing destination)
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
-    next
+    fc(spark, dir).rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
+  }
+
+  /** Write `df` as the next immutable version and atomically flip the
+    * pointer. Optimistic: on a version conflict the write is retried
+    * against the fresh version (bounded), so concurrent committers
+    * serialize instead of clobbering. */
+  def commit(df: DataFrame, dir: String, maxRetries: Int = 5): Long = {
+    val spark = df.sparkSession
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      commitIf(df, dir, currentVersion(spark, dir)) match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"commit to $dir failed after $maxRetries retries — either commit " +
+        "traffic is pathological, or a crashed committer left an orphan " +
+        "version directory above the pointer (run recoverOrphans)")
   }
 
   /**
@@ -69,29 +85,61 @@ object Snapshots {
    * still at `expected` (None = must be empty). Returns Some(version) on
    * success, None on a detected conflict — never a silent clobber.
    *
-   * Two racing committers cannot both win: they target the same `v=N+1`
-   * directory and the `errorifexists` parquet write is the exclusivity
-   * gate (a filesystem-atomic mkdir under every Hadoop FS), so the loser
-   * fails before the pointer flip; the pointer is re-checked after the
-   * data write for the belt-and-braces case of a committer that raced a
-   * full commit+vacuum cycle. Callers retry by re-reading, re-merging,
-   * and calling commitIf with the fresh version.
+   * Arbitration: each committer writes its data into a PRIVATE staging
+   * directory, then renames it to `v=N+1`. Directory rename is atomic on
+   * HDFS/posix and refuses an existing destination, so exactly one racer
+   * owns `v=N+1` — unlike a direct `errorifexists` parquet write, whose
+   * existence check is driver-side check-then-write and would let two
+   * racers interleave part-files into one directory. The loser deletes
+   * its staging dir and concedes; if the pointer moved between the win
+   * and the flip (a full racing commit+vacuum cycle), the winner deletes
+   * its own `v=N+1` (nobody else can have flipped TO it) and concedes —
+   * no orphan is left on any conceding path. A committer that CRASHES
+   * between rename and flip does leave an orphan that blocks that version
+   * number; see [[recoverOrphans]].
    */
   def commitIf(df: DataFrame, dir: String, expected: Option[Long]): Option[Long] = {
     val spark = df.sparkSession
     if (currentVersion(spark, dir) != expected) return None
     val next = expected.map(_ + 1).getOrElse(0L)
-    try df.write.mode("errorifexists").parquet(s"$dir/v=$next")
-    catch { case _: org.apache.spark.sql.AnalysisException => return None }
-    if (currentVersion(spark, dir) != expected) return None
     val f = fs(spark, dir)
-    val tmp = new Path(s"$dir/_latest.tmp.${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
+    val staged = new Path(s"$dir/.staging-v$next-${java.util.UUID.randomUUID()}")
+    df.write.parquet(staged.toString)
+    val won =
+      try { fc(spark, dir).rename(staged, new Path(s"$dir/v=$next")); true }
+      catch { case _: java.io.IOException => false } // dest exists: lost
+    if (!won) { f.delete(staged, true); return None }
+    if (currentVersion(spark, dir) != expected) {
+      f.delete(new Path(s"$dir/v=$next"), true) // ours alone — safe rollback
+      return None
+    }
+    flipPointer(spark, dir, next)
     Some(next)
+  }
+
+  /**
+   * Delete version directories above the live pointer and any staging
+   * debris — the remnants of committers that crashed between the data
+   * rename and the pointer flip (such an orphan permanently blocks its
+   * version number, since every retry targets pointer+1). ONLY safe when
+   * no commit is in flight — a live committer's about-to-be-flipped
+   * version is indistinguishable from a dead one's orphan. Returns the
+   * deleted version numbers.
+   */
+  def recoverOrphans(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return Nil
+    val cur = currentVersion(spark, dir)
+    val st = f.listStatus(new Path(dir)).toSeq
+    st.filter(_.getPath.getName.startsWith(".staging-"))
+      .foreach(s => f.delete(s.getPath, true))
+    val orphans = st.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .filter(v => cur.forall(v > _)) // above the pointer (all, if none)
+      .sorted
+    orphans.foreach(v => f.delete(new Path(s"$dir/v=$v"), true))
+    orphans
   }
 
   /** Read the latest snapshot (or a pinned historical `version`). */

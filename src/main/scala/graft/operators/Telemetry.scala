@@ -87,11 +87,18 @@ object Telemetry {
    */
   def flushHistory(spark: SparkSession, path: String): Long = {
     // drain FIRST (atomic per record): nothing recorded during the write —
-    // including the flush's own actions — can be lost or double-flushed
+    // including the flush's own actions — can be lost or double-flushed.
+    // On a failed write the drained batch is put back, so telemetry is
+    // never silently dropped by a bad path / full disk.
     val drained = Iterator.continually(records.poll()).takeWhile(_ != null).toSeq
     if (drained.nonEmpty) {
       import spark.implicits._
-      drained.toDF().write.mode("append").parquet(path)
+      try drained.toDF().write.mode("append").parquet(path)
+      catch {
+        case e: Throwable =>
+          drained.foreach(records.add)
+          throw e
+      }
     }
     drained.size.toLong
   }

@@ -103,13 +103,24 @@ object LambdaCse extends Rule[LogicalPlan] {
     case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case p: Project =>
-      val rewritten = p.projectList.map(rewriteNamed)
-      if (rewritten.zip(p.projectList).forall { case (a, b) => a eq b }) p
-      else p.copy(projectList = rewritten)
-    case f: Filter =>
-      val d = dedup(f.condition)
-      if (d eq f.condition) f else f.copy(condition = d)
-  }
+  /** Session-level escape hatch (and the honest way to get a no-rule
+    * baseline in tests, since the rule is injected for a session's whole
+    * lifetime by GraftExtensions): `SET spark.graft.lambdaCse.enabled=false`. */
+  val EnabledKey = "spark.graft.lambdaCse.enabled"
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(EnabledKey, "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transform {
+      case p: Project =>
+        val rewritten = p.projectList.map(rewriteNamed)
+        if (rewritten.zip(p.projectList).forall { case (a, b) => a eq b }) p
+        else p.copy(projectList = rewritten)
+      case f: Filter =>
+        val d = dedup(f.condition)
+        if (d eq f.condition) f else f.copy(condition = d)
+    }
 }

@@ -14,9 +14,17 @@ import graft.plans.LambdaCse
 class LambdaCseSpec extends SparkSpec {
   import spark.implicits._
 
+  // The shared session is built by EngineSession, so LambdaCse is ALWAYS
+  // injected; the only honest off-switch is the rule's own conf flag.
+  // withRule/withoutRule toggle it so "baseline" really means rule-off
+  // (extraOptimizations = Nil would be vacuous — the injected copy still runs).
   private def withRule[A](f: => A): A = {
-    spark.experimental.extraOptimizations = Seq(LambdaCse)
-    try f finally spark.experimental.extraOptimizations = Nil
+    spark.conf.set(LambdaCse.EnabledKey, "true")
+    f
+  }
+  private def withoutRule[A](f: => A): A = {
+    spark.conf.set(LambdaCse.EnabledKey, "false")
+    try f finally spark.conf.set(LambdaCse.EnabledKey, "true")
   }
 
   /** The round-1 minhash shape: k reductions over one shared hash array. */
@@ -32,8 +40,12 @@ class LambdaCseSpec extends SparkSpec {
     // LocalRelation before the plan can be inspected
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id").as("id"), col("text")).limit(50)
-    val naive = df.select(col("id"), array_join(naiveSig(8), ",").as("sig"))
-      .orderBy("id").collect().map(_.getString(1)).toSeq
+    val naive = withoutRule {
+      val q = df.select(col("id"), array_join(naiveSig(8), ",").as("sig"))
+      // baseline plan must really be unhoisted: rule-off is observable
+      assert(!q.queryExecution.optimizedPlan.toString.contains("_graft_cse"))
+      q.orderBy("id").collect().map(_.getString(1)).toSeq
+    }
 
     val (optimized, planStr) = withRule {
       val q = df.select(col("id"), array_join(naiveSig(8), ",").as("sig"))
@@ -73,13 +85,14 @@ class LambdaCseSpec extends SparkSpec {
   }
 
   test("oracle queries unaffected by the rule (spot check)") {
-    withRule {
-      val out = SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")
+    val out = withRule {
+      SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")
         .orderBy("doc_id").limit(5).collect().map(_.getString(1)).toSeq
-      val ref = SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")
-      spark.experimental.extraOptimizations = Nil
-      val want = ref.orderBy("doc_id").limit(5).collect().map(_.getString(1)).toSeq
-      assert(out == want)
     }
+    val want = withoutRule {
+      SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id").limit(5).collect().map(_.getString(1)).toSeq
+    }
+    assert(out == want)
   }
 }

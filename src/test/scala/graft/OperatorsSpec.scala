@@ -340,11 +340,16 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gotSum == want.map { case (k, (s, _)) => k -> s })
     assert(gotCnt == want.map { case (k, (_, c)) => k -> c })
-    // salts actually spread the hot key over multiple partial groups
-    val spread = skewed.withColumn("_salt",
-        pmod(hash(col("v"), monotonically_increasing_id()), lit(16)))
+    // the LIBRARY's salt spreads the hot key over many partial groups —
+    // including on the saltedCount path, whose aggregated value is a
+    // constant (a (key, value)-only salt silently collapsed it to 1 bucket)
+    val spreadSum = skewed.withColumn("_salt", SkewAgg.rowSalt(skewed, 16))
       .filter(col("key") === "hot").select("_salt").distinct().count()
-    assert(spread > 1)
+    assert(spreadSum > 8, s"saltedSum salt collapsed: $spreadSum buckets")
+    val counted = skewed.withColumn("_one", lit(1L))
+    val spreadCnt = counted.withColumn("_salt", SkewAgg.rowSalt(counted, 16))
+      .filter(col("key") === "hot").select("_salt").distinct().count()
+    assert(spreadCnt > 8, s"saltedCount salt collapsed: $spreadCnt buckets")
   }
 
   test("telemetry: history/stats/errors record actions via QueryExecutionListener") {
@@ -643,13 +648,23 @@ class OperatorsSpec extends SparkSpec {
     assert(Snapshots.commitIf(a, dir, None).isEmpty)
   }
 
-  test("commitIf: a racer's written-but-unflipped version dir loses the write race") {
+  test("commitIf: unflipped racer dir loses the rename race; recoverOrphans unbricks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cas2").toString + "/t"
     Snapshots.commitIf(Seq((1L, "a")).toDF("k", "v"), dir, None)
-    // a racer passed the version check and wrote v=1 data, pointer not yet
-    // flipped — our errorifexists write must detect it and concede
+    // a racer renamed its staging dir to v=1 and then died before the
+    // pointer flip — our rename must refuse the existing destination
     Seq((9L, "x")).toDF("k", "v").write.parquet(s"$dir/v=1")
     assert(Snapshots.commitIf(Seq((2L, "b")).toDF("k", "v"), dir, Some(0L)).isEmpty)
+    // bounded-retry commit reports the brick instead of looping forever
+    assertThrows[IllegalStateException](
+      Snapshots.commit(Seq((2L, "b")).toDF("k", "v"), dir, maxRetries = 2))
+    // recovery: the orphan above the pointer is deleted, commits flow again
+    assert(Snapshots.recoverOrphans(spark, dir) == Seq(1L))
+    assert(Snapshots.commitIf(Seq((2L, "b")).toDF("k", "v"), dir, Some(0L)).contains(1L))
+    assert(Snapshots.read(spark, dir).collect().map(_.getString(1)).toSeq == Seq("b"))
+    // no staging debris left behind by the conceding committers
+    val names = new java.io.File(dir).list().toSeq
+    assert(!names.exists(_.startsWith(".staging-")), s"staging debris: $names")
   }
 
   test("CacheRegistry: releaseAll unpersists every tracked cache and runs hooks") {
