@@ -718,6 +718,53 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("homogeneous"))
   }
 
+  test("indexed patch paths: nested indices and leaf array ops") {
+    // a.items[1].tags: array leaf under an indexed struct element —
+    // RemoveVal/Append route through the same element-targeted rebuild
+    val df = Seq((1L, "x")).toDF("k", "s")
+      .withColumn("body", struct(array(
+        struct(lit("a").as("id"), array(lit(1), lit(2)).as("tags")),
+        struct(lit("b").as("id"), array(lit(2), lit(3)).as("tags"))).as("items")))
+      .drop("s")
+    val out = Patch.applyPatch(df, "body", Seq(
+        Patch.RemoveVal("items[1].tags", lit(2)),
+        Patch.Append("items[0].tags", array(lit(9)))))
+      .select(col("body.items").getItem(0).getField("tags"),
+        col("body.items").getItem(1).getField("tags"))
+      .head()
+    assert(out.getSeq[Int](0) == Seq(1, 2, 9)) // element 0: appended
+    assert(out.getSeq[Int](1) == Seq(3))       // element 1: value removed
+    // out-of-range index: transform matches no position => row unchanged
+    val oob = Patch.applyPatch(df, "body", Seq(Patch.SetField("items[7].id", lit("z"))))
+      .select(col("body.items").getItem(0).getField("id")).head().getString(0)
+    assert(oob == "a")
+    // malformed segments are loud errors
+    assertThrows[IllegalArgumentException](
+      Patch.applyPatch(df, "body", Seq(Patch.DeleteField("items[x]"))).collect())
+    assertThrows[IllegalArgumentException](
+      Patch.applyPatch(df, "body", Seq(Patch.SetField("items[", lit(1)))).collect())
+  }
+
+  test("commitIf: concurrent threads racing the same expected version yield one winner") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cas3").toString + "/t"
+    Snapshots.commitIf(Seq((0L, "base")).toDF("k", "v"), dir, None)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Option[Long]]
+    val threads = (1 to 4).map(i => new Thread(() =>
+      results.add(Snapshots.commitIf(
+        Seq((i.toLong, s"w$i")).toDF("k", "v"), dir, Some(0L)))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val wins = results.asScala.flatten.toSeq
+    assert(wins == Seq(1L), s"expected exactly one winner at v1, got $wins")
+    assert(Snapshots.currentVersion(spark, dir).contains(1L))
+    // the committed version is exactly ONE writer's data, never a mix
+    val rows = Snapshots.read(spark, dir).collect().map(_.getString(1)).toSeq
+    assert(rows.length == 1 && rows.head.startsWith("w"), s"mixed commit: $rows")
+    // losers' staging dirs are gone
+    val names = new java.io.File(dir).list().toSeq
+    assert(!names.exists(_.startsWith(".staging-")), s"staging debris: $names")
+  }
+
   test("business locks: exclusive acquire, TTL steal, safe release/renew") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString
     val a = Locks.tryAcquire(spark, dir, "job", ttlMs = 60000)
