@@ -1045,6 +1045,61 @@ object SparkEntry {
           SELECT doc_id, count(*) AS overlap FROM e JOIN b USING (sh)
           GROUP BY doc_id HAVING count(*) >= 3""")),
 
+    Q("q_dedup_clusters", // near-dup PAIRS -> duplicate CLUSTERS: connected
+      // components by iterative min-label propagation (transitive closure —
+      // (a,b),(b,c) is one cluster {a,b,c} though (a,c) was never emitted);
+      // the oracle states the same closure as a recursive CTE
+      (s, d) => Clustering.connectedComponents(
+        Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+        "key_a", "key_b", outKey = "doc_id"),
+      Some(s"""WITH RECURSIVE pairs AS (${sqlLshNearDup(16, 4, 0.5)}),
+          edges AS (SELECT key_a AS u, key_b AS v FROM pairs
+                    UNION SELECT key_b, key_a FROM pairs),
+          reach(u, v) AS (SELECT u, v FROM edges
+                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u""")),
+
+    Q("q_seq_pack", // fixed token-budget bin assignment for batch assembly:
+      // bin = floor(running tokens before the doc / budget) — one window
+      // pass, deterministic across engines/partitionings (greedy first-fit
+      // is scan-order-dependent and unreproducible)
+      (s, d) => Sampling.packSequences(
+          t(s, d, "documents").select(col("doc_id"),
+            TF.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 2048)
+        .select(col("doc_id"), col("bin")),
+      Some("""SELECT doc_id,
+          floor(coalesce(sum(len(string_split(text,' ')))
+            OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 2048)::BIGINT AS bin
+          FROM documents""")),
+
+    Q("q_chunk_windows", // long-doc splitting: overlapping 20-token windows
+      // every 15 tokens, exploded to (doc, chunk_no, chunk) rows
+      (s, d) => t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(TF.chunkWindows(col("text"), windowSize = 20, stride = 15))
+            .as(Seq("chunk_no", "chunk"))),
+      Some("""SELECT doc_id, i::INT AS chunk_no,
+          array_to_string(toks[i*15+1 : i*15+20], ' ') AS chunk
+          FROM (SELECT doc_id, toks, unnest(range(nc)) AS i FROM (
+            SELECT doc_id, string_split(text,' ') AS toks,
+              CASE WHEN len(string_split(text,' ')) <= 20 THEN 1
+                   ELSE ceil((len(string_split(text,' ')) - 20)::DOUBLE / 15)::INT + 1
+              END AS nc
+            FROM documents WHERE doc_id < 100))""")),
+
+    Q("q_stratified_sample", // per-language keep-percentages (upsample rare,
+      // downsample dominant) on the same pure key-hash membership as
+      // q_sample — strata never bleed, membership reproducible anywhere
+      (s, d) => Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 10, "de" -> 50, "fr" -> 100), defaultPercent = 20)
+        .select(col("doc_id"), col("lang")),
+      Some(s"""SELECT doc_id, lang FROM documents
+          WHERE ${sqlHash32("doc_id::VARCHAR")} % 100 <
+            CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 100 ELSE 20 END""")),
+
     Q("q_pii_scan", // PII flags; synthetic emails/phones planted on a
       // deterministic subset so both truth values are exercised
       (s, d) => t(s, d, "documents")

@@ -22,6 +22,25 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /**
+   * Overlapping token-window chunks for long-document splitting: windows
+   * of `windowSize` tokens starting every `stride` tokens (stride <
+   * windowSize ⇒ overlap, the usual context-preserving setting). A doc of
+   * n tokens yields ceil((n - windowSize) / stride) + 1 chunks (min 1);
+   * the last window truncates at the end. Pure per-row expression — no
+   * shuffle, codegen-eligible, pairs with posexplode for (chunk_no, text)
+   * rows.
+   */
+  def chunkWindows(text: Column, windowSize: Int, stride: Int): Column = {
+    require(windowSize > 0 && stride > 0, "windowSize and stride must be positive")
+    val toks = tokens(text)
+    val n = size(toks)
+    val numChunks = when(n <= windowSize, lit(1))
+      .otherwise(ceil((n - lit(windowSize)).cast("double") / stride).cast("int") + 1)
+    transform(sequence(lit(0), numChunks - 1), i =>
+      array_join(slice(toks, i * stride + 1, lit(windowSize)), " "))
+  }
+
+  /**
    * BPE-ish subword count estimate: whitespace tokens plus extra splits on
    * punctuation/digit boundaries — a deterministic proxy for tokenizer cost
    * used by training-data pipelines to budget documents.

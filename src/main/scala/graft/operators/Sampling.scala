@@ -46,4 +46,44 @@ object Sampling {
       .filter(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Stratified deterministic sample: a different keep-percentage per
+    * stratum (e.g. per language — upsample rare, downsample dominant).
+    * Same pure key-hash membership as [[deterministicSample]], so each
+    * stratum's subset is reproducible and strata never bleed; strata
+    * absent from `percentByStratum` fall back to `defaultPercent`. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       percentByStratum: Map[String, Int],
+                       defaultPercent: Int = 0,
+                       buckets: Int = 100): DataFrame = {
+    val threshold = percentByStratum.foldLeft(lit(defaultPercent)) {
+      case (acc, (stratum, pct)) =>
+        when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(keyBucket(keyCol, buckets) < threshold)
+  }
+
+  /**
+   * Sequence packing — assign documents to fixed token-budget bins for
+   * training-batch assembly. Deterministic streaming definition: docs are
+   * ordered by `keyCol` and bin(d) = floor(tokens_before_d / budget) —
+   * i.e. the running token count partitions the ordered corpus into
+   * budget-sized spans. A doc straddling a boundary belongs to the bin
+   * where it STARTED (spans overflow by at most one doc, the standard
+   * truncate-or-carry tradeoff made deterministic). This is one window
+   * pass, SQL-expressible, and engine-independent — unlike greedy
+   * first-fit packing, whose result depends on scan order and cannot be
+   * reproduced across engines or partitionings. At scale the global
+   * window over `keyCol` is a range-partitioned sort — for per-shard
+   * packing, partition the window by a shard column first.
+   */
+  def packSequences(df: DataFrame, keyCol: String, tokenCountCol: String,
+                    budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("bin",
+      floor(coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budget))
+  }
 }

@@ -765,6 +765,41 @@ class OperatorsSpec extends SparkSpec {
     assert(!names.exists(_.startsWith(".staging-")), s"staging debris: $names")
   }
 
+  test("connected components: chains close transitively, min key labels the cluster") {
+    // chain 1-2, 2-3, 3-4 (diameter 3) + separate pair 10-11 + crossing 4-2
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 2L))
+      .toDF("key_a", "key_b")
+    val cc = Clustering.connectedComponents(pairs, "key_a", "key_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val winners = Clustering.clusterWinners(
+      Clustering.connectedComponents(pairs, "key_a", "key_b"), "key")
+      .collect().map(_.getLong(0)).toSet
+    assert(winners == Set(1L, 10L))
+    CacheRegistry.releaseAll()
+  }
+
+  test("sequence packing: bins are budget-sized spans of the key-ordered corpus") {
+    val df = Seq((1L, 100), (2L, 900), (3L, 200), (4L, 1000), (5L, 50))
+      .toDF("doc_id", "n")
+    val bins = Sampling.packSequences(df, "doc_id", "n", budget = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // running-before: 0,100,1000,1200,2200 => bins 0,0,1,1,2
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("chunk windows: overlap, truncated tail, short doc => single chunk") {
+    val df = Seq(
+      ("a", (1 to 7).map("t" + _).mkString(" ")), // 7 tokens
+      ("b", "only three tokens")).toDF("k", "text")
+    val out = df.select(col("k"),
+        graft.functions.TextFunctions.chunkWindows(col("text"), 4, 2).as("c"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // n=7, size=4, stride=2 => ceil(3/2)+1 = 3 chunks: [1..4],[3..6],[5..7]
+    assert(out("a") == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7"))
+    assert(out("b") == Seq("only three tokens"))
+  }
+
   test("business locks: exclusive acquire, TTL steal, safe release/renew") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString
     val a = Locks.tryAcquire(spark, dir, "job", ttlMs = 60000)
