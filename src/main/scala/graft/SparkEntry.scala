@@ -1100,6 +1100,22 @@ object SparkEntry {
           WHERE ${sqlHash32("doc_id::VARCHAR")} % 100 <
             CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 100 ELSE 20 END""")),
 
+    Q("q_tfidf", // smoothed TF-IDF top-5 terms per doc; scores rounded
+      // BEFORE ranking so cross-engine ln() ulp noise can't flip order
+      (s, d) => TermStats.tfidfTopTerms(t(s, d, "documents"), "text", "doc_id",
+        k = 5, selection = col("doc_id") < 50),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+          n AS (SELECT count(*) AS n FROM documents),
+          scored AS (SELECT doc_id, term,
+            round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+            FROM tf JOIN dfq USING (term), n),
+          ranked AS (SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+            FROM scored WHERE doc_id < 50)
+          SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5""")),
+
     Q("q_pii_scan", // PII flags; synthetic emails/phones planted on a
       // deterministic subset so both truth values are exercised
       (s, d) => t(s, d, "documents")

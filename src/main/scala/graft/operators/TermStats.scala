@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/**
+ * Corpus term statistics — TF-IDF keyword extraction, the relational
+ * text-analysis step (beyond the reference's per-row filters) that a
+ * training pipeline runs for topic balancing / keyword indexing.
+ *
+ * Scale shape: token explode → two aggregations (term frequency per doc,
+ * document frequency per term) — both plain hash shuffles on small keys;
+ * the corpus-size scalar joins in as a one-row broadcast (same bounded
+ * kernel as Shift.capGate). Nothing quadratic; the text payload never
+ * crosses a shuffle, only (doc_id, term) pairs do.
+ */
+object TermStats {
+
+  /**
+   * Top-k terms per document by smoothed TF-IDF:
+   * `tf * (ln((N + 1) / (df + 1)) + 1)`, rounded to 6 decimals BEFORE
+   * ranking so cross-engine last-ulp `ln` differences cannot flip the
+   * ordering (ties break on the term itself). `df` (document frequency)
+   * is computed over the full corpus even when `selection` narrows the
+   * output docs — IDF must reflect the corpus, not the selection.
+   */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, keyCol: String,
+                    k: Int, selection: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val toks = docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col(keyCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.filter(selection)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(keyCol), col("term"), col("tfidf"))
+  }
+}

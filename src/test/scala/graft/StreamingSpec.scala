@@ -247,6 +247,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:10:00") == (1L, 4.0))
   }
 
+  test("streaming exact dedup: duplicate keys within the watermark emit once") {
+    // the streaming face of Dedup.exact: dropDuplicatesWithinWatermark
+    // keys state only until the watermark passes — bounded state, unlike
+    // plain dropDuplicates whose key set grows forever
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val deduped = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_type")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData(Ev(ts(1), "click", 1.0), Ev(ts(2), "click", 2.0), Ev(ts(3), "view", 3.0))
+    q.processAllAvailable()
+    input.addData(Ev(ts(4), "click", 4.0)) // still within watermark: dropped
+    q.processAllAvailable()
+    q.stop()
+    val vals = spark.table("dedup_out").select("event_type", "value")
+      .as[(String, Double)].collect().toMap
+    assert(vals == Map("click" -> 1.0, "view" -> 3.0)) // first occurrence wins
+  }
+
   test("TTL column marks expiry horizon in event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
