@@ -1063,15 +1063,19 @@ object SparkEntry {
     Q("q_seq_pack", // fixed token-budget bin assignment for batch assembly:
       // bin = floor(running tokens before the doc / budget) — one window
       // pass, deterministic across engines/partitionings (greedy first-fit
-      // is scan-order-dependent and unreproducible)
+      // is scan-order-dependent and unreproducible). SHARDED by source:
+      // each shard's window is an independent hash-partitioned sort — the
+      // 100 TB form; an unsharded global window would funnel the corpus
+      // through one ordered partition
       (s, d) => Sampling.packSequences(
-          t(s, d, "documents").select(col("doc_id"),
+          t(s, d, "documents").select(col("doc_id"), col("source"),
             TF.tokenCount(col("text")).as("n_tokens")),
-          "doc_id", "n_tokens", budget = 2048)
-        .select(col("doc_id"), col("bin")),
-      Some("""SELECT doc_id,
+          "doc_id", "n_tokens", budget = 2048, shardCol = Some("source"))
+        .select(col("doc_id"), col("source"), col("bin")),
+      Some("""SELECT doc_id, source,
           floor(coalesce(sum(len(string_split(text,' ')))
-            OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            OVER (PARTITION BY source ORDER BY doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / 2048)::BIGINT AS bin
           FROM documents""")),
 

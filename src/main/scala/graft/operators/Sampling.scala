@@ -78,11 +78,18 @@ object Sampling {
    * packing, partition the window by a shard column first.
    */
   def packSequences(df: DataFrame, keyCol: String, tokenCountCol: String,
-                    budget: Int): DataFrame = {
+                    budget: Int, shardCol: Option[String] = None): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(keyCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = org.apache.spark.sql.expressions.Window
+    // SHARDED is the 100 TB form: the running sum partitions by shard, so
+    // each shard's window is an independent hash-partitioned sort. The
+    // global form (shardCol = None) funnels every row through ONE ordered
+    // window partition — only for corpora that fit a single task, or when
+    // a globally contiguous bin numbering is a hard requirement.
+    val w = (shardCol match {
+      case Some(s) => base.partitionBy(col(s)).orderBy(col(keyCol).asc)
+      case None    => base.orderBy(col(keyCol).asc)
+    }).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("bin",
       floor(coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budget))
   }
