@@ -1104,6 +1104,24 @@ object SparkEntry {
           WHERE ${sqlHash32("doc_id::VARCHAR")} % 100 <
             CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 100 ELSE 20 END""")),
 
+    Q("q_dedup_incremental", // dedup the "new crawl" (doc_id < 250)
+      // against the existing corpus (doc_id >= 250): survivors = incoming
+      // docs with no cross-corpus near-dup. Oracle trick: with the split
+      // at 250 and key_a < key_b in the full self-join pair list, every
+      // cross pair is exactly (key_a < 250 <= key_b) — so the incremental
+      // match set falls out of the already-mirrored full LSH pairs
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.dedupAgainstCorpus(
+            docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+            "text", "doc_id", shingleN = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH pairs AS (${sqlLshNearDup(16, 4, 0.5)})
+          SELECT doc_id FROM documents WHERE doc_id < 250
+          AND doc_id NOT IN (SELECT key_a FROM pairs WHERE key_b >= 250)""")),
+
     Q("q_tfidf", // smoothed TF-IDF top-5 terms per doc; scores rounded
       // BEFORE ranking so cross-engine ln() ulp noise can't flip order
       (s, d) => TermStats.tfidfTopTerms(t(s, d, "documents"), "text", "doc_id",

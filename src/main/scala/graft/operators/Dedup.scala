@@ -126,6 +126,50 @@ object Dedup {
     minhashLsh(df, textCol, keyCol, shingleN,
       numHashes = 32, bands = 16, threshold = minJaccard)
 
+  /**
+   * Incremental dedup — drop incoming documents that near-duplicate an
+   * EXISTING corpus (the "dedup the new crawl against what we already
+   * have" pass of a growing training set). Candidate generation is the
+   * same banded-signature join as [[minhashLsh]], but across the two
+   * relations: only (incomingKey, corpusKey) pairs sharing a band bucket
+   * are verified. Returns the surviving incoming rows.
+   *
+   * Scale shape: at 100 TB the corpus-side signature table is the
+   * persisted artifact of the original dedup run (write once, reuse every
+   * crawl) — only the incoming side's signatures are computed fresh, and
+   * the band join shuffles keys + band hashes, never text. Note this pass
+   * intentionally does NOT dedup incoming-vs-incoming — run [[minhashLsh]]
+   * (or exact) on the incoming slice first; the two passes compose.
+   */
+  def dedupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                         textCol: String, keyCol: String,
+                         shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    def sigs(df: DataFrame) = tracked(spreadModest(df)
+      .select(col(keyCol), array_distinct(TF.shingles(col(textCol), shingleN)).as("_sh"))
+      .withColumn("_sig", TF.minhashSignature(col("_sh"), numHashes)))
+    def banded(base: DataFrame) = base.select(
+      col(keyCol),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand)))
+      }: _*)).as(Seq("_band", "_bh")))
+
+    val corSig = sigs(corpus)
+    val inSig = sigs(incoming)
+    val cand = banded(inSig).as("i").join(banded(corSig).as("c"),
+        col("i._band") === col("c._band") && col("i._bh") === col("c._bh"))
+      .select(col(s"i.$keyCol").as("_ik"), col(s"c.$keyCol").as("_ck"))
+      .dropDuplicates("_ik", "_ck")
+    val matched = cand
+      .join(inSig.select(col(keyCol).as("_ik"), col("_sh").as("_sha")), Seq("_ik"))
+      .join(corSig.select(col(keyCol).as("_ck"), col("_sh").as("_shb")), Seq("_ck"))
+      .filter(TF.jaccard(col("_sha"), col("_shb")) >= threshold)
+      .select(col("_ik").as(keyCol)).distinct()
+    incoming.join(matched, Seq(keyCol), "left_anti")
+  }
+
   /** SimHash near-dup: 32-bit signature; candidates = equal on any of 4
     * 8-bit table-split bands, verified by Hamming distance (bit_count of
     * xor — single codegen'd instruction, not 32 shift-add terms). The

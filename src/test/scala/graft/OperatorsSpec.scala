@@ -765,6 +765,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!names.exists(_.startsWith(".staging-")), s"staging debris: $names")
   }
 
+  test("incremental dedup drops corpus matches, keeps incoming-internal dups") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((100L, text), (101L, "completely unrelated corpus text here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, text),                                   // near-dups corpus 100 => dropped
+      (2L, "fresh new document with novel content"),// survives
+      (3L, "fresh new document with novel content") // in-in duplicate: NOT this pass's job
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(corpus, incoming, "text", "doc_id",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L))
+    CacheRegistry.releaseAll()
+  }
+
   test("connected components: chains close transitively, min key labels the cluster") {
     // chain 1-2, 2-3, 3-4 (diameter 3) + separate pair 10-11 + crossing 4-2
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 2L))
