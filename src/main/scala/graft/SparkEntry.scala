@@ -204,6 +204,27 @@ object SparkEntry {
           col("exact_parts")),
       Some("SELECT TRUE AS within_bound, count(DISTINCT l_partkey) AS exact_parts FROM lineitem")),
 
+    Q("q_approx_quantiles", // percentile_approx — the 100 TB substitute
+      // for exact percentiles (single-pass mergeable sketch vs full sort).
+      // Sketch values are engine-specific, so like q_approx_distinct the
+      // oracle checks the error-bound PREDICATE against exact percentiles
+      // (accuracy 10000 => tight; 1% relative slack) plus the exact
+      // medians themselves
+      (s, d) => {
+        val q = t(s, d, "orders").agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"),
+          expr("percentile(o_totalprice, 0.5)").as("ex50"),
+          expr("percentile(o_totalprice, 0.9)").as("ex90"))
+        q.select(
+          (abs(col("ap50") - col("ex50")) / col("ex50") <= 0.01).as("p50_ok"),
+          (abs(col("ap90") - col("ex90")) / col("ex90") <= 0.01).as("p90_ok"),
+          round(col("ex50"), 2).as("ex50"), round(col("ex90"), 2).as("ex90"))
+      },
+      Some("""SELECT TRUE AS p50_ok, TRUE AS p90_ok,
+          round(quantile_cont(o_totalprice, 0.5), 2) AS ex50,
+          round(quantile_cont(o_totalprice, 0.9), 2) AS ex90 FROM orders""")),
+
     Q("q_rollup", // grouping-sets surface the reference lacks (§2.4)
       (s, d) => t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
