@@ -46,21 +46,34 @@ object Clustering {
       .withColumn("label", col("u"))
     var converged = false
     var iter = 0
+    var prevCache: DataFrame = null
     while (!converged && iter < maxIter) {
       // each node adopts min(own label, neighbors' labels); the joined
       // frame is cached ONCE and serves both the convergence count and
-      // the next label table — no separate compare join
+      // the next label table — no separate compare join. Superseded
+      // iteration caches are unpersisted as soon as the next one is
+      // materialized, so cached state stays O(1) in iterations (only the
+      // FINAL frame remains, released by the caller via CacheRegistry).
       val neighborMin = edges
         .join(labels.select(col("u").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlabel")).as("nmin"))
       val joined = graft.CacheRegistry.track(
         labels.join(neighborMin, Seq("u"), "left_outer"))
       val changed = joined.filter(col("nmin") < col("label")).count()
+      if (prevCache != null) prevCache.unpersist(blocking = false)
+      prevCache = joined
       labels = joined.select(col("u"),
         least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // silently returning unconverged labels would split one duplicate
+      // cluster into several and let duplicates survive dedup — refuse
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "component diameter exceeds maxIter (raise it, or use a " +
+          "star-contraction variant for chain-shaped graphs)")
     labels.select(col("u").as(outKey), col("label").as("cluster"))
   }
 

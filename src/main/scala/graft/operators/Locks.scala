@@ -65,7 +65,10 @@ object Locks {
    */
   def tryAcquire(spark: SparkSession, dir: String, name: String,
                  ttlMs: Long): Option[Lease] = {
-    require(ttlMs > 0, "ttlMs must be positive (the reference rejects 0-TTL locks)")
+    require(ttlMs > ExpiryMarginMs,
+      s"ttlMs must exceed the ${ExpiryMarginMs}ms expiry margin — a shorter " +
+        "lease could never be released or renewed (safelyHeld would always " +
+        "refuse), so withLock would leak the lock file until the TTL lapsed")
     val f = fs(spark, dir)
     val p = lockPath(dir, name)
     val now = System.currentTimeMillis()
@@ -75,9 +78,21 @@ object Locks {
         // Expired: STEAL via atomic rename-away, never a blind delete — a
         // blind delete could destroy a DIFFERENT (fresh, valid) lease
         // written between our read and our delete, yielding two confirmed
-        // holders. Rename arbitrates: exactly one stealer moves the file;
-        // it then verifies it moved the lease it observed. If a fresh
-        // lease got moved instead (read→steal window), it is restored.
+        // holders. The lease is RE-READ immediately before the rename (the
+        // observation window shrinks from the whole read/verify path to
+        // one read→rename step), rename arbitrates racing stealers, and
+        // the mover verifies it moved the stale lease it observed. If a
+        // fresh lease got moved despite the re-read, restore is attempted;
+        // when even the restore loses (a third client re-created the lock
+        // meanwhile), the tomb is LEFT IN PLACE — destroying it would
+        // destroy the displaced holder's record. The displaced holder's
+        // next renew()/release() reads the live file, sees a different
+        // lockId, and learns it lost — the residual hazard window is one
+        // filesystem round-trip wide, the minimum a content-CAS-free
+        // filesystem can offer.
+        if (!readLease(f, p, name).exists(l =>
+          l.lockId == stale.lockId && l.expiresAtMs == stale.expiresAtMs))
+          return None // changed under us: someone else acted
         val tomb = new Path(s"$dir/_lock_$name.tomb.${java.util.UUID.randomUUID()}")
         try {
           org.apache.hadoop.fs.FileContext
@@ -87,14 +102,12 @@ object Locks {
         readLease(f, tomb, name) match {
           case Some(moved) if moved.expiresAtMs > System.currentTimeMillis() &&
                               moved.lockId != stale.lockId =>
-            // we moved someone's FRESH lease: put it back (best effort —
-            // restore can only fail if yet another create won meanwhile,
-            // in which case the moved lease had already lost anyway)
+            // we moved someone's FRESH lease: put it back
             try {
               org.apache.hadoop.fs.FileContext
                 .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
                 .rename(tomb, p)
-            } catch { case _: java.io.IOException => f.delete(tomb, false) }
+            } catch { case _: java.io.IOException => () } // keep tomb: see above
             None
           case _ =>
             f.delete(tomb, false)

@@ -65,7 +65,11 @@ object Sampling {
 
   /**
    * Sequence packing — assign documents to fixed token-budget bins for
-   * training-batch assembly. Deterministic streaming definition: docs are
+   * training-batch assembly. `keyCol` must be UNIQUE within a shard (a
+   * primary key): the running-sum window orders by it alone, and tied
+   * sort keys would make the ROWS frame — and every later bin in the
+   * shard — partition-layout-dependent, breaking the determinism
+   * contract. Deterministic streaming definition: docs are
    * ordered by `keyCol` and bin(d) = floor(tokens_before_d / budget) —
    * i.e. the running token count partitions the ordered corpus into
    * budget-sized spans. A doc straddling a boundary belongs to the bin

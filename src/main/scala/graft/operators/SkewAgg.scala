@@ -21,10 +21,28 @@ import org.apache.spark.sql.functions._
  */
 object SkewAgg {
 
+  /** The deterministic row salt [[saltedSum]]/[[saltedCount]] use — a pure
+    * hash of every HASHABLE input column (MapType columns are skipped:
+    * Spark's hash() rejects maps, and a map column must not break a
+    * previously-working salted aggregation). Exposed so its spreading
+    * behavior is directly testable. */
+  def rowSalt(df: DataFrame, saltBuckets: Int): Column = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => hashable(et)
+      case st: StructType => st.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty, "rowSalt needs at least one hashable column")
+    pmod(hash(cols.toIndexedSeq: _*), lit(saltBuckets))
+  }
+
   /** Per-key sums of `valueCols` with salt-spread partials. The salt is a
-    * pure hash of EVERY input column — fully deterministic across runs AND
-    * task retries, so the partial-sum grouping (and with it any last-ulp
-    * float accumulation order) is stable; the earlier
+    * pure hash of every (hashable) input column — fully deterministic
+    * across runs AND task retries, so the partial-sum grouping (and with
+    * it any last-ulp float accumulation order) is stable; the earlier
     * `monotonically_increasing_id` salt changed on retry. Hashing all
     * columns (not just key + aggregated values) matters: a salt of
     * (key, value) alone collapses whenever the value is low-cardinality —
@@ -32,11 +50,6 @@ object SkewAgg {
     * bucket, which is no salting at all. Rows identical across the full
     * row still collapse (content hashing can't split them) — there, dedup
     * or a pre-aggregated (row, multiplicity) form is the tool. */
-  /** The deterministic row salt [[saltedSum]]/[[saltedCount]] use —
-    * exposed so its spreading behavior is directly testable. */
-  def rowSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
-
   def saltedSum(df: DataFrame, keyCol: String, valueCols: Seq[String],
                 saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")

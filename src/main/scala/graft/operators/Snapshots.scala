@@ -104,7 +104,10 @@ object Snapshots {
     val next = expected.map(_ + 1).getOrElse(0L)
     val f = fs(spark, dir)
     val staged = new Path(s"$dir/.staging-v$next-${java.util.UUID.randomUUID()}")
-    df.write.parquet(staged.toString)
+    try df.write.parquet(staged.toString)
+    catch { // a half-written staging dir must not outlive the failed write
+      case e: Throwable => f.delete(staged, true); throw e
+    }
     val won =
       try { fc(spark, dir).rename(staged, new Path(s"$dir/v=$next")); true }
       catch { case _: java.io.IOException => false } // dest exists: lost

@@ -29,7 +29,9 @@ object TermStats {
                     k: Int, selection: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val toks = docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col(keyCol)).as("df"))
+    // document frequency derives from tf (one row per distinct (doc, term)
+    // already) — no second corpus scan, no countDistinct expand
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
       .withColumn("tfidf",

@@ -823,9 +823,12 @@ class OperatorsSpec extends SparkSpec {
     assert(Locks.tryAcquire(spark, dir, "job", 60000).isEmpty) // validly held
     assert(Locks.release(spark, dir, a.get))
     assert(!Locks.release(spark, dir, a.get)) // double release: no-op
+    // sub-margin TTLs are rejected up front (they could never be released)
+    assertThrows[IllegalArgumentException](
+      Locks.tryAcquire(spark, dir, "jobX", ttlMs = Locks.ExpiryMarginMs))
     // TTL steal: an expired lease is claimable, the stale holder is inert
-    val s = Locks.tryAcquire(spark, dir, "job2", ttlMs = 1).get
-    Thread.sleep(5)
+    val s = Locks.tryAcquire(spark, dir, "job2", ttlMs = Locks.ExpiryMarginMs + 100).get
+    Thread.sleep(Locks.ExpiryMarginMs + 200)
     val thief = Locks.tryAcquire(spark, dir, "job2", 60000)
     assert(thief.isDefined && thief.get.lockId != s.lockId)
     assert(!Locks.release(spark, dir, s))      // stale lease can't free it

@@ -21,6 +21,17 @@ object PerfScratch {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // args = named queries: interleaved ABAB min-of-2 per query (the
+    // single-query iteration aid); no args = the fixed A/B experiments
+    if (args.nonEmpty) {
+      args.foreach { n =>
+        val fn = SparkEntry.queries(n)
+        val a1 = once(fn(spark, sfDir)); val a2 = once(fn(spark, sfDir))
+        println(f"$n%-24s min=${math.min(a1, a2)}%.3f ($a1%.3f/$a2%.3f)")
+      }
+      spark.stop(); return
+    }
+
     def curation(in: DataFrame): DataFrame =
       Dedup.exact(in, "text", "doc_id")
         .withColumn("quality", TF.qualityScore(col("text")))
@@ -39,8 +50,7 @@ object PerfScratch {
     println(f"curation plain  min=${offs.min}%.3f  (${offs.map(v => f"$v%.3f").mkString("/")})")
     println(f"curation spread min=${ons.min}%.3f  (${ons.map(v => f"$v%.3f").mkString("/")})")
 
-    // embedding near-dup: spreadModest currently ON in Dedup — compare the
-    // pipeline on pre-spread input (so internal spread is identity) vs raw
+    // embedding near-dup baseline cost (pipeline as shipped)
     val emb = Tables(spark, sfDir, "embeddings")
     val e1 = collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to 3) e1 += once(Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.3))
