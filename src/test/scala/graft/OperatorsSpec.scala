@@ -549,9 +549,12 @@ class OperatorsSpec extends SparkSpec {
     Catalog.register(spark, Catalog.SwampSpec("fmt_csv", s"$tmp/c", "csv",
       Map("header" -> "true", "inferSchema" -> "true")))
     Catalog.register(spark, Catalog.SwampSpec("fmt_json", s"$tmp/j", "json"))
+    df.write.orc(s"$tmp/o")
+    Catalog.register(spark, Catalog.SwampSpec("fmt_orc", s"$tmp/o", "orc"))
     assert(Catalog.load(spark, "fmt_csv").count() == 2)
     assert(spark.sql("SELECT sum(id) FROM fmt_json").head().getLong(0) == 3L)
-    Catalog.deregister(spark, "fmt_csv"); Catalog.deregister(spark, "fmt_json")
+    assert(spark.sql("SELECT sum(id) FROM fmt_orc").head().getLong(0) == 3L)
+    Seq("fmt_csv", "fmt_json", "fmt_orc").foreach(Catalog.deregister(spark, _))
   }
 
   test("register before data exists; load sees files written after registration") {

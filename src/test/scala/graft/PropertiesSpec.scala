@@ -132,4 +132,48 @@ class PropertiesSpec extends SparkSpec {
                            delta: org.apache.spark.sql.DataFrame) =
     graft.operators.Mutations.set(base.select("key", "v"), delta, "key")
       .select("key", "v")
+
+  test("chunkWindows == Scala sliding reference on 100 random docs") {
+    import spark.implicits._
+    val windowSize = 5; val stride = 3
+    def scalaRef(text: String): Seq[String] = {
+      val toks = text.split(" ", -1).toSeq
+      val n = toks.length
+      val nc = if (n <= windowSize) 1
+        else math.ceil((n - windowSize).toDouble / stride).toInt + 1
+      (0 until nc).map(i => toks.slice(i * stride, i * stride + windowSize).mkString(" "))
+    }
+    val docs = (1 to 100).map { i =>
+      val n = rnd.nextInt(20) // includes 0 => "" => single [""] token
+      (i.toLong, Seq.fill(n)("w" + rnd.nextInt(9)).mkString(" "))
+    }
+    val got = docs.toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TextFunctions.chunkWindows(col("text"), windowSize, stride).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == scalaRef(text), s"doc $id '$text'")
+    }
+  }
+
+  test("packSequences invariants: bins contiguous from 0, spans bounded by budget") {
+    import spark.implicits._
+    val budget = 50
+    val docs = (1 to 200).map(i => (i.toLong, rnd.nextInt(30) + 1))
+    val out = graft.operators.Sampling
+      .packSequences(docs.toDF("id", "n"), "id", "n", budget)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byBin = out.groupBy(_._3)
+    // bins are contiguous 0..max
+    assert(byBin.keySet == (0L until byBin.keySet.size).toSet)
+    // every bin's token span STARTS below its boundary (docs may overflow
+    // past it by at most one doc — the documented carry rule): the first
+    // doc of bin b begins at running-sum < (b+1)*budget and >= b*budget
+    val sorted = out.sortBy(_._1)
+    var running = 0L
+    sorted.foreach { case (_, n, bin) =>
+      assert(bin == running / budget, s"bin mismatch at running=$running")
+      running += n
+    }
+  }
 }
