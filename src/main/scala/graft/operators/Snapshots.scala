@@ -62,11 +62,12 @@ object Snapshots {
     * pointer. Optimistic: on a version conflict the write is retried
     * against the fresh version (bounded), so concurrent committers
     * serialize instead of clobbering. */
-  def commit(df: DataFrame, dir: String, maxRetries: Int = 5): Long = {
+  def commit(df: DataFrame, dir: String, maxRetries: Int = 5,
+             meta: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     var attempt = 0
     while (attempt <= maxRetries) {
-      commitIf(df, dir, currentVersion(spark, dir)) match {
+      commitIf(df, dir, currentVersion(spark, dir), meta) match {
         case Some(v) => return v
         case None => attempt += 1
       }
@@ -98,14 +99,23 @@ object Snapshots {
    * between rename and flip does leave an orphan that blocks that version
    * number; see [[recoverOrphans]].
    */
-  def commitIf(df: DataFrame, dir: String, expected: Option[Long]): Option[Long] = {
+  def commitIf(df: DataFrame, dir: String, expected: Option[Long],
+               meta: Map[String, String] = Map.empty): Option[Long] = {
     val spark = df.sparkSession
     if (currentVersion(spark, dir) != expected) return None
     val next = expected.map(_ + 1).getOrElse(0L)
     val f = fs(spark, dir)
     val staged = new Path(s"$dir/.staging-v$next-${java.util.UUID.randomUUID()}")
-    try df.write.parquet(staged.toString)
-    catch { // a half-written staging dir must not outlive the failed write
+    try {
+      df.write.parquet(staged.toString)
+      // metadata travels INSIDE the version dir, so it becomes visible
+      // atomically with the rename — underscore-prefixed, ignored by scans
+      if (meta.nonEmpty) {
+        val out = f.create(new Path(staged, "_meta"), true)
+        try out.write(meta.map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    } catch { // a half-written staging dir must not outlive the failed write
       case e: Throwable => f.delete(staged, true); throw e
     }
     val won =
@@ -118,6 +128,23 @@ object Snapshots {
     }
     flipPointer(spark, dir, next)
     Some(next)
+  }
+
+  /** Metadata committed with a version (atomic with its rename). */
+  def versionMeta(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): Map[String, String] = {
+    val v = version.orElse(currentVersion(spark, dir))
+      .getOrElse(return Map.empty)
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/v=$v/_meta")
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      body.linesIterator.filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap
+    }
   }
 
   /**
@@ -162,7 +189,8 @@ object Snapshots {
    */
   def mergeCommit(spark: SparkSession, dir: String, delta: DataFrame,
                   keyCol: String,
-                  mode: Mutations.WriteMode = Mutations.Upsert): Long = {
+                  mode: Mutations.WriteMode = Mutations.Upsert,
+                  meta: Map[String, String] = Map.empty): Long = {
     val next = currentVersion(spark, dir) match {
       case None =>
         mode match {
@@ -173,7 +201,7 @@ object Snapshots {
         Mutations.set(read(spark, dir, Some(v)), delta, keyCol, mode)
           .drop("_status")
     }
-    commit(next, dir)
+    commit(next, dir, meta = meta)
   }
 
   /** Drop all versions strictly older than `keepFrom`. */

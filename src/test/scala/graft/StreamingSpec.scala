@@ -269,6 +269,34 @@ class StreamingSpec extends SparkSpec {
     assert(vals == Map("click" -> 1.0, "view" -> 3.0)) // first occurrence wins
   }
 
+  test("snapshot sink: micro-batches merge exactly-once; replayed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Snapshots
+    import graft.streaming.SnapshotSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    val input = MemoryStream[KV2]
+    val q = input.toDF().writeStream
+      .foreachBatch(SnapshotSink.mergeBatch(dir, "key") _)
+      .start()
+    input.addData(KV2("a", 1.0), KV2("b", 2.0))
+    q.processAllAvailable()
+    input.addData(KV2("b", 9.0), KV2("c", 3.0)) // upsert + insert
+    q.processAllAvailable()
+    q.stop()
+    val state = Snapshots.read(spark, dir).as[KV2].collect()
+      .map(kv => kv.key -> kv.v).toMap
+    assert(state == Map("a" -> 1.0, "b" -> 9.0, "c" -> 3.0))
+    val v = Snapshots.currentVersion(spark, dir)
+    val lastBatch = SnapshotSink.lastBatchId(spark, dir)
+    // at-least-once replay: re-running an old batch changes NOTHING
+    SnapshotSink.mergeBatch(dir, "key")(
+      Seq(KV2("b", 2.0)).toDF("key", "v"), batchId = 0L)
+    assert(Snapshots.currentVersion(spark, dir) == v)
+    assert(SnapshotSink.lastBatchId(spark, dir) == lastBatch)
+    assert(Snapshots.read(spark, dir).as[KV2].collect()
+      .map(kv => kv.key -> kv.v).toMap == state)
+  }
+
   test("TTL column marks expiry horizon in event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
@@ -282,3 +310,7 @@ class StreamingSpec extends SparkSpec {
     assert(exp == "2024-01-01 10:30:00")
   }
 }
+
+/** Top-level: Dataset deserialization (.as[KV2]) cannot encode an
+  * inner class without its outer scope. */
+case class KV2(key: String, v: Double)
