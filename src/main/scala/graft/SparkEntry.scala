@@ -434,6 +434,16 @@ object SparkEntry {
         "embedding", "vec_id", queryVec(s, d), 10),
       Some(sqlIvfTopK)),
 
+    Q("q_ann_batch", // batch ANN: every query row's top-k in ONE plan —
+      // per-row probe derivation from broadcast centroids, shuffle join
+      // co-partitioned with the prebuilt index's _list layout, window
+      // top-k per query. The 100 TB serving pattern (a RELATION of
+      // queries, not one driver-side vector)
+      (s, d) => Similarity.ivfTopKBatchPrebuilt(s, ivfIndexPath(s, d),
+        t(s, d, "embeddings").filter(col("vec_id") < 5),
+        "vec_id", "embedding", "embedding", "vec_id", k = 10, dim = 64),
+      Some(sqlIvfBatch)),
+
     Q("q_cosine_pairs", // exact pairwise kernel on a bounded slice
       (s, d) => {
         val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
@@ -945,6 +955,36 @@ object SparkEntry {
         SELECT vec_id, round(score, 6) AS score FROM scored
         WHERE lst IN (SELECT i FROM probed)
         ORDER BY score DESC, vec_id ASC LIMIT $k"""
+  }
+
+  /** DuckDB mirror of Similarity.ivfTopKBatchPrebuilt: per-query probe
+    * ranking (score desc, list-id asc) and per-row index assignment both
+    * from the same seeded centroid constants as sqlIvfTopK. */
+  private lazy val sqlIvfBatch: String = {
+    val nlist = 16; val nprobe = 4; val k = 10
+    val cents = Similarity.ivfCentroids(nlist, 64, 7L)
+    val sCols = cents.zipWithIndex.map { case (c, i) =>
+      s"list_dot_product(embedding::DOUBLE[], ${sqlVec(c)}) AS s$i" }
+    val best = s"greatest(${(0 until nlist).map("s" + _).mkString(",")})"
+    val lstCase = (nlist - 1 to 0 by -1).map(i => s"WHEN s$i = $best THEN $i").mkString(" ")
+    val centVals = cents.zipWithIndex.map { case (c, i) => s"($i, ${sqlVec(c)})" }.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id < 5 AND len(embedding) = 64),
+        cent(i, c) AS (SELECT * FROM (VALUES $centVals)),
+        qscore AS (SELECT qid, qv, i, list_dot_product(qv, c) AS s FROM q, cent),
+        probed AS (SELECT qid, qv, i AS lst FROM (
+            SELECT qid, qv, i, row_number() OVER
+              (PARTITION BY qid ORDER BY s DESC, i ASC) AS rn FROM qscore)
+          WHERE rn <= $nprobe),
+        d AS (SELECT vec_id, embedding, (CASE $lstCase END) AS lst
+              FROM (SELECT vec_id, embedding, ${sCols.mkString(", ")}
+                    FROM embeddings WHERE len(embedding) = 64)),
+        scored AS (SELECT p.qid, d.vec_id,
+            list_dot_product(d.embedding::DOUBLE[], p.qv) AS s,
+            row_number() OVER (PARTITION BY p.qid ORDER BY
+              list_dot_product(d.embedding::DOUBLE[], p.qv) DESC, d.vec_id ASC) AS rn
+          FROM probed p JOIN d ON p.lst = d.lst)
+        SELECT qid, vec_id, round(s, 6) AS score FROM scored WHERE rn <= $k"""
   }
 
   private val textQueries = Seq(

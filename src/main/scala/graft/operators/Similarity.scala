@@ -105,6 +105,48 @@ object Similarity {
       .write.mode("overwrite").partitionBy("_list").parquet(outPath)
   }
 
+  /**
+   * Batch ANN against a prebuilt index: top-k for EVERY query row in one
+   * plan — the 100 TB serving pattern (millions of queries as a relation,
+   * not one driver-side vector). Each query row derives its nprobe probe
+   * lists from the broadcast centroid constants (per-row sort of nlist
+   * scored structs, ties broken on the list id — the same (score desc,
+   * id asc) order as the single-query form), explodes to (query, list)
+   * rows, and joins the index on `_list`: a plain shuffle join
+   * CO-PARTITIONED with the index's own layout, touching nprobe/nlist of
+   * the index per query. Ranking is a per-query window top-k.
+   */
+  def ivfTopKBatchPrebuilt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                           queries: DataFrame, queryKeyCol: String, queryVecCol: String,
+                           vecCol: String, keyCol: String, k: Int, dim: Int,
+                           nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
+    val centroids = ivfCentroids(nlist, dim, seed)
+    val scored = array((0 until nlist).map { i =>
+      struct(VF.cosine(col(queryVecCol), centroids(i)).as("s"), lit(i).as("i"))
+    }: _*)
+    val desc = udfFreeComparatorSort(scored)
+    val probes = queries
+      .filter(size(col(queryVecCol)) === dim)
+      .select(col(queryKeyCol).as("qid"), col(queryVecCol).as("_qv"),
+        explode(transform(slice(desc, 1, nprobe), x => x("i"))).as("_list"))
+    val idx = spark.read.parquet(indexPath).select(col(keyCol), col(vecCol), col("_list"))
+    val joined = probes.join(idx, Seq("_list"))
+      .select(col("qid"), col(keyCol),
+        VF.dot(col(vecCol), col("_qv")).as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("_score").desc, col(keyCol).asc)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col(keyCol), round(col("_score"), 6).as("score"))
+  }
+
+  /** (score desc, id asc) sort of an array of (s, i) structs — the
+    * comparator form of the single-query probe ranking. */
+  private def udfFreeComparatorSort(arr: org.apache.spark.sql.Column) =
+    array_sort(arr, (l, r) =>
+      when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .otherwise(when(l("i") < r("i"), -1).when(l("i") > r("i"), 1).otherwise(0)))
+
   /** Query a prebuilt IVF index (written by [[ivfBuild]] with the same
     * nlist/seed): routes to the nprobe nearest lists — a partition filter,
     * so only nprobe/nlist of the files are read — then brute-forces those

@@ -768,6 +768,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!names.exists(_.startsWith(".staging-")), s"staging debris: $names")
   }
 
+  test("batch ANN equals the single-query prebuilt probe for each query") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfb").toString + "/ix"
+    Similarity.ivfBuild(emb, "embedding", "vec_id", tmp, dim = 64)
+    val batch = Similarity.ivfTopKBatchPrebuilt(spark, tmp,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", "embedding", "vec_id",
+        k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(t => (t._2, t._3)).toSeq.sorted }
+    (0L until 3L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val single = Similarity.ivfTopKPrebuilt(spark, tmp, "embedding", "vec_id", qv, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      assert(batch(qid) == single, s"qid=$qid")
+    }
+  }
+
   test("incremental dedup drops corpus matches, keeps incoming-internal dups") {
     val text = "the quick brown fox jumps over the lazy dog again and again today"
     val corpus = Seq((100L, text), (101L, "completely unrelated corpus text here"))
