@@ -934,23 +934,33 @@ object SparkEntry {
         SELECT key_a, key_b, cosine FROM p WHERE cosine >= 0.3"""
   }
 
-  /** DuckDB mirror of Similarity.ivfTopK: seeded centroids as constants;
-    * per-row argmax assignment (ties => larger index, matching Spark's
-    * struct-max) and the probed-list ranking both in double precision. */
-  private lazy val sqlIvfTopK: String = {
-    val nlist = 16; val nprobe = 4; val k = 10
+  /** Shared centroid-constant scaffolding for the IVF oracles — ONE
+    * source for the seeded constants, score columns, argmax assignment
+    * (ties => larger index, matching Spark's struct-max), and the VALUES
+    * list, so the single-query and batch mirrors cannot drift apart. */
+  private lazy val ivfSqlParts: (String, String, String, String) = {
+    val nlist = 16
     val cents = Similarity.ivfCentroids(nlist, 64, 7L)
     val sCols = cents.zipWithIndex.map { case (c, i) =>
-      s"list_dot_product(embedding::DOUBLE[], ${sqlVec(c)}) AS s$i" }
+      s"list_dot_product(embedding::DOUBLE[], ${sqlVec(c)}) AS s$i" }.mkString(", ")
     val best = s"greatest(${(0 until nlist).map("s" + _).mkString(",")})"
     val lstCase = (nlist - 1 to 0 by -1).map(i => s"WHEN s$i = $best THEN $i").mkString(" ")
     val centVals = cents.zipWithIndex.map { case (c, i) => s"($i, ${sqlVec(c)})" }.mkString(", ")
+    (sCols, best, lstCase, centVals)
+  }
+
+  /** DuckDB mirror of Similarity.ivfTopK: seeded centroids as constants;
+    * per-row argmax assignment and the probed-list ranking both in double
+    * precision. */
+  private lazy val sqlIvfTopK: String = {
+    val nprobe = 4; val k = 10
+    val (sCols, _, lstCase, centVals) = ivfSqlParts
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         cent(i, c) AS (SELECT * FROM (VALUES $centVals)),
         probed AS (SELECT i FROM cent, q ORDER BY list_dot_product(c, qv) DESC, i ASC LIMIT $nprobe),
         scored AS (SELECT vec_id, (CASE $lstCase END) AS lst,
                           list_dot_product(embedding::DOUBLE[], qv) AS score
-                   FROM (SELECT vec_id, embedding, ${sCols.mkString(", ")}
+                   FROM (SELECT vec_id, embedding, $sCols
                          FROM embeddings WHERE len(embedding) = 64), q)
         SELECT vec_id, round(score, 6) AS score FROM scored
         WHERE lst IN (SELECT i FROM probed)
@@ -961,13 +971,8 @@ object SparkEntry {
     * ranking (score desc, list-id asc) and per-row index assignment both
     * from the same seeded centroid constants as sqlIvfTopK. */
   private lazy val sqlIvfBatch: String = {
-    val nlist = 16; val nprobe = 4; val k = 10
-    val cents = Similarity.ivfCentroids(nlist, 64, 7L)
-    val sCols = cents.zipWithIndex.map { case (c, i) =>
-      s"list_dot_product(embedding::DOUBLE[], ${sqlVec(c)}) AS s$i" }
-    val best = s"greatest(${(0 until nlist).map("s" + _).mkString(",")})"
-    val lstCase = (nlist - 1 to 0 by -1).map(i => s"WHEN s$i = $best THEN $i").mkString(" ")
-    val centVals = cents.zipWithIndex.map { case (c, i) => s"($i, ${sqlVec(c)})" }.mkString(", ")
+    val nprobe = 4; val k = 10
+    val (sCols, _, lstCase, centVals) = ivfSqlParts
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
               WHERE vec_id < 5 AND len(embedding) = 64),
         cent(i, c) AS (SELECT * FROM (VALUES $centVals)),
@@ -977,7 +982,7 @@ object SparkEntry {
               (PARTITION BY qid ORDER BY s DESC, i ASC) AS rn FROM qscore)
           WHERE rn <= $nprobe),
         d AS (SELECT vec_id, embedding, (CASE $lstCase END) AS lst
-              FROM (SELECT vec_id, embedding, ${sCols.mkString(", ")}
+              FROM (SELECT vec_id, embedding, $sCols
                     FROM embeddings WHERE len(embedding) = 64)),
         scored AS (SELECT p.qid, d.vec_id,
             list_dot_product(d.embedding::DOUBLE[], p.qv) AS s,

@@ -115,6 +115,10 @@ object Similarity {
    * rows, and joins the index on `_list`: a plain shuffle join
    * CO-PARTITIONED with the index's own layout, touching nprobe/nlist of
    * the index per query. Ranking is a per-query window top-k.
+   *
+   * `queryKeyCol` must be UNIQUE across `queries` (a primary key): the
+   * ranking window partitions by it, so duplicate keys would merge two
+   * queries' candidate pools into one interleaved top-k.
    */
   def ivfTopKBatchPrebuilt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                            queries: DataFrame, queryKeyCol: String, queryVecCol: String,

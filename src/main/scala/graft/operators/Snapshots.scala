@@ -109,8 +109,14 @@ object Snapshots {
     try {
       df.write.parquet(staged.toString)
       // metadata travels INSIDE the version dir, so it becomes visible
-      // atomically with the rename — underscore-prefixed, ignored by scans
+      // atomically with the rename — underscore-prefixed, ignored by scans.
+      // The line format is unescaped, so reject what it cannot round-trip
+      // (a newline in a value or '=' in a key would silently corrupt it).
       if (meta.nonEmpty) {
+        meta.foreach { case (k, v) =>
+          require(!k.contains('=') && !k.contains('\n') && !v.contains('\n'),
+            s"version meta cannot round-trip key '$k' / newline values")
+        }
         val out = f.create(new Path(staged, "_meta"), true)
         try out.write(meta.map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
         finally out.close()
@@ -118,8 +124,19 @@ object Snapshots {
     } catch { // a half-written staging dir must not outlive the failed write
       case e: Throwable => f.delete(staged, true); throw e
     }
+    val dest = new Path(s"$dir/v=$next")
     val won =
-      try { fc(spark, dir).rename(staged, new Path(s"$dir/v=$next")); true }
+      try {
+        fc(spark, dir).rename(staged, dest)
+        // On the local filesystem a racing rename can "succeed" by falling
+        // back to copy-INTO-destination (RawLocalFileSystem.rename's
+        // cross-volume path) — i.e. our staging dir lands NESTED inside
+        // the true winner's version dir. The staging name is unique, so
+        // detect the nesting, remove our copy, and concede. HDFS rename
+        // is atomic server-side and never takes this path.
+        val nested = new Path(dest, staged.getName)
+        if (f.exists(nested)) { f.delete(nested, true); false } else true
+      }
       catch { case _: java.io.IOException => false } // dest exists: lost
     if (!won) { f.delete(staged, true); return None }
     if (currentVersion(spark, dir) != expected) {
@@ -128,6 +145,26 @@ object Snapshots {
     }
     flipPointer(spark, dir, next)
     Some(next)
+  }
+
+  /**
+   * Search version metadata for `key`, newest version first — the
+   * high-water-mark read: an interleaved commit WITHOUT that key (manual
+   * maintenance, compaction) must not erase the answer, so the scan walks
+   * back through retained versions until it finds one carrying the key
+   * (vacuumed history bounds the walk).
+   */
+  def latestMetaValue(spark: SparkSession, dir: String, key: String): Option[String] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return None
+    val versions = f.listStatus(new Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+    val cur = currentVersion(spark, dir).getOrElse(return None)
+    versions.filter(_ <= cur).sorted(Ordering[Long].reverse)
+      .iterator
+      .map(v => versionMeta(spark, dir, Some(v)).get(key))
+      .collectFirst { case Some(v) => v }
   }
 
   /** Metadata committed with a version (atomic with its rename). */
@@ -190,18 +227,33 @@ object Snapshots {
   def mergeCommit(spark: SparkSession, dir: String, delta: DataFrame,
                   keyCol: String,
                   mode: Mutations.WriteMode = Mutations.Upsert,
-                  meta: Map[String, String] = Map.empty): Long = {
-    val next = currentVersion(spark, dir) match {
-      case None =>
-        mode match {
-          case Mutations.Upsert | Mutations.InsertOnly => delta
-          case _ => delta.limit(0) // nothing to update against
-        }
-      case Some(v) =>
-        Mutations.set(read(spark, dir, Some(v)), delta, keyCol, mode)
-          .drop("_status")
+                  meta: Map[String, String] = Map.empty,
+                  maxRetries: Int = 5): Long = {
+    // The read-merge-commit loop must RECOMPUTE the merge against the
+    // fresh version after a CAS conflict: retrying the stale merge result
+    // (the old commit() path) would commit a post-state derived from the
+    // superseded base, silently discarding the racing writer's rows.
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = currentVersion(spark, dir)
+      val next = base match {
+        case None =>
+          mode match {
+            case Mutations.Upsert | Mutations.InsertOnly => delta
+            case _ => delta.limit(0) // nothing to update against
+          }
+        case Some(v) =>
+          Mutations.set(read(spark, dir, Some(v)), delta, keyCol, mode)
+            .drop("_status")
+      }
+      commitIf(next, dir, base, meta) match {
+        case Some(v) => return v
+        case None => attempt += 1 // conflicted: re-read, re-merge
+      }
     }
-    commit(next, dir, meta = meta)
+    throw new IllegalStateException(
+      s"mergeCommit to $dir conflicted $maxRetries times — pathological " +
+        "write contention or an orphan version (run recoverOrphans)")
   }
 
   /** Drop all versions strictly older than `keepFrom`. */

@@ -10,40 +10,54 @@ import graft.operators.{Mutations, Snapshots}
  * state; reference: proto/hydraide.proto:755-801 events feed downstream
  * state, chronicler persists it).
  *
- * Exactly-once mechanics: Structured Streaming's foreachBatch is
- * AT-LEAST-ONCE (a batch can be re-run after a failure with the same
- * batchId), so the sink records the batchId in the version's metadata —
- * which [[Snapshots.commitIf]] makes visible atomically with the version
- * rename. A replayed batch sees `lastBatchId >= batchId` on the CURRENT
- * version and skips; there is no window where the data committed but the
- * batchId did not.
+ * Exactly-once mechanics (the Delta txnAppId/txnVersion pattern): the
+ * sink records (runId, batchId) in the version's metadata, which
+ * [[Snapshots.commitIf]] makes visible atomically with the version
+ * rename. A replayed batch of the SAME run sees `lastBatchId >= batchId`
+ * and skips — and because batchIds restart at 0 when a query is
+ * redeployed with a fresh checkpoint, the skip check is scoped to the
+ * runId: a new run never mistakes the old run's high batchId for its
+ * own progress (that mistake silently discards data). The high-water
+ * mark is read via [[Snapshots.latestMetaValue]], so an interleaved
+ * maintenance commit without sink metadata cannot erase replay
+ * protection either.
  *
  * Single-writer per table is assumed (one streaming query per snapshot
  * dir) — the same per-swamp single-writer model as the reference; the
- * underlying CAS still detects an accidental second writer rather than
- * clobbering.
+ * underlying CAS re-merges against the fresh version on conflict rather
+ * than clobbering a concurrent commit.
  */
 object SnapshotSink {
 
+  private val RunKey = "stream.runId"
   private val BatchKey = "stream.batchId"
 
-  /** Last batchId merged into the table's current version, if any. */
-  def lastBatchId(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Long] =
-    Snapshots.versionMeta(spark, dir).get(BatchKey).map(_.toLong)
+  /** Last (runId, batchId) merged into the table, newest version first. */
+  def lastCommitted(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Option[(String, Long)] =
+    for {
+      run <- Snapshots.latestMetaValue(spark, dir, RunKey)
+      batch <- Snapshots.latestMetaValue(spark, dir, BatchKey)
+    } yield (run, batch.toLong)
 
   /**
    * The foreachBatch body: `stream.writeStream.foreachBatch(
-   * SnapshotSink.mergeBatch(dir, keyCol))`. Applies the [[Mutations.set]]
-   * matrix (default Upsert) of the micro-batch against the latest
-   * snapshot and commits the post-state as the next version, tagged with
-   * the batchId; replayed batchIds are no-ops.
+   * SnapshotSink.mergeBatch(dir, keyCol, runId))`. `runId` identifies
+   * this deployment of the query (use the checkpoint path or
+   * `query.runId`); batchIds are only compared within one runId.
+   * Applies the [[Mutations.set]] matrix (default Upsert) of the
+   * micro-batch against the latest snapshot and commits the post-state
+   * as the next version; replayed batchIds of the same run are no-ops.
    */
-  def mergeBatch(dir: String, keyCol: String,
+  def mergeBatch(dir: String, keyCol: String, runId: String,
                  mode: Mutations.WriteMode = Mutations.Upsert)
                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (lastBatchId(spark, dir).exists(_ >= batchId)) return // replay: done
-    Snapshots.mergeCommit(spark, dir, batch, keyCol, mode,
-      meta = Map(BatchKey -> batchId.toString))
+    lastCommitted(spark, dir) match {
+      case Some((run, last)) if run == runId && last >= batchId => // replay
+      case _ =>
+        Snapshots.mergeCommit(spark, dir, batch, keyCol, mode,
+          meta = Map(RunKey -> runId, BatchKey -> batchId.toString))
+    }
   }
 }

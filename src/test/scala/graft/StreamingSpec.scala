@@ -276,7 +276,7 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
     val input = MemoryStream[KV2]
     val q = input.toDF().writeStream
-      .foreachBatch(SnapshotSink.mergeBatch(dir, "key") _)
+      .foreachBatch(SnapshotSink.mergeBatch(dir, "key", runId = "run1") _)
       .start()
     input.addData(KV2("a", 1.0), KV2("b", 2.0))
     q.processAllAvailable()
@@ -287,14 +287,26 @@ class StreamingSpec extends SparkSpec {
       .map(kv => kv.key -> kv.v).toMap
     assert(state == Map("a" -> 1.0, "b" -> 9.0, "c" -> 3.0))
     val v = Snapshots.currentVersion(spark, dir)
-    val lastBatch = SnapshotSink.lastBatchId(spark, dir)
-    // at-least-once replay: re-running an old batch changes NOTHING
-    SnapshotSink.mergeBatch(dir, "key")(
+    assert(SnapshotSink.lastCommitted(spark, dir).exists(_._1 == "run1"))
+    // at-least-once replay WITHIN the run: re-running an old batch = no-op
+    SnapshotSink.mergeBatch(dir, "key", runId = "run1")(
       Seq(KV2("b", 2.0)).toDF("key", "v"), batchId = 0L)
     assert(Snapshots.currentVersion(spark, dir) == v)
-    assert(SnapshotSink.lastBatchId(spark, dir) == lastBatch)
     assert(Snapshots.read(spark, dir).as[KV2].collect()
       .map(kv => kv.key -> kv.v).toMap == state)
+    // an interleaved maintenance commit without sink metadata must not
+    // erase replay protection (high-water mark walks back through versions)
+    Snapshots.commit(Snapshots.read(spark, dir), dir)
+    SnapshotSink.mergeBatch(dir, "key", runId = "run1")(
+      Seq(KV2("b", 2.0)).toDF("key", "v"), batchId = 1L)
+    assert(Snapshots.read(spark, dir).as[KV2].collect()
+      .map(kv => kv.key -> kv.v).toMap == state) // still the replayed no-op
+    // a REDEPLOYED query (fresh checkpoint => batchIds restart at 0) is a
+    // new run: batch 0 must apply, not be mistaken for replay
+    SnapshotSink.mergeBatch(dir, "key", runId = "run2")(
+      Seq(KV2("d", 4.0)).toDF("key", "v"), batchId = 0L)
+    assert(Snapshots.read(spark, dir).as[KV2].collect()
+      .map(kv => kv.key -> kv.v).toMap == state + ("d" -> 4.0))
   }
 
   test("TTL column marks expiry horizon in event time") {
