@@ -1126,6 +1126,27 @@ object SparkEntry {
                           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
           SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u""")),
 
+    Q("q_neardup_dedup", // the composed near-dup dedup a pipeline ships:
+      // LSH pairs -> connected components -> drop non-canonical members,
+      // keep winners and singletons; the loser set broadcasts into an
+      // anti-join so the corpus never shuffles
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Clustering.dropNearDuplicates(docs,
+            Dedup.minhashLsh(docs, "text", "doc_id",
+              shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+            "key_a", "key_b", "doc_id")
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (${sqlLshNearDup(16, 4, 0.5)}),
+          edges AS (SELECT key_a AS u, key_b AS v FROM pairs
+                    UNION SELECT key_b, key_a FROM pairs),
+          reach(u, v) AS (SELECT u, v FROM edges
+                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comps AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+          SELECT doc_id, lang FROM documents
+          WHERE doc_id NOT IN (SELECT u FROM comps WHERE u <> cluster)""")),
+
     Q("q_seq_pack", // fixed token-budget bin assignment for batch assembly:
       // bin = floor(running tokens before the doc / budget) — one window
       // pass, deterministic across engines/partitionings (greedy first-fit

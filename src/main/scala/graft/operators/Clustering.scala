@@ -81,4 +81,19 @@ object Clustering {
     * (the minimum — the cluster label itself). */
   def clusterWinners(components: DataFrame, keyCol: String): DataFrame =
     components.filter(col(keyCol) === col("cluster")).select(col(keyCol))
+
+  /**
+   * The full near-dup dedup: drop every NON-canonical cluster member from
+   * `docs`, keep canonical winners and all unclustered docs — the
+   * pairs → components → corpus composition a curation pipeline actually
+   * ships. The loser set (one key column, orders of magnitude smaller
+   * than the corpus) broadcasts into an anti-join, so the corpus itself
+   * never shuffles.
+   */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+                         aCol: String, bCol: String, keyCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, outKey = keyCol)
+    val losers = comps.filter(col(keyCol) =!= col("cluster")).select(col(keyCol))
+    docs.join(broadcast(losers), Seq(keyCol), "left_anti")
+  }
 }
