@@ -759,6 +759,30 @@ object SparkEntry {
         .select(col("event_id"), col("_cap_reached")),
       Some("SELECT event_id, (SELECT count(*) FROM events WHERE event_type = 'purchase' AND value > 90.0) > 50 AS _cap_reached FROM events WHERE event_type = 'purchase'")),
 
+    Q("q_asof_join", // temporal as-of lookup: each purchase sees the
+      // latest signup-state at-or-before its timestamp. Spark side = the
+      // scalable union-window formulation (one key shuffle, no row
+      // explosion); oracle side = DuckDB's native ASOF LEFT JOIN — a
+      // genuinely different algorithm, so agreement is strong evidence
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dim = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("signup_score"))
+        val fact = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        AsofJoin.asofJoin(fact, dim, Seq("user_id"), "ts", "ts")
+          .select(col("event_id"), col("user_id"),
+            round(col("value"), 2).as("purchase_v"),
+            round(col("signup_score"), 2).as("last_signup_score"))
+      },
+      Some("""WITH dim AS (SELECT user_id, ts, max(value) AS signup_score
+            FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+          p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+          SELECT p.event_id, p.user_id, round(p.value, 2) AS purchase_v,
+                 round(dim.signup_score, 2) AS last_signup_score
+          FROM p ASOF LEFT JOIN dim ON p.user_id = dim.user_id AND p.ts >= dim.ts""")),
+
     Q("q_cdc_diff", // SubscribeToEvents event algebra (proto:755-801)
       (s, d) => {
         val o = t(s, d, "orders")

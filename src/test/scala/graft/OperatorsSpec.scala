@@ -768,6 +768,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!names.exists(_.startsWith(".staging-")), s"staging debris: $names")
   }
 
+  test("asof join: greatest at-or-before match, equality included, NULLs before first") {
+    val fact = Seq((1L, "u1", 5, 50.0), (2L, "u1", 2, 20.0), (3L, "u1", 1, 10.0),
+      (4L, "u2", 9, 90.0)).toDF("id", "k", "t", "fv")
+    val dim = Seq(("u1", 2, "a"), ("u1", 4, "b"), ("u3", 1, "z")).toDF("k", "t", "dv")
+    val out = AsofJoin.asofJoin(fact, dim, Seq("k"), "t", "t")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(out == Map(
+      1L -> Some("b"), // t=5: latest dim at t=4
+      2L -> Some("a"), // t=2: EQUAL timestamp included (>=)
+      3L -> None,      // t=1: before any dim row
+      4L -> None))     // u2: no dim rows for the key (u3's never leak)
+    // clashing value column names are a loud error, not silent overwrite
+    assertThrows[IllegalArgumentException](
+      AsofJoin.asofJoin(fact, dim.withColumnRenamed("dv", "fv"), Seq("k"), "t", "t"))
+  }
+
   test("batch ANN equals the single-query prebuilt probe for each query") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables(spark, dir, "embeddings")
