@@ -374,13 +374,16 @@ object SparkEntry {
     t(s, d, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
-  /** One IVF index build per (session, dir) — the prebuilt-ANN fixture. */
+  /** One IVF index build per (session, dir) — the prebuilt-ANN fixture.
+    * The on-disk path embeds a per-(session, dir) unique token so a second
+    * session (same or another JVM) never overwrites a directory a
+    * concurrent session is probing, and distinct dirs can never alias. */
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def ivfIndexPath(s: SparkSession, d: String): String =
     ivfIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivf_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_ivf_").resolve("index").toString
       Similarity.ivfBuild(t(s, d, "embeddings"), "embedding", "vec_id", path, dim = 64)
       path
     })
@@ -593,7 +596,8 @@ object SparkEntry {
     import org.apache.spark.sql.types._
     final case class W(name: String, mkV: Column, sqlV: String,
                        delta: Column, sqlDelta: String,
-                       sqlType: Option[String] = None)
+                       sqlType: Option[String] = None,
+                       compareAsString: Boolean = false)
     // Unsigned widths follow the engine-wide widening convention (SURVEY
     // §1.2): u8 => SMALLINT, u16 => INTEGER, u32 => BIGINT, u64 =>
     // DECIMAL(20,0). The u64 fixture sits PAST Long.MaxValue so the query
@@ -619,21 +623,28 @@ object SparkEntry {
         (lit(new java.math.BigDecimal("9223372036854775807")) + col("c_custkey"))
           .cast(DecimalType(20, 0)),
         "CAST(9223372036854775807::HUGEINT + c_custkey AS DECIMAL(20,0))",
-        lit(5), "5", sqlType = Some("DECIMAL(20,0)")),
+        // Values past 2^63 overflow the compare harness's float64 fetch path
+        // (2^53 exact-integer ceiling), so the emitted column is the decimal's
+        // TEXTUAL form on both sides — representation-proof, still proves the
+        // increment ran on Decimal(20,0) (a long carrier would have overflowed).
+        lit(5), "5", sqlType = Some("DECIMAL(20,0)"), compareAsString = true),
       W("f32", col("c_acctbal").cast(FloatType),
         "CAST(c_acctbal AS REAL)", lit(0.25), "0.25::DOUBLE"),
       W("f64", col("c_acctbal").cast(DoubleType),
         "CAST(c_acctbal AS DOUBLE)", lit(0.25), "0.25::DOUBLE"))
     widths.map { w =>
+      val vOut = if (w.compareAsString) col("v").cast("string").as("v") else col("v")
+      val sqlCase = s"""CASE WHEN c_custkey % 3 = 0
+                 THEN CAST(${w.sqlV} + ${w.sqlDelta} AS ${w.sqlType.getOrElse(sqlTypeOf(w.sqlV))})
+                 ELSE ${w.sqlV} END"""
+      val sqlOut = if (w.compareAsString) s"CAST($sqlCase AS VARCHAR)" else sqlCase
       Q(s"q_increment_${w.name}",
         (s, d) => Mutations.incrementWhere(
             t(s, d, "customer").select(col("c_custkey"), w.mkV.as("v")),
             "v", w.delta, col("c_custkey") % 3 === 0)
-          .select(col("c_custkey"), col("v"), col("_applied")),
+          .select(col("c_custkey"), vOut, col("_applied")),
         Some(s"""SELECT c_custkey,
-            CASE WHEN c_custkey % 3 = 0
-                 THEN CAST(${w.sqlV} + ${w.sqlDelta} AS ${w.sqlType.getOrElse(sqlTypeOf(w.sqlV))})
-                 ELSE ${w.sqlV} END AS v,
+            $sqlOut AS v,
             c_custkey % 3 = 0 AS _applied FROM customer"""))
     }
   }

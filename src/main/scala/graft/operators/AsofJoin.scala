@@ -33,6 +33,10 @@ object AsofJoin {
     val leftCols = left.columns.filterNot(keyCols.contains).toSeq
     val clash = leftCols.intersect(rightVals)
     require(clash.isEmpty, s"left/right value columns must be disjoint: $clash")
+    val reserved = Seq("_asof_t", "_asof_isL")
+    val reservedHit = (left.columns ++ right.columns).toSeq.intersect(reserved)
+    require(reservedHit.isEmpty,
+      s"inputs must not contain reserved internal columns: ${reservedHit.distinct}")
 
     val lTagged = left.select(
       keyCols.map(col) ++

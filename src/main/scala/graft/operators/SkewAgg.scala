@@ -62,12 +62,34 @@ object SkewAgg {
         valueCols.tail.map(c => sum(s"_p_$c").as(c)): _*)
   }
 
-  /** Per-key counts with salt-spread partials. */
+  /** Per-key counts with salt-spread partials.
+    *
+    * LIMITATION (loud, not a footnote): the salt is a content hash, so rows
+    * that are fully IDENTICAL — the hot key with a constant payload, i.e.
+    * the common counter/event workload — all land in ONE salt bucket and
+    * this silently degrades to an unsalted aggregation. For that shape use
+    * [[saltedCountPreAgg]], which collapses identical rows map-side before
+    * salting. */
   def saltedCount(df: DataFrame, keyCol: String,
                   saltBuckets: Int = 16): DataFrame =
     df.withColumn("_one", lit(1L))
       .transform(d => saltedSum(d, keyCol, Seq("_one"), saltBuckets))
       .withColumnRenamed("_one", "cnt")
+
+  /** Per-key counts for workloads where a hot key's rows may be fully
+    * identical (constant-payload counters) — the one shape content-hash
+    * salting cannot spread. Stage 0 groups by the FULL row: identical rows
+    * collapse map-side (partial aggregation emits one (row, multiplicity)
+    * per task), so the shuffle carries at most tasks × distinct-rows
+    * partials instead of every raw row; the now-distinct partials then
+    * flow through [[saltedSum]] on the multiplicity. */
+  def saltedCountPreAgg(df: DataFrame, keyCol: String,
+                        saltBuckets: Int = 16): DataFrame = {
+    val pre = df.groupBy(df.columns.toIndexedSeq.map(col): _*)
+      .agg(count(lit(1)).as("_mult"))
+    saltedSum(pre, keyCol, Seq("_mult"), saltBuckets)
+      .withColumnRenamed("_mult", "cnt")
+  }
 
   /** Generic two-stage form: caller supplies the partial aggregates
     * (run per (key, salt)) and the merge aggregates (run per key over the

@@ -154,7 +154,19 @@ object Snapshots {
    * back through retained versions until it finds one carrying the key
    * (vacuumed history bounds the walk).
    */
-  def latestMetaValue(spark: SparkSession, dir: String, key: String): Option[String] = {
+  def latestMetaValue(spark: SparkSession, dir: String, key: String): Option[String] =
+    latestMetaValues(spark, dir, Seq(key)).map(_(key))
+
+  /**
+   * Like [[latestMetaValue]] for SEVERAL keys, read from the SAME version —
+   * the newest retained version whose metadata carries every requested key.
+   * Independent per-key walks could stitch a pair from different commits
+   * (one commit writing only half the keys would pair its value with an
+   * older commit's other half), which for (runId, batchId) high-water marks
+   * silently corrupts replay protection.
+   */
+  def latestMetaValues(spark: SparkSession, dir: String,
+                       keys: Seq[String]): Option[Map[String, String]] = {
     val f = fs(spark, dir)
     if (!f.exists(new Path(dir))) return None
     val versions = f.listStatus(new Path(dir))
@@ -163,8 +175,12 @@ object Snapshots {
     val cur = currentVersion(spark, dir).getOrElse(return None)
     versions.filter(_ <= cur).sorted(Ordering[Long].reverse)
       .iterator
-      .map(v => versionMeta(spark, dir, Some(v)).get(key))
-      .collectFirst { case Some(v) => v }
+      .map { v =>
+        val meta = versionMeta(spark, dir, Some(v))
+        if (keys.forall(meta.contains)) Some(keys.map(k => k -> meta(k)).toMap)
+        else None
+      }
+      .collectFirst { case Some(m) => m }
   }
 
   /** Metadata committed with a version (atomic with its rename). */

@@ -32,19 +32,23 @@ object SnapshotSink {
   private val RunKey = "stream.runId"
   private val BatchKey = "stream.batchId"
 
-  /** Last (runId, batchId) merged into the table, newest version first. */
+  /** Last (runId, batchId) merged into the table — both read from the SAME
+    * version's metadata (a pair stitched from two versions could combine one
+    * commit's runId with another's batchId). */
   def lastCommitted(spark: org.apache.spark.sql.SparkSession,
                     dir: String): Option[(String, Long)] =
-    for {
-      run <- Snapshots.latestMetaValue(spark, dir, RunKey)
-      batch <- Snapshots.latestMetaValue(spark, dir, BatchKey)
-    } yield (run, batch.toLong)
+    Snapshots.latestMetaValues(spark, dir, Seq(RunKey, BatchKey))
+      .map(m => (m(RunKey), m(BatchKey).toLong))
 
   /**
    * The foreachBatch body: `stream.writeStream.foreachBatch(
    * SnapshotSink.mergeBatch(dir, keyCol, runId))`. `runId` identifies
-   * this deployment of the query (use the checkpoint path or
-   * `query.runId`); batchIds are only compared within one runId.
+   * this deployment of the query and MUST be restart-stable — use the
+   * checkpoint path or `query.id` (stable across restarts from the same
+   * checkpoint, the Delta txnAppId analogue). Do NOT use `query.runId`:
+   * Spark assigns a fresh runId on every restart while batchIds continue,
+   * which disables the replay guard in exactly the crash-restart-replay
+   * case it exists for. BatchIds are only compared within one runId.
    * Applies the [[Mutations.set]] matrix (default Upsert) of the
    * micro-batch against the latest snapshot and commits the post-state
    * as the next version; replayed batchIds of the same run are no-ops.

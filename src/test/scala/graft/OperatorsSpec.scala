@@ -773,7 +773,7 @@ class OperatorsSpec extends SparkSpec {
       (4L, "u2", 9, 90.0)).toDF("id", "k", "t", "fv")
     val dim = Seq(("u1", 2, "a"), ("u1", 4, "b"), ("u3", 1, "z")).toDF("k", "t", "dv")
     val out = AsofJoin.asofJoin(fact, dim, Seq("k"), "t", "t")
-      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("dv"))).toMap
     assert(out == Map(
       1L -> Some("b"), // t=5: latest dim at t=4
       2L -> Some("a"), // t=2: EQUAL timestamp included (>=)
