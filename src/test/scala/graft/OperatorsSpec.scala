@@ -312,6 +312,38 @@ class OperatorsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 1) // latest untouched
   }
 
+  test("maintain: fragmentation-triggered compaction reclaims bytes, keeps results and meta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint").toString + "/t"
+    // churn: 5 commits of the same keys → 4 superseded versions = dead bytes
+    (0 until 5).foreach { i =>
+      Snapshots.commit(
+        (1L to 50L).map(k => (k, s"v$i-$k")).toDF("k", "v").repartition(8),
+        dir, meta = Map("stream.runId" -> "run-A", "stream.batchId" -> i.toString))
+    }
+    val before = Snapshots.read(spark, dir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytesBefore = f.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    // below both thresholds → no-op (frag ≈ 0.8 needs ≥0.9; 5 versions ≤ 8)
+    val skip = Snapshots.maintain(spark, dir, maxVersions = 8, fragmentationThreshold = 0.9)
+    assert(!skip.compacted && skip.versionsBefore == 5 && skip.fragmentation > 0.5)
+    // default thresholds: 5 versions > 4 and frag ≈ 0.8 ≥ 0.5 → compacts
+    val r = Snapshots.maintain(spark, dir)
+    assert(r.compacted && r.compactedVersion.contains(5L) && r.reclaimedBytes > 0)
+    val bytesAfter = f.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    assert(bytesAfter < bytesBefore)
+    // results unchanged, history gone, 8 part-files coalesced to 1
+    val after = Snapshots.read(spark, dir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before)
+    assertThrows[Exception](Snapshots.read(spark, dir, Some(4L)).collect())
+    assert(Snapshots.read(spark, dir).rdd.getNumPartitions == 1)
+    // the replay high-water mark survived the vacuum of the versions that carried it
+    assert(Snapshots.latestMetaValues(spark, dir, Seq("stream.runId", "stream.batchId"))
+      .contains(Map("stream.runId" -> "run-A", "stream.batchId" -> "4")))
+    // immediately after compaction nothing is due
+    assert(!Snapshots.maintain(spark, dir).compacted)
+  }
+
   test("mergeCommit: durable Set loop over snapshot versions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
     Snapshots.mergeCommit(spark, dir, Seq(("k1", 1.0), ("k2", 2.0)).toDF("key", "v"), "key")
