@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /**
  * Existence probes — `IsKeyExist` / `AreKeysExist` / `IsSwampExist`
@@ -17,19 +16,11 @@ import org.apache.spark.sql.types._
  */
 object Existence {
 
-  /** Per-key presence: one row per probed key with `is_present`. */
-  def areKeysExist(df: DataFrame, keyCol: String, keys: Seq[Any]): DataFrame = {
-    val spark = df.sparkSession
-    val keyType = df.schema(keyCol).dataType
-    val probe = spark.createDataFrame(
-      spark.sparkContext.parallelize(keys.map(Row(_)), 1),
-      StructType(Seq(StructField("key", keyType, nullable = false))))
-    val found = df.filter(col(keyCol).isin(keys: _*))
-      .select(col(keyCol).as("key")).distinct()
-      .withColumn("_p", lit(true))
-    probe.join(broadcast(found), Seq("key"), "left_outer")
-      .select(col("key"), coalesce(col("_p"), lit(false)).as("is_present"))
-  }
+  /** Per-key presence: one row per probed key with `is_present`. Key lists
+    * past [[KeyProbe.InlineThreshold]] probe via broadcast join instead of
+    * `isin` literals — same result, no plan-size cliff. */
+  def areKeysExist(df: DataFrame, keyCol: String, keys: Seq[Any]): DataFrame =
+    KeyProbe.presence(df, keyCol, keys)
 
   /** Single-key probe: true iff the key exists. */
   def isKeyExist(df: DataFrame, keyCol: String, key: Any): Boolean =

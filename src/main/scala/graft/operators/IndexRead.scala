@@ -36,7 +36,12 @@ object IndexRead {
       includeKeys: Seq[Any] = Nil,       // reference: IncludedKeys (proto:2830-2844)
       excludeKeys: Seq[Any] = Nil,
       keyCol: String = "key",
-      keysOnly: Boolean = false)
+      keysOnly: Boolean = false,
+      // Keyset continuation: resume strictly after the (orderBy..., key)
+      // tuple of the previous page's last row. afterAxis holds one value
+      // per orderBy column; afterKey the key tie-break. Replaces `from`.
+      afterAxis: Seq[Any] = Nil,
+      afterKey: Option[Any] = None)
 
   def run(df: DataFrame, q: IndexQuery): DataFrame = {
     var cur = df
@@ -53,6 +58,33 @@ object IndexRead {
     }
 
     q.filter.foreach(f => cur = cur.filter(FilterCompiler.compile(f, df)))
+
+    // Keyset continuation — the beacon-walk pagination of the reference
+    // (beacon.go:1368-1420 resumes an ordered walk from the last-seen
+    // element instead of re-counting an offset). OFFSET k forces every
+    // page to re-scan and re-sort the k rows already served (page N costs
+    // O(N·pageSize·log)); the keyset form compiles to a row-lexicographic
+    // range predicate over (orderBy..., key) that reaches the parquet scan
+    // and prunes row groups on min/max stats — page N costs the same as
+    // page 1 at any depth.
+    if (q.afterKey.isDefined || q.afterAxis.nonEmpty) {
+      require(q.afterKey.isDefined,
+        "keyset continuation needs afterKey (the key tie-break of the last served row)")
+      require(q.afterAxis.length == q.orderBy.length,
+        s"afterAxis must carry one value per orderBy column " +
+          s"(${q.afterAxis.length} given for ${q.orderBy.length} axes)")
+      require(q.from == 0, "keyset continuation replaces the offset — leave from=0")
+      val axes: Seq[(Column, Order, Any)] =
+        q.orderBy.zip(q.afterAxis).map { case ((c, o), v) => (col(c), o, v) } :+
+          ((col(q.keyCol), Asc: Order, q.afterKey.get))
+      def after(i: Int): Column = {
+        val (c, o, v) = axes(i)
+        val strict = if (o == Asc) c > lit(v) else c < lit(v)
+        if (i == axes.length - 1) strict
+        else strict || (c === lit(v) && after(i + 1))
+      }
+      cur = cur.filter(after(0))
+    }
 
     if (q.orderBy.nonEmpty) {
       val sortCols: Seq[Column] = q.orderBy.map {

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/**
+ * Key-list membership against a big table, with an automatic plan switch —
+ * the batch form of the reference's key-addressed RPCs (`GetByKeys` /
+ * `ShiftByKeys` / `AreKeysExist`, app/server/gateway/gateway.go:550-631,
+ * which iterates an explicit key list per request).
+ *
+ * Two regimes, one API:
+ *  - RPC-sized lists (≤ [[InlineThreshold]]) compile to an `isin` literal
+ *    predicate: it reaches the parquet scan as a pushed `In` filter and
+ *    prunes row groups on min/max stats — the table is never fully read.
+ *  - Larger lists switch to a broadcast semi/anti join: a thousand-literal
+ *    `In` bloats the plan (analysis cost, codegen size) and falls off the
+ *    pushdown path, while a broadcast hash join streams the scan once with
+ *    an O(1) probe per row and still never shuffles the big side.
+ *
+ * The switch is per-call and purely size-driven, so callers (Shift,
+ * Existence, entry queries) get the right plan at both ends without
+ * choosing.
+ */
+object KeyProbe {
+
+  /** Above this many keys, `isin` literals give way to a broadcast join. */
+  val InlineThreshold = 1000
+
+  /** The probe list as a 1-column ("key") single-partition DataFrame. */
+  def keysDf(df: DataFrame, keyCol: String, keys: Seq[Any]): DataFrame = {
+    val spark = df.sparkSession
+    val keyType = df.schema(keyCol).dataType
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(Row(_)), 1),
+      StructType(Seq(StructField("key", keyType, nullable = false))))
+  }
+
+  /** Rows of `df` whose `keyCol` IS in `keys`. */
+  def semi(df: DataFrame, keyCol: String, keys: Seq[Any],
+           threshold: Int = InlineThreshold): DataFrame =
+    if (keys.lengthCompare(threshold) <= 0) df.filter(col(keyCol).isin(keys: _*))
+    else df.join(broadcast(keysDf(df, keyCol, keys).distinct()),
+      df(keyCol) === col("key"), "left_semi")
+
+  /** Rows of `df` whose `keyCol` is NOT in `keys`. `isin` under NOT is
+    * null-hostile (`NOT (null IN ...)` is null ⇒ row dropped), so the
+    * inline form null-guards to keep the same keep-the-nulls semantics as
+    * the anti join (null keys never match a probe list). */
+  def anti(df: DataFrame, keyCol: String, keys: Seq[Any],
+           threshold: Int = InlineThreshold): DataFrame =
+    if (keys.lengthCompare(threshold) <= 0)
+      df.filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+    else df.join(broadcast(keysDf(df, keyCol, keys).distinct()),
+      df(keyCol) === col("key"), "left_anti")
+
+  /** Membership as a boolean column joined onto the probe list itself:
+    * one row per probed key with `is_present`. */
+  def presence(df: DataFrame, keyCol: String, keys: Seq[Any],
+               threshold: Int = InlineThreshold): DataFrame = {
+    val found = semi(df, keyCol, keys, threshold)
+      .select(col(keyCol).as("key")).distinct().withColumn("_p", lit(true))
+    keysDf(df, keyCol, keys).join(broadcast(found), Seq("key"), "left_outer")
+      .select(col("key"), coalesce(col("_p"), lit(false)).as("is_present"))
+  }
+}

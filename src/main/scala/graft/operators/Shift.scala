@@ -34,12 +34,13 @@ object Shift {
     ShiftResult(claimed, remaining)
   }
 
-  /** `ShiftByKeys`: atomic get-and-delete of an explicit key list. */
-  def shiftByKeys(df: DataFrame, keyCol: String, keys: Seq[Any]): ShiftResult = {
-    val claimed = df.filter(col(keyCol).isin(keys: _*))
-    val remaining = df.filter(!col(keyCol).isin(keys: _*))
-    ShiftResult(claimed, remaining)
-  }
+  /** `ShiftByKeys`: atomic get-and-delete of an explicit key list. RPC-sized
+    * lists compile to pushed-down `isin` literals; past [[KeyProbe.InlineThreshold]]
+    * the same call switches to a broadcast semi/anti join (the reference's
+    * batched key loop, gateway.go:550-631, has no plan cliff to avoid — a
+    * thousand-literal `In` on Spark does). */
+  def shiftByKeys(df: DataFrame, keyCol: String, keys: Seq[Any]): ShiftResult =
+    ShiftResult(KeyProbe.semi(df, keyCol, keys), KeyProbe.anti(df, keyCol, keys))
 
   /** `ShiftMatchingTreasures`: parametric filter + axis order + bound. */
   def shiftMatching(df: DataFrame, filter: FilterNode, orderCol: String,
