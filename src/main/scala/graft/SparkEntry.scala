@@ -128,6 +128,24 @@ object SparkEntry {
         limit = Some(15), keyCol = "o_orderkey")),
       Some("SELECT * FROM orders ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 15")),
 
+    Q("q_index_keyset", // keyset continuation = the beacon walk (beacon.go:1368-1420):
+      // page N is a pushed range predicate over (axis, key), NOT an OFFSET
+      // re-scan — same cost at any depth. Page 2 here must equal the OFFSET
+      // formulation's page 2 exactly (total order via the key tie-break).
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val base = IndexRead.IndexQuery(
+          filter = Some(Cmp(FieldRef("o_orderstatus"), CmpOp.Equal, "O")),
+          orderBy = Seq(("o_orderdate", IndexRead.Desc)),
+          keyCol = "o_orderkey")
+        // page 1; its last row is the continuation token the client holds
+        val tok = IndexRead.run(orders, base.copy(limit = Some(20))).collect().last
+        IndexRead.run(orders, base.copy(limit = Some(20),
+          afterAxis = Seq(tok.getAs[Any]("o_orderdate")),
+          afterKey = Some(tok.getAs[Any]("o_orderkey"))))
+      },
+      Some("SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 20 OFFSET 20")),
+
     Q("q_index_from_many", // GetByIndexStreamFromMany (proto:2883-2914)
       (s, d) => {
         val orders = t(s, d, "orders")

@@ -77,11 +77,21 @@ object IndexRead {
       val axes: Seq[(Column, Order, Any)] =
         q.orderBy.zip(q.afterAxis).map { case ((c, o), v) => (col(c), o, v) } :+
           ((col(q.keyCol), Asc: Order, q.afterKey.get))
+      // Null-safe "strictly after v" under Spark's default sort-null
+      // placement (ASC = nulls first, DESC = nulls last). A bare `c > lit(v)`
+      // is null-hostile twice over: a NULL axis VALUE in the continuation
+      // token makes the whole predicate NULL (every row silently dropped),
+      // and NULL CELLS in the column are dropped even when the sort placed
+      // them after the token. Tie comparison is `<=>` for the same reason.
+      def strictlyAfter(c: Column, o: Order, v: Any): Column = o match {
+        case Asc  => if (v == null) c.isNotNull else c > lit(v)
+        case Desc => if (v == null) lit(false) else c < lit(v) || c.isNull
+      }
       def after(i: Int): Column = {
         val (c, o, v) = axes(i)
-        val strict = if (o == Asc) c > lit(v) else c < lit(v)
+        val strict = strictlyAfter(c, o, v)
         if (i == axes.length - 1) strict
-        else strict || (c === lit(v) && after(i + 1))
+        else strict || (c <=> lit(v) && after(i + 1))
       }
       cur = cur.filter(after(0))
     }

@@ -28,21 +28,28 @@ object KeyProbe {
   /** Above this many keys, `isin` literals give way to a broadcast join. */
   val InlineThreshold = 1000
 
-  /** The probe list as a 1-column ("key") single-partition DataFrame. */
+  /** Probe-side column name. Deliberately NOT "key": the probed table's own
+    * key column is often literally named "key" (IndexQuery's default), and a
+    * join condition `df(keyCol) === col("key")` would then be ambiguous. */
+  private[operators] val ProbeCol = "_graft_probe_key"
+
+  /** The probe list as a 1-column single-partition DataFrame. */
   def keysDf(df: DataFrame, keyCol: String, keys: Seq[Any]): DataFrame = {
     val spark = df.sparkSession
     val keyType = df.schema(keyCol).dataType
     spark.createDataFrame(
       spark.sparkContext.parallelize(keys.map(Row(_)), 1),
-      StructType(Seq(StructField("key", keyType, nullable = false))))
+      StructType(Seq(StructField(ProbeCol, keyType, nullable = false))))
   }
 
-  /** Rows of `df` whose `keyCol` IS in `keys`. */
+  /** Rows of `df` whose `keyCol` IS in `keys`. The probe list is deduped on
+    * the DRIVER (it already lives there) — a `.distinct()` on the probe
+    * DataFrame would plan a needless exchange+aggregate pair. */
   def semi(df: DataFrame, keyCol: String, keys: Seq[Any],
            threshold: Int = InlineThreshold): DataFrame =
     if (keys.lengthCompare(threshold) <= 0) df.filter(col(keyCol).isin(keys: _*))
-    else df.join(broadcast(keysDf(df, keyCol, keys).distinct()),
-      df(keyCol) === col("key"), "left_semi")
+    else df.join(broadcast(keysDf(df, keyCol, keys.distinct)),
+      df(keyCol) === col(ProbeCol), "left_semi")
 
   /** Rows of `df` whose `keyCol` is NOT in `keys`. `isin` under NOT is
     * null-hostile (`NOT (null IN ...)` is null ⇒ row dropped), so the
@@ -52,16 +59,17 @@ object KeyProbe {
            threshold: Int = InlineThreshold): DataFrame =
     if (keys.lengthCompare(threshold) <= 0)
       df.filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
-    else df.join(broadcast(keysDf(df, keyCol, keys).distinct()),
-      df(keyCol) === col("key"), "left_anti")
+    else df.join(broadcast(keysDf(df, keyCol, keys.distinct)),
+      df(keyCol) === col(ProbeCol), "left_anti")
 
   /** Membership as a boolean column joined onto the probe list itself:
-    * one row per probed key with `is_present`. */
+    * one row per probed key with `is_present` (duplicate probe keys stay
+    * duplicated — the reference answers per requested key). */
   def presence(df: DataFrame, keyCol: String, keys: Seq[Any],
                threshold: Int = InlineThreshold): DataFrame = {
     val found = semi(df, keyCol, keys, threshold)
-      .select(col(keyCol).as("key")).distinct().withColumn("_p", lit(true))
-    keysDf(df, keyCol, keys).join(broadcast(found), Seq("key"), "left_outer")
-      .select(col("key"), coalesce(col("_p"), lit(false)).as("is_present"))
+      .select(col(keyCol).as(ProbeCol)).distinct().withColumn("_p", lit(true))
+    keysDf(df, keyCol, keys).join(broadcast(found), Seq(ProbeCol), "left_outer")
+      .select(col(ProbeCol).as("key"), coalesce(col("_p"), lit(false)).as("is_present"))
   }
 }
