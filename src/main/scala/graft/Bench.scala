@@ -51,6 +51,23 @@ object Bench {
     val total = BigDecimal(results.map(_._2).filter(_ >= 0).sum)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+
+    // The driver keeps only the stdout TAIL (~2 KB), which truncates the
+    // per-query map past ~80 entries — so the COMPLETE record is also
+    // written to a file inside the repo, name-sorted for stable diffs, and
+    // committed alongside. Round-over-round comparison reads this file.
+    // (skipped for filtered local-iteration runs — a partial map must never
+    // overwrite the committed full record)
+    if (args.isEmpty) {
+      val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/bench_full.json")
+      val byName = results.sortBy(_._1).map { case (k, v) =>
+        "  \"" + k + "\": " + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{\n", ",\n", ",\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+        byName + s"""  "_total_sec": $total,\n  "_sf": "$sfDir",\n  "_n_queries": ${results.size}\n}\n""")
+    }
+
     spark.stop()
   }
 }

@@ -44,6 +44,10 @@ object Tables {
     val t =
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < t) df.repartition(t) else df
+    // partition count via the df's OWN physical plan: `df.rdd` would build a
+    // second QueryExecution with a row-deserializing projection bolted on
+    // (planning cost per call, AQE stats lost); toRdd is the internal-row
+    // RDD of the plan that actually runs
+    if (df.queryExecution.toRdd.getNumPartitions < t) df.repartition(t) else df
   }
 }
