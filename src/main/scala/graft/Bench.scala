@@ -61,11 +61,16 @@ object Bench {
     if (args.isEmpty) {
       val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "/root/repo/bench_full.json")
-      val byName = results.sortBy(_._1).map { case (k, v) =>
-        "  \"" + k + "\": " + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-      }.mkString("{\n", ",\n", ",\n")
+      // meta entries share the list with the per-query entries so one
+      // mkString handles separators (an empty suite still emits valid JSON)
+      val entries = results.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\": " + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      } ++ Seq(
+        s""""_total_sec": $total""",
+        s""""_sf": "$sfDir"""",
+        s""""_n_queries": ${results.size}""")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-        byName + s"""  "_total_sec": $total,\n  "_sf": "$sfDir",\n  "_n_queries": ${results.size}\n}\n""")
+        entries.mkString("{\n  ", ",\n  ", "\n}\n"))
     }
 
     spark.stop()

@@ -138,8 +138,14 @@ object SparkEntry {
           filter = Some(Cmp(FieldRef("o_orderstatus"), CmpOp.Equal, "O")),
           orderBy = Seq(("o_orderdate", IndexRead.Desc)),
           keyCol = "o_orderkey")
-        // page 1; its last row is the continuation token the client holds
-        val tok = IndexRead.run(orders, base.copy(limit = Some(20))).collect().last
+        // page 1; its last row is the continuation token the client holds.
+        // NOTE: page 1 executes INSIDE the query builder, so Bench times two
+        // queries here while the DuckDB oracle is a single OFFSET statement —
+        // the timing is not like-for-like (the correctness compare is).
+        val page1 = IndexRead.run(orders, base.copy(limit = Some(20))).collect()
+        require(page1.nonEmpty,
+          "q_index_keyset: page 1 is empty — no continuation token to walk from")
+        val tok = page1.last
         IndexRead.run(orders, base.copy(limit = Some(20),
           afterAxis = Seq(tok.getAs[Any]("o_orderdate")),
           afterKey = Some(tok.getAs[Any]("o_orderkey"))))

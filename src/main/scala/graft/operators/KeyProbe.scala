@@ -39,32 +39,46 @@ object KeyProbe {
     val keyType = df.schema(keyCol).dataType
     spark.createDataFrame(
       spark.sparkContext.parallelize(keys.map(Row(_)), 1),
-      StructType(Seq(StructField(ProbeCol, keyType, nullable = false))))
+      StructType(Seq(StructField(ProbeCol, keyType,
+        nullable = keys.exists(_ == null)))))
   }
+
+  /** A null probe key can never equi-match any row, but it poisons the
+    * inline regime (`isin(...null...)` is NULL for every non-matching row —
+    * under NOT that drops ALL of them) while the join regimes just ignore
+    * it, so the two regimes would disagree. Stripped up front: both regimes
+    * then agree, and the threshold compares the EFFECTIVE list. */
+  private def nonNull(keys: Seq[Any]): Seq[Any] = keys.filterNot(_ == null)
 
   /** Rows of `df` whose `keyCol` IS in `keys`. The probe list is deduped on
     * the DRIVER (it already lives there) — a `.distinct()` on the probe
     * DataFrame would plan a needless exchange+aggregate pair. */
   def semi(df: DataFrame, keyCol: String, keys: Seq[Any],
-           threshold: Int = InlineThreshold): DataFrame =
-    if (keys.lengthCompare(threshold) <= 0) df.filter(col(keyCol).isin(keys: _*))
-    else df.join(broadcast(keysDf(df, keyCol, keys.distinct)),
+           threshold: Int = InlineThreshold): DataFrame = {
+    val ks = nonNull(keys)
+    if (ks.lengthCompare(threshold) <= 0) df.filter(col(keyCol).isin(ks: _*))
+    else df.join(broadcast(keysDf(df, keyCol, ks.distinct)),
       df(keyCol) === col(ProbeCol), "left_semi")
+  }
 
   /** Rows of `df` whose `keyCol` is NOT in `keys`. `isin` under NOT is
     * null-hostile (`NOT (null IN ...)` is null ⇒ row dropped), so the
     * inline form null-guards to keep the same keep-the-nulls semantics as
     * the anti join (null keys never match a probe list). */
   def anti(df: DataFrame, keyCol: String, keys: Seq[Any],
-           threshold: Int = InlineThreshold): DataFrame =
-    if (keys.lengthCompare(threshold) <= 0)
-      df.filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
-    else df.join(broadcast(keysDf(df, keyCol, keys.distinct)),
+           threshold: Int = InlineThreshold): DataFrame = {
+    val ks = nonNull(keys)
+    if (ks.lengthCompare(threshold) <= 0)
+      df.filter(col(keyCol).isNull || !col(keyCol).isin(ks: _*))
+    else df.join(broadcast(keysDf(df, keyCol, ks.distinct)),
       df(keyCol) === col(ProbeCol), "left_anti")
+  }
 
   /** Membership as a boolean column joined onto the probe list itself:
     * one row per probed key with `is_present` (duplicate probe keys stay
-    * duplicated — the reference answers per requested key). */
+    * duplicated — the reference answers per requested key). A null probe
+    * key keeps its row and reports `is_present = false` (the equi-join
+    * never matches NULL), consistent with semi/anti ignoring nulls. */
   def presence(df: DataFrame, keyCol: String, keys: Seq[Any],
                threshold: Int = InlineThreshold): DataFrame = {
     val found = semi(df, keyCol, keys, threshold)

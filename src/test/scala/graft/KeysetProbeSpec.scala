@@ -143,6 +143,25 @@ class KeysetProbeSpec extends SparkSpec {
       Set(Seq(2L, true), Seq(3L, true), Seq(42L, false)))
   }
 
+  test("a NULL in the probe key list: regimes agree, nothing matches it") {
+    // inline `!isin(...null...)` would evaluate NULL for every non-matching
+    // row and drop them all — the null probe key must be stripped up front
+    val df = Seq(Option(1L), Option(2L), None, Option(5L)).toDF("k")
+    val keys: Seq[Any] = Seq(2L, null, 42L)
+    def rows(d: DataFrame) = d.collect().map(_.toSeq).toSet
+    for ((inline, bcast) <- Seq(
+      (KeyProbe.semi(df, "k", keys), KeyProbe.semi(df, "k", keys, threshold = 1)),
+      (KeyProbe.anti(df, "k", keys), KeyProbe.anti(df, "k", keys, threshold = 1)),
+      (KeyProbe.presence(df, "k", keys), KeyProbe.presence(df, "k", keys, threshold = 1))))
+      assert(rows(inline) == rows(bcast))
+    assert(rows(KeyProbe.semi(df, "k", keys)) == Set(Seq(2L)))
+    assert(rows(KeyProbe.anti(df, "k", keys)) == Set(Seq(1L), Seq(null), Seq(5L)))
+    // presence still answers one row per REQUESTED key — the null probe key
+    // keeps its row and is simply never present
+    assert(rows(KeyProbe.presence(df, "k", keys)) ==
+      Set(Seq(2L, true), Seq(null, false), Seq(42L, false)))
+  }
+
   test("presence works when the probed table's key column is itself named `key`") {
     val df = Seq(1L, 2L, 3L).toDF("key")
     val got = KeyProbe.presence(df, "key", Seq(2L, 9L), threshold = 1)
