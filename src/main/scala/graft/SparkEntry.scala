@@ -1486,7 +1486,29 @@ object SparkEntry {
     Q("q_shift_by_keys", // ShiftByKeys claim side (proto:1109-1151)
       (s, d) => Shift.shiftByKeys(t(s, d, "customer"), "c_custkey",
         (100L to 160L).toSeq).claimed,
-      Some("SELECT * FROM customer WHERE c_custkey BETWEEN 100 AND 160")))
+      Some("SELECT * FROM customer WHERE c_custkey BETWEEN 100 AND 160")),
+
+    Q("q_msgpack_roundtrip", // opaque-body ingestion (filter.go:58-70,315-390):
+      // documents pack into schemaless msgpack bodies (the reference's
+      // treasure encoding) and decode back into typed columns — including a
+      // field the body never carried, which must surface as NULL (the
+      // reference's missing-path => nil). Verified against DuckDB reading
+      // the SAME columns natively: the codec pair must be the identity.
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("source", StringType),
+          StructField("lang", StringType),
+          StructField("never_written", StringType)))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.MsgPack.pack(struct(col("source"), col("lang"))).as("body"))
+          .select(col("doc_id"),
+            graft.functions.MsgPack.unpack(col("body"), schema).as("b"))
+          .select(col("doc_id"), col("b.source").as("source"),
+            col("b.lang").as("lang"), col("b.never_written").as("never_written"))
+      },
+      Some("SELECT doc_id, source, lang, CAST(NULL AS VARCHAR) AS never_written FROM documents")))
 
   // ==========================================================================
   // assembled

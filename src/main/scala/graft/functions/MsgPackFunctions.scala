@@ -1,0 +1,270 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * MessagePack ingestion: batch conversion between opaque binary msgpack
+ * bodies and native Spark StructType columns, implemented against the
+ * PUBLIC msgpack format spec (msgpack.org — format byte ranges: fixint
+ * 0x00-0x7f/0xe0-0xff, fixmap 0x80, fixarray 0x90, fixstr 0xa0, nil 0xc0,
+ * bool 0xc2/c3, bin 0xc4-c6, float 0xca/cb, uint 0xcc-cf, int 0xd0-d3,
+ * str 0xd9-db, array 0xdc/dd, map 0xde/df).
+ *
+ * The reference stores treasure bodies as schemaless msgpack and filters
+ * them by dot-path with missing-path => nil => no-match semantics
+ * (reference: app/server/gateway/filter.go:315-390). This engine made the
+ * opposite call — filters compile against NATIVE StructType columns so
+ * Catalyst prunes/pushes them — and this utility is the bridge: decode the
+ * dynamic body ONCE at ingestion into typed columns (missing field => NULL,
+ * matching the reference's nil), then every FilterCompiler path applies.
+ *
+ * Reference-SDK framing: bodies on the wire carry a 2-byte magic prefix
+ * 0xC7 0x00 (filter.go:58-70); [[MsgPack.unpack]] strips it when present,
+ * so wire-shaped and bare bodies both decode.
+ *
+ * Scale shape: both directions are per-row scan-stage expressions — no
+ * shuffle, no driver involvement; at 100 TB the decode runs where the scan
+ * runs. They are interpreted (CodegenFallback): ingestion is a one-time
+ * boundary conversion, NOT a hot query path — queries run against the
+ * decoded native columns. Corrupt/truncated bytes decode to NULL (row
+ * quarantine via `WHERE decoded IS NULL`), never an executor throw.
+ */
+object MsgPack {
+
+  /** Encode a column (struct/array/map/atom) to msgpack bytes. Structs
+    * become maps keyed by field name, in field order; NULL fields are
+    * encoded as nil (decoding either form yields the same NULL). */
+  def pack(c: Column): Column = GraftBridge.column(MsgPackEncode(GraftBridge.expression(c)))
+
+  /** Decode msgpack bytes into `schema`-typed values. Missing struct
+    * fields, nil values and type-mismatched values all land as NULL —
+    * the reference's missing-path/nil semantics, made columnar. */
+  def unpack(c: Column, schema: DataType): Column =
+    GraftBridge.column(MsgPackDecode(GraftBridge.expression(c), schema))
+
+  // ---------------------------------------------------------------- decoder
+
+  /** Raw parse: msgpack value graph as (null | Boolean | Long | BigInt |
+    * Double | String | Array[Byte] | Vector[Any] | Vector[(Any, Any)]).
+    * Maps keep insertion order as a pair vector — duplicate keys keep the
+    * LAST occurrence at lookup, matching common unmarshal behavior. */
+  private def parse(b: ByteBuffer): Any = {
+    val t = b.get() & 0xff
+    t match {
+      case x if x <= 0x7f => x.toLong                    // positive fixint
+      case x if x >= 0xe0 => (x - 0x100).toLong          // negative fixint
+      case x if x >= 0x80 && x <= 0x8f => parseMap(b, x & 0x0f)
+      case x if x >= 0x90 && x <= 0x9f => parseArr(b, x & 0x0f)
+      case x if x >= 0xa0 && x <= 0xbf => parseStr(b, x & 0x1f)
+      case 0xc0 => null
+      case 0xc2 => false
+      case 0xc3 => true
+      case 0xc4 => parseBin(b, b.get() & 0xff)
+      case 0xc5 => parseBin(b, b.getShort() & 0xffff)
+      case 0xc6 => parseBin(b, b.getInt())
+      case 0xca => b.getFloat().toDouble
+      case 0xcb => b.getDouble()
+      case 0xcc => (b.get() & 0xff).toLong
+      case 0xcd => (b.getShort() & 0xffff).toLong
+      case 0xce => b.getInt() & 0xffffffffL
+      case 0xcf =>
+        val v = b.getLong()
+        if (v >= 0) v else BigInt(java.lang.Long.toUnsignedString(v))
+      case 0xd0 => b.get().toLong
+      case 0xd1 => b.getShort().toLong
+      case 0xd2 => b.getInt().toLong
+      case 0xd3 => b.getLong()
+      case 0xd9 => parseStr(b, b.get() & 0xff)
+      case 0xda => parseStr(b, b.getShort() & 0xffff)
+      case 0xdb => parseStr(b, b.getInt())
+      case 0xdc => parseArr(b, b.getShort() & 0xffff)
+      case 0xdd => parseArr(b, b.getInt())
+      case 0xde => parseMap(b, b.getShort() & 0xffff)
+      case 0xdf => parseMap(b, b.getInt())
+      case 0xc7 | 0xc8 | 0xc9 | 0xd4 | 0xd5 | 0xd6 | 0xd7 | 0xd8 =>
+        // ext types (incl. the timestamp ext): skip payload, decode as null —
+        // no target Catalyst type claims them
+        val len = t match {
+          case 0xc7 => b.get() & 0xff
+          case 0xc8 => b.getShort() & 0xffff
+          case 0xc9 => b.getInt()
+          case 0xd4 => 1; case 0xd5 => 2; case 0xd6 => 4
+          case 0xd7 => 8; case 0xd8 => 16
+        }
+        b.get() // ext type tag
+        b.position(b.position() + len)
+        null
+      case _ => throw new IllegalArgumentException(f"msgpack: bad format byte 0x$t%02x")
+    }
+  }
+
+  private def parseStr(b: ByteBuffer, n: Int): String = {
+    val a = new Array[Byte](n); b.get(a); new String(a, StandardCharsets.UTF_8)
+  }
+  private def parseBin(b: ByteBuffer, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n); b.get(a); a
+  }
+  private def parseArr(b: ByteBuffer, n: Int): Vector[Any] =
+    Vector.fill(n)(parse(b))
+  private def parseMap(b: ByteBuffer, n: Int): Vector[(Any, Any)] =
+    Vector.fill(n)((parse(b), parse(b)))
+
+  /** Raw value -> Catalyst value of `dt`; anything that doesn't fit is NULL
+    * (the typed-compare no-match discipline, FilterCompiler's contract). */
+  private def convert(raw: Any, dt: DataType): Any = (raw, dt) match {
+    case (null, _) => null
+    case (v: Boolean, BooleanType) => v
+    case (v: Long, t) => t match {
+      case ByteType => if (v.isValidByte) v.toByte else null
+      case ShortType => if (v.isValidShort) v.toShort else null
+      case IntegerType => if (v.isValidInt) v.toInt else null
+      case LongType => v
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case d: DecimalType =>
+        val dec = Decimal(BigDecimal(v)); if (dec.changePrecision(d.precision, d.scale)) dec else null
+      case _ => null
+    }
+    case (v: BigInt, d: DecimalType) => // uint64 past Long.Max
+      val dec = Decimal(BigDecimal(v)); if (dec.changePrecision(d.precision, d.scale)) dec else null
+    case (v: BigInt, DoubleType) => v.toDouble
+    case (v: Double, DoubleType) => v
+    case (v: Double, FloatType) => v.toFloat
+    case (v: String, StringType) => UTF8String.fromString(v)
+    case (v: String, BinaryType) => v.getBytes(StandardCharsets.UTF_8)
+    case (v: Array[Byte], BinaryType) => v
+    case (v: Vector[_], ArrayType(et, _)) =>
+      new GenericArrayData(v.map(e => convert(e, et)).toArray)
+    case (v: Vector[_], st: StructType) if v.forall(_.isInstanceOf[(_, _)]) =>
+      val pairs = v.asInstanceOf[Vector[(Any, Any)]]
+      val byKey = pairs.collect { case (k: String, value) => k -> value }.toMap
+      InternalRow.fromSeq(st.fields.toSeq.map(f =>
+        convert(byKey.getOrElse(f.name, null), f.dataType)))
+    case (v: Vector[_], MapType(StringType, vt, _)) if v.forall(_.isInstanceOf[(_, _)]) =>
+      val pairs = v.asInstanceOf[Vector[(Any, Any)]]
+        .collect { case (k: String, value) => k -> value }
+      ArrayBasedMapData(
+        pairs.map(p => UTF8String.fromString(p._1)).toArray,
+        pairs.map(p => convert(p._2, vt)).toArray)
+    case _ => null
+  }
+
+  private[functions] def decode(bytes: Array[Byte], dt: DataType): Any =
+    try {
+      // reference-SDK wire framing: ext8(len 0) magic prefix (filter.go:58-70)
+      val off = if (bytes.length >= 2 && bytes(0) == 0xC7.toByte && bytes(1) == 0x00.toByte) 2 else 0
+      val b = ByteBuffer.wrap(bytes, off, bytes.length - off).order(ByteOrder.BIG_ENDIAN)
+      convert(parse(b), dt)
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  // ---------------------------------------------------------------- encoder
+
+  private def writeStr(o: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    if (b.length < 32) o.write(0xa0 | b.length)
+    else if (b.length < 256) { o.write(0xd9); o.write(b.length) }
+    else if (b.length < 65536) { o.write(0xda); o.write(b.length >> 8); o.write(b.length) }
+    else { o.write(0xdb); writeInt32(o, b.length) }
+    o.write(b)
+  }
+  private def writeInt32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v >> 24); o.write(v >> 16); o.write(v >> 8); o.write(v)
+  }
+  private def writeLong(o: java.io.ByteArrayOutputStream, tag: Int, v: Long): Unit = {
+    o.write(tag); writeInt32(o, (v >> 32).toInt); writeInt32(o, v.toInt)
+  }
+  private def writeLen(o: java.io.ByteArrayOutputStream, n: Int,
+                       fixTag: Int, fixMax: Int, tag16: Int, tag32: Int): Unit =
+    if (n <= fixMax) o.write(fixTag | n)
+    else if (n < 65536) { o.write(tag16); o.write(n >> 8); o.write(n) }
+    else { o.write(tag32); writeInt32(o, n) }
+
+  private def encodeValue(o: java.io.ByteArrayOutputStream, v: Any, dt: DataType): Unit =
+    if (v == null) o.write(0xc0)
+    else dt match {
+      case BooleanType => o.write(if (v.asInstanceOf[Boolean]) 0xc3 else 0xc2)
+      case ByteType => writeLong(o, 0xd3, v.asInstanceOf[Byte].toLong)
+      case ShortType => writeLong(o, 0xd3, v.asInstanceOf[Short].toLong)
+      case IntegerType => writeLong(o, 0xd3, v.asInstanceOf[Int].toLong)
+      case LongType => writeLong(o, 0xd3, v.asInstanceOf[Long])
+      case FloatType =>
+        o.write(0xca); writeInt32(o, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+      case DoubleType =>
+        val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+        o.write(0xcb); writeInt32(o, (bits >> 32).toInt); writeInt32(o, bits.toInt)
+      case d: DecimalType => // u64 carrier: unsigned when past Long range
+        val bi = v.asInstanceOf[Decimal].toJavaBigDecimal.toBigIntegerExact
+        writeLong(o, if (bi.signum() >= 0 && bi.bitLength() >= 64) 0xcf else 0xd3, bi.longValue())
+      case StringType => writeStr(o, v.toString)
+      case BinaryType =>
+        val b = v.asInstanceOf[Array[Byte]]
+        if (b.length < 256) { o.write(0xc4); o.write(b.length) }
+        else if (b.length < 65536) { o.write(0xc5); o.write(b.length >> 8); o.write(b.length) }
+        else { o.write(0xc6); writeInt32(o, b.length) }
+        o.write(b)
+      case ArrayType(et, _) =>
+        val a = v.asInstanceOf[ArrayData]
+        writeLen(o, a.numElements(), 0x90, 15, 0xdc, 0xdd)
+        var i = 0
+        while (i < a.numElements()) { encodeValue(o, a.get(i, et), et); i += 1 }
+      case MapType(StringType, vt, _) =>
+        val m = v.asInstanceOf[MapData]
+        writeLen(o, m.numElements(), 0x80, 15, 0xde, 0xdf)
+        val ks = m.keyArray(); val vs = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          writeStr(o, ks.getUTF8String(i).toString)
+          encodeValue(o, vs.get(i, vt), vt); i += 1
+        }
+      case st: StructType =>
+        val r = v.asInstanceOf[InternalRow]
+        writeLen(o, st.length, 0x80, 15, 0xde, 0xdf)
+        var i = 0
+        while (i < st.length) {
+          writeStr(o, st.fields(i).name)
+          encodeValue(o, if (r.isNullAt(i)) null else r.get(i, st.fields(i).dataType),
+            st.fields(i).dataType)
+          i += 1
+        }
+      case other => throw new UnsupportedOperationException(
+        s"msgpack pack: unsupported type $other")
+    }
+
+  private[functions] def encode(v: Any, dt: DataType): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(64)
+    encodeValue(o, v, dt)
+    o.toByteArray
+  }
+}
+
+/** `pack(value)`: msgpack bytes of any packable column. Interpreted — an
+  * ingestion-boundary expression, not a query hot path. */
+case class MsgPackEncode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any = MsgPack.encode(input, child.dataType)
+  override protected def withNewChildInternal(newChild: Expression): MsgPackEncode =
+    copy(child = newChild)
+}
+
+/** `unpack(bytes, schema)`: typed decode, NULL on corrupt input or any
+  * shape/type mismatch (missing-path => NULL, reference filter.go:315-390). */
+case class MsgPackDecode(child: Expression, targetType: DataType)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = targetType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    MsgPack.decode(input.asInstanceOf[Array[Byte]], targetType)
+  override protected def withNewChildInternal(newChild: Expression): MsgPackDecode =
+    copy(child = newChild)
+}
