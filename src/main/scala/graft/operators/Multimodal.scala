@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, partition-parallel decode / feature-extraction.
  *
- * The decode kernels themselves are STUBBED (no codec libraries in this
- * environment — `decodeStub` derives deterministic fake features from the
- * bytes); everything around them — schema, batch iteration, partitioning,
- * null discipline — is the real Spark plumbing a 100 TB media pipeline
- * needs: binary payloads never shuffle (feature extraction happens before
+ * IMAGE payloads (PNG/BMP/GIF/JPEG, detected by magic bytes) decode for
+ * REAL through `javax.imageio` (in the JDK — no external codec needed):
+ * true width/height land in `meta`, and the brightness feature is the
+ * actual mean luminance (Rec.601, sampled on a bounded grid so a huge
+ * image costs O(64x64), not O(pixels)). Audio/video and non-image bytes
+ * keep the deterministic stub kernel (`decodeStub`) — those codecs aren't
+ * in this environment — but the surrounding plumbing is identical either
+ * way: binary payloads never shuffle (feature extraction happens before
  * any wide transform), and per-partition iteration amortizes per-batch
  * codec setup the way mapInPandas/mapPartitions batches do.
  */
@@ -42,38 +45,93 @@ object Multimodal {
         lit(null).cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
+  private def shaPrefix(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .take(4).map("%02x".format(_)).mkString
+
   /**
-   * STUB decode: deterministic pseudo-features from the raw bytes. A real
-   * deployment swaps the body for an image/audio codec call; the signature,
-   * batching shape, and output schema stay exactly as-is.
+   * STUB decode: deterministic pseudo-features from the raw bytes. The
+   * fallback for payloads whose codec isn't in this environment (audio,
+   * video, exotic image formats); the signature, batching shape, and
+   * output schema are the same as the real path.
    */
   private def decodeStub(bytes: Array[Byte]): (Long, String, Double) = {
     if (bytes == null) (0L, "", 0.0)
     else {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      val hex = md.take(4).map("%02x".format(_)).mkString
       val brightness = (bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble /
         math.max(bytes.length, 1)) / 255.0
-      (bytes.length.toLong, hex, brightness)
+      (bytes.length.toLong, shaPrefix(bytes), brightness)
     }
   }
+
+  /** Magic-byte sniff: only bytes that LOOK like a decodable image reach
+    * ImageIO — arbitrary text/binary must not pay a codec-probe attempt. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 'B' && b(1) == 'M') ||                                       // BMP
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                       // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))                          // GIF
+
+  /** Real image decode via the JDK's ImageIO: (width, height, mean Rec.601
+    * luminance in [0,1]). Luminance is sampled on a <=64x64 grid — bounded
+    * per-row cost regardless of image size. None on undecodable bytes
+    * (falls back to the stub; a corrupt payload must never kill a task). */
+  private[operators] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    if (!looksLikeImage(bytes)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+        var sum = 0.0; var n = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)) / 255.0
+            n += 1; x += sx
+          }
+          y += sy
+        }
+        Some((w, h, sum / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /**
    * Feature extraction over the binary column, one decoder instance per
    * partition (mapPartitions = the JVM analogue of mapInPandas batches).
+   * Image payloads take the real ImageIO path — true dimensions written
+   * into `meta.width`/`meta.height`, real mean luminance as the brightness
+   * feature; everything else keeps the stub. Both paths run where the scan
+   * runs: the binary column is consumed here and never shuffles.
    */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "content") :+
       StructField("features", featureType))
     val contentIdx = media.schema.fieldIndex("content")
     val keepIdx = media.schema.fields.indices.filterNot(_ == contentIdx)
+    val metaOutIdx = outSchema.fields.indexWhere(_.name == "meta")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.mapPartitions { rows =>
       // per-partition setup happens HERE (codec init in a real pipeline)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        val (n, sha, bright) = decodeStub(bytes)
-        Row.fromSeq(keepIdx.map(r.get) :+ Row(n, sha, bright))
+        val kept = keepIdx.map(r.get)
+        decodeImage(bytes) match {
+          case Some((w, h, luma)) =>
+            val out = kept :+ Row(bytes.length.toLong, shaPrefix(bytes), luma)
+            val m = if (metaOutIdx < 0) null
+              else out(metaOutIdx).asInstanceOf[Row]
+            if (m == null) Row.fromSeq(out)
+            else Row.fromSeq(out.updated(metaOutIdx, // true dims into meta
+              Row(m.get(0), w, h, m.get(3))))
+          case None =>
+            val (n, sha, bright) = decodeStub(bytes)
+            Row.fromSeq(kept :+ Row(n, sha, bright))
+        }
       }
     }(enc)
   }

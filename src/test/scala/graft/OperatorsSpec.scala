@@ -437,6 +437,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) == 3L && out(2L) == 0L)
   }
 
+  test("media features: real ImageIO decode for PNG and BMP, stub for non-images") {
+    // 4x2 image, left half white, right half black => mean luminance 0.5
+    def imageBytes(format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 4)
+        img.setRGB(x, y, if (x < 2) 0xFFFFFF else 0x000000)
+      val o = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, o), s"no $format writer")
+      o.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes("png"), "image/png"),
+      (2L, imageBytes("bmp"), "image/bmp"),
+      (3L, "just text".getBytes("UTF-8"), "text/plain"))
+    val df = rows.toDF("id", "payload", "mime")
+    val feats = Multimodal.extractFeatures(
+      df.select(col("id").as("media_id"), col("payload").as("content"),
+        struct(col("mime"), lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")))
+      .select(col("media_id"), col("meta.width"), col("meta.height"),
+        col("features.fake_brightness"), col("features.n_bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val r = feats(id)
+      assert(r.getInt(1) == 4 && r.getInt(2) == 2,
+        s"real decode must fill meta dims: $r")
+      assert(math.abs(r.getDouble(3) - 0.5) < 0.01,
+        s"brightness must be the real mean luminance: $r")
+    }
+    val txt = feats(3L)
+    assert(txt.isNullAt(1) && txt.isNullAt(2), "non-image keeps null dims")
+    assert(txt.getLong(4) == 9L)
+  }
+
   test("frame sampling emits n evenly spaced stubs") {
     val df = Seq((1L, "x")).toDF("id", "payload")
     val frames = Multimodal.sampleFrames(
