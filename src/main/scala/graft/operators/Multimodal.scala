@@ -12,12 +12,15 @@ import org.apache.spark.sql.types._
  * REAL through `javax.imageio` (in the JDK — no external codec needed):
  * true width/height land in `meta`, and the brightness feature is the
  * actual mean luminance (Rec.601, sampled on a bounded grid so a huge
- * image costs O(64x64), not O(pixels)). Audio/video and non-image bytes
- * keep the deterministic stub kernel (`decodeStub`) — those codecs aren't
- * in this environment — but the surrounding plumbing is identical either
- * way: binary payloads never shuffle (feature extraction happens before
- * any wide transform), and per-partition iteration amortizes per-batch
- * codec setup the way mapInPandas/mapPartitions batches do.
+ * image costs O(64x64), not O(pixels)). WAV AUDIO decodes for real through
+ * `javax.sound.sampled`: true duration into `meta.duration_ms`, real RMS
+ * loudness (bounded sample count) as the scalar feature. Compressed
+ * audio/video bytes keep the deterministic stub kernel (`decodeStub`) —
+ * those codecs aren't in this environment — but the surrounding plumbing
+ * is identical either way: binary payloads never shuffle (feature
+ * extraction happens before any wide transform), and per-partition
+ * iteration amortizes per-batch codec setup the way mapInPandas/
+ * mapPartitions batches do.
  */
 object Multimodal {
 
@@ -100,13 +103,50 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** RIFF/WAVE magic sniff — only wav-shaped bytes reach the audio stack. */
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real WAV decode via the JDK's javax.sound.sampled: (duration_ms, RMS
+    * loudness in [0,1]). RMS reads at most ~64k samples — bounded per-row
+    * cost regardless of clip length. None on undecodable bytes. */
+  private[operators] def decodeWav(bytes: Array[Byte]): Option[(Long, Double)] =
+    if (!looksLikeWav(bytes)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames <= 0 || fmt.getFrameRate <= 0 || fmt.getSampleSizeInBits != 16) None
+        else {
+          val durationMs = (frames.toDouble / fmt.getFrameRate * 1000.0).toLong
+          val maxBytes = 65536 * fmt.getFrameSize
+          val buf = new Array[Byte](math.min(frames * fmt.getFrameSize, maxBytes.toLong).toInt)
+          var off = 0; var r = 0
+          while (off < buf.length && { r = in.read(buf, off, buf.length - off); r > 0 }) off += r
+          var sum = 0.0; var n = 0; var i = 0
+          while (i + 1 < off) { // 16-bit PCM, either endianness
+            val s = if (fmt.isBigEndian) (buf(i) << 8) | (buf(i + 1) & 0xff)
+                    else (buf(i + 1) << 8) | (buf(i) & 0xff)
+            val v = s / 32768.0; sum += v * v; n += 1; i += 2
+          }
+          if (n == 0) None else Some((durationMs, math.sqrt(sum / n)))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /**
    * Feature extraction over the binary column, one decoder instance per
    * partition (mapPartitions = the JVM analogue of mapInPandas batches).
    * Image payloads take the real ImageIO path — true dimensions written
    * into `meta.width`/`meta.height`, real mean luminance as the brightness
-   * feature; everything else keeps the stub. Both paths run where the scan
-   * runs: the binary column is consumed here and never shuffles.
+   * feature. WAV payloads take the real javax.sound path — true duration
+   * into `meta.duration_ms`, RMS loudness as the feature. Everything else
+   * keeps the stub. All paths run where the scan runs: the binary column
+   * is consumed here and never shuffles.
    */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "content") :+
@@ -120,17 +160,22 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val kept = keepIdx.map(r.get)
+        def withMeta(scalar: Double)(patch: Row => Row): Row = {
+          val out = kept :+ Row(bytes.length.toLong, shaPrefix(bytes), scalar)
+          val m = if (metaOutIdx < 0) null else out(metaOutIdx).asInstanceOf[Row]
+          if (m == null) Row.fromSeq(out)
+          else Row.fromSeq(out.updated(metaOutIdx, patch(m)))
+        }
         decodeImage(bytes) match {
-          case Some((w, h, luma)) =>
-            val out = kept :+ Row(bytes.length.toLong, shaPrefix(bytes), luma)
-            val m = if (metaOutIdx < 0) null
-              else out(metaOutIdx).asInstanceOf[Row]
-            if (m == null) Row.fromSeq(out)
-            else Row.fromSeq(out.updated(metaOutIdx, // true dims into meta
-              Row(m.get(0), w, h, m.get(3))))
-          case None =>
-            val (n, sha, bright) = decodeStub(bytes)
-            Row.fromSeq(kept :+ Row(n, sha, bright))
+          case Some((w, h, luma)) => // true dims into meta
+            withMeta(luma)(m => Row(m.get(0), w, h, m.get(3)))
+          case None => decodeWav(bytes) match {
+            case Some((durMs, rms)) => // true duration into meta
+              withMeta(rms)(m => Row(m.get(0), m.get(1), m.get(2), durMs))
+            case None =>
+              val (n, sha, bright) = decodeStub(bytes)
+              Row.fromSeq(kept :+ Row(n, sha, bright))
+          }
         }
       }
     }(enc)

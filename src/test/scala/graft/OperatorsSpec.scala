@@ -473,6 +473,29 @@ class OperatorsSpec extends SparkSpec {
     assert(txt.getLong(4) == 9L)
   }
 
+  test("media features: real WAV decode — true duration in meta, real RMS loudness") {
+    // 0.25 s sine at 8 kHz mono 16-bit, amplitude 0.5 => RMS = 0.5/sqrt(2)
+    val sampleRate = 8000; val nSamples = 2000
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val v = (0.5 * math.sin(2 * math.Pi * 440 * i / sampleRate) * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val o = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, o)
+    val df = Seq((1L, o.toByteArray, "audio/wav")).toDF("id", "payload", "mime")
+    val r = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "id", col("payload"), "audio/wav"))
+      .select(col("meta.duration_ms"), col("features.fake_brightness")).collect().head
+    assert(r.getLong(0) == 250L, s"true duration must land in meta: $r")
+    assert(math.abs(r.getDouble(1) - 0.5 / math.sqrt(2)) < 0.01,
+      s"feature must be the real RMS: $r")
+  }
+
   test("frame sampling emits n evenly spaced stubs") {
     val df = Seq((1L, "x")).toDF("id", "payload")
     val frames = Multimodal.sampleFrames(
