@@ -156,6 +156,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("msgpack pack->unpack is the identity on 300 random nested bodies") {
+    // mirrors the reference's byte-level property tests (msgpackpatch/
+    // property_test.go) at VALUE level: what goes in comes out, including
+    // nulls at every nesting depth
+    import graft.functions.MsgPack
+    val schema = StructType(Seq(
+      StructField("s", StringType),
+      StructField("n", LongType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType),
+      StructField("xs", ArrayType(LongType)),
+      StructField("kv", MapType(StringType, StringType)),
+      StructField("inner", StructType(Seq(
+        StructField("a", StringType), StructField("z", LongType))))))
+    def randStr() = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+    def opt[T](v: => T): Any = if (rnd.nextInt(5) == 0) null else v
+    val rows = (1 to 300).map { i =>
+      Row(i.toLong, Row(
+        opt(randStr()),
+        opt(rnd.nextLong()),
+        opt(rnd.nextDouble() * 1e6 - 5e5),
+        opt(rnd.nextBoolean()),
+        opt(Seq.fill(rnd.nextInt(6))(rnd.nextLong() % 1000)),
+        opt(Seq.fill(rnd.nextInt(4))(randStr() -> randStr()).toMap),
+        opt(Row(opt(randStr()), opt(rnd.nextLong())))))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("id", LongType), StructField("body", schema))))
+    val got = df.select(col("id"),
+        MsgPack.unpack(MsgPack.pack(col("body")), schema).as("rt"), col("body"))
+      .collect()
+    got.foreach { r =>
+      assert(r.get(1) == r.get(2), s"round-trip diverged at id ${r.getLong(0)}:\n" +
+        s"  got  ${r.get(1)}\n  want ${r.get(2)}")
+    }
+  }
+
   test("packSequences invariants: bins contiguous from 0, spans bounded by budget") {
     import spark.implicits._
     val budget = 50
