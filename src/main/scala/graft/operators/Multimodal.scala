@@ -76,31 +76,33 @@ object Multimodal {
       (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                       // JPEG
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))                          // GIF
 
-  /** Real image decode via the JDK's ImageIO: (width, height, mean Rec.601
-    * luminance in [0,1]). Luminance is sampled on a <=64x64 grid — bounded
-    * per-row cost regardless of image size. None on undecodable bytes
-    * (falls back to the stub; a corrupt payload must never kill a task). */
+  /** Mean Rec.601 luminance in [0,1], sampled on a <=64x64 grid — bounded
+    * cost regardless of image size. */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+    var sum = 0.0; var n = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)) / 255.0
+        n += 1; x += sx
+      }
+      y += sy
+    }
+    sum / n
+  }
+
+  /** Real image decode via the JDK's ImageIO: (width, height, mean
+    * luminance). None on undecodable bytes (falls back to the stub; a
+    * corrupt payload must never kill a task). */
   private[operators] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
     if (!looksLikeImage(bytes)) None
     else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
-        var sum = 0.0; var n = 0; var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)) / 255.0
-            n += 1; x += sx
-          }
-          y += sy
-        }
-        Some((w, h, sum / n))
-      }
+      if (img == null) None else Some((img.getWidth, img.getHeight, meanLuma(img)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** RIFF/WAVE magic sniff — only wav-shaped bytes reach the audio stack. */
@@ -190,4 +192,68 @@ object Multimodal {
         floor((col("frame_no") * coalesce(col("meta.duration_ms"), lit(1000L))) / n)
           .cast("long"))
       .drop("content")
+
+  val frameFeatureType: StructType = StructType(Seq(
+    StructField("frame_index", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("luminance", DoubleType)))
+
+  /** Real multi-frame decode for animated GIFs via ImageIO's sequence
+    * reader: `n` evenly spaced frames as (source frame index, dims, mean
+    * luminance). None for non-GIF or undecodable bytes. */
+  private[operators] def decodeGifFrames(bytes: Array[Byte], n: Int)
+      : Option[Seq[(Int, Int, Int, Double)]] =
+    if (bytes == null || bytes.length < 3 ||
+        bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis)
+            val total = rd.getNumImages(true)
+            if (total <= 0) None
+            else Some((0 until n).map { i =>
+              val fi = math.min(total - 1, (i.toLong * total / n).toInt)
+              val img = rd.read(fi)
+              (fi, img.getWidth, img.getHeight, meanLuma(img))
+            })
+          } finally rd.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * Frame features, REAL where the codec exists: animated-GIF payloads
+   * decode `n` evenly spaced actual frames (true per-frame dims + mean
+   * luminance via ImageIO's sequence reader); other payloads emit `n`
+   * stub rows with NULL frame features — same schema, same plumbing, so a
+   * deployment swapping in a video codec changes one decode function.
+   * Runs in the scan stage; the binary payload never shuffles.
+   */
+  def sampleFrameFeatures(media: DataFrame, n: Int): DataFrame = {
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "content") ++
+      Seq(StructField("frame_no", IntegerType),
+        StructField("frame", frameFeatureType)))
+    val contentIdx = media.schema.fieldIndex("content")
+    val keepIdx = media.schema.fields.indices.filterNot(_ == contentIdx)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val kept = keepIdx.map(r.get)
+        decodeGifFrames(bytes, n) match {
+          case Some(frames) => frames.zipWithIndex.map { case ((fi, w, h, luma), i) =>
+            Row.fromSeq(kept ++ Seq(i, Row(fi, w, h, luma)))
+          }
+          case None => (0 until n).map(i => Row.fromSeq(kept ++ Seq(i, null)))
+        }
+      }
+    }(enc)
+  }
 }

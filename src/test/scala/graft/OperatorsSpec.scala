@@ -496,6 +496,41 @@ class OperatorsSpec extends SparkSpec {
       s"feature must be the real RMS: $r")
   }
 
+  test("frame features: real animated-GIF frames, stub rows for non-GIF") {
+    // 4-frame GIF: luminance ramp black -> white; sampling 2 of 4 must pick
+    // frames 0 and 2 with their REAL luminance
+    def gifBytes(frames: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(o)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      for (f <- 0 until frames) {
+        val img = new java.awt.image.BufferedImage(3, 3,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val v = (f * 255) / (frames - 1)
+        for (y <- 0 until 3; x <- 0 until 3) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      wr.endWriteSequence(); wr.dispose(); ios.close()
+      o.toByteArray
+    }
+    val df = Seq((1L, gifBytes(4)), (2L, "not a gif".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = Multimodal.sampleFrameFeatures(
+      Multimodal.asMedia(df, "id", col("payload"), "image/gif"), 2)
+      .select(col("media_id"), col("frame_no"), col("frame.frame_index"),
+        col("frame.luminance"))
+      .collect().groupBy(_.getLong(0))
+    val gif = got(1L).sortBy(_.getInt(1))
+    assert(gif.map(_.getInt(2)).toSeq == Seq(0, 2), "evenly spaced source frames")
+    assert(math.abs(gif(0).getDouble(3) - 0.0) < 0.02 &&
+      math.abs(gif(1).getDouble(3) - 2.0 / 3) < 0.04,
+      s"real per-frame luminance expected: ${gif.toSeq}")
+    val txt = got(2L)
+    assert(txt.length == 2 && txt.forall(_.isNullAt(2)), "non-GIF gets stub rows")
+  }
+
   test("frame sampling emits n evenly spaced stubs") {
     val df = Seq((1L, "x")).toDF("id", "payload")
     val frames = Multimodal.sampleFrames(
