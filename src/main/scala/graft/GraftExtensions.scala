@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.{DotProduct, DotProductConst, TokensContainPhrase}
+import graft.functions.{DotProduct, DotProductConst, MsgPackDecode, MsgPackEncode, TokensContainPhrase}
 
 /**
  * SQL surface for the engine's custom expressions, registered through the
@@ -21,6 +21,9 @@ import graft.functions.{DotProduct, DotProductConst, TokensContainPhrase}
  *  - `graft_dot(a, b)` — double-precision dot product of two array columns
  *  - `graft_cosine(v, constArray)` — dot vs a constant (foldable) query
  *    vector; dimension mismatch => 0.0
+ *  - `graft_msgpack_pack(value)` — msgpack bytes of a packable column
+ *  - `graft_msgpack_unpack(bytes, 'a INT, b STRING')` — typed decode; the
+ *    schema is a DDL string literal (missing path / mismatch => NULL)
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -78,6 +81,20 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_cosine(v, constVector)")
         DotProductConst(exprs(0), foldableFloats(exprs(1), "graft_cosine"))
+      }),
+    ("graft_msgpack_pack",
+      new ExpressionInfo(classOf[MsgPackEncode].getName, "graft_msgpack_pack"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_msgpack_pack(value)")
+        MsgPackEncode(exprs.head)
+      }),
+    ("graft_msgpack_unpack",
+      new ExpressionInfo(classOf[MsgPackDecode].getName, "graft_msgpack_unpack"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_msgpack_unpack(bytes, 'ddl schema')")
+        MsgPackDecode(exprs.head,
+          org.apache.spark.sql.types.DataType.fromDDL(
+            foldableString(exprs(1), "graft_msgpack_unpack")))
       }))
 
   /** Register on an already-constructed session (tests, shared REPLs). */

@@ -6,6 +6,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
@@ -245,6 +246,22 @@ object MsgPack {
     encodeValue(o, v, dt)
     o.toByteArray
   }
+
+  /** First unsupported type in a type tree, or None — both expressions
+    * validate at ANALYSIS time so a bad schema is an AnalysisException on
+    * the driver, never a per-row throw on an executor. */
+  private[functions] def unsupported(dt: DataType): Option[String] = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType => None
+    case d: DecimalType =>
+      if (d.scale == 0) None
+      else Some(s"$d (msgpack has no decimal; only scale-0 uint64 carriers)")
+    case ArrayType(et, _) => unsupported(et)
+    case MapType(StringType, vt, _) => unsupported(vt)
+    case m: MapType => Some(s"$m (msgpack bridge requires string map keys)")
+    case st: StructType => st.fields.flatMap(f => unsupported(f.dataType)).headOption
+    case other => Some(other.toString)
+  }
 }
 
 /** `pack(value)`: msgpack bytes of any packable column. Interpreted — an
@@ -252,6 +269,11 @@ object MsgPack {
 case class MsgPackEncode(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    MsgPack.unsupported(child.dataType) match {
+      case None => TypeCheckResult.TypeCheckSuccess
+      case Some(t) => TypeCheckResult.TypeCheckFailure(s"msgpack pack: unsupported type $t")
+    }
   override def nullSafeEval(input: Any): Any = MsgPack.encode(input, child.dataType)
   override protected def withNewChildInternal(newChild: Expression): MsgPackEncode =
     copy(child = newChild)
@@ -263,6 +285,14 @@ case class MsgPackDecode(child: Expression, targetType: DataType)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = targetType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"msgpack unpack: input must be binary, got ${child.dataType}")
+    else MsgPack.unsupported(targetType) match {
+      case None => TypeCheckResult.TypeCheckSuccess
+      case Some(t) => TypeCheckResult.TypeCheckFailure(s"msgpack unpack: unsupported target type $t")
+    }
   override def nullSafeEval(input: Any): Any =
     MsgPack.decode(input.asInstanceOf[Array[Byte]], targetType)
   override protected def withNewChildInternal(newChild: Expression): MsgPackDecode =

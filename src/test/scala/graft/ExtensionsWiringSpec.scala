@@ -25,6 +25,26 @@ class ExtensionsWiringSpec extends SparkSpec {
       "SELECT graft_phrase(array('big', 'data', 'batch'), 'data', 'batch') AS p")
       .head().getBoolean(0)
     assert(phrase)
+    // msgpack round-trip through pure SQL: DDL-string schema, missing
+    // field surfaces as NULL
+    val mp = spark.sql(
+      """SELECT d.a AS a, d.b AS b, d.missing AS m FROM (SELECT graft_msgpack_unpack(
+        |  graft_msgpack_pack(named_struct('a', 7L, 'b', 'hi')),
+        |  'a BIGINT, b STRING, missing STRING') AS d)""".stripMargin).head()
+    assert(mp.getLong(0) == 7L && mp.getString(1) == "hi" && mp.isNullAt(2))
+  }
+
+  test("msgpack expressions reject unsupported types at analysis, not runtime") {
+    // scale-2 decimal has no msgpack representation — must fail on the
+    // driver as an analysis error, never as a per-row executor throw
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_msgpack_pack(CAST(1.25 AS DECIMAL(10,2)))").collect()
+    }
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_msgpack_unpack(CAST('x' AS STRING), 'a INT')").collect()
+    }
+    assert(e2.getMessage.contains("must be binary"), e2.getMessage)
   }
 
   test("naive duplicated-HOF projection is hoisted via the default session") {
