@@ -71,6 +71,26 @@ object Bench {
         s""""_n_queries": ${results.size}""")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
         entries.mkString("{\n  ", ",\n  ", "\n}\n"))
+
+      // The full line above is ~3.5 KB and the driver's 2 KB stdout tail
+      // cuts its head off => "parsed": null in every BENCH record. Emit a
+      // LAST line guaranteed to survive the tail whole: same shape, but the
+      // queries map carries only the slowest entries (and every failure) up
+      // to a byte budget — the complete map lives in bench_full.json.
+      val budget = 1600
+      val slowFirst = results.sortBy { case (_, v) =>
+        if (v < 0) Double.MinValue else -v // failures first, then slowest
+      }
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      slowFirst.foreach { case (k, v) =>
+        val s = "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+      }
+      println(s"""{"queries":${kept.mkString("{", ",", "}")},""" +
+        s""""queries_omitted":${results.size - kept.size},""" +
+        s""""full_record":"bench_full.json",""" +
+        s""""metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     }
 
     spark.stop()
