@@ -59,6 +59,13 @@ class PlanSpec extends SparkSpec {
       p.contains("_list#"), s"no _list membership filter visible:\n$p")
   }
 
+  test("msgpack round-trip is one scan-stage projection: no shuffle, pruned read") {
+    val p = plan("q_msgpack_roundtrip")
+    assert(!p.contains("Exchange"), s"ingestion conversion must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+      s"scan must read only the packed columns:\n$p")
+  }
+
   test("no query plans a CartesianProduct or a non-codegen Python eval") {
     // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
     // bounded kernel (cap-gate / tfidf 1-row corpus-count broadcast;
