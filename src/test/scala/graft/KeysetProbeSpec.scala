@@ -62,6 +62,38 @@ class KeysetProbeSpec extends SparkSpec {
     }
   }
 
+  test("keyset walk over TWO axes (ties + NULLs in both) visits every row exactly once") {
+    // axis ties spanning page boundaries on BOTH columns force the
+    // row-lexicographic tie chain (a = tokA AND (b after tokB ...)) to
+    // actually exercise its recursive branch
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 40L).map { k =>
+      (k,
+        if (rnd.nextInt(5) == 0) null else Integer.valueOf(rnd.nextInt(3)),
+        if (rnd.nextInt(5) == 0) null else Integer.valueOf(rnd.nextInt(3)))
+    }.toDF("k", "a", "b")
+    for ((oa, ob) <- Seq((IndexRead.Asc, IndexRead.Desc), (IndexRead.Desc, IndexRead.Asc))) {
+      val base = IndexRead.IndexQuery(
+        orderBy = Seq(("a", oa), ("b", ob)), limit = Some(7), keyCol = "k")
+      def sort(c: String, o: IndexRead.Order) =
+        if (o == IndexRead.Asc) col(c).asc else col(c).desc
+      val expected = df.orderBy(sort("a", oa), sort("b", ob), col("k").asc)
+        .collect().map(_.getAs[Long]("k")).toSeq
+      var q = base
+      val walked = Seq.newBuilder[Long]
+      var page = IndexRead.run(df, q).collect()
+      while (page.nonEmpty) {
+        walked ++= page.map(_.getAs[Long]("k"))
+        val tok = page.last
+        q = base.copy(
+          afterAxis = Seq(tok.getAs[Any]("a"), tok.getAs[Any]("b")),
+          afterKey = Some(tok.getAs[Any]("k")))
+        page = IndexRead.run(df, q).collect()
+      }
+      assert(walked.result() == expected, s"orders ($oa,$ob) lost or reordered rows")
+    }
+  }
+
   test("keyset continuation from a NULL-axis token does not drop the null group's ties") {
     // token = (axis NULL, k = 2): ASC nulls-first means rows 4 and 7 (also
     // null axis, larger key) come next — a bare `axis > NULL` would drop them
