@@ -112,9 +112,13 @@ object IndexRead {
 
   /**
    * Multi-source read with per-source queries and a global limit —
-   * `GetByIndexStreamFromMany` (proto:2883-2914). Sources are unioned by
-   * name; each per-source limit bounds the rows that cross the union, then
-   * one global top-K merges them.
+   * `GetByIndexStreamFromMany` (proto:2883-2914): results stream per-swamp
+   * IN THE ORDER THE QUERIES ARE LISTED, and the global MaxResults stops
+   * after N total across sources — it is a truncation of that
+   * source-ordered stream, NOT a merged re-sort. Spark's `limit` over the
+   * union matches exactly: each per-source page is a single ordered
+   * partition (TakeOrderedAndProject), the union concatenates partitions
+   * in source order, and GlobalLimit consumes partitions in that order.
    */
   def fromMany(sources: Seq[(DataFrame, IndexQuery)], globalLimit: Option[Int]): DataFrame = {
     require(sources.nonEmpty, "fromMany needs at least one source")

@@ -121,6 +121,23 @@ class KeysetProbeSpec extends SparkSpec {
     assert(off.queryExecution.optimizedPlan.toString.contains("Offset"))
   }
 
+  test("fromMany global limit truncates the source-ordered stream (proto:2883-2914)") {
+    // reference contract: per-swamp results in listed order; MaxResults
+    // stops after N TOTAL — no merged re-sort across sources
+    val df = Seq((1L, 10), (2L, 30), (3L, 20), (4L, 40)).toDF("k", "v")
+    val qAsc = IndexRead.IndexQuery(
+      orderBy = Seq(("v", IndexRead.Asc)), limit = Some(3), keyCol = "k")
+    val qDesc = IndexRead.IndexQuery(
+      orderBy = Seq(("v", IndexRead.Desc)), limit = Some(3), keyCol = "k")
+    val got = IndexRead.fromMany(
+      Seq(df -> qAsc, df -> qDesc), globalLimit = Some(4))
+      .select("k").collect().map(_.getLong(0)).toSeq
+    // source 1's full page (v asc: 1,3,2), then source 2's FIRST row only
+    // (v desc starts at 4) — not the 4 largest/smallest of a merged sort
+    assert(got == Seq(1L, 3L, 2L, 4L),
+      s"global limit must truncate in source order, got $got")
+  }
+
   // --- KeyProbe regimes -----------------------------------------------------
 
   private val bigKeys: Seq[Any] = (1L to 10001L).map(k => k: Any)
