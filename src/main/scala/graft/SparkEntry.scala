@@ -1121,6 +1121,33 @@ object SparkEntry {
         .select(col("doc_id"), TF.fingerprint64(col("text")).as("fp")),
       Some("SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents")),
 
+    Q("q_repetition", // Gopher-style repetition signals (published corpus-
+      // filtering rules): duplicate-token fraction is a pure per-row HOF
+      // (no shuffle); the top-bigram mode count genuinely needs a group
+      // count, so it shuffles (doc_id, bigram) ONCE and reduces to two
+      // tiny doc-keyed aggregates before the join — per-doc O(n^2) HOF
+      // counting would avoid the shuffle but melts on long documents.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val top = docs
+          .select(col("doc_id"), explode(TF.wordBigrams(col("text"))).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(round(max(col("c")) / sum(col("c")), 6).as("top_bigram_frac"))
+        docs.select(col("doc_id"), TF.dupTokenFrac(col("text")).as("dup_token_frac"))
+          .join(top, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("dup_token_frac"),
+            coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks),
+        |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS f FROM cnt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(1.0 - len(list_distinct(string_split(d.text, ' ')))::DOUBLE / greatest(len(string_split(d.text, ' ')), 1), 6) AS dup_token_frac,
+        |  coalesce(t.f, 0.0) AS top_bigram_frac
+        |FROM documents d LEFT JOIN top t USING (doc_id)""".stripMargin)),
+
     Q("q_sample", // deterministic hash-bucket sample: reproducible across
       // engines/cluster layouts, mirrored exactly in DuckDB via md5
       (s, d) => Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 10)

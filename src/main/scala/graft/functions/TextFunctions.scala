@@ -250,4 +250,24 @@ object TextFunctions {
     val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
     round((lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3)), 6)
   }
+
+  /** Duplicate-token fraction, the word-level Gopher repetition signal
+    * (published in the Gopher corpus-filtering rules): 1 - |distinct
+    * tokens| / |tokens|. Pure per-row HOF — no shuffle. */
+  def dupTokenFrac(text: Column): Column =
+    round(lit(1.0) - size(array_distinct(tokens(text))).cast(DoubleType) /
+      greatest(tokenCount(text), lit(1)).cast(DoubleType), 6)
+
+  /** Word bigrams as strings ("a b"), for mode-count repetition signals.
+    * Per-row expression; the COUNTING is a (doc, bigram) aggregation the
+    * caller shuffles — see q_repetition's shape note. */
+  def wordBigrams(text: Column): Column = {
+    val t = tokens(text)
+    // size<2 guard: Spark's sequence(1, 0) would generate DESCENDING [1,0]
+    // and element_at(t, 0) throws — a 1-token doc must yield no bigrams
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
 }
