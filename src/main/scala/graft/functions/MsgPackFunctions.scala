@@ -55,8 +55,13 @@ object MsgPack {
 
   // ---------------------------------------------------------------- decoder
 
+  /** Parsed msgpack map — a DISTINCT type from parsed arrays, so an empty
+    * map and an empty array stay distinguishable and a map can never
+    * satisfy an ArrayType target (the mismatch => NULL contract). */
+  private final case class RawMap(pairs: Vector[(Any, Any)])
+
   /** Raw parse: msgpack value graph as (null | Boolean | Long | BigInt |
-    * Double | String | Array[Byte] | Vector[Any] | Vector[(Any, Any)]).
+    * Double | String | Array[Byte] | Vector[Any] | RawMap).
     * Maps keep insertion order as a pair vector — duplicate keys keep the
     * LAST occurrence at lookup, matching common unmarshal behavior. */
   private def parse(b: ByteBuffer): Any = {
@@ -117,8 +122,8 @@ object MsgPack {
   }
   private def parseArr(b: ByteBuffer, n: Int): Vector[Any] =
     Vector.fill(n)(parse(b))
-  private def parseMap(b: ByteBuffer, n: Int): Vector[(Any, Any)] =
-    Vector.fill(n)((parse(b), parse(b)))
+  private def parseMap(b: ByteBuffer, n: Int): RawMap =
+    RawMap(Vector.fill(n)((parse(b), parse(b))))
 
   /** Raw value -> Catalyst value of `dt`; anything that doesn't fit is NULL
     * (the typed-compare no-match discipline, FilterCompiler's contract). */
@@ -146,17 +151,21 @@ object MsgPack {
     case (v: Array[Byte], BinaryType) => v
     case (v: Vector[_], ArrayType(et, _)) =>
       new GenericArrayData(v.map(e => convert(e, et)).toArray)
-    case (v: Vector[_], st: StructType) if v.forall(_.isInstanceOf[(_, _)]) =>
-      val pairs = v.asInstanceOf[Vector[(Any, Any)]]
-      val byKey = pairs.collect { case (k: String, value) => k -> value }.toMap
+    case (m: RawMap, st: StructType) =>
+      val byKey = m.pairs.collect { case (k: String, value) => k -> value }.toMap
       InternalRow.fromSeq(st.fields.toSeq.map(f =>
         convert(byKey.getOrElse(f.name, null), f.dataType)))
-    case (v: Vector[_], MapType(StringType, vt, _)) if v.forall(_.isInstanceOf[(_, _)]) =>
-      val pairs = v.asInstanceOf[Vector[(Any, Any)]]
-        .collect { case (k: String, value) => k -> value }
+    case (m: RawMap, MapType(StringType, vt, _)) =>
+      // last occurrence wins on duplicate keys (the parse() contract), and
+      // the emitted MapData upholds Spark's unique-key invariant
+      val pairs = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      m.pairs.foreach {
+        case (k: String, value) => pairs(k) = value
+        case _ => ()
+      }
       ArrayBasedMapData(
-        pairs.map(p => UTF8String.fromString(p._1)).toArray,
-        pairs.map(p => convert(p._2, vt)).toArray)
+        pairs.keysIterator.map(UTF8String.fromString).toArray[Any],
+        pairs.valuesIterator.map(v => convert(v, vt)).toArray[Any])
     case _ => null
   }
 
@@ -184,6 +193,25 @@ object MsgPack {
   private def writeLong(o: java.io.ByteArrayOutputStream, tag: Int, v: Long): Unit = {
     o.write(tag); writeInt32(o, (v >> 32).toInt); writeInt32(o, v.toInt)
   }
+
+  /** Smallest-representation integer encoding per the msgpack spec: a 7 is
+    * ONE byte (fixint), not nine — at an ingestion boundary measured in
+    * terabytes the canonical widths are a 3-9x size win on id/flag-heavy
+    * bodies. The decoder reads the full ladder either way. */
+  private def writeIntCanonical(o: java.io.ByteArrayOutputStream, v: Long): Unit =
+    if (v >= 0) {
+      if (v < 0x80) o.write(v.toInt)                                  // pos fixint
+      else if (v < 0x100) { o.write(0xcc); o.write(v.toInt) }         // uint8
+      else if (v < 0x10000) { o.write(0xcd); o.write((v >> 8).toInt); o.write(v.toInt) }
+      else if (v < 0x100000000L) { o.write(0xce); writeInt32(o, v.toInt) }
+      else writeLong(o, 0xd3, v)
+    } else {
+      if (v >= -32) o.write(0xe0 | (v.toInt & 0x1f))                  // neg fixint
+      else if (v >= Byte.MinValue) { o.write(0xd0); o.write(v.toInt) }
+      else if (v >= Short.MinValue) { o.write(0xd1); o.write((v >> 8).toInt); o.write(v.toInt) }
+      else if (v >= Int.MinValue) { o.write(0xd2); writeInt32(o, v.toInt) }
+      else writeLong(o, 0xd3, v)
+    }
   private def writeLen(o: java.io.ByteArrayOutputStream, n: Int,
                        fixTag: Int, fixMax: Int, tag16: Int, tag32: Int): Unit =
     if (n <= fixMax) o.write(fixTag | n)
@@ -194,18 +222,25 @@ object MsgPack {
     if (v == null) o.write(0xc0)
     else dt match {
       case BooleanType => o.write(if (v.asInstanceOf[Boolean]) 0xc3 else 0xc2)
-      case ByteType => writeLong(o, 0xd3, v.asInstanceOf[Byte].toLong)
-      case ShortType => writeLong(o, 0xd3, v.asInstanceOf[Short].toLong)
-      case IntegerType => writeLong(o, 0xd3, v.asInstanceOf[Int].toLong)
-      case LongType => writeLong(o, 0xd3, v.asInstanceOf[Long])
+      case ByteType => writeIntCanonical(o, v.asInstanceOf[Byte].toLong)
+      case ShortType => writeIntCanonical(o, v.asInstanceOf[Short].toLong)
+      case IntegerType => writeIntCanonical(o, v.asInstanceOf[Int].toLong)
+      case LongType => writeIntCanonical(o, v.asInstanceOf[Long])
       case FloatType =>
         o.write(0xca); writeInt32(o, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
       case DoubleType =>
         val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
         o.write(0xcb); writeInt32(o, (bits >> 32).toInt); writeInt32(o, bits.toInt)
-      case d: DecimalType => // u64 carrier: unsigned when past Long range
+      case _: DecimalType => // u64 carrier: unsigned when past Long range
         val bi = v.asInstanceOf[Decimal].toJavaBigDecimal.toBigIntegerExact
-        writeLong(o, if (bi.signum() >= 0 && bi.bitLength() >= 64) 0xcf else 0xd3, bi.longValue())
+        // msgpack's widest integer is 64 bits; silently emitting the low 64
+        // bits of a wider value would round-trip to a DIFFERENT number —
+        // refuse loudly instead (the schema check can't see values)
+        if (bi.bitLength() > 64 || (bi.signum() < 0 && bi.bitLength() >= 64))
+          throw new ArithmeticException(
+            s"msgpack pack: $bi does not fit a 64-bit integer (msgpack's widest)")
+        if (bi.signum() >= 0 && bi.bitLength() == 64) writeLong(o, 0xcf, bi.longValue())
+        else writeIntCanonical(o, bi.longValue())
       case StringType => writeStr(o, v.toString)
       case BinaryType =>
         val b = v.asInstanceOf[Array[Byte]]

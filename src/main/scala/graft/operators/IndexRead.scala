@@ -116,9 +116,14 @@ object IndexRead {
    * IN THE ORDER THE QUERIES ARE LISTED, and the global MaxResults stops
    * after N total across sources — it is a truncation of that
    * source-ordered stream, NOT a merged re-sort. Spark's `limit` over the
-   * union matches exactly: each per-source page is a single ordered
-   * partition (TakeOrderedAndProject), the union concatenates partitions
-   * in source order, and GlobalLimit consumes partitions in that order.
+   * union matches at the CLIENT boundary (the reference's only surface —
+   * these are answers to a streaming RPC): collecting plans
+   * CollectLimitExec, which consumes the per-source ordered partitions in
+   * union order. Composing the limited result into FURTHER plan stages can
+   * instead plan GlobalLimitExec over a shuffle, where fetch order — and
+   * therefore WHICH n rows survive — is not source-ordered; a pipeline
+   * needing the reference truncation mid-plan should apply per-source
+   * limits itself and skip globalLimit.
    */
   def fromMany(sources: Seq[(DataFrame, IndexQuery)], globalLimit: Option[Int]): DataFrame = {
     require(sources.nonEmpty, "fromMany needs at least one source")

@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
  * IMAGE payloads (PNG/BMP/GIF/JPEG, detected by magic bytes) decode for
  * REAL through `javax.imageio` (in the JDK — no external codec needed):
  * true width/height land in `meta`, and the brightness feature is the
- * actual mean luminance (Rec.601, sampled on a bounded grid so a huge
- * image costs O(64x64), not O(pixels)). WAV AUDIO decodes for real through
+ * actual mean luminance (Rec.601 on a <=64x64 sampling grid; the decode
+ * itself is O(pixels), bounded by [[MaxDecodePixels]] via a header-only
+ * dimension check so a decompression bomb cannot OOM an executor). WAV
+ * AUDIO decodes for real through
  * `javax.sound.sampled`: true duration into `meta.duration_ms`, real RMS
  * loudness (bounded sample count) as the scalar feature. Compressed
  * audio/video bytes keep the deterministic stub kernel (`decodeStub`) —
@@ -95,14 +97,39 @@ object Multimodal {
     sum / n
   }
 
+  /** Decode ceiling: a compressed payload of a few KB can DECLARE huge
+    * dimensions (decompression bomb) and OOM the executor on decode — an
+    * OutOfMemoryError is not NonFatal, so the catch below wouldn't save the
+    * task. Dimensions are read from the HEADER first (no pixel allocation)
+    * and anything past this many pixels is treated as undecodable. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB ARGB
+
   /** Real image decode via the JDK's ImageIO: (width, height, mean
-    * luminance). None on undecodable bytes (falls back to the stub; a
-    * corrupt payload must never kill a task). */
+    * luminance). None on undecodable or bomb-sized bytes (falls back to
+    * the stub; a hostile payload must never kill a task). */
   private[operators] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
     if (!looksLikeImage(bytes)) None
     else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None else Some((img.getWidth, img.getHeight, meanLuma(img)))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis)
+            // header-only dims — the bomb check happens BEFORE any pixel
+            // allocation
+            val w = rd.getWidth(0); val h = rd.getHeight(0)
+            if (w.toLong * h > MaxDecodePixels) None
+            else {
+              val img = rd.read(0)
+              Some((img.getWidth, img.getHeight, meanLuma(img)))
+            }
+          } finally rd.dispose()
+        }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** RIFF/WAVE magic sniff — only wav-shaped bytes reach the audio stack. */
@@ -156,24 +183,38 @@ object Multimodal {
     val contentIdx = media.schema.fieldIndex("content")
     val keepIdx = media.schema.fields.indices.filterNot(_ == contentIdx)
     val metaOutIdx = outSchema.fields.indexWhere(_.name == "meta")
+    // meta sub-field positions resolved BY NAME on the driver — a caller's
+    // meta struct may be narrower or reordered vs the canonical layout;
+    // fields it doesn't carry are simply not patched
+    val metaFieldIdx: Map[String, Int] =
+      if (metaOutIdx < 0) Map.empty
+      else outSchema.fields(metaOutIdx).dataType match {
+        case st: StructType => st.fieldNames.zipWithIndex.toMap
+        case _ => Map.empty
+      }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.mapPartitions { rows =>
       // per-partition setup happens HERE (codec init in a real pipeline)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val kept = keepIdx.map(r.get)
-        def withMeta(scalar: Double)(patch: Row => Row): Row = {
+        def withMeta(scalar: Double)(patch: Map[String, Any]): Row = {
           val out = kept :+ Row(bytes.length.toLong, shaPrefix(bytes), scalar)
           val m = if (metaOutIdx < 0) null else out(metaOutIdx).asInstanceOf[Row]
           if (m == null) Row.fromSeq(out)
-          else Row.fromSeq(out.updated(metaOutIdx, patch(m)))
+          else {
+            val patched = patch.foldLeft(m.toSeq) { case (cur, (name, value)) =>
+              metaFieldIdx.get(name).fold(cur)(cur.updated(_, value))
+            }
+            Row.fromSeq(out.updated(metaOutIdx, Row.fromSeq(patched)))
+          }
         }
         decodeImage(bytes) match {
           case Some((w, h, luma)) => // true dims into meta
-            withMeta(luma)(m => Row(m.get(0), w, h, m.get(3)))
+            withMeta(luma)(Map("width" -> w, "height" -> h))
           case None => decodeWav(bytes) match {
             case Some((durMs, rms)) => // true duration into meta
-              withMeta(rms)(m => Row(m.get(0), m.get(1), m.get(2), durMs))
+              withMeta(rms)(Map("duration_ms" -> durMs))
             case None =>
               val (n, sha, bright) = decodeStub(bytes)
               Row.fromSeq(kept :+ Row(n, sha, bright))
@@ -218,6 +259,9 @@ object Multimodal {
             rd.setInput(iis)
             val total = rd.getNumImages(true)
             if (total <= 0) None
+            // same bomb ceiling as stills, checked on the header before any
+            // frame decode
+            else if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels) None
             else Some((0 until n).map { i =>
               val fi = math.min(total - 1, (i.toLong * total / n).toInt)
               val img = rd.read(fi)

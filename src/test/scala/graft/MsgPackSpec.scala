@@ -110,4 +110,57 @@ class MsgPackSpec extends SparkSpec {
     assert(got.getDecimal(3).toPlainString == "18446744073709551615")
     assert(got.isNullAt(4), "out-of-range narrow target must be NULL")
   }
+
+  test("shape mismatches are NULL, never mangled values") {
+    import graft.functions.{MsgPackDecode, MsgPackEncode}
+    import org.apache.spark.sql.GraftBridge
+    // a map body against an ARRAY target must be NULL (not [null, ...]);
+    // an empty ARRAY against a STRUCT target must be NULL (not all-NULL
+    // fields) — empty map vs empty array are distinguishable wire forms
+    val mapBody = MsgPack.pack(struct(lit(1L).as("a")))
+    val emptyArr = MsgPack.pack(array().cast(ArrayType(LongType)))
+    val st = StructType(Seq(StructField("a", LongType)))
+    val r = spark.range(1).select(
+      MsgPack.unpack(mapBody, ArrayType(LongType)).as("m_as_arr"),
+      MsgPack.unpack(emptyArr, st).as("arr_as_struct"),
+      MsgPack.unpack(MsgPack.pack(map(lit("x"), lit(1L))), MapType(StringType, LongType))
+        .as("map_ok")).collect().head
+    assert(r.isNullAt(0), s"map body vs array target must be NULL: $r")
+    assert(r.isNullAt(1), s"empty array vs struct target must be NULL: $r")
+    assert(r.getMap[String, Long](2) == Map("x" -> 1L))
+    // duplicate map keys: LAST occurrence wins and the MapData has unique
+    // keys (hand-built wire bytes: fixmap{2} "k":1 "k":2)
+    val dup = Array[Byte](0x82.toByte, 0xa1.toByte, 'k', 0x01, 0xa1.toByte, 'k', 0x02)
+    val m = spark.range(1)
+      .select(MsgPack.unpack(lit(dup), MapType(StringType, LongType)).as("m"))
+      .collect().head.getMap[String, Long](0)
+    assert(m == Map("k" -> 2L), s"duplicate keys must keep the last: $m")
+  }
+
+  test("decimal past 64 bits refuses loudly instead of truncating") {
+    // 2^64 has bitLength 65 — emitting its low 64 bits would round-trip to
+    // a DIFFERENT number; the encoder must throw, not corrupt
+    val over = Decimal(BigDecimal("18446744073709551616")) // 2^64
+    // (surfaces raw from constant folding on a literal, wrapped in
+    // SparkException from an executor — accept either carrier)
+    val e = intercept[Exception] {
+      spark.range(1).select(MsgPack.pack(
+        lit(over).cast(DecimalType(20, 0)))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("does not fit")), msgs(e).mkString(" | "))
+  }
+
+  test("canonical integer widths on the wire: small ints are small") {
+    // fixint 7 is ONE byte; the 9-byte int64 form would triple id-heavy
+    // body sizes at a terabyte ingestion boundary
+    val sizes = spark.range(1).select(
+      length(MsgPack.pack(lit(7L))).as("fix"),
+      length(MsgPack.pack(lit(300L))).as("u16"),
+      length(MsgPack.pack(lit(-5L))).as("negfix"),
+      length(MsgPack.pack(lit(1L << 40))).as("i64")).collect().head
+    assert(sizes.getInt(0) == 1 && sizes.getInt(1) == 3 &&
+      sizes.getInt(2) == 1 && sizes.getInt(3) == 9, sizes.toString)
+  }
 }

@@ -473,6 +473,43 @@ class OperatorsSpec extends SparkSpec {
     assert(txt.getLong(4) == 9L)
   }
 
+  test("media features: decompression-bomb dims are rejected before decode; narrow meta survives") {
+    // take a real tiny PNG and rewrite its IHDR to DECLARE 1M x 1M pixels
+    // (with a recomputed CRC so the header parses) — the header-only dim
+    // check must reject it before any pixel allocation, falling back to
+    // the stub instead of attempting a ~4 TB decode
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val o = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", o)
+    val b = o.toByteArray
+    def putInt(off: Int, v: Int): Unit = {
+      b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+      b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+    }
+    putInt(16, 1000000); putInt(20, 1000000) // IHDR width, height
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 17) // chunk type + 13-byte IHDR data
+    putInt(29, crc.getValue.toInt)
+    val df = Seq((1L, b)).toDF("id", "payload")
+    val r = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "id", col("payload"), "image/png"))
+      .select(col("meta.width"), col("features.n_bytes")).collect().head
+    assert(r.isNullAt(0), "bomb-sized image must not be decoded (stub path)")
+    assert(r.getLong(1) == b.length.toLong)
+
+    // a caller's meta struct narrower than the canonical layout must not
+    // break the by-name patch (only the fields it carries are written)
+    val narrow = Seq((1L, o.toByteArray)).toDF("id", "payload")
+      .select(col("id").as("media_id"), col("payload").as("content"),
+        struct(lit("image/png").as("mime"),
+          lit(null).cast("int").as("width")).as("meta"))
+    val nr = Multimodal.extractFeatures(narrow)
+      .select(col("meta.width"), col("features.fake_brightness")).collect().head
+    assert(nr.getInt(0) == 4, "width patched by name in the narrow meta")
+    assert(nr.getDouble(1) < 0.01, "all-black 4x2 image decoded for real")
+  }
+
   test("media features: real WAV decode — true duration in meta, real RMS loudness") {
     // 0.25 s sine at 8 kHz mono 16-bit, amplitude 0.5 => RMS = 0.5/sqrt(2)
     val sampleRate = 8000; val nSamples = 2000
