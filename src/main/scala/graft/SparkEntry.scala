@@ -1327,6 +1327,22 @@ object SparkEntry {
             THEN text || ' contact: user' || doc_id || '@example.com or 555-867-5309'
             ELSE text END AS body FROM documents)""")),
 
+    Q("q_pii_redact", // redaction counterpart of q_pii_scan: same planted
+      // bodies, every email/phone-shaped span replaced by a token
+      (s, d) => t(s, d, "documents")
+        .withColumn("body", when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" contact: user"), col("doc_id"),
+              lit("@example.com or 555-867-5309")))
+          .otherwise(col("text")))
+        .select(col("doc_id"), TF.redactPii(col("body")).as("redacted")),
+      Some("""SELECT doc_id,
+          regexp_replace(regexp_replace(body,
+            '[a-z0-9._]+@[a-z0-9-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+          FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+            THEN text || ' contact: user' || doc_id || '@example.com or 555-867-5309'
+            ELSE text END AS body FROM documents)""")),
+
     Q("q_media_features", // multimodal plumbing; decode stub, real schema/batching
       (s, d) => Multimodal.extractFeatures(
           Multimodal.asMedia(t(s, d, "documents"), "doc_id", col("text"), "text/plain"))

@@ -215,6 +215,15 @@ object TextFunctions {
   def hasPhoneLike(text: Column): Column =
     text.rlike("[0-9]{3}-[0-9]{3,4}-[0-9]{4}")
 
+  /** Redaction counterpart of the scan flags: every email/phone-shaped
+    * substring replaced by a placeholder token (same RE2-compatible
+    * patterns, so the oracle applies them verbatim). Per-row codegen'd
+    * regexp_replace — no shuffle, corpus-scan friendly. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]{2,}", "<EMAIL>"),
+      "[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<PHONE>")
+
   // --- quality scoring ------------------------------------------------------
 
   val Stopwords: Seq[String] = Seq(
