@@ -206,23 +206,30 @@ object TextFunctions {
 
   // --- PII scanning ---------------------------------------------------------
 
-  /** Email-shaped substring present. Pattern kept in the RE2-compatible
-    * subset so Spark (java.util.regex) and DuckDB (RE2) agree exactly. */
-  def hasEmail(text: Column): Column =
-    text.rlike("[a-z0-9._]+@[a-z0-9-]+\\.[a-z]{2,}")
+  /** ONE definition each for scan and redact — the pair must never
+    * diverge. Patterns are deliberately in the RE2-compatible subset so
+    * Spark (java.util.regex) and DuckDB (RE2) agree exactly, and
+    * deliberately NARROW: lowercase local/domain, single-label domain.
+    * They are corpus-heuristic shapes, not an RFC 5322 matcher. */
+  private[functions] val EmailPattern = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]{2,}"
+  private[functions] val PhonePattern = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** Email-shaped substring present (see [[EmailPattern]]'s scope note). */
+  def hasEmail(text: Column): Column = text.rlike(EmailPattern)
 
   /** Phone-shaped digit group (NNN-NNN-NNNN / NNN-NNNN-NNNN). */
-  def hasPhoneLike(text: Column): Column =
-    text.rlike("[0-9]{3}-[0-9]{3,4}-[0-9]{4}")
+  def hasPhoneLike(text: Column): Column = text.rlike(PhonePattern)
 
-  /** Redaction counterpart of the scan flags: every email/phone-shaped
-    * substring replaced by a placeholder token (same RE2-compatible
-    * patterns, so the oracle applies them verbatim). Per-row codegen'd
-    * regexp_replace — no shuffle, corpus-scan friendly. */
+  /** Redaction counterpart of the scan flags: spans the SCAN patterns
+    * match are replaced by placeholder tokens — exactly the hasEmail/
+    * hasPhoneLike shapes, with their documented limits ('Alice@X.com' or a
+    * subdomain local part is NOT fully matched; widen the shared patterns
+    * for a production redactor, which widens scan and redact together).
+    * Per-row codegen'd regexp_replace — no shuffle, corpus-scan friendly. */
   def redactPii(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]{2,}", "<EMAIL>"),
-      "[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<PHONE>")
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 
   // --- quality scoring ------------------------------------------------------
 

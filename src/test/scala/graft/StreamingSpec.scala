@@ -182,21 +182,32 @@ class StreamingSpec extends SparkSpec {
       (4L, "NEW", Some("v4"))))
   }
 
+  /** Shared parquet command-source scaffolding for the file-backed
+    * change-feed tests: one writer and one readStream construction, so a
+    * schema or source-option change hits every test at once. */
+  private def commandSource(prefix: String) = {
+    import graft.streaming.StatefulFeed.Command
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    val srcDir = s"$tmp/commands"
+    val write = (cmds: Seq[Command]) =>
+      cmds.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val read = () => spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Command]].schema)
+      .parquet(srcDir).as[Command]
+    (tmp, write, read)
+  }
+
   test("file-source E2E: parquet command increments -> changeFeed -> events") {
     // closes the MemoryStream-only gap: a real file source with schema,
     // discovery of files written after the query starts, and checkpointed
     // state across micro-batches
     import graft.streaming.StatefulFeed
     import graft.streaming.StatefulFeed.Command
-    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString
-    val srcDir = s"$tmp/commands"
-    def writeBatch(cmds: Command*): Unit =
-      cmds.toSeq.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val (tmp, write, read) = commandSource("graft_e2e")
+    def writeBatch(cmds: Command*): Unit = write(cmds.toSeq)
 
     writeBatch(Command("a", 1, "U", "v1"), Command("b", 1, "U", "w1"))
-    val src = spark.readStream
-      .schema(implicitly[org.apache.spark.sql.Encoder[Command]].schema)
-      .parquet(srcDir).as[Command]
+    val src = read()
     val q = StatefulFeed.changeFeed(src).writeStream
       .outputMode("append").format("memory").queryName("e2e_out")
       .option("checkpointLocation", s"$tmp/chk").start()
@@ -224,18 +235,14 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StatefulFeed
     import graft.streaming.StatefulFeed.Command
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_avnow").toString
-    val srcDir = s"$tmp/commands"
-    def writeBatch(cmds: Command*): Unit =
-      cmds.toSeq.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val (tmp, write, read) = commandSource("graft_avnow")
+    def writeBatch(cmds: Command*): Unit = write(cmds.toSeq)
     // memory sink can't recover from a checkpoint — collect each run's
     // delta through foreachBatch instead (which can)
     def runOnce(): Set[(String, Long, String, Option[String], Option[String])] = {
       val got = scala.collection.mutable.Set
         .empty[(String, Long, String, Option[String], Option[String])]
-      val src = spark.readStream
-        .schema(implicitly[org.apache.spark.sql.Encoder[Command]].schema)
-        .parquet(srcDir).as[Command]
+      val src = read()
       val q = StatefulFeed.changeFeed(src).writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$tmp/chk")
