@@ -1130,7 +1130,9 @@ object SparkEntry {
       (s, d) => {
         val docs = t(s, d, "documents")
         val top = docs
-          .select(col("doc_id"), explode(TF.wordBigrams(col("text"))).as("bg"))
+          // bind the token array BEFORE the lambda — see wordBigrams' doc
+          .select(col("doc_id"), TF.tokens(col("text")).as("_toks"))
+          .select(col("doc_id"), explode(TF.wordBigrams(col("_toks"))).as("bg"))
           .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(round(max(col("c")) / sum(col("c")), 6).as("top_bigram_frac"))

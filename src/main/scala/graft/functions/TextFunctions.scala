@@ -274,16 +274,19 @@ object TextFunctions {
     round(lit(1.0) - size(array_distinct(tokens(text))).cast(DoubleType) /
       greatest(tokenCount(text), lit(1)).cast(DoubleType), 6)
 
-  /** Word bigrams as strings ("a b"), for mode-count repetition signals.
-    * Per-row expression; the COUNTING is a (doc, bigram) aggregation the
-    * caller shuffles — see q_repetition's shape note. */
-  def wordBigrams(text: Column): Column = {
-    val t = tokens(text)
+  /** Word bigrams ("a b") from an ALREADY-BOUND token-array column, for
+    * mode-count repetition signals. Callers must project `tokens(text)`
+    * into a column first and pass that attribute: passing the split
+    * expression directly puts it INSIDE the transform lambda, where
+    * per-element re-evaluation turns an O(n) row into O(n^2) splits
+    * (measured 6x on q_repetition). The COUNTING is a (doc, bigram)
+    * aggregation the caller shuffles — see q_repetition's shape note. */
+  def wordBigrams(toks: Column): Column = {
     // size<2 guard: Spark's sequence(1, 0) would generate DESCENDING [1,0]
     // and element_at(t, 0) throws — a 1-token doc must yield no bigrams
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 }
