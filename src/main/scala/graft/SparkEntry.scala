@@ -269,6 +269,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("rev")),
       Some("SELECT n_name, count(*) AS cnt, round(sum(o_totalprice),2) AS rev FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")),
 
+    Q("q_dim_chain", // region -> nation -> customer -> orders: a THREE-hop
+      // dimension chain where every dim broadcasts in turn — the fact side
+      // streams through three BroadcastHashJoins with zero fact shuffles
+      // until the final per-region aggregate
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("rev")),
+      Some("SELECT r_name, count(*) AS cnt, round(sum(o_totalprice),2) AS rev FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name")),
+
+    Q("q_star_join", // lineitem vs TWO independent dims (supplier, part) —
+      // the star-schema shape: both dims broadcast, the fact scans once,
+      // and only the post-join aggregate shuffles (grouped on dim columns)
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("s_nationkey"), col("p_brand"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev")),
+      Some("SELECT s_nationkey, p_brand, count(*) AS cnt, round(sum(l_extendedprice * (1.0 - l_discount)),2) AS rev FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN part ON l_partkey = p_partkey GROUP BY s_nationkey, p_brand")),
+
     Q("q_semi_join", // EXISTS — GetByKeys-shaped membership (proto:1447-1482)
       (s, d) => t(s, d, "customer").join(
         t(s, d, "orders").filter(col("o_totalprice") > 400000.0).select(col("o_custkey")),

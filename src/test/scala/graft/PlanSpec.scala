@@ -39,6 +39,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_vector_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("three-hop dim chain and two-dim star: all joins broadcast, fact never shuffles for them") {
+    for (name <- Seq("q_dim_chain", "q_star_join")) {
+      val p = plan(name)
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(nBroadcast == (if (name == "q_dim_chain") 3 else 2),
+        s"$name: expected all dims broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name fact side must stream:\n$p")
+    }
+  }
+
   test("dimension joins broadcast; the fact side never sort-merges") {
     val p = plan("q_join_agg")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
