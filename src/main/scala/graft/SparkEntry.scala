@@ -841,6 +841,28 @@ object SparkEntry {
                  round(dim.signup_score, 2) AS last_signup_score
           FROM p ASOF LEFT JOIN dim ON p.user_id = dim.user_id AND p.ts >= dim.ts""")),
 
+    Q("q_range_join", // point-in-interval join, binned to an equi-join:
+      // each user's first 2 hours define a window; count the events that
+      // land inside ANY window. The naive inequality join is a nested
+      // loop (O(points x intervals)); RangeJoin bins both sides and
+      // hash-joins on the bin, exact-filtering same-bin candidates —
+      // the oracle runs the inequality join natively (DuckDB IEJoin), a
+      // genuinely different algorithm, so agreement is strong evidence.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val iv = ev.groupBy(col("user_id").as("iv_user"))
+          .agg(min(col("ts")).as("iv_start"))
+          .withColumn("iv_end", col("iv_start") + expr("INTERVAL 2 HOURS"))
+        RangeJoin.pointInInterval(
+            ev.select(col("event_id"), col("ts")), iv,
+            "ts", "iv_start", "iv_end", binWidth = "2 hours")
+          .groupBy(col("iv_user")).agg(count(lit(1)).as("n_in_window"))
+      },
+      Some("""WITH iv AS (SELECT user_id AS iv_user, min(ts) AS s,
+            min(ts) + INTERVAL 2 HOUR AS e FROM events GROUP BY 1)
+          SELECT iv_user, count(*) AS n_in_window
+          FROM iv JOIN events ON ts >= s AND ts < e GROUP BY 1""")),
+
     Q("q_cdc_diff", // SubscribeToEvents event algebra (proto:755-801)
       (s, d) => {
         val o = t(s, d, "orders")

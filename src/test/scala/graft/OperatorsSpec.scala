@@ -473,6 +473,30 @@ class OperatorsSpec extends SparkSpec {
     assert(txt.getLong(4) == 9L)
   }
 
+  test("range join: half-open boundaries, multi-bin intervals, no nested loop") {
+    import graft.operators.RangeJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // == start: IN
+      (2L, ts("2024-01-01 11:59:59")), // inside
+      (3L, ts("2024-01-01 12:00:00")), // == end: OUT (half-open)
+      (4L, ts("2024-01-02 05:30:00")), // inside the 7h interval, 3 bins away
+      (5L, ts("2024-01-03 00:00:00"))  // in no interval
+    ).toDF("pid", "ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")), // 2h
+      (20L, ts("2024-01-02 01:00:00"), ts("2024-01-02 08:00:00")), // 7h, spans bins
+      (30L, ts("2024-01-04 00:00:00"), ts("2024-01-04 00:00:00"))  // empty
+    ).toDF("iv_id", "s", "e")
+    val joined = RangeJoin.pointInInterval(points, intervals, "ts", "s", "e", "2 hours")
+    val got = joined.select("pid", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (4L, 20L)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
   test("media features: decompression-bomb dims are rejected before decode; narrow meta survives") {
     // take a real tiny PNG and rewrite its IHDR to DECLARE 1M x 1M pixels
     // (with a recomputed CRC so the header parses) — the header-only dim
