@@ -1201,6 +1201,21 @@ object SparkEntry {
         .select(col("doc_id")),
       Some(s"SELECT doc_id FROM documents WHERE ${sqlHash32("doc_id::VARCHAR")} % 100 < 10")),
 
+    Q("q_weighted_sample", // quality-weighted Bernoulli downsampling: each
+      // doc survives with probability = its quality score, via the same
+      // portable key-hash draw as q_sample (reproducible on any engine,
+      // pushdown-friendly; no partition-layout dependence)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("quality", TF.qualityScore(col("text")))
+        Sampling.weightedSample(docs, "doc_id", "quality")
+          .select(col("doc_id"), col("quality"))
+      },
+      Some(s"""WITH q AS (${sqlQualityFrom("documents")})
+          SELECT doc_id, quality FROM q
+          WHERE (${sqlHash32("doc_id::VARCHAR")} % 10000) / 10000.0 <
+            least(greatest(quality, 0.0), 1.0)""")),
+
     Q("q_source_quota", // corpus balancing: at most 15 docs per source
       (s, d) => Sampling.perGroupQuota(t(s, d, "documents"),
           "source", "doc_id", "doc_id", 15)

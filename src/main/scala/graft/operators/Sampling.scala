@@ -63,6 +63,20 @@ object Sampling {
     df.filter(keyBucket(keyCol, buckets) < threshold)
   }
 
+  /** Weighted Bernoulli sample: each row keeps with probability
+    * `weightCol` (a DOUBLE in [0,1] — e.g. a quality score, so higher-
+    * quality documents survive downsampling more often, the standard
+    * quality-weighted curation move). Same pure key-hash membership as
+    * [[deterministicSample]]: the key's bucket (as a uniform draw in
+    * [0,1)) is compared against the row's own weight, so membership is
+    * reproducible anywhere and a re-run with a tweaked weight column only
+    * flips rows whose weight crossed their fixed draw. Weights are
+    * clamped to [0,1]; NULL weight drops the row. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     buckets: Int = 10000): DataFrame =
+    df.filter(keyBucket(keyCol, buckets).cast("double") / buckets <
+      least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
+
   /**
    * Sequence packing — assign documents to fixed token-budget bins for
    * training-batch assembly. `keyCol` must be UNIQUE within a shard (a
