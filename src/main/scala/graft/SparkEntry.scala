@@ -863,6 +863,28 @@ object SparkEntry {
           SELECT iv_user, count(*) AS n_in_window
           FROM iv JOIN events ON ts >= s AND ts < e GROUP BY 1""")),
 
+    Q("q_interval_overlap", // interval x interval overlap join, same binned
+      // kernel: per-user first-2h windows vs per-event-type first-3h
+      // windows; a pair sharing several bins dedups via the first-shared-
+      // bin rule (no distinct shuffle). Oracle = native inequality join.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val userWin = ev.groupBy(col("user_id").as("u_id"))
+          .agg(min(col("ts")).as("u_start"))
+          .withColumn("u_end", col("u_start") + expr("INTERVAL 2 HOURS"))
+        val typeWin = ev.groupBy(col("event_type").as("t_type"))
+          .agg(min(col("ts")).as("t_start"))
+          .withColumn("t_end", col("t_start") + expr("INTERVAL 3 HOURS"))
+        RangeJoin.intervalOverlap(userWin, typeWin,
+            "u_start", "u_end", "t_start", "t_end", binWidth = "2 hours")
+          .select(col("u_id"), col("t_type"))
+      },
+      Some("""WITH u AS (SELECT user_id AS u_id, min(ts) AS us,
+            min(ts) + INTERVAL 2 HOUR AS ue FROM events GROUP BY 1),
+          tt AS (SELECT event_type AS t_type, min(ts) AS tts,
+            min(ts) + INTERVAL 3 HOUR AS te FROM events GROUP BY 1)
+          SELECT u_id, t_type FROM u JOIN tt ON us < te AND tts < ue""")),
+
     Q("q_cdc_diff", // SubscribeToEvents event algebra (proto:755-801)
       (s, d) => {
         val o = t(s, d, "orders")

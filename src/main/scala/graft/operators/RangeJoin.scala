@@ -63,6 +63,36 @@ object RangeJoin {
       .drop(reserved)
   }
 
+  /** All (left, right) interval pairs that OVERLAP (half-open:
+    * lStart < rEnd AND rStart < lEnd), binned like [[pointInInterval]].
+    * Both sides explode into covered bins; a pair sharing several bins
+    * would surface once per shared bin, so candidates are kept only in
+    * the FIRST shared bin (bin == max(bin(lStart), bin(rStart))) — exact
+    * dedup with no distinct() shuffle. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      binWidth: String): DataFrame = {
+    val clash = left.columns.toSeq.intersect(right.columns.toSeq)
+    require(clash.isEmpty, s"left/right column names must be disjoint: $clash")
+    val reserved = "_rj_bin"
+    require(!(left.columns ++ right.columns).contains(reserved),
+      s"inputs must not contain the reserved column $reserved")
+    def binOf(ts: Column, w: Long): Column = floor(unix_micros(ts) / lit(w))
+    val w = java.time.Duration.parse(toIso(binWidth)).toNanos / 1000L
+    require(w > 0, s"binWidth must be positive: $binWidth")
+
+    def binned(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(e) > col(s))
+      .withColumn(reserved, explode(sequence(
+        binOf(col(s), w), binOf(col(e) - expr("INTERVAL 1 MICROSECOND"), w))))
+
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), Seq(reserved))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col(reserved) === greatest(binOf(col(lStart), w), binOf(col(rStart), w)))
+      .drop(reserved)
+  }
+
   /** "2 hours" / "30 minutes" / "1 day" -> ISO-8601 duration for
     * java.time.Duration (driver-side width arithmetic only). */
   private def toIso(width: String): String = {

@@ -497,6 +497,25 @@ class OperatorsSpec extends SparkSpec {
       s"range join must stay an equi-join:\n$plan")
   }
 
+  test("interval overlap: touching edges excluded, multi-bin pairs appear once") {
+    import graft.operators.RangeJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 10:00:00")), // 10h: spans 5 bins
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00"))
+    ).toDF("l_id", "ls", "le")
+    val right = Seq(
+      (10L, ts("2024-01-01 01:00:00"), ts("2024-01-01 09:00:00")), // 8h inside l1
+      (20L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")), // touches l1 end: OUT
+      (30L, ts("2024-01-01 12:30:00"), ts("2024-01-01 14:00:00"))  // overlaps l2
+    ).toDF("r_id", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", "2 hours")
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // (1,10) share FOUR bins — must appear exactly once (no distinct in the plan)
+    assert(got.sorted == Seq((1L, 10L), (2L, 30L)),
+      s"expected one row per overlapping pair, got $got")
+  }
+
   test("media features: decompression-bomb dims are rejected before decode; narrow meta survives") {
     // take a real tiny PNG and rewrite its IHDR to DECLARE 1M x 1M pixels
     // (with a recomputed CRC so the header parses) — the header-only dim
