@@ -1442,6 +1442,67 @@ object SparkEntry {
       Some("SELECT doc_id AS media_id, f AS frame_no, (f * 1000) // 4 AS frame_offset_ms FROM documents, (SELECT unnest(range(0, 4)) AS f) WHERE doc_id < 20")))
 
   // ==========================================================================
+  // corpus analytics: vocabulary, overlap, fuzzy vocab match, shuffle/export,
+  // semi-structured JSON bodies
+  // ==========================================================================
+
+  private val corpusQueries = Seq(
+    Q("q_word_freq", // corpus Zipf head: one explode + one map-side-combined agg
+      (s, d) => TermStats.wordFreq(t(s, d, "documents"), "text", 20),
+      Some("""SELECT word, count(*) AS cnt FROM
+              (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              GROUP BY word ORDER BY cnt DESC, word LIMIT 20""")),
+
+    Q("q_corpus_overlap", // exact shingle-set Jaccard between two sources
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TermStats.corpusOverlap(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"), "text", 3)
+      },
+      Some(s"""WITH sa AS (SELECT DISTINCT unnest($sqlShingles3) AS sh FROM documents WHERE source = 'src0'),
+               sb AS (SELECT DISTINCT unnest($sqlShingles3) AS sh FROM documents WHERE source = 'src1'),
+               i AS (SELECT count(*) AS inter FROM sa JOIN sb USING (sh))
+               SELECT inter,
+                 (SELECT count(*) FROM sa) + (SELECT count(*) FROM sb) - inter AS uni,
+                 round(inter::DOUBLE / ((SELECT count(*) FROM sa) + (SELECT count(*) FROM sb) - inter), 6) AS jaccard
+               FROM i""")),
+
+    Q("q_fuzzy_pairs", // blocked Levenshtein over the DISTINCT name vocabulary;
+      // block key (second token) is part of the contract, mirrored exactly
+      (s, d) => Fuzzy.pairs(t(s, d, "part"), "p_name",
+        v => element_at(split(v, " "), 2), maxDist = 3),
+      Some("""WITH vocab AS (SELECT DISTINCT p_name AS v, string_split(p_name, ' ')[2] AS bk FROM part)
+              SELECT a.v AS name_a, b.v AS name_b, levenshtein(a.v, b.v) AS dist
+              FROM vocab a JOIN vocab b USING (bk)
+              WHERE a.v < b.v AND levenshtein(a.v, b.v) <= 3""")),
+
+    Q("q_det_shuffle", // reproducible corpus shuffle: order by md5(seed||key),
+      // a uniform range-sort at scale; first 50 of the shuffled order
+      (s, d) => Sampling.deterministicShuffle(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", "s42")
+        .limit(50),
+      Some("""SELECT doc_id, md5(concat('s42-', cast(doc_id AS VARCHAR))) AS ord_key
+              FROM documents ORDER BY ord_key LIMIT 50""")),
+
+    Q("q_length_histogram", // corpus length distribution in 50-char buckets
+      (s, d) => t(s, d, "documents")
+        .groupBy(floor(col("n_chars") / 50).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("bucket")),
+      Some("""SELECT cast(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS cnt,
+              round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    Q("q_json_extract", // dynamic JSON body access — the schemaless-body
+      // filter surface (reference filter.go's msgpack path walk) over JSON
+      // wire format; extraction stays a string until the caller casts
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+        .filter(get_json_object(col("props"), "$.k").cast("int") > 80),
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+              WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80""")))
+
+  // ==========================================================================
   // round-2 reference capabilities: profile mode, filter labels, patch
   // expired/merge, existence probes, batch LWW, type discipline
   // ==========================================================================
@@ -1645,7 +1706,7 @@ object SparkEntry {
     filterQueries ++ indexQueries ++ aggQueries ++ joinQueries ++ windowQueries ++
       exoticQueries ++ nestedQueries ++ mutationQueries ++ incrementWidthQueries ++
       timeQueries ++
-      textQueries ++ referenceQueries
+      textQueries ++ corpusQueries ++ referenceQueries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The curation
     * pipeline (dedup -> quality -> language -> length) is the engine's

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Blocked fuzzy matching — edit-distance pairs without the cartesian
+ * product, the standard record-linkage "blocking" design (Fellegi–Sunter
+ * style candidate generation): rows only meet inside a block, and the
+ * block key is part of the operator's contract, mirrored exactly by the
+ * oracle.
+ *
+ * Scale shape (the same discipline as the LSH dedup family in
+ * [[Dedup]]):
+ *  1. DISTINCT the match column first — fuzzy matching is a VOCABULARY
+ *     operation; at 100 TB the distinct-value table is orders of
+ *     magnitude smaller than the row table, and matching rows instead of
+ *     values recomputes the same Levenshtein pair millions of times.
+ *  2. Equi-join on the block key — Levenshtein runs only on candidate
+ *     pairs that share a block, a linear-size set when blocks are
+ *     bounded, never the n² all-pairs set.
+ *  3. `a < b` inside the block halves the work and makes the pair set
+ *     canonical.
+ * A block that is itself skew-hot (one block holding most values) is the
+ * same failure mode as a hot LSH bucket — pick a finer block key, or
+ * salt as in [[Dedup.embeddingNearDup]].
+ */
+object Fuzzy {
+
+  /**
+   * Canonical near-match pairs `(name_a, name_b, dist)` over the DISTINCT
+   * values of `valueCol`, where both share `blockKey(value)` and
+   * `levenshtein <= maxDist`. `blockKey` is a SQL-expressible Column
+   * function so the oracle can mirror the blocking exactly.
+   */
+  def pairs(df: DataFrame, valueCol: String,
+            blockKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+            maxDist: Int): DataFrame = {
+    val vocab = df.select(col(valueCol).as("v")).distinct()
+      .withColumn("bk", blockKey(col("v")))
+    val a = vocab.select(col("v").as("name_a"), col("bk"))
+    val b = vocab.select(col("v").as("name_b"), col("bk"))
+    a.join(b, "bk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+}

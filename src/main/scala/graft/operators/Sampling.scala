@@ -77,6 +77,19 @@ object Sampling {
     df.filter(keyBucket(keyCol, buckets).cast("double") / buckets <
       least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
 
+  /** Deterministic global shuffle — the "randomize the corpus before
+    * training" step, as a pure function of the key: order by
+    * `md5(seed || key)`. Reproducible across engines, runs, and cluster
+    * sizes (unlike `orderBy(rand())`), and at scale it is one
+    * range-partitioned sort whose keys are uniform BY CONSTRUCTION — no
+    * skewed sort partitions regardless of how skewed the data keys are.
+    * The order key is returned so downstream shard writers can range-split
+    * on it without re-deriving the hash. */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+                           seed: String): DataFrame =
+    df.withColumn("ord_key", md5(concat(lit(seed + "-"), col(keyCol).cast("string"))))
+      .orderBy(col("ord_key"))
+
   /**
    * Sequence packing — assign documents to fixed token-budget bins for
    * training-batch assembly. `keyCol` must be UNIQUE within a shard (a

@@ -43,4 +43,46 @@ object TermStats {
       .filter(col("_rn") <= k)
       .select(col(keyCol), col("term"), col("tfidf"))
   }
+
+  /**
+   * Corpus-level top-k word frequencies (the Zipf-curve / vocabulary-audit
+   * query every curation pass starts with). One explode + one hash
+   * aggregation: partial (map-side) counting collapses each task's token
+   * stream to its distinct words BEFORE the shuffle, so the shuffle volume
+   * is bounded by vocabulary size per task, not token count — the property
+   * that makes this safe over a 100 TB corpus with a ~1 M-word vocabulary.
+   * Ties rank alphabetically so the top-k cut is total-ordered.
+   */
+  def wordFreq(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(k)
+
+  /**
+   * Exact corpus-overlap: Jaccard similarity of two corpora's distinct
+   * shingle sets — the contamination/diversity audit between sources
+   * (reference: the SLICE_CONTAINS intersection family lifted from
+   * per-row to corpus granularity). Shape: explode → per-side DISTINCT
+   * (map-side combined) → one equi-join on the shingle string → three
+   * scalar counts. Payload text never shuffles; only distinct shingles do,
+   * and the join output is counted, never materialized. For corpora where
+   * even distinct shingles are too big, swap in minhashSignature and
+   * estimate — this exact form is the oracle-checkable baseline.
+   */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                    shingleN: Int): DataFrame = {
+    def sh(df: DataFrame) =
+      df.select(explode(TF.shingles(col(textCol), shingleN)).as("sh")).distinct()
+    val sa = sh(a).cache(); val sb = sh(b)
+    val inter = sa.join(sb, "sh").agg(count(lit(1)).as("inter"))
+    val na = sa.agg(count(lit(1)).as("na"))
+    val nb = sb.agg(count(lit(1)).as("nb"))
+    // three 1-row frames — broadcast-combined, same bounded kernel as tfidf's N
+    inter.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+  }
 }

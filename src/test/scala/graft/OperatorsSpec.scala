@@ -1101,6 +1101,50 @@ class OperatorsSpec extends SparkSpec {
     assert(Locks.release(spark, dir, after.get))
   }
 
+  // --- corpus analytics --------------------------------------------------------
+
+  test("wordFreq: counts with alphabetical tie-break, top-k cut") {
+    val docs = Seq("b a a", "c b", "c").toDF("text")
+    val out = TermStats.wordFreq(docs, "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // a=2, b=2, c=2 — all tied; alphabetical order decides the top-2 cut
+    assert(out.toSeq == Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("corpusOverlap: exact Jaccard of distinct shingle sets") {
+    // one-token docs shingle to themselves: sets {x,y,z} vs {y,z,w}
+    val a = Seq("x", "y", "z", "y").toDF("text") // dup y — distinct collapses
+    val b = Seq("y", "z", "w").toDF("text")
+    val r = TermStats.corpusOverlap(a, b, "text", 3).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L) // inter={y,z}, uni={x,y,z,w}
+    assert(r.getDouble(2) == 0.5)
+  }
+
+  test("fuzzy pairs: blocked levenshtein, canonical order, no cross-block pairs") {
+    val df = Seq("red widget", "rad widget", "red bolt", "rod widget", "red widget")
+      .toDF("p_name")
+    val out = Fuzzy.pairs(df, "p_name", v => element_at(split(v, " "), 2), 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // "red bolt" blocks alone (bolt) — never pairs despite dist 4 to others;
+    // widget block: all three pairwise within dist 2, pairs canonical (a < b)
+    assert(out == Set(
+      ("rad widget", "red widget", 1),
+      ("rad widget", "rod widget", 1),
+      ("red widget", "rod widget", 1)))
+  }
+
+  test("deterministicShuffle: reproducible permutation, engine-portable key") {
+    val df = (1 to 100).toDF("id")
+    val s1 = Sampling.deterministicShuffle(df, "id", "seed7").collect()
+    val s2 = Sampling.deterministicShuffle(df, "id", "seed7").collect()
+    assert(s1.map(_.getInt(0)).toSeq == s2.map(_.getInt(0)).toSeq) // same run order
+    assert(s1.map(_.getInt(0)).toSet == (1 to 100).toSet)          // a permutation
+    assert(s1.map(_.getInt(0)).toSeq != (1 to 100).toSeq)          // actually shuffled
+    // a different seed produces a different order
+    val s3 = Sampling.deterministicShuffle(df, "id", "seed8").collect()
+    assert(s3.map(_.getInt(0)).toSeq != s1.map(_.getInt(0)).toSeq)
+  }
+
   // --- changefeed --------------------------------------------------------------
 
   test("cdc diff emits NEW/MODIFIED/DELETED with old values, nothing for unchanged") {
