@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.{DotProduct, DotProductConst, MsgPackDecode, MsgPackEncode, TokensContainPhrase}
+import graft.functions.{DotProduct, DotProductConst, MsgPackDecode, MsgPackEncode, NormalizeText, TokensContainPhrase}
 
 /**
  * SQL surface for the engine's custom expressions, registered through the
@@ -81,6 +81,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_cosine(v, constVector)")
         DotProductConst(exprs(0), foldableFloats(exprs(1), "graft_cosine"))
+      }),
+    ("graft_normalize",
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_normalize(text)")
+        NormalizeText(exprs.head)
       }),
     ("graft_msgpack_pack",
       new ExpressionInfo(classOf[MsgPackEncode].getName, "graft_msgpack_pack"),

@@ -1493,6 +1493,15 @@ object SparkEntry {
       Some("""SELECT cast(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS cnt,
               round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    Q("q_normalize", // codegen'd unicode normalization (NFD-strip-marks,
+      // lowercase, whitespace collapse, NFC) — the canonical cleaning pass
+      // before byte-identity dedup; corpus is ASCII so the oracle's
+      // strip_accents/nfc_normalize agree exactly, accents pinned in unit
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.NormalizeFunctions.normalizeText(col("text")).as("text_norm")),
+      Some("""SELECT doc_id, trim(regexp_replace(strip_accents(nfc_normalize(lower(text))), '\s+', ' ', 'g')) AS text_norm FROM documents""")),
+
     Q("q_json_extract", // dynamic JSON body access — the schemaless-body
       // filter surface (reference filter.go's msgpack path walk) over JSON
       // wire format; extraction stays a string until the caller casts

@@ -34,6 +34,24 @@ class ExtensionsWiringSpec extends SparkSpec {
     assert(mp.getLong(0) == 7L && mp.getString(1) == "hi" && mp.isNullAt(2))
   }
 
+  test("graft_normalize: accent strip, case fold, whitespace collapse, via SQL") {
+    val r = spark.sql(
+      "SELECT graft_normalize('  HÉllo\t\tWörld  ') AS n, graft_normalize('') AS e, " +
+      "graft_normalize(CAST(NULL AS STRING)) AS z").head()
+    assert(r.getString(0) == "hello world")
+    assert(r.getString(1) == "")
+    assert(r.isNullAt(2))
+    // precomposed and combining-mark spellings of é fold to one form
+    val two = spark.sql(
+      "SELECT graft_normalize('café') = graft_normalize('café') AS same").head()
+    assert(two.getBoolean(0))
+    // non-string input is an analysis-time error, not a runtime throw
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_normalize(42)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"), e.getMessage)
+  }
+
   test("msgpack expressions reject unsupported types at analysis, not runtime") {
     // scale-2 decimal has no msgpack representation — must fail on the
     // driver as an analysis error, never as a per-row executor throw
