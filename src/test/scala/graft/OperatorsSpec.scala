@@ -1145,6 +1145,35 @@ class OperatorsSpec extends SparkSpec {
     assert(s3.map(_.getInt(0)).toSeq != s1.map(_.getInt(0)).toSeq)
   }
 
+  test("shard export: deterministic assignment, balanced, ordered within shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = (1 to 2000).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    Export.writeShards(df, "doc_id", 8, dir, seed = "e1")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000)
+    // every shard present, sizes balanced (uniform hash: 250 expected/shard)
+    val sizes = back.groupBy("shard").count().collect()
+      .map(r => r.getAs[Number]("shard").intValue() -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.forall(c => c > 150 && c < 350), s"skewed shards: $sizes")
+    // assignment is a pure key function: recomputing matches what was written
+    val expect = Export.withShard(df, "doc_id", 8, "e1")
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    back.select("doc_id", "shard").collect().foreach { r =>
+      assert(expect(r.getLong(0)) == r.getAs[Number]("shard").intValue())
+    }
+    // within a shard file, rows follow the portable order key
+    val shard0 = spark.read.parquet(s"$dir/shard=0").select("ord_key")
+      .collect().map(_.getString(0)).toSeq
+    assert(shard0 == shard0.sorted)
+    // a different seed reshuffles: some key changes shard
+    Export.writeShards(df, "doc_id", 8, dir + "2", seed = "e2")
+    val two = spark.read.parquet(dir + "2").select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("shard").intValue()).toMap
+    assert((1 to 2000).exists(i => two(i.toLong) != expect(i.toLong)))
+  }
+
   // --- changefeed --------------------------------------------------------------
 
   test("cdc diff emits NEW/MODIFIED/DELETED with old values, nothing for unchanged") {
