@@ -1493,6 +1493,24 @@ object SparkEntry {
       Some("""SELECT cast(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS cnt,
               round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    Q("q_bloom_semi", // table-probe regime of KeyProbe: bloom pre-filter in
+      // the scan stage (no false negatives), exact semi-join on survivors —
+      // the bloom is invisible to semantics, so the oracle is a plain IN
+      (s, d) => KeyProbe.semiJoin(t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          "c_custkey", expectedKeys = 10000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""")),
+
+    Q("q_bloom_anti", // bloom-split anti: definite-miss rows never shuffle
+      (s, d) => KeyProbe.antiJoin(t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          "c_custkey", expectedKeys = 10000)
+        .select(col("o_orderkey"), col("o_custkey")),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""")),
+
     Q("q_normalize", // codegen'd unicode normalization (NFD-strip-marks,
       // lowercase, whitespace collapse, NFC) — the canonical cleaning pass
       // before byte-identity dedup; corpus is ASCII so the oracle's

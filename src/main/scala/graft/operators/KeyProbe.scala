@@ -74,6 +74,51 @@ object KeyProbe {
       df(keyCol) === col(ProbeCol), "left_anti")
   }
 
+  /**
+   * Third regime — the probe list is itself a TABLE (millions of keys:
+   * "filter this crawl against the 50 M known URLs"), too big for a
+   * driver Seq or a broadcast. A Bloom filter over the probe keys (built
+   * distributed via the mergeable-sketch aggregate behind
+   * `df.stat.bloomFilter`) pre-filters the big side IN THE SCAN STAGE —
+   * no false negatives, so correctness still comes from the exact
+   * shuffle semi-join, but only the ~fpp false-positive excess plus true
+   * matches ever shuffle. The big table is scanned once and shuffled
+   * almost-never; the probe table shuffles once (it is the small side).
+   *
+   * `expectedKeys` sizes the filter (bits ≈ -n·ln(fpp)/ln²2 — 50 M keys
+   * at 1% is ~57 MB, executor-memory scale, not driver-literal scale).
+   */
+  def semiJoin(df: DataFrame, keyCol: String, probe: DataFrame,
+               probeKeyCol: String, expectedKeys: Long,
+               fpp: Double = 0.01): DataFrame = {
+    val bf = probe.stat.bloomFilter(probeKeyCol, expectedKeys, fpp)
+    df.filter(graft.functions.BloomFunctions.mightContain(col(keyCol), bf))
+      .join(probe.select(col(probeKeyCol).as(ProbeCol)).distinct(),
+        df(keyCol) === col(ProbeCol), "left_semi")
+  }
+
+  /**
+   * Table-probe anti join with the Bloom split: rows the filter rejects
+   * are DEFINITELY absent from the probe set — they pass the anti
+   * directly, skipping the shuffle entirely. Only bloom-positives (true
+   * matches + the fpp sliver) pay the exact anti join. The big side is
+   * scanned twice (cache it if scans dominate), but at 100 TB the trade
+   * is right: scans are embarrassingly parallel, shuffles are not — and
+   * in the common dedup case (most rows NOT in the corpus) the shuffled
+   * fraction is a few percent.
+   */
+  def antiJoin(df: DataFrame, keyCol: String, probe: DataFrame,
+               probeKeyCol: String, expectedKeys: Long,
+               fpp: Double = 0.01): DataFrame = {
+    val bf = probe.stat.bloomFilter(probeKeyCol, expectedKeys, fpp)
+    val mc = graft.functions.BloomFunctions.mightContain(col(keyCol), bf)
+    val definiteMiss = df.filter(col(keyCol).isNull || !mc)
+    val needExact = df.filter(mc)
+      .join(probe.select(col(probeKeyCol).as(ProbeCol)).distinct(),
+        df(keyCol) === col(ProbeCol), "left_anti")
+    definiteMiss.unionAll(needExact)
+  }
+
   /** Membership as a boolean column joined onto the probe list itself:
     * one row per probed key with `is_present` (duplicate probe keys stay
     * duplicated — the reference answers per requested key). A null probe

@@ -217,4 +217,46 @@ class KeysetProbeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(2L -> true, 9L -> false))
   }
+
+  // --- table-probe (bloom) regime -------------------------------------------
+
+  test("bloom semiJoin: bloom pre-filter in the plan, rows exactly the IN-subquery set") {
+    val probe = Tables(spark, sf, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val got = KeyProbe.semiJoin(orders, "o_custkey", probe, "c_custkey",
+      expectedKeys = 1000)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BloomMightContain") || plan.contains("bloommightcontain"),
+      s"bloom probe missing from plan:\n$plan")
+    val want = orders.createOrReplaceTempView("o_bl")
+    probe.createOrReplaceTempView("c_bl")
+    val exact = spark.sql(
+      "SELECT count(*) FROM o_bl WHERE o_custkey IN (SELECT c_custkey FROM c_bl)")
+      .head().getLong(0)
+    assert(got.count() == exact)
+  }
+
+  test("bloom antiJoin: definite-miss rows skip the join; result is the exact complement") {
+    val probe = Tables(spark, sf, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val anti = KeyProbe.antiJoin(orders, "o_custkey", probe, "c_custkey",
+      expectedKeys = 1000)
+    assert(anti.count() + KeyProbe.semiJoin(orders, "o_custkey", probe, "c_custkey",
+      1000).count() == orders.count())
+    // null big-side keys are kept (never members of any probe set)
+    val df = Seq(Option(1L), Option(2L), None).toDF("k")
+    val pr = Seq(2L).toDF("pk")
+    val got = KeyProbe.antiJoin(df, "k", pr, "pk", expectedKeys = 10)
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(1L), Seq(null)))
+  }
+
+  test("bloom expression: no false negatives over inserted keys, string + long") {
+    val bfL = Tables(spark, sf, "customer").stat.bloomFilter("c_custkey", 1000, 0.01)
+    val allL = Tables(spark, sf, "customer")
+      .filter(!graft.functions.BloomFunctions.mightContain(col("c_custkey"), bfL))
+    assert(allL.count() == 0, "bloom dropped an inserted long key")
+    val bfS = Tables(spark, sf, "customer").stat.bloomFilter("c_mktsegment", 10, 0.01)
+    val allS = Tables(spark, sf, "customer")
+      .filter(!graft.functions.BloomFunctions.mightContain(col("c_mktsegment"), bfS))
+    assert(allS.count() == 0, "bloom dropped an inserted string key")
+  }
 }
