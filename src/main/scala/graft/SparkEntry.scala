@@ -1530,6 +1530,113 @@ object SparkEntry {
               WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80""")))
 
   // ==========================================================================
+  // event analytics: cohort retention, funnel, gap-fill, profiling — the
+  // event-workload queries the reference's catalog swamps feed client-side
+  // today, run engine-side as declarative plans
+  // ==========================================================================
+
+  private val analyticsQueries = Seq(
+    Q("q_cohort_retention", // cohort = first active day; distinct actives per
+      // (cohort, day offset). Two shuffles, both on user_id — the second
+      // groupBy reuses the first's partitioning under AQE
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val c = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
+        ev.join(c, "user_id")
+          .select(col("d0").as("cohort_day"),
+            datediff(col("day"), col("d0")).cast("long").as("day_offset"),
+            col("user_id"))
+          .filter(col("day_offset") <= 7)
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day FROM events),
+              c AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1)
+              SELECT d0 AS cohort_day, date_diff('day', d0, day) AS day_offset,
+                     count(DISTINCT ev.user_id) AS n_users
+              FROM ev JOIN c USING (user_id)
+              WHERE date_diff('day', d0, day) <= 7 GROUP BY 1, 2""")),
+
+    Q("q_funnel", // staged conversion: view -> click after view -> purchase
+      // after that click; one shuffle (per-user min-pivot), then a scalar agg
+      (s, d) => {
+        val perUser = t(s, d, "events").groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        perUser.agg(
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_click_after_view"),
+          count(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 1)).as("n_full_funnel"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+              FROM events GROUP BY 1)
+              SELECT count(t_view) AS n_view,
+                count(CASE WHEN t_click > t_view THEN 1 END) AS n_click_after_view,
+                count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+              FROM u""")),
+
+    Q("q_gapfill", // zero-filled daily series over the observed span: the
+      // span is a one-row agg exploded to a date spine (broadcast side),
+      // left-joined onto the sparse per-day counts
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val pur = ev.filter(col("event_type") === "purchase" && col("value") > 190)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val span = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        span.join(pur, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      },
+      Some("""WITH pur AS (SELECT cast(ts AS DATE) AS day, count(*) AS n FROM events
+                           WHERE event_type = 'purchase' AND value > 190 GROUP BY 1),
+              span AS (SELECT unnest(generate_series((SELECT min(cast(ts AS DATE)) FROM events),
+                       (SELECT max(cast(ts AS DATE)) FROM events), INTERVAL 1 DAY))::DATE AS day)
+              SELECT day, coalesce(n, 0) AS n FROM span LEFT JOIN pur USING (day)""")),
+
+    Q("q_column_stats", // single-pass data-quality profile of a table
+      (s, d) => t(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        round(avg(col("o_totalprice")), 6).as("avg_price"),
+        min(to_date(col("o_orderdate"))).as("first_day"),
+        max(to_date(col("o_orderdate"))).as("last_day"),
+        count(when(col("o_custkey").isNull, 1)).as("n_null_cust")),
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT o_orderstatus) AS n_status,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+              round(avg(o_totalprice), 6) AS avg_price,
+              min(cast(o_orderdate AS DATE)) AS first_day,
+              max(cast(o_orderdate AS DATE)) AS last_day,
+              count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_cust
+              FROM orders""")),
+
+    Q("q_vocab_coverage", // fraction of each source's tokens covered by the
+      // corpus top-10 vocabulary — the derived dimension (vocab) broadcasts
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = TermStats.wordFreq(docs, "text", 10)
+          .select(col("word")).withColumn("_v", lit(1))
+        docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(vocab), col("w") === col("word"), "left")
+          .groupBy("source")
+          .agg(round(sum(when(col("_v").isNotNull, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("coverage"))
+      },
+      Some("""WITH vocab AS (SELECT word FROM (SELECT word, count(*) AS cnt FROM
+                (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                GROUP BY word ORDER BY cnt DESC, word LIMIT 10)),
+              toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+              SELECT source, round(sum(CASE WHEN w IN (SELECT word FROM vocab) THEN 1 ELSE 0 END)::DOUBLE
+                / count(*), 6) AS coverage FROM toks GROUP BY source""")))
+
+  // ==========================================================================
   // round-2 reference capabilities: profile mode, filter labels, patch
   // expired/merge, existence probes, batch LWW, type discipline
   // ==========================================================================
@@ -1733,7 +1840,7 @@ object SparkEntry {
     filterQueries ++ indexQueries ++ aggQueries ++ joinQueries ++ windowQueries ++
       exoticQueries ++ nestedQueries ++ mutationQueries ++ incrementWidthQueries ++
       timeQueries ++
-      textQueries ++ corpusQueries ++ referenceQueries
+      textQueries ++ corpusQueries ++ analyticsQueries ++ referenceQueries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The curation
     * pipeline (dedup -> quality -> language -> length) is the engine's
