@@ -1617,6 +1617,44 @@ object SparkEntry {
               count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_cust
               FROM orders""")),
 
+    Q("q_rolling_window", // 7-day rolling sum per user — a RANGE frame over
+      // event time (not a ROWS frame): the window width is temporal, so the
+      // frame is peers-inclusive and deterministic without a unique
+      // tie-break. Timestamps truncate to seconds on BOTH sides so the
+      // frame boundary computes on identical values cross-engine
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("tss").cast("long"))
+          .rangeBetween(-7L * 86400, 0)
+        t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("second", col("ts")).as("tss"), col("value"))
+          .select(col("user_id"), col("tss"),
+            round(sum(col("value")).over(w), 6).as("roll_sum"))
+      },
+      Some("""SELECT user_id, date_trunc('second', ts) AS tss,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts)
+                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 6) AS roll_sum
+              FROM events WHERE event_type = 'purchase'""")),
+
+    Q("q_zscore_outliers", // per-group z-score anomaly flag: group stats
+      // join back as a broadcast dimension; z rounded before the threshold
+      // compare so cross-engine last-ulp noise cannot flip membership
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val st = docs.groupBy("source").agg(
+          avg(col("n_chars")).as("mu"), stddev_samp(col("n_chars")).as("sd"))
+        docs.join(broadcast(st), "source")
+          .withColumn("z", round(abs(col("n_chars") - col("mu")) / col("sd"), 6))
+          .filter(col("z") > 1.8)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("z"))
+      },
+      Some("""WITH st AS (SELECT source, avg(n_chars) AS mu, stddev_samp(n_chars) AS sd
+                          FROM documents GROUP BY 1)
+              SELECT doc_id, source, n_chars, round(abs(n_chars - mu) / sd, 6) AS z
+              FROM documents JOIN st USING (source)
+              WHERE round(abs(n_chars - mu) / sd, 6) > 1.8""")),
+
     Q("q_vocab_coverage", // fraction of each source's tokens covered by the
       // corpus top-10 vocabulary — the derived dimension (vocab) broadcasts
       (s, d) => {

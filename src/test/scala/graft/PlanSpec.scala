@@ -78,9 +78,9 @@ class PlanSpec extends SparkSpec {
 
   test("no query plans a CartesianProduct or a non-codegen Python eval") {
     // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
-    // bounded kernel (cap-gate / tfidf 1-row corpus-count broadcast;
-    // bounded all-pairs cosine)
-    val bnljAllowed = Set("q_cap_gate", "q_cosine_pairs", "q_tfidf")
+    // bounded kernel (cap-gate / tfidf / corpus-overlap 1-row count
+    // broadcasts; bounded all-pairs cosine)
+    val bnljAllowed = Set("q_cap_gate", "q_cosine_pairs", "q_tfidf", "q_corpus_overlap")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
