@@ -69,6 +69,31 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
     stream.join(broadcast(dim), on, "left_outer")
 
+  /**
+   * Stream-stream interval join — correlate two live feeds (the
+   * impression/click, command/ack shape) where the right event must land
+   * within `[leftTs, leftTs + within]` of its left partner. Both sides
+   * carry watermarks, and the join condition is time-bounded in BOTH
+   * directions, which is exactly what lets Structured Streaming evict
+   * state: a left row older than watermark+within can never match again
+   * and is dropped from the state store — state stays proportional to the
+   * in-flight window, not the stream history. Inner join: matches emit as
+   * soon as both sides arrive (no watermark wait).
+   *
+   * Column names must be disjoint apart from `key` (the usual discipline
+   * for stream-stream joins); output carries left columns then right.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, within: String,
+                   watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs AND " +
+      s"r.$rightTs <= l.$leftTs + interval $within"))
+      .drop(r(key))
+  }
+
   /** SubscribeToInfo: live per-source row counts, update mode. */
   def subscribeToInfo(events: DataFrame, groupCol: String): DataFrame =
     events.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))

@@ -14,6 +14,8 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   case class Cmd(op: String, seq: Long, key: String, v: Int)
+  case class ImpEv(ad: String, its: java.sql.Timestamp)
+  case class ClkEv(ad: String, cts: java.sql.Timestamp)
 
   test("subscribeToEvents emits NEW / MODIFIED / DELETED across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
@@ -287,6 +289,29 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("enrich_out").select("key", "tier")
       .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(rows == Map("k1" -> Some("gold"), "k3" -> None))
+  }
+
+  test("stream-stream interval join: in-window right events join, late/unmatched don't") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[ImpEv]
+    val clks = MemoryStream[ClkEv]
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+    val q = Streams.intervalJoin(imps.toDF(), clks.toDF(), "ad",
+        "its", "cts", within = "10 minutes", watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    imps.addData(ImpEv("a1", ts(0)), ImpEv("a2", ts(0)))
+    clks.addData(ClkEv("a1", ts(5)))  // within the 10-minute window
+    q.processAllAvailable()
+    clks.addData(ClkEv("a2", ts(20))) // past the window for a2's impression
+    clks.addData(ClkEv("a3", ts(5)))  // no impression at all
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_out").select("ad", "its", "cts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+    assert(rows == Seq(("a1", ts(0), ts(5))),
+      s"expected exactly the in-window pair, got ${rows.mkString(", ")}")
   }
 
   test("streaming shift queue: claims are oldest-first, bounded, and disjoint") {
