@@ -1617,6 +1617,46 @@ object SparkEntry {
               count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_cust
               FROM orders""")),
 
+    Q("q_group_sample", // uniform-but-reproducible k per group: the kept
+      // subset is random WITHIN each source yet identical across runs and
+      // engines (portable md5 draw), unlike first-k-by-business-order quota
+      (s, d) => Sampling.perGroupUniform(t(s, d, "documents"), "source",
+          "doc_id", k = 5, seed = "gs1")
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5(concat('gs1-', cast(doc_id AS VARCHAR)))) AS rn
+              FROM documents) WHERE rn <= 5""")),
+
+    Q("q_winsorize", // per-group p95 capping (outlier clamp before training
+      // statistics): exact interpolated percentile per status broadcasts
+      // back; the threshold is rounded BEFORE clamping so the boundary
+      // cannot flip cross-engine
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val thr = orders.groupBy("o_orderstatus")
+          .agg(round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
+        orders.join(broadcast(thr), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(least(col("o_totalprice"), col("p95")), 6).as("capped_price"))
+      },
+      Some("""WITH thr AS (SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+                           FROM orders GROUP BY 1)
+              SELECT o_orderkey, o_orderstatus,
+                     round(least(o_totalprice, p95), 6) AS capped_price
+              FROM orders JOIN thr USING (o_orderstatus)""")),
+
+    Q("q_unpivot", // wide→long melt: the inverse of the profile pivot
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_custkey")),
+          "metric", "value"),
+      Some("""SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value FROM orders
+              UNION ALL
+              SELECT o_orderkey, 'o_custkey', cast(o_custkey AS DOUBLE) FROM orders""")),
+
     Q("q_rolling_window", // 7-day rolling sum per user — a RANGE frame over
       // event time (not a ROWS frame): the window width is temporal, so the
       // frame is peers-inclusive and deterministic without a unique

@@ -77,6 +77,22 @@ object Sampling {
     df.filter(keyBucket(keyCol, buckets).cast("double") / buckets <
       least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
 
+  /** Uniform-but-reproducible k per group — the per-domain cap where the
+    * kept subset should be a RANDOM k (not the first k by some business
+    * order, which [[perGroupQuota]] gives): rank within the group by the
+    * portable md5 draw and keep k. Same window shuffle as any grouped op;
+    * the draw is a pure key function, so the kept set is stable across
+    * runs and engines while being uniform within each group. */
+  def perGroupUniform(df: DataFrame, groupCol: String, keyCol: String,
+                      k: Int, seed: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(seed + "-"), col(keyCol).cast("string"))))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Deterministic global shuffle — the "randomize the corpus before
     * training" step, as a pure function of the key: order by
     * `md5(seed || key)`. Reproducible across engines, runs, and cluster
