@@ -292,6 +292,18 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev")),
       Some("SELECT s_nationkey, p_brand, count(*) AS cnt, round(sum(l_extendedprice * (1.0 - l_discount)),2) AS rev FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN part ON l_partkey = p_partkey GROUP BY s_nationkey, p_brand")),
 
+    Q("q_skew_join", // salted fact-dim join: the hot-key regime where the
+      // dim can't broadcast and AQE's partition split isn't enough — the
+      // (key, salt) join key spreads any single hot key over saltBuckets
+      // reducers by construction. Oracle = the PLAIN join: salting must not
+      // change a single output row
+      (s, d) => SkewJoin.saltedInner(
+          t(s, d, "events"), t(s, d, "customer"), "user_id", "c_custkey",
+          saltBuckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("value")), 2).as("sum_value"), count(lit(1)).as("n")),
+      Some("SELECT c_mktsegment, round(sum(value), 2) AS sum_value, count(*) AS n FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment")),
+
     Q("q_semi_join", // EXISTS — GetByKeys-shaped membership (proto:1447-1482)
       (s, d) => t(s, d, "customer").join(
         t(s, d, "orders").filter(col("o_totalprice") > 400000.0).select(col("o_custkey")),
@@ -946,6 +958,15 @@ object SparkEntry {
 
   private def sqlHash32(e: String) = s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
 
+  /** Oracle-side mirror of Dedup.segmentsOf: the shared CTE prefix that
+    * derives non-overlapping `segTokens`-token segments per document. */
+  private def sqlSegCte(segTokens: Int): String = {
+    val n = segTokens
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        idx AS (SELECT doc_id, ts, unnest(range(CAST(ceil(len(ts) / $n.0) AS BIGINT))) AS i FROM toks),
+        segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ts[(i * $n + 1):(i * $n + $n)], ' ') AS seg FROM idx)"""
+  }
+
   private val sqlShingles3 = // mirrors TextFunctions.shingles(text, 3)
     "CASE WHEN len(string_split(text,' ')) >= 3 THEN list_transform(range(1, len(string_split(text,' ')) - 1), i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) ELSE [array_to_string(string_split(text,' '), ' ')] END"
 
@@ -1447,6 +1468,52 @@ object SparkEntry {
   // ==========================================================================
 
   private val corpusQueries = Seq(
+    Q("q_segment_dedup", // RefinedWeb/CCNet segment-level dedup: every
+      // segment keeps only its first (doc, idx) occurrence, docs reassemble
+      // from survivors; text never shuffles — only (hash, key, idx) tuples
+      // and per-doc int arrays do. Docs losing every segment drop out.
+      (s, d) => Dedup.segmentDedup(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("text")),
+      Some(s"""${sqlSegCte(10)},
+          r AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs)
+          SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+          FROM r WHERE rn = 1 GROUP BY doc_id""")),
+
+    Q("q_boilerplate", // frequency-based boilerplate strip: segments seen in
+      // > 2 distinct docs (headers/footers/nav) drop EVERYWHERE, the rest
+      // keep all their copies — frequency is the signal, not duplication
+      (s, d) => Dedup.stripBoilerplate(t(s, d, "documents"), "text", "doc_id",
+          maxDocs = 2)
+        .select(col("doc_id"), col("text")),
+      Some(s"""${sqlSegCte(10)},
+          c AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+          SELECT s.doc_id, string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS text
+          FROM segs s JOIN c ON s.seg = c.seg WHERE c.nd <= 2 GROUP BY s.doc_id""")),
+
+    Q("q_entropy", // unigram Shannon entropy per doc (lexical diversity):
+      // ln(n) - sum(c ln c)/n in ONE agg over (doc, token) counts; both
+      // engines compute the same identity, round(6) absorbs float order
+      (s, d) => TermStats.tokenEntropy(t(s, d, "documents"), "text", "doc_id"),
+      Some("""WITH cnt AS (SELECT doc_id, tok, count(*) AS c FROM
+            (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY doc_id, tok)
+          SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+          FROM cnt GROUP BY doc_id""")),
+
+    Q("q_mix_reweight", // rebalance toward a target language mixture under a
+      // row budget: per-group keep-rate = min(1, budget*share/count) via the
+      // portable md5 draw — counts broadcast back, membership stays a pure
+      // per-row predicate
+      (s, d) => Sampling.mixToTarget(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1),
+          budget = 300)
+        .select(col("doc_id"), col("lang")),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+          SELECT d.doc_id, d.lang FROM documents d JOIN c ON d.lang = c.lang
+          WHERE (${sqlHash32("d.doc_id::VARCHAR")} % 10000) / 10000.0 <
+            least(1.0, 300.0 * (CASE d.lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+              WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1 END) / cnt)""")),
+
     Q("q_word_freq", // corpus Zipf head: one explode + one map-side-combined agg
       (s, d) => TermStats.wordFreq(t(s, d, "documents"), "text", 20),
       Some("""SELECT word, count(*) AS cnt FROM
@@ -1536,6 +1603,54 @@ object SparkEntry {
   // ==========================================================================
 
   private val analyticsQueries = Seq(
+    Q("q_sessionize", // batch gap-based sessionization: stable per-user
+      // session IDs from plain window functions — the session_window
+      // analogue with a joinable id (same >= boundary rule, so both
+      // formulations agree event-for-event). Integer-microsecond gap
+      // compares: no float epoch to disagree across engines
+      (s, d) => Sessionize.sessions(t(s, d, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end")),
+      Some("""WITH l AS (SELECT user_id, event_id, ts,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+          s AS (SELECT user_id, ts,
+            sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM l)
+          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+            count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+          FROM s GROUP BY user_id, session_id""")),
+
+    Q("q_pivot_events", // categorical pivot to wide: day x event_type count
+      // matrix with a FIXED column list (the at-scale discipline — an
+      // unpinned pivot pays a distinct-scan planning pass and can explode
+      // the schema); absent cells are 0, matching the oracle's FILTER form
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .pivot("event_type", types).agg(count(lit(1)))
+        p.select(col("day") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+          count(*) FILTER (event_type = 'click') AS click,
+          count(*) FILTER (event_type = 'error') AS error,
+          count(*) FILTER (event_type = 'purchase') AS purchase,
+          count(*) FILTER (event_type = 'signup') AS signup,
+          count(*) FILTER (event_type = 'view') AS view
+          FROM events GROUP BY day""")),
+
+    Q("q_cube", // full grouping-sets lattice over (lang, source) — the cube
+      // companion to q_rollup (§2.4): 1 + |lang| + |source| + |lang x source|
+      // groups in one pass, Spark expands to grouping sets before the agg
+      (s, d) => t(s, d, "documents").cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 2).as("avg_chars")),
+      Some("""SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars
+          FROM documents GROUP BY CUBE (lang, source)""")),
+
     Q("q_cohort_retention", // cohort = first active day; distinct actives per
       // (cohort, day offset). Two shuffles, both on user_id — the second
       // groupBy reuses the first's partitioning under AQE

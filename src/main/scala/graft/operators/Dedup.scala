@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
@@ -276,5 +276,90 @@ object Dedup {
       .select(col("key_a"), col("key_b"),
         round(VF.dot(col("_va"), col("_vb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  // ==========================================================================
+  // Segment-level dedup (the RefinedWeb/CCNet "line dedup" kernel, with
+  // fixed-width token segments standing in for lines on line-less corpora)
+  // ==========================================================================
+
+  /** A document's non-overlapping `segTokens`-token segments, in order,
+    * as one array column (the trailing segment may be shorter). Derived
+    * per-row with HOFs — no explode, no shuffle. The token array is bound
+    * OUTSIDE the lambda so it is computed once per row, not once per
+    * segment (the q_repetition lesson). */
+  private def segmentsOf(toks: Column, segTokens: Int): Column = {
+    val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
+    transform(sequence(lit(0), nSegs - 1),
+      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+  }
+
+  /** (_k = doc key, _i = segment index, _h = 64-bit segment hash) — the
+    * ONLY shape segment-level dedup ever shuffles: 24 bytes per segment,
+    * never the text. */
+  private def segIndex(df: DataFrame, textCol: String, keyCol: String,
+                       segTokens: Int): DataFrame =
+    df.withColumn("_toks", split(col(textCol), " "))
+      .select(col(keyCol).as("_k"),
+        posexplode(segmentsOf(col("_toks"), segTokens)).as(Seq("_i", "_seg")))
+      .select(col("_k"), col("_i"), xxhash64(col("_seg")).as("_h"))
+
+  /** Rebuild each document from the segments listed in `keep`
+    * (`_k` = doc key, `_keep` = sorted surviving segment indices):
+    * segments are RE-DERIVED map-side from the original text and picked by
+    * index, so document text never crosses a shuffle — the join moves only
+    * per-doc int arrays. Docs with no surviving segment drop out (inner
+    * join), mirroring the oracle's empty-group semantics. */
+  private def reassemble(df: DataFrame, textCol: String, keyCol: String,
+                         segTokens: Int, keep: DataFrame): DataFrame = {
+    val withSegs = df.withColumn("_segs",
+      segmentsOf(split(col(textCol), " "), segTokens))
+    withSegs.join(keep, withSegs(keyCol) === keep("_k"), "inner")
+      .withColumn(textCol, concat_ws(" ",
+        transform(col("_keep"), i => element_at(col("_segs"), i + 1))))
+      .drop("_segs", "_keep", "_k")
+  }
+
+  /**
+   * Corpus-wide segment-level exact dedup: every segment keeps only its
+   * FIRST occurrence (smallest (doc key, segment index)); later copies —
+   * cross-document or within-document — are dropped, and each document is
+   * reassembled from its surviving segments in original order. Documents
+   * whose every segment was seen earlier disappear entirely.
+   *
+   * 100 TB shape: one keys-only rank shuffle on the segment hash (hot
+   * segments are bounded by corpus repetition, and the rank's payload is
+   * 24 bytes/segment), one int-array join back; the text itself never
+   * leaves its scan partition.
+   */
+  def segmentDedup(df: DataFrame, textCol: String, keyCol: String,
+                   segTokens: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_h")).orderBy(col("_k"), col("_i"))
+    val keep = segIndex(df, textCol, keyCol, segTokens)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .groupBy(col("_k")).agg(sort_array(collect_list(col("_i"))).as("_keep"))
+    reassemble(df, textCol, keyCol, segTokens, keep)
+  }
+
+  /**
+   * Boilerplate removal: drop every copy of any segment that appears in
+   * MORE THAN `maxDocs` distinct documents (headers, footers, nav bars —
+   * the CCNet frequency heuristic), keep everything else, reassemble.
+   * Unlike [[segmentDedup]] the surviving segments keep ALL their copies:
+   * frequency is the signal, not duplication itself.
+   *
+   * Same keys-only scale shape: the frequency count aggregates (hash, doc
+   * key) pairs, the boilerplate hash set anti-joins against the index
+   * (tiny by construction — it IS the hot tail), text never shuffles.
+   */
+  def stripBoilerplate(df: DataFrame, textCol: String, keyCol: String,
+                       maxDocs: Int = 2, segTokens: Int = 10): DataFrame = {
+    val idx = tracked(segIndex(df, textCol, keyCol, segTokens))
+    val hot = idx.groupBy(col("_h"))
+      .agg(countDistinct(col("_k")).as("_nd")).filter(col("_nd") > maxDocs)
+    val keep = idx.join(broadcast(hot.select(col("_h"))), Seq("_h"), "left_anti")
+      .groupBy(col("_k")).agg(sort_array(collect_list(col("_i"))).as("_keep"))
+    reassemble(df, textCol, keyCol, segTokens, keep)
   }
 }

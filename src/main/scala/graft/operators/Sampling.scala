@@ -77,6 +77,37 @@ object Sampling {
     df.filter(keyBucket(keyCol, buckets).cast("double") / buckets <
       least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
 
+  /** Rebalance a corpus toward a TARGET mixture: given per-group target
+    * shares (e.g. the language mix the training run wants) and a total
+    * row budget, each group keeps rows with probability
+    * `min(1, budget * share_g / count_g)` via the same portable key-hash
+    * draw as [[deterministicSample]] — so over-represented groups
+    * downsample toward their share, under-represented groups keep
+    * everything (shares are a ceiling, not an upsample: rows are never
+    * duplicated). Groups with no declared share drop entirely (rate 0).
+    *
+    * Scale shape: the group counts are one map-side-combined agg whose
+    * output is |groups| rows, broadcast back; membership stays a pure
+    * per-row predicate — reproducible anywhere, no second pass over the
+    * data. */
+  def mixToTarget(df: DataFrame, keyCol: String, groupCol: String,
+                  shares: Map[String, Double], budget: Long,
+                  buckets: Int = 10000): DataFrame = {
+    require(shares.values.forall(s => s >= 0 && s <= 1),
+      "target shares must be in [0,1]")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
+    // fold from 0.0, NOT null: `least` SKIPS nulls (both here and in
+    // DuckDB), so a null share would silently become keep-rate 1.0 —
+    // the exact opposite of "no share => drop"
+    val share = shares.foldLeft(lit(0.0)) {
+      case (acc, (g, v)) => when(col(groupCol) === g, lit(v)).otherwise(acc)
+    }
+    val rate = least(lit(1.0), lit(budget.toDouble) * share / col("_cnt"))
+    df.join(broadcast(counts), Seq(groupCol))
+      .filter(keyBucket(keyCol, buckets).cast("double") / buckets < rate)
+      .drop("_cnt")
+  }
+
   /** Uniform-but-reproducible k per group — the per-domain cap where the
     * kept subset should be a RANDOM k (not the first k by some business
     * order, which [[perGroupQuota]] gives): rank within the group by the

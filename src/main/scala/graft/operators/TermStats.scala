@@ -85,4 +85,23 @@ object TermStats {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
           .as("jaccard"))
   }
+
+  /**
+   * Per-document unigram Shannon entropy (nats) — the lexical-diversity
+   * quality signal (low entropy = repetitive/templated text, a standard
+   * curation filter alongside the Gopher repetition rules).
+   *
+   * Algebraic identity -Σ (c/n)·ln(c/n) = ln(n) − (Σ c·ln c)/n lets both
+   * sums live in ONE aggregation over (doc, token) counts: two map-side-
+   * combined hash aggs, shuffle bounded by per-doc vocabulary, never
+   * token count. Rounded to 6 decimals so the float accumulation order
+   * (ours vs any other engine's) can't leak into the result.
+   */
+  def tokenEntropy(docs: DataFrame, textCol: String, keyCol: String): DataFrame =
+    docs.select(col(keyCol), explode(split(col(textCol), " ")).as("_tok"))
+      .groupBy(col(keyCol), col("_tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(keyCol))
+      .agg(round(
+        log(sum(col("_c"))) - sum(col("_c") * log(col("_c"))) / sum(col("_c")),
+        6).as("entropy"))
 }

@@ -1174,6 +1174,97 @@ class OperatorsSpec extends SparkSpec {
     assert((1 to 2000).exists(i => two(i.toLong) != expect(i.toLong)))
   }
 
+  // --- segment dedup / boilerplate ---------------------------------------------
+
+  test("segmentDedup: first occurrence wins, reassembly in order, empty doc drops") {
+    // 3-token segments; doc 1 = A B, doc 2 = B C (B dup), doc 3 = A (all dup)
+    val a = "a1 a2 a3"; val b = "b1 b2 b3"; val c = "c1 c2 c3"
+    val docs = Seq((1L, s"$a $b"), (2L, s"$b $c"), (3L, a))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "text", "doc_id", segTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> s"$a $b", 2L -> c)) // doc 3 vanished entirely
+  }
+
+  test("segmentDedup: within-doc repeats collapse; short tail segment kept") {
+    val docs = Seq((1L, "x y z x y z w")).toDF("doc_id", "text") // seg3: xyz|xyz|w
+    val out = Dedup.segmentDedup(docs, "text", "doc_id", segTokens = 3)
+      .collect().map(_.getString(1))
+    assert(out.toSeq == Seq("x y z w"))
+  }
+
+  test("stripBoilerplate: > maxDocs segments drop everywhere, rest keep all copies") {
+    val nav = "home about contact"
+    val docs = Seq(
+      (1L, s"$nav u1 u2 u3"), (2L, s"$nav v1 v2 v3"),
+      (3L, s"$nav w1 w2 w3"), (4L, "x1 x2 x3")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(docs, "text", "doc_id",
+        maxDocs = 2, segTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // nav appears in 3 docs > 2 => stripped from all three; unique bodies stay
+    assert(out == Map(1L -> "u1 u2 u3", 2L -> "v1 v2 v3",
+      3L -> "w1 w2 w3", 4L -> "x1 x2 x3"))
+  }
+
+  // --- sessionize ---------------------------------------------------------------
+
+  test("sessionize: gap >= threshold starts a session; ids are per-user running counts") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(10)),          // session 1
+      (1L, 12L, ts(40)),                            // gap 30 == threshold => new
+      (2L, 20L, ts(5))                              // other user
+    ).toDF("user_id", "event_id", "ts")
+    val s = Sessionize.assign(ev, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(s == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 20L -> 1L))
+    val agg = Sessionize.sessions(ev, "user_id", "ts", "event_id", 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(agg == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
+  }
+
+  // --- salted skew join ---------------------------------------------------------
+
+  test("saltedInner == plain join, and the hot key spreads over salts") {
+    val facts = (1 to 500).map(i => (if (i <= 400) 7L else i.toLong, i))
+      .toDF("fk", "payload") // key 7 holds 80% of rows
+    val dim = Seq((7L, "hot"), (450L, "cold"), (999L, "unmatched"))
+      .toDF("dk", "name")
+    val salted = SkewJoin.saltedInner(facts, dim, "fk", "dk", saltBuckets = 8)
+    val plain = facts.join(dim, col("fk") === col("dk"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the salt really spreads: hot key's fact rows land in >1 salt bucket
+    val spread = facts.withColumn("_s", SkewAgg.rowSalt(facts, 8))
+      .filter(col("fk") === 7L).select("_s").distinct().count()
+    assert(spread > 1, s"hot key stayed in $spread salt bucket(s)")
+  }
+
+  // --- entropy / mixture --------------------------------------------------------
+
+  test("tokenEntropy: uniform tokens => ln(n); constant doc => 0") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a")).toDF("doc_id", "text")
+    val e = TermStats.tokenEntropy(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(e(1L) - math.log(4)) < 1e-6)
+    assert(e(2L) == 0.0)
+  }
+
+  test("mixToTarget: over-represented groups downsample, absent share drops group") {
+    val df = (1 to 1000).map(i => (i.toLong, if (i <= 900) "big" else "small"))
+      .toDF("id", "grp")
+    val out = Sampling.mixToTarget(df, "id", "grp",
+      Map("big" -> 0.5, "small" -> 0.5), budget = 200)
+    val kept = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: rate 100/900 => ~100 kept; small: rate 1.0 => all 100 kept
+    assert(kept("small") == 100)
+    assert(kept("big") > 60 && kept("big") < 140, s"big kept ${kept("big")}")
+    val none = Sampling.mixToTarget(df, "id", "grp", Map("big" -> 0.1), 200)
+    assert(none.filter(col("grp") === "small").count() == 0)
+  }
+
   // --- changefeed --------------------------------------------------------------
 
   test("cdc diff emits NEW/MODIFIED/DELETED with old values, nothing for unchanged") {
