@@ -228,6 +228,26 @@ object SparkEntry {
           col("exact_parts")),
       Some("SELECT TRUE AS within_bound, count(DISTINCT l_partkey) AS exact_parts FROM lineitem")),
 
+    Q("q_sketch_union", // HLL sketch MERGEABILITY — the property that makes
+      // approx-distinct work at 100 TB: per-day partial sketches (computed
+      // where the data lives, e.g. one per ingest partition) merge into the
+      // global estimate without touching rows again. Same error-bound
+      // oracle discipline as q_approx_distinct
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        val exact = t(s, d, "events")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        merged.crossJoin(exact).select(
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_bound"),
+          col("exact_users"))
+      },
+      Some("SELECT TRUE AS within_bound, count(DISTINCT user_id) AS exact_users FROM events")),
+
     Q("q_approx_quantiles", // percentile_approx — the 100 TB substitute
       // for exact percentiles (single-pass mergeable sketch vs full sort).
       // Sketch values are engine-specific, so like q_approx_distinct the
@@ -1650,6 +1670,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 2).as("avg_chars")),
       Some("""SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars
           FROM documents GROUP BY CUBE (lang, source)""")),
+
+    Q("q_group_corr", // per-group bivariate profiling: does value drift with
+      // time within each event type? corr is normalized to [-1,1], so
+      // round(6) absorbs accumulation-order float noise; one hash agg pass
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(round(corr(col("value"), unix_micros(col("ts")).cast("double")), 6)
+            .as("corr_value_time"),
+          count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+          round(corr(value, CAST(epoch_us(ts) AS DOUBLE)), 6) AS corr_value_time,
+          count(*) AS n FROM events GROUP BY event_type""")),
+
+    Q("q_ntile", // quartile bucketing within each event type — the feature-
+      // engineering primitive (discretize a continuous signal per group);
+      // (value, event_id) tie-break makes the order total, so every bucket
+      // edge is engine-independent
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+        t(s, d, "events").select(col("event_id"), col("event_type"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+      },
+      Some("""SELECT event_id, event_type, value,
+          ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile,
+          round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pct_rank
+          FROM events""")),
 
     Q("q_cohort_retention", // cohort = first active day; distinct actives per
       // (cohort, day offset). Two shuffles, both on user_id — the second

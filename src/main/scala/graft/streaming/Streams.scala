@@ -106,6 +106,22 @@ object Streams {
       .withWatermark(tsCol, ttl)
       .withColumn("_expires_at", col(tsCol) + expr(s"INTERVAL $ttl"))
 
+  /** Streaming exact dedup — the continuous-ingest form of
+    * `Dedup.exact`: keep the FIRST arrival of each key (e.g. a document
+    * digest) across micro-batches, with state bounded by the watermark.
+    * `dropDuplicatesWithinWatermark` evicts a key's dedup state once the
+    * watermark passes its event time + delay, so the state store holds
+    * only the dedup horizon (vs plain `dropDuplicates`, whose streaming
+    * state grows without bound — unusable for a perpetual crawl feed).
+    * The tradeoff is explicit: a duplicate arriving later than the
+    * watermark delay is treated as new; size the delay to the crawl
+    * re-fetch horizon and let the batch dedup sweep the long tail. */
+  def dedupStream(stream: DataFrame, keyCol: String, tsCol: String,
+                  watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Tumbling-window aggregation with watermarking. */
   def windowedCounts(stream: DataFrame, tsCol: String, groupCol: String,
                      windowLen: String, watermark: String): DataFrame =

@@ -154,6 +154,37 @@ class StreamingSpec extends SparkSpec {
     assert(latencyMs < 30000)
   }
 
+  test("dedupStream: first arrival wins across micro-batches; state evicts past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[(String, Timestamp, String)]
+    val stream = input.toDF().toDF("digest", "ts", "text")
+    val q = graft.streaming.Streams.dedupStream(stream, "digest", "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_evict_out")
+      .start()
+
+    input.addData(("d1", ts(0), "a"), ("d2", ts(1), "b"))
+    q.processAllAvailable()
+    // same digest in a later micro-batch, inside the watermark delay: dropped
+    input.addData(("d1", ts(2), "a-dup"), ("d3", ts(3), "c"))
+    q.processAllAvailable()
+    // advance event time far past d1's eviction horizon, then re-send d1:
+    // its dedup state is gone, so the late copy is treated as NEW (the
+    // documented tradeoff — the batch dedup sweeps the long tail)
+    input.addData(("adv", ts(60), "advance"))
+    q.processAllAvailable()
+    input.addData(("d1", ts(61), "a-late"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_evict_out").select("digest", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("d1", "a"), ("d2", "b"), ("d3", "c"),
+      ("adv", "advance"), ("d1", "a-late")))
+  }
+
   test("tombstone: replayed stale upsert cannot resurrect a deleted key") {
     import graft.streaming.StatefulFeed
     import graft.streaming.StatefulFeed.Command
@@ -398,9 +429,8 @@ class StreamingSpec extends SparkSpec {
     // plain dropDuplicates whose key set grows forever
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
-    val deduped = input.toDF()
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_type")
+    val deduped = graft.streaming.Streams.dedupStream(
+      input.toDF(), "event_type", "ts", "10 minutes")
     val q = deduped.writeStream.outputMode("append").format("memory")
       .queryName("dedup_out").start()
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
