@@ -1089,17 +1089,23 @@ object SparkEntry {
    * Spark side is the scalable formulation). Seeded hyperplanes are embedded
    * as constants, same trick as sqlLshNearDup.
    */
-  private lazy val sqlEmbeddingNearDup: String = {
+  /** CTE bodies (`b`, `p`) for the hyperplane-LSH embedding pair kernel —
+    * shared by the flat pair oracle and the recursive semantic-dedup
+    * oracle so the seeded constants cannot drift apart. */
+  private lazy val sqlEmbeddingPairCtes: String = {
     val bkt = Dedup.hyperplanes(8, 64, 42L).zipWithIndex.map { case (h, p) =>
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${sqlVec(h)}) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, embedding, ($bkt) AS bkt FROM embeddings),
+    s"""b AS (SELECT vec_id, embedding, ($bkt) AS bkt FROM embeddings),
         p AS (SELECT a.vec_id AS key_a, b2.vec_id AS key_b,
               round(list_dot_product(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine
               FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
-              AND bit_count(xor(a.bkt, b2.bkt)) <= 1)
-        SELECT key_a, key_b, cosine FROM p WHERE cosine >= 0.3"""
+              AND bit_count(xor(a.bkt, b2.bkt)) <= 1)"""
   }
+
+  private lazy val sqlEmbeddingNearDup: String =
+    s"""WITH $sqlEmbeddingPairCtes
+        SELECT key_a, key_b, cosine FROM p WHERE cosine >= 0.3"""
 
   /** Shared centroid-constant scaffolding for the IVF oracles — ONE
     * source for the seeded constants, score columns, argmax assignment
@@ -1207,6 +1213,29 @@ object SparkEntry {
       (s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"), "embedding", "vec_id",
         minCosine = 0.3),
       Some(sqlEmbeddingNearDup)),
+
+    Q("q_semantic_dedup", // embedding-based semantic dedup END-TO-END: LSH
+      // pair generation -> connected components -> drop non-canonical
+      // members — the same composed kernel as q_neardup_dedup but over the
+      // embedding space (near-identical meaning, different words). The
+      // loser set broadcasts into the anti-join; vectors shuffle only
+      // inside the banded pair join
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Clustering.dropNearDuplicates(emb,
+            Dedup.embeddingNearDup(emb, "embedding", "vec_id", minCosine = 0.3),
+            "key_a", "key_b", "vec_id")
+          .select(col("vec_id"), col("label"))
+      },
+      Some(s"""WITH RECURSIVE $sqlEmbeddingPairCtes,
+          pairs AS (SELECT key_a, key_b FROM p WHERE cosine >= 0.3),
+          edges AS (SELECT key_a AS u, key_b AS v FROM pairs
+                    UNION SELECT key_b, key_a FROM pairs),
+          reach(u, v) AS (SELECT u, v FROM edges
+                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comps AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+          SELECT vec_id, label FROM embeddings
+          WHERE vec_id NOT IN (SELECT u FROM comps WHERE u <> cluster)""")),
 
     Q("q_token_count",
       (s, d) => t(s, d, "documents")
@@ -1698,6 +1727,18 @@ object SparkEntry {
           ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile,
           round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pct_rank
           FROM events""")),
+
+    Q("q_k_anonymity", // privacy audit: quasi-identifier combinations whose
+      // group is smaller than k re-identify their members — the release
+      // gate a PII-scrubbed corpus still needs. One hash agg on the
+      // quasi-identifier tuple; the at-risk set is the output, so the scan
+      // is single-pass and the result is broadcast-sized by construction
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5),
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+          count(*) < 5 AS at_risk FROM customer GROUP BY c_nationkey, c_mktsegment""")),
 
     Q("q_cohort_retention", // cohort = first active day; distinct actives per
       // (cohort, day offset). Two shuffles, both on user_id — the second

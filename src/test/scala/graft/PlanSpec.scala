@@ -80,7 +80,9 @@ class PlanSpec extends SparkSpec {
     // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
     // bounded kernel (cap-gate / tfidf / corpus-overlap 1-row count
     // broadcasts; bounded all-pairs cosine)
-    val bnljAllowed = Set("q_cap_gate", "q_cosine_pairs", "q_tfidf", "q_corpus_overlap")
+    val bnljAllowed = Set("q_cap_gate", "q_cosine_pairs", "q_tfidf",
+      "q_corpus_overlap",
+      "q_sketch_union") // 1-row merged-sketch x 1-row exact count
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
