@@ -1219,16 +1219,19 @@ object SparkEntry {
       // members — the same composed kernel as q_neardup_dedup but over the
       // embedding space (near-identical meaning, different words). The
       // loser set broadcasts into the anti-join; vectors shuffle only
-      // inside the banded pair join
+      // inside the banded pair join. Threshold 0.4 (vs the pair query's
+      // recall-oriented 0.3) keeps components clique-like — semantic
+      // dedup wants "same meaning", not "vaguely related", and sprawling
+      // low-threshold components would merge distinct documents
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Clustering.dropNearDuplicates(emb,
-            Dedup.embeddingNearDup(emb, "embedding", "vec_id", minCosine = 0.3),
+            Dedup.embeddingNearDup(emb, "embedding", "vec_id", minCosine = 0.4),
             "key_a", "key_b", "vec_id")
           .select(col("vec_id"), col("label"))
       },
       Some(s"""WITH RECURSIVE $sqlEmbeddingPairCtes,
-          pairs AS (SELECT key_a, key_b FROM p WHERE cosine >= 0.3),
+          pairs AS (SELECT key_a, key_b FROM p WHERE cosine >= 0.4),
           edges AS (SELECT key_a AS u, key_b AS v FROM pairs
                     UNION SELECT key_b, key_a FROM pairs),
           reach(u, v) AS (SELECT u, v FROM edges

@@ -10,21 +10,22 @@ import org.apache.spark.sql.functions._
  * cluster {a,b,c} even though (a,c) was never emitted. That closure is
  * connected components over the pair graph.
  *
- * Algorithm: iterative min-label propagation — every node repeatedly
- * adopts the minimum label among itself and its neighbors until fixpoint;
- * the component label is the smallest key in the component (deterministic
- * canonical winner, same convention as [[Dedup.exact]]).
+ * Algorithm: min-label propagation WITH pointer jumping — each round
+ * every node adopts the minimum label among itself and its neighbors
+ * (propagation), then adopts its label's own label (path compression, the
+ * pointer-doubling step of parallel union-find). Propagation alone
+ * converges in DIAMETER rounds — fine for dense LSH cliques (2-4 hops),
+ * but chain-shaped graphs (embedding buckets linked by multi-probe) have
+ * long diameters; the jump step halves remaining chain length per round,
+ * so convergence is O(log diameter) on any shape. The component label is
+ * the smallest key in the component (deterministic canonical winner, same
+ * convention as [[Dedup.exact]]).
  *
- * Scale shape: each iteration is one join (labels to edges) + one
- * aggregation (min per node) — all shuffles on the node key, nothing
- * quadratic, label table has one row per node appearing in any pair
- * (orders of magnitude smaller than the corpus). Iteration count is the
- * component DIAMETER, and LSH near-dup graphs are dense local cliques
- * with tiny diameters (2-4 hops), so convergence is fast; `maxIter`
- * bounds adversarial chains (for planet-scale general graphs, the
- * large-star/small-star variant halves diameters per round — not needed
- * for near-dup clusters). The per-iteration convergence check is one
- * count() on the changed-label set.
+ * Scale shape: each round is two node-key joins + one min aggregation —
+ * all shuffles on the node key, nothing quadratic, label table has one
+ * row per node appearing in any pair (orders of magnitude smaller than
+ * the corpus). The per-round convergence check is one count() on the
+ * already-materialized round output.
  */
 object Clustering {
 
@@ -37,33 +38,50 @@ object Clustering {
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           outKey: String = "key", maxIter: Int = 20): DataFrame = {
-    val edges = graft.CacheRegistry.track(
-      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-        .distinct())
+    // localCheckpoint (eager), not cache: an iterative algorithm must CUT
+    // the logical plan each round, not just memoize results. A cached
+    // frame still carries its full lineage, so every iteration's plan
+    // embeds the whole pair-generation tree (LSH banding is a BIG plan)
+    // several times over — plan size grows geometrically with iterations
+    // and the driver dies rendering/optimizing plans long before any
+    // executor breaks a sweat (observed: heap exhaustion inside
+    // explainString at ~1700 pairs). Checkpointed frames restart the
+    // lineage at the materialized blocks, so every iteration's plan is
+    // O(1). On a cluster, localCheckpoint blocks are lost with their
+    // executor — the standard iterative-graph tradeoff (recompute on
+    // failure = rerun the algorithm; use reliable checkpoint() against a
+    // checkpoint dir if that is unacceptable).
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint()
 
     var labels = edges.select(col("u")).distinct()
-      .withColumn("label", col("u"))
+      .withColumn("label", col("u")).localCheckpoint()
     var converged = false
     var iter = 0
-    var prevCache: DataFrame = null
     while (!converged && iter < maxIter) {
-      // each node adopts min(own label, neighbors' labels); the joined
-      // frame is cached ONCE and serves both the convergence count and
-      // the next label table — no separate compare join. Superseded
-      // iteration caches are unpersisted as soon as the next one is
-      // materialized, so cached state stays O(1) in iterations (only the
-      // FINAL frame remains, released by the caller via CacheRegistry).
+      // propagation: each node adopts min(own label, neighbors' labels)
       val neighborMin = edges
         .join(labels.select(col("u").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlabel")).as("nmin"))
-      val joined = graft.CacheRegistry.track(
-        labels.join(neighborMin, Seq("u"), "left_outer"))
-      val changed = joined.filter(col("nmin") < col("label")).count()
-      if (prevCache != null) prevCache.unpersist(blocking = false)
-      prevCache = joined
-      labels = joined.select(col("u"),
-        least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val prop = labels.withColumnRenamed("label", "_old")
+        .join(neighborMin, Seq("u"), "left_outer")
+        .select(col("u"), col("_old"),
+          least(col("_old"), coalesce(col("nmin"), col("_old"))).as("_mid"))
+      // pointer jump: adopt the label's own label (labels are node keys,
+      // so every label value has a row). Halves remaining chain length.
+      // The eager checkpoint materializes the round ONCE and serves both
+      // the convergence count and the next label table; superseded blocks
+      // are dropped by the context cleaner once unreferenced, so held
+      // state stays O(1) in rounds.
+      val jumped = prop
+        .join(prop.select(col("u").as("_mid"), col("_mid").as("_ll")),
+          Seq("_mid"), "left_outer")
+        .select(col("u"), col("_old"),
+          least(col("_mid"), coalesce(col("_ll"), col("_mid"))).as("label"))
+        .localCheckpoint()
+      val changed = jumped.filter(col("label") < col("_old")).count()
+      labels = jumped.select(col("u"), col("label"))
       converged = changed == 0
       iter += 1
     }
