@@ -131,4 +131,19 @@ object Streams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
       .select(col("window.start").as("window_start"), col(groupCol),
         col("n"), col("val"))
+
+  /** Streaming sessionization: per-key session windows that close `gap`
+    * after the last event — the continuous form of the batch
+    * `Sessionize` operator (same [start, end) boundary rule). A session's
+    * state lives until the watermark passes its end + gap, then the
+    * session emits once, complete — so downstream sees only FINAL
+    * sessions and state is bounded by the number of OPEN sessions. */
+  def sessionCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
 }

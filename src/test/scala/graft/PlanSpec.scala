@@ -76,6 +76,16 @@ class PlanSpec extends SparkSpec {
       s"scan must read only the packed columns:\n$p")
   }
 
+  test("salted skew join: the join key includes the salt on both sides") {
+    val p = plan("q_skew_join")
+    // the equi-join must be on (key, salt) — a plan that dropped the salt
+    // from the join keys would silently restore the hot-key bottleneck
+    assert(p.contains("_salt"), s"salt column missing from the plan:\n$p")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("_salt"))
+    assert(joinLine.isDefined, s"no join keyed on _salt found:\n$p")
+  }
+
   test("no query plans a CartesianProduct or a non-codegen Python eval") {
     // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
     // bounded kernel (cap-gate / tfidf / corpus-overlap 1-row count

@@ -193,6 +193,68 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("segmentDedup invariants on 150 random docs: global uniqueness, order, subset") {
+    import spark.implicits._
+    // word soup with a small vocabulary so cross-doc segment collisions
+    // actually occur; variable lengths cover the short-tail segment
+    def doc() = Seq.fill(rnd.nextInt(40) + 1)("w" + rnd.nextInt(6)).mkString(" ")
+    val docs = (1 to 150).map(i => (i.toLong, doc()))
+    val out = graft.operators.Dedup
+      .segmentDedup(docs.toDF("doc_id", "text"), "text", "doc_id", segTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    def segs(t: String) = t.split(" ").grouped(4).map(_.mkString(" ")).toSeq
+    // 1. no segment text appears twice anywhere in the output corpus
+    val allSegs = out.toSeq.sortBy(_._1).flatMap { case (_, t) => segs(t) }
+    assert(allSegs.size == allSegs.distinct.size,
+      "a segment survived twice after segmentDedup")
+    // 2. each output doc's segments are a subsequence of its input's
+    //    (order preserved, nothing invented)
+    val in = docs.toMap
+    out.foreach { case (id, t) =>
+      val is = segs(in(id)); var pos = -1
+      segs(t).foreach { sg =>
+        val nxt = is.indexWhere(_ == sg, pos + 1)
+        assert(nxt > pos, s"doc $id: segment '$sg' out of order or absent")
+        pos = nxt
+      }
+    }
+    // 3. first-occurrence rule: replaying docs in key order and keeping
+    //    only unseen segments reproduces the output exactly
+    val seen = scala.collection.mutable.Set.empty[String]
+    docs.foreach { case (id, t) =>
+      val kept = segs(t).filter(seen.add)
+      val want = if (kept.isEmpty) None else Some(kept.mkString(" "))
+      assert(out.get(id) == want, s"doc $id: got ${out.get(id)}, want $want")
+    }
+  }
+
+  test("sessionize invariants on random event streams: contiguous ids, gap law") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val events = (1 to 400).map { i =>
+      (rnd.nextInt(8).toLong, i.toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(versionGapSpanMs)))
+    }
+    val out = graft.operators.Sessionize
+      .assign(events.toDF("user_id", "event_id", "ts"), "user_id", "ts",
+        "event_id", gapSeconds = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3)))
+    out.groupBy(_._1).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._2))
+      // ids start at 1, never decrease, step by at most 1
+      assert(ordered.head._4 == 1L)
+      ordered.sliding(2).filter(_.length == 2).foreach { w =>
+        val (_, _, t1, s1) = w(0); val (_, _, t2, s2) = w(1)
+        val gapMs = t2.getTime - t1.getTime
+        if (gapMs >= 60000L) assert(s2 == s1 + 1, s"gap $gapMs must split")
+        else assert(s2 == s1, s"gap $gapMs must not split")
+      }
+    }
+  }
+  private val versionGapSpanMs = 30 * 60000 // ~30 min span => real gaps at 60s
+
   test("packSequences invariants: bins contiguous from 0, spans bounded by budget") {
     import spark.implicits._
     val budget = 50

@@ -423,6 +423,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:10:00") == (1L, 4.0))
   }
 
+  test("streaming sessionization: sessions close at the gap and emit once, final") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = graft.streaming.Streams.sessionCounts(input.toDF(), "ts",
+      "event_type", gap = "5 minutes", watermark = "0 seconds")
+    // append mode: a session row emits only once its window CLOSES (the
+    // watermark passed end + gap) — the bounded-state contract under test
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // one 3-event session (1,3,6 — gaps < 5 min), then silence past the gap
+    input.addData(Ev(ts(1), "click", 1.0), Ev(ts(3), "click", 1.0), Ev(ts(6), "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").isEmpty,
+      "open session must not emit before the gap passes")
+    // an event 20 min later: advances the watermark past 10:11 => session 1
+    // closes and emits; the new event opens session 2 (still open => absent)
+    input.addData(Ev(ts(26), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_out")
+      .select(col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n"))
+      .as[(String, String, Long)].collect()
+    assert(rows.toSeq == Seq(("2024-01-01 10:01:00", "2024-01-01 10:11:00", 3L)))
+  }
+
   test("streaming exact dedup: duplicate keys within the watermark emit once") {
     // the streaming face of Dedup.exact: dropDuplicatesWithinWatermark
     // keys state only until the watermark passes — bounded state, unlike
