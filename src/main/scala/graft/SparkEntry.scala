@@ -1089,13 +1089,18 @@ object SparkEntry {
    * Spark side is the scalable formulation). Seeded hyperplanes are embedded
    * as constants, same trick as sqlLshNearDup.
    */
+  /** The seeded hyperplane bucket id as a DuckDB expression over a column
+    * named `embedding` — ONE source for every embedding-LSH oracle. */
+  private lazy val sqlBucketExpr: String =
+    Dedup.hyperplanes(8, 64, 42L).zipWithIndex.map { case (h, p) =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${sqlVec(h)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** CTE bodies (`b`, `p`) for the hyperplane-LSH embedding pair kernel —
     * shared by the flat pair oracle and the recursive semantic-dedup
     * oracle so the seeded constants cannot drift apart. */
   private lazy val sqlEmbeddingPairCtes: String = {
-    val bkt = Dedup.hyperplanes(8, 64, 42L).zipWithIndex.map { case (h, p) =>
-      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${sqlVec(h)}) >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
+    val bkt = sqlBucketExpr
     s"""b AS (SELECT vec_id, embedding, ($bkt) AS bkt FROM embeddings),
         p AS (SELECT a.vec_id AS key_a, b2.vec_id AS key_b,
               round(list_dot_product(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine
@@ -1239,6 +1244,28 @@ object SparkEntry {
           comps AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u)
           SELECT vec_id, label FROM embeddings
           WHERE vec_id NOT IN (SELECT u FROM comps WHERE u <> cluster)""")),
+
+    Q("q_embedding_contamination", // semantic eval-set decontamination:
+      // corpus vectors within cosine 0.3 of ANY benchmark vector (label 0
+      // stands in for the eval set) — catches paraphrased leakage that
+      // shares no shingles with the n-gram q_contamination. Benchmark
+      // carries the Hamming-1 probe expansion and broadcasts; the corpus
+      // buckets map-side and never shuffles
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Dedup.embeddingContamination(
+          emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
+          "embedding", "vec_id", minCosine = 0.3)
+      },
+      Some(s"""WITH corp AS (SELECT vec_id, embedding, ($sqlBucketExpr) AS bkt
+            FROM embeddings WHERE label <> 0),
+          bench AS (SELECT embedding, ($sqlBucketExpr) AS bbkt
+            FROM embeddings WHERE label = 0),
+          hits AS (SELECT corp.vec_id,
+            round(list_dot_product(corp.embedding::DOUBLE[], bench.embedding::DOUBLE[]), 6) AS cos
+            FROM corp JOIN bench ON bit_count(xor(corp.bkt, bench.bbkt)) <= 1)
+          SELECT vec_id, max(cos) AS max_cosine FROM hits
+          WHERE cos >= 0.3 GROUP BY vec_id""")),
 
     Q("q_token_count",
       (s, d) => t(s, d, "documents")

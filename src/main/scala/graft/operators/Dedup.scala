@@ -278,6 +278,40 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /**
+   * Embedding-space decontamination: corpus rows whose vector is within
+   * `minCosine` of ANY benchmark vector — the semantic complement of the
+   * n-gram [[contaminationOverlap]] (catches paraphrased eval leakage
+   * that shares no shingles). Same hyperplane-LSH discipline as
+   * [[embeddingNearDup]]: candidates come from Hamming-1 bucket probes,
+   * exact cosine verifies.
+   *
+   * 100 TB shape: the benchmark (an eval set — thousands, not billions)
+   * carries the probe expansion and BROADCASTS; the corpus is scanned
+   * once, bucketed map-side, and never shuffles. Returns one row per
+   * contaminated corpus key with its best benchmark cosine.
+   */
+  def embeddingContamination(corpus: DataFrame, benchmark: DataFrame,
+                             vecCol: String, keyCol: String,
+                             minCosine: Double = 0.4, planes: Int = 8,
+                             dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val hyps = hyperplanes(planes, dim, seed)
+    def bucket(c: Column) = (0 until planes).map { p =>
+      when(VF.cosine(c, hyps(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val corpusB = corpus.select(col(keyCol), col(vecCol))
+      .withColumn("_bkt", bucket(col(vecCol)))
+    val benchProbes = benchmark.select(col(vecCol).as("_vb"))
+      .withColumn("_bb", bucket(col("_vb")))
+      .select(col("_vb"), explode(array(
+        (col("_bb") +: (0 until planes).map(p =>
+          col("_bb").bitwiseXOR(lit(1L << p)))): _*)).as("_bkt"))
+    corpusB.join(broadcast(benchProbes), Seq("_bkt"))
+      .withColumn("_cos", round(VF.dot(col(vecCol), col("_vb")), 6))
+      .filter(col("_cos") >= minCosine)
+      .groupBy(col(keyCol)).agg(max(col("_cos")).as("max_cosine"))
+  }
+
   // ==========================================================================
   // Segment-level dedup (the RefinedWeb/CCNet "line dedup" kernel, with
   // fixed-width token segments standing in for lines on line-less corpora)

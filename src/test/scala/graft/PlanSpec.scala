@@ -76,6 +76,13 @@ class PlanSpec extends SparkSpec {
       s"scan must read only the packed columns:\n$p")
   }
 
+  test("embedding contamination: benchmark probes broadcast, corpus never shuffles") {
+    val p = plan("q_embedding_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+    // the only exchange allowed is the final per-key max aggregation
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+  }
+
   test("salted skew join: the join key includes the salt on both sides") {
     val p = plan("q_skew_join")
     // the equi-join must be on (key, salt) — a plan that dropped the salt
