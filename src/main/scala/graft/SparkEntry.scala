@@ -873,6 +873,29 @@ object SparkEntry {
                  round(dim.signup_score, 2) AS last_signup_score
           FROM p ASOF LEFT JOIN dim ON p.user_id = dim.user_id AND p.ts >= dim.ts""")),
 
+    Q("q_asof_forward", // forward as-of: each purchase sees the NEXT
+      // signup-state at-or-after its timestamp (label lookahead /
+      // next-fix attribution). Same union-window kernel walked in
+      // reverse time order; oracle = DuckDB's native forward ASOF
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dim = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("signup_score"))
+        val fact = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        AsofJoin.asofJoin(fact, dim, Seq("user_id"), "ts", "ts", forward = true)
+          .select(col("event_id"), col("user_id"),
+            round(col("value"), 2).as("purchase_v"),
+            round(col("signup_score"), 2).as("next_signup_score"))
+      },
+      Some("""WITH dim AS (SELECT user_id, ts, max(value) AS signup_score
+            FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+          p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+          SELECT p.event_id, p.user_id, round(p.value, 2) AS purchase_v,
+                 round(dim.signup_score, 2) AS next_signup_score
+          FROM p ASOF LEFT JOIN dim ON p.user_id = dim.user_id AND p.ts <= dim.ts""")),
+
     Q("q_range_join", // point-in-interval join, binned to an equi-join:
       // each user's first 2 hours define a window; count the events that
       // land inside ANY window. The naive inequality join is a nested

@@ -26,8 +26,15 @@ import org.apache.spark.sql.functions._
  */
 object AsofJoin {
 
+  /** `forward = false` (default): greatest right time <= left time — "the
+    * state this event saw". `forward = true`: smallest right time >= left
+    * time — "the next state after this event" (label lookahead, next-fix
+    * attribution). Symmetric formulation: the union walk runs in reverse
+    * time order and carries the nearest LATER right row back; equality is
+    * included in both directions. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+               leftTimeCol: String, rightTimeCol: String,
+               forward: Boolean = false): DataFrame = {
     val rightVals = right.columns.filterNot(c =>
       keyCols.contains(c) || c == rightTimeCol).toSeq
     val leftCols = left.columns.filterNot(keyCols.contains).toSeq
@@ -50,10 +57,12 @@ object AsofJoin {
         rightVals.map(col): _*)
 
     // right (0) sorts before left (1) at the same timestamp => equality
-    // is included, exactly SQL ASOF's `l.t >= r.t`
+    // is included, exactly SQL ASOF's `l.t >= r.t` (or `<=` forward —
+    // the walk simply runs in reverse time order)
+    val timeOrd = if (forward) col("_asof_t").desc else col("_asof_t").asc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_asof_t").asc, col("_asof_isL").asc)
+      .orderBy(timeOrd, col("_asof_isL").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
 
     rightVals.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>

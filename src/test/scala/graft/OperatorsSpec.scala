@@ -990,6 +990,19 @@ class OperatorsSpec extends SparkSpec {
       AsofJoin.asofJoin(fact, dim.withColumnRenamed("dv", "fv"), Seq("k"), "t", "t"))
   }
 
+  test("forward asof join: smallest at-or-after match, equality included, NULLs after last") {
+    val fact = Seq((1L, "u1", 5, 50.0), (2L, "u1", 2, 20.0), (3L, "u1", 1, 10.0),
+      (4L, "u2", 9, 90.0)).toDF("id", "k", "t", "fv")
+    val dim = Seq(("u1", 2, "a"), ("u1", 4, "b"), ("u3", 1, "z")).toDF("k", "t", "dv")
+    val out = AsofJoin.asofJoin(fact, dim, Seq("k"), "t", "t", forward = true)
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("dv"))).toMap
+    assert(out == Map(
+      1L -> None,      // t=5: no dim row at-or-after
+      2L -> Some("a"), // t=2: EQUAL timestamp included (<=)
+      3L -> Some("a"), // t=1: next dim at t=2
+      4L -> None))     // u2: no dim rows for the key
+  }
+
   test("batch ANN equals the single-query prebuilt probe for each query") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables(spark, dir, "embeddings")
