@@ -1793,6 +1793,36 @@ object SparkEntry {
       Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
           count(*) < 5 AS at_risk FROM customer GROUP BY c_nationkey, c_mktsegment""")),
 
+    Q("q_incremental_agg", // incremental view maintenance: a materialized
+      // (count, sum) rollup advanced by a change batch (inserts + deletes
+      // + modifications as remove-old/add-new) WITHOUT re-reading the
+      // base. Oracle = the full recompute over the final state — the
+      // incremental path must land on the same numbers
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+        val inserts = orders.filter(col("o_orderkey") % 4 === 0)
+        val deletes = base.filter(col("o_custkey") % 13 === 0)
+        val modOld = base.filter(col("o_custkey") % 17 === 0 &&
+          col("o_custkey") % 13 =!= 0)
+        val modNew = modOld.withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        IncrementalAgg.applyChanges(
+            IncrementalAgg.rollup(base, "o_orderstatus", "o_totalprice"),
+            inserts.unionByName(modNew), deletes.unionByName(modOld),
+            "o_orderstatus", "o_totalprice")
+          .select(col("o_orderstatus"), col("cnt"),
+            round(col("sum_v"), 2).as("sum_v"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt, round(sum(price), 2) AS sum_v
+          FROM (
+            SELECT o_orderstatus,
+              CASE WHEN o_custkey % 17 = 0 AND o_custkey % 13 <> 0
+                   THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+            FROM orders WHERE o_orderkey % 4 <> 0 AND o_custkey % 13 <> 0
+            UNION ALL
+            SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0)
+          GROUP BY o_orderstatus""")),
+
     Q("q_cohort_retention", // cohort = first active day; distinct actives per
       // (cohort, day offset). Two shuffles, both on user_id — the second
       // groupBy reuses the first's partitioning under AQE

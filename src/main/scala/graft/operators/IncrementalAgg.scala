@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental view maintenance for algebraic aggregates: keep a
+ * materialized per-group (count, sum) rollup current under a change
+ * batch WITHOUT re-reading the base table — the mechanism that turns the
+ * engine's CDC feed ([[graft.streaming.ChangeFeed]] /
+ * SubscribeToEvents, proto/hydraide.proto:755-801) into continuously
+ * maintained aggregates.
+ *
+ * Contract: `inserted` holds every row ADDED to the base (new rows +
+ * post-image of modifications), `removed` every row that left it
+ * (deleted rows + pre-image of modifications). A modification is thus an
+ * insert + a remove, which also handles rows MOVING between groups.
+ *
+ * Scale shape: contributions aggregate map-side to one row per TOUCHED
+ * group; the full-outer join against the previous rollup is
+ * rollup-sized, not base-sized — a 100 TB base with a million-row change
+ * batch costs the batch plus the rollup, never the base. Groups whose
+ * count reaches zero drop from the output (matching a recompute, which
+ * never sees them). Works for any algebraic aggregate; count + sum here
+ * (avg = sum/count downstream); non-algebraic aggregates (exact
+ * distinct, medians) need sketches ([[graft.SparkEntry]] q_sketch_union)
+ * or a recompute.
+ */
+object IncrementalAgg {
+
+  /** A (count, sum) rollup of `df` by `groupCol` — the shape
+    * [[applyChanges]] maintains. */
+  def rollup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_v"))
+
+  /** `prev` (a [[rollup]] output) advanced by one change batch. */
+  def applyChanges(prev: DataFrame, inserted: DataFrame, removed: DataFrame,
+                   groupCol: String, valueCol: String): DataFrame = {
+    val adds = inserted.select(col(groupCol),
+      lit(1L).as("_dc"), col(valueCol).cast("double").as("_dv"))
+    val drops = removed.select(col(groupCol),
+      lit(-1L).as("_dc"), (-col(valueCol)).cast("double").as("_dv"))
+    val delta = adds.unionByName(drops)
+      .groupBy(col(groupCol))
+      .agg(sum(col("_dc")).as("_dcnt"), sum(col("_dv")).as("_dsum"))
+    prev.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))).as("cnt"),
+        (coalesce(col("sum_v"), lit(0.0)) + coalesce(col("_dsum"), lit(0.0))).as("sum_v"))
+      .filter(col("cnt") > 0)
+  }
+}

@@ -1278,6 +1278,31 @@ class OperatorsSpec extends SparkSpec {
     assert(none.filter(col("grp") === "small").count() == 0)
   }
 
+  // --- incremental view maintenance --------------------------------------------
+
+  test("incremental agg: group moves, zero-count groups vanish, untouched groups exact") {
+    val base = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 7.0))
+      .toDF("g", "v")
+    val prev = IncrementalAgg.rollup(base, "g", "v")
+    // one row MOVES a->b (remove old under a, insert new under b),
+    // b's only original row is deleted, c untouched, d is brand new
+    val inserted = Seq(("b", 20.0), ("d", 1.0)).toDF("g", "v")
+    val removed = Seq(("a", 20.0), ("b", 5.0)).toDF("g", "v")
+    val out = IncrementalAgg.applyChanges(prev, inserted, removed, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "a" -> (1L, 10.0),  // lost the moved row
+      "b" -> (1L, 20.0),  // old row deleted, moved row arrived
+      "c" -> (1L, 7.0),   // untouched
+      "d" -> (1L, 1.0)))  // new group appears
+    // removing a group's last row drops the group entirely (recompute parity)
+    val gone = IncrementalAgg.applyChanges(out.keys.toSeq.map(k =>
+        (k, out(k)._1, out(k)._2)).toDF("g", "cnt", "sum_v"),
+      Seq.empty[(String, Double)].toDF("g", "v"),
+      Seq(("d", 1.0)).toDF("g", "v"), "g", "v")
+    assert(!gone.collect().map(_.getString(0)).contains("d"))
+  }
+
   // --- changefeed --------------------------------------------------------------
 
   test("cdc diff emits NEW/MODIFIED/DELETED with old values, nothing for unchanged") {
