@@ -1278,6 +1278,35 @@ class OperatorsSpec extends SparkSpec {
     assert(none.filter(col("grp") === "small").count() == 0)
   }
 
+  // --- z-order layout ------------------------------------------------------------
+
+  test("zorderWrite: every dimension's per-file span is narrow; single-sort is not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val orders = Tables(spark, "/root/testdata/sf0.01", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"), s"$dir/z", 8)
+    val z = spark.read.parquet(s"$dir/z")
+    def meanSpan(df: org.apache.spark.sql.DataFrame, c: String) =
+      Layout.fileSpans(df, c).agg(avg("rel_span")).head().getDouble(0)
+    val zCust = meanSpan(z, "o_custkey"); val zPrice = meanSpan(z, "o_totalprice")
+    // both dimensions prune: a filter on EITHER column reads a fraction
+    // of the files (8 files; perfect 1-D clustering would be 1/8 ~ 0.125,
+    // z-order trades some of each dim for coverage of both)
+    assert(zCust < 0.6, s"custkey mean span $zCust")
+    assert(zPrice < 0.6, s"totalprice mean span $zPrice")
+
+    // baseline: range-sorted on custkey ALONE — custkey prunes hard,
+    // totalprice not at all (each file spans ~the whole price range)
+    orders.repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/s")
+    val s = spark.read.parquet(s"$dir/s")
+    assert(meanSpan(s, "o_custkey") < 0.2)
+    assert(meanSpan(s, "o_totalprice") > 0.8,
+      "single-dim sort should NOT prune the second dimension")
+  }
+
   // --- incremental view maintenance --------------------------------------------
 
   test("incremental agg: group moves, zero-count groups vanish, untouched groups exact") {
