@@ -444,6 +444,14 @@ object SparkEntry {
   private val geoSqlLatLon =
     "(SELECT c_custkey, (c_custkey % 120) - 60 + 0.25 AS lat, ((c_custkey * 7) % 360) - 180 + 0.25 AS lon FROM customer)"
 
+  /** Pairwise haversine between aliases `a` and `b`, mirroring
+    * GeoFunctions.haversineKm(a.lat, a.lon, b.lat, b.lon) term-for-term
+    * (haversine is bit-symmetric, so the key-canonical direction the
+    * Spark side emits computes the identical double). */
+  private val geoSqlPairDist: String =
+    "2.0 * 6371.0 * asin(sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2) + " +
+      "cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2)))"
+
   /** Haversine SQL mirroring GeoFunctions.haversineKm term-for-term. */
   private def geoSqlDist(refLat: Double, refLon: Double): String =
     s"2.0 * 6371.0 * asin(sqrt(pow(sin(radians($refLat - lat) / 2), 2) + " +
@@ -478,6 +486,20 @@ object SparkEntry {
               .as("dist_km"))
       },
       Some(s"SELECT c_custkey, round(${geoSqlDist(10.0, 20.0)}, 3) AS dist_km FROM $geoSqlLatLon WHERE NOT (lat = 0.0 AND lon = 0.0) AND ${geoSqlDist(10.0, 20.0)} <= 3000.0")),
+
+    Q("q_geo_pairs", // pairwise distance self-join (location-duplicate
+      // detection): latitude-banded candidates + exact haversine verify —
+      // candidates scale with band occupancy, never n^2 (the naive form
+      // is a cross join). Oracle = the brute-force pair join, so the
+      // banded kernel must find every qualifying pair
+      (s, d) => GeoJoin.withinDistance(withGeo(t(s, d, "customer")),
+        "c_custkey", "lat", "lon", maxKm = 100.0),
+      Some(s"""WITH g AS (SELECT c_custkey, lat, lon FROM $geoSqlLatLon
+            WHERE NOT (lat = 0.0 AND lon = 0.0))
+          SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+            round(${geoSqlPairDist}, 3) AS dist_km
+          FROM g a JOIN g b ON a.c_custkey < b.c_custkey
+          WHERE ${geoSqlPairDist} <= 100.0""")),
 
     Q("q_geo_band", // OUTSIDE r1 AND INSIDE r2 (band) — filter matrix shape
       (s, d) => {

@@ -1278,6 +1278,25 @@ class OperatorsSpec extends SparkSpec {
     assert(none.filter(col("grp") === "small").count() == 0)
   }
 
+  // --- geo distance join ---------------------------------------------------------
+
+  test("geo withinDistance: cross-band pairs found once, Null Island excluded") {
+    // band size at 50 km = ~0.4545 deg; points straddle a band boundary
+    val pts = Seq(
+      (1L, 0.40, 10.0),   // band 0
+      (2L, 0.50, 10.0),   // band 1, ~11 km from #1 (cross-band pair)
+      (3L, 0.52, 10.0),   // band 1, ~2 km from #2 (same-band pair)
+      (4L, 40.0, 10.0),   // far away
+      (5L, 0.0, 0.0)      // Null Island: excluded by contract
+    ).toDF("id", "lat", "lon")
+    val out = GeoJoin.withinDistance(pts, "id", "lat", "lon", maxKm = 50.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got ${out.toSeq}")
+    // no duplicates (each unordered pair exactly once) is implied by the
+    // exact sequence assert above
+  }
+
   // --- z-order layout ------------------------------------------------------------
 
   test("zorderWrite: every dimension's per-file span is narrow; single-sort is not") {
