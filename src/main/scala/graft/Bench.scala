@@ -34,6 +34,12 @@ object Bench {
       val sec =
         try math.min(timeOnce(fn), timeOnce(fn))
         catch { case _: Throwable => -1.0 }
+      // release engine-held caches between queries: leftover signature
+      // tables from earlier dedup queries otherwise squeeze the block
+      // manager and GC, showing up as 3-5x run-order spikes on UNRELATED
+      // queries (observed on q_ngram_jaccard / q_ntile / q_distinct_set
+      // across rounds — isolated reruns were always clean)
+      CacheRegistry.releaseAll()
       name -> sec
     }
     // Emission order is chosen for tail-truncation survival: the driver
