@@ -38,8 +38,12 @@ object Bench {
       // tables from earlier dedup queries otherwise squeeze the block
       // manager and GC, showing up as 3-5x run-order spikes on UNRELATED
       // queries (observed on q_ngram_jaccard / q_ntile / q_distinct_set
-      // across rounds — isolated reruns were always clean)
+      // across rounds — isolated reruns were always clean). The explicit
+      // GC lets the ContextCleaner reclaim localCheckpoint blocks (the
+      // iterative clustering rounds), which have no unpersist handle and
+      // otherwise wait for an organic driver GC.
       CacheRegistry.releaseAll()
+      System.gc()
       name -> sec
     }
     // Emission order is chosen for tail-truncation survival: the driver

@@ -1636,7 +1636,8 @@ object SparkEntry {
           SELECT d.doc_id, d.lang FROM documents d JOIN c ON d.lang = c.lang
           WHERE (${sqlHash32("d.doc_id::VARCHAR")} % 10000) / 10000.0 <
             least(1.0, 300.0 * (CASE d.lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
-              WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1 END) / cnt)""")),
+              WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1
+              ELSE 0.0 END) / cnt)""")),
 
     Q("q_word_freq", // corpus Zipf head: one explode + one map-side-combined agg
       (s, d) => TermStats.wordFreq(t(s, d, "documents"), "text", 20),

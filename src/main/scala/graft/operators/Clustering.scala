@@ -38,19 +38,22 @@ object Clustering {
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           outKey: String = "key", maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (eager), not cache: an iterative algorithm must CUT
-    // the logical plan each round, not just memoize results. A cached
-    // frame still carries its full lineage, so every iteration's plan
-    // embeds the whole pair-generation tree (LSH banding is a BIG plan)
-    // several times over — plan size grows geometrically with iterations
-    // and the driver dies rendering/optimizing plans long before any
-    // executor breaks a sweat (observed: heap exhaustion inside
-    // explainString at ~1700 pairs). Checkpointed frames restart the
-    // lineage at the materialized blocks, so every iteration's plan is
-    // O(1). On a cluster, localCheckpoint blocks are lost with their
-    // executor — the standard iterative-graph tradeoff (recompute on
-    // failure = rerun the algorithm; use reliable checkpoint() against a
-    // checkpoint dir if that is unacceptable).
+    // localCheckpoint (eager), not cache: an iterative algorithm must
+    // CUT the logical plan each round, not just memoize results. A
+    // cached frame still carries its full lineage, so every iteration's
+    // plan would embed the whole pair-generation tree (LSH banding is a
+    // BIG plan) several times over — plan size grows geometrically with
+    // iterations and the driver dies rendering/optimizing plans long
+    // before any executor breaks a sweat (observed: heap exhaustion
+    // inside explainString at ~1700 pairs). Checkpointed frames restart
+    // the lineage at the materialized blocks, so every round's plan is
+    // O(1). Block lifecycle: superseded rounds are freed by the
+    // ContextCleaner once the driver references are gone (standard RDD
+    // lifecycle; Bench forces a GC between queries so bench numbers
+    // never carry another query's clustering state). On a cluster,
+    // localCheckpoint blocks die with their executor — the standard
+    // iterative-graph tradeoff; use reliable checkpoint() against a
+    // checkpoint dir if a mid-algorithm executor loss must not rerun it.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().localCheckpoint()
@@ -60,7 +63,10 @@ object Clustering {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // propagation: each node adopts min(own label, neighbors' labels)
+      // propagation: each node adopts min(own label, neighbors' labels).
+      // The checkpoint materializes prop ONCE — the pointer-jump
+      // self-join below reads its blocks twice instead of running the
+      // join+agg subtree twice.
       val neighborMin = edges
         .join(labels.select(col("u").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlabel")).as("nmin"))
@@ -68,12 +74,9 @@ object Clustering {
         .join(neighborMin, Seq("u"), "left_outer")
         .select(col("u"), col("_old"),
           least(col("_old"), coalesce(col("nmin"), col("_old"))).as("_mid"))
+        .localCheckpoint()
       // pointer jump: adopt the label's own label (labels are node keys,
       // so every label value has a row). Halves remaining chain length.
-      // The eager checkpoint materializes the round ONCE and serves both
-      // the convergence count and the next label table; superseded blocks
-      // are dropped by the context cleaner once unreferenced, so held
-      // state stays O(1) in rounds.
       val jumped = prop
         .join(prop.select(col("u").as("_mid"), col("_mid").as("_ll")),
           Seq("_mid"), "left_outer")

@@ -34,20 +34,25 @@ object IncrementalAgg {
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_v"))
 
-  /** `prev` (a [[rollup]] output) advanced by one change batch. */
+  /** `prev` (a [[rollup]] output) advanced by one change batch. The
+    * delta sums use the SAME `sum(valueCol)` widening as [[rollup]] —
+    * no cast to double — so the maintained view keeps the recompute's
+    * exact type and precision (a LongType revenue column stays exact
+    * past 2^53, where a double-typed delta would silently round). */
   def applyChanges(prev: DataFrame, inserted: DataFrame, removed: DataFrame,
                    groupCol: String, valueCol: String): DataFrame = {
     val adds = inserted.select(col(groupCol),
-      lit(1L).as("_dc"), col(valueCol).cast("double").as("_dv"))
+      lit(1L).as("_dc"), col(valueCol).as("_dv"))
     val drops = removed.select(col(groupCol),
-      lit(-1L).as("_dc"), (-col(valueCol)).cast("double").as("_dv"))
+      lit(-1L).as("_dc"), (-col(valueCol)).as("_dv"))
     val delta = adds.unionByName(drops)
       .groupBy(col(groupCol))
       .agg(sum(col("_dc")).as("_dcnt"), sum(col("_dv")).as("_dsum"))
+    val sumZero = lit(0).cast(prev.schema("sum_v").dataType)
     prev.join(delta, Seq(groupCol), "full_outer")
       .select(col(groupCol),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))).as("cnt"),
-        (coalesce(col("sum_v"), lit(0.0)) + coalesce(col("_dsum"), lit(0.0))).as("sum_v"))
+        (coalesce(col("sum_v"), sumZero) + coalesce(col("_dsum"), sumZero)).as("sum_v"))
       .filter(col("cnt") > 0)
   }
 }

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
  * Multi-dimensional file layout: write a table Z-ORDERED on several
  * columns so parquet min/max row-group stats prune scans filtered on ANY
  * of them — the technique behind Delta OPTIMIZE ZORDER / liquid
- * clustering, here with nothing but Spark primitives (rank bucketing +
- * bit interleaving + range partitioning).
+ * clustering, here with nothing but Spark primitives (quantile
+ * bucketing + bit interleaving + range partitioning).
  *
  * Why: a table sorted on one column prunes beautifully on it and not at
  * all on any other; the single-dimension layout ([[graft.Bucketing]],
@@ -17,39 +17,49 @@ import org.apache.spark.sql.functions._
  * in ANY dimension land close in the file order, so every dimension's
  * min/max per file is narrow — each filter axis skips most files.
  *
- * Scale shape: per column one global percent_rank (a range-partitioned
- * sort of (value) pairs — at cluster scale swap in approxQuantile bucket
- * edges, same layout, no global sort), then one range repartition on the
- * z-value and a plain parquet write. The write is one extra sort of the
- * data being written — amortized over every pruned read after it.
+ * Scale shape: per column one `approxQuantile` pass computes the bucket
+ * edges (distributed sketch, driver gets 255 doubles — NO global sort,
+ * no single-task window); bucket assignment is then a pure per-row
+ * expression, and the only data movement is the final range repartition
+ * on the z-value. Quantile (not uniform-width) edges make the layout
+ * skew-resistant: a hot value range still spreads over its rank share.
  */
 object Layout {
 
-  private val Bits = 10 // 1024 rank buckets per dimension
+  private val Bits = 8 // 256 quantile buckets per dimension
 
-  /** The interleaved z-value of the given columns' rank buckets (each
-    * `b` a column of ints in [0, 1024)): bit j of dimension i lands at
-    * position j * dims + i. */
+  /** Bucket index of `v` given ascending quantile edges: the count of
+    * edges <= v, as one flat per-row expression (255 adds — scan-stage
+    * arithmetic, no join, no shuffle). NULLs land in bucket 0. */
+  private def bucketExpr(v: Column, edges: Array[Double]): Column =
+    edges.map(e => when(v >= lit(e), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+
+  /** The interleaved z-value: bit j of dimension i lands at position
+    * j * dims + i. Buckets are LongType — with int columns a shift
+    * amount past 31 would wrap (Java shift semantics) and silently
+    * scramble the order for 4+ dimensions. */
   private def interleave(buckets: Seq[Column]): Column = {
     val dims = buckets.size
     (0 until Bits).flatMap { j =>
       buckets.zipWithIndex.map { case (b, i) =>
-        shiftleft(shiftright(b, j).bitwiseAND(lit(1)), j * dims + i)
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * dims + i)
       }
-    }.reduce(_.bitwiseOR(_)).cast("long")
+    }.reduce(_.bitwiseOR(_))
   }
 
-  /** Write `df` to `path` as `numFiles` parquet files z-ordered on
-    * `cols` (numeric or otherwise ordered columns). Returns the path. */
+  /** Write `df` to `path` as `numFiles` parquet files z-ordered on the
+    * NUMERIC columns `cols`. Returns the path. */
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
                   numFiles: Int): String = {
     require(cols.size >= 2, "z-order needs at least two dimensions")
-    // rank-bucket each dimension: percent_rank is value-distribution
-    // agnostic (skew in a column can't collapse its buckets)
-    val bucketed = cols.foldLeft(df) { (acc, c) =>
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
-      acc.withColumn(s"_b_$c",
-        (percent_rank().over(w) * ((1 << Bits) - 1)).cast("int"))
+    val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
+    val forEdges = cols.foldLeft(df)((acc, c) =>
+      acc.withColumn(s"_q_$c", col(c).cast("double")))
+    val edges = cols.map(c =>
+      c -> forEdges.stat.approxQuantile(s"_q_$c", probs, 0.001).distinct)
+    val bucketed = edges.foldLeft(df) { case (acc, (c, es)) =>
+      acc.withColumn(s"_b_$c", bucketExpr(col(c).cast("double"), es))
     }
     bucketed
       .withColumn("_z", interleave(cols.map(c => col(s"_b_$c"))))
@@ -62,14 +72,17 @@ object Layout {
 
   /** Per-file (min, max) spans of `valCol` relative to its global span —
     * the pruning diagnostic: the mean relative span is the expected
-    * fraction of files a point/range filter on that column must read. */
+    * fraction of files a point/range filter on that column must read.
+    * A constant column (global span 0) reports 1.0 — no filter on it
+    * can prune anything. */
   def fileSpans(df: DataFrame, valCol: String): DataFrame = {
     val perFile = df.groupBy(input_file_name().as("file"))
       .agg(min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
     val global = df.agg(min(col(valCol)).as("glo"), max(col(valCol)).as("ghi"))
     perFile.crossJoin(broadcast(global))
       .select(col("file"),
-        ((col("hi") - col("lo")).cast("double") /
-          (col("ghi") - col("glo"))).as("rel_span"))
+        when(col("ghi") === col("glo"), lit(1.0))
+          .otherwise((col("hi") - col("lo")).cast("double") /
+            (col("ghi") - col("glo"))).as("rel_span"))
   }
 }

@@ -30,6 +30,8 @@ object Sessionize {
     * session id — is total and engine-independent. */
   def assign(events: DataFrame, userCol: String, tsCol: String,
              tieCol: String, gapSeconds: Long): DataFrame = {
+    require(!events.columns.contains("_new"),
+      "input must not contain the reserved internal column _new")
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val micros = unix_micros(col(tsCol))
     val prev = lag(micros, 1).over(w)

@@ -29,6 +29,8 @@ object SkewJoin {
                   factKey: String, dimKey: String,
                   saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    require(!facts.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "inputs must not contain the reserved internal column _salt")
     val fs = facts.withColumn("_salt", SkewAgg.rowSalt(facts, saltBuckets))
     val ds = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
