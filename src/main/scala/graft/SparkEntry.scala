@@ -1639,6 +1639,22 @@ object SparkEntry {
               WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1
               ELSE 0.0 END) / cnt)""")),
 
+    Q("q_heavy_hitters", // sketch-based frequent items — the one-pass,
+      // mergeable form of q_word_freq for when even the vocabulary is too
+      // big to shuffle exactly: per-partition sketches merge like HLL
+      // (q_sketch_union). maxItemsTracked far above the head size makes
+      // the reported counts EXACT for true heavy hitters, so the oracle
+      // is the exact top-k (k=9 cuts at a strict count gap in the
+      // fixture — no tie ambiguity at the boundary)
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(expr("approx_top_k(tok, 9, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("cnt")),
+      Some("""SELECT tok AS term, count(*) AS cnt FROM
+            (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok ORDER BY cnt DESC, tok LIMIT 9""")),
+
     Q("q_word_freq", // corpus Zipf head: one explode + one map-side-combined agg
       (s, d) => TermStats.wordFreq(t(s, d, "documents"), "text", 20),
       Some("""SELECT word, count(*) AS cnt FROM

@@ -423,6 +423,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:10:00") == (1L, 4.0))
   }
 
+  test("streaming incremental rollup: foreachBatch maintenance equals recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IncrementalAgg
+    val input = MemoryStream[(String, Double, String)] // (group, value, I|D)
+    // the maintained view lives across micro-batches; each batch advances
+    // it by its own inserts/removes only — the base is never re-read
+    var view = IncrementalAgg.rollup(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v")
+      .collect().toSeq
+    def viewDf = view.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toDF("g", "cnt", "sum_v")
+    val q = input.toDF().toDF("g", "v", "op").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        view = IncrementalAgg.applyChanges(viewDf,
+          batch.filter(col("op") === "I").select("g", "v"),
+          batch.filter(col("op") === "D").select("g", "v"),
+          "g", "v").collect().toSeq
+        ()
+      }.start()
+
+    input.addData(("a", 1.0, "I"), ("a", 2.0, "I"), ("b", 5.0, "I"))
+    q.processAllAvailable()
+    input.addData(("a", 1.0, "D"), ("c", 7.0, "I"), ("b", 5.0, "D"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = view.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // recompute over the net surviving rows: a={2.0}, c={7.0}, b gone
+    assert(got == Map("a" -> (1L, 2.0), "c" -> (1L, 7.0)))
+  }
+
   test("streaming sessionization: sessions close at the gap and emit once, final") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
