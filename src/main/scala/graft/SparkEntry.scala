@@ -1639,6 +1639,25 @@ object SparkEntry {
               WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1
               ELSE 0.0 END) / cnt)""")),
 
+    Q("q_containment", // asymmetric duplication: a short doc quoted inside
+      // a long one has containment ~1 but LOW Jaccard, so MinHash near-dup
+      // never finds it. Exact inverted-index kernel on 32-bit shingle
+      // hashes; stop-shingle cap bounds the quadratic hot tail
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "text", "doc_id",
+        shingleN = 3, minContainment = 0.5, maxDf = 20),
+      Some(s"""WITH sh AS (SELECT DISTINCT doc_id,
+            unnest(list_transform($sqlShingles3, x -> ${sqlHash32("x")})) AS s FROM documents),
+          dfc AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+          f AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s) WHERE c <= 20),
+          sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+          p AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS shared
+                FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT key_a, key_b,
+            round(shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+          FROM p JOIN sizes sa ON p.key_a = sa.doc_id
+                 JOIN sizes sb ON p.key_b = sb.doc_id
+          WHERE round(shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6) >= 0.5""")),
+
     Q("q_heavy_hitters", // sketch-based frequent items — the one-pass,
       // mergeable form of q_word_freq for when even the vocabulary is too
       // big to shuffle exactly: per-partition sketches merge like HLL

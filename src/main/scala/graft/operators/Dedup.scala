@@ -279,6 +279,46 @@ object Dedup {
   }
 
   /**
+   * Containment pairs — the ASYMMETRIC duplication signal Jaccard
+   * misses: a short document quoted wholesale inside a long one shares
+   * nearly all of ITS shingles (containment ≈ 1) while the union-based
+   * Jaccard stays low, so MinHash-LSH near-dup never surfaces the pair.
+   * Containment here = shared distinct shingles / the smaller side's
+   * distinct-shingle count.
+   *
+   * Kernel: exact inverted-index join — distinct (key, shingleHash)
+   * pairs self-join on the hash, count shared per pair, divide by the
+   * smaller size. Shuffles carry (key, 32-bit hash) ints, never text.
+   * Candidate volume is Σ df(s)² over shingles; the stop-shingle cap
+   * (`maxDf`) removes the quadratic hot tail the same way LSH salting
+   * caps hot buckets — dropped shingles are excluded from the measure on
+   * BOTH numerator and denominator (documented, mirrored in the oracle).
+   */
+  def containmentPairs(df: DataFrame, textCol: String, keyCol: String,
+                       shingleN: Int = 3, minContainment: Double = 0.5,
+                       maxDf: Int = 20): DataFrame = {
+    val sh = tracked(spreadModest(df)
+      .select(col(keyCol).as("_k"),
+        explode(TF.shingles(col(textCol), shingleN)).as("_sraw"))
+      .select(col("_k"), TF.hash32(col("_sraw")).as("_s"))
+      .distinct())
+    val hot = sh.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxDf)
+    val f = tracked(sh.join(broadcast(hot.select(col("_s"))), Seq("_s"), "left_anti"))
+    val sizes = f.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
+    f.select(col("_s"), col("_k").as("key_a"))
+      .join(f.select(col("_s"), col("_k").as("key_b")), Seq("_s"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b")).agg(count(lit(1)).as("_shared"))
+      .join(sizes.select(col("_k").as("key_a"), col("_n").as("_na")), Seq("key_a"))
+      .join(sizes.select(col("_k").as("key_b"), col("_n").as("_nb")), Seq("key_b"))
+      .select(col("key_a"), col("key_b"),
+        round(col("_shared") / least(col("_na"), col("_nb")).cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /**
    * Embedding-space decontamination: corpus rows whose vector is within
    * `minCosine` of ANY benchmark vector — the semantic complement of the
    * n-gram [[contaminationOverlap]] (catches paraphrased eval leakage

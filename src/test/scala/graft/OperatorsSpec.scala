@@ -1278,6 +1278,34 @@ class OperatorsSpec extends SparkSpec {
     assert(none.filter(col("grp") === "small").count() == 0)
   }
 
+  // --- containment pairs ---------------------------------------------------------
+
+  test("containmentPairs: quoted sub-document found despite low Jaccard; stop-shingles inert") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 80).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                 // the short original
+      (2L, s"$filler $quote"),     // quotes it wholesale inside other text
+      (3L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleN = 3, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L)) == 1.0) // every shingle of the quote appears in doc 2
+    // the symmetric Jaccard path does NOT surface this pair (union-based
+    // similarity ~ 10/90): the two signals are genuinely different
+    val jac = Dedup.minhashLsh(docs, "text", "doc_id",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty)
+    // a shingle above maxDf is excluded from candidates AND the measure
+    val shared = Seq((1L, "s1 s2 s3 a1 a2"), (2L, "s1 s2 s3 b1 b2"),
+      (3L, "s1 s2 s3 c1 c2")).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(shared, "text", "doc_id",
+      shingleN = 3, minContainment = 0.1, maxDf = 2)
+    assert(capped.collect().isEmpty)
+  }
+
   // --- geo distance join ---------------------------------------------------------
 
   test("geo withinDistance: cross-band pairs found once, Null Island excluded") {
