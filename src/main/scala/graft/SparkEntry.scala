@@ -1639,6 +1639,19 @@ object SparkEntry {
               WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1
               ELSE 0.0 END) / cnt)""")),
 
+    Q("q_vocab_encode", // vocabulary indexing + corpus encoding: ids by
+      // frequency rank (ties by token text — engine-independent), OOV = 0.
+      // The vocab (model-sized by definition) broadcasts; the corpus
+      // encodes in its scan stage with no shuffle
+      (s, d) => TermStats.encodeTokens(t(s, d, "documents"), "text", "doc_id",
+        vocabSize = 50),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+            unnest(range(len(string_split(text, ' ')))) AS pos FROM documents),
+          vocab AS (SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS id
+            FROM tok GROUP BY t)
+          SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS token_id
+          FROM tok LEFT JOIN (SELECT * FROM vocab WHERE id <= 50) v USING (t)""")),
+
     Q("q_containment", // asymmetric duplication: a short doc quoted inside
       // a long one has containment ~1 but LOW Jaccard, so MinHash near-dup
       // never finds it. Exact inverted-index kernel on 32-bit shingle

@@ -97,6 +97,34 @@ object TermStats {
    * token count. Rounded to 6 decimals so the float accumulation order
    * (ours vs any other engine's) can't leak into the result.
    */
+  /**
+   * Vocabulary indexing + corpus encoding — the "build vocab, encode to
+   * ids" step in front of tokenizer training / embedding lookups: ids
+   * are assigned by frequency rank (1 = most frequent; ties broken by
+   * token text so the mapping is engine-independent), tokens past
+   * `vocabSize` encode as 0 (the UNK id).
+   *
+   * Scale shape: the vocabulary is one map-side-combined count + a
+   * rank bounded by `vocabSize`; the encode join BROADCASTS the vocab
+   * (a model-sized table by definition) onto the exploded corpus, so
+   * the corpus encodes in its scan stage — per (doc, position) output,
+   * no corpus shuffle at all.
+   */
+  def encodeTokens(docs: DataFrame, textCol: String, keyCol: String,
+                   vocabSize: Int): DataFrame = {
+    val tok = docs.select(col(keyCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "_t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_cnt").desc, col("_t").asc)
+    val vocab = tok.groupBy(col("_t")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_id", row_number().over(w))
+      .filter(col("_id") <= vocabSize)
+      .select(col("_t"), col("_id"))
+    tok.join(broadcast(vocab), Seq("_t"), "left_outer")
+      .select(col(keyCol), col("pos"),
+        coalesce(col("_id"), lit(0)).as("token_id"))
+  }
+
   def tokenEntropy(docs: DataFrame, textCol: String, keyCol: String): DataFrame =
     docs.select(col(keyCol), explode(split(col(textCol), " ")).as("_tok"))
       .groupBy(col(keyCol), col("_tok")).agg(count(lit(1)).as("_c"))

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming per-key anomaly detection: each key keeps Welford running
+ * moments (count, mean, M2) in the checkpointed state store and every
+ * observation is z-scored against the state BEFORE it — an observation
+ * never vouches for itself, so a level shift is flagged on arrival
+ * instead of being absorbed into the baseline first. The batch analogue
+ * is q_zscore_outliers; this is its continuous form, with state bounded
+ * by the number of live keys (three doubles each), not by traffic.
+ *
+ * Observations inside a micro-batch replay in `seq` order (the
+ * [[StatefulFeed]] discipline), so results do not depend on partition
+ * layout; an anomalous value still UPDATES the moments after being
+ * flagged (the alternative — quarantining outliers from the baseline —
+ * is a policy choice; this operator reports, it does not filter).
+ */
+object Anomaly {
+
+  /** One observation. `seq` must be monotone per key. */
+  final case class Obs(key: String, seq: Long, value: Double)
+
+  /** Welford accumulator: mean + sum of squared deviations. */
+  final case class Moments(n: Long, mean: Double, m2: Double)
+
+  /** A flagged observation with the z-score that flagged it. */
+  final case class Flag(key: String, seq: Long, value: Double, z: Double)
+
+  implicit private val mEnc: Encoder[Moments] = Encoders.product[Moments]
+  implicit private val fEnc: Encoder[Flag] = Encoders.product[Flag]
+  implicit private val sEnc: Encoder[String] = Encoders.STRING
+
+  /** Flags observations with |z| >= `zThreshold` against at least
+    * `minSamples` PRIOR observations of the same key. */
+  def detect(obs: Dataset[Obs], minSamples: Int = 5,
+             zThreshold: Double = 3.0): Dataset[Flag] =
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Obs], state: GroupState[Moments]) =>
+          var m = state.getOption.getOrElse(Moments(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Flag]
+          it.toSeq.sortBy(_.seq).foreach { o =>
+            if (m.n >= minSamples) {
+              val variance = m.m2 / (m.n - 1) // sample variance
+              val sd = math.sqrt(variance)
+              if (sd > 0) {
+                val z = (o.value - m.mean) / sd
+                if (math.abs(z) >= zThreshold) out += Flag(key, o.seq, o.value, z)
+              } else if (o.value != m.mean) {
+                // zero-variance history: ANY deviation is infinitely
+                // surprising — flag with the sign carrying the direction
+                out += Flag(key, o.seq, o.value,
+                  if (o.value > m.mean) Double.PositiveInfinity
+                  else Double.NegativeInfinity)
+              }
+            }
+            val d = o.value - m.mean
+            val mean2 = m.mean + d / (m.n + 1)
+            m = Moments(m.n + 1, mean2, m.m2 + d * (o.value - mean2))
+          }
+          state.update(m)
+          out.iterator
+      }
+}

@@ -423,6 +423,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:10:00") == (1L, 4.0))
   }
 
+  test("streaming anomaly: z-scored against PRIOR state, baseline still updates") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Anomaly
+    import graft.streaming.Anomaly.Obs
+    val input = MemoryStream[Obs]
+    val q = Anomaly.detect(input.toDS(), minSamples = 5, zThreshold = 3.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom_out").start()
+
+    // batch 1: a stable baseline around 10 (no flags — below minSamples,
+    // then in-band)
+    input.addData((1 to 8).map(i => Obs("k", i.toLong, 10.0 + (i % 2) * 0.2)): _*)
+    q.processAllAvailable()
+    // batch 2: a level spike must flag ON ARRIVAL (state is prior-only),
+    // and the next normal value must NOT flag (baseline absorbed the
+    // spike but the band is now wider, not recentered to the spike)
+    input.addData(Obs("k", 9L, 50.0), Obs("k", 10L, 10.1), Obs("other", 1L, 99.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val flags = spark.table("anom_out").as[Anomaly.Flag].collect()
+    assert(flags.map(f => (f.key, f.seq)).toSet == Set(("k", 9L)),
+      s"got ${flags.toSeq}") // spike flagged; 'other' has no history => silent
+    assert(flags.head.z > 3.0)
+  }
+
   test("streaming incremental rollup: foreachBatch maintenance equals recompute") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.IncrementalAgg
