@@ -1867,31 +1867,40 @@ object SparkEntry {
     Q("q_incremental_agg", // incremental view maintenance: a materialized
       // (count, sum) rollup advanced by a change batch (inserts + deletes
       // + modifications as remove-old/add-new) WITHOUT re-reading the
-      // base. Oracle = the full recompute over the final state — the
-      // incremental path must land on the same numbers
+      // base. Oracle = the full recompute over the final state — and the
+      // sums are DECIMAL, not double: decimal addition is exact and
+      // order-independent, so "incremental == recompute" holds to the
+      // last cent instead of to float-accumulation luck (a double sum of
+      // ~1e8 sits ~1e-6 from a cent boundary — sf0.001 actually flipped
+      // one). This is also the type-preservation path: applyChanges must
+      // keep the decimal sum exactly, not silently widen to double
       (s, d) => {
         val orders = t(s, d, "orders")
+          .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
         val base = orders.filter(col("o_orderkey") % 4 =!= 0)
         val inserts = orders.filter(col("o_orderkey") % 4 === 0)
         val deletes = base.filter(col("o_custkey") % 13 === 0)
         val modOld = base.filter(col("o_custkey") % 17 === 0 &&
           col("o_custkey") % 13 =!= 0)
-        val modNew = modOld.withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        val modNew = modOld.withColumn("price",
+          (col("price") + lit(BigDecimal("10.00"))).cast("decimal(18,2)"))
         IncrementalAgg.applyChanges(
-            IncrementalAgg.rollup(base, "o_orderstatus", "o_totalprice"),
+            IncrementalAgg.rollup(base, "o_orderstatus", "price"),
             inserts.unionByName(modNew), deletes.unionByName(modOld),
-            "o_orderstatus", "o_totalprice")
+            "o_orderstatus", "price")
           .select(col("o_orderstatus"), col("cnt"),
-            round(col("sum_v"), 2).as("sum_v"))
+            col("sum_v").cast("decimal(38,2)").as("sum_v"))
       },
-      Some("""SELECT o_orderstatus, count(*) AS cnt, round(sum(price), 2) AS sum_v
+      Some("""SELECT o_orderstatus, count(*) AS cnt, sum(price) AS sum_v
           FROM (
             SELECT o_orderstatus,
               CASE WHEN o_custkey % 17 = 0 AND o_custkey % 13 <> 0
-                   THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10.00
+                   ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
             FROM orders WHERE o_orderkey % 4 <> 0 AND o_custkey % 13 <> 0
             UNION ALL
-            SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0)
+            SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+            FROM orders WHERE o_orderkey % 4 = 0)
           GROUP BY o_orderstatus""")),
 
     Q("q_cohort_retention", // cohort = first active day; distinct actives per
