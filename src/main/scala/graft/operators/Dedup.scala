@@ -304,7 +304,11 @@ object Dedup {
       .distinct())
     val hot = sh.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") > maxDf)
-    val f = tracked(sh.join(broadcast(hot.select(col("_s"))), Seq("_s"), "left_anti"))
+    // NO broadcast hint on the hot set: "shingles shared by >maxDf docs"
+    // grows with the corpus (every common phrase qualifies), so forcing
+    // it to the driver is an OOM cliff at exactly the scale this cap
+    // exists for. A shuffled anti-join on the 32-bit key is bounded.
+    val f = tracked(sh.join(hot.select(col("_s")), Seq("_s"), "left_anti"))
     val sizes = f.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
     f.select(col("_s"), col("_k").as("key_a"))
       .join(f.select(col("_s"), col("_k").as("key_b")), Seq("_s"))

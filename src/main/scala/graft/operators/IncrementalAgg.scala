@@ -48,11 +48,17 @@ object IncrementalAgg {
     val delta = adds.unionByName(drops)
       .groupBy(col(groupCol))
       .agg(sum(col("_dc")).as("_dcnt"), sum(col("_dv")).as("_dsum"))
-    val sumZero = lit(0).cast(prev.schema("sum_v").dataType)
+    val sumType = prev.schema("sum_v").dataType
+    val sumZero = lit(0).cast(sumType)
     prev.join(delta, Seq(groupCol), "full_outer")
       .select(col(groupCol),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))).as("cnt"),
-        (coalesce(col("sum_v"), sumZero) + coalesce(col("_dsum"), sumZero)).as("sum_v"))
+        // cast the recombined sum BACK to prev's type: decimal addition
+        // widens precision by one, and without the cast a maintained view
+        // fed back through applyChanges would change schema every batch —
+        // breaking any fixed-schema sink holding it
+        (coalesce(col("sum_v"), sumZero) + coalesce(col("_dsum"), sumZero))
+          .cast(sumType).as("sum_v"))
       .filter(col("cnt") > 0)
   }
 }

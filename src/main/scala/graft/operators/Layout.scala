@@ -53,11 +53,24 @@ object Layout {
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
                   numFiles: Int): String = {
     require(cols.size >= 2, "z-order needs at least two dimensions")
+    // 8 bits x 9+ dims would push interleave positions past 63 and wrap
+    // (Java shift semantics) — silently scrambling the order, the same
+    // cliff the Long buckets fixed for 4+ dims at int width
+    require(cols.size <= 8,
+      s"z-order supports at most 8 dimensions (${cols.size} given)")
     val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
     val forEdges = cols.foldLeft(df)((acc, c) =>
       acc.withColumn(s"_q_$c", col(c).cast("double")))
-    val edges = cols.map(c =>
-      c -> forEdges.stat.approxQuantile(s"_q_$c", probs, 0.001).distinct)
+    // ONE scan computes every dimension's sketch (the multi-column
+    // approxQuantile overload) — not one full pass per dimension
+    val allEdges = forEdges.stat.approxQuantile(
+      cols.map(c => s"_q_$c").toArray, probs, 0.001)
+    val edges = cols.zip(allEdges.map(_.distinct))
+    edges.foreach { case (c, es) =>
+      require(es.nonEmpty,
+        s"z-order column '$c' produced no quantile edges — it must be " +
+          "numeric (castable to double) with at least one non-null value")
+    }
     val bucketed = edges.foldLeft(df) { case (acc, (c, es)) =>
       acc.withColumn(s"_b_$c", bucketExpr(col(c).cast("double"), es))
     }

@@ -114,11 +114,15 @@ object TermStats {
                    vocabSize: Int): DataFrame = {
     val tok = docs.select(col(keyCol),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "_t")))
+    // head-cut FIRST with a distributed TakeOrdered (per-partition heaps,
+    // vocabSize rows to the driver side of the plan), THEN rank the tiny
+    // result: ranking the full vocabulary through an unpartitioned window
+    // would single-task-sort every distinct token
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("_cnt").desc, col("_t").asc)
     val vocab = tok.groupBy(col("_t")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_t").asc).limit(vocabSize)
       .withColumn("_id", row_number().over(w))
-      .filter(col("_id") <= vocabSize)
       .select(col("_t"), col("_id"))
     tok.join(broadcast(vocab), Seq("_t"), "left_outer")
       .select(col(keyCol), col("pos"),

@@ -36,7 +36,11 @@ object Anomaly {
   /** Flags observations with |z| >= `zThreshold` against at least
     * `minSamples` PRIOR observations of the same key. */
   def detect(obs: Dataset[Obs], minSamples: Int = 5,
-             zThreshold: Double = 3.0): Dataset[Flag] =
+             zThreshold: Double = 3.0): Dataset[Flag] = {
+    // n-1 sample-variance divisor: one prior observation would divide by
+    // zero (NaN sd) and misroute into the zero-variance branch, flagging
+    // ANY second value as infinitely anomalous
+    require(minSamples >= 2, "minSamples must be >= 2 (sample variance)")
     obs.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[Obs], state: GroupState[Moments]) =>
@@ -64,4 +68,5 @@ object Anomaly {
           state.update(m)
           out.iterator
       }
+  }
 }

@@ -1379,6 +1379,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!gone.collect().map(_.getString(0)).contains("d"))
   }
 
+  test("incremental agg is closed under self-application: decimal schema is stable") {
+    val dec = Seq(("a", BigDecimal("1.10")), ("b", BigDecimal("2.20")))
+      .toDF("g", "v").withColumn("v", col("v").cast("decimal(18,2)"))
+    val delta = Seq(("a", BigDecimal("0.50"))).toDF("g", "v")
+      .withColumn("v", col("v").cast("decimal(18,2)"))
+    val none = delta.limit(0)
+    var view = IncrementalAgg.rollup(dec, "g", "v")
+    val schema0 = view.schema
+    // a maintained view is fed back through applyChanges every batch —
+    // decimal widening without the cast-back changed its schema each time
+    (1 to 3).foreach { _ =>
+      view = IncrementalAgg.applyChanges(view, delta, none, "g", "v")
+      assert(view.schema == schema0, s"schema drifted: ${view.schema}")
+    }
+    val a = view.filter(col("g") === "a").head()
+    assert(a.getDecimal(2) == new java.math.BigDecimal("2.60")) // 1.10 + 3*0.50
+  }
+
   // --- changefeed --------------------------------------------------------------
 
   test("cdc diff emits NEW/MODIFIED/DELETED with old values, nothing for unchanged") {
