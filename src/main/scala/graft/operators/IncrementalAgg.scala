@@ -28,6 +28,30 @@ import org.apache.spark.sql.functions._
  */
 object IncrementalAgg {
 
+  // ==========================================================================
+  // Non-algebraic aggregates maintain a SKETCH, not (count, sum): deletes
+  // can't subtract from a top-k/distinct state, but accumulation is still
+  // incremental — each batch folds in WITHOUT re-reading prior data.
+  // ==========================================================================
+
+  /** One batch of values folded to a top-k sketch (1 row, binary). */
+  def topkAccumulate(batch: DataFrame, valueCol: String,
+                     maxTracked: Int = 10000): DataFrame =
+    batch.agg(expr(s"approx_top_k_accumulate($valueCol, $maxTracked)")
+      .as("sketch"))
+
+  /** Merge sketch states (the previous state + any number of batch
+    * sketches) into one — associative, so partial states from different
+    * days/partitions/machines combine in any order. */
+  def topkCombine(states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_))
+      .agg(expr("approx_top_k_combine(sketch)").as("sketch"))
+
+  /** Read the current top-k estimate off a sketch state. */
+  def topkEstimate(state: DataFrame, k: Int): DataFrame =
+    state.select(explode(expr(s"approx_top_k_estimate(sketch, $k)")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+
   /** A (count, sum) rollup of `df` by `groupCol` — the shape
     * [[applyChanges]] maintains. */
   def rollup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =

@@ -1379,6 +1379,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!gone.collect().map(_.getString(0)).contains("d"))
   }
 
+  test("incremental top-k sketch: batch-wise accumulation equals one-shot") {
+    val b1 = Seq("a", "a", "b", "c").toDF("t")
+    val b2 = Seq("a", "b", "b", "b", "d").toDF("t")
+    // maintained: accumulate each batch, combine with the running state
+    val s1 = IncrementalAgg.topkAccumulate(b1, "t")
+    val state = IncrementalAgg.topkCombine(s1,
+      IncrementalAgg.topkAccumulate(b2, "t"))
+    val got = IncrementalAgg.topkEstimate(state, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one-shot over the union — with ample tracking both are exact
+    val direct = IncrementalAgg.topkEstimate(
+      IncrementalAgg.topkAccumulate(b1.unionByName(b2), "t"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == direct)
+    assert(got == Map("b" -> 4L, "a" -> 3L, "c" -> 1L) ||
+      got == Map("b" -> 4L, "a" -> 3L, "d" -> 1L)) // c/d tie at 1
+  }
+
   test("incremental agg is closed under self-application: decimal schema is stable") {
     val dec = Seq(("a", BigDecimal("1.10")), ("b", BigDecimal("2.20")))
       .toDF("g", "v").withColumn("v", col("v").cast("decimal(18,2)"))
