@@ -255,6 +255,34 @@ class PropertiesSpec extends SparkSpec {
   }
   private val versionGapSpanMs = 30 * 60000 // ~30 min span => real gaps at 60s
 
+  test("geo withinDistance == brute force on 300 random points (recall and precision)") {
+    import spark.implicits._
+    // points concentrated so pairs actually occur, spanning band
+    // boundaries and negative latitudes
+    val pts = (1 to 300).map { i =>
+      (i.toLong, rnd.nextDouble() * 8 - 4, rnd.nextDouble() * 8 - 4)
+    }
+    val maxKm = 120.0
+    val got = graft.operators.GeoJoin
+      .withinDistance(pts.toDF("id", "lat", "lon"), "id", "lat", "lon", maxKm)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val dLat = math.toRadians(b._2 - a._2); val dLon = math.toRadians(b._3 - a._3)
+      val x = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(a._2)) * math.cos(math.toRadians(b._2)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2.0 * 6371.0 * math.asin(math.sqrt(x))
+    }
+    val want = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      if hav(a, b) <= maxKm
+    } yield (a._1, b._1)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "degenerate test: no qualifying pairs generated")
+  }
+
   test("packSequences invariants: bins contiguous from 0, spans bounded by budget") {
     import spark.implicits._
     val budget = 50
