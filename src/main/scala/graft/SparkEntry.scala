@@ -1852,6 +1852,49 @@ object SparkEntry {
           round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pct_rank
           FROM events""")),
 
+    Q("q_decayed_sum", // exponentially time-decayed aggregate (7-day time
+      // constant) — the trending-score primitive: recent events dominate,
+      // old ones fade smoothly; one hash agg, decay computed per-row in
+      // the scan stage against a fixed reference instant
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value") *
+            exp((lit(1706659200000000L) - unix_micros(col("ts"))) / lit(-1e6) / lit(604800.0))),
+          4).as("dsum")),
+      Some("""SELECT event_type,
+          round(sum(value * exp((epoch_us(TIMESTAMP '2024-01-31') - epoch_us(ts)) / -1e6 / 604800.0)), 4) AS dsum
+          FROM events GROUP BY event_type""")),
+
+    Q("q_psi_drift", // population stability index per source vs the corpus
+      // length distribution — the standard data-drift gate between a new
+      // crawl and the corpus baseline. Buckets absent from a source
+      // contribute nothing (the practical PSI convention); the baseline
+      // share reuses the same bucket counts via a 10-row window, so the
+      // whole audit is two hash aggs and a bucket-key join
+      (s, d) => {
+        val b = t(s, d, "documents").select(col("source"),
+          least(floor(col("n_chars") / 50), lit(9)).cast("long").as("bkt"))
+        val p = b.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("c"))
+        val pt = p.groupBy(col("source")).agg(sum(col("c")).as("n"))
+        val q = b.groupBy(col("bkt")).agg(count(lit(1)).as("cq"))
+          .withColumn("nq", sum(col("cq")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        p.join(pt, "source").join(q, "bkt")
+          .select(col("source"),
+            ((col("c") / col("n") - col("cq") / col("nq")) *
+              log((col("c") / col("n")) / (col("cq") / col("nq")))).as("term"))
+          .groupBy(col("source")).agg(round(sum(col("term")), 6).as("psi"))
+      },
+      Some("""WITH b AS (SELECT source, least(n_chars // 50, 9) AS bkt FROM documents),
+          p AS (SELECT source, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+          pt AS (SELECT source, sum(c) AS n FROM p GROUP BY 1),
+          q AS (SELECT bkt, count(*) AS cq, sum(count(*)) OVER () AS nq FROM b GROUP BY 1)
+          SELECT p.source,
+            round(sum((p.c / CAST(pt.n AS DOUBLE) - q.cq / CAST(q.nq AS DOUBLE)) *
+                      ln((p.c / CAST(pt.n AS DOUBLE)) / (q.cq / CAST(q.nq AS DOUBLE)))), 6) AS psi
+          FROM p JOIN pt ON p.source = pt.source JOIN q ON p.bkt = q.bkt
+          GROUP BY p.source""")),
+
     Q("q_k_anonymity", // privacy audit: quasi-identifier combinations whose
       // group is smaller than k re-identify their members — the release
       // gate a PII-scrubbed corpus still needs. One hash agg on the
