@@ -34,18 +34,26 @@ object IncrementalAgg {
   // incremental — each batch folds in WITHOUT re-reading prior data.
   // ==========================================================================
 
-  /** One batch of values folded to a top-k sketch (1 row, binary). */
+  /** One batch of values folded to a top-k sketch (1 row, binary).
+    * The column name is backtick-quoted so spaced/hyphenated names
+    * resolve as columns, not as parse errors or struct paths. */
   def topkAccumulate(batch: DataFrame, valueCol: String,
                      maxTracked: Int = 10000): DataFrame =
-    batch.agg(expr(s"approx_top_k_accumulate($valueCol, $maxTracked)")
+    batch.agg(expr(s"approx_top_k_accumulate(`$valueCol`, $maxTracked)")
       .as("sketch"))
 
   /** Merge sketch states (the previous state + any number of batch
     * sketches) into one — associative, so partial states from different
-    * days/partitions/machines combine in any order. */
-  def topkCombine(states: DataFrame*): DataFrame =
+    * days/partitions/machines combine in any order. `maxTracked` is
+    * passed to the combiner EXPLICITLY: the parameterless combine
+    * requires every input sketch to share one tracking size and throws
+    * on a mismatch, which would make states accumulated with different
+    * budgets permanently uncombinable. */
+  def topkCombine(states: Seq[DataFrame], maxTracked: Int = 10000): DataFrame = {
+    require(states.nonEmpty, "topkCombine needs at least one sketch state")
     states.reduce(_.unionByName(_))
-      .agg(expr("approx_top_k_combine(sketch)").as("sketch"))
+      .agg(expr(s"approx_top_k_combine(sketch, $maxTracked)").as("sketch"))
+  }
 
   /** Read the current top-k estimate off a sketch state. */
   def topkEstimate(state: DataFrame, k: Int): DataFrame =

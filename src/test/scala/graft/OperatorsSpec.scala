@@ -1382,19 +1382,20 @@ class OperatorsSpec extends SparkSpec {
   test("incremental top-k sketch: batch-wise accumulation equals one-shot") {
     val b1 = Seq("a", "a", "b", "c").toDF("t")
     val b2 = Seq("a", "b", "b", "b", "d").toDF("t")
-    // maintained: accumulate each batch, combine with the running state
-    val s1 = IncrementalAgg.topkAccumulate(b1, "t")
-    val state = IncrementalAgg.topkCombine(s1,
-      IncrementalAgg.topkAccumulate(b2, "t"))
-    val got = IncrementalAgg.topkEstimate(state, 3)
+    // maintained: accumulate each batch (different tracking budgets —
+    // the explicit combine size must bridge them), merge into one state
+    val state = IncrementalAgg.topkCombine(Seq(
+      IncrementalAgg.topkAccumulate(b1, "t", maxTracked = 5000),
+      IncrementalAgg.topkAccumulate(b2, "t")))
+    // k=2 cuts at a strict count gap (b=4, a=3 vs 1): no tie at the
+    // boundary, so maintained and one-shot must agree exactly
+    val got = IncrementalAgg.topkEstimate(state, 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // one-shot over the union — with ample tracking both are exact
     val direct = IncrementalAgg.topkEstimate(
-      IncrementalAgg.topkAccumulate(b1.unionByName(b2), "t"), 3)
+      IncrementalAgg.topkAccumulate(b1.unionByName(b2), "t"), 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == direct)
-    assert(got == Map("b" -> 4L, "a" -> 3L, "c" -> 1L) ||
-      got == Map("b" -> 4L, "a" -> 3L, "d" -> 1L)) // c/d tie at 1
+    assert(got == Map("b" -> 4L, "a" -> 3L))
   }
 
   test("incremental agg is closed under self-application: decimal schema is stable") {
