@@ -1852,6 +1852,29 @@ object SparkEntry {
           round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pct_rank
           FROM events""")),
 
+    Q("q_data_card", // the corpus datasheet in ONE scan: volume, source/
+      // language breadth, length profile (exact interpolated median),
+      // and exact duplicate rate off the text digest — the summary block
+      // every dataset release ships, as a single aggregation pass
+      (s, d) => t(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(lit(1.0) -
+          countDistinct(md5(col("text"))).cast("double") / count(lit(1)), 4)
+          .as("dup_rate")),
+      Some("""SELECT count(*) AS n_docs,
+          count(DISTINCT source) AS n_sources, count(DISTINCT lang) AS n_langs,
+          round(avg(n_chars), 2) AS avg_chars,
+          round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+          min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+          round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+          FROM documents""")),
+
     Q("q_decayed_sum", // exponentially time-decayed aggregate (7-day time
       // constant) — the trending-score primitive: recent events dominate,
       // old ones fade smoothly; one hash agg, decay computed per-row in
