@@ -107,14 +107,23 @@ object Clustering {
    * The full near-dup dedup: drop every NON-canonical cluster member from
    * `docs`, keep canonical winners and all unclustered docs — the
    * pairs → components → corpus composition a curation pipeline actually
-   * ships. The loser set (one key column, orders of magnitude smaller
-   * than the corpus) broadcasts into an anti-join, so the corpus itself
-   * never shuffles.
+   * ships.
+   *
+   * The loser anti-join is deliberately UN-hinted: the loser set is one
+   * key per non-canonical duplicate, i.e. proportional to the corpus's
+   * duplicate RATE — a web-scale crawl dedups away 30-50% of its
+   * documents, which is billions of keys, not a broadcastable dimension
+   * table. A forced broadcast here is a driver/executor OOM cliff at
+   * exactly the scale this operator exists for (the same cliff
+   * [[Dedup.containmentPairs]] refuses for its hot-shingle set). A plain
+   * shuffled left_anti on the key column is bounded, and AQE still
+   * converts it to a broadcast join at runtime whenever the loser set
+   * actually measures small — the hint only removed the safety net.
    */
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
                          aCol: String, bCol: String, keyCol: String): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol, outKey = keyCol)
     val losers = comps.filter(col(keyCol) =!= col("cluster")).select(col(keyCol))
-    docs.join(broadcast(losers), Seq(keyCol), "left_anti")
+    docs.join(losers, Seq(keyCol), "left_anti")
   }
 }

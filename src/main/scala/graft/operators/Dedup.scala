@@ -428,15 +428,21 @@ object Dedup {
    * frequency is the signal, not duplication itself.
    *
    * Same keys-only scale shape: the frequency count aggregates (hash, doc
-   * key) pairs, the boilerplate hash set anti-joins against the index
-   * (tiny by construction — it IS the hot tail), text never shuffles.
+   * key) pairs, the boilerplate hash set anti-joins against the index,
+   * text never shuffles. The hot set is NOT broadcast-hinted: "segments
+   * appearing in > maxDocs documents" grows with corpus breadth (every
+   * shared header/footer/nav bar on the web qualifies — hundreds of
+   * millions of hashes at 100 TB), the exact argument
+   * [[containmentPairs]] makes for its own hot tail. The shuffled
+   * left_anti on the 8-byte hash is bounded, and AQE broadcasts at
+   * runtime when the set really is small.
    */
   def stripBoilerplate(df: DataFrame, textCol: String, keyCol: String,
                        maxDocs: Int = 2, segTokens: Int = 10): DataFrame = {
     val idx = tracked(segIndex(df, textCol, keyCol, segTokens))
     val hot = idx.groupBy(col("_h"))
       .agg(countDistinct(col("_k")).as("_nd")).filter(col("_nd") > maxDocs)
-    val keep = idx.join(broadcast(hot.select(col("_h"))), Seq("_h"), "left_anti")
+    val keep = idx.join(hot.select(col("_h")), Seq("_h"), "left_anti")
       .groupBy(col("_k")).agg(sort_array(collect_list(col("_i"))).as("_keep"))
     reassemble(df, textCol, keyCol, segTokens, keep)
   }

@@ -93,6 +93,26 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.isDefined, s"no join keyed on _salt found:\n$p")
   }
 
+  test("near-dup drop / boilerplate strip: anti-joins carry NO forced broadcast") {
+    // The dropped sets (dedup losers, hot boilerplate segments) are
+    // corpus-proportional — a forced broadcast is an OOM cliff at scale.
+    // The hint must stay off so AQE decides from runtime sizes.
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (name <- Seq("q_neardup_dedup", "q_semantic_dedup", "q_boilerplate")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val antiHints = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftAnti => j.hint
+      }
+      assert(antiHints.nonEmpty, s"$name: expected a left_anti join in the plan")
+      antiHints.foreach { h =>
+        assert(h.leftHint.forall(_.strategy.isEmpty) &&
+          h.rightHint.forall(_.strategy.isEmpty),
+          s"$name: anti-join carries a forced join strategy: $h")
+      }
+    }
+  }
+
   test("no query plans a CartesianProduct or a non-codegen Python eval") {
     // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
     // bounded kernel (cap-gate / tfidf / corpus-overlap 1-row count
