@@ -18,8 +18,8 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
  *    fetched by joining BACK to the persisted signature table only for the
  *    surviving candidate pairs;
  *  - at cluster scale the `persist()` becomes a materialized signature table
- *    (write once, reuse for every band and the verify join) — the plan shape
- *    is identical.
+ *    ([[Dedup.buildSignatures]]: write once, reuse for every band and the
+ *    verify join, and across crawls) — the plan shape is identical.
  */
 object Dedup {
 
@@ -33,8 +33,9 @@ object Dedup {
    * ("Asked to cache already cached data" warnings). That duplicate work
    * fully overlaps in wall-clock (measured faster than an eager count(),
    * which serializes materialization before the join) — but it IS duplicate
-   * CPU, which is why at real cluster scale the persist becomes an explicit
-   * materialized signature-table write (one pass, then pure reads).
+   * CPU. The cluster-scale fix is shipped as [[buildSignatures]] +
+   * [[minhashLshPrebuilt]] / [[dedupAgainstCorpusPrebuilt]]: one explicit
+   * materialized write, then pure reads.
    */
   private def tracked(df: DataFrame): DataFrame =
     graft.CacheRegistry.track(df, StorageLevel.MEMORY_AND_DISK)
@@ -62,6 +63,72 @@ object Dedup {
     withH.join(winners, Seq("_digest", keyCol), "left_semi").drop("_digest")
   }
 
+  // ==========================================================================
+  // MinHash signature table — the shared artifact of every LSH consumer
+  // ==========================================================================
+
+  /** The signature-table plan: (keyCol, _sh = distinct shingles, _sig =
+    * `numHashes`-element minhash signature). One scan over the text; every
+    * LSH consumer (banding, verify join) derives from this shape. */
+  private def signaturePlan(df: DataFrame, textCol: String, keyCol: String,
+                            shingleN: Int, numHashes: Int): DataFrame =
+    spreadModest(df)
+      .select(col(keyCol), array_distinct(TF.shingles(col(textCol), shingleN)).as("_sh"))
+      .withColumn("_sig", TF.minhashSignature(col("_sh"), numHashes))
+
+  /**
+   * Materialize the signature table to `path` — the cluster-scale form of
+   * the in-memory persist: ONE pass over the text writes (key, shingles,
+   * signature); every downstream consumer ([[minhashLshPrebuilt]],
+   * [[dedupAgainstCorpusPrebuilt]], the next crawl's incremental dedup) is
+   * then pure column-pruned parquet reads — no recomputation race between
+   * a self-join's concurrent shuffle-map stages (the documented duplicate-
+   * CPU cost of the lazy in-memory persist in [[tracked]]), and the
+   * artifact survives the job, which is what makes incremental dedup
+   * incremental: build once per corpus, reuse on every subsequent crawl
+   * (same build-once/reuse discipline as the reference's bucket index,
+   * `app/core/hydra/swamp/beacon/bucket.go:145-163`).
+   */
+  def buildSignatures(df: DataFrame, textCol: String, keyCol: String,
+                      path: String, shingleN: Int = 3, numHashes: Int = 16): Unit =
+    signaturePlan(df, textCol, keyCol, shingleN, numHashes)
+      .write.mode("overwrite").parquet(path)
+
+  /** Band projection of a signature table: (key, _band, _bh) — the ONLY
+    * rows that enter any LSH candidate shuffle. */
+  private def bandedOf(base: DataFrame, keyCol: String,
+                       numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    base.select(
+      col(keyCol),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand)))
+      }: _*)).as(Seq("_band", "_bh")))
+  }
+
+  /** The LSH pair kernel over an existing signature table: band self-join
+    * for candidates (keys only), join back for shingle sets, exact-Jaccard
+    * verify. Shared by [[minhashLsh]] (in-memory persist) and
+    * [[minhashLshPrebuilt]] (materialized table). */
+  private def lshPairsFrom(base: DataFrame, keyCol: String, numHashes: Int,
+                           bands: Int, threshold: Double): DataFrame = {
+    val banded = bandedOf(base, keyCol, numHashes, bands)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a._band") === col("b._band") && col("a._bh") === col("b._bh") &&
+          col(s"a.$keyCol") < col(s"b.$keyCol"))
+      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"))
+      .dropDuplicates("key_a", "key_b")
+
+    // fetch shingle sets only for surviving candidates, verify exact Jaccard
+    cand
+      .join(base.select(col(keyCol).as("key_a"), col("_sh").as("_sha")), Seq("key_a"))
+      .join(base.select(col(keyCol).as("key_b"), col("_sh").as("_shb")), Seq("key_b"))
+      .withColumn("jaccard", TF.jaccard(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /**
    * Shared MinHash-LSH candidate kernel (Broder '97 / standard banding):
    * k-hash signature over n-gram shingles, split into `bands`; docs sharing
@@ -81,36 +148,22 @@ object Dedup {
    */
   def minhashLsh(df: DataFrame, textCol: String, keyCol: String,
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                 threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+                 threshold: Double = 0.8): DataFrame =
+    lshPairsFrom(tracked(signaturePlan(df, textCol, keyCol, shingleN, numHashes)),
+      keyCol, numHashes, bands, threshold)
 
-    val base = tracked(spreadModest(df)
-      .select(col(keyCol), array_distinct(TF.shingles(col(textCol), shingleN)).as("_sh"))
-      .withColumn("_sig", TF.minhashSignature(col("_sh"), numHashes)))
-
-    // band id -> hash of that band's signature slice; only (key, band, hash)
-    // rows enter the self-join shuffle
-    val banded = base.select(
-      col(keyCol),
-      posexplode(array((0 until bands).map { b =>
-        md5(concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand)))
-      }: _*)).as(Seq("_band", "_bh")))
-
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a._band") === col("b._band") && col("a._bh") === col("b._bh") &&
-          col(s"a.$keyCol") < col(s"b.$keyCol"))
-      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"))
-      .dropDuplicates("key_a", "key_b")
-
-    // fetch shingle sets only for surviving candidates, verify exact Jaccard
-    cand
-      .join(base.select(col(keyCol).as("key_a"), col("_sh").as("_sha")), Seq("key_a"))
-      .join(base.select(col(keyCol).as("key_b"), col("_sh").as("_shb")), Seq("key_b"))
-      .withColumn("jaccard", TF.jaccard(col("_sha"), col("_shb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
+  /**
+   * [[minhashLsh]] over a signature table previously materialized by
+   * [[buildSignatures]] — no document text is touched (the API takes no
+   * document relation at all): candidates, verify, everything derives
+   * from column-pruned reads of the persisted table. `numHashes` must
+   * match the build (banding slices the stored signature).
+   */
+  def minhashLshPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                         sigPath: String, keyCol: String,
+                         numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.8): DataFrame =
+    lshPairsFrom(spark.read.parquet(sigPath), keyCol, numHashes, bands, threshold)
 
   /**
    * Exact n-gram Jaccard near-dup pairs at scale: candidates from the
@@ -144,21 +197,33 @@ object Dedup {
   def dedupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
                          textCol: String, keyCol: String,
                          shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                         threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
-    def sigs(df: DataFrame) = tracked(spreadModest(df)
-      .select(col(keyCol), array_distinct(TF.shingles(col(textCol), shingleN)).as("_sh"))
-      .withColumn("_sig", TF.minhashSignature(col("_sh"), numHashes)))
-    def banded(base: DataFrame) = base.select(
-      col(keyCol),
-      posexplode(array((0 until bands).map { b =>
-        md5(concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand)))
-      }: _*)).as(Seq("_band", "_bh")))
+                         threshold: Double = 0.8): DataFrame =
+    dedupAgainstSignatures(
+      tracked(signaturePlan(corpus, textCol, keyCol, shingleN, numHashes)),
+      incoming, textCol, keyCol, shingleN, numHashes, bands, threshold)
 
-    val corSig = sigs(corpus)
-    val inSig = sigs(incoming)
-    val cand = banded(inSig).as("i").join(banded(corSig).as("c"),
+  /**
+   * [[dedupAgainstCorpus]] with the corpus side served from a signature
+   * table materialized by [[buildSignatures]] — the production shape of
+   * incremental dedup: the corpus text is NEVER rescanned (only the new
+   * crawl's signatures are computed fresh), and the artifact is reused
+   * across crawls. Parameters must match the build.
+   */
+  def dedupAgainstCorpusPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                                 corpusSigPath: String, incoming: DataFrame,
+                                 textCol: String, keyCol: String,
+                                 shingleN: Int = 3, numHashes: Int = 16,
+                                 bands: Int = 4, threshold: Double = 0.8): DataFrame =
+    dedupAgainstSignatures(spark.read.parquet(corpusSigPath),
+      incoming, textCol, keyCol, shingleN, numHashes, bands, threshold)
+
+  private def dedupAgainstSignatures(corSig: DataFrame, incoming: DataFrame,
+                                     textCol: String, keyCol: String,
+                                     shingleN: Int, numHashes: Int, bands: Int,
+                                     threshold: Double): DataFrame = {
+    val inSig = tracked(signaturePlan(incoming, textCol, keyCol, shingleN, numHashes))
+    val cand = bandedOf(inSig, keyCol, numHashes, bands).as("i")
+      .join(bandedOf(corSig, keyCol, numHashes, bands).as("c"),
         col("i._band") === col("c._band") && col("i._bh") === col("c._bh"))
       .select(col(s"i.$keyCol").as("_ik"), col(s"c.$keyCol").as("_ck"))
       .dropDuplicates("_ik", "_ck")

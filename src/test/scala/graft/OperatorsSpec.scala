@@ -1038,6 +1038,47 @@ class OperatorsSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("materialized signature table: prebuilt LSH matches fresh, never rescans text") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val c = (100 to 140).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig").toString
+    val docsPath = s"$tmp/docs"; val sigPath = s"$tmp/sigs"
+    Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .write.parquet(docsPath)
+    val docs = spark.read.parquet(docsPath)
+
+    // ONE signature computation: the build pass
+    Dedup.buildSignatures(docs, "text", "doc_id", sigPath,
+      shingleN = 3, numHashes = 16)
+
+    val prebuilt = Dedup.minhashLshPrebuilt(spark, sigPath, "doc_id",
+      numHashes = 16, bands = 4, threshold = 0.5)
+    // scan-count proof that consumers cannot recompute signatures: the
+    // prebuilt plan reads ONLY the signature table — the documents path
+    // (the only place text lives) appears in no scan
+    val plan = prebuilt.queryExecution.executedPlan.toString
+    assert(!plan.contains(docsPath), s"prebuilt LSH rescans the documents:\n$plan")
+    assert(plan.contains("sigs"), s"prebuilt LSH does not read the signature table:\n$plan")
+
+    val fresh = Dedup.minhashLsh(docs, "text", "doc_id", shingleN = 3,
+      numHashes = 16, bands = 4, threshold = 0.5)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    val got = prebuilt.select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(got == fresh && got == Set((1L, 2L)))
+
+    // incremental dedup against the SAME persisted artifact: corpus text
+    // is never rescanned either — only the incoming side's path may scan
+    val incoming = Seq((10L, a), (11L, "novel fresh content entirely new"))
+      .toDF("doc_id", "text")
+    val surv = Dedup.dedupAgainstCorpusPrebuilt(spark, sigPath, incoming,
+      "text", "doc_id", shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    val sPlan = surv.queryExecution.executedPlan.toString
+    assert(!sPlan.contains(docsPath), s"incremental dedup rescans the corpus:\n$sPlan")
+    assert(surv.select("doc_id").as[Long].collect().toSet == Set(11L))
+    CacheRegistry.releaseAll()
+  }
+
   test("connected components: chains close transitively, min key labels the cluster") {
     // chain 1-2, 2-3, 3-4 (diameter 3) + separate pair 10-11 + crossing 4-2
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 2L))
