@@ -35,9 +35,27 @@ object Clustering {
    * component). Nodes absent from `pairs` are absent from the output (a
    * doc with no near-dup is its own trivial cluster — callers left-join
    * and coalesce to itself).
+   *
+   * `checkpointDir`: None (default) cuts lineage with localCheckpoint —
+   * fastest, but blocks die with their executor, so a mid-algorithm
+   * executor loss reruns the job. On a long cluster job pass a reliable
+   * directory (HDFS/object store): each round then checkpoints to
+   * storage that survives executor loss. (Sets the context-global
+   * checkpoint dir if one isn't already set.)
+   *
+   * If min-label propagation + pointer jumping hasn't converged after
+   * `maxIter` rounds (component diameter too large for the budget), the
+   * algorithm does NOT fail: it contracts each partial cluster to its
+   * label (a star contraction — the quotient graph is strictly smaller
+   * whenever any merge happened) and recurses on the quotient, composing
+   * the labels on the way back. Effective budget multiplies per level,
+   * and each level's quotient shrinks geometrically under jumping, so
+   * any diameter converges.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          outKey: String = "key", maxIter: Int = 20): DataFrame = {
+                          outKey: String = "key", maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
     // localCheckpoint (eager), not cache: an iterative algorithm must
     // CUT the logical plan each round, not just memoize results. A
     // cached frame still carries its full lineage, so every iteration's
@@ -50,16 +68,29 @@ object Clustering {
     // O(1). Block lifecycle: superseded rounds are freed by the
     // ContextCleaner once the driver references are gone (standard RDD
     // lifecycle; Bench forces a GC between queries so bench numbers
-    // never carry another query's clustering state). On a cluster,
-    // localCheckpoint blocks die with their executor — the standard
-    // iterative-graph tradeoff; use reliable checkpoint() against a
-    // checkpoint dir if a mid-algorithm executor loss must not rerun it.
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().localCheckpoint()
+    // never carry another query's clustering state).
+    // dropLineageAndStats after each cut: Spark 4 checkpoints PRESERVE the
+    // origin plan's sizeInBytes, so without the strip a loop of self-joins
+    // multiplies the estimate per round — BigInt bits compound ~6x per
+    // generation and the optimizer's stats visitor drowns in million-digit
+    // multiplication long before any executor works (the same driver-side
+    // failure class as the lineage blowup this checkpoint exists to stop).
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df => org.apache.spark.sql.GraftBridge.dropLineageAndStats(
+          df.checkpoint()) // eager, reliable storage
+      case None => df => org.apache.spark.sql.GraftBridge.dropLineageAndStats(
+        df.localCheckpoint())
+    }
 
-    var labels = edges.select(col("u")).distinct()
-      .withColumn("label", col("u")).localCheckpoint()
+    val edges = ckpt(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct())
+
+    var labels = ckpt(edges.select(col("u")).distinct()
+      .withColumn("label", col("u")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -70,31 +101,41 @@ object Clustering {
       val neighborMin = edges
         .join(labels.select(col("u").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlabel")).as("nmin"))
-      val prop = labels.withColumnRenamed("label", "_old")
+      val prop = ckpt(labels.withColumnRenamed("label", "_old")
         .join(neighborMin, Seq("u"), "left_outer")
         .select(col("u"), col("_old"),
-          least(col("_old"), coalesce(col("nmin"), col("_old"))).as("_mid"))
-        .localCheckpoint()
+          least(col("_old"), coalesce(col("nmin"), col("_old"))).as("_mid")))
       // pointer jump: adopt the label's own label (labels are node keys,
       // so every label value has a row). Halves remaining chain length.
-      val jumped = prop
+      val jumped = ckpt(prop
         .join(prop.select(col("u").as("_mid"), col("_mid").as("_ll")),
           Seq("_mid"), "left_outer")
         .select(col("u"), col("_old"),
-          least(col("_mid"), coalesce(col("_ll"), col("_mid"))).as("label"))
-        .localCheckpoint()
+          least(col("_mid"), coalesce(col("_ll"), col("_mid"))).as("label")))
       val changed = jumped.filter(col("label") < col("_old")).count()
       labels = jumped.select(col("u"), col("label"))
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
-      // silently returning unconverged labels would split one duplicate
-      // cluster into several and let duplicates survive dedup — refuse
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations — " +
-          "component diameter exceeds maxIter (raise it, or use a " +
-          "star-contraction variant for chain-shaped graphs)")
+    if (!converged) {
+      // star-contraction fallback: every partial cluster contracts to its
+      // current label; cross-label edges form the quotient graph, which is
+      // strictly smaller than the node set (round 1 merged at least every
+      // adjacent (min, neighbor) pair), so the recursion terminates. Final
+      // label = the quotient component's label of the node's own label.
+      val lu = labels.select(col("u").as("_qu"), col("label").as("_lu"))
+      val lv = labels.select(col("u").as("_qv"), col("label").as("_lv"))
+      val quotient = ckpt(edges
+        .join(lu.withColumnRenamed("_qu", "u"), Seq("u"))
+        .join(lv.withColumnRenamed("_qv", "v"), Seq("v"))
+        .filter(col("_lu") =!= col("_lv"))
+        .select(col("_lu"), col("_lv")).distinct())
+      val sub = connectedComponents(quotient, "_lu", "_lv",
+        outKey = "_qlabel", maxIter = maxIter, checkpointDir = checkpointDir)
+      labels = labels
+        .join(sub.withColumnRenamed("_qlabel", "label"), Seq("label"), "left_outer")
+        .select(col("u"), coalesce(col("cluster"), col("label")).as("label"))
+    }
     labels.select(col("u").as(outKey), col("label").as("cluster"))
   }
 

@@ -12,6 +12,26 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /**
+   * Re-root a (typically just-checkpointed) DataFrame as a bare scan of
+   * its own InternalRow RDD, dropping BOTH the logical lineage and the
+   * ORIGIN-PLAN STATISTICS the checkpoint node preserves. Iterative
+   * algorithms need the second drop as much as the first: Spark 4's
+   * (local)checkpoint carries the child plan's sizeInBytes forward, so a
+   * loop of self-joins compounds the estimate PRODUCT across rounds —
+   * the BigInt's bit count multiplies per generation and the optimizer's
+   * stats visitor ends up doing million-digit multiplications (observed:
+   * minutes of driver CPU inside SizeInBytesOnlyStatsPlanVisitor on a
+   * 40-node graph). The fresh LogicalRDD restarts at the session default
+   * estimate, keeping every round's stats O(plan size). No data moves:
+   * `toRdd` of a checkpointed frame reads its materialized blocks.
+   */
+  def dropLineageAndStats(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.DataFrame]
+    classicDf.sparkSession.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, df.schema)
+  }
+
   /** Register a SQL function on an EXISTING session (the extensions class
     * covers session construction; this covers shared/test sessions). */
   def registerFunction(spark: SparkSession, name: String,

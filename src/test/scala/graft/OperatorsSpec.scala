@@ -1079,6 +1079,23 @@ class OperatorsSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("connected components: star-contraction fallback converges past the iteration budget") {
+    // chain 1-2-3-...-40: diameter 39 >> maxIter 2 — the in-loop rounds
+    // cannot finish, so the quotient recursion must close the cluster
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("key_a", "key_b")
+    val cc = Clustering.connectedComponents(chain, "key_a", "key_b", maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == (1L to 40L).toSet)
+    assert(cc.values.toSet == Set(1L), s"chain did not close: ${cc.values.toSet}")
+
+    // reliable-checkpoint variant: same result, lineage cut to storage
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccckpt").toString
+    val ccR = Clustering.connectedComponents(chain, "key_a", "key_b",
+        maxIter = 2, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccR == cc)
+  }
+
   test("connected components: chains close transitively, min key labels the cluster") {
     // chain 1-2, 2-3, 3-4 (diameter 3) + separate pair 10-11 + crossing 4-2
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 2L))
