@@ -82,8 +82,14 @@ object IncrementalAgg {
       .agg(sum(col("_dc")).as("_dcnt"), sum(col("_dv")).as("_dsum"))
     val sumType = prev.schema("sum_v").dataType
     val sumZero = lit(0).cast(sumType)
-    prev.join(delta, Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+    // null-safe equi-join (<=>): groupBy treats NULL as one real group, so
+    // the maintenance join must too — a plain USING join never equi-matches
+    // NULL keys and would split the NULL group into two output rows (one
+    // carrying prev state, one the delta), diverging from a recompute
+    prev.withColumnRenamed(groupCol, "_pg")
+      .join(delta.withColumnRenamed(groupCol, "_dg"),
+        col("_pg") <=> col("_dg"), "full_outer")
+      .select(coalesce(col("_pg"), col("_dg")).as(groupCol),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))).as("cnt"),
         // cast the recombined sum BACK to prev's type: decimal addition
         // widens precision by one, and without the cast a maintained view

@@ -53,9 +53,11 @@ object Layout {
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
                   numFiles: Int): String = {
     require(cols.size >= 2, "z-order needs at least two dimensions")
-    // 8 bits x 9+ dims would push interleave positions past 63 and wrap
-    // (Java shift semantics) — silently scrambling the order, the same
-    // cliff the Long buckets fixed for 4+ dims at int width
+    // 8 bits x 8 dims fills positions 0..63 exactly; a 9th dimension
+    // would push past 63 and wrap (Java shift semantics), silently
+    // scrambling the order — the same cliff the Long buckets fixed for
+    // 4+ dims at int width. Position 63 itself is the Long sign bit,
+    // which is why the sort below compares UNSIGNED (see _zs).
     require(cols.size <= 8,
       s"z-order supports at most 8 dimensions (${cols.size} given)")
     val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
@@ -76,9 +78,16 @@ object Layout {
     }
     bucketed
       .withColumn("_z", interleave(cols.map(c => col(s"_b_$c"))))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop(cols.map(c => s"_b_$c") :+ "_z": _*)
+      // UNSIGNED z compare: at 8 dims, bit 7 of the last dimension lands
+      // at position 63 — the Long sign bit — and a signed sort would put
+      // the whole upper half of the curve FIRST. XOR with Long.MinValue
+      // maps unsigned order onto signed order (for <8 dims it's a
+      // constant offset, a no-op on the ordering), so the range
+      // partitioner always walks the true z-curve.
+      .withColumn("_zs", col("_z").bitwiseXOR(lit(Long.MinValue)))
+      .repartitionByRange(numFiles, col("_zs"))
+      .sortWithinPartitions(col("_zs"))
+      .drop(cols.map(c => s"_b_$c") :+ "_z" :+ "_zs": _*)
       .write.mode("overwrite").parquet(path)
     path
   }

@@ -36,7 +36,12 @@ object Multimodal {
   val featureType: StructType = StructType(Seq(
     StructField("n_bytes", LongType),
     StructField("sha_prefix", StringType),
-    StructField("fake_brightness", DoubleType)))
+    StructField("fake_brightness", DoubleType),
+    // which kernel produced the feature: "imageio" / "wav" = real decode,
+    // "stub" = deterministic fake (codec not in this environment). A
+    // consumer filters on this to keep only truly-decoded features — the
+    // contract that makes the stub tradeoff safe downstream.
+    StructField("decoder", StringType)))
 
   /** Wrap a text/binary source into the canonical media schema. */
   def asMedia(df: DataFrame, idCol: String, payload: org.apache.spark.sql.Column,
@@ -198,8 +203,8 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val kept = keepIdx.map(r.get)
-        def withMeta(scalar: Double)(patch: Map[String, Any]): Row = {
-          val out = kept :+ Row(bytes.length.toLong, shaPrefix(bytes), scalar)
+        def withMeta(scalar: Double, decoder: String)(patch: Map[String, Any]): Row = {
+          val out = kept :+ Row(bytes.length.toLong, shaPrefix(bytes), scalar, decoder)
           val m = if (metaOutIdx < 0) null else out(metaOutIdx).asInstanceOf[Row]
           if (m == null) Row.fromSeq(out)
           else {
@@ -211,13 +216,13 @@ object Multimodal {
         }
         decodeImage(bytes) match {
           case Some((w, h, luma)) => // true dims into meta
-            withMeta(luma)(Map("width" -> w, "height" -> h))
+            withMeta(luma, "imageio")(Map("width" -> w, "height" -> h))
           case None => decodeWav(bytes) match {
             case Some((durMs, rms)) => // true duration into meta
-              withMeta(rms)(Map("duration_ms" -> durMs))
+              withMeta(rms, "wav")(Map("duration_ms" -> durMs))
             case None =>
               val (n, sha, bright) = decodeStub(bytes)
-              Row.fromSeq(kept :+ Row(n, sha, bright))
+              Row.fromSeq(kept :+ Row(n, sha, bright, "stub"))
           }
         }
       }

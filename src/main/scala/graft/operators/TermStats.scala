@@ -87,17 +87,6 @@ object TermStats {
   }
 
   /**
-   * Per-document unigram Shannon entropy (nats) — the lexical-diversity
-   * quality signal (low entropy = repetitive/templated text, a standard
-   * curation filter alongside the Gopher repetition rules).
-   *
-   * Algebraic identity -Σ (c/n)·ln(c/n) = ln(n) − (Σ c·ln c)/n lets both
-   * sums live in ONE aggregation over (doc, token) counts: two map-side-
-   * combined hash aggs, shuffle bounded by per-doc vocabulary, never
-   * token count. Rounded to 6 decimals so the float accumulation order
-   * (ours vs any other engine's) can't leak into the result.
-   */
-  /**
    * Vocabulary indexing + corpus encoding — the "build vocab, encode to
    * ids" step in front of tokenizer training / embedding lookups: ids
    * are assigned by frequency rank (1 = most frequent; ties broken by
@@ -129,6 +118,17 @@ object TermStats {
         coalesce(col("_id"), lit(0)).as("token_id"))
   }
 
+  /**
+   * Per-document unigram Shannon entropy (nats) — the lexical-diversity
+   * quality signal (low entropy = repetitive/templated text, a standard
+   * curation filter alongside the Gopher repetition rules).
+   *
+   * Algebraic identity -Σ (c/n)·ln(c/n) = ln(n) − (Σ c·ln c)/n lets both
+   * sums live in ONE aggregation over (doc, token) counts: two map-side-
+   * combined hash aggs, shuffle bounded by per-doc vocabulary, never
+   * token count. Rounded to 6 decimals so the float accumulation order
+   * (ours vs any other engine's) can't leak into the result.
+   */
   def tokenEntropy(docs: DataFrame, textCol: String, keyCol: String): DataFrame =
     docs.select(col(keyCol), explode(split(col(textCol), " ")).as("_tok"))
       .groupBy(col(keyCol), col("_tok")).agg(count(lit(1)).as("_c"))

@@ -453,13 +453,15 @@ class OperatorsSpec extends SparkSpec {
       (2L, imageBytes("bmp"), "image/bmp"),
       (3L, "just text".getBytes("UTF-8"), "text/plain"))
     val df = rows.toDF("id", "payload", "mime")
-    val feats = Multimodal.extractFeatures(
+    val full = Multimodal.extractFeatures(
       df.select(col("id").as("media_id"), col("payload").as("content"),
         struct(col("mime"), lit(null).cast("int").as("width"),
           lit(null).cast("int").as("height"),
           lit(null).cast("long").as("duration_ms")).as("meta")))
+    val feats = full
       .select(col("media_id"), col("meta.width"), col("meta.height"),
-        col("features.fake_brightness"), col("features.n_bytes"))
+        col("features.fake_brightness"), col("features.n_bytes"),
+        col("features.decoder"))
       .collect().map(r => r.getLong(0) -> r).toMap
     for (id <- Seq(1L, 2L)) {
       val r = feats(id)
@@ -467,10 +469,17 @@ class OperatorsSpec extends SparkSpec {
         s"real decode must fill meta dims: $r")
       assert(math.abs(r.getDouble(3) - 0.5) < 0.01,
         s"brightness must be the real mean luminance: $r")
+      assert(r.getString(5) == "imageio",
+        s"real decode must be labeled by the decoder field: $r")
     }
     val txt = feats(3L)
     assert(txt.isNullAt(1) && txt.isNullAt(2), "non-image keeps null dims")
     assert(txt.getLong(4) == 9L)
+    assert(txt.getString(5) == "stub",
+      s"stub kernel must be labeled so consumers can filter it out: $txt")
+    // the downstream contract the field exists for: keep only real decodes
+    assert(full.filter(col("features.decoder") =!= "stub")
+      .select("media_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("range join: half-open boundaries, multi-bin intervals, no nested loop") {
@@ -570,10 +579,12 @@ class OperatorsSpec extends SparkSpec {
     val df = Seq((1L, o.toByteArray, "audio/wav")).toDF("id", "payload", "mime")
     val r = Multimodal.extractFeatures(
       Multimodal.asMedia(df, "id", col("payload"), "audio/wav"))
-      .select(col("meta.duration_ms"), col("features.fake_brightness")).collect().head
+      .select(col("meta.duration_ms"), col("features.fake_brightness"),
+        col("features.decoder")).collect().head
     assert(r.getLong(0) == 250L, s"true duration must land in meta: $r")
     assert(math.abs(r.getDouble(1) - 0.5 / math.sqrt(2)) < 0.01,
       s"feature must be the real RMS: $r")
+    assert(r.getString(2) == "wav", s"real WAV decode labeled: $r")
   }
 
   test("frame features: real animated-GIF frames, stub rows for non-GIF") {
@@ -1412,6 +1423,32 @@ class OperatorsSpec extends SparkSpec {
       "single-dim sort should NOT prune the second dimension")
   }
 
+  test("zorderWrite: 8 dimensions fill bit 63 without sign-inverting or wrapping") {
+    // 8 dims x 8 bits puts the last dimension's top bit at position 63 —
+    // the Long sign bit. 256 files resolve exactly the top bit of every
+    // dimension, so EVERY dim's mean span must sit near 0.5; a signed
+    // compare or a shift wrap would scramble the major order and push
+    // spans toward 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder8").toString
+    val primes = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+    val n = 8192L
+    val base = spark.range(n)
+    val df = primes.zipWithIndex.foldLeft(base.toDF()) { case (acc, (p, i)) =>
+      acc.withColumn(s"d$i", (col("id") * p) % n) // bijective, decorrelated
+    }
+    val cols = primes.indices.map(i => s"d$i")
+    Layout.zorderWrite(df, cols, s"$dir/z8", 256)
+    val z = spark.read.parquet(s"$dir/z8")
+    cols.foreach { c =>
+      val span = Layout.fileSpans(z, c).agg(avg("rel_span")).head().getDouble(0)
+      assert(span < 0.7, s"dim $c mean span $span — top-bit order lost")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderWrite(df.withColumn("d8", col("id")),
+        cols :+ "d8", s"$dir/z9", 4)
+    }
+  }
+
   // --- incremental view maintenance --------------------------------------------
 
   test("incremental agg: group moves, zero-count groups vanish, untouched groups exact") {
@@ -1435,6 +1472,21 @@ class OperatorsSpec extends SparkSpec {
       Seq.empty[(String, Double)].toDF("g", "v"),
       Seq(("d", 1.0)).toDF("g", "v"), "g", "v")
     assert(!gone.collect().map(_.getString(0)).contains("d"))
+  }
+
+  test("incremental agg: NULL group key stays ONE group, matching recompute") {
+    val base = Seq((Some("a"), 10.0), (None, 5.0), (None, 3.0)).toDF("g", "v")
+    val prev = IncrementalAgg.rollup(base, "g", "v")
+    val inserted = Seq((Option.empty[String], 2.0)).toDF("g", "v")
+    val removed = Seq((Option.empty[String], 5.0)).toDF("g", "v")
+    val out = IncrementalAgg.applyChanges(prev, inserted, removed, "g", "v")
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+    // recompute oracle: groupBy treats NULL as one group with cnt=2, sum=5
+    val recomputed = IncrementalAgg.rollup(
+        base.unionByName(inserted).exceptAll(removed), "g", "v")
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == recomputed, s"maintained $out vs recompute $recomputed")
+    assert(out(None) == (2L, 5.0))
   }
 
   test("incremental top-k sketch: batch-wise accumulation equals one-shot") {
