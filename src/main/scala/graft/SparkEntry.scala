@@ -2378,6 +2378,33 @@ object SparkEntry {
           .select(col("doc_id"), col("b.source").as("source"),
             col("b.lang").as("lang"), col("b.never_written").as("never_written"))
       },
+      Some("SELECT doc_id, source, lang, CAST(NULL AS VARCHAR) AS never_written FROM documents")),
+
+    Q("q_gob_migration", // LEGACY-body migration (proto/hydraide.proto:849-854,
+      // gobber.go): bodies in Go's gob encoding decode to typed columns and
+      // re-encode as msgpack — the engine-native form of the reference's
+      // documented "read as GOB, write back as MSGPACK" migration, as one
+      // scan-stage expression chain (no shuffle, no driver). Oracle = the
+      // same columns read natively: the whole codec chain must be the
+      // identity, and the never-written field must surface as NULL at the
+      // far end.
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("source", StringType),
+          StructField("lang", StringType),
+          StructField("never_written", StringType)))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.Gob.pack(struct(col("source"), col("lang"))).as("legacy"))
+          .select(col("doc_id"),
+            graft.functions.MsgPack.pack(
+              graft.functions.Gob.unpack(col("legacy"), schema)).as("migrated"))
+          .select(col("doc_id"),
+            graft.functions.MsgPack.unpack(col("migrated"), schema).as("b"))
+          .select(col("doc_id"), col("b.source").as("source"),
+            col("b.lang").as("lang"), col("b.never_written").as("never_written"))
+      },
       Some("SELECT doc_id, source, lang, CAST(NULL AS VARCHAR) AS never_written FROM documents")))
 
   // ==========================================================================

@@ -57,8 +57,10 @@ object MsgPack {
 
   /** Parsed msgpack map — a DISTINCT type from parsed arrays, so an empty
     * map and an empty array stay distinguishable and a map can never
-    * satisfy an ArrayType target (the mismatch => NULL contract). */
-  private final case class RawMap(pairs: Vector[(Any, Any)])
+    * satisfy an ArrayType target (the mismatch => NULL contract). Shared
+    * with the GOB bridge ([[Gob]]), whose structs/maps parse to the same
+    * dynamic shape and reuse [[convert]] unchanged. */
+  private[functions] final case class RawMap(pairs: Vector[(Any, Any)])
 
   /** Raw parse: msgpack value graph as (null | Boolean | Long | BigInt |
     * Double | String | Array[Byte] | Vector[Any] | RawMap).
@@ -127,7 +129,7 @@ object MsgPack {
 
   /** Raw value -> Catalyst value of `dt`; anything that doesn't fit is NULL
     * (the typed-compare no-match discipline, FilterCompiler's contract). */
-  private def convert(raw: Any, dt: DataType): Any = (raw, dt) match {
+  private[functions] def convert(raw: Any, dt: DataType): Any = (raw, dt) match {
     case (null, _) => null
     case (v: Boolean, BooleanType) => v
     case (v: Long, t) => t match {
