@@ -93,6 +93,23 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.isDefined, s"no join keyed on _salt found:\n$p")
   }
 
+  test("prebuilt LSH: every signature-table scan is column-pruned to its consumer") {
+    // the banding side must read (key, _sig) WITHOUT dragging the shingle
+    // arrays through the scan, and the verify side (key, _sh) without the
+    // signatures — at 100 TB the difference is reading a third of the
+    // table per consumer vs all of it twice
+    val p = plan("q_minhash_prebuilt")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema"))
+      .map(_.split("ReadSchema: ").last.trim).toList
+    assert(schemas.nonEmpty, s"no parquet scans found:\n$p")
+    schemas.foreach { s =>
+      assert(!(s.contains("_sig") && s.contains("_sh")),
+        s"a signature-table scan reads BOTH _sig and _sh (pruning lost): $s")
+    }
+    assert(schemas.exists(_.contains("_sig")) && schemas.exists(_.contains("_sh")),
+      s"expected banding (_sig) and verify (_sh) scans:\n$schemas")
+  }
+
   test("near-dup drop / boilerplate strip: anti-joins carry NO forced broadcast") {
     // The dropped sets (dedup losers, hot boilerplate segments) are
     // corpus-proportional — a forced broadcast is an OOM cliff at scale.
@@ -111,6 +128,24 @@ class PlanSpec extends SparkSpec {
           s"$name: anti-join carries a forced join strategy: $h")
       }
     }
+  }
+
+  test("de-hinted loser anti-join: AQE still broadcasts a small loser set at runtime") {
+    // the safety net the removed hint relied on: when the loser set
+    // actually measures small, AQE converts the shuffled anti-join to a
+    // broadcast join from RUNTIME sizes — so dropping the forced hint
+    // costs nothing at dimension scale and saves the cliff at corpus scale
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("key", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val out = graft.operators.Clustering.dropNearDuplicates(docs, pairs, "a", "b", "key")
+    // collect() drives THIS dataset's queryExecution, so the adaptive plan
+    // below is the final one (count() would execute a separate plan)
+    assert(out.collect().length == 198) // 2 losers dropped
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan"), s"AQE must own this plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"AQE did not broadcast the small loser set:\n$p")
   }
 
   test("no query plans a CartesianProduct or a non-codegen Python eval") {
