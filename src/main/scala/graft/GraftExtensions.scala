@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.{DotProduct, DotProductConst, MsgPackDecode, MsgPackEncode, NormalizeText, TokensContainPhrase}
+import graft.functions.{DotProduct, DotProductConst, GobDecode, GobEncode, MsgPackDecode, MsgPackEncode, NormalizeText, TokensContainPhrase}
 
 /**
  * SQL surface for the engine's custom expressions, registered through the
@@ -24,6 +24,9 @@ import graft.functions.{DotProduct, DotProductConst, MsgPackDecode, MsgPackEncod
  *  - `graft_msgpack_pack(value)` — msgpack bytes of a packable column
  *  - `graft_msgpack_unpack(bytes, 'a INT, b STRING')` — typed decode; the
  *    schema is a DDL string literal (missing path / mismatch => NULL)
+ *  - `graft_gob_pack(value)` / `graft_gob_unpack(bytes, 'ddl')` — the same
+ *    pair for the legacy GOB encoding, so the GOB→MSGPACK migration runs
+ *    from pure SQL
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -101,6 +104,20 @@ object GraftExtensions {
         MsgPackDecode(exprs.head,
           org.apache.spark.sql.types.DataType.fromDDL(
             foldableString(exprs(1), "graft_msgpack_unpack")))
+      }),
+    ("graft_gob_pack",
+      new ExpressionInfo(classOf[GobEncode].getName, "graft_gob_pack"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_gob_pack(value)")
+        GobEncode(exprs.head)
+      }),
+    ("graft_gob_unpack",
+      new ExpressionInfo(classOf[GobDecode].getName, "graft_gob_unpack"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_gob_unpack(bytes, 'ddl schema')")
+        GobDecode(exprs.head,
+          org.apache.spark.sql.types.DataType.fromDDL(
+            foldableString(exprs(1), "graft_gob_unpack")))
       }))
 
   /** Register on an already-constructed session (tests, shared REPLs). */

@@ -340,6 +340,12 @@ object Gob {
     def assign(t: DataType): Long = t match {
       case BooleanType => TBool
       case ByteType | ShortType | IntegerType | LongType => TInt
+      // decimal(<=18,0) always fits a signed 64-bit int — ride TInt so
+      // negative values encode; wider decimals are the u64 carrier, whose
+      // per-row contract (negatives/65-bit refuse loudly) matches the
+      // msgpack twin's — silently emitting wrong low bits would round-trip
+      // to a DIFFERENT number
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => TInt
       case d: DecimalType if d.scale == 0 => TUint // the u64 carrier
       case FloatType | DoubleType => TFloat
       case StringType => TString
@@ -397,9 +403,12 @@ object Gob {
     case LongType => w.writeInt(v.asInstanceOf[Long])
     case d: DecimalType =>
       val bi = v.asInstanceOf[Decimal].toJavaBigDecimal.toBigIntegerExact
-      if (bi.signum() < 0 || bi.bitLength() > 64)
-        throw new ArithmeticException(s"gob pack: $bi does not fit uint64")
-      w.writeUintBits(bi.longValue())
+      if (d.precision <= 18) w.writeInt(bi.longValue()) // signed carrier
+      else {
+        if (bi.signum() < 0 || bi.bitLength() > 64)
+          throw new ArithmeticException(s"gob pack: $bi does not fit uint64")
+        w.writeUintBits(bi.longValue())
+      }
     case FloatType => w.writeFloat(v.asInstanceOf[Float].toDouble)
     case DoubleType => w.writeFloat(v.asInstanceOf[Double])
     case StringType => w.writeString(v.toString)

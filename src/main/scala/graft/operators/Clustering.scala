@@ -40,8 +40,15 @@ object Clustering {
    * fastest, but blocks die with their executor, so a mid-algorithm
    * executor loss reruns the job. On a long cluster job pass a reliable
    * directory (HDFS/object store): each round then checkpoints to
-   * storage that survives executor loss. (Sets the context-global
-   * checkpoint dir if one isn't already set.)
+   * storage that survives executor loss, with each round persisted
+   * before the write (so the reliable write re-reads the cache instead
+   * of recomputing the round) and SUPERSEDED rounds' files deleted as
+   * the algorithm advances — only the files backing the RETURNED frame
+   * remain, and they are read on every downstream action, so the caller
+   * cleans the directory after consuming (or persisting) the result.
+   * Sets the context-global checkpoint dir if one isn't already set; if
+   * a DIFFERENT one is set, files land there and a warning is logged
+   * (the context dir is global — this call cannot move it safely).
    *
    * If min-label propagation + pointer jumping hasn't converged after
    * `maxIter` rounds (component diameter too large for the budget), the
@@ -65,32 +72,59 @@ object Clustering {
     // before any executor breaks a sweat (observed: heap exhaustion
     // inside explainString at ~1700 pairs). Checkpointed frames restart
     // the lineage at the materialized blocks, so every round's plan is
-    // O(1). Block lifecycle: superseded rounds are freed by the
-    // ContextCleaner once the driver references are gone (standard RDD
-    // lifecycle; Bench forces a GC between queries so bench numbers
-    // never carry another query's clustering state).
+    // O(1). localCheckpoint block lifecycle: superseded rounds are freed
+    // by the ContextCleaner once the driver references are gone (standard
+    // RDD lifecycle; Bench forces a GC between queries). RELIABLE
+    // checkpoint files are NOT cleaned by the ContextCleaner — this code
+    // deletes superseded rounds explicitly (see deleteFiles below).
     // dropLineageAndStats after each cut: Spark 4 checkpoints PRESERVE the
     // origin plan's sizeInBytes, so without the strip a loop of self-joins
     // multiplies the estimate per round — BigInt bits compound ~6x per
     // generation and the optimizer's stats visitor drowns in million-digit
     // multiplication long before any executor works (the same driver-side
     // failure class as the lineage blowup this checkpoint exists to stop).
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = pairs.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df => org.apache.spark.sql.GraftBridge.dropLineageAndStats(
-          df.checkpoint()) // eager, reliable storage
-      case None => df => org.apache.spark.sql.GraftBridge.dropLineageAndStats(
-        df.localCheckpoint())
+    val session = pairs.sparkSession
+    val hadoopConf = session.sparkContext.hadoopConfiguration
+    def deleteFiles(paths: Seq[String]): Unit = paths.foreach { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hadoopConf).delete(hp, true)
+      } catch { case scala.util.control.NonFatal(_) => () } // cleanup is best-effort
     }
-
-    val edges = ckpt(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // cut lineage+stats; returns the re-rooted frame plus the reliable
+    // checkpoint directory backing it (None on the localCheckpoint path)
+    val ckpt2: DataFrame => (DataFrame, Seq[String]) = checkpointDir match {
+      case Some(dir) =>
+        val sc = session.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        else if (!sc.getCheckpointDir.contains(dir))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"connectedComponents: context checkpoint dir ${sc.getCheckpointDir.get} " +
+              s"already set — requested $dir is ignored (the setting is context-global)")
+        df => {
+          // persist first: eager checkpoint runs a count job AND a file-write
+          // job — without the cache the round's joins execute twice
+          val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val ck = cached.checkpoint()
+          cached.unpersist(blocking = false)
+          val files = ck.queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.flatMap(_.getCheckpointFile)
+          (org.apache.spark.sql.GraftBridge.dropLineageAndStats(ck), files)
+        }
+      case None => df =>
+        (org.apache.spark.sql.GraftBridge.dropLineageAndStats(df.localCheckpoint()), Nil)
+    }
+    val (edges, edgeFiles) = ckpt2(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct())
 
-    var labels = ckpt(edges.select(col("u")).distinct()
+    val (labels0, labels0Files) = ckpt2(edges.select(col("u")).distinct()
       .withColumn("label", col("u")))
+    var labels = labels0
+    // files backing the CURRENT labels frame — everything else this call
+    // created is superseded the moment a new round materializes
+    var liveFiles: Seq[String] = labels0Files
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -101,18 +135,23 @@ object Clustering {
       val neighborMin = edges
         .join(labels.select(col("u").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlabel")).as("nmin"))
-      val prop = ckpt(labels.withColumnRenamed("label", "_old")
+      val (prop, propFiles) = ckpt2(labels.withColumnRenamed("label", "_old")
         .join(neighborMin, Seq("u"), "left_outer")
         .select(col("u"), col("_old"),
           least(col("_old"), coalesce(col("nmin"), col("_old"))).as("_mid")))
       // pointer jump: adopt the label's own label (labels are node keys,
       // so every label value has a row). Halves remaining chain length.
-      val jumped = ckpt(prop
+      val (jumped, jumpedFiles) = ckpt2(prop
         .join(prop.select(col("u").as("_mid"), col("_mid").as("_ll")),
           Seq("_mid"), "left_outer")
         .select(col("u"), col("_old"),
           least(col("_mid"), coalesce(col("_ll"), col("_mid"))).as("label")))
       val changed = jumped.filter(col("label") < col("_old")).count()
+      // jumped is durably materialized: the round's prop and the previous
+      // labels are superseded — delete their reliable files now so a long
+      // job's checkpoint footprint stays O(1) rounds, not O(iterations)
+      deleteFiles(propFiles ++ liveFiles)
+      liveFiles = jumpedFiles
       labels = jumped.select(col("u"), col("label"))
       converged = changed == 0
       iter += 1
@@ -123,19 +162,24 @@ object Clustering {
       // strictly smaller than the node set (round 1 merged at least every
       // adjacent (min, neighbor) pair), so the recursion terminates. Final
       // label = the quotient component's label of the node's own label.
-      val lu = labels.select(col("u").as("_qu"), col("label").as("_lu"))
-      val lv = labels.select(col("u").as("_qv"), col("label").as("_lv"))
-      val quotient = ckpt(edges
-        .join(lu.withColumnRenamed("_qu", "u"), Seq("u"))
-        .join(lv.withColumnRenamed("_qv", "v"), Seq("v"))
+      val (quotient, quotientFiles) = ckpt2(edges
+        .join(labels.select(col("u"), col("label").as("_lu")), Seq("u"))
+        .join(labels.select(col("u").as("v"), col("label").as("_lv")), Seq("v"))
         .filter(col("_lu") =!= col("_lv"))
         .select(col("_lu"), col("_lv")).distinct())
       val sub = connectedComponents(quotient, "_lu", "_lv",
         outKey = "_qlabel", maxIter = maxIter, checkpointDir = checkpointDir)
+      // the recursion consumed the quotient eagerly (its own edges are
+      // checkpointed) and cleans its own intermediates; only its final
+      // frame's files — referenced by `sub` below — survive it
+      deleteFiles(quotientFiles)
       labels = labels
         .join(sub.withColumnRenamed("_qlabel", "label"), Seq("label"), "left_outer")
         .select(col("u"), coalesce(col("cluster"), col("label")).as("label"))
     }
+    // the returned frame reads liveFiles (and the recursion's finals) on
+    // every action — everything else this call wrote is gone already
+    deleteFiles(edgeFiles)
     labels.select(col("u").as(outKey), col("label").as("cluster"))
   }
 

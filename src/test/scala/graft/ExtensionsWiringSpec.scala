@@ -34,6 +34,18 @@ class ExtensionsWiringSpec extends SparkSpec {
     assert(mp.getLong(0) == 7L && mp.getString(1) == "hi" && mp.isNullAt(2))
   }
 
+  test("graft_gob_pack/unpack: the legacy migration chain runs from pure SQL") {
+    // a SQL-only deployment must be able to run the reference's documented
+    // GOB -> MSGPACK migration without touching the Scala API
+    val r = spark.sql(
+      """SELECT d.a AS a, d.b AS b, d.missing AS m FROM (SELECT graft_msgpack_unpack(
+        |  graft_msgpack_pack(graft_gob_unpack(
+        |    graft_gob_pack(named_struct('a', 7L, 'b', 'hi')),
+        |    'a BIGINT, b STRING, missing STRING')),
+        |  'a BIGINT, b STRING, missing STRING') AS d)""".stripMargin).head()
+    assert(r.getLong(0) == 7L && r.getString(1) == "hi" && r.isNullAt(2))
+  }
+
   test("graft_normalize: accent strip, case fold, whitespace collapse, via SQL") {
     val r = spark.sql(
       "SELECT graft_normalize('  HÉllo\t\tWörld  ') AS n, graft_normalize('') AS e, " +

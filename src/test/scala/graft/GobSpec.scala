@@ -98,6 +98,15 @@ class GobSpec extends SparkSpec {
     assert(back.getStruct(10).getString(1) == "inner")
   }
 
+  test("scale-0 decimals: negative values roundtrip on the signed carrier (p<=18)") {
+    val schema = StructType(Seq(StructField("v", DecimalType(18, 0))))
+    val back = spark.sql(
+      "SELECT named_struct('v', CAST(-42 AS DECIMAL(18,0))) AS s")
+      .select(Gob.unpack(Gob.pack(col("s")), schema).as("r"))
+      .select(col("r.v")).collect().head
+    assert(back.getDecimal(0).longValueExact() == -42L)
+  }
+
   test("NULL fields elide on the wire and come back NULL (Go zero elision)") {
     val schema = StructType(Seq(
       StructField("a", StringType), StructField("b", LongType),

@@ -1101,10 +1101,20 @@ class OperatorsSpec extends SparkSpec {
 
     // reliable-checkpoint variant: same result, lineage cut to storage
     val dir = java.nio.file.Files.createTempDirectory("graft_ccckpt").toString
-    val ccR = Clustering.connectedComponents(chain, "key_a", "key_b",
-        maxIter = 2, checkpointDir = Some(dir))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccRDf = Clustering.connectedComponents(chain, "key_a", "key_b",
+      maxIter = 2, checkpointDir = Some(dir))
+    val ccR = ccRDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccR == cc)
+    // superseded rounds' checkpoint files are deleted as the algorithm
+    // advances (a long job must not accumulate O(iterations) of durable
+    // storage) — only the files backing the returned frame (one per
+    // recursion level) survive, and the result stays readable off them
+    val ctxDir = spark.sparkContext.getCheckpointDir.get
+    val rddDirs = new java.io.File(new java.net.URI(ctxDir).getPath).listFiles()
+      .count(_.getName.startsWith("rdd-"))
+    assert(rddDirs > 0 && rddDirs <= 8,
+      s"expected only per-level finals to survive cleanup, found $rddDirs rdd dirs")
+    assert(ccRDf.collect().length == 40, "result must remain readable after cleanup")
   }
 
   test("connected components: chains close transitively, min key labels the cluster") {
