@@ -58,10 +58,20 @@ object Clustering {
    * the labels on the way back. Effective budget multiplies per level,
    * and each level's quotient shrinks geometrically under jumping, so
    * any diameter converges.
+   *
+   * Size-tiered execution (the [[KeyProbe]] regime discipline): the edge
+   * list is materialized ONCE either way, so counting it is a cheap
+   * block scan — at or below `driverThreshold` edges the components
+   * resolve with driver-side union-find (micro-seconds versus ~8 Spark
+   * jobs per distributed round; the collect is bounded by the threshold,
+   * ~16 bytes/edge), above it the iterative distributed kernel runs.
+   * Both paths produce identical (node, min-key cluster) labels — a
+   * property test pins the equivalence.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           outKey: String = "key", maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          driverThreshold: Long = 500000L): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
     // localCheckpoint (eager), not cache: an iterative algorithm must
     // CUT the logical plan each round, not just memoize results. A
@@ -119,6 +129,14 @@ object Clustering {
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct())
 
+    // regime probe: count() over the just-materialized blocks, no recompute
+    if (edges.count() <= driverThreshold * 2) { // edges carry both directions
+      val keyType = pairs.schema(aCol).dataType
+      val result = driverUnionFind(edges.collect(), session, keyType, outKey)
+      deleteFiles(edgeFiles)
+      return result
+    }
+
     val (labels0, labels0Files) = ckpt2(edges.select(col("u")).distinct()
       .withColumn("label", col("u")))
     var labels = labels0
@@ -168,7 +186,8 @@ object Clustering {
         .filter(col("_lu") =!= col("_lv"))
         .select(col("_lu"), col("_lv")).distinct())
       val sub = connectedComponents(quotient, "_lu", "_lv",
-        outKey = "_qlabel", maxIter = maxIter, checkpointDir = checkpointDir)
+        outKey = "_qlabel", maxIter = maxIter, checkpointDir = checkpointDir,
+        driverThreshold = driverThreshold)
       // the recursion consumed the quotient eagerly (its own edges are
       // checkpointed) and cleans its own intermediates; only its final
       // frame's files — referenced by `sub` below — survive it
@@ -181,6 +200,45 @@ object Clustering {
     // every action — everything else this call wrote is gone already
     deleteFiles(edgeFiles)
     labels.select(col("u").as(outKey), col("label").as("cluster"))
+  }
+
+  /** Driver-side regime for bounded graphs: classic union-find with
+    * iterative path compression over the collected edge list, labels =
+    * the MIN member key per component (the same canonical-winner
+    * convention as the distributed kernel — a property test holds the
+    * two regimes equal). Input rows are (u, v) in both directions; the
+    * key type must be Comparable (Long/String/etc., which is every key
+    * type the engine produces). */
+  private def driverUnionFind(edges: Array[org.apache.spark.sql.Row],
+                              session: org.apache.spark.sql.SparkSession,
+                              keyType: org.apache.spark.sql.types.DataType,
+                              outKey: String): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      parent.getOrElseUpdate(x, x)
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x // compress the walked path
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { r =>
+      val ra = find(r.get(0)); val rb = find(r.get(1))
+      if (ra != rb) parent(ra) = rb
+    }
+    val lt: (Any, Any) => Boolean =
+      (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    val keys = parent.keys.toArray
+    keys.foreach { k =>
+      val r = find(k)
+      if (!minOf.contains(r) || lt(k, minOf(r))) minOf(r) = k
+    }
+    val rows = keys.toSeq.map(k => org.apache.spark.sql.Row(k, minOf(find(k))))
+    session.createDataFrame(session.sparkContext.parallelize(rows),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(outKey, keyType),
+        org.apache.spark.sql.types.StructField("cluster", keyType))))
   }
 
   /** Canonical-per-cluster view: one surviving key per duplicate cluster

@@ -1092,9 +1092,12 @@ class OperatorsSpec extends SparkSpec {
 
   test("connected components: star-contraction fallback converges past the iteration budget") {
     // chain 1-2-3-...-40: diameter 39 >> maxIter 2 — the in-loop rounds
-    // cannot finish, so the quotient recursion must close the cluster
+    // cannot finish, so the quotient recursion must close the cluster.
+    // driverThreshold = 0 forces the DISTRIBUTED kernel (the default
+    // regime probe would resolve this bounded graph on the driver)
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("key_a", "key_b")
-    val cc = Clustering.connectedComponents(chain, "key_a", "key_b", maxIter = 2)
+    val cc = Clustering.connectedComponents(chain, "key_a", "key_b", maxIter = 2,
+        driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.keySet == (1L to 40L).toSet)
     assert(cc.values.toSet == Set(1L), s"chain did not close: ${cc.values.toSet}")
@@ -1102,7 +1105,7 @@ class OperatorsSpec extends SparkSpec {
     // reliable-checkpoint variant: same result, lineage cut to storage
     val dir = java.nio.file.Files.createTempDirectory("graft_ccckpt").toString
     val ccRDf = Clustering.connectedComponents(chain, "key_a", "key_b",
-      maxIter = 2, checkpointDir = Some(dir))
+      maxIter = 2, checkpointDir = Some(dir), driverThreshold = 0L)
     val ccR = ccRDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccR == cc)
     // superseded rounds' checkpoint files are deleted as the algorithm
@@ -1129,6 +1132,23 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(winners == Set(1L, 10L))
     CacheRegistry.releaseAll()
+  }
+
+  test("connected components: driver and distributed regimes agree on random graphs") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = Seq.fill(n)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(p => p._1 != p._2).toDF("key_a", "key_b")
+      def run(threshold: Long) =
+        Clustering.connectedComponents(pairs, "key_a", "key_b",
+            driverThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val driver = run(Long.MaxValue)
+      val distributed = run(0L)
+      assert(driver == distributed,
+        s"trial $trial: regimes diverged\n driver      $driver\n distributed $distributed")
+    }
   }
 
   test("sequence packing: bins are budget-sized spans of the key-ordered corpus") {

@@ -193,6 +193,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("gob pack->unpack is the identity on 300 random nested bodies") {
+    // same value-level identity law as the msgpack property, with gob's
+    // two contract differences baked in: NULLs live only at struct-field
+    // level (gob cannot represent them inside arrays/maps), and integer
+    // edge values ride the sign-bit encoding (MinValue/MaxValue included)
+    import graft.functions.Gob
+    val schema = StructType(Seq(
+      StructField("s", StringType),
+      StructField("n", LongType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType),
+      StructField("xs", ArrayType(LongType)),
+      StructField("kv", MapType(StringType, StringType)),
+      StructField("inner", StructType(Seq(
+        StructField("a", StringType), StructField("z", LongType))))))
+    val edgeLongs = Seq(0L, 1L, -1L, 127L, 128L, -128L, Long.MaxValue, Long.MinValue)
+    def randLong() = if (rnd.nextInt(4) == 0) edgeLongs(rnd.nextInt(edgeLongs.size))
+                     else rnd.nextLong()
+    def randStr() = if (rnd.nextInt(6) == 0) "Hétérogène ☃ " + rnd.nextInt(99)
+                    else rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+    def opt[T](v: => T): Any = if (rnd.nextInt(5) == 0) null else v
+    val rows = (1 to 300).map { i =>
+      Row(i.toLong, Row(
+        opt(randStr()),
+        opt(randLong()),
+        opt(rnd.nextDouble() * 1e6 - 5e5),
+        opt(rnd.nextBoolean()),
+        opt(Seq.fill(rnd.nextInt(6))(randLong())),
+        opt(Seq.fill(rnd.nextInt(4))(randStr() -> randStr()).toMap),
+        opt(Row(opt(randStr()), opt(randLong())))))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("id", LongType), StructField("body", schema))))
+    val got = df.select(col("id"),
+        Gob.unpack(Gob.pack(col("body")), schema).as("rt"), col("body"))
+      .collect()
+    got.foreach { r =>
+      assert(r.get(1) == r.get(2), s"gob round-trip diverged at id ${r.getLong(0)}:\n" +
+        s"  got  ${r.get(1)}\n  want ${r.get(2)}")
+    }
+  }
+
   test("segmentDedup invariants on 150 random docs: global uniqueness, order, subset") {
     import spark.implicits._
     // word soup with a small vocabulary so cross-doc segment collisions
