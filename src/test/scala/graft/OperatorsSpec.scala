@@ -1149,6 +1149,16 @@ class OperatorsSpec extends SparkSpec {
       assert(driver == distributed,
         s"trial $trial: regimes diverged\n driver      $driver\n distributed $distributed")
     }
+    // non-numeric keys: min-label = lexicographic min, same in both regimes
+    val sPairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y"))
+      .toDF("key_a", "key_b")
+    def runS(threshold: Long) =
+      Clustering.connectedComponents(sPairs, "key_a", "key_b",
+          driverThreshold = threshold)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "x" -> "x", "y" -> "x")
+    assert(runS(Long.MaxValue) == want && runS(0L) == want)
   }
 
   test("sequence packing: bins are budget-sized spans of the key-ordered corpus") {
