@@ -125,8 +125,12 @@ object Clustering {
       case None => df =>
         (org.apache.spark.sql.GraftBridge.dropLineageAndStats(df.localCheckpoint()), Nil)
     }
-    val (edges, edgeFiles) = ckpt2(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // null-keyed pairs are stripped up front (the KeyProbe null discipline):
+    // a null node can't label anything or join back to a corpus key, and
+    // stripping here keeps the two regimes' outputs identical
+    val cleanPairs = pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val (edges, edgeFiles) = ckpt2(cleanPairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(cleanPairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct())
 
     // regime probe: count() over the just-materialized blocks, no recompute

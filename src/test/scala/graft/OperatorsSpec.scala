@@ -1159,6 +1159,16 @@ class OperatorsSpec extends SparkSpec {
     val want = Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
       "x" -> "x", "y" -> "x")
     assert(runS(Long.MaxValue) == want && runS(0L) == want)
+
+    // null-keyed pairs are stripped identically in both regimes
+    val nPairs = Seq((Some("p"), Some("q")), (None, Some("r")), (Some("s"), None))
+      .toDF("key_a", "key_b")
+    def runN(threshold: Long) =
+      Clustering.connectedComponents(nPairs, "key_a", "key_b",
+          driverThreshold = threshold)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val wantN = Map("p" -> "p", "q" -> "p")
+    assert(runN(Long.MaxValue) == wantN && runN(0L) == wantN)
   }
 
   test("sequence packing: bins are budget-sized spans of the key-ordered corpus") {
