@@ -63,8 +63,10 @@ object Clustering {
    * list is materialized ONCE either way, so counting it is a cheap
    * block scan — at or below `driverThreshold` edges the components
    * resolve with driver-side union-find (micro-seconds versus ~8 Spark
-   * jobs per distributed round; the collect is bounded by the threshold,
-   * ~16 bytes/edge), above it the iterative distributed kernel runs.
+   * jobs per distributed round; the collect is bounded by the threshold
+   * at ~60 bytes/edge of transient driver heap for long keys — see the
+   * sizing note at the collect site), above it the iterative distributed
+   * kernel runs.
    * Both paths produce identical (node, min-key cluster) labels — a
    * property test pins the equivalence.
    */
@@ -107,10 +109,21 @@ object Clustering {
       case Some(dir) =>
         val sc = session.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        else if (!sc.getCheckpointDir.contains(dir))
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"connectedComponents: context checkpoint dir ${sc.getCheckpointDir.get} " +
-              s"already set — requested $dir is ignored (the setting is context-global)")
+        else {
+          // setCheckpointDir stores <dir>/<uuid>, so comparing the stored
+          // value to the requested dir directly can NEVER match — compare
+          // the stored path's PARENT (both sides fully qualified) so the
+          // warning fires only when files genuinely land elsewhere
+          val current = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+          val requested = new org.apache.hadoop.fs.Path(dir)
+          val sameParent = current.getParent != null &&
+            current.getParent.getFileSystem(hadoopConf).makeQualified(current.getParent) ==
+              requested.getFileSystem(hadoopConf).makeQualified(requested)
+          if (!sameParent)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"connectedComponents: context checkpoint dir ${sc.getCheckpointDir.get} " +
+                s"already set — requested $dir is ignored (the setting is context-global)")
+        }
         df => {
           // persist first: eager checkpoint runs a count job AND a file-write
           // job — without the cache the round's joins execute twice
@@ -136,7 +149,15 @@ object Clustering {
     // regime probe: count() over the just-materialized blocks, no recompute
     if (edges.count() <= driverThreshold * 2) { // edges carry both directions
       val keyType = pairs.schema(aCol).dataType
-      val result = driverUnionFind(edges.collect(), session, keyType, outKey)
+      // collect as plain (u, v) tuples, not Row: a collected GenericRow
+      // costs ~100+ bytes (object header + field array + boxing) per edge;
+      // a Tuple2 of boxed longs is ~60 bytes, strings their payload + ~56.
+      // At the 500K-edge default that is ~60 MB transient driver heap for
+      // long keys (plus the parallelize copy of one row per NODE) — fits a
+      // default 1-4 GiB cluster driver with headroom, which the old
+      // "~16 bytes/edge" claim only pretended to demonstrate
+      val tuples = edges.rdd.map(r => (r.get(0), r.get(1))).collect()
+      val result = driverUnionFind(tuples, session, keyType, outKey)
       deleteFiles(edgeFiles)
       return result
     }
@@ -210,10 +231,10 @@ object Clustering {
     * iterative path compression over the collected edge list, labels =
     * the MIN member key per component (the same canonical-winner
     * convention as the distributed kernel — a property test holds the
-    * two regimes equal). Input rows are (u, v) in both directions; the
+    * two regimes equal). Input tuples are (u, v) in both directions; the
     * key type must be Comparable (Long/String/etc., which is every key
     * type the engine produces). */
-  private def driverUnionFind(edges: Array[org.apache.spark.sql.Row],
+  private def driverUnionFind(edges: Array[(Any, Any)],
                               session: org.apache.spark.sql.SparkSession,
                               keyType: org.apache.spark.sql.types.DataType,
                               outKey: String): DataFrame = {
@@ -226,12 +247,23 @@ object Clustering {
       while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
       root
     }
-    edges.foreach { r =>
-      val ra = find(r.get(0)); val rb = find(r.get(1))
+    edges.foreach { case (u, v) =>
+      val ra = find(u); val rb = find(v)
       if (ra != rb) parent(ra) = rb
     }
-    val lt: (Any, Any) => Boolean =
-      (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // min-label ordering MUST match the distributed kernel's min()/least(),
+    // which for strings is UTF8String compare = unsigned UTF-8 BYTE order.
+    // Java String.compareTo is UTF-16 code-unit order — the two disagree
+    // when supplementary-plane keys (emoji, U+10000+) mix with
+    // U+E000..U+FFFF keys (surrogates 0xD800-0xDFFF sort below 0xE000 in
+    // UTF-16 but their UTF-8 bytes 0xF0+ sort above 0xEE-0xEF), so the two
+    // regimes could elect DIFFERENT canonical labels for one cluster
+    val lt: (Any, Any) => Boolean = keyType match {
+      case org.apache.spark.sql.types.StringType => (a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String])) < 0
+      case _ => (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
     val keys = parent.keys.toArray
     keys.foreach { k =>

@@ -1160,6 +1160,23 @@ class OperatorsSpec extends SparkSpec {
       "x" -> "x", "y" -> "x")
     assert(runS(Long.MaxValue) == want && runS(0L) == want)
 
+    // non-BMP vs private-use-area keys: UTF-16 code-unit order (Java
+    // String.compareTo) says U+1F680 (surrogates D83D DE80) < U+F8FF, but
+    // the distributed kernel's min() compares UTF-8 BYTES, where U+1F680
+    // (F0 9F 9A 80) > U+F8FF (EF A3 BF) — a cluster of exactly these two
+    // keys elects a DIFFERENT canonical label per order, so the driver
+    // regime must compare like UTF8String or the regimes diverge
+    val rocket = "\uD83D\uDE80"; val pua = "\uF8FF"
+    val uPairs = Seq((rocket, pua), ("b", "a")).toDF("key_a", "key_b")
+    def runU(threshold: Long) =
+      Clustering.connectedComponents(uPairs, "key_a", "key_b",
+          driverThreshold = threshold)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val wantU = Map(rocket -> pua, pua -> pua, "a" -> "a", "b" -> "a")
+    assert(runU(0L) == wantU, "distributed regime: UTF-8 byte-order min")
+    assert(runU(Long.MaxValue) == wantU,
+      "driver regime must min-label in UTF8String byte order, not UTF-16")
+
     // null-keyed pairs are stripped identically in both regimes
     val nPairs = Seq((Some("p"), Some("q")), (None, Some("r")), (Some("s"), None))
       .toDF("key_a", "key_b")
@@ -1169,6 +1186,25 @@ class OperatorsSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val wantN = Map("p" -> "p", "q" -> "p")
     assert(runN(Long.MaxValue) == wantN && runN(0L) == wantN)
+  }
+
+  test("connected components: regimes cross over cleanly at exactly driverThreshold") {
+    // 25 distinct undirected pairs = 50 directed edges after the
+    // symmetrize+distinct. The probe takes the driver path iff
+    // edgeCount <= 2 * driverThreshold, so threshold 25 lands EXACTLY on
+    // the driver side of the boundary and 24 exactly on the distributed
+    // side — both must label identically (two chains sharing min key 0)
+    val pairs = ((0L until 20L).map(i => (i, i + 1)) ++
+      (100L until 105L).map(i => (i, i + 1))).toDF("key_a", "key_b")
+    def run(threshold: Long) =
+      Clustering.connectedComponents(pairs, "key_a", "key_b",
+          driverThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val atThreshold = run(25L)    // 50 <= 50: driver union-find
+    val belowThreshold = run(24L) // 50 > 48: distributed kernel
+    val want = ((0L to 20L).map(_ -> 0L) ++ (100L to 105L).map(_ -> 100L)).toMap
+    assert(atThreshold == want, "driver regime at the exact boundary")
+    assert(belowThreshold == want, "distributed regime one edge past the boundary")
   }
 
   test("sequence packing: bins are budget-sized spans of the key-ordered corpus") {
