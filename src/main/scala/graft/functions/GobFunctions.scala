@@ -113,6 +113,19 @@ object Gob {
       if (v < 0 || v > Int.MaxValue) throw new IllegalArgumentException(s"gob: bad count $v")
       v.toInt
     }
+    /** Element count for a sequence (slice/array/map/field list): every
+      * element occupies >= 1 wire byte, so a count exceeding the bytes
+      * still in the buffer is hostile or corrupt — refuse BEFORE any
+      * per-element work (the same pre-allocation bomb discipline
+      * [[readBytes]] applies to its copy and Multimodal applies to image
+      * headers). */
+    def readBoundedCount(): Int = {
+      val n = readCount()
+      if (n > bytes.length - pos)
+        throw new IllegalArgumentException(
+          s"gob: count $n exceeds ${bytes.length - pos} remaining bytes")
+      n
+    }
     def readInt(): Long = {
       val u = readUintBits()
       if ((u & 1L) == 0L) u >>> 1 else ~(u >>> 1)
@@ -121,12 +134,17 @@ object Gob {
       java.lang.Double.longBitsToDouble(java.lang.Long.reverseBytes(readUintBits()))
     def readBytes(): Array[Byte] = {
       val n = readCount()
-      if (pos + n > bytes.length) throw new IllegalArgumentException("gob: truncated bytes")
+      // compare against the REMAINING bytes, never `pos + n`: with a
+      // hostile n near Int.MaxValue the sum wraps negative, the guard
+      // passes, and copyOfRange (which zero-PADS past the source) would
+      // attempt the full declared allocation — a 2 GiB OOM from a 5-byte
+      // input (caught by the hostile-prefix test)
+      if (n > bytes.length - pos) throw new IllegalArgumentException("gob: truncated bytes")
       val a = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; a
     }
     def readString(): String = new String(readBytes(), StandardCharsets.UTF_8)
-    def skip(n: Int): Unit = {
-      if (n < 0 || pos + n > bytes.length) throw new IllegalArgumentException("gob: bad skip")
+    def skip(n: Int): Unit = { // same overflow-safe form as readBytes
+      if (n < 0 || n > bytes.length - pos) throw new IllegalArgumentException("gob: bad skip")
       pos += n
     }
   }
@@ -162,7 +180,7 @@ object Gob {
   }
 
   private def readFieldTypes(r: Reader): Vector[(String, Long)] = {
-    val n = r.readCount()
+    val n = r.readBoundedCount()
     Vector.fill(n) {
       var name = ""; var id = 0L
       readStructFields(r) {
@@ -248,13 +266,13 @@ object Gob {
           }
           MsgPack.RawMap(pairs)
         case Some(SliceDef(elem)) =>
-          val n = r.readCount()
+          val n = r.readBoundedCount()
           Vector.fill(n)(readValue(r, elem, defs, depth + 1))
         case Some(ArrDef(elem, _)) =>
-          val n = r.readCount()
+          val n = r.readBoundedCount()
           Vector.fill(n)(readValue(r, elem, defs, depth + 1))
         case Some(MapDef(key, elem)) =>
-          val n = r.readCount()
+          val n = r.readBoundedCount()
           MsgPack.RawMap(Vector.fill(n)(
             (readValue(r, key, defs, depth + 1), readValue(r, elem, defs, depth + 1))))
         case None => throw new IllegalArgumentException(s"gob: unknown type id $id")
@@ -451,21 +469,39 @@ object Gob {
     case other => throw new UnsupportedOperationException(s"gob pack: $other")
   }
 
-  private[functions] def encode(v: Any, dt: DataType): Array[Byte] = {
+  /** Precomputed encode state: the top-level type id plus the type
+    * definition messages ALREADY FRAMED as wire bytes. Both depend only
+    * on the static DataType, so [[GobEncode]] builds this once per
+    * expression instance — re-planning (and re-serializing every
+    * definition message) per row would spend more cycles on the static
+    * prefix than on the value itself for small bodies. */
+  private[functions] final class EncodePlan(val typeId: Long, val defHeader: Array[Byte])
+
+  private[functions] def plan(dt: DataType): EncodePlan = {
     val (typeId, defMessages) = planTypes(dt)
     val out = new java.io.ByteArrayOutputStream(64)
-    def frame(payload: Array[Byte]): Unit = {
+    defMessages.foreach { payload =>
       val w = new Writer; w.writeUintBits(payload.length.toLong)
       out.write(w.out.toByteArray); out.write(payload)
     }
-    defMessages.foreach(frame)
+    new EncodePlan(typeId, out.toByteArray)
+  }
+
+  private[functions] def encodeWith(p: EncodePlan, v: Any, dt: DataType): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    out.write(p.defHeader, 0, p.defHeader.length)
     val w = new Writer
-    w.writeInt(typeId)
+    w.writeInt(p.typeId)
     if (!dt.isInstanceOf[StructType]) w.writeUintBits(0) // singleton delta
     writeValue(w, v, dt)
-    frame(w.out.toByteArray)
+    val payload = w.out.toByteArray
+    val lw = new Writer; lw.writeUintBits(payload.length.toLong)
+    out.write(lw.out.toByteArray, 0, lw.out.size()); out.write(payload, 0, payload.length)
     out.toByteArray
   }
+
+  private[functions] def encode(v: Any, dt: DataType): Array[Byte] =
+    encodeWith(plan(dt), v, dt)
 
   /** Analysis-time supportability walk (driver error, never a task throw).
     * Interface payloads and non-string map keys have no gob mapping here. */
@@ -487,12 +523,16 @@ object Gob {
 case class GobEncode(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
+  // the wire-type plan depends only on the child's static type: built once
+  // per expression instance (per task after serialization), not per row
+  @transient private lazy val encodePlan = Gob.plan(child.dataType)
   override def checkInputDataTypes(): TypeCheckResult =
     Gob.unsupported(child.dataType) match {
       case None => TypeCheckResult.TypeCheckSuccess
       case Some(t) => TypeCheckResult.TypeCheckFailure(s"gob pack: unsupported type $t")
     }
-  override def nullSafeEval(input: Any): Any = Gob.encode(input, child.dataType)
+  override def nullSafeEval(input: Any): Any =
+    Gob.encodeWith(encodePlan, input, child.dataType)
   override protected def withNewChildInternal(newChild: Expression): GobEncode =
     copy(child = newChild)
 }

@@ -58,6 +58,68 @@ class GobSpec extends SparkSpec {
     assert(decodeOne(bytes("03 04 00 0a"), StringType) == null)
   }
 
+  test("hostile length/count prefixes NULL out before any allocation") {
+    // a 5-byte stream claiming a 2 GiB string: the length prefix passes
+    // the Int range check but exceeds the remaining buffer — the reader
+    // must refuse BEFORE copying/allocating, not trust the prefix
+    // (decompression-bomb discipline: the declared size never drives an
+    // allocation the input bytes cannot back)
+    assert(decodeOne(bytes("07 0c 00 fc 7f ff ff ff"), StringType) == null)
+    // length prefix past Int.MaxValue (8-byte uint)
+    assert(decodeOne(bytes("0b 0c 00 f8 7f ff ff ff ff ff ff ff"), StringType) == null)
+    // message framing itself claims 2 GiB
+    assert(decodeOne(bytes("fc 7f ff ff ff 0c 00"), StringType) == null)
+    // a []int value message declaring 2^31-1 elements after a VALID slice
+    // type definition (def message hand-assembled per the wire spec: id 65
+    // = slice of TInt): the element count must be bounded by remaining
+    // bytes before any per-element loop begins
+    val hugeSlice = bytes(
+      "0c ff 81 02 01 02 ff 82 00 01 04 00 00" + // def: type 65 []int
+        " 08 ff 82 00 fc 7f ff ff ff") // value message: count 0x7fffffff
+    assert(decodeOne(hugeSlice, ArrayType(LongType)) == null)
+    // same stream with an HONEST count decodes fine — the def above is
+    // valid, so the hostile case fails on the count, not the framing
+    val okSlice = bytes(
+      "0c ff 81 02 01 02 ff 82 00 01 04 00 00 06 ff 82 00 02 02 04")
+    assert(decodeOne(okSlice, ArrayType(LongType)) ==
+      scala.collection.immutable.ArraySeq(1L, 2L))
+  }
+
+  test("300 random corruptions of valid streams: decode never throws, value or NULL") {
+    // robustness fuzz: bit flips, truncations, and splices over a real
+    // encoded stream must always land as NULL or a value — never an
+    // executor exception (the decode contract the scaladoc promises)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("n", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("counts", MapType(StringType, LongType))))
+    val valid = spark.sql(
+      """SELECT named_struct('name', 'doc', 'n', CAST(7 AS BIGINT),
+        |  'tags', array('x','y'), 'counts', map('a', CAST(1 AS BIGINT))) AS v"""
+        .stripMargin)
+      .select(Gob.pack(col("v")).as("b")).collect().head.getAs[Array[Byte]](0)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val corrupted = (1 to 300).map { i =>
+      val b = valid.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip 1-3 bytes anywhere (length prefixes included)
+          (0 until rnd.nextInt(3) + 1).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+          (i.toLong, b)
+        case 1 => (i.toLong, b.take(rnd.nextInt(b.length))) // truncate
+        case _ => // splice two halves at misaligned offsets
+          (i.toLong, b.take(rnd.nextInt(b.length)) ++ b.drop(rnd.nextInt(b.length)))
+      }
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(corrupted.map { case (id, b) =>
+        org.apache.spark.sql.Row(id, b) }, 4),
+      StructType(Seq(StructField("id", LongType), StructField("raw", BinaryType))))
+    // collect() forces every decode; any executor throw fails the test
+    val out = df.select(Gob.unpack(col("raw"), schema)).collect()
+    assert(out.length == 300)
+  }
+
   test("decode∘encode is the identity across the supported type tree") {
     val schema = StructType(Seq(
       StructField("name", StringType),

@@ -235,6 +235,81 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("gob round-trip holds on 40 random nested SCHEMAS (all scalar widths, struct/slice/map)") {
+    // the fixed-schema law above exercises one shape; hand-written binary
+    // parsing earns a stronger contract — the schema itself is fuzzed here
+    // (depth <= 3 over every scalar width gob can carry), so field-delta
+    // bookkeeping, nested definition planning, and the per-width carriers
+    // are all hit in combinations nobody hand-picked
+    import graft.functions.Gob
+    val scalars: Seq[DataType] = Seq(BooleanType, ByteType, ShortType,
+      IntegerType, LongType, FloatType, DoubleType, StringType, BinaryType,
+      DecimalType(18, 0), DecimalType(20, 0))
+    def randType(depth: Int): DataType =
+      if (depth <= 0) scalars(rnd.nextInt(scalars.size))
+      else rnd.nextInt(6) match {
+        case 0 => ArrayType(randType(depth - 1))
+        case 1 => MapType(StringType, randType(depth - 1))
+        case 2 | 3 => StructType((0 until rnd.nextInt(3) + 1).map(i =>
+          StructField(s"f$i", randType(depth - 1))))
+        case _ => scalars(rnd.nextInt(scalars.size))
+      }
+    def randStr() = rnd.alphanumeric.take(rnd.nextInt(10)).mkString
+    def randValue(dt: DataType): Any = dt match {
+      case BooleanType => rnd.nextBoolean()
+      case ByteType => rnd.nextInt().toByte
+      case ShortType => rnd.nextInt().toShort
+      case IntegerType => rnd.nextInt()
+      case LongType => rnd.nextLong()
+      case FloatType => rnd.nextFloat() * 1e5f - 5e4f
+      case DoubleType => rnd.nextDouble() * 1e6 - 5e5
+      case StringType => randStr()
+      case BinaryType =>
+        val b = new Array[Byte](rnd.nextInt(8)); rnd.nextBytes(b); b
+      case d: DecimalType if d.precision <= 18 => // signed carrier, 18 digits max
+        java.math.BigDecimal.valueOf(rnd.nextLong() % 1000000000000000000L)
+      case _: DecimalType => // u64 carrier: non-negative, full 64-bit range
+        new java.math.BigDecimal(java.lang.Long.toUnsignedString(rnd.nextLong()))
+      case ArrayType(et, _) => Seq.fill(rnd.nextInt(4))(randValue(et))
+      case MapType(_, vt, _) =>
+        Seq.fill(rnd.nextInt(3))(randStr() -> randValue(vt)).toMap
+      case st: StructType => // NULLs live only at struct-field level in gob
+        Row(st.fields.toSeq.map(f =>
+          if (rnd.nextInt(5) == 0) null else randValue(f.dataType)): _*)
+    }
+    // structural equality that Row.equals cannot provide: byte arrays by
+    // content, decimals by numeric value, containers recursively
+    def same(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) == 0
+      case (x: Seq[_], y: Seq[_]) =>
+        x.length == y.length && x.zip(y).forall { case (p, q) => same(p, q) }
+      case (x: scala.collection.Map[_, _], y: scala.collection.Map[_, _]) =>
+        val xm = x.asInstanceOf[scala.collection.Map[Any, Any]]
+        val ym = y.asInstanceOf[scala.collection.Map[Any, Any]]
+        xm.size == ym.size && xm.forall { case (k, v) => ym.get(k).exists(same(v, _)) }
+      case (x: Row, y: Row) =>
+        x.length == y.length && (0 until x.length).forall(i => same(x.get(i), y.get(i)))
+      case _ => a == b
+    }
+    for (trial <- 1 to 40) {
+      val dt = randType(3)
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("body", dt)))
+      val rows = (1 to 6).map(i => Row(i.toLong, randValue(dt)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      val got = df.select(col("id"),
+          Gob.unpack(Gob.pack(col("body")), dt).as("rt"), col("body"))
+        .collect()
+      got.foreach { r =>
+        assert(same(r.get(1), r.get(2)),
+          s"trial $trial schema $dt diverged at id ${r.getLong(0)}:\n" +
+            s"  got  ${r.get(1)}\n  want ${r.get(2)}")
+      }
+    }
+  }
+
   test("segmentDedup invariants on 150 random docs: global uniqueness, order, subset") {
     import spark.implicits._
     // word soup with a small vocabulary so cross-doc segment collisions
