@@ -74,7 +74,13 @@ object TermStats {
                     shingleN: Int): DataFrame = {
     def sh(df: DataFrame) =
       df.select(explode(TF.shingles(col(textCol), shingleN)).as("sh")).distinct()
-    val sa = sh(a).cache(); val sb = sh(b)
+    // BOTH sides persist through the registry: sa feeds the intersection
+    // join AND its own count, sb likewise — an untracked .cache() here
+    // would squat in the block manager past the caller's releaseAll()
+    // (the exact lifecycle failure CacheRegistry exists to prevent), and
+    // an uncached sb would recompute its explode+distinct twice
+    val sa = graft.CacheRegistry.track(sh(a))
+    val sb = graft.CacheRegistry.track(sh(b))
     val inter = sa.join(sb, "sh").agg(count(lit(1)).as("inter"))
     val na = sa.agg(count(lit(1)).as("na"))
     val nb = sb.agg(count(lit(1)).as("nb"))

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle for every benchable query at a given scale
+factor, so the bench record can carry a measured spark_sec/duckdb_sec
+ratio per query instead of an argued one.
+
+Usage: python3 tools/bench_oracle.py <sfDir> <oracleSqlJson>
+Prints ONE JSON line {query_name: seconds}, -1.0 for failed/timed-out.
+
+Methodology mirrors the Spark side (graft.Bench): one warm run, then the
+min of two timed runs. fetchall() materializes the result like Spark's
+toRdd.count() forces full evaluation; outputs are small (<= ~30k rows)
+so transfer cost is noise. DuckDB runs with its default thread count
+(all cores) — the same parallelism budget as local[32].
+
+This is a DRIVER-SIDE harness tool (like check.py): the Scala library
+has no DuckDB dependency; graft.Bench shells out to this script and
+degrades gracefully when python3/duckdb are unavailable.
+"""
+import json
+import sys
+import threading
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+PER_QUERY_BUDGET_SEC = 120.0   # interrupt a runaway query (quadratic tail)
+TOTAL_BUDGET_SEC = 900.0       # stop timing altogether past this, mark rest -1
+
+
+def timed_run(con, sql, budget):
+    """One timed execution, interrupted past `budget` (raises on interrupt)."""
+    timer = threading.Timer(budget, con.interrupt)
+    timer.start()
+    try:
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+    finally:
+        timer.cancel()
+
+
+def main(sf_dir, oracle_path):
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+    oracle = json.load(open(oracle_path))
+    out = {}
+    started = time.perf_counter()
+    for name, sql in sorted(oracle.items()):
+        if time.perf_counter() - started > TOTAL_BUDGET_SEC:
+            out[name] = -1.0
+            continue
+        try:
+            timed_run(con, sql, PER_QUERY_BUDGET_SEC)  # warm
+            out[name] = round(min(timed_run(con, sql, PER_QUERY_BUDGET_SEC),
+                                  timed_run(con, sql, PER_QUERY_BUDGET_SEC)), 4)
+        except Exception:
+            out[name] = -1.0
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
