@@ -260,25 +260,40 @@ object Dedup {
       .dropDuplicates("key_a", "key_b")
   }
 
+  /** KeyProbe-style regime probe for a "small by assumption" side: is the
+    * frame at most `maxRows` rows? `limit(n+1).count()` does BOUNDED work
+    * in either regime — the count stops at n+1 rows, so deciding that a
+    * billion-row benchmark is "too big" never costs a full scan of it. */
+  private def fitsBroadcast(df: DataFrame, maxRows: Long): Boolean =
+    maxRows < Int.MaxValue && df.limit(maxRows.toInt + 1).count() <= maxRows
+
   /**
    * Benchmark-contamination check — the decontamination pass every training
    * pipeline runs before a model sees the corpus: per document, how many
    * distinct n-gram shingles it shares with a benchmark/eval corpus.
-   * Scale shape: the benchmark set is tiny relative to the corpus, so its
-   * distinct shingle set is BROADCAST; the corpus explodes to (key, shingle)
-   * and the broadcast join filters before the per-key count — the 100 TB
-   * side never shuffles its text, only surviving (key, shingle) pairs reach
-   * the count shuffle.
+   * Scale shape: an eval-set-sized benchmark (<= `maxBroadcastDocs` rows,
+   * measured by a bounded probe) has its distinct shingle set BROADCAST;
+   * the corpus explodes to (key, shingle) and the broadcast join filters
+   * before the per-key count — the 100 TB side never shuffles its text,
+   * only surviving (key, shingle) pairs reach the count shuffle.
+   * Past the gate ("decontaminate against last year's whole corpus") the
+   * hint is withheld: a forced corpus-sized broadcast is the same OOM
+   * cliff the round-7 findings removed from clustering/boilerplate, while
+   * the un-hinted shuffled join is bounded — and AQE still broadcasts at
+   * runtime whenever the shingle set actually measures small.
    */
   def contaminationOverlap(docs: DataFrame, benchmark: DataFrame,
                            textCol: String, keyCol: String,
-                           shingleN: Int = 3): DataFrame = {
+                           shingleN: Int = 3,
+                           maxBroadcastDocs: Long = 100000L): DataFrame = {
     val benchSh = benchmark
       .select(explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
       .distinct()
+    val probe =
+      if (fitsBroadcast(benchmark, maxBroadcastDocs)) broadcast(benchSh) else benchSh
     spreadModest(docs)
       .select(col(keyCol), explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
-      .join(broadcast(benchSh), Seq("_sh"))
+      .join(probe, Seq("_sh"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("overlap"))
   }
@@ -400,15 +415,21 @@ object Dedup {
    * [[embeddingNearDup]]: candidates come from Hamming-1 bucket probes,
    * exact cosine verifies.
    *
-   * 100 TB shape: the benchmark (an eval set — thousands, not billions)
+   * 100 TB shape: an eval-set-sized benchmark (thousands, not billions —
+   * measured by the same bounded probe as [[contaminationOverlap]])
    * carries the probe expansion and BROADCASTS; the corpus is scanned
-   * once, bucketed map-side, and never shuffles. Returns one row per
-   * contaminated corpus key with its best benchmark cosine.
+   * once, bucketed map-side, and never shuffles. A benchmark past
+   * `maxBroadcastDocs` loses the hint: the bucket equi-join shuffles
+   * (keys + vectors, bounded) instead of forcing a broadcast cliff, and
+   * AQE re-broadcasts at runtime if the probe side measures small.
+   * Returns one row per contaminated corpus key with its best benchmark
+   * cosine.
    */
   def embeddingContamination(corpus: DataFrame, benchmark: DataFrame,
                              vecCol: String, keyCol: String,
                              minCosine: Double = 0.4, planes: Int = 8,
-                             dim: Int = 64, seed: Long = 42L): DataFrame = {
+                             dim: Int = 64, seed: Long = 42L,
+                             maxBroadcastDocs: Long = 100000L): DataFrame = {
     val hyps = hyperplanes(planes, dim, seed)
     def bucket(c: Column) = (0 until planes).map { p =>
       when(VF.cosine(c, hyps(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -420,7 +441,10 @@ object Dedup {
       .select(col("_vb"), explode(array(
         (col("_bb") +: (0 until planes).map(p =>
           col("_bb").bitwiseXOR(lit(1L << p)))): _*)).as("_bkt"))
-    corpusB.join(broadcast(benchProbes), Seq("_bkt"))
+    val probes =
+      if (fitsBroadcast(benchmark, maxBroadcastDocs)) broadcast(benchProbes)
+      else benchProbes
+    corpusB.join(probes, Seq("_bkt"))
       .withColumn("_cos", round(VF.dot(col(vecCol), col("_vb")), 6))
       .filter(col("_cos") >= minCosine)
       .groupBy(col(keyCol)).agg(max(col("_cos")).as("max_cosine"))

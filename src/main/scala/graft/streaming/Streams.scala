@@ -65,7 +65,19 @@ object Streams {
   /** Stream-static enrichment: each streaming event joins a broadcast
     * static dimension — the subscribe-then-GetByKeys composition clients of
     * the reference do in application code, fused into the stream. The dim
-    * is broadcast so the stream never shuffles. */
+    * is broadcast so the stream never shuffles.
+    *
+    * SIZE CONTRACT: `dim` must be a dimension table in the broadcast sense
+    * — executor-memory scale (at most a few hundred MB serialized), NOT a
+    * second fact table. The forced hint re-ships it to every executor per
+    * micro-batch, so its cost is `batches × executors × size`; past the
+    * contract, drop the hint and pre-shuffle both sides on `on` (or probe
+    * with [[graft.operators.KeyProbe.semiJoin]]'s bloom regime) — the same
+    * regime discipline the batch-side contamination/probe operators apply.
+    * The hint stays unconditional HERE because a streaming micro-batch
+    * cannot afford a per-batch size probe and the reference composition
+    * this fuses (GetByKeys against a profile swamp) is dimension-shaped by
+    * construction. */
   def enrich(stream: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
     stream.join(broadcast(dim), on, "left_outer")
 

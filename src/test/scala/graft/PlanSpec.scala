@@ -130,6 +130,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("contamination regime switch: eval-sized benchmark broadcasts, huge one loses the hint") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def hintsOf(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    // n-gram variant
+    val docs = (1L to 50L)
+      .map(i => (i, s"alpha beta gamma delta line $i shared tail phrase"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, "alpha beta gamma delta"), (901L, "totally different words"))
+      .toDF("doc_id", "text")
+    val small = graft.operators.Dedup.contaminationOverlap(docs, bench, "text", "doc_id")
+    val sp = small.queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin") || sp.contains("BroadcastExchange"),
+      s"eval-sized benchmark must broadcast:\n$sp")
+    // past the gate (threshold 1 doc): the hint must be withheld — the
+    // shuffled join is bounded and AQE still broadcasts at runtime when
+    // the probe side measures small (the loser-anti-join discipline)
+    val big = graft.operators.Dedup.contaminationOverlap(docs, bench, "text", "doc_id",
+      maxBroadcastDocs = 1L)
+    val bigHints = hintsOf(big)
+    assert(bigHints.nonEmpty, "expected joins in the shuffled-regime plan")
+    bigHints.foreach(h => assert(h.leftHint.forall(_.strategy.isEmpty) &&
+      h.rightHint.forall(_.strategy.isEmpty),
+      s"shuffled regime carries a forced strategy: $h"))
+    val smallOut = small.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bigOut = big.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(smallOut == bigOut && smallOut.nonEmpty, "regimes must agree")
+
+    // embedding variant, same discipline (8-dim unit-ish vectors)
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val corpus = (1L to 40L).map(i => (i, vec())).toDF("doc_id", "embedding")
+    val evalSet = (900L to 905L).map(i => (i, vec())).toDF("doc_id", "embedding")
+    def emb(maxDocs: Long) = graft.operators.Dedup.embeddingContamination(
+      corpus, evalSet, "embedding", "doc_id", minCosine = -2.0, planes = 4,
+      dim = 8, maxBroadcastDocs = maxDocs)
+    val ep = emb(100000L).queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastHashJoin") || ep.contains("BroadcastExchange"),
+      s"eval-sized embedding benchmark must broadcast:\n$ep")
+    val embBigHints = hintsOf(emb(1L))
+    assert(embBigHints.nonEmpty)
+    embBigHints.foreach(h => assert(h.leftHint.forall(_.strategy.isEmpty) &&
+      h.rightHint.forall(_.strategy.isEmpty),
+      s"embedding shuffled regime carries a forced strategy: $h"))
+    def asMap(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e1 = asMap(emb(100000L)); val e2 = asMap(emb(1L))
+    assert(e1 == e2 && e1.nonEmpty, "embedding regimes must agree")
+  }
+
   test("de-hinted loser anti-join: AQE still broadcasts a small loser set at runtime") {
     // the safety net the removed hint relied on: when the loser set
     // actually measures small, AQE converts the shuffled anti-join to a
