@@ -23,12 +23,24 @@ object CacheRegistry {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
   private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]
 
-  /** Persist `df` at `level` and track the handle for [[releaseAll]]. */
+  /** Persist `df` at `level` and track the handle for [[releaseAll]].
+    * IDEMPOTENT on plan identity: if an identical plan is already cached
+    * (`storageLevel` consults the CacheManager's canonicalized lookup,
+    * so a fresh Dataset over the same plan matches), the frame is
+    * returned as-is — re-persisting would only log "Asked to cache
+    * already cached data" and, for a cache someone ELSE owns, wrongly
+    * enlist it for this registry's release. The common hit is benign by
+    * design: Bench times each query twice and the second run re-tracks
+    * the plans the first already cached (still released by the run-1
+    * handle in [[releaseAll]]). */
   def track(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val p = df.persist(level)
-    tracked.add(p)
-    p
+    if (df.storageLevel != StorageLevel.NONE) df
+    else {
+      val p = df.persist(level)
+      tracked.add(p)
+      p
+    }
   }
 
   /** Register a cleanup callback run by EVERY [[releaseAll]] — operators

@@ -110,22 +110,34 @@ object MsgPack {
           case 0xd7 => 8; case 0xd8 => 16
         }
         b.get() // ext type tag
-        b.position(b.position() + len)
+        b.position(b.position() + checkLen(b, len))
         null
       case _ => throw new IllegalArgumentException(f"msgpack: bad format byte 0x$t%02x")
     }
   }
 
+  /** Declared length/count vs what the buffer can actually back: refuse
+    * BEFORE allocating or looping. `new Array[Byte](n)` on a hostile
+    * bin32/str32 prefix would attempt the full declared allocation (up to
+    * 2 GiB from a 5-byte input) and only then fail the bounds check — the
+    * same pre-allocation bomb the GOB reader guards against. Element
+    * counts are bounded too: every element needs >= 1 wire byte. */
+  private def checkLen(b: ByteBuffer, n: Int): Int = {
+    if (n < 0 || n > b.remaining())
+      throw new IllegalArgumentException(
+        s"msgpack: declared size $n exceeds ${b.remaining()} remaining bytes")
+    n
+  }
   private def parseStr(b: ByteBuffer, n: Int): String = {
-    val a = new Array[Byte](n); b.get(a); new String(a, StandardCharsets.UTF_8)
+    val a = new Array[Byte](checkLen(b, n)); b.get(a); new String(a, StandardCharsets.UTF_8)
   }
   private def parseBin(b: ByteBuffer, n: Int): Array[Byte] = {
-    val a = new Array[Byte](n); b.get(a); a
+    val a = new Array[Byte](checkLen(b, n)); b.get(a); a
   }
   private def parseArr(b: ByteBuffer, n: Int): Vector[Any] =
-    Vector.fill(n)(parse(b))
+    Vector.fill(checkLen(b, n))(parse(b))
   private def parseMap(b: ByteBuffer, n: Int): RawMap =
-    RawMap(Vector.fill(n)((parse(b), parse(b))))
+    RawMap(Vector.fill(checkLen(b, n))((parse(b), parse(b))))
 
   /** Raw value -> Catalyst value of `dt`; anything that doesn't fit is NULL
     * (the typed-compare no-match discipline, FilterCompiler's contract). */

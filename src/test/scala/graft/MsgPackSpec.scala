@@ -92,6 +92,27 @@ class MsgPackSpec extends SparkSpec {
     assert(framed.getString(0) == "ann")
   }
 
+  test("hostile declared sizes NULL out before any allocation") {
+    // bin32 / str32 / array32 / map32 prefixes declaring sizes the 5-byte
+    // input cannot back: the parser must refuse BEFORE `new Array` — a
+    // trusted prefix here is a 2 GiB allocation from a handful of bytes
+    // (the same bomb class the GOB reader's hostile test caught)
+    def un(b: Array[Byte]) =
+      Seq(Tuple1(b)).toDF("raw")
+        .select(MsgPack.unpack(col("raw"), StringType).as("v"))
+        .collect().head.get(0)
+    val hostile = Seq(
+      Array(0xc6, 0x7f, 0xff, 0xff, 0xff), // bin32: 2 GiB declared
+      Array(0xdb, 0x7f, 0xff, 0xff, 0xff), // str32: 2 GiB declared
+      Array(0xc6, 0xff, 0xff, 0xff, 0xff), // bin32: negative after getInt
+      Array(0xdc, 0xff, 0xff),             // array16: 65535 elems, 0 bytes
+      Array(0xdf, 0x7f, 0xff, 0xff, 0xff), // map32: 2^31-1 pairs
+      Array(0xc9, 0x7f, 0xff, 0xff, 0xff, 0x01)) // ext32: 2 GiB skip
+    hostile.foreach { h =>
+      assert(un(h.map(_.toByte)) == null, s"hostile ${h.map(x => f"$x%02x").mkString(" ")}")
+    }
+  }
+
   test("integer width laddering and u64 as Decimal(20,0)") {
     val schema = StructType(Seq(
       StructField("small", ByteType),

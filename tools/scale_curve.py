@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Scale-curve gate: automatic quadratic-tail detector.
+
+Compares two bench_full.json records taken at a small and a large scale
+factor (a ~10x row step) and flags any query whose floor-subtracted time
+grows super-linearly — the failure class that produced round-1's
+shingle-count banding fix, caught mechanically instead of by eye.
+
+Usage:
+  python3 tools/scale_curve.py <bench_small.json> <bench_big.json> \
+      [growth_threshold=12] [min_marginal_big_sec=0.25]
+
+Model: every Spark query pays a roughly constant scheduler/job floor
+(estimated here as the MINIMUM query time within each record) that has
+nothing to do with data volume; growth is measured on the marginal time
+above that floor. A query is flagged only when BOTH
+  - marginal_big / marginal_small > growth_threshold  (10x rows allows
+    slack for shuffles and log factors before 12x), AND
+  - marginal_big > min_marginal_big_sec  (sub-quarter-second marginal
+    work cannot be a scale problem; it is floor noise amplified by a
+    tiny denominator).
+Prints a JSON report; exit code 1 iff anything is flagged.
+"""
+import json
+import sys
+
+
+def times(path):
+    rec = json.load(open(path))
+    return {k: v for k, v in rec.items()
+            if not k.startswith("_") and isinstance(v, (int, float)) and v >= 0}
+
+
+def main(small_path, big_path, threshold=12.0, min_marginal=0.25):
+    small, big = times(small_path), times(big_path)
+    floor_s, floor_b = min(small.values()), min(big.values())
+    growth, flagged = {}, []
+    for name in sorted(set(small) & set(big)):
+        adj_s = max(small[name] - floor_s, 0.005)  # clamp: floor-level query
+        adj_b = max(big[name] - floor_b, 0.005)
+        r = adj_b / adj_s
+        growth[name] = round(r, 2)
+        if r > threshold and adj_b > min_marginal:
+            flagged.append(name)
+    report = {
+        "small_record": small_path, "big_record": big_path,
+        "floor_small_sec": round(floor_s, 3), "floor_big_sec": round(floor_b, 3),
+        "growth_threshold": threshold, "min_marginal_big_sec": min_marginal,
+        "flagged": flagged,
+        "top_growth": dict(sorted(growth.items(), key=lambda kv: -kv[1])[:15]),
+        "n_compared": len(growth),
+    }
+    print(json.dumps(report, indent=1))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sys.exit(main(args[0], args[1],
+                  float(args[2]) if len(args) > 2 else 12.0,
+                  float(args[3]) if len(args) > 3 else 0.25))
