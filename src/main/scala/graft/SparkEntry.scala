@@ -194,18 +194,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt")),
       Some("SELECT count(*) AS cnt FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0")),
 
-    Q("q_distinct_set", // Uint32Slice dedup-set semantics: per-key sorted set
+    Q("q_distinct_set", // Uint32Slice dedup-set semantics: per-key sorted set.
+      // Cardinality via size(collect_set), NOT countDistinct: a second
+      // distinct-aggregate group would force Spark's Expand rewrite (every
+      // input row duplicated per distinct group before the shuffle) — A/B
+      // at sf0.1: 0.91 -> 0.36 s. Safe because the column is a bounded
+      // enum (the reference's slices are bounded per-key sets, §2.4), so
+      // the per-group set state stays tiny at any corpus size
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(
           array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("status_set"),
-          countDistinct(col("o_orderpriority")).as("n_prio")),
+          size(collect_set(col("o_orderpriority"))).cast("long").as("n_prio")),
       Some("SELECT o_custkey, array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS status_set, count(DISTINCT o_orderpriority) AS n_prio FROM orders GROUP BY o_custkey")),
 
-    Q("q_slice_size", // Uint32SliceSize = set cardinality (proto:2192-2209)
+    Q("q_slice_size", // Uint32SliceSize = set cardinality (proto:2192-2209).
+      // size(collect_set) replaces countDistinct: ONE shuffle carrying
+      // mergeable set partials instead of the partial-distinct two-shuffle
+      // (A/B at sf0.1: 0.86 -> 0.60 s). Bounded per-key sets by the same
+      // §2.4 slice contract as q_distinct_set — parts-per-supplier is a
+      // fixed ratio at every TPC-H scale factor, so group state does not
+      // grow with corpus size
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_suppkey"))
-        .agg(countDistinct(col("l_partkey")).as("set_size")),
+        .agg(size(collect_set(col("l_partkey"))).cast("long").as("set_size")),
       Some("SELECT l_suppkey, count(DISTINCT l_partkey) AS set_size FROM lineitem GROUP BY l_suppkey")),
 
     Q("q_approx_distinct", // HLL — the 100 TB substitute for exact distinct.
@@ -1893,10 +1905,17 @@ object SparkEntry {
       // language breadth, length profile (exact interpolated median),
       // and exact duplicate rate off the text digest — the summary block
       // every dataset release ships, as a single aggregation pass
+      // source/lang breadth via size(collect_set): both are bounded
+      // enums (dozens of values at any corpus size), and folding them
+      // into set-aggregates leaves md5(text) as the ONLY distinct group —
+      // below two groups Spark skips the Expand rewrite that would
+      // otherwise quadruple every row into the shuffle (A/B at sf0.1:
+      // 0.38 -> 0.31 s). The digest column itself stays countDistinct:
+      // it is corpus-cardinality, exactly what partial-distinct handles
       (s, d) => t(s, d, "documents").agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(col("source")).as("n_sources"),
-        countDistinct(col("lang")).as("n_langs"),
+        size(collect_set(col("source"))).cast("long").as("n_sources"),
+        size(collect_set(col("lang"))).cast("long").as("n_langs"),
         round(avg(col("n_chars")), 2).as("avg_chars"),
         round(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
         min(col("n_chars")).as("min_chars"),
