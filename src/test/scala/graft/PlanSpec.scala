@@ -199,6 +199,19 @@ class PlanSpec extends SparkSpec {
       s"AQE did not broadcast the small loser set:\n$p")
   }
 
+  test("set-cardinality aggregates plan without the Expand rewrite") {
+    // Multiple distinct-aggregate groups trigger RewriteDistinctAggregates'
+    // Expand: every input row duplicated once per group BEFORE the shuffle
+    // (3-4x shuffle volume). q_distinct_set / q_slice_size / q_data_card
+    // deliberately fold bounded-enum cardinalities into size(collect_set)
+    // so at most ONE distinct group remains — pin that the rewrite stays
+    // gone (A/B at sf0.1: 0.91->0.36, 0.86->0.60, 0.38->0.31 s).
+    Seq("q_distinct_set", "q_slice_size", "q_data_card").foreach { name =>
+      assert(!plan(name).contains("Expand"),
+        s"$name reintroduced the Expand rewrite (multi-distinct aggregate)")
+    }
+  }
+
   test("no query plans a CartesianProduct or a non-codegen Python eval") {
     // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
     // bounded kernel (cap-gate / tfidf / corpus-overlap 1-row count
