@@ -228,4 +228,36 @@ class PlanSpec extends SparkSpec {
           s"$name plans an unexpected BroadcastNestedLoopJoin")
     }
   }
+
+  test("every cache in main sources goes through CacheRegistry") {
+    // Round-8 finding class: a raw .cache()/.persist() outside the
+    // registry squats in the block manager past CacheRegistry.releaseAll
+    // and shows up as multi-query GC pressure in the bench. Pin the
+    // discipline at the SOURCE level: the only allowed direct persist is
+    // Clustering's checkpoint staging, which unpersists itself within the
+    // same expression (persist -> checkpoint -> unpersist).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val hits = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(_.toString.endsWith("CacheRegistry.scala"))
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        lines.zipWithIndex.collect {
+          case (l, i) if (l.contains(".cache()") || l.contains(".persist(")) &&
+            !l.trim.startsWith("//") && !l.trim.startsWith("*") =>
+            s"$p:${i + 1}: ${l.trim}"
+        }
+      }.toVector
+    val allowed = hits.filter { h =>
+      h.contains("Clustering.scala") && h.contains("persist")
+    }
+    assert(hits == allowed,
+      s"untracked cache/persist outside CacheRegistry:\n${(hits diff allowed).mkString("\n")}")
+    // the allowed site must still be the self-unpersisting staging pattern
+    val clustering = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/operators/Clustering.scala")))
+    assert(clustering.contains("cached.unpersist"),
+      "Clustering's direct persist lost its paired unpersist")
+  }
 }
