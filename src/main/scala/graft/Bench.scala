@@ -193,7 +193,10 @@ object Bench {
         case Some(f) =>
           val pb = new ProcessBuilder(
             "python3", f.getAbsolutePath, sfDir, oraclePath.toString)
-          pb.redirectErrorStream(false)
+          // stderr must not stay a pipe nobody drains: stdout is read to
+          // EOF below, and a chatty child (duckdb warnings) could fill the
+          // 64 KB stderr buffer and deadlock before stdout ever closes
+          pb.redirectError(ProcessBuilder.Redirect.DISCARD)
           val p = pb.start()
           val out = new String(p.getInputStream.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
