@@ -513,6 +513,20 @@ object SparkEntry {
       path
     })
 
+  /** One materialized shingle-posting build per (session, dir) — the
+    * persisted-artifact fixture for the prebuilt containment path (same
+    * lifecycle discipline as [[sigTablePath]]). */
+  private val postingsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def postingsPath(s: SparkSession, d: String): String =
+    postingsCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_post_").resolve("postings").toString
+      Dedup.buildShinglePostings(t(s, d, "documents"), "text", "doc_id", path,
+        shingleN = 3)
+      path
+    })
+
   private val exoticQueries = Seq(
     Q("q_geo_inside", // INSIDE radius + bbox pre-filter (filter.go:14-56)
       (s, d) => {
@@ -1072,6 +1086,22 @@ object SparkEntry {
 
   private val sqlShingles3 = // mirrors TextFunctions.shingles(text, 3)
     "CASE WHEN len(string_split(text,' ')) >= 3 THEN list_transform(range(1, len(string_split(text,' ')) - 1), i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) ELSE [array_to_string(string_split(text,' '), ' ')] END"
+
+  /** Containment oracle — shared by q_containment and its prebuilt form
+    * (identical results by construction, like the LSH pair). */
+  private lazy val sqlContainment =
+    s"""WITH sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform($sqlShingles3, x -> ${sqlHash32("x")})) AS s FROM documents),
+        dfc AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+        f AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s) WHERE c <= 20),
+        sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS shared
+              FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT key_a, key_b,
+          round(shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+        FROM p JOIN sizes sa ON p.key_a = sa.doc_id
+               JOIN sizes sb ON p.key_b = sb.doc_id
+        WHERE round(shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6) >= 0.5"""
 
   private def sqlLangHits(ws: Seq[String]) =
     s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
@@ -1707,18 +1737,18 @@ object SparkEntry {
       // hashes; stop-shingle cap bounds the quadratic hot tail
       (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "text", "doc_id",
         shingleN = 3, minContainment = 0.5, maxDf = 20),
-      Some(s"""WITH sh AS (SELECT DISTINCT doc_id,
-            unnest(list_transform($sqlShingles3, x -> ${sqlHash32("x")})) AS s FROM documents),
-          dfc AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
-          f AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s) WHERE c <= 20),
-          sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
-          p AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS shared
-                FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-          SELECT key_a, key_b,
-            round(shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
-          FROM p JOIN sizes sa ON p.key_a = sa.doc_id
-                 JOIN sizes sb ON p.key_b = sb.doc_id
-          WHERE round(shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6) >= 0.5""")),
+      Some(sqlContainment)),
+
+    Q("q_containment_prebuilt", // the 100 TB form of the heaviest dedup
+      // kernel: the distinct (key, shingle-hash) posting table is the
+      // write-once artifact (Dedup.buildShinglePostings, memoized per
+      // (session, dir) like the signature table) and the pass reads two
+      // int-sized columns — text is never rescanned, and the artifact is
+      // shared across maxDf/threshold sweeps. Results identical to
+      // q_containment by construction => same oracle
+      (s, d) => Dedup.containmentPairsPrebuilt(s, postingsPath(s, d),
+        minContainment = 0.5, maxDf = 20),
+      Some(sqlContainment)),
 
     Q("q_heavy_hitters", // sketch-based frequent items — the one-pass,
       // mergeable form of q_word_freq for when even the vocabulary is too

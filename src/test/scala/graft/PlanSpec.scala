@@ -110,6 +110,18 @@ class PlanSpec extends SparkSpec {
       s"expected banding (_sig) and verify (_sh) scans:\n$schemas")
   }
 
+  test("prebuilt containment: reads the posting artifact, never the text") {
+    // the artifact pass must be a pure (_k, _s) parquet read — if the
+    // documents table (or any text column) shows up in a scan, the
+    // build-once promise is broken and 100 TB of text gets re-shingled
+    val p = plan("q_containment_prebuilt")
+    assert(p.contains("_k") && p.contains("_s"), s"posting scan missing:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"prebuilt containment re-scans the documents table:\n$p")
+    assert(!p.contains("text#"),
+      s"prebuilt containment drags the text column through the plan:\n$p")
+  }
+
   test("near-dup drop / boilerplate strip: anti-joins carry NO forced broadcast") {
     // The dropped sets (dedup losers, hot boilerplate segments) are
     // corpus-proportional — a forced broadcast is an OOM cliff at scale.
