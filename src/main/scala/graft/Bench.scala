@@ -54,7 +54,10 @@ object Bench {
     // historical levels). Re-time the slowest N at the END in a clean
     // state and keep the per-query MIN, so the committed record measures
     // plans, not run order, and future rounds stop re-litigating phantoms.
-    val retimeN = sys.env.getOrElse("SPARK_GRAFT_RETIME_N", "10").toInt
+    // malformed values fall back to the default instead of throwing AFTER
+    // the whole suite has already been timed (a lost run for a typo'd env)
+    val retimeN = sys.env.get("SPARK_GRAFT_RETIME_N")
+      .flatMap(_.trim.toIntOption).getOrElse(10)
     val retimed: Map[String, Double] =
       if (args.nonEmpty || retimeN <= 0) Map.empty
       else suiteResults.filter(_._2 >= 0).sortBy(-_._2).take(retimeN)
@@ -107,14 +110,12 @@ object Bench {
         "/root/repo/bench_full.json")
       // per-query spark/duckdb ratios where both engines produced a time;
       // the two totals compare over the COMMON query set only
-      val ratios = results.collect {
-        case (k, v) if v >= 0 && duck.get(k).exists(_ > 0) =>
-          k -> (v / duck(k))
+      val common = results.collect {
+        case (k, v) if v >= 0 && duck.get(k).exists(_ > 0) => (k, v, duck(k))
       }
-      val commonSpark = results.filter { case (k, v) => v >= 0 && duck.get(k).exists(_ > 0) }
-        .map(_._2).sum
-      val commonDuck = duck.filter { case (k, v) => v > 0 && results.exists(r => r._1 == k && r._2 >= 0) }
-        .map(_._2).sum
+      val ratios = common.map { case (k, s, dk) => k -> s / dk }
+      val commonSpark = common.map(_._2).sum
+      val commonDuck = common.map(_._3).sum
       // meta entries share the list with the per-query entries so one
       // mkString handles separators (an empty suite still emits valid JSON)
       val entries = results.sortBy(_._1).map { case (k, v) =>
@@ -198,16 +199,30 @@ object Bench {
           // 64 KB stderr buffer and deadlock before stdout ever closes
           pb.redirectError(ProcessBuilder.Redirect.DISCARD)
           val p = pb.start()
-          val out = new String(p.getInputStream.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8)
+          // stdout is drained on its own thread: a readAllBytes on THIS
+          // thread blocks until the child closes stdout, which would make
+          // the waitFor timeout below unreachable — a hung child (a duckdb
+          // phase that ignores interrupt) would hang the whole bench with
+          // the Spark timings already done but no record emitted
+          val outRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+          val reader = new Thread(() =>
+            try outRef.set(new String(p.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8))
+            catch { case scala.util.control.NonFatal(_) => () })
+          reader.setDaemon(true)
+          reader.start()
           val finished = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
           if (!finished) { p.destroyForcibly(); Map.empty }
           else if (p.exitValue() != 0) Map.empty
-          else // flat {name: number} line — a regex is a full parser for it
+          else {
+            reader.join(10000) // process exited — EOF is imminent
+            val out = outRef.get()
+            // flat {name: number} line — a regex is a full parser for it
             "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r.findAllMatchIn(out)
               .map(m => m.group(1) -> m.group(2).toDouble)
               .filter(_._2 > 0) // -1 = failed/timed out: no ratio for it
               .toMap
+          }
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }

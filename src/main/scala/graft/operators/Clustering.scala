@@ -114,11 +114,17 @@ object Clustering {
           // value to the requested dir directly can NEVER match — compare
           // the stored path's PARENT (both sides fully qualified) so the
           // warning fires only when files genuinely land elsewhere
-          val current = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-          val requested = new org.apache.hadoop.fs.Path(dir)
-          val sameParent = current.getParent != null &&
-            current.getParent.getFileSystem(hadoopConf).makeQualified(current.getParent) ==
-              requested.getFileSystem(hadoopConf).makeQualified(requested)
+          // best-effort like deleteFiles above: resolving a FileSystem can
+          // throw (unknown scheme, malformed path) and a diagnostic whose
+          // only job is to warn that the requested dir is ignored must
+          // never kill the clustering job itself
+          val sameParent = try {
+            val current = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+            val requested = new org.apache.hadoop.fs.Path(dir)
+            current.getParent != null &&
+              current.getParent.getFileSystem(hadoopConf).makeQualified(current.getParent) ==
+                requested.getFileSystem(hadoopConf).makeQualified(requested)
+          } catch { case scala.util.control.NonFatal(_) => false }
           if (!sameParent)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"connectedComponents: context checkpoint dir ${sc.getCheckpointDir.get} " +

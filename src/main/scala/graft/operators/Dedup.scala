@@ -264,8 +264,13 @@ object Dedup {
     * frame at most `maxRows` rows? `limit(n+1).count()` does BOUNDED work
     * in either regime — the count stops at n+1 rows, so deciding that a
     * billion-row benchmark is "too big" never costs a full scan of it. */
-  private def fitsBroadcast(df: DataFrame, maxRows: Long): Boolean =
-    maxRows < Int.MaxValue && df.limit(maxRows.toInt + 1).count() <= maxRows
+  private def fitsBroadcast(df: DataFrame, maxRows: Long): Boolean = {
+    // a cap past Int range means "force the broadcast regime" — clamp to
+    // the largest probe-able limit instead of silently DISABLING the hint
+    // (the opposite of what a caller raising the cap asked for)
+    val cap = math.max(0L, math.min(maxRows, Int.MaxValue - 1L))
+    df.limit(cap.toInt + 1).count() <= cap
+  }
 
   /**
    * Benchmark-contamination check — the decontamination pass every training
@@ -281,6 +286,16 @@ object Dedup {
    * cliff the round-7 findings removed from clustering/boilerplate, while
    * the un-hinted shuffled join is bounded — and AQE still broadcasts at
    * runtime whenever the shingle set actually measures small.
+   *
+   * COST NOTE: the regime probe is an EAGER bounded job at construction
+   * time (this method is not a pure plan builder). The probe stops after
+   * `maxBroadcastDocs + 1` rows, but when `benchmark` is a derived plan
+   * (say a selective filter that yields fewer rows than the cap) the
+   * limit cannot short-circuit the scan underneath it — worst case one
+   * extra pass over the benchmark plan's probe columns, on top of the
+   * shingle pass the query itself performs. That is benchmark-side-bounded
+   * work; the corpus side is never touched by the probe. Callers probing
+   * the same benchmark repeatedly should cache it first.
    */
   def contaminationOverlap(docs: DataFrame, benchmark: DataFrame,
                            textCol: String, keyCol: String,

@@ -171,6 +171,15 @@ class PlanSpec extends SparkSpec {
     val bigOut = big.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(smallOut == bigOut && smallOut.nonEmpty, "regimes must agree")
 
+    // a cap past Int range means "force the broadcast regime": the bounded
+    // probe clamps instead of silently withholding the hint (the opposite
+    // of what a caller RAISING the cap asked for)
+    val forced = graft.operators.Dedup.contaminationOverlap(docs, bench, "text", "doc_id",
+      maxBroadcastDocs = Long.MaxValue)
+    val fp = forced.queryExecution.executedPlan.toString
+    assert(fp.contains("BroadcastHashJoin") || fp.contains("BroadcastExchange"),
+      s"a Long.MaxValue cap must still take the broadcast regime:\n$fp")
+
     // embedding variant, same discipline (8-dim unit-ish vectors)
     val rnd = new scala.util.Random(7)
     def vec() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)

@@ -32,7 +32,13 @@ TOTAL_BUDGET_SEC = 900.0       # stop timing altogether past this, mark rest -1
 
 def timed_run(con, sql, budget):
     """One timed execution, interrupted past `budget` (raises on interrupt)."""
-    timer = threading.Timer(budget, con.interrupt)
+    fired = threading.Event()
+
+    def _interrupt():
+        fired.set()
+        con.interrupt()
+
+    timer = threading.Timer(budget, _interrupt)
     timer.start()
     try:
         t0 = time.perf_counter()
@@ -40,6 +46,16 @@ def timed_run(con, sql, budget):
         return time.perf_counter() - t0
     finally:
         timer.cancel()
+        # join: if the timer fired concurrently with query completion the
+        # interrupt flag can land on the connection with NO query running,
+        # poisoning the NEXT execute (a healthy query would record -1.0).
+        # Wait for any in-flight _interrupt, then absorb the stale flag.
+        timer.join()
+        if fired.is_set():
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
 
 
 def main(sf_dir, oracle_path):
@@ -51,13 +67,19 @@ def main(sf_dir, oracle_path):
     out = {}
     started = time.perf_counter()
     for name, sql in sorted(oracle.items()):
-        if time.perf_counter() - started > TOTAL_BUDGET_SEC:
+        # each run's budget is capped by the REMAINING total budget, so a
+        # query straddling the total cutoff cannot overshoot it by up to
+        # 3x the per-query budget (warm + two timed runs)
+        def remaining():
+            return min(PER_QUERY_BUDGET_SEC,
+                       TOTAL_BUDGET_SEC - (time.perf_counter() - started))
+        if remaining() <= 0:
             out[name] = -1.0
             continue
         try:
-            timed_run(con, sql, PER_QUERY_BUDGET_SEC)  # warm
-            out[name] = round(min(timed_run(con, sql, PER_QUERY_BUDGET_SEC),
-                                  timed_run(con, sql, PER_QUERY_BUDGET_SEC)), 4)
+            timed_run(con, sql, remaining())  # warm
+            out[name] = round(min(timed_run(con, sql, remaining()),
+                                  timed_run(con, sql, remaining())), 4)
         except Exception:
             out[name] = -1.0
     print(json.dumps(out, sort_keys=True))

@@ -33,6 +33,15 @@ def times(path):
 
 def main(small_path, big_path, threshold=12.0, min_marginal=0.25):
     small, big = times(small_path), times(big_path)
+    if not small or not big:
+        # a record with zero eligible entries (all -1 sentinels, or a
+        # meta-only/empty file) is malformed input, not a scale flag:
+        # report it explicitly and exit 2 so a CI gate can tell the two
+        # apart instead of seeing an unhandled ValueError traceback
+        print(json.dumps({"error": "no eligible query entries",
+                          "small_record": small_path, "big_record": big_path,
+                          "n_small": len(small), "n_big": len(big)}))
+        return 2
     floor_s, floor_b = min(small.values()), min(big.values())
     growth, flagged = {}, []
     for name in sorted(set(small) & set(big)):
