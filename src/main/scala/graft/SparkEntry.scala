@@ -261,15 +261,17 @@ object SparkEntry {
       // (accuracy 10000 => tight; 1% relative slack) plus the exact
       // medians themselves
       (s, d) => {
+        // array form: BOTH percentiles come out of ONE sketch buffer per
+        // aggregate (2 TypedImperative states instead of 4 — the sketch
+        // insert, not the final quantile extraction, dominates the cost)
         val q = t(s, d, "orders").agg(
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
-          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"),
-          expr("percentile(o_totalprice, 0.5)").as("ex50"),
-          expr("percentile(o_totalprice, 0.9)").as("ex90"))
+          percentile_approx(col("o_totalprice"),
+            array(lit(0.5), lit(0.9)), lit(10000)).as("ap"),
+          expr("percentile(o_totalprice, array(0.5, 0.9))").as("ex"))
         q.select(
-          (abs(col("ap50") - col("ex50")) / col("ex50") <= 0.01).as("p50_ok"),
-          (abs(col("ap90") - col("ex90")) / col("ex90") <= 0.01).as("p90_ok"),
-          round(col("ex50"), 2).as("ex50"), round(col("ex90"), 2).as("ex90"))
+          (abs(col("ap")(0) - col("ex")(0)) / col("ex")(0) <= 0.01).as("p50_ok"),
+          (abs(col("ap")(1) - col("ex")(1)) / col("ex")(1) <= 0.01).as("p90_ok"),
+          round(col("ex")(0), 2).as("ex50"), round(col("ex")(1), 2).as("ex90"))
       },
       Some("""SELECT TRUE AS p50_ok, TRUE AS p90_ok,
           round(quantile_cont(o_totalprice, 0.5), 2) AS ex50,
