@@ -559,11 +559,18 @@ object Dedup {
    */
   def segmentDedup(df: DataFrame, textCol: String, keyCol: String,
                    segTokens: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_h")).orderBy(col("_k"), col("_i"))
+    // "first occurrence" = min (doc key, seg idx) per segment hash. An
+    // aggregate min — NOT a row_number window — because min combines
+    // MAP-SIDE: a hot segment (the same boilerplate line in millions of
+    // docs) sends one partial row per input partition to the shuffle,
+    // where the window form would sort every occurrence in one reducer
+    // partition. Struct ordering is field-lexicographic, so min picks
+    // exactly the row the ordered window's rn=1 picked.
     val keep = segIndex(df, textCol, keyCol, segTokens)
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .groupBy(col("_k")).agg(sort_array(collect_list(col("_i"))).as("_keep"))
+      .groupBy(col("_h"))
+      .agg(min(struct(col("_k"), col("_i"))).as("_w"))
+      .groupBy(col("_w._k").as("_k"))
+      .agg(sort_array(collect_list(col("_w._i"))).as("_keep"))
     reassemble(df, textCol, keyCol, segTokens, keep)
   }
 
