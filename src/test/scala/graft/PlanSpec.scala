@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpec {
       p.contains("_list#"), s"no _list membership filter visible:\n$p")
   }
 
+  test("segment dedup picks first occurrence with an aggregate, not a rank window") {
+    // min(struct(key, idx)) combines MAP-SIDE: a hot segment sends one
+    // partial per input partition to the shuffle. A row_number window
+    // would sort every copy of it in a single reducer partition — the
+    // hot-segment cliff this test pins shut.
+    val p = plan("q_segment_dedup")
+    assert(!p.contains("Window"), s"segment winner must not use a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"expected a partially-aggregated min winner:\n$p")
+  }
+
   test("msgpack round-trip is one scan-stage projection: no shuffle, pruned read") {
     val p = plan("q_msgpack_roundtrip")
     assert(!p.contains("Exchange"), s"ingestion conversion must not shuffle:\n$p")
