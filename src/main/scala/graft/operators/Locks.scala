@@ -28,7 +28,20 @@ object Locks {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def lockPath(dir: String, name: String) = new Path(s"$dir/_lock_$name")
+  private def fc(spark: SparkSession, p: Path) =
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** Lock names share one flat `_lock_` namespace with the steal tombs
+    * (`.tomb.<uuid>`) and renew temps (`.tmp.<lockId>`), so a name that
+    * could collide with those suffixes — or walk the path — is rejected
+    * up front rather than silently aliasing another lock's files. */
+  private def lockPath(dir: String, name: String) = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"lock name '$name' must be non-empty [A-Za-z0-9_-]")
+    new Path(s"$dir/_lock_$name")
+  }
 
   /** A torn or corrupt lease file (possible on filesystems whose exclusive
     * create is weaker than HDFS's, e.g. the local checksum FS under
@@ -37,21 +50,23 @@ object Locks {
   private def garbage(name: String) = Lease(name, "", 0L)
 
   private def readLease(f: FileSystem, p: Path, name: String): Option[Lease] =
-    if (!f.exists(p)) None
-    else
-      try {
-        val in = f.open(p)
-        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        body.split(',') match {
-          case Array(id, exp) =>
-            scala.util.Try(exp.trim.toLong).toOption
-              .map(Lease(name, id, _)).orElse(Some(garbage(name)))
-          case _ => Some(garbage(name))
-        }
-      } catch {
-        case _: java.io.FileNotFoundException => None // deleted under us
-        case _: java.io.IOException => Some(garbage(name)) // corrupt: claimable
+    // no exists() pre-check: the FileNotFoundException branch already
+    // covers a missing file, and the extra namenode RPC would run on
+    // every poll of the acquire loop (it also re-opens the exists/open
+    // TOCTOU window for no gain)
+    try {
+      val in = f.open(p)
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      body.split(',') match {
+        case Array(id, exp) =>
+          scala.util.Try(exp.trim.toLong).toOption
+            .map(Lease(name, id, _)).orElse(Some(garbage(name)))
+        case _ => Some(garbage(name))
       }
+    } catch {
+      case _: java.io.FileNotFoundException => None // deleted under us
+      case _: java.io.IOException => Some(garbage(name)) // corrupt: claimable
+    }
 
   /** The current holder, if any (expired leases are reported too — they
     * are claimable, not cleared, until someone steals them). */
@@ -94,20 +109,14 @@ object Locks {
           l.lockId == stale.lockId && l.expiresAtMs == stale.expiresAtMs))
           return None // changed under us: someone else acted
         val tomb = new Path(s"$dir/_lock_$name.tomb.${java.util.UUID.randomUUID()}")
-        try {
-          org.apache.hadoop.fs.FileContext
-            .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-            .rename(p, tomb)
-        } catch { case _: java.io.IOException => return None } // lost steal race
+        try fc(spark, p).rename(p, tomb)
+        catch { case _: java.io.IOException => return None } // lost steal race
         readLease(f, tomb, name) match {
           case Some(moved) if moved.expiresAtMs > System.currentTimeMillis() &&
                               moved.lockId != stale.lockId =>
             // we moved someone's FRESH lease: put it back
-            try {
-              org.apache.hadoop.fs.FileContext
-                .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-                .rename(tomb, p)
-            } catch { case _: java.io.IOException => () } // keep tomb: see above
+            try fc(spark, p).rename(tomb, p)
+            catch { case _: java.io.IOException => () } // keep tomb: see above
             None
           case _ =>
             f.delete(tomb, false)
@@ -126,8 +135,21 @@ object Locks {
       try out.write(s"${lease.lockId},${lease.expiresAtMs}".getBytes("UTF-8"))
       finally out.close()
       // confirm we are the recorded holder (paranoia for filesystems
-      // whose exclusive-create guarantees are weaker than HDFS's)
-      readLease(f, p, name).filter(_.lockId == lease.lockId)
+      // whose exclusive-create guarantees are weaker than HDFS's). A
+      // TRANSIENT read failure here must not abandon our own valid lease
+      // file — returning None while the file holds our lease leaves the
+      // lock ownerless for the whole TTL — so an unreadable/garbage
+      // confirm is retried a few times before we give up. Persistent
+      // garbage still returns None (safety over availability: claiming a
+      // lease we cannot read back could seat two holders on a weak FS —
+      // and garbage is claimable, so the name self-heals via a steal).
+      var confirm = readLease(f, p, name)
+      var retries = 0
+      while (confirm.exists(_.lockId.isEmpty) && retries < 3) {
+        Thread.sleep(20L); retries += 1
+        confirm = readLease(f, p, name)
+      }
+      confirm.filter(_.lockId == lease.lockId)
     } catch { case _: java.io.IOException => None } // lost the race
   }
 
@@ -182,12 +204,32 @@ object Locks {
         val out = f.create(tmp, true)
         try out.write(s"${renewed.lockId},${renewed.expiresAtMs}".getBytes("UTF-8"))
         finally out.close()
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-          .rename(tmp, p, Options.Rename.OVERWRITE)
+        fc(spark, new Path(dir)).rename(tmp, p, Options.Rename.OVERWRITE)
         Some(renewed)
       case _ => None
     }
+  }
+
+  /** Delete leftover steal tombs and renew temps whose lease has lapsed —
+    * the janitor for files the crash paths can strand (a stealer dying
+    * between rename-away and create leaves its tomb; a kept-tomb restore
+    * loss is documented to leave one deliberately). Only EXPIRED debris is
+    * removed: a fresh tomb may be a displaced holder's live record (the
+    * kept-tomb path), and destroying it would destroy their proof of
+    * displacement. Safe to run any time; returns the number deleted. */
+  def sweepDebris(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return 0
+    val now = System.currentTimeMillis()
+    f.listStatus(new Path(dir))
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("_lock_") && (n.contains(".tomb.") || n.contains(".tmp."))
+      }
+      .count { s =>
+        val lapsed = readLease(f, s.getPath, "").forall(_.expiresAtMs < now)
+        lapsed && f.delete(s.getPath, false)
+      }
   }
 
   /** Run `body` under the named lock (acquire-or-throw, always release) —

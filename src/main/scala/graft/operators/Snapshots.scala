@@ -38,10 +38,22 @@ object Snapshots {
     if (!f.exists(pointer(dir))) None
     else {
       val in = f.open(pointer(dir))
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
+      val body = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      Some(body.toLongOption.getOrElse(throw new IllegalStateException(
+        s"corrupt snapshot pointer at ${pointer(dir)}: '$body' is not a " +
+          "version number — only flipPointer writes this file; something " +
+          "else modified the table directory")))
     }
   }
+
+  /** Version numbers present under `dir`. Non-numeric `v=*` entries (a
+    * stray `v=3.bak` from a manual copy, say) are foreign files, not
+    * versions — skipped, never a NumberFormatException that would take
+    * down every listing-based API including the streaming replay guard. */
+  private def versionsIn(f: FileSystem, dir: String): Seq[Long] =
+    f.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toLongOption)
 
   private def fc(spark: SparkSession, dir: String) =
     org.apache.hadoop.fs.FileContext
@@ -169,9 +181,7 @@ object Snapshots {
                        keys: Seq[String]): Option[Map[String, String]] = {
     val f = fs(spark, dir)
     if (!f.exists(new Path(dir))) return None
-    val versions = f.listStatus(new Path(dir))
-      .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
+    val versions = versionsIn(f, dir)
     val cur = currentVersion(spark, dir).getOrElse(return None)
     versions.filter(_ <= cur).sorted(Ordering[Long].reverse)
       .iterator
@@ -214,11 +224,16 @@ object Snapshots {
     if (!f.exists(new Path(dir))) return Nil
     val cur = currentVersion(spark, dir)
     val st = f.listStatus(new Path(dir)).toSeq
-    st.filter(_.getPath.getName.startsWith(".staging-"))
-      .foreach(s => f.delete(s.getPath, true))
+    // staging dirs AND pointer-swap temps: a committer that crashed between
+    // creating _latest.tmp.<uuid> and the rename leaves the tmp behind, and
+    // nothing else ever deletes it
+    st.filter { s =>
+      val n = s.getPath.getName
+      n.startsWith(".staging-") || n.startsWith("_latest.tmp.")
+    }.foreach(s => f.delete(s.getPath, true))
     val orphans = st.map(_.getPath.getName)
       .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
+      .flatMap(_.stripPrefix("v=").toLongOption)
       .filter(v => cur.forall(v > _)) // above the pointer (all, if none)
       .sorted
     orphans.foreach(v => f.delete(new Path(s"$dir/v=$v"), true))
@@ -239,12 +254,41 @@ object Snapshots {
    * This is the write-back loop of the reference's Set RPC — read current
    * swamp state, apply the upsert matrix, persist atomically — expressed
    * as snapshot-in, snapshot-out. Returns the committed version.
+   *
+   * DELTA KEY CONTRACT: the merge join multiplies duplicate delta keys
+   * (each copy matches the same base row — and the first commit would
+   * store both copies, breaking key uniqueness for every later merge), so
+   * the delta must carry ONE row per key. Deltas that legitimately hold
+   * several updates per key (a streaming micro-batch with an insert then
+   * an update of the same key) pass `dedupSeqCol`: the latest row per key
+   * by that column wins before the matrix applies — the same LWW-by-seq
+   * rule [[Chronicle.lastWriteWins]] uses, at delta (not corpus) size. The
+   * seq column is transport metadata, dropped before the merge — it must
+   * not be one of the table's value columns.
+   *
+   * [[Mutations.DryRun]] is rejected: its contract is "nothing is ever
+   * written", and a durable commit of the unchanged base would still
+   * write a full new version, bump the pointer, and advance any metadata
+   * high-water mark. Preview a merge with [[Mutations.set]] directly.
    */
   def mergeCommit(spark: SparkSession, dir: String, delta: DataFrame,
                   keyCol: String,
                   mode: Mutations.WriteMode = Mutations.Upsert,
                   meta: Map[String, String] = Map.empty,
-                  maxRetries: Int = 5): Long = {
+                  maxRetries: Int = 5,
+                  dedupSeqCol: Option[String] = None): Long = {
+    require(mode != Mutations.DryRun,
+      "mergeCommit(DryRun) would durably commit a no-op version (full base " +
+        "rewrite + pointer bump + meta advance); preview with Mutations.set")
+    val keyed = dedupSeqCol match {
+      case None => delta
+      case Some(seq) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val w = Window.partitionBy(col(keyCol)).orderBy(col(seq).desc)
+        delta.withColumn("_mc_rn", row_number().over(w))
+          .filter(col("_mc_rn") === 1).drop("_mc_rn", seq)
+    }
     // The read-merge-commit loop must RECOMPUTE the merge against the
     // fresh version after a CAS conflict: retrying the stale merge result
     // (the old commit() path) would commit a post-state derived from the
@@ -255,11 +299,11 @@ object Snapshots {
       val next = base match {
         case None =>
           mode match {
-            case Mutations.Upsert | Mutations.InsertOnly => delta
-            case _ => delta.limit(0) // nothing to update against
+            case Mutations.Upsert | Mutations.InsertOnly => keyed
+            case _ => keyed.limit(0) // nothing to update against
           }
         case Some(v) =>
-          Mutations.set(read(spark, dir, Some(v)), delta, keyCol, mode)
+          Mutations.set(read(spark, dir, Some(v)), keyed, keyCol, mode)
             .drop("_status")
       }
       commitIf(next, dir, base, meta) match {
@@ -321,14 +365,17 @@ object Snapshots {
     val none = MaintainReport(compacted = false, 0.0, 0, 0L, None)
     if (!f.exists(new Path(dir))) return none
     val cur = currentVersion(spark, dir).getOrElse(return none)
-    val versions = f.listStatus(new Path(dir))
-      .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
-      .filter(_ <= cur).sorted.toSeq
-    val sizes = versions.map(v =>
-      v -> f.getContentSummary(new Path(s"$dir/v=$v")).getLength).toMap
+    val versions = versionsIn(f, dir).filter(_ <= cur).sorted
+    // a racing maintain/vacuum on the same table may delete a version
+    // between the listing and the measurement (the doc pitches this as a
+    // background task — two schedulers IS the expected failure, not a
+    // crash): concede like the commitIf-conflict path does
+    val sizes =
+      try versions.map(v =>
+        v -> f.getContentSummary(new Path(s"$dir/v=$v")).getLength).toMap
+      catch { case _: java.io.FileNotFoundException => return none }
     val total = sizes.values.sum
-    val live = sizes(cur)
+    val live = sizes.getOrElse(cur, return none) // cur vanished: racer won
     val frag = if (total == 0) 0.0 else (total - live).toDouble / total
     val due = frag >= fragmentationThreshold || versions.length > maxVersions
     if (!due) return MaintainReport(compacted = false, frag, versions.length, 0L, None)
@@ -354,7 +401,7 @@ object Snapshots {
     val f = fs(spark, dir)
     val st = f.listStatus(new Path(dir))
     st.filter(_.getPath.getName.startsWith("v="))
-      .filter(_.getPath.getName.stripPrefix("v=").toLong < keepFrom)
+      .filter(_.getPath.getName.stripPrefix("v=").toLongOption.exists(_ < keepFrom))
       .foreach(s => f.delete(s.getPath, true))
   }
 }

@@ -52,16 +52,24 @@ object SnapshotSink {
    * Applies the [[Mutations.set]] matrix (default Upsert) of the
    * micro-batch against the latest snapshot and commits the post-state
    * as the next version; replayed batchIds of the same run are no-ops.
+   *
+   * A micro-batch with SEVERAL rows per key (an insert then an update of
+   * the same key in one trigger — routine for a CDC-shaped stream) must
+   * pass `seqCol` so the latest row per key wins; without it the merge
+   * join would multiply the duplicates into the table (mergeCommit's
+   * delta key contract). Use the stream's event seq / offset column.
    */
   def mergeBatch(dir: String, keyCol: String, runId: String,
-                 mode: Mutations.WriteMode = Mutations.Upsert)
+                 mode: Mutations.WriteMode = Mutations.Upsert,
+                 seqCol: Option[String] = None)
                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     lastCommitted(spark, dir) match {
       case Some((run, last)) if run == runId && last >= batchId => // replay
       case _ =>
         Snapshots.mergeCommit(spark, dir, batch, keyCol, mode,
-          meta = Map(RunKey -> runId, BatchKey -> batchId.toString))
+          meta = Map(RunKey -> runId, BatchKey -> batchId.toString),
+          dedupSeqCol = seqCol)
     }
   }
 }

@@ -360,6 +360,77 @@ class OperatorsSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, dir).contains(2L)) // 3 commits: v0..v2
   }
 
+  test("mergeCommit: dup-key deltas resolve LWW by seq; DryRun is rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdup").toString + "/t"
+    // first commit: insert then update of k1 inside ONE delta — the seq
+    // reduction must keep only the latest row, or the table would store
+    // both and every later merge would multiply them
+    val b0 = Seq(("k1", 1.0, 1L), ("k1", 5.0, 2L), ("k2", 2.0, 1L))
+      .toDF("key", "v", "seq")
+    Snapshots.mergeCommit(spark, dir, b0, "key", dedupSeqCol = Some("seq"))
+    val got0 = Snapshots.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got0 == Map("k1" -> 5.0, "k2" -> 2.0))
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("key", "v")) // seq dropped
+    // merge path: dup keys again, latest wins against the existing base
+    val b1 = Seq(("k2", 7.0, 3L), ("k2", 9.0, 4L)).toDF("key", "v", "seq")
+    Snapshots.mergeCommit(spark, dir, b1, "key", dedupSeqCol = Some("seq"))
+    val got1 = Snapshots.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got1 == Map("k1" -> 5.0, "k2" -> 9.0))
+    assert(Snapshots.read(spark, dir).count() == 2) // no row multiplication
+    // DryRun's contract is "nothing is ever written" — a durable commit
+    // of the unchanged base (full rewrite + pointer bump) must be refused
+    assertThrows[IllegalArgumentException] {
+      Snapshots.mergeCommit(spark, dir, b1.drop("seq"), "key", Mutations.DryRun)
+    }
+    assert(Snapshots.currentVersion(spark, dir).contains(1L)) // untouched
+  }
+
+  test("snapshot listings survive foreign files; recoverOrphans clears pointer temps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_debris").toString + "/t"
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), dir,
+      meta = Map("hw" -> "1"))
+    // a manual `cp -r v=0 v=0.bak` and a crashed pointer flip's temp file
+    val p = new java.io.File(dir)
+    val bak = new java.io.File(p, "v=0.bak"); bak.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(p, "_latest.tmp.dead").toPath, "9")
+    // every listing-based API must skip the non-numeric entry, not crash
+    assert(Snapshots.latestMetaValue(spark, dir, "hw").contains("1"))
+    assert(Snapshots.maintain(spark, dir, maxVersions = 8,
+      fragmentationThreshold = 0.99).compacted == false)
+    Snapshots.vacuum(spark, dir, keepFrom = 0L) // must not parse v=0.bak
+    assert(bak.exists())
+    // recoverOrphans clears the stranded pointer temp (and leaves v=0)
+    Snapshots.recoverOrphans(spark, dir)
+    assert(!new java.io.File(p, "_latest.tmp.dead").exists())
+    assert(Snapshots.read(spark, dir).count() == 1)
+  }
+
+  test("lock names are validated; sweepDebris removes only lapsed tombs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_locks2").toString
+    // names that would alias tomb/temp files or walk the path are refused
+    for (bad <- Seq("a.tomb.x", "a.tmp.y", "a/b", "")) {
+      assertThrows[IllegalArgumentException](
+        Locks.tryAcquire(spark, dir, bad, ttlMs = 5000L))
+    }
+    val lease = Locks.tryAcquire(spark, dir, "job", ttlMs = 60000L).get
+    // plant debris: one lapsed tomb, one fresh tomb (a displaced holder's
+    // live record — must survive), one lapsed renew temp
+    def plant(fn: String, body: String): java.io.File = {
+      val f = new java.io.File(dir, fn)
+      java.nio.file.Files.writeString(f.toPath, body); f
+    }
+    val dead = plant("_lock_old.tomb.u1", s"x,${System.currentTimeMillis() - 1000}")
+    val live = plant("_lock_cur.tomb.u2", s"y,${System.currentTimeMillis() + 60000}")
+    val tmp = plant("_lock_old.tmp.u3", s"z,${System.currentTimeMillis() - 1000}")
+    assert(Locks.sweepDebris(spark, dir) == 2)
+    assert(!dead.exists() && live.exists() && !tmp.exists())
+    // the held lock itself is untouched and still releasable
+    assert(Locks.holder(spark, dir, "job").map(_.lockId).contains(lease.lockId))
+    assert(Locks.release(spark, dir, lease))
+  }
+
   test("salted aggregation equals plain aggregation on a skewed dataset") {
     // 10k rows of one hot key + a long tail
     val skewed = ((1 to 10000).map(i => ("hot", i.toDouble)) ++
