@@ -12,19 +12,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * is q_zscore_outliers; this is its continuous form, with state bounded
  * by the number of live keys (three doubles each), not by traffic.
  *
- * Observations inside a micro-batch replay in `seq` order (the
- * [[StatefulFeed]] discipline), so results do not depend on partition
- * layout; an anomalous value still UPDATES the moments after being
- * flagged (the alternative — quarantining outliers from the baseline —
- * is a policy choice; this operator reports, it does not filter).
+ * Observations inside a micro-batch replay in `seq` order, and the state
+ * carries the last ABSORBED seq so a redelivered observation (an
+ * at-least-once source) is dropped instead of double-counted into the
+ * moments — the full [[StatefulFeed]] discipline, not just the
+ * within-batch sort. An anomalous value still UPDATES the moments after
+ * being flagged (the alternative — quarantining outliers from the
+ * baseline — is a policy choice; this operator reports, it does not
+ * filter). Non-finite observations (NaN/±Inf) are skipped entirely: one
+ * NaN absorbed into the moments would poison mean and M2 for the key
+ * FOREVER (every later healthy value mis-flagged), and a z-score against
+ * a NaN value is meaningless.
  */
 object Anomaly {
 
   /** One observation. `seq` must be monotone per key. */
   final case class Obs(key: String, seq: Long, value: Double)
 
-  /** Welford accumulator: mean + sum of squared deviations. */
-  final case class Moments(n: Long, mean: Double, m2: Double)
+  /** Welford accumulator: mean + sum of squared deviations, plus the
+    * highest seq already absorbed (the redelivery guard). */
+  final case class Moments(n: Long, mean: Double, m2: Double, lastSeq: Long)
 
   /** A flagged observation with the z-score that flagged it. */
   final case class Flag(key: String, seq: Long, value: Double, z: Double)
@@ -44,9 +51,13 @@ object Anomaly {
     obs.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[Obs], state: GroupState[Moments]) =>
-          var m = state.getOption.getOrElse(Moments(0L, 0.0, 0.0))
+          var m = state.getOption.getOrElse(Moments(0L, 0.0, 0.0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[Flag]
-          it.toSeq.sortBy(_.seq).foreach { o =>
+          it.toSeq.sortBy(_.seq)
+            // redelivered (at-or-below the absorbed high-water seq) and
+            // non-finite observations never reach the moments — see class doc
+            .filter(o => o.seq > m.lastSeq && java.lang.Double.isFinite(o.value))
+            .foreach { o =>
             if (m.n >= minSamples) {
               val variance = m.m2 / (m.n - 1) // sample variance
               val sd = math.sqrt(variance)
@@ -63,7 +74,7 @@ object Anomaly {
             }
             val d = o.value - m.mean
             val mean2 = m.mean + d / (m.n + 1)
-            m = Moments(m.n + 1, mean2, m.m2 + d * (o.value - mean2))
+            m = Moments(m.n + 1, mean2, m.m2 + d * (o.value - mean2), o.seq)
           }
           state.update(m)
           out.iterator

@@ -40,19 +40,31 @@ object ShiftQueue {
                            expireAtMs: Long, value: String)
 
   /**
-   * State wrapper: the per-queue pending set (public — the state-store
-   * encoder's generated code constructs it reflectively).
+   * State wrapper: the per-queue pending set plus the highest applied
+   * command seq (public — the state-store encoder's generated code
+   * constructs it reflectively).
+   *
+   * `lastSeq` is the redelivery guard for BOTH ops: an at-least-once
+   * source replaying a claim must not drain the NEXT n items under a
+   * stale claimId (the original items are long gone from state, so the
+   * replay would silently delete unprocessed work), and an enqueue
+   * replayed after its item was claimed must not resurrect it (the
+   * pending-id dedup can't see claimed ids). Commands at-or-below the
+   * high-water seq are skipped — the same discipline as
+   * [[StatefulFeed]]/[[Anomaly]].
    *
    * Size envelope: the list is deserialized, scanned per claim (one
    * partition + sort of the expired side), and re-serialized once per
    * micro-batch that touches the queue — O(n log n) in PENDING items, not
-   * in traffic. Intended for queues up to ~10^5 pending items per key
-   * (lease/retry work queues, the reference's use case); beyond that,
-   * shard the queue key (the reference does exactly this with per-swamp
-   * queues, e.g. `queue/shard-N`) so each state entry stays bounded.
-   * Within-batch cost is verified by the StreamingSpec envelope test.
+   * in traffic (the per-enqueue id dedup checks a Set built once per
+   * batch, not the list). Intended for queues up to ~10^5 pending items
+   * per key (lease/retry work queues, the reference's use case); beyond
+   * that, shard the queue key (the reference does exactly this with
+   * per-swamp queues, e.g. `queue/shard-N`) so each state entry stays
+   * bounded. Within-batch cost is verified by the StreamingSpec envelope
+   * test.
    */
-  final case class QueueState(items: List[Item])
+  final case class QueueState(items: List[Item], lastSeq: Long)
   implicit private val stateEnc: Encoder[QueueState] = Encoders.product[QueueState]
   implicit private val claimedEnc: Encoder[Claimed] = Encoders.product[Claimed]
   implicit private val strEnc: Encoder[String] = Encoders.STRING
@@ -62,24 +74,39 @@ object ShiftQueue {
       .groupByKey(_.queue)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (queue: String, cmds: Iterator[Cmd], state: GroupState[QueueState]) =>
-          var items = state.getOption.map(_.items).getOrElse(Nil)
+          val st = state.getOption.getOrElse(QueueState(Nil, Long.MinValue))
+          var items = st.items
+          var lastSeq = st.lastSeq
+          // pending-id membership as a Set maintained alongside the list:
+          // per-enqueue List.exists would make an enqueue-heavy batch
+          // O(enqueues x pending), breaking the documented envelope
+          var ids = items.iterator.map(_.id).toSet
           val out = scala.collection.mutable.ArrayBuffer.empty[Claimed]
           // commands replay in seq order: enqueue/claim interleavings are
-          // deterministic however the micro-batch was partitioned
-          cmds.toSeq.sortBy(_.seq).foreach {
+          // deterministic however the micro-batch was partitioned; commands
+          // at-or-below the applied high-water seq are redeliveries (see
+          // QueueState doc) and must not re-execute
+          cmds.toSeq.sortBy(_.seq).filter(_.seq > lastSeq).foreach {
             case c if c.op == "E" =>
-              if (!items.exists(_.id == c.id))
+              lastSeq = c.seq
+              if (!ids(c.id)) {
                 items = Item(c.id, c.expireAtMs, c.value) :: items
+                ids += c.id
+              }
             case c if c.op == "C" =>
+              lastSeq = c.seq
               val (expired, live) = items.partition(_.expireAtMs < c.nowMs)
               val take = expired.sortBy(i => (i.expireAtMs, i.id)).take(c.n)
               val takenIds = take.map(_.id).toSet
               items = live ++ expired.filterNot(i => takenIds(i.id))
+              ids --= takenIds
               out ++= take.map(i => Claimed(queue, c.claimId, i.id, i.expireAtMs, i.value))
-            case _ => ()
+            case c => lastSeq = c.seq // unknown op: consumed, not re-runnable
           }
-          if (items.isEmpty) { if (state.exists) state.remove() }
-          else state.update(QueueState(items))
+          // the state entry persists even with an empty pending list: it
+          // carries the high-water seq (dropping it would re-open the
+          // redelivery window the moment a queue drains)
+          state.update(QueueState(items, lastSeq))
           out.iterator
       }
 }

@@ -81,7 +81,15 @@ object StatefulFeed {
                     out += Change(key, c.seq, ChangeFeed.Deleted, null, p.value)
                   case ("D", Some(p)) if p.seq < c.seq =>
                     cur = Some(KV(null, c.seq)) // advance tombstone seq, no event
-                  case _ => () // D on absent key / stale delete: no event
+                  case ("D", None) =>
+                    // tombstone even when the key was never seen: the delete's
+                    // older companion upsert may land on a DIFFERENT source
+                    // partition and arrive in a LATER batch — without the
+                    // tombstone that stale U(seq<this) would match ("U", None)
+                    // and resurrect the key, violating the class invariant.
+                    // No event: nothing visible was deleted.
+                    cur = Some(KV(null, c.seq))
+                  case _ => () // stale delete: no event
                 }
               }
             cur match {

@@ -51,14 +51,20 @@ object Streams {
         val lastPerKey = batch.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", seqCol)
         val upserts = lastPerKey.filter(col("op") === "U").select(dataCols.map(col): _*)
-        val deletes = lastPerKey.filter(col("op") === "D").select(col(keyCol))
+        // (deletes need no separate frame: the left_anti below removes every
+        // touched key, and only upserts re-enter)
         val next = cur
           .join(lastPerKey.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(upserts)
           .localCheckpoint(true) // cut lineage growth across batches
         val events = ChangeFeed.diff(cur, next, keyCol)
-        state = Some(next)
+        // deliver BEFORE advancing the snapshot: if the sink throws, the
+        // query fails with `state` still at `cur`, and the checkpoint
+        // replay re-diffs the same batch — at-least-once (duplicates on
+        // retry). Advancing first would make the replay diff the post-batch
+        // state against itself and silently drop the failed batch's events.
         onEvents(events)
+        state = Some(next)
       }
   }
 
@@ -134,13 +140,16 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
-  /** Tumbling-window aggregation with watermarking. */
+  /** Tumbling-window aggregation with watermarking. `valueCol` names the
+    * measure to sum (previously hardcoded — a generic tsCol/groupCol API
+    * must not smuggle in a schema requirement). */
   def windowedCounts(stream: DataFrame, tsCol: String, groupCol: String,
-                     windowLen: String, watermark: String): DataFrame =
+                     windowLen: String, watermark: String,
+                     valueCol: String = "value"): DataFrame =
     stream
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(groupCol))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("val"))
       .select(col("window.start").as("window_start"), col(groupCol),
         col("n"), col("val"))
 
