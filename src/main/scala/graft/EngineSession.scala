@@ -20,5 +20,13 @@ object EngineSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The fixture generator writes naive (no-timezone) parquet timestamps;
+      // Spark 4 would infer those as TIMESTAMP_NTZ, which half the timestamp
+      // function surface (unix_micros, to_unix_timestamp, ...) rejects and
+      // the DuckDB oracle treats as plain TIMESTAMP. Read them as session-tz
+      // instants instead — with the UTC session pin above this is exactly
+      // DuckDB's naive-timestamp arithmetic, and one type serves the whole
+      // query surface.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .withExtensions(new GraftExtensions)
 }

@@ -401,6 +401,42 @@ class StreamingSpec extends SparkSpec {
     assert(byClaim("c2") == (101L to 200L))
   }
 
+  test("streaming shift queue: redelivered commands are no-ops, even after drain") {
+    // at-least-once source replay: a claim must not drain the NEXT items
+    // under its stale claimId, and an enqueue replayed after its item was
+    // claimed must not resurrect it. Both guards live in the state's
+    // high-water seq — which must SURVIVE the queue draining empty (the
+    // state entry persists; dropping it would re-open the window).
+    import graft.streaming.ShiftQueue
+    import graft.streaming.ShiftQueue.{Cmd => QCmd}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[QCmd]
+    val q = ShiftQueue.run(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("queue_redeliver_out").start()
+
+    input.addData(
+      QCmd.enqueue("q1", 1, "a", expireAtMs = 100, "va"),
+      QCmd.enqueue("q1", 2, "b", expireAtMs = 50, "vb"))
+    q.processAllAvailable()
+    // claim both -> queue is now EMPTY (the hard case: empty state must
+    // still remember seq 3)
+    input.addData(QCmd.claim("q1", 3, "c1", n = 5, nowMs = 500))
+    q.processAllAvailable()
+    // redeliver the claim AND one of the consumed enqueues
+    input.addData(
+      QCmd.claim("q1", 3, "c1", n = 5, nowMs = 500),
+      QCmd.enqueue("q1", 1, "a", expireAtMs = 100, "va"))
+    q.processAllAvailable()
+    // a fresh claim sees nothing: "a" was not resurrected
+    input.addData(QCmd.claim("q1", 4, "c2", n = 5, nowMs = 500))
+    q.processAllAvailable()
+    q.stop()
+
+    val claimed = spark.table("queue_redeliver_out")
+      .select("claimId", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(claimed == Set(("c1", "b"), ("c1", "a"))) // exactly once, oldest first
+  }
+
   case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 
   test("windowed counts with watermark produce per-window aggregates") {
@@ -447,6 +483,40 @@ class StreamingSpec extends SparkSpec {
     assert(flags.map(f => (f.key, f.seq)).toSet == Set(("k", 9L)),
       s"got ${flags.toSeq}") // spike flagged; 'other' has no history => silent
     assert(flags.head.z > 3.0)
+  }
+
+  test("streaming anomaly: redelivered and non-finite observations never touch the baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Anomaly
+    import graft.streaming.Anomaly.Obs
+    val input = MemoryStream[Obs]
+    val q = Anomaly.detect(input.toDS(), minSamples = 5, zThreshold = 3.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom_guard_out").start()
+
+    // stable baseline around 10, absorbed high-water seq = 8
+    input.addData((1 to 8).map(i => Obs("k", i.toLong, 10.0 + (i % 2) * 0.2)): _*)
+    q.processAllAvailable()
+    // batch 2, all hostile except the last:
+    //  - seq 3 @ 1000.0 is a REDELIVERY (seq <= high water): if absorbed it
+    //    would both flag itself and widen the band so much that 50.0 below
+    //    could never flag
+    //  - NaN / +Inf at seqs 9-10: one NaN absorbed poisons mean and m2
+    //    forever (z-scores go NaN, which compares false against the
+    //    threshold -> no flag ever again)
+    //  - seq 11 @ 50.0 is the probe: it must flag, with a finite z, against
+    //    the UNPOISONED baseline
+    input.addData(
+      Obs("k", 3L, 1000.0),
+      Obs("k", 9L, Double.NaN),
+      Obs("k", 10L, Double.PositiveInfinity),
+      Obs("k", 11L, 50.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val flags = spark.table("anom_guard_out").as[Anomaly.Flag].collect()
+    assert(flags.map(f => (f.key, f.seq)).toSet == Set(("k", 11L)), s"got ${flags.toSeq}")
+    assert(java.lang.Double.isFinite(flags.head.z) && flags.head.z > 3.0)
   }
 
   test("streaming incremental rollup: foreachBatch maintenance equals recompute") {
