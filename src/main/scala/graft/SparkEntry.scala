@@ -1415,24 +1415,19 @@ object SparkEntry {
       Some("SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents")),
 
     Q("q_repetition", // Gopher-style repetition signals (published corpus-
-      // filtering rules): duplicate-token fraction is a pure per-row HOF
-      // (no shuffle); the top-bigram mode count genuinely needs a group
-      // count, so it shuffles (doc_id, bigram) ONCE and reduces to two
-      // tiny doc-keyed aggregates before the join — per-doc O(n^2) HOF
-      // counting would avoid the shuffle but melts on long documents.
+      // filtering rules), both as pure per-row passes — ZERO shuffle: the
+      // top-bigram mode is sort + longest-equal-run over the row's own
+      // bigram array (O(n log n) per doc), not the explode→(doc,bigram)
+      // count→join shape, which moves every bigram of the corpus through
+      // a shuffle — at 100 TB that shuffle IS the query. (Earlier note
+      // feared per-doc counting "melts on long documents" — true of the
+      // O(n^2) nested-loop count, not of sort+run-length.)
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val top = docs
-          // bind the token array BEFORE the lambda — see wordBigrams' doc
-          .select(col("doc_id"), TF.tokens(col("text")).as("_toks"))
-          .select(col("doc_id"), explode(TF.wordBigrams(col("_toks"))).as("bg"))
-          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(round(max(col("c")) / sum(col("c")), 6).as("top_bigram_frac"))
-        docs.select(col("doc_id"), TF.dupTokenFrac(col("text")).as("dup_token_frac"))
-          .join(top, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("dup_token_frac"),
-            coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+        // bind the token array BEFORE the lambda — see wordBigrams' doc
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("_toks"))
+          .select(col("doc_id"), TF.dupTokenFrac(col("text")).as("dup_token_frac"),
+            TF.topBigramFrac(col("_toks")).as("top_bigram_frac"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks),

@@ -289,4 +289,37 @@ object TextFunctions {
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** Longest run of equal adjacent elements in an ALREADY-SORTED array —
+    * i.e. the mode count, as one per-row fold. State is (prev, run, best);
+    * `<=>` keeps the fold total when elements can be NULL (the initial
+    * prev is NULL and never equals a real element). */
+  def maxRunCount(sortedArr: Column): Column =
+    aggregate(
+      sortedArr,
+      struct(lit(null).cast(StringType).as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (st, x) => {
+        val run = when(st.getField("prev") <=> x, st.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Mode-bigram fraction (the Gopher top-bigram repetition signal) as a
+    * pure per-row pass: sort the bigram array, take the longest equal run
+    * over it, divide by the bigram count. O(n log n) per document and ZERO
+    * shuffle — the (doc, bigram) explode→count→max/sum→join shape computes
+    * the same number but moves every bigram of the corpus through a
+    * shuffle; at 100 TB that shuffle IS the query, while this form is a
+    * map-only scan (A/B at sf0.1: 0.93 s → see q_repetition). Callers bind
+    * the token array to a column first (see [[wordBigrams]]'s doc). */
+  def topBigramFrac(toks: Column): Column =
+    // the bigram count IS size(toks)-1, so the sorted array is evaluated
+    // exactly once (no second array subtree for the denominator)
+    when(size(toks) >= 2,
+      round(maxRunCount(array_sort(wordBigrams(toks))).cast(DoubleType) /
+        (size(toks) - lit(1)).cast(DoubleType), 6))
+      .otherwise(lit(0.0))
 }

@@ -15,5 +15,11 @@ object SparkSpec {
   // — extensions (SQL fns + LambdaCse) included
   lazy val session: SparkSession = EngineSession.builder("local[4]", "4")
     .appName("graft-test")
+    // plan-string assertions (PlanSpec) read PushedFilters/ReadSchema out
+    // of rendered plans; the default 100-char metadata truncation makes
+    // those assertions depend on attribute-ID WIDTH (suite order!) — a
+    // filter list that fits at #123 truncates mid-token at #32518. Widen
+    // the render limit so plan text is deterministic evidence.
+    .config("spark.sql.maxMetadataStringLength", "2000")
     .getOrCreate()
 }
