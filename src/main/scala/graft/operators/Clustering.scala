@@ -152,8 +152,12 @@ object Clustering {
       .union(cleanPairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct())
 
-    // regime probe: count() over the just-materialized blocks, no recompute
-    if (edges.count() <= driverThreshold * 2) { // edges carry both directions
+    // regime probe: count() over the just-materialized blocks, no recompute.
+    // Divide the COUNT instead of doubling the threshold: driverThreshold *
+    // 2 overflows Long for thresholds above Long.MaxValue/2, silently
+    // routing a "always driver" caller (threshold = Long.MaxValue) to the
+    // distributed kernel. Edges carry both directions, hence the / 2.
+    if (edges.count() / 2 <= driverThreshold) {
       val keyType = pairs.schema(aCol).dataType
       // collect as plain (u, v) tuples, not Row: a collected GenericRow
       // costs ~100+ bytes (object header + field array + boxing) per edge;

@@ -175,6 +175,12 @@ object Locks {
     * lapse and re-acquire — the same rule the reference's TTL enforces. */
   val ExpiryMarginMs: Long = 500L
 
+  /** Minimum age before [[sweepDebris]] may delete a tomb/tmp file. An
+    * in-flight renew tmp parses as lapsed garbage for an instant between
+    * create and write; the age gate keeps the janitor's hands off any
+    * file young enough to still be part of a live operation. */
+  val DebrisGraceMs: Long = 60000L
+
   private def safelyHeld(l: Lease, lease: Lease): Boolean =
     l.lockId == lease.lockId &&
       l.expiresAtMs > System.currentTimeMillis() + ExpiryMarginMs
@@ -204,8 +210,19 @@ object Locks {
         val out = f.create(tmp, true)
         try out.write(s"${renewed.lockId},${renewed.expiresAtMs}".getBytes("UTF-8"))
         finally out.close()
-        fc(spark, new Path(dir)).rename(tmp, p, Options.Rename.OVERWRITE)
-        Some(renewed)
+        try {
+          fc(spark, new Path(dir)).rename(tmp, p, Options.Rename.OVERWRITE)
+          Some(renewed)
+        } catch {
+          case _: java.io.IOException =>
+            // tmp raced away (a janitor sweep, a dying stealer's cleanup):
+            // the renewal did not land. Report the lease lost — the None
+            // contract the caller already handles — instead of letting the
+            // holder's renewal loop die on an uncaught rename failure.
+            try f.delete(tmp, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            None
+        }
       case _ => None
     }
   }
@@ -227,8 +244,14 @@ object Locks {
         n.startsWith("_lock_") && (n.contains(".tomb.") || n.contains(".tmp."))
       }
       .count { s =>
+        // age gate FIRST: a renew's in-flight tmp exists empty between
+        // create and write — it reads as garbage (expiresAtMs = 0, i.e.
+        // "lapsed"), and sweeping it in that window would yank the file
+        // out from under the holder's rename. Anything genuinely stranded
+        // is by definition old; live in-flight files never are.
+        val oldEnough = s.getModificationTime + DebrisGraceMs < now
         val lapsed = readLease(f, s.getPath, "").forall(_.expiresAtMs < now)
-        lapsed && f.delete(s.getPath, false)
+        oldEnough && lapsed && f.delete(s.getPath, false)
       }
   }
 

@@ -283,6 +283,12 @@ object Snapshots {
     val keyed = dedupSeqCol match {
       case None => delta
       case Some(seq) =>
+        // fail fast, not at the first FOLLOWING commit: seq == key would
+        // drop the key column itself after the window (committing a
+        // keyless version that poisons every later merge's analysis)
+        require(seq != keyCol,
+          s"dedupSeqCol ('$seq') must not be the key column — the seq " +
+            "column is transport metadata and is DROPPED before the merge")
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{col, row_number}
         val w = Window.partitionBy(col(keyCol)).orderBy(col(seq).desc)

@@ -54,27 +54,32 @@ object Anomaly {
           var m = state.getOption.getOrElse(Moments(0L, 0.0, 0.0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[Flag]
           it.toSeq.sortBy(_.seq)
-            // redelivered (at-or-below the absorbed high-water seq) and
             // non-finite observations never reach the moments — see class doc
-            .filter(o => o.seq > m.lastSeq && java.lang.Double.isFinite(o.value))
+            .filter(o => java.lang.Double.isFinite(o.value))
             .foreach { o =>
-            if (m.n >= minSamples) {
-              val variance = m.m2 / (m.n - 1) // sample variance
-              val sd = math.sqrt(variance)
-              if (sd > 0) {
-                val z = (o.value - m.mean) / sd
-                if (math.abs(z) >= zThreshold) out += Flag(key, o.seq, o.value, z)
-              } else if (o.value != m.mean) {
-                // zero-variance history: ANY deviation is infinitely
-                // surprising — flag with the sign carrying the direction
-                out += Flag(key, o.seq, o.value,
-                  if (o.value > m.mean) Double.PositiveInfinity
-                  else Double.NegativeInfinity)
+            // redelivery guard INSIDE the fold, against the live high-water
+            // seq: a strict pre-filter reads the batch-initial value, so a
+            // duplicated observation within one micro-batch would be
+            // absorbed into the moments twice (double-weighted outlier)
+            if (o.seq > m.lastSeq) {
+              if (m.n >= minSamples) {
+                val variance = m.m2 / (m.n - 1) // sample variance
+                val sd = math.sqrt(variance)
+                if (sd > 0) {
+                  val z = (o.value - m.mean) / sd
+                  if (math.abs(z) >= zThreshold) out += Flag(key, o.seq, o.value, z)
+                } else if (o.value != m.mean) {
+                  // zero-variance history: ANY deviation is infinitely
+                  // surprising — flag with the sign carrying the direction
+                  out += Flag(key, o.seq, o.value,
+                    if (o.value > m.mean) Double.PositiveInfinity
+                    else Double.NegativeInfinity)
+                }
               }
+              val d = o.value - m.mean
+              val mean2 = m.mean + d / (m.n + 1)
+              m = Moments(m.n + 1, mean2, m.m2 + d * (o.value - mean2), o.seq)
             }
-            val d = o.value - m.mean
-            val mean2 = m.mean + d / (m.n + 1)
-            m = Moments(m.n + 1, mean2, m.m2 + d * (o.value - mean2), o.seq)
           }
           state.update(m)
           out.iterator

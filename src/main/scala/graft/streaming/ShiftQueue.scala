@@ -85,8 +85,13 @@ object ShiftQueue {
           // commands replay in seq order: enqueue/claim interleavings are
           // deterministic however the micro-batch was partitioned; commands
           // at-or-below the applied high-water seq are redeliveries (see
-          // QueueState doc) and must not re-execute
-          cmds.toSeq.sortBy(_.seq).filter(_.seq > lastSeq).foreach {
+          // QueueState doc) and must not re-execute. The guard is the FIRST
+          // case, re-read per command — a strict pre-filter would compare
+          // every command against the batch-INITIAL high-water seq, letting
+          // two copies of one command inside a single micro-batch both
+          // execute (the second would re-claim under a stale claimId)
+          cmds.toSeq.sortBy(_.seq).foreach {
+            case c if c.seq <= lastSeq => () // redelivery, incl. in-batch dup
             case c if c.op == "E" =>
               lastSeq = c.seq
               if (!ids(c.id)) {

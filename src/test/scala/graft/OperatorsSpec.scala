@@ -385,6 +385,12 @@ class OperatorsSpec extends SparkSpec {
       Snapshots.mergeCommit(spark, dir, b1.drop("seq"), "key", Mutations.DryRun)
     }
     assert(Snapshots.currentVersion(spark, dir).contains(1L)) // untouched
+    // dedupSeqCol == keyCol would drop the KEY column after the window
+    // (committing a keyless version); must fail fast, not poison the table
+    assertThrows[IllegalArgumentException] {
+      Snapshots.mergeCommit(spark, dir, b1, "key", dedupSeqCol = Some("key"))
+    }
+    assert(Snapshots.currentVersion(spark, dir).contains(1L)) // untouched
   }
 
   test("snapshot listings survive foreign files; recoverOrphans clears pointer temps") {
@@ -416,16 +422,26 @@ class OperatorsSpec extends SparkSpec {
     }
     val lease = Locks.tryAcquire(spark, dir, "job", ttlMs = 60000L).get
     // plant debris: one lapsed tomb, one fresh tomb (a displaced holder's
-    // live record — must survive), one lapsed renew temp
-    def plant(fn: String, body: String): java.io.File = {
+    // live record — must survive), one lapsed renew temp. Stranded files
+    // are aged past the grace window (setLastModified); the sweeper must
+    // refuse anything younger — see the in-flight assertions below.
+    def plant(fn: String, body: String, aged: Boolean = true): java.io.File = {
       val f = new java.io.File(dir, fn)
-      java.nio.file.Files.writeString(f.toPath, body); f
+      java.nio.file.Files.writeString(f.toPath, body)
+      if (aged) f.setLastModified(System.currentTimeMillis() - Locks.DebrisGraceMs - 5000)
+      f
     }
     val dead = plant("_lock_old.tomb.u1", s"x,${System.currentTimeMillis() - 1000}")
     val live = plant("_lock_cur.tomb.u2", s"y,${System.currentTimeMillis() + 60000}")
     val tmp = plant("_lock_old.tmp.u3", s"z,${System.currentTimeMillis() - 1000}")
+    // a renew's in-flight tmp: created empty (parses as lapsed garbage)
+    // but mtime-now — the age gate must keep the janitor off it, or the
+    // holder's rename loses its file mid-renew
+    val inflight = plant("_lock_job.tmp.u4", "", aged = false)
     assert(Locks.sweepDebris(spark, dir) == 2)
     assert(!dead.exists() && live.exists() && !tmp.exists())
+    assert(inflight.exists(), "fresh in-flight tmp must survive the sweep")
+    inflight.delete()
     // the held lock itself is untouched and still releasable
     assert(Locks.holder(spark, dir, "job").map(_.lockId).contains(lease.lockId))
     assert(Locks.release(spark, dir, lease))

@@ -437,6 +437,37 @@ class StreamingSpec extends SparkSpec {
     assert(claimed == Set(("c1", "b"), ("c1", "a"))) // exactly once, oldest first
   }
 
+  test("streaming shift queue: duplicate command INSIDE one micro-batch executes once") {
+    // a producer-retry duplicate can land both copies in the SAME batch; a
+    // strict pre-filter against the batch-initial high-water seq passes
+    // both, and the second claim would drain the NEXT pending item under
+    // the stale claimId — the guard must re-read the live seq per command
+    import graft.streaming.ShiftQueue
+    import graft.streaming.ShiftQueue.{Cmd => QCmd}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[QCmd]
+    val q = ShiftQueue.run(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("queue_dup_out").start()
+
+    input.addData(
+      QCmd.enqueue("q1", 1, "a", expireAtMs = 100, "va"),
+      QCmd.enqueue("q1", 2, "b", expireAtMs = 50, "vb"),
+      QCmd.claim("q1", 3, "c1", n = 1, nowMs = 500),
+      QCmd.claim("q1", 3, "c1", n = 1, nowMs = 500), // same command twice
+      QCmd.enqueue("q1", 1, "a2", expireAtMs = 100, "xx")) // dup enqueue seq
+    q.processAllAvailable()
+    // "a" must still be claimable: the duplicate claim was a no-op, and
+    // the duplicate enqueue neither re-ran nor added a second item
+    input.addData(QCmd.claim("q1", 4, "c2", n = 5, nowMs = 500))
+    q.processAllAvailable()
+    q.stop()
+
+    val claimed = spark.table("queue_dup_out")
+      .select("claimId", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(claimed == Set(("c1", "b"), ("c2", "a")),
+      s"duplicate in-batch claim must not double-drain: $claimed")
+  }
+
   case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 
   test("windowed counts with watermark produce per-window aggregates") {
@@ -517,6 +548,36 @@ class StreamingSpec extends SparkSpec {
     val flags = spark.table("anom_guard_out").as[Anomaly.Flag].collect()
     assert(flags.map(f => (f.key, f.seq)).toSet == Set(("k", 11L)), s"got ${flags.toSeq}")
     assert(java.lang.Double.isFinite(flags.head.z) && flags.head.z > 3.0)
+  }
+
+  test("streaming anomaly: duplicated observation INSIDE one micro-batch absorbs once") {
+    // both copies of a source-side duplicate can arrive in the same batch;
+    // absorbing the value twice double-weights it in the Welford moments.
+    // Two identical baselines, one fed the duplicate — their next z-scores
+    // must agree exactly (moments unaffected by the extra copy).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Anomaly
+    import graft.streaming.Anomaly.Obs
+    val input = MemoryStream[Obs]
+    val q = Anomaly.detect(input.toDS(), minSamples = 5, zThreshold = 3.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom_dup_out").start()
+
+    val base = (1 to 7).map(i => Obs("dup", i.toLong, 10.0 + (i % 2) * 0.2)) ++
+      Seq(Obs("dup", 8L, 12.0), Obs("dup", 8L, 12.0)) // same obs twice, one batch
+    val clean = (1 to 7).map(i => Obs("ref", i.toLong, 10.0 + (i % 2) * 0.2)) ++
+      Seq(Obs("ref", 8L, 12.0))
+    input.addData(base ++ clean: _*)
+    q.processAllAvailable()
+    input.addData(Obs("dup", 9L, 50.0), Obs("ref", 9L, 50.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val z = spark.table("anom_dup_out").as[Anomaly.Flag].collect()
+      .map(f => f.key -> f.z).toMap
+    assert(z.keySet == Set("dup", "ref"), s"both probes must flag: $z")
+    assert(z("dup") == z("ref"),
+      s"duplicate absorbed into moments: z diverged ${z("dup")} vs ${z("ref")}")
   }
 
   test("streaming incremental rollup: foreachBatch maintenance equals recompute") {

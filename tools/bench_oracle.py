@@ -65,8 +65,16 @@ def main(sf_dir, oracle_path):
             f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
     oracle = json.load(open(oracle_path))
     out = {}
+    seen = {}  # sql text -> seconds: byte-identical oracle SQL (e.g. a
+    # query and its prebuilt-artifact variant) is timed ONCE and the
+    # measurement reused — re-running the heaviest DuckDB query under a
+    # second name burns up to 3x its per-query budget for a number that
+    # is equal by construction
     started = time.perf_counter()
     for name, sql in sorted(oracle.items()):
+        if sql in seen:
+            out[name] = seen[sql]
+            continue
         # each run's budget is capped by the REMAINING total budget, so a
         # query straddling the total cutoff cannot overshoot it by up to
         # 3x the per-query budget (warm + two timed runs)
@@ -80,8 +88,9 @@ def main(sf_dir, oracle_path):
             timed_run(con, sql, remaining())  # warm
             out[name] = round(min(timed_run(con, sql, remaining()),
                                   timed_run(con, sql, remaining())), 4)
+            seen[sql] = out[name]
         except Exception:
-            out[name] = -1.0
+            out[name] = -1.0  # not cached: a later twin may still fit budget
     print(json.dumps(out, sort_keys=True))
     return 0
 
