@@ -290,7 +290,11 @@ object Gob {
       messages += 1
       if (messages > 1024) throw new IllegalArgumentException("gob: runaway stream")
       val len = r.readCount()
-      val end = r.pos + len
+      // Long arithmetic: a near-Int.MaxValue frame length would overflow
+      // `pos + len` to a negative end and slip past this check (benign
+      // downstream — a negative end never equals pos — but the bounds
+      // check should REJECT the hostile frame, same as readBoundedCount)
+      val end = r.pos.toLong + len
       if (end > bytes.length) throw new IllegalArgumentException("gob: truncated message")
       val typeId = r.readInt()
       if (typeId < 0) { // type definition
