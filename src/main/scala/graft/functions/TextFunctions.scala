@@ -290,10 +290,13 @@ object TextFunctions {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** Longest run of equal adjacent elements in an ALREADY-SORTED array —
-    * i.e. the mode count, as one per-row fold. State is (prev, run, best);
-    * `<=>` keeps the fold total when elements can be NULL (the initial
-    * prev is NULL and never equals a real element). */
+  /** Longest run of equal adjacent elements in an ALREADY-SORTED array of
+    * STRINGS — i.e. the mode count, as one per-row fold. State is (prev,
+    * run, best); `<=>` keeps the fold total when elements can be NULL (the
+    * initial prev is NULL and never equals a real element). String-typed
+    * accumulator only: the Column API cannot see the element type, and the
+    * fold's zero must type `prev` concretely — widen by parameter, not by
+    * guesswork, if a non-string caller ever appears. */
   def maxRunCount(sortedArr: Column): Column =
     aggregate(
       sortedArr,

@@ -250,8 +250,11 @@ object Locks {
         // out from under the holder's rename. Anything genuinely stranded
         // is by definition old; live in-flight files never are.
         val oldEnough = s.getModificationTime + DebrisGraceMs < now
-        val lapsed = readLease(f, s.getPath, "").forall(_.expiresAtMs < now)
-        oldEnough && lapsed && f.delete(s.getPath, false)
+        // short-circuit: the lease read (an open+read RPC per file) only
+        // runs for files old enough to be deletable at all
+        oldEnough &&
+          readLease(f, s.getPath, "").forall(_.expiresAtMs < now) &&
+          f.delete(s.getPath, false)
       }
   }
 

@@ -285,8 +285,11 @@ object Snapshots {
       case Some(seq) =>
         // fail fast, not at the first FOLLOWING commit: seq == key would
         // drop the key column itself after the window (committing a
-        // keyless version that poisons every later merge's analysis)
-        require(seq != keyCol,
+        // keyless version that poisons every later merge's analysis).
+        // Case-INSENSITIVE compare: Spark resolves and drops column names
+        // case-insensitively by default, so 'KEY' vs 'key' would bypass a
+        // == guard and still drop the key column
+        require(!seq.equalsIgnoreCase(keyCol),
           s"dedupSeqCol ('$seq') must not be the key column — the seq " +
             "column is transport metadata and is DROPPED before the merge")
         import org.apache.spark.sql.expressions.Window
