@@ -39,11 +39,27 @@ object Catalog {
   def register(spark: SparkSession, spec: SwampSpec): Unit = {
     registry.put(spec.name, spec)
     try load(spark, spec.name)
-    catch { case _: org.apache.spark.sql.AnalysisException => () // no data yet
+    catch {
+      // ONLY the two "no data yet" conditions are tolerated (that's the
+      // RegisterSwamp-before-first-write contract). A blanket
+      // AnalysisException catch would also swallow real registration
+      // errors — a typo'd format, malformed options — and defer them to a
+      // confusing TABLE_OR_VIEW_NOT_FOUND at first query.
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+               c.contains("PATH_NOT_FOUND") ||
+               c.contains("UNABLE_TO_INFER_SCHEMA")) => () // no data yet
     }
   }
 
-  /** Remove the binding (data untouched, as in the reference). */
+  /** Remove the binding (data untouched, as in the reference).
+    *
+    * Scope contract: the registry is JVM-global, but temp VIEWS are
+    * per-session (Spark's own scoping) — deregister/destroy drop the view
+    * only in the session passed in. Another session that called [[load]]
+    * keeps its view until it reloads (and, after destroy, will fail on
+    * the deleted files) — the same staleness Spark's catalog has for any
+    * dropped-underneath table; `isRegistered` is the cross-session truth. */
   def deregister(spark: SparkSession, name: String): Unit = {
     registry.remove(name)
     spark.catalog.dropTempView(name)

@@ -44,10 +44,20 @@ object Tables {
     val t =
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism
-    // partition count via the df's OWN physical plan: `df.rdd` would build a
-    // second QueryExecution with a row-deserializing projection bolted on
-    // (planning cost per call, AQE stats lost); toRdd is the internal-row
-    // RDD of the plan that actually runs
-    if (df.queryExecution.toRdd.getNumPartitions < t) df.repartition(t) else df
+    // Exchange-bearing plans are returned UNTOUCHED, for two reasons: their
+    // post-shuffle parallelism is already shuffle.partitions-wide (spread
+    // has nothing to fix), and — decisive — probing their partition count
+    // via toRdd under AQE calls getFinalPhysicalPlan, which SUBMITS and
+    // blocks on every upstream shuffle stage; the returned frame is a new
+    // QueryExecution with no exchange reuse, so that work would then run
+    // a SECOND time. Exchange-free plans (the scan shapes this helper
+    // exists for) build their RDD lazily — counting partitions there runs
+    // nothing.
+    val hasExchange = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) df
+    else if (df.queryExecution.sparkPlan.execute().getNumPartitions < t)
+      df.repartition(t)
+    else df
   }
 }

@@ -120,7 +120,41 @@ object LambdaCse extends Rule[LogicalPlan] {
         if (rewritten.zip(p.projectList).forall { case (a, b) => a eq b }) p
         else p.copy(projectList = rewritten)
       case f: Filter =>
-        val d = dedup(f.condition)
+        val d = dedupCondition(f.condition)
         if (d eq f.condition) f else f.copy(condition = d)
     }
+
+  /** Filter conditions dedup per AND-group, not whole: wrapping the ENTIRE
+    * condition in the let-binding would bury every sibling conjunct inside
+    * one opaque GetArrayItem — FileSourceStrategy could no longer split
+    * out the simple conjuncts, losing parquet pushdown and partition
+    * pruning (a date===x next to two HOF predicates would cost a full
+    * scan). So: split top-level conjuncts, bind ONLY the ones containing a
+    * duplicated subtree (grouped, so cross-conjunct sharing still hoists),
+    * and leave the rest — still splittable, still pushable — alone. */
+  private def dedupCondition(cond: Expression): Expression = {
+    val conjuncts = splitAnd(cond)
+    if (conjuncts.length == 1) return dedup(cond)
+    // duplicated qualifying subtrees across the WHOLE condition (the same
+    // census dedup runs, minus the rewrite)
+    val counts = mutable.HashMap.empty[Expression, Int]
+    cond.foreach { sub =>
+      if (qualifies(sub)) {
+        val k = sub.canonicalized
+        counts.update(k, counts.getOrElse(k, 0) + 1)
+      }
+    }
+    val dupKeys = counts.collect { case (k, c) if c >= 2 => k }.toSet
+    if (dupKeys.isEmpty) return cond
+    val (hit, clean) = conjuncts.partition(c =>
+      c.exists(sub => dupKeys.contains(sub.canonicalized)))
+    if (hit.isEmpty) return cond // dups live outside any conjunct? (can't)
+    val boundHit = dedup(hit.reduce(And))
+    (clean :+ boundHit).reduce(And)
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
 }

@@ -34,7 +34,11 @@ object ChangeFeed {
 
     val inOld = col(s"o.$keyCol").isNotNull
     val inNew = col(s"n.$keyCol").isNotNull
-    val changed = valueCols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    // foldLeft, not reduce: a key-only table (presence set) has NO value
+    // columns and reduce throws on the empty list — NEW/DELETED still
+    // apply there, MODIFIED is simply never possible (lit(false))
+    val changed = valueCols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .foldLeft(lit(false))(_ || _)
 
     val status = when(!inOld && inNew, New)
       .when(inOld && !inNew, Deleted)

@@ -14,7 +14,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * from per-key single-writer state.
  *
  * Commands (one Dataset, discriminated by `op`):
- *  - op = "E": enqueue (id, expireAtMs, value)
+ *  - op = "E": enqueue (id, expireAtMs, value). FIRST enqueue wins while
+ *    the id is pending: a re-enqueue of a pending id is consumed with no
+ *    effect (no expiry/value update — mirroring the reference's insert-only
+ *    treasure create; after the item is claimed, the id may enqueue anew).
+ *    To mutate a pending item's lease, claim it and re-enqueue.
  *  - op = "C": claim up to `n` items with expireAtMs < nowMs
  *
  * Output: one row per claimed item, tagged with the claim's `claimId` so

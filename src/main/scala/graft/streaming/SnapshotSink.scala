@@ -66,6 +66,13 @@ object SnapshotSink {
     val spark = batch.sparkSession
     lastCommitted(spark, dir) match {
       case Some((run, last)) if run == runId && last >= batchId => // replay
+      case _ if batch.isEmpty =>
+        // no-data micro-batch (recovery batch, a multi-source trigger where
+        // only the other source advanced): merging nothing would still
+        // REWRITE the full base into a new version + pointer bump, purely
+        // to record the batchId. Skip the commit; replaying an empty batch
+        // later is inherently idempotent, so the unrecorded id loses
+        // nothing. isEmpty costs a limit-1 probe — base-size cheaper.
       case _ =>
         Snapshots.mergeCommit(spark, dir, batch, keyCol, mode,
           meta = Map(RunKey -> runId, BatchKey -> batchId.toString),

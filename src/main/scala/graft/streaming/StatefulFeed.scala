@@ -65,6 +65,14 @@ object StatefulFeed {
               .filter(c => cur.forall(_.seq < c.seq))
               .foreach { c =>
                 (c.op, cur) match {
+                  // null is the tombstone SENTINEL, not a storable value: a
+                  // null-valued upsert stored as KV(null, seq) would forge a
+                  // tombstone — the next upsert would emit NEW instead of
+                  // MODIFIED and an interleaved delete would emit nothing.
+                  // Dropped with no event and no state advance ("store
+                  // nothing" has no other coherent meaning here); encode an
+                  // empty payload as "" if callers need one.
+                  case ("U", _) if c.value == null => ()
                   case ("U", None) =>
                     cur = Some(KV(c.value, c.seq))
                     out += Change(key, c.seq, ChangeFeed.New, c.value, null)

@@ -84,6 +84,32 @@ class LambdaCseSpec extends SparkSpec {
     }
   }
 
+  test("sibling conjuncts stay pushable when a filter's HOF subtree is hoisted") {
+    // a simple pushable conjunct next to two conjuncts sharing a HOF
+    // subtree: the rewrite must bind ONLY the HOF group, or the whole
+    // condition becomes one opaque GetArrayItem and the scan loses the
+    // pushed filter (full scan instead of a pruned read)
+    val df = Tables(spark, "/root/testdata/sf0.001", "documents")
+    withRule {
+      val shared = aggregate(transform(TF.tokens(col("text")), t => length(t)),
+        lit(0), (a, x) => a + x)
+      val q = df.filter(col("doc_id") > 100L && shared > 3 && shared < 100000)
+        .select(col("doc_id"))
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(planStr.contains("_graft_cse"),
+        s"HOF group not hoisted:\n$planStr")
+      assert(planStr.contains("GreaterThan(doc_id,100)"),
+        s"simple conjunct no longer reaches PushedFilters:\n$planStr")
+      // results must equal the rule-off baseline
+      val got = q.collect().map(_.getLong(0)).sorted.toSeq
+      val want = withoutRule {
+        df.filter(col("doc_id") > 100L && shared > 3 && shared < 100000)
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      }
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
   test("oracle queries unaffected by the rule (spot check)") {
     val out = withRule {
       SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")

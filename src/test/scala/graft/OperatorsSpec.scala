@@ -1712,4 +1712,14 @@ class OperatorsSpec extends SparkSpec {
     assert(ev("k3") == ("MODIFIED", Some(33), Some(3)))
     assert(ev("k4") == ("NEW", Some(4), None))
   }
+
+  test("cdc diff on a key-only table (presence set): NEW/DELETED, never MODIFIED") {
+    // no value columns at all — the `changed` disjunction is empty and a
+    // reduce would throw on the empty list at plan-build time
+    val oldS = Seq("k1", "k2").toDF("key")
+    val newS = Seq("k2", "k3").toDF("key")
+    val ev = graft.streaming.ChangeFeed.diff(oldS, newS, "key")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ev == Map("k1" -> "DELETED", "k3" -> "NEW")) // k2 present in both
+  }
 }

@@ -92,6 +92,33 @@ class StreamingSpec extends SparkSpec {
     // notifies on actual content change)
   }
 
+  test("stateful change feed: a null-valued upsert cannot forge a tombstone") {
+    // null is the tombstone SENTINEL — storing it as a value would make
+    // the next upsert read as NEW (not MODIFIED) and a following delete
+    // emit nothing; the feed must drop null-valued upserts instead
+    import graft.streaming.StatefulFeed
+    import graft.streaming.StatefulFeed.Command
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Command]
+    val q = StatefulFeed.changeFeed(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sf_null_out").start()
+
+    input.addData(Command("k", 1, "U", "a"), Command("k", 2, "U", null),
+      Command("k", 3, "U", "b"), Command("k", 4, "D", ""))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sf_null_out")
+      .select("seq", "_status", "value", "old_value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(rows == Set(
+      (1L, "NEW", Some("a"), None),
+      (3L, "MODIFIED", Some("b"), Some("a")), // NOT "NEW past tombstone"
+      (4L, "DELETED", None, Some("b"))),      // delete still observable
+      s"null upsert leaked into state: $rows")
+  }
+
   test("low-latency mode: Trigger.ProcessingTime(0) keeps per-key FIFO across micro-batches") {
     // The reference pushes ONE event per write over its gRPC stream
     // (proto/hydraide.proto:755-801) — per-write latency is µs. Spark's
