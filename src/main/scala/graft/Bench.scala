@@ -95,7 +95,7 @@ object Bench {
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).bigDecimal
     val qs = results.sortBy { case (_, v) =>
       if (v < 0) Double.MaxValue else v
-    }.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    }.map { case (k, v) => JsonUtil.str(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).filter(_ >= 0).sum)
     println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
 
@@ -119,13 +119,13 @@ object Bench {
       // meta entries share the list with the per-query entries so one
       // mkString handles separators (an empty suite still emits valid JSON)
       val entries = results.sortBy(_._1).map { case (k, v) =>
-        "\"" + k + "\": " + fmt(v)
+        JsonUtil.str(k) + ": " + fmt(v)
       } ++ (if (duck.isEmpty) Seq.empty else Seq(
         "\"_duckdb_sec\": " + duck.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\": " + fmt(v, 4) }
+          .map { case (k, v) => JsonUtil.str(k) + ": " + fmt(v, 4) }
           .mkString("{", ", ", "}"),
         "\"_ratio_spark_over_duckdb\": " + ratios.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\": " + fmt(v, 2) }
+          .map { case (k, v) => JsonUtil.str(k) + ": " + fmt(v, 2) }
           .mkString("{", ", ", "}"),
         s""""_duckdb_total_sec": ${fmt(commonDuck)}""",
         s""""_ratio_total": ${if (commonDuck > 0) fmt(commonSpark / commonDuck, 2) else -1}"""
@@ -148,7 +148,7 @@ object Bench {
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
       var used = 0
       slowFirst.foreach { case (k, v) =>
-        val s = "\"" + k + "\":" + fmt(v)
+        val s = JsonUtil.str(k) + ":" + fmt(v)
         if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
       }
       val ratioTail =
@@ -168,24 +168,12 @@ object Bench {
     * oracle SQL and return per-query seconds; empty map on any failure
     * (missing python/duckdb must never fail the bench itself). */
   private def timeOracle(sfDir: String): Map[String, Double] = {
-    def jsonStr(s: String): String = {
-      val sb = new StringBuilder("\"")
-      s.foreach {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      sb.append('"').toString
-    }
     try {
       val oraclePath = java.nio.file.Files.createTempFile("graft_oracle", ".json")
+      try {
       java.nio.file.Files.writeString(oraclePath,
         SparkEntry.oracleSql.toSeq.sortBy(_._1)
-          .map { case (k, v) => jsonStr(k) + ": " + jsonStr(v) }
+          .map { case (k, v) => JsonUtil.str(k) + ": " + JsonUtil.str(v) }
           .mkString("{\n", ",\n", "\n}\n"))
       val script = Seq("tools/bench_oracle.py", "/root/repo/tools/bench_oracle.py")
         .map(new java.io.File(_)).find(_.exists())
@@ -224,6 +212,7 @@ object Bench {
               .toMap
           }
       }
+      } finally java.nio.file.Files.deleteIfExists(oraclePath) // no temp leak
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 }

@@ -84,12 +84,20 @@ def main(sf_dir, oracle_path):
         if remaining() <= 0:
             out[name] = -1.0
             continue
+        # runs are taken one at a time so a budget interrupt mid-run-2
+        # keeps run 1's valid measurement instead of discarding it with
+        # the whole min(...) expression
+        runs = []
         try:
             timed_run(con, sql, remaining())  # warm
-            out[name] = round(min(timed_run(con, sql, remaining()),
-                                  timed_run(con, sql, remaining())), 4)
-            seen[sql] = out[name]
+            runs.append(timed_run(con, sql, remaining()))
+            runs.append(timed_run(con, sql, remaining()))
         except Exception:
+            pass
+        if runs:
+            out[name] = round(min(runs), 4)
+            seen[sql] = out[name]
+        else:
             out[name] = -1.0  # not cached: a later twin may still fit budget
     print(json.dumps(out, sort_keys=True))
     return 0

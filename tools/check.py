@@ -27,6 +27,12 @@ def norm(v):
         return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        # DuckDB surfaces STRUCT/MAP cells as dicts: recurse so nested
+        # floats get the same rounding/NaN normalization as flat ones
+        # (a NaN inside a struct would otherwise be a guaranteed false
+        # FAIL — NaN != NaN)
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
 
 def main(sf_dir, out_dir):

@@ -51,11 +51,27 @@ def main(small_path, big_path, threshold=12.0, min_marginal=0.25):
         growth[name] = round(r, 2)
         if r > threshold and adj_b > min_marginal:
             flagged.append(name)
+    # a query that completed small but recorded the -1 failure sentinel (or
+    # vanished) at the big scale IS the worst scale regression — it stopped
+    # completing. times() drops sentinels, so re-read the raw records and
+    # flag the asymmetry explicitly rather than silently not comparing it.
+    raw_small = json.load(open(small_path))
+    raw_big = json.load(open(big_path))
+    died_at_big = sorted(
+        name for name in small
+        if not name.startswith("_")
+        and (raw_big.get(name, None) is None or raw_big.get(name) < 0))
+    failed_small = sorted(
+        name for name, v in raw_small.items()
+        if not name.startswith("_") and isinstance(v, (int, float)) and v < 0)
+    flagged = sorted(set(flagged) | set(died_at_big))
     report = {
         "small_record": small_path, "big_record": big_path,
         "floor_small_sec": round(floor_s, 3), "floor_big_sec": round(floor_b, 3),
         "growth_threshold": threshold, "min_marginal_big_sec": min_marginal,
         "flagged": flagged,
+        "died_at_big": died_at_big,
+        "failed_at_small": failed_small,
         "top_growth": dict(sorted(growth.items(), key=lambda kv: -kv[1])[:15]),
         "n_compared": len(growth),
     }
