@@ -58,7 +58,17 @@ object Dedup {
     * key per digest (deterministic winner), drops the rest. Shuffles only
     * (digest, key) — the canonical 100 TB-safe formulation. */
   def exact(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    val withH = df.withColumn("_digest", md5(col(textCol)))
+    // null text coalesces to a sentinel digest (md5 output is hex-only, so
+    // "null" can never collide with a real digest): md5(NULL) is NULL, and
+    // the null-hostile using-columns semi-join below would drop EVERY
+    // null-text row — including the group's elected winner — instead of
+    // keeping one, silently shrinking the corpus. With the sentinel, all
+    // null-text rows form one dedup group like any other (matching the
+    // oracle's PARTITION BY md5(text), which groups NULLs together).
+    // Null KEYS keep the engine-wide probe discipline: they cannot win or
+    // match, so null-keyed rows drop with the rest of their group.
+    val withH = df.withColumn("_digest",
+      coalesce(md5(col(textCol)), lit("null")))
     val winners = withH.groupBy(col("_digest")).agg(min(col(keyCol)).as(keyCol))
     withH.join(winners, Seq("_digest", keyCol), "left_semi").drop("_digest")
   }
@@ -163,7 +173,28 @@ object Dedup {
                          sigPath: String, keyCol: String,
                          numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.8): DataFrame =
-    lshPairsFrom(spark.read.parquet(sigPath), keyCol, numHashes, bands, threshold)
+    lshPairsFrom(requireSigWidth(spark.read.parquet(sigPath), numHashes, sigPath),
+      keyCol, numHashes, bands, threshold)
+
+  /** A prebuilt table consumed with the WRONG numHashes is a silent
+    * cluster-killer, not a wrong answer: slice() past the stored signature
+    * width returns an empty array, md5 of the empty concat is one
+    * CONSTANT, so every document lands in the same bucket for the
+    * overflowing bands and the "LSH" self-join quietly degenerates to
+    * all-pairs n^2/2 (results stay correct through the exact-Jaccard
+    * verify — only the job explodes). One limit-1 probe of the stored
+    * width turns that into an immediate require() failure. */
+  private def requireSigWidth(base: DataFrame, numHashes: Int,
+                              src: String): DataFrame = {
+    base.select(size(col("_sig")).as("n")).head(1).foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"signature table $src stores ${r.getInt(0)}-hash signatures, but " +
+          s"numHashes=$numHashes was requested — rebuild the artifact or " +
+          "match the build parameter (a mismatch collapses LSH banding " +
+          "into an all-pairs join)")
+    }
+    base
+  }
 
   /**
    * Exact n-gram Jaccard near-dup pairs at scale: candidates from the
@@ -214,7 +245,8 @@ object Dedup {
                                  textCol: String, keyCol: String,
                                  shingleN: Int = 3, numHashes: Int = 16,
                                  bands: Int = 4, threshold: Double = 0.8): DataFrame =
-    dedupAgainstSignatures(spark.read.parquet(corpusSigPath),
+    dedupAgainstSignatures(
+      requireSigWidth(spark.read.parquet(corpusSigPath), numHashes, corpusSigPath),
       incoming, textCol, keyCol, shingleN, numHashes, bands, threshold)
 
   private def dedupAgainstSignatures(corSig: DataFrame, incoming: DataFrame,
@@ -241,7 +273,7 @@ object Dedup {
     * signature table is persisted so the per-document simhash (a 32-term
     * HOF reduction) is computed once, not once per join side. */
   def simhashPairs(df: DataFrame, textCol: String, keyCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Long = 100000L): DataFrame = {
     val sigs = tracked(spreadModest(df)
       .select(col(keyCol), TF.simhash32(col(textCol)).as("_sig")))
     val tables = 4
@@ -249,13 +281,35 @@ object Dedup {
       posexplode(array((0 until tables).map { t =>
         shiftright(col("_sig"), t * 8) % 256
       }: _*)).as(Seq("_t", "_band")))
-    val a = banded.as("a"); val b = banded.as("b")
+    // Hot-bucket salt split (the embeddingNearDup regime): 8-bit bands
+    // give only 256 buckets per table, so a big corpus — or one exact-dup
+    // cluster sharing all 4 bands — concentrates n/256+ rows in one
+    // bucket, and the self-join's hottest (table, band) serializes into a
+    // single O(cnt^2) task. Past `maxBucket` the home side splits into g
+    // salt groups and the probe side explodes across ALL g (full recall,
+    // unlike a candidate cap): the same candidates now arrive as g
+    // independent tasks of cnt^2/g. The counts table is <= 4*256 rows BY
+    // CONSTRUCTION — this broadcast is bounded at any corpus size. At
+    // fixture scale every bucket is far below the default, g=1, and the
+    // pair set is byte-identical to the unsalted form.
+    val counts = banded.groupBy(col("_t"), col("_band"))
+      .agg(count(lit(1)).as("_cnt"))
+      .select(col("_t"), col("_band"), greatest(lit(1L),
+        ceil(col("_cnt").cast("double") / maxBucket).cast("long")).as("_g"))
+    val home = banded.join(broadcast(counts), Seq("_t", "_band"))
+      .select(col("_t"), col("_band"),
+        pmod(hash(col(keyCol)), col("_g")).as("_salt"),
+        col(keyCol).as("key_b"), col("_sig").as("_sb"))
+    val probes = banded.join(broadcast(counts), Seq("_t", "_band"))
+      .select(col("_t"), col("_band"), col(keyCol).as("key_a"),
+        col("_sig").as("_sa"),
+        explode(sequence(lit(0L), col("_g") - 1)).as("_salt"))
     // hamming filter BEFORE the pair-dedup shuffle: only true near-dups
     // (hamming <= max) pay the dropDuplicates exchange
-    a.join(b, col("a._t") === col("b._t") && col("a._band") === col("b._band") &&
-        col(s"a.$keyCol") < col(s"b.$keyCol"))
-      .select(col(s"a.$keyCol").as("key_a"), col(s"b.$keyCol").as("key_b"),
-        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).cast("int").as("hamming"))
+    probes.join(home, Seq("_t", "_band", "_salt"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("key_a", "key_b")
   }
@@ -300,12 +354,25 @@ object Dedup {
   def contaminationOverlap(docs: DataFrame, benchmark: DataFrame,
                            textCol: String, keyCol: String,
                            shingleN: Int = 3,
-                           maxBroadcastDocs: Long = 100000L): DataFrame = {
+                           maxBroadcastDocs: Long = 100000L,
+                           maxBroadcastShingles: Long = 2000000L): DataFrame = {
     val benchSh = benchmark
       .select(explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
       .distinct()
-    val probe =
-      if (fitsBroadcast(benchmark, maxBroadcastDocs)) broadcast(benchSh) else benchSh
+    // the broadcast payload is the SHINGLE set, not the doc rows: 100k
+    // LONG documents pass a row gate while their distinct shingles run to
+    // 1e8 strings — the exact forced-broadcast OOM cliff the un-hinted
+    // joins elsewhere refuse. So the row probe is backed by one linear
+    // aggregation over the benchmark (trivially cheaper than the
+    // broadcast it prevents) bounding the shingle volume itself; past
+    // either gate the hint is withheld and AQE still broadcasts at
+    // runtime if the set measures small.
+    val fits = fitsBroadcast(benchmark, maxBroadcastDocs) && {
+      val est = benchmark.select(sum(greatest(
+        size(split(col(textCol), " ")) - (shingleN - 1), lit(0))).as("n")).head()
+      est.isNullAt(0) || est.getLong(0) <= maxBroadcastShingles
+    }
+    val probe = if (fits) broadcast(benchSh) else benchSh
     spreadModest(docs)
       .select(col(keyCol), explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
       .join(probe, Seq("_sh"))
@@ -494,8 +561,14 @@ object Dedup {
       .select(col("_vb"), explode(array(
         (col("_bb") +: (0 until planes).map(p =>
           col("_bb").bitwiseXOR(lit(1L << p)))): _*)).as("_bkt"))
+    // gate on PROBE volume, not raw docs: the broadcast payload is rows x
+    // (planes+1) multi-probe copies, each carrying the full vector — the
+    // row cap divides by that multiplier so the default bounds the
+    // broadcast at ~maxBroadcastDocs probe ROWS (vector-sized), the same
+    // payload-not-rows discipline as contaminationOverlap's shingle gate
     val probes =
-      if (fitsBroadcast(benchmark, maxBroadcastDocs)) broadcast(benchProbes)
+      if (fitsBroadcast(benchmark, math.max(1L, maxBroadcastDocs / (planes + 1))))
+        broadcast(benchProbes)
       else benchProbes
     corpusB.join(probes, Seq("_bkt"))
       .withColumn("_cos", round(VF.dot(col(vecCol), col("_vb")), 6))
@@ -537,12 +610,17 @@ object Dedup {
     * join), mirroring the oracle's empty-group semantics. */
   private def reassemble(df: DataFrame, textCol: String, keyCol: String,
                          segTokens: Int, keep: DataFrame): DataFrame = {
-    val withSegs = df.withColumn("_segs",
-      segmentsOf(split(col(textCol), " "), segTokens))
+    // token array BOUND to a column before segmentsOf (its documented
+    // precondition, same as segIndex): inlining split() puts it inside the
+    // per-segment slice lambda, where HOF re-evaluation re-splits the full
+    // text once per segment — O(tokens x segments) per row instead of
+    // O(tokens)
+    val withSegs = df.withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_segs", segmentsOf(col("_toks"), segTokens))
     withSegs.join(keep, withSegs(keyCol) === keep("_k"), "inner")
       .withColumn(textCol, concat_ws(" ",
         transform(col("_keep"), i => element_at(col("_segs"), i + 1))))
-      .drop("_segs", "_keep", "_k")
+      .drop("_toks", "_segs", "_keep", "_k")
   }
 
   /**

@@ -46,9 +46,21 @@ object IndexRead {
   def run(df: DataFrame, q: IndexQuery): DataFrame = {
     var cur = df
 
-    // cheap key pre-filters first — Catalyst will keep them in front
-    if (q.includeKeys.nonEmpty) cur = cur.filter(col(q.keyCol).isin(q.includeKeys: _*))
-    if (q.excludeKeys.nonEmpty) cur = cur.filter(!col(q.keyCol).isin(q.excludeKeys: _*))
+    // cheap key pre-filters first — Catalyst will keep them in front.
+    // Null discipline (the KeyProbe rules): null PROBE keys are stripped —
+    // a null inside an isin list poisons the whole three-valued predicate
+    // (`k2 IN (k1, NULL)` is NULL, and `NOT NULL` is NULL: one stray null
+    // in excludeKeys would silently empty the entire result). Null-keyed
+    // ROWS can never be named by either list, so include drops them (isin
+    // NULL is not TRUE — correct) and exclude must KEEP them explicitly
+    // (`NOT(NULL IN ...)` is NULL, not TRUE — a bare negation dropped
+    // rows the caller never excluded).
+    val inKeys = q.includeKeys.filter(_ != null)
+    val exKeys = q.excludeKeys.filter(_ != null)
+    if (inKeys.nonEmpty) cur = cur.filter(col(q.keyCol).isin(inKeys: _*))
+    else if (q.includeKeys.nonEmpty) cur = cur.filter(lit(false)) // only null probes
+    if (exKeys.nonEmpty)
+      cur = cur.filter(col(q.keyCol).isNull || !col(q.keyCol).isin(exKeys: _*))
 
     // half-open time window [from, to) — binary-searched beacon bounds in the
     // reference (beacon.go:1435-1500); pushed-down range predicate here

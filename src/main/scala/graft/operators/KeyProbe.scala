@@ -33,6 +33,10 @@ object KeyProbe {
     * join condition `df(keyCol) === col("key")` would then be ambiguous. */
   private[operators] val ProbeCol = "_graft_probe_key"
 
+  private def tracked(df: DataFrame): DataFrame =
+    graft.CacheRegistry.track(df,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** The probe list as a 1-column single-partition DataFrame. */
   def keysDf(df: DataFrame, keyCol: String, keys: Seq[Any]): DataFrame = {
     val spark = df.sparkSession
@@ -91,10 +95,14 @@ object KeyProbe {
   def semiJoin(df: DataFrame, keyCol: String, probe: DataFrame,
                probeKeyCol: String, expectedKeys: Long,
                fpp: Double = 0.01): DataFrame = {
-    val bf = probe.stat.bloomFilter(probeKeyCol, expectedKeys, fpp)
+    // the probe PLAN runs twice (the eager bloomFilter action, then the
+    // exact join) — tracked-persist the key projection so a derived probe
+    // (a filter/join, not a bare table) isn't recomputed; the persist is
+    // keys-only, released by CacheRegistry like every engine cache
+    val keys = tracked(probe.select(col(probeKeyCol).as(ProbeCol)))
+    val bf = keys.stat.bloomFilter(ProbeCol, expectedKeys, fpp)
     df.filter(graft.functions.BloomFunctions.mightContain(col(keyCol), bf))
-      .join(probe.select(col(probeKeyCol).as(ProbeCol)).distinct(),
-        df(keyCol) === col(ProbeCol), "left_semi")
+      .join(keys.distinct(), df(keyCol) === col(ProbeCol), "left_semi")
   }
 
   /**
@@ -110,12 +118,12 @@ object KeyProbe {
   def antiJoin(df: DataFrame, keyCol: String, probe: DataFrame,
                probeKeyCol: String, expectedKeys: Long,
                fpp: Double = 0.01): DataFrame = {
-    val bf = probe.stat.bloomFilter(probeKeyCol, expectedKeys, fpp)
+    val keys = tracked(probe.select(col(probeKeyCol).as(ProbeCol))) // see semiJoin
+    val bf = keys.stat.bloomFilter(ProbeCol, expectedKeys, fpp)
     val mc = graft.functions.BloomFunctions.mightContain(col(keyCol), bf)
     val definiteMiss = df.filter(col(keyCol).isNull || !mc)
     val needExact = df.filter(mc)
-      .join(probe.select(col(probeKeyCol).as(ProbeCol)).distinct(),
-        df(keyCol) === col(ProbeCol), "left_anti")
+      .join(keys.distinct(), df(keyCol) === col(ProbeCol), "left_anti")
     definiteMiss.unionAll(needExact)
   }
 

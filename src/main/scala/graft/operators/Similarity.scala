@@ -48,6 +48,19 @@ object Similarity {
     }
   }
 
+  /** The nprobe nearest centroid ids for a query — double-precision,
+    * ascending-index accumulation, the SAME arithmetic as the row-side
+    * assignment and the DuckDB mirror, so the probed set is
+    * engine-independent. One definition shared by [[ivfTopK]] and
+    * [[ivfTopKPrebuilt]]: the oracle pins this exact tie-break, and two
+    * drifting copies would be a test-visible correctness drift. */
+  private def probedLists(centroids: Array[Array[Float]], query: Array[Float],
+                          nprobe: Int): Seq[Int] = {
+    val qScores = centroids.map(
+      _.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+    qScores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toIndexedSeq
+  }
+
   /**
    * IVF-style ANN, per-query-assignment form: deterministic seeded coarse
    * centroids; each row assigned to its nearest centroid (argmax over nlist
@@ -69,14 +82,7 @@ object Similarity {
     }
     val listId = array_max(array(assign: _*))("i")
 
-    val probed: Seq[Int] = {
-      // double-precision, ascending-index accumulation — the same arithmetic
-      // as the row-side assignment and the DuckDB mirror, so the probed set
-      // is engine-independent
-      val qScores = centroids.map(
-        _.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum)
-      qScores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toIndexedSeq
-    }
+    val probed = probedLists(centroids, query, nprobe)
 
     df.filter(size(col(vecCol)) === dim)
       .withColumn("_list", listId)
@@ -160,11 +166,7 @@ object Similarity {
                       query: Array[Float], k: Int,
                       nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
     val centroids = ivfCentroids(nlist, query.length, seed)
-    val probed: Seq[Int] = {
-      val qScores = centroids.map(
-        _.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum)
-      qScores.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toIndexedSeq
-    }
+    val probed = probedLists(centroids, query, nprobe)
     spark.read.parquet(indexPath)
       .filter(col("_list").isin(probed: _*)) // partition pruning
       .withColumn("score", VF.cosine(col(vecCol), query))

@@ -186,6 +186,33 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("exact dedup: null-text rows form ONE group and keep their winner") {
+    // md5(NULL) is NULL and a null-hostile semi-join would drop the whole
+    // group — including its elected winner — silently shrinking the corpus
+    val df = Seq((5L, null), (4L, null), (2L, "kept"))
+      .toDF("id", "text")
+    val kept = Dedup.exact(df, "text", "id").select("id").as[Long].collect().toSet
+    assert(kept == Set(4L, 2L), s"null-text group must keep min-key winner: $kept")
+  }
+
+  test("index read: excludeKeys is null-safe on both sides") {
+    import graft.operators.IndexRead
+    val df = Seq(Tuple1(Option("k1")), Tuple1(Option("k2")),
+      Tuple1(None: Option[String])).toDF("key")
+    // a null-keyed ROW can never be named by an exclude list => it stays
+    val r1 = IndexRead.run(df, IndexRead.IndexQuery(excludeKeys = Seq("k1")))
+      .select("key").collect().map(r => Option(r.getString(0))).toSet
+    assert(r1 == Set(Some("k2"), None), s"null-keyed row must survive exclude: $r1")
+    // a null PROBE key poisons the three-valued isin => stripped, not fatal
+    val r2 = IndexRead.run(df, IndexRead.IndexQuery(excludeKeys = Seq("k1", null)))
+      .select("key").collect().map(r => Option(r.getString(0))).toSet
+    assert(r2 == Set(Some("k2"), None), s"null probe key must be stripped: $r2")
+    // includeKeys: null probes stripped; an all-null include matches nothing
+    val r3 = IndexRead.run(df, IndexRead.IndexQuery(includeKeys = Seq(null)))
+      .count()
+    assert(r3 == 0L)
+  }
+
   test("minhash LSH finds the planted near-duplicate") {
     val a = (1 to 40).map(i => s"w$i").mkString(" ")
     val b = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
