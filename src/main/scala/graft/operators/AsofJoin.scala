@@ -40,35 +40,50 @@ object AsofJoin {
     val leftCols = left.columns.filterNot(keyCols.contains).toSeq
     val clash = leftCols.intersect(rightVals)
     require(clash.isEmpty, s"left/right value columns must be disjoint: $clash")
-    val reserved = Seq("_asof_t", "_asof_isL")
+    val reserved = Seq("_asof_t", "_asof_isL", "_asof_rv")
     val reservedHit = (left.columns ++ right.columns).toSeq.intersect(reserved)
     require(reservedHit.isEmpty,
       s"inputs must not contain reserved internal columns: ${reservedHit.distinct}")
 
+    // The right row is carried as ONE struct, not per-column: independent
+    // per-column `last(_, ignoreNulls)` would resurrect a STALE value for
+    // any column that is NULL in the matched right row — the output could
+    // mix columns from different right rows, a row that never existed.
+    // The struct is non-null whenever a right row was seen, so its NULL
+    // fields stay NULL and all columns come from the same row.
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     val lTagged = left.select(
       keyCols.map(col) ++
         Seq(col(leftTimeCol).as("_asof_t"), lit(1).as("_asof_isL")) ++
-        leftCols.map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val rTagged = right.select(
+        leftCols.map(col) :+
+        lit(null).cast(rvType).as("_asof_rv"): _*)
+    // right rows with a NULL time can never legitimately match (SQL ASOF
+    // comparisons with NULL are no-matches) — drop them before the walk
+    val rTagged = right.filter(col(rightTimeCol).isNotNull).select(
       keyCols.map(col) ++
         Seq(col(rightTimeCol).as("_asof_t"), lit(0).as("_asof_isL")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as("_asof_rv"): _*)
 
     // right (0) sorts before left (1) at the same timestamp => equality
     // is included, exactly SQL ASOF's `l.t >= r.t` (or `<=` forward —
-    // the walk simply runs in reverse time order)
-    val timeOrd = if (forward) col("_asof_t").desc else col("_asof_t").asc
+    // the walk simply runs in reverse time order). NULLS FIRST in BOTH
+    // directions: a left row with NULL time must see NO right rows (no
+    // match => NULL right values, the LEFT-outer contract) — desc's
+    // default nulls-last placement would hand it every right row
+    val timeOrd =
+      if (forward) col("_asof_t").desc_nulls_first
+      else col("_asof_t").asc_nulls_first
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(timeOrd, col("_asof_isL").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
 
-    rightVals.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    lTagged.unionByName(rTagged)
+      .withColumn("_asof_rv", last(col("_asof_rv"), ignoreNulls = true).over(w))
       .filter(col("_asof_isL") === 1)
-      .select(keyCols.map(col) ++ leftCols.map(col) ++ rightVals.map(col): _*)
+      .select(keyCols.map(col) ++ leftCols.map(col) ++
+        rightVals.map(c => col("_asof_rv").getField(c).as(c)): _*)
   }
 }

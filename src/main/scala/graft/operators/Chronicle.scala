@@ -42,7 +42,11 @@ object Chronicle {
                     opCol: String, deleteOp: String = "D"): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
     log.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col(opCol) =!= deleteOp)
+      // null-safe delete test: a NULL op (an upsert that never set it, one
+      // malformed record) fails `=!=` into NULL and the filter would erase
+      // the key as if it were a delete — and compact() would make that
+      // erasure permanent. Only an EXPLICIT deleteOp tombstones.
+      .filter(col("_rn") === 1 && !(col(opCol) <=> deleteOp))
       .drop("_rn")
   }
 

@@ -49,8 +49,15 @@ object Mutations {
     require(valueCols.forall(delta.columns.contains),
       s"delta must carry all value columns ${valueCols.mkString(",")}")
 
-    val b = base.as("b")
-    val d = delta.as("d")
+    // Null-key discipline: a null-key DELTA row is unaddressable (it can
+    // join no base row) — without the strip it surfaced as a phantom
+    // all-NULL output row under Upsert. Null-key BASE rows pass through
+    // unchanged: side presence is detected by FLAG columns, not key
+    // nullness, so they survive every mode (key-nullness presence made
+    // DryRun — documented "output equals base exactly" — drop them).
+    val b = base.withColumn("_graft_b", lit(true)).as("b")
+    val d = delta.filter(col(keyCol).isNotNull)
+      .withColumn("_graft_d", lit(true)).as("d")
     // UpdateOnly/DryRun never emit delta-only keys, so a LEFT join is
     // equivalent — and unlike full_outer it lets the planner BROADCAST a
     // small delta instead of shuffling the 100 TB base by key. Upsert/
@@ -61,9 +68,12 @@ object Mutations {
     }
     val joined = b.join(d, col(s"b.$keyCol") === col(s"d.$keyCol"), joinType)
 
-    val inBase = col(s"b.$keyCol").isNotNull
-    val inDelta = col(s"d.$keyCol").isNotNull
-    val changed = valueCols.map(c => !(col(s"b.$c") <=> col(s"d.$c"))).reduce(_ || _)
+    val inBase = col("b._graft_b").isNotNull
+    val inDelta = col("d._graft_d").isNotNull
+    // fold from lit(false): a key-only base has NO value columns and the
+    // bare reduce throws on the empty list (setStatuses' guard, shared)
+    val changed = valueCols.map(c => !(col(s"b.$c") <=> col(s"d.$c")))
+      .foldLeft(lit(false))(_ || _)
 
     val takeDelta: Column = mode match {
       case Upsert     => inDelta
@@ -88,7 +98,7 @@ object Mutations {
     joined
       .filter(keep)
       .select((outKey +: outVals :+ status.as("_status")): _*)
-  }
+  } // _graft_b/_graft_d presence flags die in the select above
 
   /**
    * Per-delta-key status view — the KeysAndStatuses half of Set_Response

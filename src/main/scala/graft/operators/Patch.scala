@@ -109,6 +109,11 @@ object Patch {
                    expiryCol: String, keyCol: String,
                    now: java.sql.Timestamp, howMany: Int,
                    selection: Column = lit(true)): DataFrame = {
+    // reserved-name guard (the AsofJoin discipline): an existing `_hit`
+    // makes the condition ambiguous after the join; an existing
+    // `_patched` would be silently clobbered by the output flag
+    val hit = df.columns.toSeq.intersect(Seq("_hit", "_patched"))
+    require(hit.isEmpty, s"input must not contain reserved columns: $hit")
     val claimed = df
       .filter(col(expiryCol).isNotNull && col(expiryCol) < lit(now) && selection)
       .orderBy(col(expiryCol).asc, col(keyCol).asc)

@@ -30,7 +30,11 @@ object Sampling {
     * train = the rest; union of the two == input, intersection == empty. */
   def trainValSplit(df: DataFrame, keyCol: String,
                     valPercent: Int): (DataFrame, DataFrame) = {
-    val b = keyBucket(keyCol)
+    // null keys hash to a NULL bucket, which fails BOTH three-valued
+    // predicates — the row would vanish from train AND val, breaking the
+    // complementary contract. Coalesce to bucket 99 routes them (and only
+    // them) deterministically into train for any valPercent <= 99.
+    val b = coalesce(keyBucket(keyCol), lit(99))
     (df.filter(b >= valPercent), df.filter(b < valPercent))
   }
 

@@ -60,6 +60,11 @@ object Shift {
    * same all-or-nothing contract as the reference's `CapReached`.
    */
   def capGate(post: DataFrame, capFilter: Column, maxMatching: Long): DataFrame = {
+    // reserved-name guard (the AsofJoin discipline): an existing `_c`
+    // makes the comparison ambiguous and the drop destructive; an
+    // existing `_cap_reached` would be silently clobbered
+    val hit = post.columns.toSeq.intersect(Seq("_c", "_cap_reached"))
+    require(hit.isEmpty, s"input must not contain reserved columns: $hit")
     val capCount = post.filter(capFilter).select(count(lit(1)).as("_c"))
     post.crossJoin(broadcast(capCount))
       .withColumn("_cap_reached", col("_c") > lit(maxMatching))

@@ -38,7 +38,18 @@ object TermStats {
         round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("tfidf").desc, col("term").asc)
-    scored.filter(selection)
+    // `selection` references DOC columns (that's its documented use —
+    // "only the English docs' top terms"), but `scored` carries only
+    // (key, term, tf, df, n): resolve it against the INPUT docs and
+    // semi-join the surviving keys, so doc-column predicates work while
+    // df/N statistics stay corpus-wide (computed above the narrowing)
+    val narrowed =
+      if (org.apache.spark.sql.GraftBridge.expression(selection)
+            .semanticEquals(org.apache.spark.sql.GraftBridge.expression(lit(true))))
+        scored // default lit(true): skip the no-op semi-join
+      else scored.join(
+        docs.filter(selection).select(col(keyCol)), Seq(keyCol), "left_semi")
+    narrowed
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col(keyCol), col("term"), col("tfidf"))
@@ -54,7 +65,7 @@ object TermStats {
    * Ties rank alphabetically so the top-k cut is total-ordered.
    */
   def wordFreq(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("word"))
+    docs.select(explode(TF.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
@@ -108,7 +119,7 @@ object TermStats {
   def encodeTokens(docs: DataFrame, textCol: String, keyCol: String,
                    vocabSize: Int): DataFrame = {
     val tok = docs.select(col(keyCol),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "_t")))
+      posexplode(TF.tokens(col(textCol))).as(Seq("pos", "_t")))
     // head-cut FIRST with a distributed TakeOrdered (per-partition heaps,
     // vocabSize rows to the driver side of the plan), THEN rank the tiny
     // result: ranking the full vocabulary through an unpartitioned window
@@ -136,7 +147,7 @@ object TermStats {
    * (ours vs any other engine's) can't leak into the result.
    */
   def tokenEntropy(docs: DataFrame, textCol: String, keyCol: String): DataFrame =
-    docs.select(col(keyCol), explode(split(col(textCol), " ")).as("_tok"))
+    docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("_tok"))
       .groupBy(col(keyCol), col("_tok")).agg(count(lit(1)).as("_c"))
       .groupBy(col(keyCol))
       .agg(round(

@@ -36,6 +36,27 @@ class OperatorsSpec extends SparkSpec {
     val m = statuses(Mutations.UpdateOnly)
     assert(m.keySet == Set("k1", "k2"))
   }
+  test("set: key-only base, null-key delta, and null-key base survival") {
+    // key-only base (a membership set): no value columns — the changed
+    // disjunction must fold from false, not throw on an empty reduce
+    val keyOnly = Seq(Tuple1("k1")).toDF("key")
+    val ko = Mutations.set(keyOnly, Seq(Tuple1("k2")).toDF("key"), "key")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ko == Map("k1" -> "NOTHING_CHANGED", "k2" -> "NEW"))
+    // a null-key DELTA row is unaddressable: stripped, not emitted as a
+    // phantom all-NULL row
+    val withNullDelta = Mutations.set(base,
+      Seq((Option("k1"), 99.0), (None: Option[String], 7.0)).toDF("key", "v"), "key")
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(!withNullDelta.contains(None), "null-key delta row must not surface")
+    // a null-key BASE row passes through every mode — DryRun's contract is
+    // output == base EXACTLY (presence flags, not key nullness)
+    val nullBase = Seq((Option("k1"), 1.0), (None: Option[String], 2.0)).toDF("key", "v")
+    val dr = Mutations.set(nullBase, Seq(("k1", 9.0)).toDF("key", "v"), "key",
+      Mutations.DryRun).collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(dr == Map(Some("k1") -> 1.0, None -> 2.0),
+      s"DryRun must preserve the null-key base row: $dr")
+  }
   test("set dry-run writes nothing: data == base, statuses populated") {
     val out = Mutations.set(base, Seq(("k1", 99.0), ("k5", 5.0)).toDF("key", "v"),
       "key", Mutations.DryRun).collect()
@@ -850,6 +871,13 @@ class OperatorsSpec extends SparkSpec {
     val state = Chronicle.lastWriteWins(log, "key", "seq", "op")
       .select("key", "v").as[(String, Double)].collect().toMap
     assert(state == Map("k1" -> 2.0, "k3" -> 5.0))
+    // a NULL op is NOT a delete: `=!=` would NULL out the filter and erase
+    // the key exactly like a tombstone (and compact() makes it permanent)
+    val nullOp = Seq(("k4", 7.0, 1L, Option("U")), ("k4", 8.0, 2L, None: Option[String]))
+      .toDF("key", "v", "seq", "op")
+    val s2 = Chronicle.lastWriteWins(nullOp, "key", "seq", "op")
+      .select("key", "v").as[(String, Double)].collect().toMap
+    assert(s2 == Map("k4" -> 8.0), s"null op must not tombstone: $s2")
   }
 
   test("existence probes") {
@@ -1113,6 +1141,39 @@ class OperatorsSpec extends SparkSpec {
     // clashing value column names are a loud error, not silent overwrite
     assertThrows[IllegalArgumentException](
       AsofJoin.asofJoin(fact, dim.withColumnRenamed("dv", "fv"), Seq("k"), "t", "t"))
+  }
+
+  test("asof join: the matched right row is carried WHOLE, NULL fields included") {
+    // per-column ignoreNulls carrying would resurrect price=10 from t=1
+    // onto the t=2 match whose price is genuinely NULL — emitting a row
+    // that never existed; the struct carry keeps all columns in one row
+    val fact = Seq((1L, "k", 3)).toDF("id", "k", "t")
+    val dim = Seq(("k", 1, Some(10.0), None: Option[Long]),
+      ("k", 2, None: Option[Double], Some(5L))).toDF("k", "t", "price", "qty")
+    val out = AsofJoin.asofJoin(fact, dim, Seq("k"), "t", "t").collect().head
+    assert(Option(out.getAs[Any]("price")).isEmpty,
+      "price must be the matched row's NULL, not a stale earlier value")
+    assert(out.getAs[Long]("qty") == 5L)
+  }
+
+  test("asof join: NULL timestamps never fabricate matches, either direction") {
+    val dimWithNull = Seq(("k", Some(2), "real"), ("k", None: Option[Int], "phantom"))
+      .toDF("k", "t", "dv")
+    // a NULL-time right row must match nothing (backward: it used to sort
+    // FIRST and get carried onto every pre-first-real-row left row)
+    val factEarly = Seq((1L, "k", 1)).toDF("id", "k", "t")
+    val b = AsofJoin.asofJoin(factEarly, dimWithNull, Seq("k"), "t", "t")
+      .collect().head
+    assert(Option(b.getAs[String]("dv")).isEmpty,
+      "null-time right row must not match a pre-first left row")
+    // a NULL-time left row gets no match in FORWARD mode (it used to sort
+    // last in the desc walk and inherit the earliest right row)
+    val factNull = Seq((1L, "k", None: Option[Int])).toDF("id", "k", "t")
+    val dim = Seq(("k", 2, "real")).toDF("k", "t", "dv")
+    val f = AsofJoin.asofJoin(factNull, dim, Seq("k"), "t", "t", forward = true)
+      .collect().head
+    assert(Option(f.getAs[String]("dv")).isEmpty,
+      "null-time left row must emit NULL right values, not a confident match")
   }
 
   test("forward asof join: smallest at-or-after match, equality included, NULLs after last") {
