@@ -28,6 +28,19 @@ object Catalog {
   private val registry = TrieMap.empty[String, SwampSpec]
 
   /**
+   * SQL-safe view name for a swamp: the reference's hierarchical names
+   * (`sanctuary/realm/swamp`, proto/hydraide.proto naming) are not valid
+   * view identifiers, so non-identifier characters map to `_` for the
+   * temp-view binding only — the registry, [[load]], and [[explore]] all
+   * keep the original name. Distinct names that sanitize identically
+   * (`a/b` vs `a_b`) share a view slot (last registration wins the view);
+   * the DataFrame path is collision-free.
+   */
+  private def viewName(name: String): String =
+    if (name.forall(c => c.isLetterOrDigit || c == '_')) name
+    else name.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+
+  /**
    * Register (or re-register) a swamp binding and expose it as a view.
    * Like the reference's RegisterSwamp — which binds a pattern before any
    * data exists — registration tolerates a missing/empty path: the spec is
@@ -62,7 +75,7 @@ object Catalog {
     * dropped-underneath table; `isRegistered` is the cross-session truth. */
   def deregister(spark: SparkSession, name: String): Unit = {
     registry.remove(name)
-    spark.catalog.dropTempView(name)
+    spark.catalog.dropTempView(viewName(name))
   }
 
   /**
@@ -89,13 +102,87 @@ object Catalog {
 
   def spec(name: String): Option[SwampSpec] = registry.get(name)
 
+  /**
+   * Explorer — the reference's namespace browser
+   * (app/server/explorer/explorer.go:108-197: scan the data directory,
+   * index swamps by Sanctuary/Realm/Swamp, list with filters, report
+   * per-swamp file size / timestamps / entry counts and rolled-up sizes
+   * per realm/sanctuary).
+   *
+   * Spark re-expression: one row per REGISTERED swamp whose
+   * `sanctuary/realm/swamp` name matches the optional filters, with the
+   * storage facts read from the filesystem (file count, total bytes,
+   * latest modification time) and, opt-in, the row count (Parquet
+   * answers it from footer metadata — no data scan). The hierarchy
+   * rollups the reference serves as separate RPCs (`ListSanctuaries`,
+   * `ListRealms`, `GetSize`) are one `groupBy("sanctuary")` /
+   * `groupBy("sanctuary","realm").agg(sum("total_bytes"), ...)` away —
+   * the DataFrame IS the index, so filtering/pagination/aggregation are
+   * ordinary relational ops rather than bespoke endpoints.
+   *
+   * Scale shape: the listing is driver-side but CATALOG-sized (one FS
+   * `listFiles` per registration — the registry itself is the bound);
+   * the data files are never read unless `withRowCounts` asks for the
+   * metadata count. Names with fewer than three `/` segments land with
+   * NULL sanctuary/realm and the full name as `swamp`, so flat
+   * registrations still list.
+   */
+  def explore(spark: SparkSession,
+              sanctuary: Option[String] = None,
+              realm: Option[String] = None,
+              swampPrefix: Option[String] = None,
+              withRowCounts: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val rows = registry.values.toSeq.sortBy(_.name).flatMap { s =>
+      val (sanc, rlm, swamp) = s.name.split("/", 3) match {
+        case Array(a, b, c) => (Option(a), Option(b), c)
+        case _              => (None, None, s.name)
+      }
+      val keep = sanctuary.forall(sanc.contains(_)) &&
+        realm.forall(rlm.contains(_)) &&
+        swampPrefix.forall(swamp.startsWith)
+      if (!keep) None
+      else {
+        val p = new org.apache.hadoop.fs.Path(s.path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val (files, bytes, modified) =
+          if (!fs.exists(p)) (0L, 0L, 0L)
+          else {
+            val it = fs.listFiles(p, true)
+            var (n, b, m) = (0L, 0L, 0L)
+            while (it.hasNext) {
+              val st = it.next()
+              // count data files only — commit markers/_SUCCESS are layout noise
+              if (!st.getPath.getName.startsWith("_")) {
+                n += 1; b += st.getLen; m = math.max(m, st.getModificationTime)
+              }
+            }
+            (n, b, m)
+          }
+        // read directly (not via load) so a LISTING never replaces the
+        // session's temp views as a side effect
+        val rowCount: Option[Long] =
+          if (withRowCounts && files > 0)
+            scala.util.Try(spark.read.format(s.format).options(s.options)
+              .load(s.path).count()).toOption
+          else None
+        Some((sanc.orNull, rlm.orNull, swamp, s.name, s.path, s.format,
+          files, bytes,
+          if (modified == 0L) null else new java.sql.Timestamp(modified),
+          rowCount))
+      }
+    }
+    rows.toDF("sanctuary", "realm", "swamp", "name", "path", "format",
+      "file_count", "total_bytes", "modified_at", "row_count")
+  }
+
   /** Load a registered swamp as a DataFrame (fresh file listing) and
     * refresh its temp view so SQL resolution sees the same data. */
   def load(spark: SparkSession, name: String): DataFrame = {
     val s = registry.getOrElse(name,
       throw new IllegalArgumentException(s"swamp not registered: $name"))
     val df = spark.read.format(s.format).options(s.options).load(s.path)
-    df.createOrReplaceTempView(s.name)
+    df.createOrReplaceTempView(viewName(s.name))
     df
   }
 }

@@ -1702,6 +1702,27 @@ object SparkEntry {
           SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
           FROM cnt GROUP BY doc_id""")),
 
+    Q("q_lm_score", // perplexity-proxy quality score: mean ln p(token) per
+      // doc under a smoothed corpus unigram LM (top-256 vocab + OOV floor).
+      // Each token's ln p is integer-scaled (round(ln p * 1e6) as BIGINT)
+      // BEFORE the per-doc sum, so accumulation is exact and join-order-
+      // independent on both engines; only the final mean divides in floats
+      (s, d) => TermStats.lmScore(t(s, d, "documents"), "text", "doc_id",
+        vocabSize = 256),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          cnts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+          tot AS (SELECT sum(c) + 257.0 AS den,
+                         CAST(round(ln(1.0 / (sum(c) + 257.0)) * 1e6) AS BIGINT) AS f
+                  FROM cnts),
+          probs AS (SELECT tok,
+                           CAST(round(ln((c + 1.0) / den) * 1e6) AS BIGINT) AS lp
+                    FROM (SELECT tok, c FROM cnts ORDER BY c DESC, tok LIMIT 256), tot),
+          agg AS (SELECT doc_id, CAST(sum(coalesce(lp, f)) AS BIGINT) AS s,
+                         count(*) AS nt
+                  FROM toks LEFT JOIN probs USING (tok), tot GROUP BY doc_id)
+          SELECT doc_id, round(CAST(s AS DOUBLE) / nt / 1e6, 6) AS lm_score
+          FROM agg""")),
+
     Q("q_mix_reweight", // rebalance toward a target language mixture under a
       // row budget: per-group keep-rate = min(1, budget*share/count) via the
       // portable md5 draw — counts broadcast back, membership stays a pure

@@ -136,6 +136,55 @@ object TermStats {
   }
 
   /**
+   * Per-document mean token log-probability under a smoothed corpus
+   * unigram language model — the perplexity-proxy quality filter (the
+   * CCNet-style "score each document under a corpus LM, drop the tail"
+   * curation step, with the LM reduced to its public-knowledge unigram
+   * form so the oracle can replay it exactly).
+   *
+   * Model: the `vocabSize` most frequent tokens (ties broken by token
+   * text — engine-independent cut) get add-one probability
+   * `(c + 1) / (N + V + 1)`; everything else gets the OOV floor
+   * `1 / (N + V + 1)`, where N = corpus token count. Score =
+   * mean over the doc's tokens of ln p.
+   *
+   * Cross-engine determinism: each token's ln p is scaled to an INTEGER
+   * (`round(ln p * 1e6)` as long) before the per-doc sum, so the
+   * accumulation is exact and order-independent — float sum order (ours
+   * vs DuckDB's join-reordered rows) cannot leak into the score. Only
+   * the final mean divides in floating point, from identical integers.
+   *
+   * Scale shape: the vocabulary is one map-side-combined token count
+   * (shuffle bounded by vocabulary, never token count) + a TakeOrdered
+   * cut; the model (vocabSize rows + 2 scalars) BROADCASTS onto the
+   * exploded corpus, so scoring runs in the scan stage; the per-doc agg
+   * shuffles one combined (sum, count) row per doc — the same bounded
+   * shape as [[tokenEntropy]]. Text never crosses a shuffle.
+   */
+  def lmScore(docs: DataFrame, textCol: String, keyCol: String,
+              vocabSize: Int = 256): DataFrame = {
+    val toks = docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("_tok"))
+    // counted once, read twice (total + head cut) — tracked, not bare-cached
+    val cnts = graft.CacheRegistry.track(
+      toks.groupBy(col("_tok")).agg(count(lit(1)).as("_c")))
+    val denom = sum(col("_c")) + lit(vocabSize + 1).cast("double")
+    val tot = cnts.agg(
+      round(log(lit(1.0) / denom) * 1e6).cast("long").as("_floor"),
+      denom.as("_den"))
+    val probs = cnts.orderBy(col("_c").desc, col("_tok").asc).limit(vocabSize)
+      .crossJoin(broadcast(tot))
+      .select(col("_tok"),
+        round(log((col("_c") + 1.0) / col("_den")) * 1e6).cast("long").as("_lp"))
+    toks.join(broadcast(probs), Seq("_tok"), "left_outer")
+      .crossJoin(broadcast(tot.select(col("_floor"))))
+      .groupBy(col(keyCol))
+      .agg(sum(coalesce(col("_lp"), col("_floor"))).as("_s"),
+           count(lit(1)).as("_nt"))
+      .select(col(keyCol),
+        round(col("_s").cast("double") / col("_nt") / 1e6, 6).as("lm_score"))
+  }
+
+  /**
    * Per-document unigram Shannon entropy (nats) — the lexical-diversity
    * quality signal (low entropy = repetitive/templated text, a standard
    * curation filter alongside the Gopher repetition rules).

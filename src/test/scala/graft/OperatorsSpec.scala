@@ -916,6 +916,49 @@ class OperatorsSpec extends SparkSpec {
     Seq("fmt_csv", "fmt_json", "fmt_orc").foreach(Catalog.deregister(spark, _))
   }
 
+  test("explorer: hierarchical listing, filters, rollup, row counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_explore").toString
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    df.write.mode("overwrite").parquet(s"$tmp/u_p")
+    df.limit(1).write.mode("overwrite").parquet(s"$tmp/u_c")
+    df.write.mode("overwrite").parquet(s"$tmp/o_s")
+    Catalog.register(spark, Catalog.SwampSpec("users/profiles/alpha", s"$tmp/u_p"))
+    Catalog.register(spark, Catalog.SwampSpec("users/credits/beta", s"$tmp/u_c"))
+    Catalog.register(spark, Catalog.SwampSpec("orders/status/alpha", s"$tmp/o_s"))
+    Catalog.register(spark, Catalog.SwampSpec("flatname", s"$tmp/missing"))
+    try {
+      // hierarchical name still resolves in SQL via the sanitized view
+      assert(spark.sql("SELECT count(*) FROM users_profiles_alpha")
+        .head().getLong(0) == 3L)
+      val all = Catalog.explore(spark)
+      assert(all.count() >= 4)
+      // per-swamp detail: segments split, file stats real, missing path = 0
+      val up = all.filter(col("name") === "users/profiles/alpha").head()
+      assert(up.getString(0) == "users" && up.getString(1) == "profiles" &&
+        up.getString(2) == "alpha")
+      assert(up.getLong(6) > 0 && up.getLong(7) > 0 && !up.isNullAt(8))
+      val flat = all.filter(col("name") === "flatname").head()
+      assert(flat.isNullAt(0) && flat.getString(2) == "flatname" &&
+        flat.getLong(6) == 0L && flat.isNullAt(8))
+      // filters: sanctuary narrows; prefix narrows within it
+      assert(Catalog.explore(spark, sanctuary = Some("users")).count() == 2)
+      assert(Catalog.explore(spark, sanctuary = Some("users"),
+        swampPrefix = Some("al")).count() == 1)
+      // ListRealms-equivalent rollup is one groupBy away
+      val realms = Catalog.explore(spark, sanctuary = Some("users"))
+        .groupBy("sanctuary", "realm")
+        .agg(count(lit(1)).as("swamps"), sum("total_bytes").as("bytes"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(realms == Map("profiles" -> 1L, "credits" -> 1L))
+      // opt-in metadata row counts
+      val rc = Catalog.explore(spark, sanctuary = Some("users"),
+        withRowCounts = true)
+        .collect().map(r => r.getString(2) -> r.getLong(9)).toMap
+      assert(rc == Map("alpha" -> 3L, "beta" -> 1L))
+    } finally Seq("users/profiles/alpha", "users/credits/beta",
+      "orders/status/alpha", "flatname").foreach(Catalog.deregister(spark, _))
+  }
+
   test("register before data exists; load sees files written after registration") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lazy").toString
     Catalog.register(spark, Catalog.SwampSpec("lazy_t", s"$tmp/t.parquet"))

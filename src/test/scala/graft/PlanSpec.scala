@@ -250,7 +250,8 @@ class PlanSpec extends SparkSpec {
     // broadcasts; bounded all-pairs cosine)
     val bnljAllowed = Set("q_cap_gate", "q_cosine_pairs", "q_tfidf",
       "q_corpus_overlap",
-      "q_sketch_union") // 1-row merged-sketch x 1-row exact count
+      "q_sketch_union", // 1-row merged-sketch x 1-row exact count
+      "q_lm_score") // 1-row LM denominator + 1-row OOV floor broadcasts
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
