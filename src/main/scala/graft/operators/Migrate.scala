@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * V1 → V2 storage-format migration — the reference's `hydraidectl migrate
+ * v1-to-v2` tool (reference: app/hydraidectl/cmd/migrate_v1_to_v2.go:19-245
+ * — CLI contract: dry-run / verify / delete-old / migration lock file;
+ * app/core/hydra/swamp/chronicler/v2/migrator/migrator.go:34-70 — Config and
+ * Result counters: raw entries, duplicate keys removed, empty swamps
+ * skipped, old/new byte sizes, per-swamp failure with its phase) re-expressed
+ * as a Spark batch job.
+ *
+ * Format mapping. The reference migrates multi-file GOB chunk logs (V1) into
+ * a single-file append-only chronicle (V2). This engine's V1 analogue is the
+ * legacy ingest layout: an append-only command-log parquet per swamp with an
+ * OPAQUE GOB body column — `(key, seq, op, body)`. Its V2 is the
+ * engine-native layout: the LWW-compacted state with the body decoded into
+ * typed, prunable columns, committed as a versioned CAS snapshot
+ * ([[Snapshots.commit]]) so readers never observe a half-migrated swamp.
+ * Migration per swamp = load → convert (LWW replay + GOB decode) → write →
+ * verify, with the failing phase recorded exactly as the reference does.
+ *
+ * Scale shape: the swamp LIST is metadata-sized (driver enumerates
+ * directories); each swamp's migration is a fully distributed job (one
+ * key-partitioned LWW shuffle + scan-stage decode — the [[Chronicle]] plan).
+ * `Config.parallel` driver threads overlap the per-swamp jobs so small
+ * swamps don't serialize on scheduling, mirroring the reference's worker
+ * pool (migrator.go:96 `Parallel`), while Spark arbitrates executor slots
+ * globally. Verification is distributed too: a symmetric `exceptAll` between
+ * the committed snapshot and the computed state — never a driver collect.
+ */
+object Migrate {
+
+  /** Mirrors the reference migrator's Config (migrator.go:34-43). */
+  final case class Config(
+      dryRun: Boolean = false,
+      verify: Boolean = true,
+      deleteOld: Boolean = false,
+      stopOnError: Boolean = false,
+      parallel: Int = 4)
+
+  /** One swamp's outcome; `phase` ∈ load/convert/write/verify like the
+    * reference's FailedSwamp (migrator.go:64-69), or "done"/"skipped". */
+  final case class SwampResult(
+      swamp: String,
+      ok: Boolean,
+      phase: String,
+      rawEntries: Long,
+      entries: Long,
+      duplicateKeys: Long,
+      tombstonedKeys: Long,
+      skippedEmpty: Boolean,
+      oldBytes: Long,
+      newBytes: Long,
+      error: Option[String])
+
+  /** Whole-run result — the reference's Result counters (migrator.go:45-61). */
+  final case class Report(
+      totalSwamps: Long,
+      successfulSwamps: Long,
+      failedSwamps: Long,
+      emptySwampsSkipped: Long,
+      totalRawEntries: Long,
+      totalEntries: Long,
+      duplicateKeys: Long,
+      oldSizeBytes: Long,
+      newSizeBytes: Long,
+      dryRun: Boolean,
+      perSwamp: Seq[SwampResult])
+
+  private val LockName = ".migration-lock"
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirBytes(f: FileSystem, p: Path): Long =
+    if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+
+  /**
+   * Migrate every V1 swamp directory under `srcRoot` to a V2 snapshot table
+   * under `dstRoot/<swamp>`. `bodySchema` is the struct the GOB bodies
+   * decode to (the reference knows it from the registered model type; here
+   * the caller declares it, same as [[graft.functions.Gob.unpack]]).
+   *
+   * Lock discipline (migrate_v1_to_v2.go:17,121-131): a `.migration-lock`
+   * file under `dstRoot` is created atomically before any write and removed
+   * afterwards; a pre-existing lock aborts the run. Dry-run takes no lock —
+   * it writes nothing, so there is nothing to protect.
+   *
+   * A corrupt GOB body decodes to NULL ([[graft.functions.Gob]]'s hostile-
+   * input contract); a swamp containing any non-null body that decodes NULL
+   * fails in phase "convert" — migrating it would silently drop user data,
+   * the one thing a migration must never do. Other swamps continue unless
+   * `stopOnError` (reference StopOnError, migrator.go:41).
+   */
+  def v1ToV2(spark: SparkSession, srcRoot: String, dstRoot: String,
+             bodySchema: StructType, cfg: Config = Config()): Report = {
+    val srcFs = fs(spark, srcRoot)
+    val swamps = srcFs.listStatus(new Path(srcRoot)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+
+    val dstFs = fs(spark, dstRoot)
+    val lock = new Path(s"$dstRoot/$LockName")
+    if (!cfg.dryRun) {
+      dstFs.mkdirs(new Path(dstRoot))
+      // create(path, overwrite=false) is the atomic existence arbiter —
+      // a racing second migrator loses with FileAlreadyExistsException
+      // rather than both proceeding (check-then-write would interleave)
+      try dstFs.create(lock, false).close()
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.io.IOException
+            if dstFs.exists(lock) =>
+          throw new IllegalStateException(
+            s"migration already in progress (lock file exists: $lock) — " +
+              "if no migration is running, delete the lock file manually")
+      }
+    }
+
+    try {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, cfg.parallel))
+      val futures = swamps.map { name =>
+        pool.submit(new java.util.concurrent.Callable[SwampResult] {
+          def call(): SwampResult =
+            if (stop.get()) SwampResult(name, ok = false, phase = "load", 0, 0, 0, 0,
+              skippedEmpty = false, 0, 0, Some("skipped: stop-on-error tripped"))
+            else {
+              val r = migrateOne(spark, s"$srcRoot/$name", s"$dstRoot/$name", name,
+                bodySchema, cfg)
+              if (!r.ok && cfg.stopOnError) stop.set(true)
+              r
+            }
+        })
+      }
+      pool.shutdown()
+      val results = futures.map(_.get())
+
+      Report(
+        totalSwamps = results.size.toLong,
+        successfulSwamps = results.count(r => r.ok && !r.skippedEmpty).toLong,
+        failedSwamps = results.count(!_.ok).toLong,
+        emptySwampsSkipped = results.count(_.skippedEmpty).toLong,
+        totalRawEntries = results.map(_.rawEntries).sum,
+        totalEntries = results.map(_.entries).sum,
+        duplicateKeys = results.map(_.duplicateKeys).sum,
+        oldSizeBytes = results.map(_.oldBytes).sum,
+        newSizeBytes = results.map(_.newBytes).sum,
+        dryRun = cfg.dryRun,
+        perSwamp = results)
+    } finally {
+      if (!cfg.dryRun) dstFs.delete(lock, false)
+    }
+  }
+
+  /** One swamp: load → convert → write → verify. Never throws for a
+    * data-shaped failure — the phase + error land in the result row. */
+  private def migrateOne(spark: SparkSession, src: String, dst: String,
+                         name: String, bodySchema: StructType,
+                         cfg: Config): SwampResult = {
+    val srcFs = fs(spark, src)
+    val oldBytes = dirBytes(srcFs, new Path(src))
+
+    // ---- load -----------------------------------------------------------
+    val (log, rawEntries, uniqueKeys) =
+      try {
+        val df = spark.read.parquet(src)
+        val agg = df.agg(count(lit(1)), count_distinct(col("key"))).head()
+        (df, agg.getLong(0), agg.getLong(1))
+      } catch {
+        case e: Exception =>
+          return SwampResult(name, ok = false, phase = "load", 0, 0, 0, 0,
+            skippedEmpty = false, oldBytes, 0, Some(e.getMessage))
+      }
+
+    // ---- convert: LWW replay + GOB → native columns ---------------------
+    try {
+      val lww = Chronicle.lastWriteWins(log, "key", "seq", "op")
+        .withColumn("_b", graft.functions.Gob.unpack(col("body"), bodySchema))
+      // decode integrity BEFORE dropping the opaque body: a surviving row
+      // whose body was present but decoded NULL is corruption, and writing
+      // it would silently lose the user's data (the migration cardinal sin)
+      val corrupt = lww
+        .filter(col("body").isNotNull && col("_b").isNull)
+        .limit(1).count()
+      if (corrupt > 0)
+        return SwampResult(name, ok = false, phase = "convert", rawEntries,
+          0, rawEntries - uniqueKeys, 0, skippedEmpty = false, oldBytes, 0,
+          Some("GOB body failed to decode against the declared schema"))
+
+      val native = lww.select((col("key") +:
+        bodySchema.fieldNames.toSeq.map(f => col(s"_b.$f").as(f))): _*)
+      val entries = native.count()
+      val tombstoned = uniqueKeys - entries
+      val duplicateKeys = rawEntries - uniqueKeys
+
+      // ---- empty swamp: nothing to write (migrator.go:56 EmptySwampsSkipped)
+      if (entries == 0)
+        return SwampResult(name, ok = true, phase = "skipped", rawEntries, 0,
+          duplicateKeys, tombstoned, skippedEmpty = true, oldBytes, 0, None)
+
+      if (cfg.dryRun)
+        return SwampResult(name, ok = true, phase = "done", rawEntries, entries,
+          duplicateKeys, tombstoned, skippedEmpty = false, oldBytes, 0, None)
+
+      // ---- write: one atomic CAS snapshot — readers see V1-complete or
+      // V2-complete, never a torn swamp
+      try Snapshots.commit(native, dst, meta = Map("migrated_from" -> src))
+      catch {
+        case e: Exception =>
+          return SwampResult(name, ok = false, phase = "write", rawEntries,
+            entries, duplicateKeys, tombstoned, skippedEmpty = false,
+            oldBytes, 0, Some(e.getMessage))
+      }
+      val newBytes = dirBytes(fs(spark, dst), new Path(dst))
+
+      // ---- verify: distributed symmetric difference (not just a count —
+      // a count match with swapped rows would pass; exceptAll will not)
+      if (cfg.verify) {
+        val back = Snapshots.read(spark, dst)
+        val diff = back.exceptAll(native).limit(1).count() +
+          native.exceptAll(back).limit(1).count()
+        if (diff > 0)
+          return SwampResult(name, ok = false, phase = "verify", rawEntries,
+            entries, duplicateKeys, tombstoned, skippedEmpty = false,
+            oldBytes, newBytes, Some("committed snapshot differs from computed state"))
+      }
+
+      if (cfg.deleteOld) srcFs.delete(new Path(src), true)
+
+      SwampResult(name, ok = true, phase = "done", rawEntries, entries,
+        duplicateKeys, tombstoned, skippedEmpty = false, oldBytes, newBytes, None)
+    } catch {
+      case e: Exception =>
+        SwampResult(name, ok = false, phase = "convert", rawEntries, 0,
+          rawEntries - uniqueKeys, 0, skippedEmpty = false, oldBytes, 0,
+          Some(e.getMessage))
+    }
+  }
+
+  /** The run report as a DataFrame — the engine's answer to the reference's
+    * `--json` output (migrate_v1_to_v2.go:63): queryable, joinable ops data. */
+  def reportDf(spark: SparkSession, r: Report): DataFrame = {
+    import spark.implicits._
+    r.perSwamp.toDS().toDF()
+  }
+}
