@@ -602,6 +602,19 @@ object SparkEntry {
         "vec_id", "embedding", "embedding", "vec_id", k = 10, dim = 64),
       Some(sqlIvfBatch)),
 
+    Q("q_kmeans_train", // IVF centroid TRAINING: two Lloyd assignment
+      // passes with an exact-integer update between them (Similarity
+      // scaladoc: every accumulated quantity is an int64, so the result is
+      // bit-identical across engines — the oracle replays the identical
+      // algorithm in SQL). Output = per-cluster size + exact integer sum
+      // of the first quantized dimension after the second pass.
+      (s, d) => Similarity.kmeansAssignments(
+          t(s, d, "embeddings"), "embedding", "vec_id", k = 8, iters = 2)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col("ivec"), 1)).as("c0sum")),
+      Some(sqlKmeansTrain)),
+
     Q("q_cosine_pairs", // exact pairwise kernel on a bounded slice
       (s, d) => {
         val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
@@ -1259,6 +1272,48 @@ object SparkEntry {
         WHERE lst IN (SELECT i FROM probed)
         ORDER BY score DESC, vec_id ASC LIMIT $k"""
   }
+
+  /** DuckDB mirror of Similarity.kmeansAssignments (k=8, iters=2): the
+    * SAME exact-integer Lloyd — quantize to round(x·1e6) longs, seed with
+    * the 8 smallest (md5(key), key) rows, score = int64-exact
+    * dot(ivec, csum) cast to double over the member count, empty clusters
+    * keep their previous state. Integer arithmetic is order-independent,
+    * so the two engines cannot drift. */
+  private lazy val sqlKmeansTrain: String =
+    """WITH scaled AS (
+         SELECT vec_id, list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS ivec
+         FROM embeddings),
+       seeds AS (
+         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, ivec
+         FROM scaled
+         QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+       c0 AS (SELECT cid, ivec AS csum, CAST(1 AS BIGINT) AS n FROM seeds),
+       sc0 AS (
+         SELECT s.vec_id, s.ivec, c.cid,
+                CAST(list_sum(list_transform(list_zip(s.ivec, c.csum), p -> p[1]*p[2])) AS DOUBLE) / c.n AS score
+         FROM scaled s CROSS JOIN c0 c),
+       a1 AS (
+         SELECT vec_id, ivec, cid FROM sc0
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) = 1),
+       n1 AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid),
+       s1 AS (
+         SELECT cid, list(sv ORDER BY i) AS csum FROM (
+           SELECT cid, i, sum(v) AS sv FROM (
+             SELECT cid, unnest(ivec) AS v, generate_subscripts(ivec, 1) AS i FROM a1
+           ) GROUP BY cid, i
+         ) GROUP BY cid),
+       c1 AS (
+         SELECT c0.cid, coalesce(s1.csum, c0.csum) AS csum, coalesce(n1.n, c0.n) AS n
+         FROM c0 LEFT JOIN s1 ON c0.cid = s1.cid LEFT JOIN n1 ON c0.cid = n1.cid),
+       sc1 AS (
+         SELECT s.vec_id, s.ivec, c.cid,
+                CAST(list_sum(list_transform(list_zip(s.ivec, c.csum), p -> p[1]*p[2])) AS DOUBLE) / c.n AS score
+         FROM scaled s CROSS JOIN c1 c),
+       a2 AS (
+         SELECT vec_id, ivec, cid FROM sc1
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) = 1)
+       SELECT cid, count(*) AS n, sum(ivec[1]) AS c0sum FROM a2 GROUP BY cid"""
 
   /** DuckDB mirror of Similarity.ivfTopKBatchPrebuilt: per-query probe
     * ranking (score desc, list-id asc) and per-row index assignment both

@@ -174,4 +174,129 @@ object Similarity {
       .limit(k)
       .select(col(keyCol), round(col("score"), 6).as("score"))
   }
+
+  // =========================================================================
+  // IVF centroid TRAINING — distributed Lloyd refinement in exact integer
+  // space. Seeded hyperplane centroids route correctly but ignore the data
+  // distribution; a few Lloyd passes move them onto the corpus's actual
+  // density, which is what bounds IVF probe recall at scale.
+  //
+  // Cross-engine determinism design: floating-point Lloyd is NOT
+  // reproducible across engines (per-cluster mean = a float sum whose value
+  // depends on reduction order), so every accumulated quantity here is an
+  // exact 64-bit integer. Vectors quantize once to round(x * scale) longs;
+  // per-cluster centroid state is the exact integer SUM plus the count
+  // (never the divided mean); assignment scores are dot(ivec, csum)/n where
+  // the int64 dot is exact and order-independent, the int64→double
+  // conversion and the one division are deterministic IEEE operations.
+  // Bounds at scale=1e6, dim 64, |x|≤2: |ivec_i| ≤ 2e6, |csum_i| ≤ n·2e6,
+  // dot ≤ 64·2e6·n·2e6 = n·2.6e14 — int64-safe to n ≈ 36k rows per cluster
+  // at full magnitude (far larger in practice since embeddings are
+  // unit-norm-ish); beyond that, raise `scale` down or sub-sample the
+  // update. Seeds are the k rows with the smallest md5(key) — the engine's
+  // standard reproducible draw — so init is identical in any engine.
+  //
+  // Scale shape per pass: assignment is pure scan-stage (k·d longs ride the
+  // plan as literals — broadcast-sized by contract); the update is ONE
+  // map-side-combined (cid, pos) aggregation whose k·d-row result returns
+  // to the driver. That is textbook distributed Lloyd: iterations cost one
+  // bounded shuffle each, the corpus never moves.
+  // =========================================================================
+
+  /** Integer-quantized vectors: (key, ivec). */
+  private def quantize(df: DataFrame, vecCol: String, keyCol: String,
+                       scale: Double): DataFrame =
+    df.select(col(keyCol).as("key"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * scale).cast("long")).as("ivec"))
+
+  /** Centroid state: exact integer element sums + member count. */
+  final case class CentroidState(csum: Array[Long], n: Long)
+
+  /** Deterministic seeds: the k smallest rows by (md5(key), key). */
+  private def kmeansSeeds(scaled: DataFrame, k: Int): Array[CentroidState] =
+    scaled.orderBy(md5(col("key").cast("string")), col("key")).limit(k)
+      .select(col("ivec")).collect()
+      .map(r => CentroidState(r.getSeq[Long](0).toArray, 1L))
+
+  /** Assign every row to the centroid maximizing dot(ivec, csum)/n
+    * (mean inner product to members); ties break to the lower cid.
+    * Pure scan-stage: k dot-product columns over literal arrays. */
+  private def kmeansAssignOnce(scaled: DataFrame,
+                               cs: Array[CentroidState]): DataFrame = {
+    val candidates = cs.zipWithIndex.map { case (c, i) =>
+      val dot = aggregate(
+        zip_with(col("ivec"), array(c.csum.map(lit(_)): _*), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      // least() over (negated score, cid) = (score DESC, cid ASC)
+      struct((-(dot.cast("double") / lit(c.n.toDouble))).as("neg"),
+        lit(i.toLong).as("cid"))
+    }
+    scaled.withColumn("cid", least(candidates: _*).getField("cid"))
+  }
+
+  /** One Lloyd update: exact per-cluster integer sums + counts from the
+    * current assignment. A cluster that lost every member keeps its
+    * previous state (the standard empty-cluster rule, and the only choice
+    * that is deterministic without a re-seeding heuristic). */
+  private def kmeansUpdate(assigned: DataFrame,
+                           prev: Array[CentroidState]): Array[CentroidState] = {
+    val dim = prev.head.csum.length
+    val rows = assigned
+      .select(col("cid"), posexplode(col("ivec")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      .collect() // k·d rows — driver metadata by contract
+    val sums = Array.fill(prev.length)(new Array[Long](dim))
+    val counts = new Array[Long](prev.length)
+    rows.foreach { r =>
+      val cid = r.getLong(0).toInt
+      sums(cid)(r.getInt(1)) = r.getLong(2)
+      if (r.getInt(1) == 0) counts(cid) = r.getLong(3)
+    }
+    prev.indices.map { i =>
+      if (counts(i) == 0) prev(i) else CentroidState(sums(i), counts(i))
+    }.toArray
+  }
+
+  /**
+   * Train + assign: `iters` assignment passes with a Lloyd update between
+   * consecutive passes (iters = 1 is pure seeded assignment). Returns
+   * (key, ivec, cid) — the corpus routed onto trained coarse centroids.
+   */
+  def kmeansAssignments(df: DataFrame, vecCol: String, keyCol: String,
+                        k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    require(k >= 2, "k-means needs k >= 2")
+    require(iters >= 1, "at least one assignment pass")
+    // every pass re-reads the quantized corpus (seeds + k dots + update):
+    // registry-tracked cache, released with the engine's other loop caches
+    val scaled = graft.CacheRegistry.track(quantize(df, vecCol, keyCol, scale))
+    var cs = kmeansSeeds(scaled, k)
+    var assigned = kmeansAssignOnce(scaled, cs)
+    var pass = 1
+    while (pass < iters) {
+      cs = kmeansUpdate(assigned, cs)
+      assigned = kmeansAssignOnce(scaled, cs)
+      pass += 1
+    }
+    assigned
+  }
+
+  /** Trained coarse centroids as unit-normalized float vectors — drop-in
+    * for the IVF probe/build paths in place of the seeded hyperplanes. */
+  def kmeansCentroids(df: DataFrame, vecCol: String, keyCol: String,
+                      k: Int, iters: Int, scale: Double = 1e6): Array[Array[Float]] = {
+    require(iters >= 1, "at least one pass")
+    val scaled = quantize(df, vecCol, keyCol, scale)
+    var cs = kmeansSeeds(scaled, k)
+    var pass = 1
+    while (pass < iters) {
+      cs = kmeansUpdate(kmeansAssignOnce(scaled, cs), cs)
+      pass += 1
+    }
+    cs.map { c =>
+      val mean = c.csum.map(_.toDouble / (c.n * scale))
+      val norm = math.sqrt(mean.map(m => m * m).sum).max(1e-12)
+      mean.map(m => (m / norm).toFloat)
+    }
+  }
 }
