@@ -101,14 +101,37 @@ object Similarity {
    * nprobe/nlist of the data (verify: PartitionFilters in the scan node).
    */
   def ivfBuild(df: DataFrame, vecCol: String, keyCol: String, outPath: String,
-               dim: Int, nlist: Int = 16, seed: Long = 7L): Unit = {
-    val centroids = ivfCentroids(nlist, dim, seed)
-    val assign = (0 until nlist).map { i =>
+               dim: Int, nlist: Int = 16, seed: Long = 7L): Unit =
+    ivfBuildWith(df, vecCol, outPath, ivfCentroids(nlist, dim, seed))
+
+  /** [[ivfBuild]] with EXPLICIT coarse centroids — the consumer of
+    * [[kmeansCentroids]]: train on (a sample of) the corpus, then build
+    * the index on the trained lists. Same layout, same probe paths. */
+  def ivfBuildWith(df: DataFrame, vecCol: String, outPath: String,
+                   centroids: Array[Array[Float]]): Unit = {
+    val dim = centroids.head.length
+    val assign = centroids.indices.map { i =>
       struct(VF.cosine(col(vecCol), centroids(i)).as("s"), lit(i).as("i"))
     }
     df.filter(size(col(vecCol)) === dim)
       .withColumn("_list", array_max(array(assign: _*))("i"))
       .write.mode("overwrite").partitionBy("_list").parquet(outPath)
+  }
+
+  /** [[ivfTopKPrebuilt]] against an index built with explicit (e.g.
+    * trained) centroids: the probe set derives from the SAME centroid
+    * array the build used — pass the same value or the routing lies. */
+  def ivfTopKPrebuiltWith(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                          vecCol: String, keyCol: String,
+                          query: Array[Float], k: Int,
+                          centroids: Array[Array[Float]], nprobe: Int = 4): DataFrame = {
+    val probed = probedLists(centroids, query, nprobe)
+    spark.read.parquet(indexPath)
+      .filter(col("_list").isin(probed: _*)) // partition pruning
+      .withColumn("score", VF.cosine(col(vecCol), query))
+      .orderBy(col("score").desc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol), round(col("score"), 6).as("score"))
   }
 
   /**
@@ -164,16 +187,9 @@ object Similarity {
   def ivfTopKPrebuilt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                       vecCol: String, keyCol: String,
                       query: Array[Float], k: Int,
-                      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
-    val centroids = ivfCentroids(nlist, query.length, seed)
-    val probed = probedLists(centroids, query, nprobe)
-    spark.read.parquet(indexPath)
-      .filter(col("_list").isin(probed: _*)) // partition pruning
-      .withColumn("score", VF.cosine(col(vecCol), query))
-      .orderBy(col("score").desc, col(keyCol).asc)
-      .limit(k)
-      .select(col(keyCol), round(col("score"), 6).as("score"))
-  }
+                      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame =
+    ivfTopKPrebuiltWith(spark, indexPath, vecCol, keyCol, query, k,
+      ivfCentroids(nlist, query.length, seed), nprobe)
 
   // =========================================================================
   // IVF centroid TRAINING — distributed Lloyd refinement in exact integer
@@ -203,12 +219,15 @@ object Similarity {
   // bounded shuffle each, the corpus never moves.
   // =========================================================================
 
-  /** Integer-quantized vectors: (key, ivec). */
+  /** Integer-quantized vectors: (key, ivec). Rows without a key or a
+    * vector cannot be clustered and are excluded up front — a NULL score
+    * would otherwise hit engine-specific NULL-ordering inside the argmin. */
   private def quantize(df: DataFrame, vecCol: String, keyCol: String,
                        scale: Double): DataFrame =
-    df.select(col(keyCol).as("key"),
-      transform(col(vecCol),
-        x => round(x.cast("double") * scale).cast("long")).as("ivec"))
+    df.filter(col(keyCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * scale).cast("long")).as("ivec"))
 
   /** Centroid state: exact integer element sums + member count. */
   final case class CentroidState(csum: Array[Long], n: Long)

@@ -60,4 +60,23 @@ class KmeansSpec extends SparkSpec {
     // distinct centroids: training on real data must not collapse
     assert(cs.map(_.toSeq).distinct.length == 4)
   }
+
+  test("kmeans → IVF: trained centroids drive the prebuilt index end-to-end") {
+    val cs = Similarity.kmeansCentroids(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-trained").toString
+    Similarity.ivfBuildWith(emb, "embedding", s"$path/idx", cs)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = Similarity.ivfTopKPrebuiltWith(spark, s"$path/idx",
+      "embedding", "vec_id", query, k = 5, cs, nprobe = 2)
+      .collect().map(_.getLong(0))
+    assert(got.length == 5)
+    // the query's own vector lives in a probed list by construction
+    assert(got.contains(0L))
+    // trained routing beats blind routing on recall vs brute force:
+    // at nprobe=2 of 4 lists the true top-5 should be mostly retrieved
+    val truth = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.count(truth.contains) >= 3, s"recall too low: $got vs $truth")
+  }
 }
