@@ -1273,6 +1273,47 @@ object SparkEntry {
         ORDER BY score DESC, vec_id ASC LIMIT $k"""
   }
 
+  /** DuckDB mirror of Bpe.train(merges = 4): the identical iterations as
+    * a generated CTE chain — same `[a-z]+` word filter, same double-space
+    * boundary encoding, same (cnt DESC, t1, t2) winner, same left-to-right
+    * replace application. */
+  private lazy val sqlBpeTrain: String = {
+    val merges = 4
+    val head =
+      """WITH words AS (
+           SELECT w AS word, count(*) AS f
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+         r0 AS (
+           SELECT word, f, substr(s, 1, length(s)-1) AS repr
+           FROM (SELECT word, f, ' ' || regexp_replace(word, '(.)', '\1  ', 'g') AS s FROM words))"""
+    val steps = (0 until merges).map { i =>
+      s""",
+         p$i AS (
+           SELECT t1, t2, sum(f) AS cnt FROM (
+             SELECT a.tok AS t1, b.tok AS t2, a.f FROM
+               (SELECT word, f, unnest(string_split(trim(repr), '  ')) AS tok,
+                       generate_subscripts(string_split(trim(repr), '  '), 1) AS i FROM r$i) a
+               JOIN
+               (SELECT word, unnest(string_split(trim(repr), '  ')) AS tok,
+                       generate_subscripts(string_split(trim(repr), '  '), 1) AS i FROM r$i) b
+               ON a.word = b.word AND b.i = a.i + 1)
+           GROUP BY t1, t2),
+         m$i AS (SELECT t1, t2 FROM p$i ORDER BY cnt DESC, t1, t2 LIMIT 1),
+         r${i + 1} AS (
+           SELECT word, f,
+                  replace(repr, ' ' || m.t1 || '  ' || m.t2 || ' ',
+                                ' ' || m.t1 || m.t2 || ' ') AS repr
+           FROM r$i, m$i m)"""
+    }.mkString
+    val tail =
+      s"""
+         SELECT tok AS token, sum(f) AS freq FROM (
+           SELECT f, unnest(string_split(trim(repr), '  ')) AS tok FROM r$merges)
+         GROUP BY tok"""
+    head + steps + tail
+  }
+
   /** DuckDB mirror of Similarity.kmeansAssignments (k=8, iters=2): the
     * SAME exact-integer Lloyd — quantize to round(x·1e6) longs, seed with
     * the 8 smallest (md5(key), key) rows, score = int64-exact
@@ -1805,6 +1846,16 @@ object SparkEntry {
             FROM tok GROUP BY t)
           SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS token_id
           FROM tok LEFT JOIN (SELECT * FROM vocab WHERE id <= 50) v USING (t)""")),
+
+    Q("q_bpe_train", // BPE vocabulary induction (Sennrich 2016): 4 merge
+      // iterations over the WORD-FREQUENCY table — after one corpus pass,
+      // training never touches the corpus again (the classic BPE scale
+      // trick). Integer pair counts + lexicographic tie-breaks + the
+      // boundary-safe replace encoding (Bpe scaladoc) make the learned
+      // merges and final vocab engine-exact; the oracle replays the
+      // identical 4 iterations as a CTE chain.
+      (s, d) => Bpe.train(t(s, d, "documents"), "text", merges = 4)._2,
+      Some(sqlBpeTrain)),
 
     Q("q_containment", // asymmetric duplication: a short doc quoted inside
       // a long one has containment ~1 but LOW Jaccard, so MinHash near-dup

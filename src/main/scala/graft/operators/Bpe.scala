@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE vocabulary induction — the tokenizer-training half of a
+ * training-data pipeline (the engine already ships the APPLY half:
+ * `TermStats.encodeTokens` / `TextFunctions` token estimates). No reference
+ * analogue; the algorithm is the published byte-pair-encoding procedure
+ * (Sennrich et al. 2016): iteratively merge the most frequent adjacent
+ * token pair.
+ *
+ * THE scale property (the classic BPE trick, kept intact here): after ONE
+ * corpus pass builds the word-frequency table, every training iteration
+ * runs on the WORD VOCABULARY — corpus text is never touched again. At
+ * 100 TB the corpus pass is a map-side-combined (word) count; iterations
+ * then cost one vocabulary-bounded (t1, t2) aggregation each plus a
+ * one-row argmax to the driver.
+ *
+ * Cross-engine determinism: pair counts are integer sums of integer word
+ * frequencies (order-independent); the winning pair breaks ties on
+ * (count DESC, t1 ASC, t2 ASC) over `[a-z]+` tokens where byte order and
+ * lexicographic order coincide; and the merge application is the
+ * left-to-right non-overlapping `replace` every engine implements
+ * identically. The token-boundary encoding makes `replace` safe:
+ * a word's working form is ` t1  t2  t3 ` — tokens joined by TWO spaces,
+ * one space at each end. A pair pattern ` t1  t2 ` (single-space flanks)
+ * can then only match whole adjacent tokens — never inside a multi-char
+ * token (its flank chars are letters, not spaces) — and consecutive
+ * matches never share characters (each boundary donates a space to each
+ * side), so ` a  a  a ` under merge (a,a) correctly yields ` aa  a `
+ * (greedy left-to-right, the published BPE application order). The
+ * invariant (double-space joints, single-space ends) is restored by the
+ * replacement string itself.
+ *
+ * Scope contract: words are whitespace tokens matching `^[a-z]+$` (the
+ * corpus's normalized form — see `NormalizeExpr` for getting there);
+ * punctuation/digit/mixed-case tokens are out of vocabulary by design.
+ */
+object Bpe {
+
+  /** One learned merge: the pair and its count at selection time. */
+  final case class Merge(t1: String, t2: String, count: Long)
+
+  /** (word, f, repr) working table: repr = ` c1  c2 … cn ` per the
+    * boundary encoding above. */
+  private def initRepr(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("_s", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")))
+      .withColumn("repr", expr("substring(_s, 1, length(_s) - 1)"))
+      .drop("_s")
+
+  /** Adjacent-pair counts of a working table, weighted by word frequency. */
+  private def pairCounts(repr: DataFrame): DataFrame = {
+    val toks = split(trim(col("repr")), "  ")
+    repr.select(col("f"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(sum(col("f")).as("cnt"))
+  }
+
+  /**
+   * Learn `merges` BPE merges from the corpus. Returns the ordered merge
+   * list and the final token vocabulary with frequencies — both the
+   * artifacts a tokenizer build consumes.
+   */
+  def train(docs: DataFrame, textCol: String,
+            merges: Int): (Seq[Merge], DataFrame) = {
+    require(merges >= 0, "non-negative merge count")
+    // iterations re-read the working table; vocabulary-bounded cache
+    var repr = graft.CacheRegistry.track(initRepr(docs, textCol))
+    val learned = Seq.newBuilder[Merge]
+    var step = 0
+    while (step < merges) {
+      val top = pairCounts(repr)
+        .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
+        .limit(1).collect()
+      if (top.isEmpty) { step = merges } // no pairs left (all words 1 token)
+      else {
+        val m = Merge(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += m
+        repr = graft.CacheRegistry.track(
+          repr.withColumn("repr", replace(col("repr"),
+            lit(s" ${m.t1}  ${m.t2} "), lit(s" ${m.t1}${m.t2} "))))
+        step += 1
+      }
+    }
+    val vocab = repr
+      .select(col("f"), explode(split(trim(col("repr")), "  ")).as("token"))
+      .groupBy("token").agg(sum(col("f")).as("freq"))
+    (learned.result(), vocab)
+  }
+}
