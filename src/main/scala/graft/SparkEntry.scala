@@ -1277,8 +1277,12 @@ object SparkEntry {
     * a generated CTE chain — same `[a-z]+` word filter, same double-space
     * boundary encoding, same (cnt DESC, t1, t2) winner, same left-to-right
     * replace application. */
-  private lazy val sqlBpeTrain: String = {
-    val merges = 4
+  private val bpeMerges = 4
+
+  /** Shared train-chain CTEs (words → r0 → … → r<merges>) for the two BPE
+    * oracles — one definition so train and encode cannot drift. */
+  private lazy val sqlBpeCtes: String = {
+    val merges = bpeMerges
     val head =
       """WITH words AS (
            SELECT w AS word, count(*) AS f
@@ -1306,13 +1310,33 @@ object SparkEntry {
                                 ' ' || m.t1 || m.t2 || ' ') AS repr
            FROM r$i, m$i m)"""
     }.mkString
-    val tail =
+    head + steps
+  }
+
+  private lazy val sqlBpeTrain: String =
+    sqlBpeCtes +
       s"""
          SELECT tok AS token, sum(f) AS freq FROM (
-           SELECT f, unnest(string_split(trim(repr), '  ')) AS tok FROM r$merges)
+           SELECT f, unnest(string_split(trim(repr), '  ')) AS tok FROM r$bpeMerges)
          GROUP BY tok"""
-    head + steps + tail
-  }
+
+  /** DuckDB mirror of Bpe.applyMerges with the merges learned by the train
+    * chain: r<merges>.repr IS the segmented word dictionary, so apply =
+    * corpus explode + dictionary join + token explode (0-based positions
+    * like posexplode). */
+  private lazy val sqlBpeEncode: String =
+    sqlBpeCtes +
+      s""",
+         tokd AS (
+           SELECT d.doc_id, d.pos,
+                  coalesce(string_split(trim(r.repr), '  '), [d.w]) AS toks
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                        generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+                 FROM documents) d
+           LEFT JOIN r$bpeMerges r ON d.w = r.word)
+         SELECT doc_id, pos, generate_subscripts(toks, 1) - 1 AS subpos,
+                unnest(toks) AS token
+         FROM tokd"""
 
   /** DuckDB mirror of Similarity.kmeansAssignments (k=8, iters=2): the
     * SAME exact-integer Lloyd — quantize to round(x·1e6) longs, seed with
@@ -1856,6 +1880,18 @@ object SparkEntry {
       // identical 4 iterations as a CTE chain.
       (s, d) => Bpe.train(t(s, d, "documents"), "text", merges = 4)._2,
       Some(sqlBpeTrain)),
+
+    Q("q_bpe_encode", // the APPLY half: segment the corpus with the 4
+      // learned merges. The merge chain runs once over the DISTINCT word
+      // vocabulary; the word→tokens dictionary broadcasts and the corpus
+      // tokenizes in its scan stage — text never shuffles. Out-of-scope
+      // words pass through as single opaque tokens (no silent drops).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Bpe.applyMerges(docs, "text", "doc_id",
+          Bpe.train(docs, "text", 4)._1)
+      },
+      Some(sqlBpeEncode)),
 
     Q("q_containment", // asymmetric duplication: a short doc quoted inside
       // a long one has containment ~1 but LOW Jaccard, so MinHash near-dup

@@ -96,4 +96,41 @@ object Bpe {
       .groupBy("token").agg(sum(col("f")).as("freq"))
     (learned.result(), vocab)
   }
+
+  /**
+   * Tokenize a corpus with learned merges — the APPLY half. The merge
+   * chain runs ONCE over the distinct word vocabulary (the same replace
+   * discipline as training, so apply ≡ train segmentation by
+   * construction), producing a word → tokens dictionary that BROADCASTS;
+   * the corpus then tokenizes in its scan stage via the dictionary join —
+   * the corpus itself never shuffles, the published "cache word
+   * segmentations" trick in distributed form. Out-of-scope words (not
+   * `[a-z]+`) pass through as single opaque tokens.
+   *
+   * Output: one row per (document, word position, token position, token) —
+   * the exploded form downstream encoders consume.
+   */
+  def applyMerges(docs: DataFrame, textCol: String, keyCol: String,
+                  merges: Seq[Merge]): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .distinct()
+      .withColumn("_s", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")))
+      .withColumn("repr", expr("substring(_s, 1, length(_s) - 1)"))
+      .drop("_s")
+    val segmented = merges.foldLeft(words) { (acc, m) =>
+      acc.withColumn("repr", replace(col("repr"),
+        lit(s" ${m.t1}  ${m.t2} "), lit(s" ${m.t1}${m.t2} ")))
+    }
+    val dict = segmented.select(col("w"),
+      split(trim(col("repr")), "  ").as("toks"))
+    docs.select(col(keyCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .join(broadcast(dict), Seq("w"), "left_outer")
+      // out-of-scope word = itself, one token (no silent drops)
+      .withColumn("toks", coalesce(col("toks"), array(col("w"))))
+      .select(col(keyCol), col("pos"),
+        posexplode(col("toks")).as(Seq("subpos", "token")))
+  }
 }

@@ -50,6 +50,32 @@ class BpeSpec extends SparkSpec {
     assert(v == Map("ab" -> 2L))
   }
 
+  test("bpe apply: segmentation matches training; OOV words pass through") {
+    val d = docs("abab xy Z9 abab")
+    val (ms, _) = Bpe.train(d, "text", 2) // learns (a,b) then (ab,ab)
+    val out = Bpe.applyMerges(d.withColumn("doc_id", lit(1L)), "text", "doc_id", ms)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sorted
+    // "abab xy Z9 abab": abab → [abab]; xy → [x, y]; Z9 (OOV) → [Z9]
+    assert(out.toSeq == Seq((0, 0, "abab"), (1, 0, "x"), (1, 1, "y"),
+      (2, 0, "Z9"), (3, 0, "abab")))
+  }
+
+  test("bpe apply: concatenating tokens reconstructs every word (lossless)") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("doc_id", col("doc_id"))
+    val ms = Bpe.train(d, "text", 3)._1
+    val rebuilt = Bpe.applyMerges(d, "text", "doc_id", ms)
+      .groupBy("doc_id", "pos")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("subpos"), col("token")))),
+        x => x("token")), "").as("w2"))
+    val orig = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+    val mismatches = rebuilt.join(orig, Seq("doc_id", "pos"))
+      .filter(col("w1") =!= col("w2")).count()
+    assert(mismatches == 0)
+  }
+
   test("bpe: deterministic across runs on real data") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val a = Bpe.train(d, "text", 3)._1
