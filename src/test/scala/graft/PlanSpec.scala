@@ -293,4 +293,26 @@ class PlanSpec extends SparkSpec {
     assert(clustering.contains("cached.unpersist"),
       "Clustering's direct persist lost its paired unpersist")
   }
+
+  test("kmeans assignment is scan-stage: centroids ride as literals, no shuffle") {
+    // the ASSIGNMENT plan (what every pass and every downstream consumer
+    // runs) must be a projection over the (cached) quantized scan — the
+    // only aggregation shuffle in Lloyd is the update step's (cid, pos)
+    // agg, which is not part of this plan
+    val df = graft.operators.Similarity.kmeansAssignments(
+      Tables(spark, sf, "embeddings"), "embedding", "vec_id", k = 4, iters = 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"centroids must be literals, not a join:\n$p")
+  }
+
+  test("bpe apply: dictionary broadcasts, the corpus side never sort-merges") {
+    val docs = Tables(spark, sf, "documents")
+    val ms = graft.operators.Bpe.train(docs, "text", 2)._1
+    val p = graft.operators.Bpe.applyMerges(docs, "text", "doc_id", ms)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dictionary must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must tokenize in-scan:\n$p")
+  }
 }

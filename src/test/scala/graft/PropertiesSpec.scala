@@ -420,4 +420,106 @@ class PropertiesSpec extends SparkSpec {
       running += n
     }
   }
+
+  // ------------------------------------------------------------------
+  // k-means: the distributed exact-integer Lloyd must equal a
+  // straightforward single-threaded reference implementation — any
+  // arithmetic drift (rounding, tie order, empty-cluster rule) surfaces
+  // as an assignment diff here before it could desync the SQL oracle.
+  // ------------------------------------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("kmeans assignments == plain-Scala exact-integer Lloyd on 60 random vectors") {
+    val dim = 8; val k = 3; val iters = 3
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map { case (id, v) => Row(id, v.toSeq) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+
+    val got = graft.operators.Similarity
+      .kmeansAssignments(df, "embedding", "vec_id", k, iters)
+      .select("key", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: same algorithm, no Spark
+    val ivecs = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6)) }.toMap
+    var cs: Seq[(Array[Long], Long)] = vecs.map(_._1)
+      .sortBy(id => (md5hex(id.toString), id)).take(k)
+      .map(id => (ivecs(id), 1L))
+    def assign(): Map[Long, Int] = ivecs.map { case (id, v) =>
+      val best = cs.zipWithIndex.map { case ((sum, n), ci) =>
+        val dot = v.zip(sum).map { case (a, b) => a * b }.sum
+        (-(dot.toDouble / n), ci)
+      }.min // (negScore, cid) lexicographic = score DESC, cid ASC
+      id -> best._2
+    }
+    var a = assign()
+    (2 to iters).foreach { _ =>
+      cs = cs.zipWithIndex.map { case (prev, ci) =>
+        val members = a.collect { case (id, c) if c == ci => ivecs(id) }
+        if (members.isEmpty) prev
+        else (members.transpose.map(_.sum).toArray, members.size.toLong)
+      }
+      a = assign()
+    }
+    assert(got == a.map { case (id, c) => id -> c.toLong })
+  }
+
+  // ------------------------------------------------------------------
+  // BPE: the boundary-encoded string `replace` must equal the obvious
+  // token-list implementation (greedy left-to-right non-overlapping
+  // merge) — the encoding trick is exactly what this pins.
+  // ------------------------------------------------------------------
+
+  test("bpe train == plain-Scala token-list BPE on 150 random words") {
+    import spark.implicits._
+    val words = Seq.fill(150)(
+      Seq.fill(rnd.nextInt(5) + 1)(('a' + rnd.nextInt(3)).toChar).mkString)
+    val (gotMerges, gotVocabDf) =
+      graft.operators.Bpe.train(Seq(words.mkString(" ")).toDF("text"), "text", 5)
+    val gotVocab = gotVocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // reference: words as token lists
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var reprs: Map[Seq[String], Long] =
+      freq.map { case (w, f) => w.map(_.toString) -> f }
+    val refMerges = Seq.newBuilder[(String, String, Long)]
+    var continue = true
+    var step = 0
+    while (continue && step < 5) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      reprs.foreach { case (toks, f) =>
+        toks.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((t1, t2), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        refMerges += ((t1, t2, c))
+        reprs = reprs.toSeq.map { case (toks, f) =>
+          // greedy left-to-right non-overlapping merge
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < toks.size) {
+            if (i + 1 < toks.size && toks(i) == t1 && toks(i + 1) == t2) {
+              out += t1 + t2; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.toSeq -> f
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        step += 1
+      }
+    }
+    assert(gotMerges.map(m => (m.t1, m.t2, m.count)) == refMerges.result())
+    val refVocab = reprs.toSeq.flatMap { case (toks, f) => toks.map(_ -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(gotVocab == refVocab)
+  }
 }
