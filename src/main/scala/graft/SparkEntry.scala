@@ -602,6 +602,33 @@ object SparkEntry {
         "vec_id", "embedding", "embedding", "vec_id", k = 10, dim = 64),
       Some(sqlIvfBatch)),
 
+    Q("q_ann_int8", // int8-quantized ANN: per-vector symmetric scalar
+      // quantization (4x scan bandwidth at 100 TB), exact-int64 dot,
+      // score = dot * rowScale * queryScale rounded BEFORE ranking so the
+      // order is engine-exact. Top-1 is the query itself at ~0.9997 —
+      // the quantization error made visible and pinned.
+      (s, d) => Similarity.int8TopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryVec(s, d), 20),
+      Some("""WITH q AS (
+           SELECT embedding FROM embeddings WHERE vec_id = 0),
+         qq AS (
+           SELECT CASE WHEN m = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT)) END AS qv,
+                  m / 127.0 AS qscale
+           FROM (SELECT embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m FROM q)),
+         rows_q AS (
+           SELECT vec_id,
+                  CASE WHEN m = 0 THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                  ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS TINYINT)) END AS qvec,
+                  m / 127.0 AS scale
+           FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+                 FROM embeddings WHERE len(embedding) = 64))
+         SELECT vec_id,
+                round(CAST(list_sum(list_transform(list_zip(r.qvec, q.qv), p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE)
+                      * r.scale * q.qscale, 6) AS score
+         FROM rows_q r, qq q
+         ORDER BY score DESC, vec_id LIMIT 20""")),
+
     Q("q_kmeans_train", // IVF centroid TRAINING: two Lloyd assignment
       // passes with an exact-integer update between them (Similarity
       // scaladoc: every accumulated quantity is an int64, so the result is

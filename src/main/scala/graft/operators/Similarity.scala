@@ -300,6 +300,60 @@ object Similarity {
     assigned
   }
 
+  // =========================================================================
+  // int8 scalar quantization — the 4× scan-bandwidth ANN path. At 100 TB
+  // the embedding column dominates scan cost; per-vector symmetric int8
+  // (q_i = round(x_i · 127 / max|x|), one double scale per vector) cuts
+  // the bytes 4× while keeping the score arithmetic EXACT-integer inside:
+  // dot(q_a, q_b) ≤ 127²·dim fits easily in int64, so the only floating
+  // ops are the final two scale multiplications — a fixed expression
+  // shape both engines evaluate identically (the oracle mirrors it).
+  // =========================================================================
+
+  /** (key, qvec int8[], scale double) — write this once
+    * (`quantizeInt8(df,…).write.parquet(...)`) and ANN scans read a
+    * quarter of the bytes. A zero vector quantizes to zeros with scale 0. */
+  def quantizeInt8(df: DataFrame, vecCol: String, keyCol: String): DataFrame = {
+    val maxabs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.filter(col(keyCol).isNotNull && col(vecCol).isNotNull)
+      .withColumn("_m", maxabs)
+      .select(col(keyCol).as("key"),
+        transform(col(vecCol), x =>
+          when(col("_m") === 0d, lit(0))
+            .otherwise(round(x.cast("double") * 127.0 / col("_m")))
+            .cast("tinyint")).as("qvec"),
+        (col("_m") / 127.0).as("scale"))
+  }
+
+  /** round-half-away-from-zero — Math.round rounds half toward +∞, which
+    * would disagree with SQL ROUND on negative ties. */
+  private def roundHalfAway(x: Double): Long =
+    (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+
+  /** Approximate top-k over int8-quantized vectors: the query quantizes
+    * with the SAME formula, the dot runs in exact int64, and the score is
+    * `round(dot · rowScale · queryScale, 6)` — ordered AFTER rounding so
+    * the ranking is engine-exact. */
+  def int8TopK(df: DataFrame, vecCol: String, keyCol: String,
+               query: Array[Float], k: Int): DataFrame = {
+    val qmax = query.map(x => math.abs(x.toDouble)).max
+    val qq: Array[Long] =
+      if (qmax == 0d) Array.fill(query.length)(0L)
+      else query.map(x => roundHalfAway(x.toDouble * 127.0 / qmax))
+    val qscale = qmax / 127.0
+    val qt = quantizeInt8(df.filter(size(col(vecCol)) === query.length),
+      vecCol, keyCol)
+    val dot = aggregate(
+      zip_with(col("qvec"), array(qq.map(lit(_)): _*),
+        (a, b) => a.cast("long") * b),
+      lit(0L), (acc, v) => acc + v)
+    qt.withColumn("score",
+        round(dot.cast("double") * col("scale") * lit(qscale), 6))
+      .orderBy(col("score").desc, col("key").asc)
+      .limit(k)
+      .select(col("key").as(keyCol), col("score"))
+  }
+
   /** Trained coarse centroids as unit-normalized float vectors — drop-in
     * for the IVF probe/build paths in place of the seeded hyperplanes. */
   def kmeansCentroids(df: DataFrame, vecCol: String, keyCol: String,

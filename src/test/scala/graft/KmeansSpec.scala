@@ -61,6 +61,27 @@ class KmeansSpec extends SparkSpec {
     assert(cs.map(_.toSeq).distinct.length == 4)
   }
 
+  test("int8 quantization: bounded values, zero-vector safe, high recall") {
+    val qt = Similarity.quantizeInt8(emb, "embedding", "vec_id")
+    // every quantized component within int8, scale non-negative
+    val bad = qt.filter(exists(col("qvec"), x => x > 127 || x < -127) ||
+      col("scale") < 0).count()
+    assert(bad == 0)
+    // zero vector: quantizes to zeros with scale 0, no division blowup
+    val z = Seq((99L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    val zr = Similarity.quantizeInt8(z, "embedding", "vec_id").head()
+    assert(zr.getSeq[Byte](1).forall(_ == 0) && zr.getDouble(2) == 0.0)
+    // int8 top-k recalls most of the exact top-k (quantization is lossy
+    // but mild at 64 dims)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val approx = Similarity.int8TopK(emb, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.intersect(exact).size >= 7, s"recall too low: $approx vs $exact")
+  }
+
   test("kmeans → IVF: trained centroids drive the prebuilt index end-to-end") {
     val cs = Similarity.kmeansCentroids(emb, "embedding", "vec_id", k = 4, iters = 2)
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-trained").toString
