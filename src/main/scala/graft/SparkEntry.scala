@@ -1961,6 +1961,24 @@ object SparkEntry {
               (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
               GROUP BY word ORDER BY cnt DESC, word LIMIT 20""")),
 
+    Q("q_corpus_overlap_sketch", // bottom-k estimate of the exact overlap
+      // below — the 100 TB path when even distinct shingle sets are too
+      // big to join. One TakeOrdered per side (k smallest md5 draws), two
+      // k-row semi-joins; the estimate is integer counts + one division,
+      // so even the APPROXIMATION is hash-checked against DuckDB.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TermStats.corpusOverlapSketch(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"), "text", 3, k = 256)
+      },
+      Some(s"""WITH ba AS (SELECT sh FROM (SELECT DISTINCT unnest($sqlShingles3) AS sh FROM documents WHERE source = 'src0') ORDER BY md5(sh), sh LIMIT 256),
+               bb AS (SELECT sh FROM (SELECT DISTINCT unnest($sqlShingles3) AS sh FROM documents WHERE source = 'src1') ORDER BY md5(sh), sh LIMIT 256),
+               bu AS (SELECT sh FROM (SELECT DISTINCT sh FROM (SELECT sh FROM ba UNION ALL SELECT sh FROM bb)) ORDER BY md5(sh), sh LIMIT 256),
+               i AS (SELECT count(*) AS inter_k FROM bu WHERE sh IN (SELECT sh FROM ba) AND sh IN (SELECT sh FROM bb)),
+               ke AS (SELECT count(*) AS k_eff FROM bu)
+               SELECT k_eff, inter_k, round(CAST(inter_k AS DOUBLE) / k_eff, 6) AS jaccard_est FROM i, ke""")),
+
     Q("q_corpus_overlap", // exact shingle-set Jaccard between two sources
       (s, d) => {
         val docs = t(s, d, "documents")

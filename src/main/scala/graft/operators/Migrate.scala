@@ -220,16 +220,29 @@ object Migrate {
       // ---- verify: distributed symmetric difference (not just a count —
       // a count match with swapped rows would pass; exceptAll will not)
       if (cfg.verify) {
-        val back = Snapshots.read(spark, dst)
-        val diff = back.exceptAll(native).limit(1).count() +
-          native.exceptAll(back).limit(1).count()
-        if (diff > 0)
+        val failure =
+          try {
+            val back = Snapshots.read(spark, dst)
+            val diff = back.exceptAll(native).limit(1).count() +
+              native.exceptAll(back).limit(1).count()
+            if (diff > 0) Some("committed snapshot differs from computed state")
+            else None
+          } catch {
+            // a throw DURING verification is still a verify-phase failure —
+            // the outer handler would mislabel it "convert"
+            case e: Exception => Some(e.getMessage)
+          }
+        if (failure.isDefined)
           return SwampResult(name, ok = false, phase = "verify", rawEntries,
             entries, duplicateKeys, tombstoned, skippedEmpty = false,
-            oldBytes, newBytes, Some("committed snapshot differs from computed state"))
+            oldBytes, newBytes, failure)
       }
 
-      if (cfg.deleteOld) srcFs.delete(new Path(src), true)
+      // cleanup failure must not fail a completed migration (the V2 data
+      // is committed and verified; stale V1 files are an ops follow-up)
+      if (cfg.deleteOld)
+        try srcFs.delete(new Path(src), true)
+        catch { case _: Exception => () }
 
       SwampResult(name, ok = true, phase = "done", rawEntries, entries,
         duplicateKeys, tombstoned, skippedEmpty = false, oldBytes, newBytes, None)

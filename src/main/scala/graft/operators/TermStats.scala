@@ -104,6 +104,39 @@ object TermStats {
   }
 
   /**
+   * Bottom-k sketch estimate of [[corpusOverlap]] — the promised scale
+   * path for corpora where even the DISTINCT shingle sets are too large
+   * to join: keep only each side's k lexicographically-smallest
+   * `(md5(shingle), shingle)` draws (one TakeOrdered per side — the
+   * full distinct set never shuffles as a whole), merge them into the
+   * union's bottom-k, and count members present in both sides. The
+   * bottom-k closure (x ∈ bottomK(A∪B) ⇒ x ∈ A ⇔ x ∈ bottomK(A)) makes
+   * two k-row semi-joins decide membership exactly, so the estimator is
+   * `inter_k / k_eff` with stderr ≈ √(J(1−J)/k) — and EXACT whenever the
+   * true union fits in k (k_eff = |A∪B|). md5 ordering is the engine's
+   * standard cross-engine uniform draw; counts are integers, the one
+   * division is deterministic, so the estimate itself is oracle-checkable.
+   */
+  def corpusOverlapSketch(a: DataFrame, b: DataFrame, textCol: String,
+                          shingleN: Int, k: Int): DataFrame = {
+    def bottomK(df: DataFrame) =
+      df.select(explode(TF.shingles(col(textCol), shingleN)).as("sh")).distinct()
+        .orderBy(md5(col("sh")), col("sh")).limit(k)
+    // k-row frames, each read twice (union + membership) — tracked
+    val ba = graft.CacheRegistry.track(bottomK(a))
+    val bb = graft.CacheRegistry.track(bottomK(b))
+    val bu = graft.CacheRegistry.track(
+      ba.union(bb).distinct().orderBy(md5(col("sh")), col("sh")).limit(k))
+    val inter = bu.join(ba, Seq("sh"), "left_semi")
+      .join(bb, Seq("sh"), "left_semi")
+      .agg(count(lit(1)).as("inter_k"))
+    val keff = bu.agg(count(lit(1)).as("k_eff"))
+    inter.crossJoin(broadcast(keff))
+      .select(col("k_eff"), col("inter_k"),
+        round(col("inter_k").cast("double") / col("k_eff"), 6).as("jaccard_est"))
+  }
+
+  /**
    * Vocabulary indexing + corpus encoding — the "build vocab, encode to
    * ids" step in front of tokenizer training / embedding lookups: ids
    * are assigned by frequency rank (1 = most frequent; ties broken by

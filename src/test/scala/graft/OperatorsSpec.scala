@@ -1506,6 +1506,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.5)
   }
 
+  test("corpusOverlapSketch: exact when k covers the union; close at small k") {
+    // k >= |union|: the sketch degenerates to the exact computation
+    val a = Seq("x", "y", "z", "y").toDF("text")
+    val b = Seq("y", "z", "w").toDF("text")
+    val r = TermStats.corpusOverlapSketch(a, b, "text", 3, k = 64).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L) // k_eff=|uni|=4, inter=2
+    assert(r.getDouble(2) == 0.5)
+
+    // real corpus, k = 256: estimate within ~4 stderr of the exact Jaccard
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val s0 = docs.filter(col("source") === "src0")
+    val s1 = docs.filter(col("source") === "src1")
+    val exact = TermStats.corpusOverlap(s0, s1, "text", 3)
+      .collect().head.getDouble(2)
+    val est = TermStats.corpusOverlapSketch(s0, s1, "text", 3, k = 256)
+      .collect().head.getDouble(2)
+    val tol = 4 * math.sqrt(exact * (1 - exact) / 256) + 1e-6
+    assert(math.abs(est - exact) <= tol, s"est $est vs exact $exact (tol $tol)")
+  }
+
   test("fuzzy pairs: blocked levenshtein, canonical order, no cross-block pairs") {
     val df = Seq("red widget", "rad widget", "red bolt", "rod widget", "red widget")
       .toDF("p_name")
