@@ -1870,6 +1870,28 @@ object SparkEntry {
           SELECT doc_id, round(CAST(s AS DOUBLE) / nt / 1e6, 6) AS lm_score
           FROM agg""")),
 
+    Q("q_lm_bigram", // second-order perplexity proxy: mean ln p(b|a) per
+      // doc under an add-one-smoothed bigram LM over top-64 token ids
+      // (OOV=0) — catches bag-of-frequent-words spam the unigram score
+      // cannot. Same exact-integer accumulation discipline as q_lm_score;
+      // the (65)^2-bounded model broadcasts, one int-triple shuffle
+      // builds the bigram stream, text never shuffles.
+      (s, d) => TermStats.lmScoreBigram(t(s, d, "documents"), "text", "doc_id",
+        vocabSize = 64),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                unnest(range(len(string_split(text, ' ')))) AS pos FROM documents),
+          vocab AS (SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS id FROM tok GROUP BY t),
+          enc AS (SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS id
+                  FROM tok LEFT JOIN (SELECT * FROM vocab WHERE id <= 64) v USING (t)),
+          bi AS (SELECT doc_id, id AS id1, lead(id) OVER (PARTITION BY doc_id ORDER BY pos) AS id2
+                 FROM enc QUALIFY id2 IS NOT NULL),
+          c12 AS (SELECT id1, id2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+          c1 AS (SELECT id1, count(*) AS c1 FROM bi GROUP BY 1),
+          lp AS (SELECT id1, id2, CAST(round(ln((c12 + 1.0) / (c1 + 65.0)) * 1e6) AS BIGINT) AS lp
+                 FROM c12 JOIN c1 USING (id1))
+          SELECT b.doc_id, round(CAST(sum(l.lp) AS DOUBLE) / count(*) / 1e6, 6) AS lm2_score
+          FROM bi b JOIN lp l USING (id1, id2) GROUP BY b.doc_id""")),
+
     Q("q_mix_reweight", // rebalance toward a target language mixture under a
       // row budget: per-group keep-rate = min(1, budget*share/count) via the
       // portable md5 draw — counts broadcast back, membership stays a pure

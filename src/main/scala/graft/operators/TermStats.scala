@@ -218,6 +218,53 @@ object TermStats {
   }
 
   /**
+   * Per-document mean BIGRAM log-probability — the second-order
+   * perplexity proxy. Where [[lmScore]] asks "are these words common",
+   * this asks "are these word TRANSITIONS common" — the signal that
+   * separates fluent text from bag-of-frequent-words spam (which the
+   * unigram score cannot see through).
+   *
+   * Model: tokens encode to top-`vocabSize` ids (OOV = 0, the same
+   * [[encodeTokens]] mapping), so the bigram table is bounded by
+   * (vocabSize+1)² REGARDLESS of corpus size and broadcasts; add-one
+   * smoothing over observed left-contexts: lp(a,b) = ln((c_ab + 1) /
+   * (c_a + vocabSize + 1)). Each lp is integer-scaled (round(ln·1e6))
+   * BEFORE the per-doc sum — exact, order-independent accumulation, the
+   * same cross-engine discipline as [[lmScore]].
+   *
+   * Scale shape: one (key) shuffle of (key, pos, id) ints builds the
+   * bigram stream via a window lead — text never shuffles; the model is
+   * two bounded aggs; scoring is a broadcast join in the scan stage plus
+   * one (sum, count) row per doc. Docs with fewer than two tokens have
+   * no bigrams and no row (score undefined).
+   */
+  def lmScoreBigram(docs: DataFrame, textCol: String, keyCol: String,
+                    vocabSize: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("pos"))
+    val bi = graft.CacheRegistry.track(
+      encodeTokens(docs, textCol, keyCol, vocabSize)
+        .withColumn("_id2", lead(col("token_id"), 1).over(w))
+        .filter(col("_id2").isNotNull)
+        .select(col(keyCol), col("token_id").as("_id1"), col("_id2")))
+    val c12 = bi.groupBy(col("_id1"), col("_id2")).agg(count(lit(1)).as("_c12"))
+    val c1 = bi.groupBy(col("_id1")).agg(count(lit(1)).as("_c1"))
+    val lp = c12.join(c1, Seq("_id1"))
+      .select(col("_id1"), col("_id2"),
+        round(log((col("_c12") + 1.0) / (col("_c1") + vocabSize + 1.0)) * 1e6)
+          .cast("long").as("_lp"))
+    // every corpus bigram is in the model by construction (self-scoring);
+    // the coalesce floor is for scoring FOREIGN text against this model
+    val floor = math.round(math.log(1.0 / (vocabSize + 1.0)) * 1e6)
+    bi.join(broadcast(lp), Seq("_id1", "_id2"), "left_outer")
+      .groupBy(col(keyCol))
+      .agg(sum(coalesce(col("_lp"), lit(floor))).as("_s"),
+           count(lit(1)).as("_nb"))
+      .select(col(keyCol),
+        round(col("_s").cast("double") / col("_nb") / 1e6, 6).as("lm2_score"))
+  }
+
+  /**
    * Per-document unigram Shannon entropy (nats) — the lexical-diversity
    * quality signal (low entropy = repetitive/templated text, a standard
    * curation filter alongside the Gopher repetition rules).

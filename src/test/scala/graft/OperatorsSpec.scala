@@ -1649,6 +1649,19 @@ class OperatorsSpec extends SparkSpec {
 
   // --- entropy / mixture --------------------------------------------------------
 
+  test("lmScoreBigram: rare transitions score below fluent ones; <2 tokens = no row") {
+    val docs = Seq(
+      (1L, "x y x y x y"), (2L, "x y x y x y"), (3L, "x y x y x y"),
+      (4L, "y y x x y x"), // same unigrams, scrambled transitions
+      (5L, "x"))           // one token — no bigram, no row
+      .toDF("doc_id", "text")
+    val r = TermStats.lmScoreBigram(docs, "text", "doc_id", vocabSize = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(!r.contains(5L))
+    assert(r(4L) < r(1L), s"scrambled must score lower: $r")
+    assert(r(1L) == r(2L) && r(2L) == r(3L)) // identical docs, identical score
+  }
+
   test("tokenEntropy: uniform tokens => ln(n); constant doc => 0") {
     val docs = Seq((1L, "a b c d"), (2L, "a a a a")).toDF("doc_id", "text")
     val e = TermStats.tokenEntropy(docs, "text", "doc_id")
