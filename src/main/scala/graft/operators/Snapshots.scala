@@ -241,6 +241,17 @@ object Snapshots {
   }
 
   /** Read the latest snapshot (or a pinned historical `version`). */
+  /** Time-travel diff: the exact keyed change set (NEW/MODIFIED/DELETED +
+    * old/new values) between two committed versions — the batch answer to
+    * "what changed between yesterday's snapshot and today's". Same event
+    * algebra as the live feed ([[graft.streaming.ChangeFeed.diff]] — one
+    * kernel, so replaying v→v+1 diffs reproduces exactly what subscribers
+    * saw), applied to immutable versions so it is repeatable forever. */
+  def diff(spark: SparkSession, dir: String, from: Long, to: Long,
+           keyCol: String): DataFrame =
+    graft.streaming.ChangeFeed.diff(
+      read(spark, dir, Some(from)), read(spark, dir, Some(to)), keyCol)
+
   def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $dir"))

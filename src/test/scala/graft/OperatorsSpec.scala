@@ -344,6 +344,18 @@ class OperatorsSpec extends SparkSpec {
       .head().getDouble(0) == 0.0)
   }
 
+  test("snapshot version diff: NEW/MODIFIED/DELETED between two versions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapdiff").toString + "/t"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    Snapshots.commit(Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v"), dir)
+    val d = Snapshots.diff(spark, dir, 0L, 1L, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 1 unchanged (absent), 2 modified, 3 deleted, 4 new
+    assert(d == Set((2L, "MODIFIED"), (3L, "DELETED"), (4L, "NEW")))
+    // replaying the same immutable versions is repeatable
+    assert(Snapshots.diff(spark, dir, 0L, 1L, "k").count() == 3)
+  }
+
   test("snapshot commit/read/time-travel/vacuum with atomic pointer swap") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
     assert(Snapshots.currentVersion(spark, dir).isEmpty)
