@@ -740,6 +740,49 @@ class StreamingSpec extends SparkSpec {
     val exp = spark.table("ttl_out").select(col("_expires_at").cast("string")).as[String].head()
     assert(exp == "2024-01-01 10:30:00")
   }
+
+  test("streaming crawl dedup against the prebuilt corpus signature table") {
+    // the cross-crawl artifact in its streaming seat: buildSignatures once
+    // (the batch corpus job), then every crawl micro-batch near-dup-filters
+    // against it inside foreachBatch — the corpus is never re-signed
+    import graft.operators.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "an entirely different reference document about spark engines"))
+      .toDF("doc_id", "text")
+    val sigPath = java.nio.file.Files
+      .createTempDirectory("graft-stream-sig").toString + "/sigs"
+    Dedup.buildSignatures(corpus, "text", "doc_id", sigPath)
+
+    val input = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val kept = Dedup.dedupAgainstCorpusPrebuilt(spark, sigPath, b.toDF(),
+            "text", "doc_id", threshold = 0.5)
+          .select("doc_id").collect().map(_.getLong(0))
+        survivors.synchronized { survivors ++= kept; () }
+      }
+      .start()
+
+    // batch 1: one near-copy of corpus doc 100, one fresh doc
+    input.addData((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely novel content that matches nothing in the corpus"))
+    q.processAllAvailable()
+    // batch 2: another near-copy (of 101) and another fresh doc
+    input.addData((3L, "an entirely different reference document about spark engines"),
+      (4L, "more novel text unlike anything the corpus has seen before"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(survivors.synchronized(survivors.sorted.toSeq) == Seq(2L, 4L),
+      s"near-dups of the corpus must drop per micro-batch: $survivors")
+  }
 }
 
 /** Top-level: Dataset deserialization (.as[KV2]) cannot encode an
