@@ -2376,6 +2376,19 @@ object SparkEntry {
                 ORDER BY md5(concat('gs1-', cast(doc_id AS VARCHAR)))) AS rn
               FROM documents) WHERE rn <= 5""")),
 
+    Q("q_curriculum", // quality-curriculum sampling: quartile buckets of
+      // the score, each kept at its own rate (top quartile fully, bottom
+      // thinned) — one scalar percentile agg + a broadcast 1-row edge
+      // frame + a pure key-hash predicate; no window, no global sort
+      (s, d) => Sampling.curriculumSample(t(s, d, "orders"),
+          "o_orderkey", "o_totalprice", Seq(0.05, 0.2, 0.5, 1.0))
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some(s"""WITH e AS (SELECT list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]), x -> round(x, 6)) AS edges FROM orders)
+           SELECT o_orderkey, o_totalprice FROM orders, e
+           WHERE o_totalprice IS NOT NULL
+             AND CAST(${sqlHash32("CAST(o_orderkey AS VARCHAR)")} % 10000 AS DOUBLE) / 10000 <
+                 ([0.05, 0.2, 0.5, 1.0])[len(list_filter(edges, x -> x < o_totalprice)) + 1]""")),
+
     Q("q_winsorize", // per-group p95 capping (outlier clamp before training
       // statistics): exact interpolated percentile per status broadcasts
       // back; the threshold is rounded BEFORE clamping so the boundary

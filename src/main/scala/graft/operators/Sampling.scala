@@ -112,6 +112,39 @@ object Sampling {
       .drop("_cnt")
   }
 
+  /**
+   * Quality-curriculum sampling: rank rows into `rates.length` quantile
+   * buckets of `scoreCol` and keep each bucket at its own rate —
+   * "sample the top quartile fully, thin the bottom" as one declarative
+   * pass (`rates(0)` = lowest-score bucket). Bucket edges are the exact
+   * interpolated percentiles rounded to 6 decimals (the [[q_winsorize]]
+   * boundary discipline, so an edge cannot flip across engines), the
+   * per-row bucket is `#edges strictly below score`, and membership is
+   * the engine's standard portable key-hash draw. NULL scores cannot be
+   * ranked and drop.
+   *
+   * Scale shape: ONE scalar aggregation computes all edges (the
+   * approx_percentile swap is the 100 TB form, same plan), the 1-row
+   * edge frame broadcasts, and the keep decision is a pure scan-stage
+   * predicate — no window, no global sort, reproducible on any cluster.
+   */
+  def curriculumSample(df: DataFrame, keyCol: String, scoreCol: String,
+                       rates: Seq[Double], buckets: Int = 10000): DataFrame = {
+    require(rates.nonEmpty && rates.forall(r => r >= 0 && r <= 1),
+      "per-bucket rates must be in [0,1]")
+    val n = rates.length
+    val qs = (1 until n).map(_.toDouble / n).toArray
+    val edges = df.agg(
+      transform(percentile(col(scoreCol), lit(qs)), e => round(e, 6))
+        .as("_edges"))
+    val bucket = size(filter(col("_edges"), e => e < col(scoreCol)))
+    val rate = element_at(lit(rates.toArray), bucket + 1)
+    df.crossJoin(broadcast(edges))
+      .filter(col(scoreCol).isNotNull &&
+        keyBucket(keyCol, buckets).cast("double") / buckets < rate)
+      .drop("_edges")
+  }
+
   /** Uniform-but-reproducible k per group — the per-domain cap where the
     * kept subset should be a RANDOM k (not the first k by some business
     * order, which [[perGroupQuota]] gives): rank within the group by the

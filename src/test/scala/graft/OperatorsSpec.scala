@@ -1661,6 +1661,29 @@ class OperatorsSpec extends SparkSpec {
 
   // --- entropy / mixture --------------------------------------------------------
 
+  test("curriculumSample: per-bucket rates honored, deterministic, nulls drop") {
+    val df = (1L to 4000L).map(i => (i, i.toDouble)).toDF("k", "s")
+      .union(Seq((9999L, null.asInstanceOf[java.lang.Double])).toDF("k", "s"))
+    val kept = graft.operators.Sampling
+      .curriculumSample(df, "k", "s", Seq(0.0, 0.1, 0.5, 1.0))
+      .collect().map(_.getLong(0))
+    assert(!kept.contains(9999L)) // null score drops
+    // bucket membership by construction: scores are 1..4000 so quartile
+    // edges are ~1000/2000/3000
+    val byBucket = kept.groupBy(k => ((k - 1) / 1000).min(3))
+    assert(!byBucket.contains(0L)) // rate 0 => empty
+    assert(byBucket(3L).size == 1000) // rate 1 => everything
+    val r1 = byBucket.getOrElse(1L, Array.empty).size / 1000.0
+    val r2 = byBucket.getOrElse(2L, Array.empty).size / 1000.0
+    assert(math.abs(r1 - 0.1) < 0.05, s"bucket1 rate $r1")
+    assert(math.abs(r2 - 0.5) < 0.05, s"bucket2 rate $r2")
+    // deterministic across runs
+    val again = graft.operators.Sampling
+      .curriculumSample(df, "k", "s", Seq(0.0, 0.1, 0.5, 1.0))
+      .collect().map(_.getLong(0))
+    assert(kept.sorted.sameElements(again.sorted))
+  }
+
   test("lmScoreBigram: rare transitions score below fluent ones; <2 tokens = no row") {
     val docs = Seq(
       (1L, "x y x y x y"), (2L, "x y x y x y"), (3L, "x y x y x y"),

@@ -251,6 +251,7 @@ class PlanSpec extends SparkSpec {
     val bnljAllowed = Set("q_cap_gate", "q_cosine_pairs", "q_tfidf",
       "q_corpus_overlap",
       "q_corpus_overlap_sketch", // 1-row inter_k x 1-row k_eff broadcast
+      "q_curriculum", // 1-row percentile-edge frame broadcast onto the scan
       "q_sketch_union", // 1-row merged-sketch x 1-row exact count
       "q_lm_score") // 1-row LM denominator + 1-row OOV floor broadcasts
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
