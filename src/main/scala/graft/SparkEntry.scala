@@ -1687,6 +1687,39 @@ object SparkEntry {
           SELECT doc_id, lang FROM documents
           WHERE doc_id NOT IN (SELECT u FROM comps WHERE u <> cluster)""")),
 
+    Q("q_canonical_priority", // cross-source duplicate resolution: the
+      // cluster survivor is chosen by PRIORITY (prefer src1 copies), ties
+      // to the smallest key — the corpus-merge rule (keep the origin, drop
+      // the mirror) that min-key dedup cannot express. One map-side
+      // min(struct) per cluster on the pair-graph-sized membership table;
+      // the loser anti-join stays un-hinted for AQE.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Clustering.resolveCanonical(docs,
+            Dedup.minhashLsh(docs, "text", "doc_id",
+              shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+            "key_a", "key_b", "doc_id",
+            when(col("source") === "src1", 2).otherwise(1))
+          .select(col("doc_id"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (${sqlLshNearDup(16, 4, 0.5)}),
+          edges AS (SELECT key_a AS u, key_b AS v FROM pairs
+                    UNION SELECT key_b, key_a FROM pairs),
+          reach(u, v) AS (SELECT u, v FROM edges
+                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comps AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+          members AS (SELECT c.u, c.cluster,
+                             CASE WHEN d.source = 'src1' THEN 2 ELSE 1 END AS prio
+                      FROM comps c JOIN documents d ON d.doc_id = c.u),
+          winners AS (SELECT cluster, u AS winner FROM (
+              SELECT cluster, u, row_number() OVER
+                (PARTITION BY cluster ORDER BY prio DESC, u) AS rn FROM members)
+            WHERE rn = 1),
+          losers AS (SELECT m.u FROM members m JOIN winners w USING (cluster)
+                     WHERE m.u <> w.winner)
+          SELECT doc_id, source FROM documents
+          WHERE doc_id NOT IN (SELECT u FROM losers)""")),
+
     Q("q_seq_pack", // fixed token-budget bin assignment for batch assembly:
       // bin = floor(running tokens before the doc / budget) — one window
       // pass, deterministic across engines/partitionings (greedy first-fit

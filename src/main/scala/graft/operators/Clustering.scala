@@ -315,4 +315,35 @@ object Clustering {
     val losers = comps.filter(col(keyCol) =!= col("cluster")).select(col(keyCol))
     docs.join(losers, Seq(keyCol), "left_anti")
   }
+
+  /**
+   * Policy-aware canonical selection: like [[dropNearDuplicates]], but the
+   * survivor of each duplicate cluster is chosen by `priority` (highest
+   * wins; ties break to the smallest key) instead of blindly keeping the
+   * minimum key. This is the cross-source resolution rule a corpus merge
+   * needs — when the same document was crawled from a mirror AND its
+   * origin, keep the copy from the preferred source, licensing tier, or
+   * freshest snapshot.
+   *
+   * `priority` is any numeric expression over `docs`' columns (e.g.
+   * `when(col("source") === "origin", 2).otherwise(1)`). Scale shape: the
+   * winner per cluster is ONE map-side-combinable `min(struct(-priority,
+   * key))` aggregation on the membership table (cluster-keyed, pair-graph
+   * sized — orders smaller than the corpus); the loser set anti-joins
+   * UN-hinted, so AQE broadcasts it only when it measures small (the same
+   * discipline as every other loser anti-join here).
+   */
+  def resolveCanonical(docs: DataFrame, pairs: DataFrame,
+                       aCol: String, bCol: String, keyCol: String,
+                       priority: org.apache.spark.sql.Column): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, outKey = keyCol)
+    val members = comps.join(
+      docs.select(col(keyCol), priority.cast("double").as("_prio")), Seq(keyCol))
+    val winners = members.groupBy(col("cluster"))
+      .agg(min(struct((-col("_prio")).as("np"), col(keyCol).as("k"))).as("_w"))
+      .select(col("cluster"), col("_w.k").as("_winner"))
+    val losers = members.join(winners, Seq("cluster"))
+      .filter(col(keyCol) =!= col("_winner")).select(col(keyCol))
+    docs.join(losers, Seq(keyCol), "left_anti")
+  }
 }

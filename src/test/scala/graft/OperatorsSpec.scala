@@ -1661,6 +1661,22 @@ class OperatorsSpec extends SparkSpec {
 
   // --- entropy / mixture --------------------------------------------------------
 
+  test("resolveCanonical: priority beats min-key; ties to min key; singletons kept") {
+    val docs = Seq(
+      (1L, "mirror"), (2L, "origin"), (3L, "mirror"), // cluster {1,2,3}
+      (4L, "mirror"), (5L, "mirror"),                 // cluster {4,5} — tie
+      (9L, "origin"))                                 // singleton
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("key_a", "key_b")
+    val kept = graft.operators.Clustering.resolveCanonical(docs, pairs,
+        "key_a", "key_b", "doc_id",
+        when(col("source") === "origin", 2).otherwise(1))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // {1,2,3}: origin doc 2 wins though 1 is the min key;
+    // {4,5}: all tied — min key 4 wins; 9 untouched
+    assert(kept.toSeq == Seq(2L, 4L, 9L))
+  }
+
   test("curriculumSample: per-bucket rates honored, deterministic, nulls drop") {
     val df = (1L to 4000L).map(i => (i, i.toDouble)).toDF("k", "s")
       .union(Seq((9999L, null.asInstanceOf[java.lang.Double])).toDF("k", "s"))
