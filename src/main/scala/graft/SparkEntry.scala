@@ -2655,6 +2655,26 @@ object SparkEntry {
       },
       Some("SELECT o_orderkey AS key, round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END, 2) AS price FROM orders WHERE o_orderkey % 5 <> 0")),
 
+    Q("q_chronicle_asof", // rebuild-to-any-offset: the same log replayed
+      // only through seq <= 2 — the deletes at seq 3 have not happened
+      // yet, so every key is still live with its seq-2 state. An
+      // append-only log IS a full history; the as-of cut is a pushed
+      // scan predicate, not a different algorithm.
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey").as("key"),
+          col("o_totalprice").as("price"))
+        val log = o.select(col("key"), col("price"), lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(o.filter(col("key") % 3 === 0)
+            .select(col("key"), (col("price") + 1).as("price"),
+              lit(2L).as("seq"), lit("U").as("op")))
+          .unionByName(o.filter(col("key") % 5 === 0)
+            .select(col("key"), lit(0.0).as("price"),
+              lit(3L).as("seq"), lit("D").as("op")))
+        Chronicle.stateAsOf(log, "key", "seq", "op", asOfSeq = 2L)
+          .select(col("key"), round(col("price"), 2).as("price"))
+      },
+      Some("SELECT o_orderkey AS key, round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END, 2) AS price FROM orders")),
+
     Q("q_filter_type_mismatch", // type mismatch => no match (filter.go:392-493),
       // not Spark's implicit stringify-and-compare
       (s, d) => {

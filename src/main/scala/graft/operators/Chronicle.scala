@@ -50,6 +50,17 @@ object Chronicle {
       .drop("_rn")
   }
 
+  /** State as of a log position: replay only entries with `seqCol` ≤
+    * `asOfSeq` — the chronicler's rebuild-to-any-offset semantic (an
+    * append-only log IS a full history; cutting the replay at a sequence
+    * point is time travel for free). Same single-window plan as
+    * [[lastWriteWins]], with the seq bound pushed into the scan. */
+  def stateAsOf(log: DataFrame, keyCol: String, seqCol: String,
+                opCol: String, asOfSeq: Long,
+                deleteOp: String = "D"): DataFrame =
+    lastWriteWins(log.filter(col(seqCol) <= asOfSeq),
+      keyCol, seqCol, opCol, deleteOp)
+
   /** Compaction (`OPTIMIZE`-style rewrite): replace the log at `outPath`
     * with its LWW state — the batch twin of the reference's compactor. */
   def compact(log: DataFrame, keyCol: String, seqCol: String, opCol: String,
