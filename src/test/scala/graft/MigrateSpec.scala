@@ -141,6 +141,24 @@ class MigrateSpec extends SparkSpec {
     assert(readV2(dst, "alpha").count() == 1)
   }
 
+  test("migrate: concurrent workers migrate many swamps correctly") {
+    val src = tmp(); val dst = tmp()
+    val n = 6
+    (0 until n).foreach { i =>
+      writeV1(src, f"sw$i%02d", Seq(
+        (s"k$i", 1L, "U", Some((s"src$i", i.toLong))),
+        (s"k$i", 2L, "U", Some((s"src$i", i.toLong * 10)))))
+    }
+    val r = Migrate.v1ToV2(spark, src, dst, bodySchema,
+      Migrate.Config(parallel = 4))
+    assert(r.totalSwamps == n && r.successfulSwamps == n && r.failedSwamps == 0)
+    assert(r.totalRawEntries == 2L * n && r.totalEntries == n.toLong)
+    (0 until n).foreach { i =>
+      val row = readV2(dst, f"sw$i%02d").head()
+      assert(row.getString(0) == s"k$i" && row.getLong(2) == i.toLong * 10)
+    }
+  }
+
   test("migrate: report surfaces as a queryable DataFrame") {
     val src = tmp(); val dst = tmp()
     writeV1(src, "alpha", Seq(("a", 1L, "U", Some(("web", 1L)))))
