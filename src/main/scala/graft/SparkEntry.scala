@@ -1687,6 +1687,31 @@ object SparkEntry {
           SELECT doc_id, lang FROM documents
           WHERE doc_id NOT IN (SELECT u FROM comps WHERE u <> cluster)""")),
 
+    Q("q_dup_matrix", // cross-source duplication matrix (data-card
+      // diagnostic): near-dup PAIR counts by unordered source pair —
+      // "how much of src0 is a copy of src1". The pair graph is orders
+      // smaller than the corpus; sources attach via two keys-only joins;
+      // the matrix is |sources|² — broadcast-sized output.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.minhashLsh(docs, "text", "doc_id",
+            shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .join(src.as("sa"), col("key_a") === col("sa.doc_id"))
+          .join(src.as("sb"), col("key_b") === col("sb.doc_id"))
+          .select(least(col("sa.source"), col("sb.source")).as("src_lo"),
+            greatest(col("sa.source"), col("sb.source")).as("src_hi"))
+          .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("pairs"))
+      },
+      Some(s"""WITH pairs AS (${sqlLshNearDup(16, 4, 0.5)})
+          SELECT least(sa.source, sb.source) AS src_lo,
+                 greatest(sa.source, sb.source) AS src_hi,
+                 count(*) AS pairs
+          FROM pairs p
+          JOIN documents sa ON p.key_a = sa.doc_id
+          JOIN documents sb ON p.key_b = sb.doc_id
+          GROUP BY 1, 2""")),
+
     Q("q_canonical_priority", // cross-source duplicate resolution: the
       // cluster survivor is chosen by PRIORITY (prefer src1 copies), ties
       // to the smallest key — the corpus-merge rule (keep the origin, drop
@@ -2674,6 +2699,20 @@ object SparkEntry {
           .select(col("key"), round(col("price"), 2).as("price"))
       },
       Some("SELECT o_orderkey AS key, round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END, 2) AS price FROM orders")),
+
+    Q("q_seq_gaps", // log-integrity audit: per-key sequence holes (a lost
+      // write in an append-only chronicle). Synthetic log writes seq 1
+      // and 3 for every key but seq 2 only when key % 7 <> 0 — the audit
+      // must report exactly the %7 keys with (gap_after=1, resumes_at=3)
+      (s, d) => {
+        val keys = t(s, d, "orders").select(col("o_orderkey").as("key"))
+        val log = keys.select(col("key"), lit(1L).as("seq"))
+          .unionByName(keys.filter(col("key") % 7 =!= 0)
+            .select(col("key"), lit(2L).as("seq")))
+          .unionByName(keys.select(col("key"), lit(3L).as("seq")))
+        Chronicle.seqGaps(log, "key", "seq")
+      },
+      Some("SELECT o_orderkey AS key, CAST(1 AS BIGINT) AS gap_after, CAST(3 AS BIGINT) AS resumes_at FROM orders WHERE o_orderkey % 7 = 0")),
 
     Q("q_filter_type_mismatch", // type mismatch => no match (filter.go:392-493),
       // not Spark's implicit stringify-and-compare

@@ -67,4 +67,19 @@ object Chronicle {
               outPath: String, deleteOp: String = "D"): Unit =
     lastWriteWins(log, keyCol, seqCol, opCol, deleteOp)
       .write.mode("overwrite").parquet(outPath)
+
+  /** Log-integrity audit: per-key holes in the sequence — one row per gap
+    * `(key, gap_after, resumes_at)` where `resumes_at > gap_after + 1`.
+    * A chronicle's per-key seq should be dense; a hole means a lost write
+    * (the failure a durable log exists to make detectable). Same single
+    * key-partitioned window as the LWW rebuild — audit and rebuild can
+    * share one shuffle in a combined pass. */
+  def seqGaps(log: DataFrame, keyCol: String, seqCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    log.select(col(keyCol), col(seqCol))
+      .withColumn("_next", lead(col(seqCol), 1).over(w))
+      .filter(col("_next") > col(seqCol) + 1)
+      .select(col(keyCol), col(seqCol).as("gap_after"),
+        col("_next").as("resumes_at"))
+  }
 }
