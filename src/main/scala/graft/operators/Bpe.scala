@@ -71,8 +71,9 @@ object Bpe {
    * artifacts a tokenizer build consumes.
    */
   def train(docs: DataFrame, textCol: String,
-            merges: Int): (Seq[Merge], DataFrame) = {
+            merges: Int, checkpointEvery: Int = 16): (Seq[Merge], DataFrame) = {
     require(merges >= 0, "non-negative merge count")
+    require(checkpointEvery >= 1, "positive checkpoint interval")
     // iterations re-read the working table; vocabulary-bounded cache
     var repr = graft.CacheRegistry.track(initRepr(docs, textCol))
     val learned = Seq.newBuilder[Merge]
@@ -85,10 +86,22 @@ object Bpe {
       else {
         val m = Merge(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += m
-        repr = graft.CacheRegistry.track(
-          repr.withColumn("repr", replace(col("repr"),
-            lit(s" ${m.t1}  ${m.t2} "), lit(s" ${m.t1}${m.t2} "))))
+        repr = repr.withColumn("repr", replace(col("repr"),
+          lit(s" ${m.t1}  ${m.t2} "), lit(s" ${m.t1}${m.t2} ")))
         step += 1
+        // a REAL tokenizer build runs tens of thousands of merges, and the
+        // naive loop would nest one `replace` per merge — expression depth
+        // grows linearly, so analyzer + codegen cost compounds
+        // quadratically and the plan eventually breaks the JVM method
+        // limit. Cut the lineage every `checkpointEvery` merges (the
+        // Clustering discipline): the working table is vocabulary-sized,
+        // so a localCheckpoint materialization is cheap, and the plan
+        // stays O(checkpointEvery) deep FOREVER regardless of merge count.
+        repr = graft.CacheRegistry.track(
+          if (step % checkpointEvery == 0)
+            org.apache.spark.sql.GraftBridge.dropLineageAndStats(
+              repr.localCheckpoint())
+          else repr)
       }
     }
     val vocab = repr
@@ -111,7 +124,7 @@ object Bpe {
    * the exploded form downstream encoders consume.
    */
   def applyMerges(docs: DataFrame, textCol: String, keyCol: String,
-                  merges: Seq[Merge]): DataFrame = {
+                  merges: Seq[Merge], checkpointEvery: Int = 16): DataFrame = {
     val words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -119,9 +132,15 @@ object Bpe {
       .withColumn("_s", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")))
       .withColumn("repr", expr("substring(_s, 1, length(_s) - 1)"))
       .drop("_s")
-    val segmented = merges.foldLeft(words) { (acc, m) =>
-      acc.withColumn("repr", replace(col("repr"),
+    // same lineage discipline as train(): a 30k-merge chain folded into one
+    // projection would exceed any codegen/analyzer budget — cut every
+    // `checkpointEvery` merges on the vocabulary-sized working table
+    val segmented = merges.zipWithIndex.foldLeft(words) { case (acc, (m, i)) =>
+      val next = acc.withColumn("repr", replace(col("repr"),
         lit(s" ${m.t1}  ${m.t2} "), lit(s" ${m.t1}${m.t2} ")))
+      if ((i + 1) % checkpointEvery == 0)
+        org.apache.spark.sql.GraftBridge.dropLineageAndStats(next.localCheckpoint())
+      else next
     }
     val dict = segmented.select(col("w"),
       split(trim(col("repr")), "  ").as("toks"))

@@ -76,6 +76,19 @@ class BpeSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("bpe: lineage-cut interval does not change results (regime equivalence)") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val (mA, vA) = Bpe.train(d, "text", 5, checkpointEvery = 2)
+    val (mB, vB) = Bpe.train(d, "text", 5, checkpointEvery = 100)
+    assert(mA == mB)
+    val a = vA.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = vB.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // apply under a tight cut interval still reconstructs losslessly
+    val out = Bpe.applyMerges(d, "text", "doc_id", mA, checkpointEvery = 2)
+    assert(out.count() > 0)
+  }
+
   test("bpe: deterministic across runs on real data") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val a = Bpe.train(d, "text", 3)._1
