@@ -636,7 +636,7 @@ object SparkEntry {
       // algorithm in SQL). Output = per-cluster size + exact integer sum
       // of the first quantized dimension after the second pass.
       (s, d) => Similarity.kmeansAssignments(
-          t(s, d, "embeddings"), "embedding", "vec_id", k = 8, iters = 2)
+          t(s, d, "embeddings"), "embedding", "vec_id", k = 8, iters = 2, dim = 64)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
           sum(element_at(col("ivec"), 1)).as("c0sum")),
@@ -1332,10 +1332,15 @@ object SparkEntry {
            GROUP BY t1, t2),
          m$i AS (SELECT t1, t2 FROM p$i ORDER BY cnt DESC, t1, t2 LIMIT 1),
          r${i + 1} AS (
+           -- LEFT JOIN, not a cross join: if the pair table ran dry
+           -- (every word fully merged) an empty m$i would annihilate the
+           -- whole working table; the engine side stops early instead,
+           -- and a no-op pass here keeps the two in lockstep
            SELECT word, f,
-                  replace(repr, ' ' || m.t1 || '  ' || m.t2 || ' ',
-                                ' ' || m.t1 || m.t2 || ' ') AS repr
-           FROM r$i, m$i m)"""
+                  CASE WHEN m.t1 IS NULL THEN repr
+                       ELSE replace(repr, ' ' || m.t1 || '  ' || m.t2 || ' ',
+                                          ' ' || m.t1 || m.t2 || ' ') END AS repr
+           FROM r$i LEFT JOIN m$i m ON TRUE)"""
     }.mkString
     head + steps
   }
@@ -1375,7 +1380,7 @@ object SparkEntry {
     """WITH scaled AS (
          SELECT vec_id, list_transform(embedding,
                   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS ivec
-         FROM embeddings),
+         FROM embeddings WHERE len(embedding) = 64),
        seeds AS (
          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, ivec
          FROM scaled

@@ -97,11 +97,14 @@ object Bpe {
         // Clustering discipline): the working table is vocabulary-sized,
         // so a localCheckpoint materialization is cheap, and the plan
         // stays O(checkpointEvery) deep FOREVER regardless of merge count.
-        repr = graft.CacheRegistry.track(
-          if (step % checkpointEvery == 0)
-            org.apache.spark.sql.GraftBridge.dropLineageAndStats(
-              repr.localCheckpoint())
-          else repr)
+        // Between cuts the frame is deliberately NOT cached: tracking a
+        // new persist per merge would accumulate O(merges) vocabulary
+        // copies in the block manager (none released until releaseAll),
+        // while recomputing ≤checkpointEvery map-only replaces over the
+        // materialized checkpoint is vocabulary-cheap by construction.
+        if (step % checkpointEvery == 0)
+          repr = org.apache.spark.sql.GraftBridge.dropLineageAndStats(
+            repr.localCheckpoint())
       }
     }
     val vocab = repr

@@ -107,17 +107,27 @@ object Migrate {
     val lock = new Path(s"$dstRoot/$LockName")
     if (!cfg.dryRun) {
       dstFs.mkdirs(new Path(dstRoot))
-      // create(path, overwrite=false) is the atomic existence arbiter —
-      // a racing second migrator loses with FileAlreadyExistsException
-      // rather than both proceeding (check-then-write would interleave)
-      try dstFs.create(lock, false).close()
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.io.IOException
-            if dstFs.exists(lock) =>
-          throw new IllegalStateException(
-            s"migration already in progress (lock file exists: $lock) — " +
-              "if no migration is running, delete the lock file manually")
-      }
+      // Acquire the lock via an ATOMIC create. On HDFS-like filesystems
+      // create(path, overwrite=false) arbitrates atomically; but
+      // RawLocalFileSystem implements it as exists-then-create, so two
+      // racing local migrators could both pass — on file:// the arbiter
+      // is java.io.File.createNewFile (POSIX O_CREAT|O_EXCL).
+      val scheme = lock.toUri.getScheme
+      val acquired =
+        if (scheme == null || scheme == "file")
+          new java.io.File(lock.toUri.getPath match {
+            case null => lock.toString; case p => p
+          }).createNewFile()
+        else
+          try { dstFs.create(lock, false).close(); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.io.IOException if dstFs.exists(lock) => false
+          }
+      if (!acquired)
+        throw new IllegalStateException(
+          s"migration already in progress (lock file exists: $lock) — " +
+            "if no migration is running, delete the lock file manually")
     }
 
     try {
@@ -126,7 +136,10 @@ object Migrate {
       val futures = swamps.map { name =>
         pool.submit(new java.util.concurrent.Callable[SwampResult] {
           def call(): SwampResult =
-            if (stop.get()) SwampResult(name, ok = false, phase = "load", 0, 0, 0, 0,
+            // distinct phase: a stop-on-error skip never touched the source
+            // — reporting it as a "load" failure would send an operator
+            // hunting for file corruption that does not exist
+            if (stop.get()) SwampResult(name, ok = false, phase = "skipped", 0, 0, 0, 0,
               skippedEmpty = false, 0, 0, Some("skipped: stop-on-error tripped"))
             else {
               val r = migrateOne(spark, s"$srcRoot/$name", s"$dstRoot/$name", name,
@@ -178,8 +191,15 @@ object Migrate {
 
     // ---- convert: LWW replay + GOB → native columns ---------------------
     try {
+      // materialize the decoded LWW state ONCE: the corrupt check, the
+      // entries count, the snapshot write, and both verify legs would
+      // otherwise each re-run the key window + GOB decode from source
+      // (~5x the dominant cost per swamp). localCheckpoint, not a tracked
+      // cache: a thousand-swamp run through CacheRegistry would
+      // accumulate a thousand cached states with no per-swamp release.
       val lww = Chronicle.lastWriteWins(log, "key", "seq", "op")
         .withColumn("_b", graft.functions.Gob.unpack(col("body"), bodySchema))
+        .localCheckpoint()
       // decode integrity BEFORE dropping the opaque body: a surviving row
       // whose body was present but decoded NULL is corruption, and writing
       // it would silently lose the user's data (the migration cardinal sin)

@@ -220,11 +220,15 @@ object Similarity {
   // =========================================================================
 
   /** Integer-quantized vectors: (key, ivec). Rows without a key or a
-    * vector cannot be clustered and are excluded up front — a NULL score
-    * would otherwise hit engine-specific NULL-ordering inside the argmin. */
+    * vector — or with the WRONG dimension — cannot be clustered and are
+    * excluded up front: a NULL or short-padded dot would otherwise hit
+    * engine-specific NULL handling inside the argmin (Spark's zip_with
+    * pads with NULLs, DuckDB's list_sum skips them — one malformed row
+    * would silently desync engine and oracle). */
   private def quantize(df: DataFrame, vecCol: String, keyCol: String,
-                       scale: Double): DataFrame =
-    df.filter(col(keyCol).isNotNull && col(vecCol).isNotNull)
+                       scale: Double, dim: Int): DataFrame =
+    df.filter(col(keyCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) === dim)
       .select(col(keyCol).as("key"),
         transform(col(vecCol),
           x => round(x.cast("double") * scale).cast("long")).as("ivec"))
@@ -277,18 +281,19 @@ object Similarity {
     }.toArray
   }
 
-  /**
-   * Train + assign: `iters` assignment passes with a Lloyd update between
-   * consecutive passes (iters = 1 is pure seeded assignment). Returns
-   * (key, ivec, cid) — the corpus routed onto trained coarse centroids.
-   */
-  def kmeansAssignments(df: DataFrame, vecCol: String, keyCol: String,
-                        k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+  /** The shared Lloyd loop behind [[kmeansAssignments]] and
+    * [[kmeansCentroids]] — ONE implementation so the two public surfaces
+    * cannot drift. Every pass re-reads the quantized corpus (seeds +
+    * k dots + update), so it is registry-tracked, released with the
+    * engine's other loop caches. */
+  private def kmeansTrainLoop(df: DataFrame, vecCol: String, keyCol: String,
+                              k: Int, iters: Int, scale: Double,
+                              dim: Int): (Array[CentroidState], DataFrame) = {
     require(k >= 2, "k-means needs k >= 2")
     require(iters >= 1, "at least one assignment pass")
-    // every pass re-reads the quantized corpus (seeds + k dots + update):
-    // registry-tracked cache, released with the engine's other loop caches
-    val scaled = graft.CacheRegistry.track(quantize(df, vecCol, keyCol, scale))
+    require(dim >= 1, "positive vector dimension")
+    val scaled = graft.CacheRegistry.track(
+      quantize(df, vecCol, keyCol, scale, dim))
     var cs = kmeansSeeds(scaled, k)
     var assigned = kmeansAssignOnce(scaled, cs)
     var pass = 1
@@ -297,8 +302,20 @@ object Similarity {
       assigned = kmeansAssignOnce(scaled, cs)
       pass += 1
     }
-    assigned
+    (cs, assigned)
   }
+
+  /**
+   * Train + assign: `iters` assignment passes with a Lloyd update between
+   * consecutive passes (iters = 1 is pure seeded assignment). Returns
+   * (key, ivec, cid) — the corpus routed onto trained coarse centroids.
+   * `dim` is the declared vector dimension; rows of any other length are
+   * excluded (see [[quantize]]).
+   */
+  def kmeansAssignments(df: DataFrame, vecCol: String, keyCol: String,
+                        k: Int, iters: Int, dim: Int,
+                        scale: Double = 1e6): DataFrame =
+    kmeansTrainLoop(df, vecCol, keyCol, k, iters, scale, dim)._2
 
   // =========================================================================
   // int8 scalar quantization — the 4× scan-bandwidth ANN path. At 100 TB
@@ -355,21 +372,16 @@ object Similarity {
   }
 
   /** Trained coarse centroids as unit-normalized float vectors — drop-in
-    * for the IVF probe/build paths in place of the seeded hyperplanes. */
+    * for the IVF probe/build paths in place of the seeded hyperplanes.
+    * Note: `iters` assignment passes run, so the returned centroids are
+    * the state AFTER the last update preceding the final pass — the same
+    * state [[kmeansAssignments]] assigns against. */
   def kmeansCentroids(df: DataFrame, vecCol: String, keyCol: String,
-                      k: Int, iters: Int, scale: Double = 1e6): Array[Array[Float]] = {
-    require(iters >= 1, "at least one pass")
-    val scaled = quantize(df, vecCol, keyCol, scale)
-    var cs = kmeansSeeds(scaled, k)
-    var pass = 1
-    while (pass < iters) {
-      cs = kmeansUpdate(kmeansAssignOnce(scaled, cs), cs)
-      pass += 1
-    }
-    cs.map { c =>
+                      k: Int, iters: Int, dim: Int,
+                      scale: Double = 1e6): Array[Array[Float]] =
+    kmeansTrainLoop(df, vecCol, keyCol, k, iters, scale, dim)._1.map { c =>
       val mean = c.csum.map(_.toDouble / (c.n * scale))
       val norm = math.sqrt(mean.map(m => m * m).sum).max(1e-12)
       mean.map(m => (m / norm).toFloat)
     }
-  }
 }

@@ -241,6 +241,12 @@ object Snapshots {
   }
 
   /** Read the latest snapshot (or a pinned historical `version`). */
+  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $dir"))
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
   /** Time-travel diff: the exact keyed change set (NEW/MODIFIED/DELETED +
     * old/new values) between two committed versions — the batch answer to
     * "what changed between yesterday's snapshot and today's". Same event
@@ -251,12 +257,6 @@ object Snapshots {
            keyCol: String): DataFrame =
     graft.streaming.ChangeFeed.diff(
       read(spark, dir, Some(from)), read(spark, dir, Some(to)), keyCol)
-
-  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
-      throw new IllegalArgumentException(s"no committed snapshot at $dir"))
-    spark.read.parquet(s"$dir/v=$v")
-  }
 
   /**
    * Durable Set: merge a delta into the latest snapshot with the full

@@ -14,7 +14,7 @@ class KmeansSpec extends SparkSpec {
 
   test("kmeans: every row assigned exactly once, cids in range") {
     val total = emb.count()
-    val a = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val a = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 2, dim = 64)
     assert(a.count() == total)
     assert(a.select(count_distinct(col("key"))).head().getLong(0) == total)
     val cids = a.select("cid").distinct().as[Long].collect().sorted
@@ -22,27 +22,42 @@ class KmeansSpec extends SparkSpec {
   }
 
   test("kmeans: deterministic across runs (integer-space contract)") {
-    val a = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 3)
+    val a = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 3, dim = 64)
       .select("key", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    val b = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 3)
+    val b = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 3, dim = 64)
       .select("key", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(a.sameElements(b))
   }
 
   test("kmeans: a second pass reassigns toward data density (not a no-op)") {
-    val one = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 1)
+    val one = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 1, dim = 64)
       .groupBy("cid").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val two = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val two = Similarity.kmeansAssignments(emb, "embedding", "vec_id", k = 4, iters = 2, dim = 64)
       .groupBy("cid").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the update step must actually move centroids: with single-row seeds
     // the pass-1 assignment is near-arbitrary; pass 2 balances it
     assert(one != two)
   }
 
+  test("kmeans: wrong-dimension and null vectors are excluded, not mis-assigned") {
+    // a short vector would NULL the dot on the engine side but compute a
+    // partial dot in DuckDB — both must simply exclude it
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 1f, 0f, 0f)), (4L, Array(0f, 0f, 1f, 1f)),
+      (5L, Array(1f, 0f)),                       // wrong dim
+      (6L, null.asInstanceOf[Array[Float]]))     // null vec
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssignments(df, "embedding", "vec_id",
+      k = 2, iters = 2, dim = 4)
+    val keys = a.select("key").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("kmeans: identical points — losing clusters keep prior state, ties go low") {
     val df = Seq.tabulate(6)(i => (i.toLong, Array.fill(4)(0.5f)))
       .toDF("vec_id", "embedding")
-    val a = Similarity.kmeansAssignments(df, "embedding", "vec_id", k = 2, iters = 2)
+    val a = Similarity.kmeansAssignments(df, "embedding", "vec_id", k = 2, iters = 2, dim = 4)
     // every point identical => every score ties => all rows land on cid 0;
     // cluster 1 is empty and must survive on its seed without dividing by 0
     val byCid = a.groupBy("cid").count().collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -50,7 +65,7 @@ class KmeansSpec extends SparkSpec {
   }
 
   test("kmeans: trained centroids are unit-normalized, IVF-compatible") {
-    val cs = Similarity.kmeansCentroids(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val cs = Similarity.kmeansCentroids(emb, "embedding", "vec_id", k = 4, iters = 2, dim = 64)
     assert(cs.length == 4)
     assert(cs.forall(_.length == 64))
     cs.foreach { c =>
@@ -83,7 +98,7 @@ class KmeansSpec extends SparkSpec {
   }
 
   test("kmeans → IVF: trained centroids drive the prebuilt index end-to-end") {
-    val cs = Similarity.kmeansCentroids(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val cs = Similarity.kmeansCentroids(emb, "embedding", "vec_id", k = 4, iters = 2, dim = 64)
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-trained").toString
     Similarity.ivfBuildWith(emb, "embedding", s"$path/idx", cs)
     val query = emb.filter(col("vec_id") === 0)

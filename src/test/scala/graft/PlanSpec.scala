@@ -302,7 +302,7 @@ class PlanSpec extends SparkSpec {
     // only aggregation shuffle in Lloyd is the update step's (cid, pos)
     // agg, which is not part of this plan
     val df = graft.operators.Similarity.kmeansAssignments(
-      Tables(spark, sf, "embeddings"), "embedding", "vec_id", k = 4, iters = 2)
+      Tables(spark, sf, "embeddings"), "embedding", "vec_id", k = 4, iters = 2, dim = 64)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),

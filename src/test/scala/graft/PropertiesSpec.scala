@@ -442,7 +442,7 @@ class PropertiesSpec extends SparkSpec {
         StructField("embedding", ArrayType(FloatType)))))
 
     val got = graft.operators.Similarity
-      .kmeansAssignments(df, "embedding", "vec_id", k, iters)
+      .kmeansAssignments(df, "embedding", "vec_id", k, iters, dim)
       .select("key", "cid").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
