@@ -104,6 +104,20 @@ object Dedup {
     signaturePlan(df, textCol, keyCol, shingleN, numHashes)
       .write.mode("overwrite").parquet(path)
 
+  /** Extend the signature artifact with NEW documents — the maintenance
+    * half of incremental dedup: after a crawl batch's survivors are
+    * accepted into the corpus, append their signatures so the NEXT batch
+    * dedups against them too. Same parameters as the original build or
+    * the banding widths diverge ([[requireSigWidth]] guards the read
+    * side). Append is at-least-once on failure/retry — a duplicated key
+    * only makes the corpus side of the band join report the same
+    * duplicate twice (dedup verdicts are unchanged); exactly-once
+    * maintenance belongs in [[Snapshots.mergeCommit]]'s versioned world. */
+  def appendSignatures(df: DataFrame, textCol: String, keyCol: String,
+                       path: String, shingleN: Int = 3, numHashes: Int = 16): Unit =
+    signaturePlan(df, textCol, keyCol, shingleN, numHashes)
+      .write.mode("append").parquet(path)
+
   /** Band projection of a signature table: (key, _band, _bh) — the ONLY
     * rows that enter any LSH candidate shuffle. */
   private def bandedOf(base: DataFrame, keyCol: String,

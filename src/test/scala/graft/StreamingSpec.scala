@@ -783,6 +783,55 @@ class StreamingSpec extends SparkSpec {
     assert(survivors.synchronized(survivors.sorted.toSeq) == Seq(2L, 4L),
       s"near-dups of the corpus must drop per micro-batch: $survivors")
   }
+
+  test("streaming crawl dedup grows the artifact: later batches dedup against earlier survivors") {
+    // the full incremental loop: dedup batch N against the signature
+    // artifact, ACCEPT the survivors by appending their signatures, and
+    // batch N+1 now dedups against them too — within-crawl cross-batch
+    // dedup without ever re-signing the corpus
+    import graft.operators.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Seq((100L, "seed reference document about distributed engines"))
+      .toDF("doc_id", "text")
+    val sigPath = java.nio.file.Files
+      .createTempDirectory("graft-stream-sig2").toString + "/sigs"
+    Dedup.buildSignatures(corpus, "text", "doc_id", sigPath)
+
+    val input = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val kept = Dedup.dedupAgainstCorpusPrebuilt(spark, sigPath, b.toDF(),
+          "text", "doc_id", threshold = 0.5)
+        val keptRows = kept.select("doc_id", "text").collect()
+        if (keptRows.nonEmpty) {
+          import spark.implicits._
+          val keptDf = keptRows.map(r => (r.getLong(0), r.getString(1)))
+            .toSeq.toDF("doc_id", "text")
+          Dedup.appendSignatures(keptDf, "text", "doc_id", sigPath)
+        }
+        survivors.synchronized { survivors ++= keptRows.map(_.getLong(0)); () }
+      }
+      .start()
+
+    val novel = "a completely fresh crawl page with brand new unique content here"
+    // batch 1: a novel doc — survives and is ACCEPTED into the artifact
+    input.addData((1L, novel))
+    q.processAllAvailable()
+    // batch 2: a near-copy of batch 1's survivor (NOT of the seed corpus)
+    // — must now drop, plus another fresh doc that survives
+    input.addData((2L, novel),
+      (3L, "yet another unrelated page about something else entirely"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(survivors.synchronized(survivors.sorted.toSeq) == Seq(1L, 3L),
+      s"batch-2 near-copy of an accepted batch-1 doc must drop: $survivors")
+  }
 }
 
 /** Top-level: Dataset deserialization (.as[KV2]) cannot encode an
