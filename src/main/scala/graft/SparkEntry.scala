@@ -1955,6 +1955,23 @@ object SparkEntry {
           SELECT b.doc_id, round(CAST(sum(l.lp) AS DOUBLE) / count(*) / 1e6, 6) AS lm2_score
           FROM bi b JOIN lp l USING (id1, id2) GROUP BY b.doc_id""")),
 
+    Q("q_mix_tokens", // the same rebalance with the budget in TOKENS —
+      // what a training mixture actually is: long docs count for what
+      // they cost. Keep-rate = min(1, budget*share / group token sum);
+      // integer token sums keep the denominators engine-exact
+      (s, d) => Sampling.mixToTargetWeighted(t(s, d, "documents"),
+          "doc_id", "lang", size(split(col("text"), " ")),
+          Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1),
+          budget = 30000)
+        .select(col("doc_id"), col("lang")),
+      Some(s"""WITH c AS (SELECT lang, sum(len(string_split(text, ' '))) AS wsum
+               FROM documents GROUP BY lang)
+          SELECT d.doc_id, d.lang FROM documents d JOIN c ON d.lang = c.lang
+          WHERE (${sqlHash32("d.doc_id::VARCHAR")} % 10000) / 10000.0 <
+            least(1.0, 30000.0 * (CASE d.lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+              WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1
+              ELSE 0.0 END) / c.wsum)""")),
+
     Q("q_mix_reweight", // rebalance toward a target language mixture under a
       // row budget: per-group keep-rate = min(1, budget*share/count) via the
       // portable md5 draw — counts broadcast back, membership stays a pure

@@ -113,6 +113,39 @@ object Sampling {
   }
 
   /**
+   * Token-weighted mixture rebalance — [[mixToTarget]] with the budget in
+   * TOKENS, which is what a training mixture actually is (a 0.4 share
+   * means 40% of the token budget, not 40% of the documents; long docs
+   * must count for what they cost). Keep-rate per group =
+   * `min(1, budget · share_g / Σ weight_g)`; the draw stays the per-row
+   * portable key-hash, so whole documents are kept or dropped and the
+   * kept token mass per group lands on `rate · Σweight` in expectation
+   * (the draw is independent of the weight). Weights are cast to long —
+   * integer sums are exact and order-independent, so the group
+   * denominators (and therefore the keep decisions) are engine-exact.
+   *
+   * Scale shape: identical to [[mixToTarget]] — one map-side-combined
+   * weight-sum agg of |groups| rows broadcast back, membership a pure
+   * scan-stage predicate.
+   */
+  def mixToTargetWeighted(df: DataFrame, keyCol: String, groupCol: String,
+                          weight: org.apache.spark.sql.Column,
+                          shares: Map[String, Double], budget: Long,
+                          buckets: Int = 10000): DataFrame = {
+    require(shares.values.forall(s => s >= 0 && s <= 1),
+      "target shares must be in [0,1]")
+    val wdf = df.withColumn("_w", weight.cast("long"))
+    val sums = wdf.groupBy(col(groupCol)).agg(sum(col("_w")).as("_wsum"))
+    val share = shares.foldLeft(lit(0.0)) {
+      case (acc, (g, v)) => when(col(groupCol) === g, lit(v)).otherwise(acc)
+    }
+    val rate = least(lit(1.0), lit(budget.toDouble) * share / col("_wsum"))
+    wdf.join(broadcast(sums), Seq(groupCol))
+      .filter(keyBucket(keyCol, buckets).cast("double") / buckets < rate)
+      .drop("_wsum", "_w")
+  }
+
+  /**
    * Quality-curriculum sampling: rank rows into `rates.length` quantile
    * buckets of `scoreCol` and keep each bucket at its own rate —
    * "sample the top quartile fully, thin the bottom" as one declarative
