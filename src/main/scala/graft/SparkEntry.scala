@@ -1891,6 +1891,36 @@ object SparkEntry {
           SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
           FROM r WHERE rn = 1 GROUP BY doc_id""")),
 
+    Q("q_substring_dedup", // exact substring dedup (Lee et al. 2021,
+      // k-gram form): every token covered by ANY 8-token window occurring
+      // >= 2 times in the corpus is removed — duplicated passages at
+      // arbitrary offsets, including within-doc repeats, that segment
+      // boundaries slice through. One occurrence-count shuffle on 8-byte
+      // gram hashes, keys-only semi back, map-side reassembly via an
+      // array_except hash-set difference (O(n+c) per doc). The oracle
+      // joins on gram STRINGS — equality-by-xxhash64 vs equality-by-text,
+      // so the check also covers hash determinism.
+      (s, d) => Dedup.substringDedup(t(s, d, "documents"), "text", "doc_id",
+        k = 8, minCount = 2),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          gi AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+                 FROM t WHERE len(ts) >= 8),
+          g AS (SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram FROM gi),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          st AS (SELECT g.doc_id, g.i, unnest(generate_series(0, 7)) AS u
+                 FROM g JOIN dup USING (gram)),
+          cov AS (SELECT DISTINCT doc_id, i + u AS j FROM st),
+          ca AS (SELECT doc_id, count(*) AS n_removed, list_sort(list(j)) AS cv
+                 FROM cov GROUP BY doc_id)
+          SELECT t.doc_id, len(ts) AS n_tokens,
+                 coalesce(ca.n_removed, 0) AS n_removed,
+                 coalesce(array_to_string(
+                   list_transform(
+                     list_filter(generate_series(1, len(ts)),
+                                 j -> NOT coalesce(list_contains(ca.cv, j), false)),
+                     j -> list_extract(ts, j)), ' '), '') AS clean_text
+          FROM t LEFT JOIN ca USING (doc_id)""")),
+
     Q("q_boilerplate", // frequency-based boilerplate strip: segments seen in
       // > 2 distinct docs (headers/footers/nav) drop EVERYWHERE, the rest
       // keep all their copies — frequency is the signal, not duplication

@@ -692,4 +692,80 @@ object Dedup {
       .groupBy(col("_k")).agg(sort_array(collect_list(col("_i"))).as("_keep"))
     reassemble(df, textCol, keyCol, segTokens, keep)
   }
+
+  // ==========================================================================
+  // Exact substring dedup — repeated k-gram SPAN removal (the Lee et al.
+  // 2021 "Deduplicating Training Data Makes Language Models Better"
+  // operator, k-gram formulation). Segment dedup removes whole fixed
+  // segments; this removes every token covered by ANY k-token window that
+  // occurs >= minCount times in the corpus — catching duplicated passages
+  // at arbitrary offsets, including within-document repetition, that
+  // segment boundaries slice through.
+  // ==========================================================================
+
+  /** Rolling k-gram occurrence index: one row per (doc key `_k`, 0-based
+    * gram start `_i`, 64-bit gram hash `_h`) — overlapping windows, so a
+    * doc with n tokens emits n-k+1 rows of 20 bytes each. The text itself
+    * never leaves its scan partition; grams are hashed in place. */
+  private def gramIndex(df: DataFrame, textCol: String, keyCol: String,
+                        k: Int): DataFrame = {
+    // token array bound OUTSIDE the per-gram lambda (the segmentsOf
+    // precondition): inlining split() would re-split the full text once
+    // per gram — O(tokens^2) per row
+    df.withColumn("_toks", split(col(textCol), " "))
+      .filter(size(col("_toks")) >= k)
+      .select(col(keyCol).as("_k"),
+        posexplode(transform(sequence(lit(0), size(col("_toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("_toks"), i + 1, lit(k))))))
+          .as(Seq("_i", "_h")))
+  }
+
+  /**
+   * Exact substring dedup: remove every token covered by any `k`-token
+   * window whose exact token sequence occurs at least `minCount` times in
+   * the corpus (counting every occurrence — a passage pasted twice into
+   * ONE document is duplication too). Emits per document:
+   * `(key, n_tokens, n_removed, clean_text)` — documents with fewer than
+   * `k` tokens pass through untouched (no window fits).
+   *
+   * 100 TB shape, stage by stage:
+   *  - the gram index shuffles 20-byte (hash) rows for ONE map-side-combined
+   *    occurrence count — bounded by distinct k-grams, never token count;
+   *  - duplicated hashes come back as a keys-only left_semi on the 8-byte
+   *    hash (NOT broadcast: "every k-gram that repeats anywhere in the
+   *    corpus" is corpus-proportional — the [[stripBoilerplate]] hot-set
+   *    argument; AQE still broadcasts when the set is genuinely small);
+   *  - covered token positions aggregate per doc as an int array, and the
+   *    doc reassembles MAP-SIDE from its own text: kept positions are
+   *    `array_except(all positions, covered)` — a hash-set difference,
+   *    O(n + c) per doc, NOT a per-token array_contains scan (which is
+   *    O(n*c) and quadratic on a fully-duplicated document).
+   */
+  def substringDedup(df: DataFrame, textCol: String, keyCol: String,
+                     k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minCount >= 2, "minCount must be >= 2 (1 would remove everything)")
+    val idx = tracked(gramIndex(df, textCol, keyCol, k))
+    val dup = idx.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= minCount)
+      .select(col("_h"))
+    // covered token positions per doc: each surviving gram start i covers
+    // i..i+k-1; flatten BEFORE the per-doc aggregation so the array_distinct
+    // runs on ints map-side of the final collect
+    val covered = idx.join(dup, Seq("_h"), "left_semi")
+      .select(col("_k"), explode(sequence(col("_i"), col("_i") + (k - 1))).as("_j"))
+      .groupBy(col("_k"))
+      .agg(sort_array(collect_set(col("_j"))).as("_cov"))
+    val withToks = df.withColumn("_toks", split(col(textCol), " "))
+    withToks.join(covered, withToks(keyCol) === covered("_k"), "left")
+      .withColumn("_cov", coalesce(col("_cov"), array().cast("array<int>")))
+      .withColumn("_kept",
+        array_except(sequence(lit(0), size(col("_toks")) - 1), col("_cov")))
+      .select(col(keyCol),
+        size(col("_toks")).as("n_tokens"),
+        size(col("_cov")).as("n_removed"),
+        concat_ws(" ",
+          transform(col("_kept"), j => element_at(col("_toks"), j + 1)))
+          .as("clean_text"))
+  }
 }

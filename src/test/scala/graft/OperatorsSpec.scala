@@ -1624,6 +1624,61 @@ class OperatorsSpec extends SparkSpec {
       3L -> "w1 w2 w3", 4L -> "x1 x2 x3"))
   }
 
+  // --- substring dedup (repeated k-gram span removal) --------------------------
+
+  test("substringDedup: cross-doc duplicated span removed from both docs, " +
+       "unique context survives") {
+    // shared 4-token passage inside different contexts, k=3: every token of
+    // the passage is covered by some duplicated 3-gram in BOTH docs
+    val docs = Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 u3 u4"),
+      (2L, "v1 p1 p2 p3 p4 v2 v3 v4")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out == Map(
+      1L -> ((8, 4, "u1 u2 u3 u4")),
+      2L -> ((8, 4, "v1 v2 v3 v4"))))
+  }
+
+  test("substringDedup: within-doc repetition counts as duplication") {
+    // "p1 p2 p3" appears twice in ONE doc — both copies' tokens are covered
+    val docs = Seq((1L, "a p1 p2 p3 b p1 p2 p3 c")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getAs[Int]("n_removed"), r.getAs[String]("clean_text")))
+    assert(out.toSeq == Seq((6, "a b c")))
+  }
+
+  test("substringDedup: docs shorter than k pass through untouched; " +
+       "fully-duplicated doc keeps empty text") {
+    val docs = Seq(
+      (1L, "t1 t2"),             // < k: no window fits
+      (2L, "d1 d2 d3 d4"),       // exact duplicate of 3
+      (3L, "d1 d2 d3 d4")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out == Map(
+      1L -> ((2, 0, "t1 t2")),
+      2L -> ((4, 4, "")),
+      3L -> ((4, 4, ""))))
+  }
+
+  test("substringDedup: overlapping duplicated windows merge — no token " +
+       "removed twice, counts consistent") {
+    // doc 1 & 2 share a 5-token run => 3 overlapping 3-grams; covered set is
+    // the UNION of their spans (5 tokens), not 9
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 x1"),
+      (2L, "y1 s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(out == Map(1L -> ((5, "x1")), 2L -> ((5, "y1"))))
+  }
+
   // --- sessionize ---------------------------------------------------------------
 
   test("sessionize: gap >= threshold starts a session; ids are per-user running counts") {
