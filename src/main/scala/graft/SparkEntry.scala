@@ -483,6 +483,19 @@ object SparkEntry {
       path
     })
 
+  /** One PQ index build per (session, dir) — the prebuilt product-
+    * quantization fixture (same lifecycle discipline as [[ivfIndexPath]]). */
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqIndexPath(s: SparkSession, d: String): String =
+    pqIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_pq_").resolve("index").toString
+      Similarity.pqBuild(t(s, d, "embeddings"), "embedding", "vec_id", path,
+        m = 8, ksub = 16, dim = 64)
+      path
+    })
+
   /** Page-1 continuation token for the keyset walk, computed once per
     * (session, dir) — the client-held state between pagination calls. A
     * real client gets it from its own page-1 response; materializing it
@@ -628,6 +641,26 @@ object SparkEntry {
                       * r.scale * q.qscale, 6) AS score
          FROM rows_q r, qq q
          ORDER BY score DESC, vec_id LIMIT 20""")),
+
+    Q("q_ann_pq", // product-quantization ANN (Jégou 2011, the FAISS
+      // IVF-ADC fine quantizer): 8 subspaces × 16 data-sampled codebook
+      // entries, exact-int64 encode distances and ADC lookup sums — only
+      // the final ÷scale² floats, round(6)ed BEFORE ranking, so the
+      // 32x-compressed scan ranks engine-exactly. Codebook = the 16 rows
+      // smallest by (md5(key), key), which the oracle re-derives
+      // RELATIONALLY — no opaque constants anywhere in the check.
+      (s, d) => Similarity.pqTopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryVec(s, d), 20),
+      Some(sqlPqTopK)),
+
+    Q("q_ann_pq_prebuilt", // the 100 TB form: codes + codebook written
+      // once ([[Similarity.pqBuild]]), then the probe scans ONLY the
+      // m-int codes column — 32x fewer bytes than the float vectors, the
+      // raw embedding column absent from the plan. Identical results to
+      // q_ann_pq by construction => same oracle.
+      (s, d) => Similarity.pqTopKPrebuilt(s, pqIndexPath(s, d),
+        "vec_id", queryVec(s, d), 20),
+      Some(sqlPqTopK)),
 
     Q("q_kmeans_train", // IVF centroid TRAINING: two Lloyd assignment
       // passes with an exact-integer update between them (Similarity
@@ -1376,6 +1409,49 @@ object SparkEntry {
     * dot(ivec, csum) cast to double over the member count, empty clusters
     * keep their previous state. Integer arithmetic is order-independent,
     * so the two engines cannot drift. */
+  /** DuckDB mirror of Similarity.pqTopK (m=8, ksub=16, dim=64, scale=1e6):
+    * the codebook re-derives relationally (same (md5, key) draw as the
+    * kmeans seeds), encode = argmin exact-int64 L2 per subspace with ties
+    * to the lower code, score = Σ_s dot(query_sub, codebook[code]_sub) in
+    * int64, ÷1e12 and round(6) before the ranked LIMIT. */
+  private lazy val sqlPqTopK: String =
+    """WITH scaled AS (
+         SELECT vec_id, list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
+         FROM embeddings WHERE len(embedding) = 64),
+       cbrows AS (
+         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, iv
+         FROM scaled
+         QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       cb AS (SELECT s, c, iv[s*8+1 : s*8+8] AS cv FROM cbrows, subs),
+       rsub AS (SELECT vec_id, s, iv[s*8+1 : s*8+8] AS sv FROM scaled, subs),
+       dist AS (
+         SELECT r.vec_id, r.s, cb.c,
+                list_sum(list_transform(list_zip(r.sv, cb.cv),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+         FROM rsub r JOIN cb ON cb.s = r.s),
+       code AS (
+         SELECT vec_id, s, c FROM (
+           SELECT vec_id, s, c,
+                  row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+           FROM dist)
+         WHERE rn = 1),
+       qi AS (
+         SELECT list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+         FROM embeddings WHERE vec_id = 0),
+       lut AS (
+         SELECT cb.s, cb.c,
+                list_sum(list_transform(list_zip(qv[cb.s*8+1 : cb.s*8+8], cb.cv),
+                  p -> p[1]*p[2])) AS l
+         FROM cb, qi),
+       sc AS (
+         SELECT code.vec_id, CAST(sum(l) AS DOUBLE) AS si
+         FROM code JOIN lut USING (s, c) GROUP BY code.vec_id)
+       SELECT vec_id, round(si / 1000000000000.0, 6) AS score
+       FROM sc ORDER BY score DESC, vec_id LIMIT 20"""
+
   private lazy val sqlKmeansTrain: String =
     """WITH scaled AS (
          SELECT vec_id, list_transform(embedding,

@@ -384,4 +384,154 @@ object Similarity {
       val norm = math.sqrt(mean.map(m => m * m).sum).max(1e-12)
       mean.map(m => (m / norm).toFloat)
     }
+
+  // =========================================================================
+  // Product quantization — the billion-vector ANN memory path (Jégou et
+  // al. 2011, the FAISS IVF-ADC fine quantizer). The vector splits into m
+  // subspaces; each subspace stores only a small code (argmin-L2 nearest
+  // codebook entry), so a 64-dim float32 vector (256 B) becomes m=8 codes
+  // (8 B) — a 32x scan-bandwidth cut on top of what int8 gives. Scoring is
+  // ADC: the query precomputes one dot per (subspace, codebook entry), and
+  // every row's score is m table lookups + a sum.
+  //
+  // Determinism discipline (the kmeans/int8 lesson): vectors and codebook
+  // quantize to round(x·1e6) int64 ONCE; encode distances, LUT dots, and
+  // the per-row score sum are all exact int64 (max |component| ~1e6 ⇒ a
+  // subspace term ≤ 4e12, a score ≤ ~6e12 — comfortably < 2^53, so even
+  // the final double cast is exact). Only the single trailing division by
+  // scale² floats, and it is round(6)ed BEFORE ranking — the result is
+  // bit-identical across engines and the oracle replays it relationally.
+  // =========================================================================
+
+  /** Data-sampled PQ codebook: the `ksub` rows smallest by
+    * (md5(key), key) — the [[kmeansSeeds]] draw — quantized to int64.
+    * Entry c of subspace s is row c sliced to [s·subDim, (s+1)·subDim).
+    * Sampling the data itself (a standard kmeans init) keeps the codebook
+    * ON the data manifold with zero training passes, is deterministic
+    * across engines/cluster sizes, and — unlike trained constants — lets
+    * the DuckDB oracle re-derive the codebook RELATIONALLY, so the whole
+    * PQ path stays differentially checkable. A Lloyd refinement per
+    * subspace ([[kmeansCentroids]] on sliced vectors) can replace this at
+    * build time without touching encode/scan: the codebook is data, not
+    * code. Returns ksub × dim (bounded: ksub rows collect). */
+  def pqSampleCodebook(df: DataFrame, vecCol: String, keyCol: String,
+                       ksub: Int, dim: Int,
+                       scale: Double = 1e6): Array[Array[Long]] =
+    quantize(df, vecCol, keyCol, scale, dim)
+      .orderBy(md5(col("key").cast("string")), col("key")).limit(ksub)
+      .select(col("ivec")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
+  /** Encode every row to its m subspace codes: per subspace the exact-int64
+    * argmin-L2 codebook entry, ties to the lower code. Pure scan stage —
+    * m·ksub literal-array distance expressions, no shuffle, no UDF.
+    * Output: (key, codes int[m]) — write it once and ANN scans read 32x
+    * fewer bytes than the float column. */
+  def pqEncode(df: DataFrame, vecCol: String, keyCol: String,
+               codebook: Array[Array[Long]], m: Int, dim: Int,
+               scale: Double = 1e6): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(codebook.nonEmpty && codebook.forall(_.length == dim),
+      "codebook rows must have the declared dimension")
+    val sd = dim / m
+    val q = quantize(df, vecCol, keyCol, scale, dim)
+    val codes = (0 until m).map { s =>
+      val sub = slice(col("ivec"), s * sd + 1, sd)
+      val cands = codebook.indices.map { c =>
+        val cb = codebook(c).slice(s * sd, s * sd + sd)
+        val d2 = aggregate(
+          zip_with(sub, array(cb.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+        struct(d2.as("d"), lit(c).as("c"))
+      }
+      least(cands: _*).getField("c")
+    }
+    q.select(col("key"), array(codes: _*).as("codes"))
+  }
+
+  /** ADC scan over a codes table: score = Σ_s LUT[s][code_s] where
+    * LUT[s][c] = dot(query_sub_s, codebook[c]_sub_s) in exact int64; the
+    * final score divides by scale² and round(6)s BEFORE ranking. The scan
+    * touches ONLY the m-int codes column — the original vectors are never
+    * read (the whole point at 100 TB). */
+  def pqAdcTopK(codesDf: DataFrame, codesCol: String, keyCol: String,
+                outKey: String, query: Array[Float], k: Int,
+                codebook: Array[Array[Long]], m: Int, dim: Int,
+                scale: Double = 1e6): DataFrame = {
+    require(m >= 1 && dim % m == 0 && query.length == dim,
+      "query dimension must match the codebook layout")
+    val sd = dim / m
+    val ksub = codebook.length
+    val qi = query.map(x => roundHalfAway(x.toDouble * scale))
+    val lut: Array[Long] = Array.tabulate(m * ksub) { i =>
+      val s = i / ksub; val c = i % ksub
+      var acc = 0L; var j = 0
+      while (j < sd) { acc += qi(s * sd + j) * codebook(c)(s * sd + j); j += 1 }
+      acc
+    }
+    val lutLit = array(lut.map(lit(_)): _*)
+    val scoreInt = aggregate(
+      zip_with(col(codesCol), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(lutLit, s * ksub + c + 1)),
+      lit(0L), (acc, v) => acc + v)
+    codesDf
+      .withColumn("score",
+        round(scoreInt.cast("double") / lit(scale * scale), 6))
+      .orderBy(col("score").desc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol).as(outKey), col("score"))
+  }
+
+  /** In-query PQ top-k: sample codebook (bounded ksub-row collect), encode
+    * and ADC-score in ONE plan. The differential-testing form — the 100 TB
+    * form is [[pqBuild]] + [[pqTopKPrebuilt]], same results by
+    * construction. */
+  def pqTopK(df: DataFrame, vecCol: String, keyCol: String,
+             query: Array[Float], k: Int, m: Int = 8, ksub: Int = 16,
+             dim: Int = 64, scale: Double = 1e6): DataFrame = {
+    val cb = pqSampleCodebook(df, vecCol, keyCol, ksub, dim, scale)
+    pqAdcTopK(pqEncode(df, vecCol, keyCol, cb, m, dim, scale),
+      "codes", "key", keyCol, query, k, cb, m, dim, scale)
+  }
+
+  /** Materialize the PQ index: one parquet with the codes table (key,
+    * codes int[m]) plus the codebook itself under `_codebook` (code id →
+    * int64 row) — the artifact carries everything a scan needs, so the
+    * probe side never re-reads the raw vectors. */
+  def pqBuild(df: DataFrame, vecCol: String, keyCol: String, outPath: String,
+              m: Int = 8, ksub: Int = 16, dim: Int = 64,
+              scale: Double = 1e6): Array[Array[Long]] = {
+    val cb = pqSampleCodebook(df, vecCol, keyCol, ksub, dim, scale)
+    pqEncode(df, vecCol, keyCol, cb, m, dim, scale)
+      .write.mode("overwrite").parquet(s"$outPath/codes")
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cb.zipWithIndex.map { case (row, c) =>
+        org.apache.spark.sql.Row(c, row.toSeq)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("row",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))))
+      .write.mode("overwrite").parquet(s"$outPath/_codebook")
+    cb
+  }
+
+  /** The steady-state PQ probe: read the codebook (ksub rows), ADC-scan
+    * the codes table. Scan bytes = m ints per row — the raw embedding
+    * column is not in the plan at all (ReadSchema pins it). */
+  def pqTopKPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, outKey: String, query: Array[Float],
+                     k: Int, m: Int = 8, dim: Int = 64,
+                     scale: Double = 1e6): DataFrame = {
+    val cb = spark.read.parquet(s"$indexPath/_codebook")
+      .orderBy(col("c")).collect()
+      .map(_.getSeq[Long](1).toArray)
+    pqAdcTopK(spark.read.parquet(s"$indexPath/codes"), "codes", "key",
+      outKey, query, k, cb, m, dim, scale)
+  }
 }

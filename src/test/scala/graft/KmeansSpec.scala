@@ -115,4 +115,79 @@ class KmeansSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got.count(truth.contains) >= 3, s"recall too low: $got vs $truth")
   }
+
+  // --- product quantization ----------------------------------------------------
+
+  test("pq: sampled-codebook rows encode to themselves (zero distance), " +
+       "all codes in range") {
+    val cb = Similarity.pqSampleCodebook(emb, "embedding", "vec_id",
+      ksub = 16, dim = 64)
+    assert(cb.length == 16 && cb.forall(_.length == 64))
+    val enc = Similarity.pqEncode(emb, "embedding", "vec_id", cb, m = 8, dim = 64)
+    val codes = enc.select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // the 16 sampled source rows quantize exactly to codebook entries, so
+    // each encodes to its own entry in EVERY subspace (d=0, tie to lower c
+    // only if two sampled rows share a subvector)
+    val sampleKeys = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+      .select("vec_id").collect().map(_.getLong(0))
+    val encMap = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    sampleKeys.zipWithIndex.foreach { case (k, c) =>
+      encMap(k).zipWithIndex.foreach { case (code, s) =>
+        // equality unless an earlier sampled row shares this subvector
+        val sub = cb(c).slice(s * 8, s * 8 + 8).toSeq
+        val firstSame = cb.indexWhere(_.slice(s * 8, s * 8 + 8).toSeq == sub)
+        assert(code == firstSame, s"row $k sub $s: got $code want $firstSame")
+      }
+    }
+  }
+
+  test("pq: in-query and prebuilt ADC scans return identical rankings") {
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val a = Similarity.pqTopK(emb, "embedding", "vec_id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.pqBuild(emb, "embedding", "vec_id", s"$path/idx")
+    val b = Similarity.pqTopKPrebuilt(spark, s"$path/idx", "vec_id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
+  test("pq: ADC ranking approximates brute force (recall sanity) and is " +
+       "deterministic across runs") {
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val pq1 = Similarity.pqTopK(emb, "embedding", "vec_id", query, k = 20)
+      .collect().map(_.getLong(0)).toSeq
+    val pq2 = Similarity.pqTopK(emb, "embedding", "vec_id", query, k = 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pq1 == pq2)
+    // quantized scores still put the query's own vector near the top and
+    // retain SOME of the true top-20. The bar is deliberately low: 4-bit
+    // codes (ksub=16) on near-uniform random unit vectors are the
+    // worst case for PQ distortion, and this fixture has only 50 rows —
+    // the spec pins mechanism + determinism; ARITHMETIC exactness is the
+    // q_ann_pq oracle row's job, and retrieval quality scales with ksub
+    // (a codebook swap, not a code change — see pqSampleCodebook scaladoc)
+    val truth = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(pq1.take(5).contains(0L), s"own vector not in ADC top-5: $pq1")
+    assert(pq1.count(truth.contains) >= 4,
+      s"PQ recall vs brute force too low: ${pq1.count(truth.contains)}/20")
+  }
+
+  test("pq: malformed rows (wrong dim, null key) excluded; dim must divide m") {
+    val bad = emb.limit(5)
+      .union(emb.limit(1).select(lit(null).cast("bigint").as("vec_id"),
+        col("embedding"), col("label")))
+    val cb = Similarity.pqSampleCodebook(bad, "embedding", "vec_id",
+      ksub = 4, dim = 64)
+    val enc = Similarity.pqEncode(bad, "embedding", "vec_id", cb, m = 8, dim = 64)
+    assert(enc.count() == 5) // the null-key row dropped
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(bad, "embedding", "vec_id", cb, m = 7, dim = 64)
+    }
+  }
 }

@@ -69,6 +69,21 @@ class PlanSpec extends SparkSpec {
       p.contains("_list#"), s"no _list membership filter visible:\n$p")
   }
 
+  test("prebuilt PQ probe scans only the codes column — raw vectors absent") {
+    // the 32x-bandwidth promise: the ADC scan reads (key, codes) from the
+    // index artifact; if the embeddings table or the float vector column
+    // appears in any scan, the probe is silently paying full-vector bytes
+    val p = plan("q_ann_pq_prebuilt")
+    assert(p.contains("codes"), s"codes scan missing:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"prebuilt PQ re-scans the embeddings table:\n$p")
+    assert(!p.contains("embedding#"),
+      s"prebuilt PQ drags the float vector column through the plan:\n$p")
+    // ranked limit must be TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PQ top-k is not a TakeOrderedAndProject:\n$p")
+  }
+
   test("segment dedup picks first occurrence with an aggregate, not a rank window") {
     // min(struct(key, idx)) combines MAP-SIDE: a hot segment sends one
     // partial per input partition to the shuffle. A row_number window
