@@ -496,6 +496,19 @@ object SparkEntry {
       path
     })
 
+  /** One IVF-PQ index build per (session, dir) — the routed product-
+    * quantization fixture (same lifecycle discipline as [[pqIndexPath]]). */
+  private val pqIvfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqIvfIndexPath(s: SparkSession, d: String): String =
+    pqIvfIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_pqivf_").resolve("index").toString
+      Similarity.pqIvfBuild(t(s, d, "embeddings"), "embedding", "vec_id", path,
+        m = 8, ksub = 16, dim = 64, nlist = 16, seed = 7L)
+      path
+    })
+
   /** Page-1 continuation token for the keyset walk, computed once per
     * (session, dir) — the client-held state between pagination calls. A
     * real client gets it from its own page-1 response; materializing it
@@ -661,6 +674,17 @@ object SparkEntry {
       (s, d) => Similarity.pqTopKPrebuilt(s, pqIndexPath(s, d),
         "vec_id", queryVec(s, d), 20),
       Some(sqlPqTopK)),
+
+    Q("q_ann_pq_ivf", // IVF-ADC (FAISS IVFPQ, no-residual): coarse-route
+      // to nprobe/nlist PARTITION-PRUNED lists, then ADC-score only the
+      // m-int codes inside them — the two scan reductions multiply
+      // (4/16 lists × 32x code compression = 1/128 of the flat bytes at
+      // these defaults). Routing mirrors q_ann_ivf's seeded constants;
+      // scoring mirrors q_ann_pq's relational codebook — the oracle
+      // composes both checks.
+      (s, d) => Similarity.pqIvfTopK(s, pqIvfIndexPath(s, d),
+        "vec_id", queryVec(s, d), 20),
+      Some(sqlPqIvfTopK)),
 
     Q("q_kmeans_train", // IVF centroid TRAINING: two Lloyd assignment
       // passes with an exact-integer update between them (Similarity
@@ -1409,13 +1433,13 @@ object SparkEntry {
     * dot(ivec, csum) cast to double over the member count, empty clusters
     * keep their previous state. Integer arithmetic is order-independent,
     * so the two engines cannot drift. */
-  /** DuckDB mirror of Similarity.pqTopK (m=8, ksub=16, dim=64, scale=1e6):
-    * the codebook re-derives relationally (same (md5, key) draw as the
-    * kmeans seeds), encode = argmin exact-int64 L2 per subspace with ties
-    * to the lower code, score = Σ_s dot(query_sub, codebook[code]_sub) in
-    * int64, ÷1e12 and round(6) before the ranked LIMIT. */
-  private lazy val sqlPqTopK: String =
-    """WITH scaled AS (
+  /** Shared PQ CTE chain (m=8, ksub=16, dim=64, scale=1e6): codebook
+    * re-derived relationally (same (md5, key) draw as the kmeans seeds),
+    * encode = argmin exact-int64 L2 per subspace with ties to the lower
+    * code, per-row ADC score in int64 — ONE definition consumed by both
+    * sqlPqTopK and sqlPqIvfTopK so flat and routed scoring cannot drift. */
+  private lazy val sqlPqCtes: String =
+    """scaled AS (
          SELECT vec_id, list_transform(embedding,
                   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
          FROM embeddings WHERE len(embedding) = 64),
@@ -1448,9 +1472,35 @@ object SparkEntry {
          FROM cb, qi),
        sc AS (
          SELECT code.vec_id, CAST(sum(l) AS DOUBLE) AS si
-         FROM code JOIN lut USING (s, c) GROUP BY code.vec_id)
+         FROM code JOIN lut USING (s, c) GROUP BY code.vec_id)"""
+
+  /** DuckDB mirror of Similarity.pqTopK: the shared PQ chain ranked flat. */
+  private lazy val sqlPqTopK: String =
+    s"""WITH $sqlPqCtes
        SELECT vec_id, round(si / 1000000000000.0, 6) AS score
        FROM sc ORDER BY score DESC, vec_id LIMIT 20"""
+
+  /** DuckDB mirror of Similarity.pqIvfTopK: the SAME PQ chain, restricted
+    * to rows the seeded coarse routing puts in the nprobe probed lists —
+    * q_ann_ivf's routing constants composed with q_ann_pq's relational
+    * codebook. */
+  private lazy val sqlPqIvfTopK: String = {
+    val (sCols, _, lstCase, centVals) = ivfSqlParts
+    s"""WITH $sqlPqCtes,
+       q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       cent(i, cc) AS (SELECT * FROM (VALUES $centVals)),
+       probed AS (SELECT i FROM cent, q
+                  ORDER BY list_dot_product(cc, qv) DESC, i ASC LIMIT 4),
+       routed AS (
+         SELECT vec_id FROM (
+           SELECT vec_id, (CASE $lstCase END) AS lst
+           FROM (SELECT vec_id, embedding, $sCols
+                 FROM embeddings WHERE len(embedding) = 64))
+         WHERE lst IN (SELECT i FROM probed))
+       SELECT sc.vec_id, round(si / 1000000000000.0, 6) AS score
+       FROM sc JOIN routed ON sc.vec_id = routed.vec_id
+       ORDER BY score DESC, sc.vec_id LIMIT 20"""
+  }
 
   private lazy val sqlKmeansTrain: String =
     """WITH scaled AS (

@@ -425,18 +425,22 @@ object Similarity {
   /** Encode every row to its m subspace codes: per subspace the exact-int64
     * argmin-L2 codebook entry, ties to the lower code. Pure scan stage —
     * m·ksub literal-array distance expressions, no shuffle, no UDF.
-    * Output: (key, codes int[m]) — write it once and ANN scans read 32x
-    * fewer bytes than the float column. */
+    * Output: (key, codes int[m], keep…) — write it once and ANN scans read
+    * 32x fewer bytes than the float column. `keep` columns (e.g. a coarse
+    * list id for [[pqIvfBuild]]) pass through unchanged. */
   def pqEncode(df: DataFrame, vecCol: String, keyCol: String,
                codebook: Array[Array[Long]], m: Int, dim: Int,
-               scale: Double = 1e6): DataFrame = {
+               scale: Double = 1e6, keep: Seq[String] = Nil): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(codebook.nonEmpty && codebook.forall(_.length == dim),
       "codebook rows must have the declared dimension")
     val sd = dim / m
-    val q = quantize(df, vecCol, keyCol, scale, dim)
+    val q = df.filter(col(keyCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) === dim)
+      .withColumn("_ivec", transform(col(vecCol),
+        x => round(x.cast("double") * scale).cast("long")))
     val codes = (0 until m).map { s =>
-      val sub = slice(col("ivec"), s * sd + 1, sd)
+      val sub = slice(col("_ivec"), s * sd + 1, sd)
       val cands = codebook.indices.map { c =>
         val cb = codebook(c).slice(s * sd, s * sd + sd)
         val d2 = aggregate(
@@ -446,7 +450,8 @@ object Similarity {
       }
       least(cands: _*).getField("c")
     }
-    q.select(col("key"), array(codes: _*).as("codes"))
+    q.select(col(keyCol).as("key") +: array(codes: _*).as("codes") +:
+      keep.map(col): _*)
   }
 
   /** ADC scan over a codes table: score = Σ_s LUT[s][code_s] where
@@ -504,7 +509,14 @@ object Similarity {
     val cb = pqSampleCodebook(df, vecCol, keyCol, ksub, dim, scale)
     pqEncode(df, vecCol, keyCol, cb, m, dim, scale)
       .write.mode("overwrite").parquet(s"$outPath/codes")
-    val spark = df.sparkSession
+    writeCodebook(df.sparkSession, cb, outPath)
+    cb
+  }
+
+  /** The codebook rides inside the index directory so a probe needs no
+    * out-of-band state — ksub rows of (code id, int64 row). */
+  private def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+                            cb: Array[Array[Long]], outPath: String): Unit = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       cb.zipWithIndex.map { case (row, c) =>
@@ -518,7 +530,49 @@ object Similarity {
             org.apache.spark.sql.types.LongType, containsNull = false),
           nullable = false))))
       .write.mode("overwrite").parquet(s"$outPath/_codebook")
+  }
+
+  /** IVF-ADC: the routed PQ index (FAISS IVFPQ, no-residual form — codes
+    * quantize the RAW vectors, so one codes table serves both the flat
+    * ADC scan and the routed one; residual encoding would buy precision
+    * at the cost of per-list codebooks, a codebook-data change this API
+    * already permits). ONE build pass computes the coarse list id (the
+    * [[ivfBuildWith]] assignment over seeded centroids) AND the PQ codes,
+    * written partitioned by `_list`. */
+  def pqIvfBuild(df: DataFrame, vecCol: String, keyCol: String,
+                 outPath: String, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                 nlist: Int = 16, seed: Long = 7L,
+                 scale: Double = 1e6): Array[Array[Long]] = {
+    val cb = pqSampleCodebook(df, vecCol, keyCol, ksub, dim, scale)
+    val cents = ivfCentroids(nlist, dim, seed)
+    val assign = cents.indices.map { i =>
+      struct(VF.cosine(col(vecCol), cents(i)).as("s"), lit(i).as("i"))
+    }
+    pqEncode(df.withColumn("_list", array_max(array(assign: _*))("i")),
+        vecCol, keyCol, cb, m, dim, scale, keep = Seq("_list"))
+      .write.mode("overwrite").partitionBy("_list")
+      .parquet(s"$outPath/codes")
+    writeCodebook(df.sparkSession, cb, outPath)
     cb
+  }
+
+  /** The compound 100 TB probe: route to nprobe/nlist partitions
+    * (partition-pruned — most files never open), ADC-score only the m-int
+    * codes inside them. Scan bytes vs the flat float column ≈
+    * (nprobe/nlist) · (m·4)/(dim·4) — the two reductions MULTIPLY (4/16
+    * lists × 32x code compression = 1/128 of the bytes at the defaults). */
+  def pqIvfTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                outKey: String, query: Array[Float], k: Int,
+                m: Int = 8, dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
+                seed: Long = 7L, scale: Double = 1e6): DataFrame = {
+    val probed = probedLists(ivfCentroids(nlist, dim, seed), query, nprobe)
+    val cb = spark.read.parquet(s"$indexPath/_codebook")
+      .orderBy(col("c")).collect()
+      .map(_.getSeq[Long](1).toArray)
+    pqAdcTopK(
+      spark.read.parquet(s"$indexPath/codes")
+        .filter(col("_list").isin(probed: _*)),
+      "codes", "key", outKey, query, k, cb, m, dim, scale)
   }
 
   /** The steady-state PQ probe: read the codebook (ksub rows), ADC-scan

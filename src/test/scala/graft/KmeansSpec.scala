@@ -178,6 +178,30 @@ class KmeansSpec extends SparkSpec {
       s"PQ recall vs brute force too low: ${pq1.count(truth.contains)}/20")
   }
 
+  test("pq-ivf: routed results = flat ADC results restricted to probed lists") {
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val path = java.nio.file.Files.createTempDirectory("graft-pqivf").toString
+    Similarity.pqIvfBuild(emb, "embedding", "vec_id", s"$path/idx")
+    val routed = Similarity.pqIvfTopK(spark, s"$path/idx", "vec_id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(routed.nonEmpty && routed.size <= 10)
+    // every routed (key, score) must appear with the SAME score in the
+    // flat ADC ranking over all rows (no-residual contract: one codes
+    // table serves both) — and the routed list may only MISS keys that
+    // fall outside the probed partitions, never re-score them
+    val flatAll = Similarity.pqTopK(emb, "embedding", "vec_id", query,
+        k = emb.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    routed.foreach { case (k, s) =>
+      assert(flatAll(k) == s, s"routed score drifted for $k: $s vs ${flatAll(k)}")
+    }
+    // scores descend with key tie-break (the ranking contract)
+    assert(routed == routed.sortBy { case (k, s) => (-s, k) })
+    // the query's own vector routes to its own nearest list => retrieved
+    assert(routed.map(_._1).contains(0L))
+  }
+
   test("pq: malformed rows (wrong dim, null key) excluded; dim must divide m") {
     val bad = emb.limit(5)
       .union(emb.limit(1).select(lit(null).cast("bigint").as("vec_id"),

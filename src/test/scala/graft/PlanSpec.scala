@@ -84,6 +84,18 @@ class PlanSpec extends SparkSpec {
       s"PQ top-k is not a TakeOrderedAndProject:\n$p")
   }
 
+  test("IVF-PQ probe: partition-pruned AND codes-only — the reductions compose") {
+    val p = plan("q_ann_pq_ivf")
+    assert(p.contains("PartitionFilters") && p.contains("_list"),
+      s"routed ADC scan does not prune _list partitions:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"IVF-PQ probe re-scans the embeddings table:\n$p")
+    assert(!p.contains("embedding#"),
+      s"IVF-PQ probe drags the float vector column through the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"IVF-PQ top-k is not a TakeOrderedAndProject:\n$p")
+  }
+
   test("segment dedup picks first occurrence with an aggregate, not a rank window") {
     // min(struct(key, idx)) combines MAP-SIDE: a hot segment sends one
     // partial per input partition to the shuffle. A row_number window
