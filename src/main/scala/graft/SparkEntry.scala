@@ -496,6 +496,21 @@ object SparkEntry {
       path
     })
 
+  /** One corpus gram-index build per (session, dir) — the prebuilt
+    * substring-dedup artifact over the "existing corpus" half of the
+    * incremental split (doc_id >= 250, matching q_dedup_incremental). */
+  private val gramIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def gramIndexPath(s: SparkSession, d: String): String =
+    gramIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_gram_").resolve("grams").toString
+      Dedup.buildGramIndex(
+        t(s, d, "documents").filter(col("doc_id") >= 250),
+        "text", "doc_id", path, k = 8)
+      path
+    })
+
   /** One IVF-PQ index build per (session, dir) — the routed product-
     * quantization fixture (same lifecycle discipline as [[pqIndexPath]]). */
   private val pqIvfIndexCache =
@@ -1433,6 +1448,35 @@ object SparkEntry {
     * dot(ivec, csum) cast to double over the member count, empty clusters
     * keep their previous state. Integer arithmetic is order-independent,
     * so the two engines cannot drift. */
+  /** Shared substring-dedup CTE chain (k = 8): rolling 8-gram occurrence
+    * list over the whole documents table, the >= 2 duplicated-gram set
+    * (joined on gram STRINGS — equality-by-text vs the engine's
+    * equality-by-xxhash64, so hash determinism is differentially
+    * covered), and the per-doc covered-position aggregate. Consumed by
+    * both q_substring_dedup and q_substring_incremental so the full and
+    * incremental rules cannot drift. */
+  private lazy val sqlSubstringCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       gi AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+              FROM t WHERE len(ts) >= 8),
+       g AS (SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram FROM gi),
+       dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       st AS (SELECT g.doc_id, g.i, unnest(generate_series(0, 7)) AS u
+              FROM g JOIN dup USING (gram)),
+       cov AS (SELECT DISTINCT doc_id, i + u AS j FROM st),
+       ca AS (SELECT doc_id, count(*) AS n_removed, list_sort(list(j)) AS cv
+              FROM cov GROUP BY doc_id)"""
+
+  /** The kept-token rebuild expression shared by the two substring oracles
+    * (1-based positions; empty survivor list coalesces to '' to match
+    * Spark's concat_ws). */
+  private val sqlSubstringCleanText: String =
+    """coalesce(array_to_string(
+         list_transform(
+           list_filter(generate_series(1, len(ts)),
+                       j -> NOT coalesce(list_contains(ca.cv, j), false)),
+           j -> list_extract(ts, j)), ' '), '') AS clean_text"""
+
   /** Shared PQ CTE chain (m=8, ksub=16, dim=64, scale=1e6): codebook
     * re-derived relationally (same (md5, key) draw as the kmeans seeds),
     * encode = argmin exact-int64 L2 per subspace with ties to the lower
@@ -2028,24 +2072,28 @@ object SparkEntry {
       // so the check also covers hash determinism.
       (s, d) => Dedup.substringDedup(t(s, d, "documents"), "text", "doc_id",
         k = 8, minCount = 2),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-          gi AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
-                 FROM t WHERE len(ts) >= 8),
-          g AS (SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram FROM gi),
-          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-          st AS (SELECT g.doc_id, g.i, unnest(generate_series(0, 7)) AS u
-                 FROM g JOIN dup USING (gram)),
-          cov AS (SELECT DISTINCT doc_id, i + u AS j FROM st),
-          ca AS (SELECT doc_id, count(*) AS n_removed, list_sort(list(j)) AS cv
-                 FROM cov GROUP BY doc_id)
+      Some(s"""WITH $sqlSubstringCtes
           SELECT t.doc_id, len(ts) AS n_tokens,
                  coalesce(ca.n_removed, 0) AS n_removed,
-                 coalesce(array_to_string(
-                   list_transform(
-                     list_filter(generate_series(1, len(ts)),
-                                 j -> NOT coalesce(list_contains(ca.cv, j), false)),
-                     j -> list_extract(ts, j)), ' '), '') AS clean_text
+                 $sqlSubstringCleanText
           FROM t LEFT JOIN ca USING (doc_id)""")),
+
+    Q("q_substring_incremental", // the crawl-vs-corpus form: the corpus's
+      // side of the evidence is a prebuilt (gram hash, count) artifact
+      // (built once over doc_id >= 250); the incoming half (doc_id < 250)
+      // cleans against corpus count + its own counts — EXACTLY the
+      // corpus ∪ incoming rule restricted to incoming docs, which is how
+      // the oracle states it (full-table gram counts, output < 250).
+      // Corpus text never re-read; join keys are 8-byte hashes.
+      (s, d) => Dedup.substringDedupPrebuilt(s, gramIndexPath(s, d),
+        t(s, d, "documents").filter(col("doc_id") < 250),
+        "text", "doc_id", k = 8, minCount = 2),
+      Some(s"""WITH $sqlSubstringCtes
+          SELECT t.doc_id, len(ts) AS n_tokens,
+                 coalesce(ca.n_removed, 0) AS n_removed,
+                 $sqlSubstringCleanText
+          FROM t LEFT JOIN ca USING (doc_id)
+          WHERE t.doc_id < 250""")),
 
     Q("q_boilerplate", // frequency-based boilerplate strip: segments seen in
       // > 2 distinct docs (headers/footers/nav) drop EVERYWHERE, the rest

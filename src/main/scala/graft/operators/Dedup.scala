@@ -749,8 +749,19 @@ object Dedup {
     val dup = idx.groupBy(col("_h"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") >= minCount)
       .select(col("_h"))
+    cleanByDupGrams(df, textCol, keyCol, k, idx, dup)
+  }
+
+  /** The shared removal tail: expand each duplicated gram start to its k
+    * covered token positions, aggregate the per-doc covered set, and
+    * rebuild each doc map-side from its own text — kept positions via an
+    * array_except hash-set difference (O(n + c) per doc). `idx` must be
+    * the gram index of exactly the docs being cleaned. */
+  private def cleanByDupGrams(df: DataFrame, textCol: String, keyCol: String,
+                              k: Int, idx: DataFrame,
+                              dup: DataFrame): DataFrame = {
     // covered token positions per doc: each surviving gram start i covers
-    // i..i+k-1; flatten BEFORE the per-doc aggregation so the array_distinct
+    // i..i+k-1; flatten BEFORE the per-doc aggregation so the distinct
     // runs on ints map-side of the final collect
     val covered = idx.join(dup, Seq("_h"), "left_semi")
       .select(col("_k"), explode(sequence(col("_i"), col("_i") + (k - 1))).as("_j"))
@@ -767,5 +778,57 @@ object Dedup {
         concat_ws(" ",
           transform(col("_kept"), j => element_at(col("_toks"), j + 1)))
           .as("clean_text"))
+  }
+
+  /** Materialize the corpus k-gram index: (gram hash `_h`, occurrence
+    * count `_n`) — the write-once artifact behind incremental substring
+    * dedup, the [[buildSignatures]] lifecycle applied to grams. Counts
+    * (not a distinct set) so a later crawl can apply the exact global
+    * `minCount` rule, and so [[appendGramIndex]]-style maintenance can
+    * stay additive. */
+  def buildGramIndex(df: DataFrame, textCol: String, keyCol: String,
+                     outPath: String, k: Int = 8): Unit =
+    gramIndex(df, textCol, keyCol, k)
+      .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Extend a gram-index artifact with a new batch (the accepted-survivor
+    * maintenance step): counts are additive, so the merge is one
+    * (hash, count) union-aggregate — the corpus text is never re-read. */
+  def appendGramIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, batch: DataFrame, textCol: String,
+                      keyCol: String, outPath: String, k: Int = 8): Unit =
+    spark.read.parquet(indexPath)
+      .unionByName(gramIndex(batch, textCol, keyCol, k)
+        .groupBy(col("_h")).agg(count(lit(1)).as("_n")))
+      .groupBy(col("_h")).agg(sum(col("_n")).as("_n"))
+      .write.mode("overwrite").parquet(outPath)
+
+  /**
+   * Incremental substring dedup: clean an incoming crawl against a
+   * prebuilt corpus gram index ([[buildGramIndex]]) — a token is removed
+   * when some covering k-gram's corpus count + incoming count reaches
+   * `minCount`, i.e. EXACTLY the rule [[substringDedup]] would apply to
+   * corpus ∪ incoming, restricted to the incoming docs (differentially
+   * pinned by the q_substring_incremental oracle). The corpus text is
+   * never re-read: its side of the evidence is the (hash, count)
+   * artifact, and the join keys are 8-byte hashes.
+   */
+  def substringDedupPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                             gramIndexPath: String, incoming: DataFrame,
+                             textCol: String, keyCol: String,
+                             k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, "minCount must be >= 2 (1 would remove everything)")
+    val idx = tracked(gramIndex(incoming, textCol, keyCol, k))
+    val inCounts = idx.groupBy(col("_h")).agg(count(lit(1)).as("_in"))
+    // full outer is NOT needed: a gram absent from the incoming index
+    // covers no incoming token, so corpus-only grams cannot matter — the
+    // left join keeps the combined-count rule exact while the corpus
+    // artifact stays a pure pruned (hash, count) read
+    val dup = inCounts
+      .join(spark.read.parquet(gramIndexPath), Seq("_h"), "left")
+      .filter(col("_in") + coalesce(col("_n"), lit(0L)) >= minCount)
+      .select(col("_h"))
+    cleanByDupGrams(incoming, textCol, keyCol, k, idx, dup)
   }
 }

@@ -1679,6 +1679,44 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> ((5, "x1")), 2L -> ((5, "y1"))))
   }
 
+  test("substringDedupPrebuilt == substringDedup over corpus ∪ incoming, " +
+       "restricted to incoming") {
+    val corpus = Seq(
+      (10L, "c1 c2 p1 p2 p3 c3"),
+      (11L, "c4 c5 c6 c7")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "a1 p1 p2 p3 a2"),     // shares a span with corpus doc 10
+      (2L, "b1 b2 b3 b4 b5"),     // unique
+      (3L, "b1 b2 b3 z1 z2")).toDF("doc_id", "text") // dup within incoming
+    val dir = java.nio.file.Files.createTempDirectory("graft-gram").toString
+    Dedup.buildGramIndex(corpus, "text", "doc_id", s"$dir/g", k = 3)
+    val got = Dedup.substringDedupPrebuilt(spark, s"$dir/g", incoming,
+        "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    val full = Dedup.substringDedup(corpus.union(incoming), "text", "doc_id", k = 3)
+      .filter($"doc_id" < 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(got == full)
+    assert(got(1L) == ((3, "a1 a2"))) // corpus-shared span removed
+    assert(got(2L)._1 == 3 && got(3L)._1 == 3) // incoming-internal dup removed
+  }
+
+  test("appendGramIndex: build(A) + append(B) == build(A ∪ B)") {
+    val a = Seq((1L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+    val b = Seq((2L, "x1 x2 x3 y1"), (3L, "z1 z2 z3")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gram2").toString
+    Dedup.buildGramIndex(a, "text", "doc_id", s"$dir/a", k = 3)
+    Dedup.appendGramIndex(spark, s"$dir/a", b, "text", "doc_id", s"$dir/ab", k = 3)
+    Dedup.buildGramIndex(a.union(b), "text", "doc_id", s"$dir/full", k = 3)
+    val inc = spark.read.parquet(s"$dir/ab").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = spark.read.parquet(s"$dir/full").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full && inc.values.sum == 2 + 2 + 1) // "x1 x2 x3" seen twice
+  }
+
   // --- sessionize ---------------------------------------------------------------
 
   test("sessionize: gap >= threshold starts a session; ids are per-user running counts") {
