@@ -310,6 +310,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("substringDedup invariants on 120 random docs: subsequence, count " +
+       "consistency, oracle replay") {
+    import spark.implicits._
+    val k = 3
+    // small vocabulary so cross-doc k-gram collisions actually occur
+    def doc() = Seq.fill(rnd.nextInt(30) + 1)("w" + rnd.nextInt(5)).mkString(" ")
+    val docs = (1 to 120).map(i => (i.toLong, doc()))
+    val out = graft.operators.Dedup
+      .substringDedup(docs.toDF("doc_id", "text"), "text", "doc_id", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out.keySet == docs.map(_._1).toSet, "every doc must survive as a row")
+    val in = docs.toMap
+    // reference implementation replayed in plain Scala
+    val allGrams = scala.collection.mutable.Map.empty[Seq[String], Int]
+    docs.foreach { case (_, t) =>
+      val ts = t.split(" ").toSeq
+      ts.sliding(k).filter(_.size == k).foreach(g =>
+        allGrams(g) = allGrams.getOrElse(g, 0) + 1)
+    }
+    out.foreach { case (id, (nTok, nRem, clean)) =>
+      val ts = in(id).split(" ").toSeq
+      assert(nTok == ts.size, s"doc $id token count")
+      val covered = ts.indices.filter { j =>
+        (math.max(0, j - k + 1) to math.min(j, ts.size - k)).exists { s =>
+          allGrams.getOrElse(ts.slice(s, s + k), 0) >= 2
+        }
+      }.toSet
+      val want = ts.indices.filterNot(covered).map(ts).mkString(" ")
+      assert(clean == want, s"doc $id clean text:\n got  $clean\n want $want")
+      assert(nRem == covered.size, s"doc $id removed count")
+      // clean tokens are an ordered subsequence of the input
+      var pos = -1
+      clean.split(" ").filter(_.nonEmpty).foreach { t =>
+        val nxt = ts.indexWhere(_ == t, pos + 1)
+        assert(nxt > pos, s"doc $id: token '$t' out of order or invented")
+        pos = nxt
+      }
+    }
+  }
+
   test("segmentDedup invariants on 150 random docs: global uniqueness, order, subset") {
     import spark.implicits._
     // word soup with a small vocabulary so cross-doc segment collisions
