@@ -780,29 +780,37 @@ object Dedup {
           .as("clean_text"))
   }
 
-  /** Materialize the corpus k-gram index: (gram hash `_h`, occurrence
-    * count `_n`) — the write-once artifact behind incremental substring
-    * dedup, the [[buildSignatures]] lifecycle applied to grams. Counts
-    * (not a distinct set) so a later crawl can apply the exact global
-    * `minCount` rule, and so [[appendGramIndex]]-style maintenance can
-    * stay additive. */
+  /** Materialize the corpus k-gram index: rows of (gram hash `_h`,
+    * PARTIAL count `_n`) — the write-once artifact behind incremental
+    * substring dedup, the [[buildSignatures]] lifecycle applied to grams.
+    * The artifact's contract is "partial counts, consumers sum per hash"
+    * ([[readGramIndex]]): counts are additive, so [[appendGramIndex]]
+    * maintenance is a pure APPEND-mode write — no read-modify-rewrite of
+    * a 100 TB corpus's gram table, no coordination with concurrent
+    * readers, and a periodic compaction (re-aggregate + overwrite) is an
+    * optimization, never a correctness step. */
   def buildGramIndex(df: DataFrame, textCol: String, keyCol: String,
                      outPath: String, k: Int = 8): Unit =
     gramIndex(df, textCol, keyCol, k)
       .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
       .write.mode("overwrite").parquet(outPath)
 
-  /** Extend a gram-index artifact with a new batch (the accepted-survivor
-    * maintenance step): counts are additive, so the merge is one
-    * (hash, count) union-aggregate — the corpus text is never re-read. */
-  def appendGramIndex(spark: org.apache.spark.sql.SparkSession,
-                      indexPath: String, batch: DataFrame, textCol: String,
-                      keyCol: String, outPath: String, k: Int = 8): Unit =
+  /** Extend a gram-index artifact IN PLACE with a new batch (the
+    * accepted-survivor maintenance step): one append-mode write of the
+    * batch's own (hash, count) partials — the existing artifact is
+    * neither read nor rewritten. */
+  def appendGramIndex(batch: DataFrame, textCol: String, keyCol: String,
+                      indexPath: String, k: Int = 8): Unit =
+    gramIndex(batch, textCol, keyCol, k)
+      .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+      .write.mode("append").parquet(indexPath)
+
+  /** The consumer view of a gram-index artifact: total counts per hash
+    * (sums the partials the append-mode maintenance leaves behind). */
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String): DataFrame =
     spark.read.parquet(indexPath)
-      .unionByName(gramIndex(batch, textCol, keyCol, k)
-        .groupBy(col("_h")).agg(count(lit(1)).as("_n")))
       .groupBy(col("_h")).agg(sum(col("_n")).as("_n"))
-      .write.mode("overwrite").parquet(outPath)
 
   /**
    * Incremental substring dedup: clean an incoming crawl against a
@@ -826,7 +834,7 @@ object Dedup {
     // left join keeps the combined-count rule exact while the corpus
     // artifact stays a pure pruned (hash, count) read
     val dup = inCounts
-      .join(spark.read.parquet(gramIndexPath), Seq("_h"), "left")
+      .join(readGramIndex(spark, gramIndexPath), Seq("_h"), "left")
       .filter(col("_in") + coalesce(col("_n"), lit(0L)) >= minCount)
       .select(col("_h"))
     cleanByDupGrams(incoming, textCol, keyCol, k, idx, dup)

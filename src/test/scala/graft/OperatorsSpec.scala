@@ -1703,16 +1703,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L)._1 == 3 && got(3L)._1 == 3) // incoming-internal dup removed
   }
 
-  test("appendGramIndex: build(A) + append(B) == build(A ∪ B)") {
+  test("appendGramIndex: build(A) + in-place append(B) reads as build(A ∪ B)") {
     val a = Seq((1L, "x1 x2 x3 x4")).toDF("doc_id", "text")
     val b = Seq((2L, "x1 x2 x3 y1"), (3L, "z1 z2 z3")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-gram2").toString
-    Dedup.buildGramIndex(a, "text", "doc_id", s"$dir/a", k = 3)
-    Dedup.appendGramIndex(spark, s"$dir/a", b, "text", "doc_id", s"$dir/ab", k = 3)
+    Dedup.buildGramIndex(a, "text", "doc_id", s"$dir/g", k = 3)
+    Dedup.appendGramIndex(b, "text", "doc_id", s"$dir/g", k = 3)
     Dedup.buildGramIndex(a.union(b), "text", "doc_id", s"$dir/full", k = 3)
-    val inc = spark.read.parquet(s"$dir/ab").collect()
+    val inc = Dedup.readGramIndex(spark, s"$dir/g").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val full = spark.read.parquet(s"$dir/full").collect()
+    val full = Dedup.readGramIndex(spark, s"$dir/full").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc == full && inc.values.sum == 2 + 2 + 1) // "x1 x2 x3" seen twice
   }

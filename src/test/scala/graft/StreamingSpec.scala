@@ -832,6 +832,56 @@ class StreamingSpec extends SparkSpec {
     assert(survivors.synchronized(survivors.sorted.toSeq) == Seq(1L, 3L),
       s"batch-2 near-copy of an accepted batch-1 doc must drop: $survivors")
   }
+
+  test("streaming substring dedup: spans clean against the gram artifact, " +
+       "accepted survivors extend it in place") {
+    // the substring-level incremental loop: clean batch N's token spans
+    // against the corpus gram index, append the cleaned survivors' grams
+    // (one append-mode write — the artifact is never read-modify-
+    // rewritten), and batch N+1's copy of a batch-N passage now strips too
+    import graft.operators.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Seq((100L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val gramPath = java.nio.file.Files
+      .createTempDirectory("graft-stream-gram").toString + "/grams"
+    Dedup.buildGramIndex(corpus, "text", "doc_id", gramPath, k = 3)
+
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cleaned = Dedup.substringDedupPrebuilt(spark, gramPath, b.toDF(),
+            "text", "doc_id", k = 3)
+          .collect().map(r => (r.getLong(0), r.getString(3)))
+        val kept = cleaned.filter(_._2.nonEmpty)
+        if (kept.nonEmpty) {
+          import spark.implicits._
+          Dedup.appendGramIndex(
+            kept.toSeq.toDF("doc_id", "text"), "text", "doc_id", gramPath, k = 3)
+        }
+        out.synchronized { out ++= cleaned; () }
+      }
+      .start()
+
+    // batch 1: a corpus passage inside fresh context + a fully fresh doc
+    input.addData((1L, "a1 c1 c2 c3 c4 c5 a2"), (2L, "b1 b2 b3 b4"))
+    q.processAllAvailable()
+    // batch 2: repeats batch 2's OWN accepted passage b1..b4 — must strip
+    // now that batch 1's survivors extended the artifact
+    input.addData((3L, "z1 b1 b2 b3 b4 z2"))
+    q.processAllAvailable()
+    q.stop()
+
+    val byId = out.synchronized(out.toMap)
+    assert(byId(1L) == "a1 a2", s"corpus span must strip: ${byId(1L)}")
+    assert(byId(2L) == "b1 b2 b3 b4", "fresh doc unchanged in batch 1")
+    assert(byId(3L) == "z1 z2",
+      s"batch-2 copy of an accepted batch-1 passage must strip: ${byId(3L)}")
+  }
 }
 
 /** Top-level: Dataset deserialization (.as[KV2]) cannot encode an
