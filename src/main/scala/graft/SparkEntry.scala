@@ -690,6 +690,27 @@ object SparkEntry {
         "vec_id", queryVec(s, d), 20),
       Some(sqlPqTopK)),
 
+    Q("q_ann_pq_rerank", // two-stage retrieval: ADC shortlist (k·5 over
+      // the compressed codes) → fetch ONLY those rows' raw vectors
+      // (keys-only semi join = bounded point-reads at scale) → exact
+      // float re-rank. Exact top-k precision at compressed-scan cost; both
+      // stages round before ordering with key tie-breaks, so the whole
+      // cascade is engine-exact.
+      (s, d) => Similarity.pqRerankTopK(s, pqIndexPath(s, d),
+        t(s, d, "embeddings"), "embedding", "vec_id", "vec_id",
+        queryVec(s, d), k = 20, rerank = 5),
+      Some(s"""WITH $sqlPqCtes,
+          shortlist AS (
+            SELECT vec_id FROM (
+              SELECT vec_id, round(si / 1000000000000.0, 6) AS ps FROM sc)
+            ORDER BY ps DESC, vec_id LIMIT 100),
+          q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT e.vec_id,
+                 round(list_dot_product(e.embedding::DOUBLE[], q2.qv::DOUBLE[]), 6) AS score
+          FROM embeddings e JOIN shortlist USING (vec_id), q2
+          WHERE len(e.embedding) = 64
+          ORDER BY score DESC, e.vec_id LIMIT 20""")),
+
     Q("q_ann_pq_ivf", // IVF-ADC (FAISS IVFPQ, no-residual): coarse-route
       // to nprobe/nlist PARTITION-PRUNED lists, then ADC-score only the
       // m-int codes inside them — the two scan reductions multiply

@@ -556,6 +556,33 @@ object Similarity {
     cb
   }
 
+  /** Two-stage retrieval (the standard serving pattern over a compressed
+    * index): stage 1 ADC-scans the codes table for a shortlist of
+    * `k · rerank` candidates — compressed-scan cost over the whole index;
+    * stage 2 fetches ONLY those candidates' raw vectors (a keys-only
+    * semi-join driven by the shortlist, i.e. a bounded point-read at
+    * cluster scale, ideally against a key-sorted/z-ordered layout) and
+    * re-ranks them with the exact float cosine. Result: exact top-k
+    * precision for the price of a compressed scan + k·rerank row fetches.
+    * Ranking determinism: both stages round before ordering and tie-break
+    * on the key. */
+  def pqRerankTopK(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, raw: DataFrame, vecCol: String,
+                   keyCol: String, outKey: String, query: Array[Float],
+                   k: Int, rerank: Int = 5, m: Int = 8, dim: Int = 64,
+                   scale: Double = 1e6): DataFrame = {
+    require(rerank >= 1, "rerank factor must be >= 1")
+    val shortlist = pqTopKPrebuilt(spark, indexPath, outKey, query,
+        k * rerank, m, dim, scale)
+      .select(col(outKey))
+    raw.join(shortlist, raw(keyCol) === shortlist(outKey), "left_semi")
+      .filter(size(col(vecCol)) === dim)
+      .withColumn("score", round(VF.cosine(col(vecCol), query), 6))
+      .orderBy(col("score").desc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol).as(outKey), col("score"))
+  }
+
   /** The compound 100 TB probe: route to nprobe/nlist partitions
     * (partition-pruned — most files never open), ADC-score only the m-int
     * codes inside them. Scan bytes vs the flat float column ≈

@@ -202,6 +202,31 @@ class KmeansSpec extends SparkSpec {
     assert(routed.map(_._1).contains(0L))
   }
 
+  test("pq rerank: shortlist-covering factor reproduces brute force exactly; " +
+       "default factor beats pure ADC precision") {
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val path = java.nio.file.Files.createTempDirectory("graft-pqrr").toString
+    Similarity.pqBuild(emb, "embedding", "vec_id", s"$path/idx")
+    val n = emb.count().toInt
+    // rerank factor covering every row => stage 2 IS brute force
+    val all = Similarity.pqRerankTopK(spark, s"$path/idx", emb,
+        "embedding", "vec_id", "vec_id", query, k = 10, rerank = n / 10 + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val truth = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == truth, s"covering rerank must equal brute force: $all vs $truth")
+    // default factor: exact re-scoring can only improve on raw ADC order
+    val rr = Similarity.pqRerankTopK(spark, s"$path/idx", emb,
+        "embedding", "vec_id", "vec_id", query, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val adc = Similarity.pqTopKPrebuilt(spark, s"$path/idx", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val truthSet = truth.toSet
+    assert(rr.count(truthSet.contains) >= adc.count(truthSet.contains),
+      s"rerank precision regressed vs ADC: $rr vs $adc")
+  }
+
   test("pq: malformed rows (wrong dim, null key) excluded; dim must divide m") {
     val bad = emb.limit(5)
       .union(emb.limit(1).select(lit(null).cast("bigint").as("vec_id"),
