@@ -422,6 +422,73 @@ object Similarity {
       .select(col("ivec")).collect()
       .map(_.getSeq[Long](0).toArray)
 
+  /** One L2 Lloyd assignment pass against integer centroid states:
+    * argmin_c ‖x − mean_c‖² = argmin_c (‖mean_c‖² − 2·dot(x, csum_c)/n_c)
+    * — the ‖x‖² term is row-constant and drops out. The dot is exact
+    * int64 (the [[kmeansAssignOnce]] discipline); the two per-centroid
+    * scalars are doubles computed once per expression. This is the
+    * EUCLIDEAN objective PQ encoding minimizes — [[kmeansAssignOnce]]'s
+    * mean-inner-product criterion optimizes a different (spherical)
+    * objective and would not monotonically reduce PQ distortion. */
+  private def l2AssignOnce(scaled: DataFrame,
+                           cs: Array[CentroidState]): DataFrame = {
+    val candidates = cs.zipWithIndex.map { case (c, i) =>
+      val dot = aggregate(
+        zip_with(col("ivec"), array(c.csum.map(lit(_)): _*), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      val msq = c.csum.map { v => val mv = v.toDouble / c.n; mv * mv }.sum
+      struct((lit(msq) - dot.cast("double") * (2.0 / c.n)).as("d"),
+        lit(i.toLong).as("cid"))
+    }
+    scaled.withColumn("cid", least(candidates: _*).getField("cid"))
+  }
+
+  /** Lloyd-refined PQ codebook: per subspace, `iters` (assign → exact
+    * integer update) cycles of Euclidean k-means over the quantized
+    * subvectors, SEEDED by the same (md5, key) draw as
+    * [[pqSampleCodebook]] — refinement provably starts AT the sampled
+    * codebook and monotonically reduces the quantization distortion the
+    * encoder minimizes (unit-pinned against the sampled baseline).
+    * Returns the same ksub × dim int64 layout, so it drops into
+    * [[pqEncode]] / [[pqBuildWith]] unchanged — the codebook is data, not
+    * code. Per-subspace training cost: iters bounded (cid, pos)
+    * aggregations over sd-wide vectors; the corpus never moves. */
+  def pqTrainCodebook(df: DataFrame, vecCol: String, keyCol: String,
+                      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                      dim: Int = 64, scale: Double = 1e6): Array[Array[Long]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(ksub >= 2 && iters >= 1, "ksub >= 2 and at least one Lloyd cycle")
+    val sd = dim / m
+    val per: Array[Array[Array[Long]]] = (0 until m).toArray.map { s =>
+      val sub = df
+        .filter(col(keyCol).isNotNull && col(vecCol).isNotNull &&
+          size(col(vecCol)) === dim)
+        .select(col(keyCol).as("key"), slice(col(vecCol), s * sd + 1, sd).as("subv"))
+      val scaled = graft.CacheRegistry.track(
+        quantize(sub, "subv", "key", scale, sd))
+      var cs = kmeansSeeds(scaled, ksub)
+      var pass = 0
+      while (pass < iters) {
+        cs = kmeansUpdate(l2AssignOnce(scaled, cs), cs)
+        pass += 1
+      }
+      // integer mean, half-away rounding (the SQL ROUND convention)
+      cs.map(c => c.csum.map(v => roundHalfAway(v.toDouble / c.n)))
+    }
+    Array.tabulate(ksub)(c => (0 until m).flatMap(s => per(s)(c)).toArray)
+  }
+
+  /** [[pqBuild]] with an EXPLICIT codebook — the consumer of
+    * [[pqTrainCodebook]] (or any externally trained codebook): same
+    * artifact layout, same probe paths. */
+  def pqBuildWith(df: DataFrame, vecCol: String, keyCol: String,
+                  outPath: String, codebook: Array[Array[Long]], m: Int = 8,
+                  dim: Int = 64, scale: Double = 1e6): Unit = {
+    pqEncode(df, vecCol, keyCol, codebook, m, dim, scale)
+      .write.mode("overwrite").parquet(s"$outPath/codes")
+    writeCodebook(df.sparkSession, codebook, outPath)
+  }
+
   /** Encode every row to its m subspace codes: per subspace the exact-int64
     * argmin-L2 codebook entry, ties to the lower code. Pure scan stage —
     * m·ksub literal-array distance expressions, no shuffle, no UDF.

@@ -227,6 +227,49 @@ class KmeansSpec extends SparkSpec {
       s"rerank precision regressed vs ADC: $rr vs $adc")
   }
 
+  test("pq trained codebook: Lloyd refinement reduces quantization distortion " +
+       "vs its own sampled init; deterministic; feeds the artifact") {
+    val sampled = Similarity.pqSampleCodebook(emb, "embedding", "vec_id",
+      ksub = 16, dim = 64)
+    val trained = Similarity.pqTrainCodebook(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, iters = 3, dim = 64)
+    val trained2 = Similarity.pqTrainCodebook(emb, "embedding", "vec_id",
+      m = 8, ksub = 16, iters = 3, dim = 64)
+    assert(trained.map(_.toSeq).toSeq == trained2.map(_.toSeq).toSeq,
+      "training must be deterministic")
+    // distortion the encoder minimizes: per row/subspace, min over codebook
+    // entries of the squared L2 in quantized space, summed over the corpus
+    val ivecs = emb.select(
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")))
+      .collect().map(_.getSeq[Long](0).toArray)
+    def distortion(cb: Array[Array[Long]]): Double = {
+      val sd = 8
+      ivecs.map { iv =>
+        (0 until 8).map { s =>
+          cb.map { row =>
+            var acc = 0.0; var j = 0
+            while (j < sd) {
+              val d = (iv(s * sd + j) - row(s * sd + j)).toDouble
+              acc += d * d; j += 1
+            }
+            acc
+          }.min
+        }.sum
+      }.sum
+    }
+    val ds = distortion(sampled); val dt = distortion(trained)
+    assert(dt <= ds, s"Lloyd refinement increased distortion: $dt > $ds")
+    assert(dt < ds * 0.9, s"refinement barely moved: $dt vs $ds")
+    // the trained codebook drops into the artifact + probe path unchanged
+    val path = java.nio.file.Files.createTempDirectory("graft-pqtr").toString
+    Similarity.pqBuildWith(emb, "embedding", "vec_id", s"$path/idx", trained)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val got = Similarity.pqTopKPrebuilt(spark, s"$path/idx", "vec_id", query, 10)
+      .collect()
+    assert(got.length == 10)
+  }
+
   test("pq: malformed rows (wrong dim, null key) excluded; dim must divide m") {
     val bad = emb.limit(5)
       .union(emb.limit(1).select(lit(null).cast("bigint").as("vec_id"),
