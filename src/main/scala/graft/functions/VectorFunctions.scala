@@ -54,6 +54,14 @@ object VectorFunctions {
     val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
     transform(d, x => x / norm)
   }
+
+  /** Product-quantization encode of a float/double vector column against a
+    * constant int64 codebook: quantize (round-half-away ·scale) + per-
+    * subspace argmin-L2 in ONE codegen'd primitive loop. See
+    * [[PqEncodeExpr]] for the semantics contract. */
+  def pqEncode(v: Column, codebook: Array[Array[Long]], m: Int,
+               scale: Double): Column =
+    GraftBridge.column(PqEncodeExpr(GraftBridge.expression(v), codebook, m, scale))
 }
 
 /**
@@ -168,4 +176,116 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Product-quantization encode as one codegen'd expression: the input
+ * float/double vector quantizes to int64 (round-half-away of x·scale — the
+ * SQL ROUND convention, matching the relational quantize the oracles
+ * replay) and every subspace takes the argmin exact-int64 L2 codebook
+ * entry, ties to the LOWER code. Output: int[m] codes; NULL input or a
+ * dimension mismatch ⇒ NULL row (callers filter on size() first — the
+ * NULL is the defensive contract, mirroring VectorFilter's
+ * dim-mismatch ⇒ no-match).
+ *
+ * Why an Expression and not HOFs: Spark's higher-order functions evaluate
+ * per-element closures interpreted (never whole-stage codegen), so the
+ * m·ksub·sd-step encode loop pays a lambda dispatch per element — measured
+ * 3.4 s for the rolled HOF form and 1.1 s for m·ksub unrolled zip_with
+ * aggregates on the 5 k fixture; this single primitive loop removes the
+ * dispatch entirely and keeps the expression tree O(1) in ksub, so the
+ * real-world ksub = 256 cannot blow the codegen method limit the way 2048
+ * unrolled aggregate subtrees would.
+ */
+case class PqEncodeExpr(child: Expression, codebook: Array[Array[Long]],
+                        m: Int, scale: Double)
+    extends UnaryExpression {
+
+  private lazy val dim = codebook.head.length
+  private lazy val sd = dim / m
+  private lazy val ksub = codebook.length
+  // flattened row-major (code, dim) for cache-friendly scans
+  private lazy val cbFlat: Array[Long] = codebook.flatten
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val elementIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val iv = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      val x = (if (elementIsDouble) arr.getDouble(i)
+               else arr.getFloat(i).toDouble) * scale
+      iv(i) = (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0L; var bestC = 0; var c = 0
+      val ivo = s * sd
+      while (c < ksub) {
+        var acc = 0L; var j = 0
+        val off = c * dim + ivo
+        while (j < sd) {
+          val d = iv(ivo + j) - cbFlat(off + j); acc += d * d; j += 1
+        }
+        if (c == 0 || acc < best) { best = acc; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC; s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("cbFlat", cbFlat, "long[]")
+    val getter = if (elementIsDouble) "getDouble" else "getFloat"
+    nullSafeCodeGen(ctx, ev, c => {
+      val iv = ctx.freshName("iv")
+      val codes = ctx.freshName("codes")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val cc = ctx.freshName("cc"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC"); val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off"); val ivo = ctx.freshName("ivo")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($c.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $iv = new long[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $x = ((double) $c.$getter($i)) * $scale;
+         |    $iv[$i] = (long) (Math.signum($x) * Math.floor(Math.abs($x) + 0.5));
+         |  }
+         |  int[] $codes = new int[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    long $best = 0L; int $bestC = 0;
+         |    final int $ivo = $s * $sd;
+         |    for (int $cc = 0; $cc < $ksub; $cc++) {
+         |      long $acc = 0L;
+         |      final int $off = $cc * $dim + $ivo;
+         |      for (int $j = 0; $j < $sd; $j++) {
+         |        final long $d = $iv[$ivo + $j] - $cbRef[$off + $j];
+         |        $acc += $d * $d;
+         |      }
+         |      if ($cc == 0 || $acc < $best) { $best = $acc; $bestC = $cc; }
+         |    }
+         |    $codes[$s] = $bestC;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
 }

@@ -501,24 +501,16 @@ object Similarity {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(codebook.nonEmpty && codebook.forall(_.length == dim),
       "codebook rows must have the declared dimension")
-    val sd = dim / m
-    val q = df.filter(col(keyCol).isNotNull && col(vecCol).isNotNull &&
+    // ONE codegen'd primitive loop (functions.PqEncodeExpr) — quantize and
+    // all m argmins fused, no per-element lambda dispatch, and the
+    // expression tree is O(1) in ksub so a real-world 256-entry codebook
+    // cannot blow the codegen method limit (see the expression's scaladoc
+    // for the measured HOF/unrolled alternatives it replaces)
+    df.filter(col(keyCol).isNotNull && col(vecCol).isNotNull &&
         size(col(vecCol)) === dim)
-      .withColumn("_ivec", transform(col(vecCol),
-        x => round(x.cast("double") * scale).cast("long")))
-    val codes = (0 until m).map { s =>
-      val sub = slice(col("_ivec"), s * sd + 1, sd)
-      val cands = codebook.indices.map { c =>
-        val cb = codebook(c).slice(s * sd, s * sd + sd)
-        val d2 = aggregate(
-          zip_with(sub, array(cb.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-        struct(d2.as("d"), lit(c).as("c"))
-      }
-      least(cands: _*).getField("c")
-    }
-    q.select(col(keyCol).as("key") +: array(codes: _*).as("codes") +:
-      keep.map(col): _*)
+      .select(col(keyCol).as("key") +:
+        VF.pqEncode(col(vecCol), codebook, m, scale).as("codes") +:
+        keep.map(col): _*)
   }
 
   /** ADC scan over a codes table: score = Σ_s LUT[s][code_s] where
