@@ -270,6 +270,31 @@ class KmeansSpec extends SparkSpec {
     assert(got.length == 10)
   }
 
+  test("PqEncodeExpr: interpreted eval matches the codegen'd DataFrame path; " +
+       "dim mismatch and NULL input evaluate to NULL") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val cb = Similarity.pqSampleCodebook(emb, "embedding", "vec_id",
+      ksub = 8, dim = 64)
+    val viaDf = Similarity.pqEncode(emb, "embedding", "vec_id", cb, m = 8, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    emb.select("vec_id", "embedding").collect().foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val expr = graft.functions.PqEncodeExpr(
+        Literal.create(vec, ArrayType(FloatType)), cb, 8, 1e6)
+      val got = expr.eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      assert(got == viaDf(r.getLong(0)),
+        s"interpreted/codegen drift for vec ${r.getLong(0)}")
+    }
+    val wrongDim = graft.functions.PqEncodeExpr(
+      Literal.create(Seq(1.0f, 2.0f), ArrayType(FloatType)), cb, 8, 1e6)
+    assert(wrongDim.eval(null) == null, "dim mismatch must evaluate to NULL")
+    val nullIn = graft.functions.PqEncodeExpr(
+      Literal.create(null, ArrayType(FloatType)), cb, 8, 1e6)
+    assert(nullIn.eval(null) == null, "NULL input must evaluate to NULL")
+  }
+
   test("pq: malformed rows (wrong dim, null key) excluded; dim must divide m") {
     val bad = emb.limit(5)
       .union(emb.limit(1).select(lit(null).cast("bigint").as("vec_id"),
