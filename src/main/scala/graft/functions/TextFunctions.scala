@@ -19,6 +19,12 @@ object TextFunctions {
   /** Whitespace tokenization (fixtures are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Rolling k-gram hashes of a token-array column — O(n) hash work and
+    * zero string allocation per row (see [[RollingGramHashExpr]]). */
+  def gramHashes(toks: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      RollingGramHashExpr(org.apache.spark.sql.GraftBridge.expression(toks), k))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /**
@@ -325,4 +331,101 @@ object TextFunctions {
       round(maxRunCount(array_sort(wordBigrams(toks))).cast(DoubleType) /
         (size(toks) - lit(1)).cast(DoubleType), 6))
       .otherwise(lit(0.0))
+}
+
+/**
+ * Rolling k-gram hashes of a token array as ONE codegen'd expression:
+ * each token hashes once (Spark's XXH64 over its UTF-8 bytes), and the
+ * gram hash is the degree-(k−1) polynomial combination of its k token
+ * hashes over 2^64 — computed ROLLING, so a document of n tokens costs
+ * O(n) hash work and ZERO string allocation, versus the
+ * `xxhash64(concat_ws(slice(...)))` formulation's O(n·k) bytes built and
+ * hashed per document. Output: long[n−k+1] (empty when n < k).
+ *
+ * Equality contract: two grams collide only by 64-bit hash collision —
+ * token boundaries cannot alias (the polynomial runs over per-token
+ * hashes, not a joined byte stream). Consumers (substring dedup) compare
+ * hashes for EQUALITY only, and the DuckDB oracle joins the gram STRINGS,
+ * so the hash function is a free implementation choice differentially
+ * covered end-to-end.
+ */
+case class RollingGramHashExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                               k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  require(k >= 1, "k must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // odd multiplier (2^64 / golden ratio) — full-period over Z/2^64
+  private final val B = 0x9E3779B97F4A7C15L
+  /** B^(k-1) mod 2^64 — the coefficient of the outgoing token hash. */
+  private lazy val bPow: Long = {
+    var p = 1L; var i = 1
+    while (i < k) { p *= B; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (arr.isNullAt(i)) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + th(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= n - k) {
+      h = (h - th(i - 1) * bPow) * B + th(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val th = ctx.freshName("th")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val j = ctx.freshName("j")
+      s"""
+         |final int $n = $c.numElements();
+         |if ($n < $k) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  long[] $th = new long[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $th[$i] = $c.isNullAt($i) ? 0L :
+         |      org.apache.spark.sql.catalyst.expressions.XXH64
+         |        .hashUTF8String($c.getUTF8String($i), 42L);
+         |  }
+         |  long[] $out = new long[$n - $k + 1];
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $k; $j++) { $h = $h * ${B}L + $th[$j]; }
+         |  $out[0] = $h;
+         |  for (int $i = 1; $i <= $n - $k; $i++) {
+         |    $h = ($h - $th[$i - 1] * ${bPow}L) * ${B}L + $th[$i + $k - 1];
+         |    $out[$i] = $h;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): RollingGramHashExpr =
+    copy(child = newChild)
 }

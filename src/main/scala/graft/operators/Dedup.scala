@@ -706,19 +706,17 @@ object Dedup {
   /** Rolling k-gram occurrence index: one row per (doc key `_k`, 0-based
     * gram start `_i`, 64-bit gram hash `_h`) — overlapping windows, so a
     * doc with n tokens emits n-k+1 rows of 20 bytes each. The text itself
-    * never leaves its scan partition; grams are hashed in place. */
+    * never leaves its scan partition; gram hashes come from ONE codegen'd
+    * rolling pass ([[TF.gramHashes]]): O(n) hash work per doc and zero
+    * string allocation, versus O(n·k) joined-string bytes for the
+    * xxhash64(concat_ws(slice)) formulation — the constant factor that
+    * dominates this operator's scan stage at 100 TB. */
   private def gramIndex(df: DataFrame, textCol: String, keyCol: String,
-                        k: Int): DataFrame = {
-    // token array bound OUTSIDE the per-gram lambda (the segmentsOf
-    // precondition): inlining split() would re-split the full text once
-    // per gram — O(tokens^2) per row
+                        k: Int): DataFrame =
     df.withColumn("_toks", split(col(textCol), " "))
       .filter(size(col("_toks")) >= k)
       .select(col(keyCol).as("_k"),
-        posexplode(transform(sequence(lit(0), size(col("_toks")) - k),
-          i => xxhash64(concat_ws(" ", slice(col("_toks"), i + 1, lit(k))))))
-          .as(Seq("_i", "_h")))
-  }
+        posexplode(TF.gramHashes(col("_toks"), k)).as(Seq("_i", "_h")))
 
   /**
    * Exact substring dedup: remove every token covered by any `k`-token

@@ -1703,6 +1703,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L)._1 == 3 && got(3L)._1 == 3) // incoming-internal dup removed
   }
 
+  test("RollingGramHashExpr: rolling == direct polynomial; interpreted == " +
+       "codegen; sub-k arrays empty; equal windows collide, different don't") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XXH64}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val k = 3
+    val toks = Seq("a", "bb", "c", "a", "bb", "c", "d")
+    // direct (non-rolling) recompute of the documented polynomial
+    val B = 0x9E3779B97F4A7C15L
+    def th(s: String) =
+      XXH64.hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+    val want = (0 to toks.size - k).map { i =>
+      toks.slice(i, i + k).foldLeft(0L)((h, t) => h * B + th(t))
+    }
+    val expr = graft.functions.RollingGramHashExpr(
+      Literal.create(toks, ArrayType(StringType)), k)
+    val got = expr.eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(got == want, "rolling update drifted from the direct polynomial")
+    // identical windows (0 and 3) hash equal; all other pairs differ
+    assert(got(0) == got(3))
+    assert(got.distinct.size == got.size - 1)
+    // DataFrame (codegen) path agrees with interpreted eval
+    val viaDf = spark.sql("SELECT 1")
+      .select(graft.functions.TextFunctions.gramHashes(
+        typedLit(toks), k).as("h"))
+      .head().getSeq[Long](0).toSeq
+    assert(viaDf == want, "codegen path drifted from interpreted eval")
+    // fewer than k tokens => empty, never null
+    val short = graft.functions.RollingGramHashExpr(
+      Literal.create(Seq("x"), ArrayType(StringType)), k)
+    assert(short.eval(null).asInstanceOf[ArrayData].numElements() == 0)
+  }
+
   test("appendGramIndex: build(A) + in-place append(B) reads as build(A ∪ B)") {
     val a = Seq((1L, "x1 x2 x3 x4")).toDF("doc_id", "text")
     val b = Seq((2L, "x1 x2 x3 y1"), (3L, "z1 z2 z3")).toDF("doc_id", "text")
