@@ -743,11 +743,21 @@ object Dedup {
                      k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(minCount >= 2, "minCount must be >= 2 (1 would remove everything)")
+    requireNoGramReserved(df)
     val idx = tracked(gramIndex(df, textCol, keyCol, k))
     val dup = idx.groupBy(col("_h"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") >= minCount)
       .select(col("_h"))
     cleanByDupGrams(df, textCol, keyCol, k, idx, dup)
+  }
+
+  /** Reserved internal names of the substring-dedup family — the
+    * [[AsofJoin]] guard discipline: a caller column with one of these
+    * names would be silently clobbered or make a join ambiguous. */
+  private def requireNoGramReserved(df: DataFrame): Unit = {
+    val hit = df.columns.toSeq
+      .intersect(Seq("_toks", "_cov", "_kept", "_k", "_i", "_h", "_in", "_n"))
+    require(hit.isEmpty, s"input must not contain reserved columns: $hit")
   }
 
   /** The shared removal tail: expand each duplicated gram start to its k
@@ -825,6 +835,7 @@ object Dedup {
                              textCol: String, keyCol: String,
                              k: Int = 8, minCount: Int = 2): DataFrame = {
     require(minCount >= 2, "minCount must be >= 2 (1 would remove everything)")
+    requireNoGramReserved(incoming)
     val idx = tracked(gramIndex(incoming, textCol, keyCol, k))
     val inCounts = idx.groupBy(col("_h")).agg(count(lit(1)).as("_in"))
     // full outer is NOT needed: a gram absent from the incoming index

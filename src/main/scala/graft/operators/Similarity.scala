@@ -501,6 +501,11 @@ object Similarity {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(codebook.nonEmpty && codebook.forall(_.length == dim),
       "codebook rows must have the declared dimension")
+    // reserved-output guard (the AsofJoin discipline): the select below
+    // names its outputs "key"/"codes", so a passthrough of either would
+    // silently duplicate a column name
+    require(!keep.contains("key") && !keep.contains("codes"),
+      "keep columns must not shadow the reserved outputs (key, codes)")
     // ONE codegen'd primitive loop (functions.PqEncodeExpr) — quantize and
     // all m argmins fused, no per-element lambda dispatch, and the
     // expression tree is O(1) in ksub so a real-world 256-entry codebook
@@ -602,6 +607,8 @@ object Similarity {
                  outPath: String, m: Int = 8, ksub: Int = 16, dim: Int = 64,
                  nlist: Int = 16, seed: Long = 7L,
                  scale: Double = 1e6): Array[Array[Long]] = {
+    require(!df.columns.contains("_list"),
+      "input must not contain the reserved column _list")
     val cb = pqSampleCodebook(df, vecCol, keyCol, ksub, dim, scale)
     val cents = ivfCentroids(nlist, dim, seed)
     val assign = cents.indices.map { i =>

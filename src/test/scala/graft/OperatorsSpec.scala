@@ -1736,6 +1736,20 @@ class OperatorsSpec extends SparkSpec {
     assert(short.eval(null).asInstanceOf[ArrayData].numElements() == 0)
   }
 
+  test("substring dedup family rejects inputs with reserved internal columns") {
+    val bad = Seq((1L, "a b c d", 7)).toDF("doc_id", "text", "_cov")
+    intercept[IllegalArgumentException] {
+      Dedup.substringDedup(bad, "text", "doc_id", k = 3)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-gram3").toString
+    Dedup.buildGramIndex(Seq((9L, "x y z")).toDF("doc_id", "text"),
+      "text", "doc_id", s"$dir/g", k = 3)
+    intercept[IllegalArgumentException] {
+      Dedup.substringDedupPrebuilt(spark, s"$dir/g",
+        bad.withColumnRenamed("_cov", "_toks"), "text", "doc_id", k = 3)
+    }
+  }
+
   test("appendGramIndex: build(A) + in-place append(B) reads as build(A ∪ B)") {
     val a = Seq((1L, "x1 x2 x3 x4")).toDF("doc_id", "text")
     val b = Seq((2L, "x1 x2 x3 y1"), (3L, "z1 z2 z3")).toDF("doc_id", "text")
