@@ -2003,6 +2003,27 @@ object SparkEntry {
           SELECT doc_id FROM documents WHERE doc_id < 250
           AND doc_id NOT IN (SELECT key_a FROM pairs WHERE key_b >= 250)""")),
 
+    Q("q_bm25", // BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf):
+      // query terms filter in the SCAN stage, so every aggregate is
+      // bounded by |query| x matching docs; df reuses the tf rows; N/Σdl
+      // broadcast as one row; per-term scores integer-scale before the
+      // per-doc sum (the lmScore discipline) so accumulation is exact
+      // and the ranking engine-identical.
+      (s, d) => TermStats.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+        Seq("data", "spark", "index"), k = 20),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+          dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+          stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                 WHERE term IN ('data','spark','index') GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          ts AS (SELECT tf.doc_id,
+                   CAST(round(ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE)/n))) * 1e6) AS BIGINT) AS s
+                 FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats)
+          SELECT doc_id, round(CAST(sum(s) AS DOUBLE)/1e6, 6) AS bm25
+          FROM ts GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
     Q("q_tfidf", // smoothed TF-IDF top-5 terms per doc; scores rounded
       // BEFORE ranking so cross-engine ln() ulp noise can't flip order
       (s, d) => TermStats.tfidfTopTerms(t(s, d, "documents"), "text", "doc_id",

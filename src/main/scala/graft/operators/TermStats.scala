@@ -282,4 +282,44 @@ object TermStats {
       .agg(round(
         log(sum(col("_c"))) - sum(col("_c") * log(col("_c"))) / sum(col("_c")),
         6).as("entropy"))
+
+  /**
+   * BM25 ranked retrieval for a keyword query (k1 = 1.2, b = 0.75, the
+   * Lucene-style non-negative idf = ln(1 + (N − df + 0.5)/(df + 0.5))):
+   * score(d) = Σ_{t ∈ query} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+   * Documents containing none of the query terms are not returned.
+   *
+   * Scale shape: the query-term filter runs in the SCAN stage (isin over a
+   * tiny literal set), so the (doc, term) aggregate is bounded by
+   * |query| · matching docs — never the vocabulary; df needs only the
+   * query terms' rows of that same aggregate; doc length is ONE
+   * map-side-combined per-doc count; N and Σdl are a 1-row broadcast
+   * (avgdl divides two exact integers — deterministic IEEE). Per-term
+   * scores integer-scale (round(x·1e6) as long — the lmScore discipline)
+   * BEFORE the per-doc sum, so accumulation is exact and order-independent
+   * across engines; the ranked limit is a TakeOrderedAndProject.
+   */
+  def bm25TopK(docs: DataFrame, textCol: String, keyCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val toks = docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
+    val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val tf = toks.filter(col("term").isin(query: _*))
+      .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(keyCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_ts", round(termScore * 1e6).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(round(sum(col("_ts")).cast("double") / 1e6, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

@@ -1736,6 +1736,41 @@ class OperatorsSpec extends SparkSpec {
     assert(short.eval(null).asInstanceOf[ArrayData].numElements() == 0)
   }
 
+  test("bm25TopK: distributed plan == direct scalar replay; no-hit docs absent") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "d d d"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TermStats
+      .bm25TopK(docs, "text", "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // direct replay of the documented formula + integer-scaling discipline
+    val corpus = Map(1L -> "a b a", 2L -> "a c", 3L -> "d d d", 4L -> "x y z")
+    val n = corpus.size
+    val dls = corpus.view.mapValues(_.split(" ").length).toMap
+    val avgdl = dls.values.sum.toDouble / n
+    def tf(d: Long, t: String) = corpus(d).split(" ").count(_ == t)
+    val dfm = Seq("a", "d").map(t => t -> corpus.values.count(_.split(" ").contains(t))).toMap
+    def score(d: Long): Double = {
+      val s = Seq("a", "d").map { t =>
+        val f = tf(d, t)
+        if (f == 0) 0L
+        else {
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          val ts = idf * (f * 2.2) /
+            (f + 1.2 * (1.0 - 0.75 + 0.75 * dls(d) / avgdl))
+          (math.signum(ts) * math.floor(math.abs(ts) * 1e6 + 0.5)).toLong
+        }
+      }.sum
+      BigDecimal(s.toDouble / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet == Set(1L, 2L, 3L), "doc 4 matches nothing => absent")
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(got(d) == score(d), s"doc $d: got ${got(d)} want ${score(d)}")
+    }
+    // the repeated rare term dominates: doc 3 ranks first
+    assert(got(3L) > got(1L) && got(1L) > got(2L))
+  }
+
   test("substring dedup family rejects inputs with reserved internal columns") {
     val bad = Seq((1L, "a b c d", 7)).toDF("doc_id", "text", "_cov")
     intercept[IllegalArgumentException] {
