@@ -2024,6 +2024,36 @@ object SparkEntry {
           SELECT doc_id, round(CAST(sum(s) AS DOUBLE)/1e6, 6) AS bm25
           FROM ts GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""")),
 
+    Q("q_bm25_batch", // the serving form: a RELATION of queries scores in
+      // ONE plan (the batch-ANN precedent) — the query-term dictionary
+      // broadcast-semi-filters the corpus scan, tf/df aggregate once and
+      // are shared across queries, ranking is one window per query key.
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq((1L, Seq("data", "spark")), (2L, Seq("vector", "index")),
+          (3L, Seq("batch"))).toDF("qid", "terms")
+        TermStats.bm25TopKBatch(t(s, d, "documents"), "text", "doc_id",
+          qs, "qid", "terms", k = 5)
+      },
+      Some("""WITH q(qid, term) AS (SELECT * FROM (VALUES
+            (1,'data'),(1,'spark'),(2,'vector'),(2,'index'),(3,'batch'))),
+          toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+          dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+          stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                 WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          ts AS (SELECT q.qid, tf.doc_id,
+                   CAST(round(ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE)/n))) * 1e6) AS BIGINT) AS s
+                 FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id, stats),
+          pd AS (SELECT qid, doc_id, round(CAST(sum(s) AS DOUBLE)/1e6, 6) AS bm25
+                 FROM ts GROUP BY qid, doc_id)
+          SELECT CAST(qid AS BIGINT) AS qid, doc_id, bm25 FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
+            FROM pd) WHERE rn <= 5""")),
+
     Q("q_tfidf", // smoothed TF-IDF top-5 terms per doc; scores rounded
       // BEFORE ranking so cross-engine ln() ulp noise can't flip order
       (s, d) => TermStats.tfidfTopTerms(t(s, d, "documents"), "text", "doc_id",

@@ -322,4 +322,52 @@ object TermStats {
       .orderBy(col("bm25").desc, col(keyCol).asc)
       .limit(k)
   }
+
+  /**
+   * Batch BM25: top-k per query for a RELATION of keyword queries — the
+   * serving pattern ([[Similarity.ivfTopKBatchPrebuilt]]'s precedent): a
+   * million stored queries score in ONE plan instead of a driver loop.
+   * `queries` = (queryKeyCol, termsCol: array<string>); per-query ranking
+   * and tie-breaks match [[bm25TopK]] exactly (same integer-scaled sum),
+   * pinned by a unit equivalence test.
+   *
+   * Scale shape: the distinct query-term DICTIONARY (bounded by query
+   * vocabulary, not corpus vocabulary) broadcast-semi-filters the corpus
+   * token stream in the scan stage; (doc, term) tf and per-term df
+   * aggregate once over that filtered stream and are SHARED by every
+   * query that mentions the term; the per-(query, doc) join fans out only
+   * over matching (term, doc) pairs. Ranking is one window per query key.
+   *
+   * `queryKeyCol` must be unique per query row (the batch-ANN contract).
+   */
+  def bm25TopKBatch(docs: DataFrame, textCol: String, keyCol: String,
+                    queries: DataFrame, queryKeyCol: String, termsCol: String,
+                    k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col(queryKeyCol).as("_qid"),
+      explode(col(termsCol)).as("term"))
+    val dict = qterms.select(col("term")).distinct()
+    val toks = docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
+    val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val tf = toks.join(broadcast(dict), Seq("term"), "left_semi")
+      .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val perDoc = qterms
+      .join(tf, Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(keyCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_ts", round(termScore * 1e6).cast("long"))
+      .groupBy(col("_qid"), col(keyCol))
+      .agg(round(sum(col("_ts")).cast("double") / 1e6, 6).as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("bm25").desc, col(keyCol).asc)
+    perDoc.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as(queryKeyCol), col(keyCol), col("bm25"))
+  }
 }

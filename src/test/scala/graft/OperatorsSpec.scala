@@ -1771,6 +1771,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) > got(1L) && got(1L) > got(2L))
   }
 
+  test("bm25TopKBatch == bm25TopK per query (scores, ranking, tie-breaks)") {
+    val docs = Seq(
+      (1L, "a b a c"), (2L, "a c c"), (3L, "d d b"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, Seq("a", "d")), (20L, Seq("c")), (30L, Seq("zz")))
+      .toDF("qid", "terms")
+    val batch = graft.operators.TermStats
+      .bm25TopKBatch(docs, "text", "doc_id", qs, "qid", "terms", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    Seq(10L -> Seq("a", "d"), 20L -> Seq("c")).foreach { case (qid, terms) =>
+      val single = graft.operators.TermStats
+        .bm25TopK(docs, "text", "doc_id", terms, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"query $qid drifted: ${batch(qid)} vs $single")
+    }
+    assert(!batch.contains(30L), "a query matching nothing returns no rows")
+  }
+
   test("substring dedup family rejects inputs with reserved internal columns") {
     val bad = Seq((1L, "a b c d", 7)).toDF("doc_id", "text", "_cov")
     intercept[IllegalArgumentException] {
