@@ -352,6 +352,62 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("PqEncodeExpr random-vector law: interpreted eval == relational " +
+       "quantize+argmin replay (zeros, negatives, ties included)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val m = 4; val dim = 16; val sd = dim / m; val ksub = 5; val scale = 1e6
+    for (trial <- 1 to 40) {
+      // codebook and vectors share a coarse value grid so argmin TIES occur
+      def coarse() = (rnd.nextInt(7) - 3) * 0.25
+      val cb = Array.fill(ksub)(Array.fill(dim)(
+        math.round(coarse() * scale)))
+      val vec = Array.fill(dim)(coarse().toFloat)
+      val expr = graft.functions.PqEncodeExpr(
+        Literal.create(vec.toSeq, ArrayType(FloatType)), cb, m, scale)
+      val got = expr.eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      // plain-Scala replay of the documented rule
+      val iv = vec.map(x => {
+        val v = x.toDouble * scale
+        (math.signum(v) * math.floor(math.abs(v) + 0.5)).toLong
+      })
+      val want = (0 until m).map { s =>
+        val ds = (0 until ksub).map { c =>
+          (0 until sd).map { j =>
+            val d = iv(s * sd + j) - cb(c)(s * sd + j); d * d
+          }.sum
+        }
+        ds.indexOf(ds.min) // first min = lowest code on ties
+      }
+      assert(got == want, s"trial $trial: $got vs $want (vec ${vec.toSeq})")
+    }
+  }
+
+  test("RollingGramHashExpr random law: rolling == direct polynomial over " +
+       "random unicode tokens and k values") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XXH64}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val B = 0x9E3779B97F4A7C15L
+    val alphabet = Seq("a", "βγ", "字", "", "zz9", "🙂")
+    for (trial <- 1 to 60) {
+      val k = rnd.nextInt(4) + 1
+      val n = rnd.nextInt(12)
+      val toks = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+      val expr = graft.functions.RollingGramHashExpr(
+        Literal.create(toks, ArrayType(StringType)), k)
+      val got = expr.eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      def th(s: String) = XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+      val want =
+        if (n < k) Seq.empty[Long]
+        else (0 to n - k).map(i =>
+          toks.slice(i, i + k).foldLeft(0L)((h, t) => h * B + th(t)))
+      assert(got == want, s"trial $trial k=$k toks=$toks")
+    }
+  }
+
   test("segmentDedup invariants on 150 random docs: global uniqueness, order, subset") {
     import spark.implicits._
     // word soup with a small vocabulary so cross-doc segment collisions
