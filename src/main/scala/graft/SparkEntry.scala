@@ -1498,6 +1498,23 @@ object SparkEntry {
                        j -> NOT coalesce(list_contains(ca.cv, j), false)),
            j -> list_extract(ts, j)), ' '), '') AS clean_text"""
 
+  /** DuckDB mirror of TermStats.bm25TopK over the fixture query terms —
+    * also consumed (as a nested subquery) by the hybrid-RRF oracle so the
+    * text side of the fusion cannot drift from q_bm25. */
+  private lazy val sqlBm25: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+          dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+          stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                 WHERE term IN ('data','spark','index') GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          ts AS (SELECT tf.doc_id,
+                   CAST(round(ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE)/n))) * 1e6) AS BIGINT) AS s
+                 FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats)
+          SELECT doc_id, round(CAST(sum(s) AS DOUBLE)/1e6, 6) AS bm25
+          FROM ts GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
   /** Shared PQ CTE chain (m=8, ksub=16, dim=64, scale=1e6): codebook
     * re-derived relationally (same (md5, key) draw as the kmeans seeds),
     * encode = argmin exact-int64 L2 per subspace with ties to the lower
@@ -2011,18 +2028,7 @@ object SparkEntry {
       // and the ranking engine-identical.
       (s, d) => TermStats.bm25TopK(t(s, d, "documents"), "text", "doc_id",
         Seq("data", "spark", "index"), k = 20),
-      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
-          dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
-          stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
-          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-                 WHERE term IN ('data','spark','index') GROUP BY doc_id, term),
-          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-          ts AS (SELECT tf.doc_id,
-                   CAST(round(ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
-                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE)/n))) * 1e6) AS BIGINT) AS s
-                 FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats)
-          SELECT doc_id, round(CAST(sum(s) AS DOUBLE)/1e6, 6) AS bm25
-          FROM ts GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+      Some(sqlBm25)),
 
     Q("q_bm25_batch", // the serving form: a RELATION of queries scores in
       // ONE plan (the batch-ANN precedent) — the query-term dictionary
@@ -2053,6 +2059,36 @@ object SparkEntry {
           SELECT CAST(qid AS BIGINT) AS qid, doc_id, bm25 FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
             FROM pd) WHERE rn <= 5""")),
+
+    Q("q_hybrid_rrf", // hybrid retrieval: reciprocal-rank fusion (Cormack
+      // 2009, k0=60) of the BM25 keyword ranking and the vector cosine
+      // ranking over the shared id space — the standard BM25+ANN hybrid
+      // combiner. Ranks are integers and each fused score sums exactly
+      // two IEEE terms, so round(6) makes the fusion engine-exact; both
+      // side rankings re-rank the ROUNDED scores with key tie-breaks.
+      (s, d) => {
+        val text = TermStats.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+          Seq("data", "spark", "index"), k = 20)
+        val vec = Similarity.bruteForceTopK(t(s, d, "embeddings"),
+          "embedding", "vec_id", queryVec(s, d), 20)
+        TermStats.rrfFuse(text, "doc_id", "bm25", vec, "vec_id", "score", k = 20)
+      },
+      Some("""WITH tr AS (
+            SELECT doc_id, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+            FROM (""" + sqlBm25 + """)),
+          vr AS (
+            SELECT vec_id, score,
+                   row_number() OVER (ORDER BY score DESC, vec_id) AS rb
+            FROM (WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+                  SELECT vec_id, round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+                  FROM embeddings e, q
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, vec_id ASC
+                  LIMIT 20))
+          SELECT coalesce(tr.doc_id, vr.vec_id) AS doc_id,
+                 round(coalesce(1.0/(60 + ra), 0.0) + coalesce(1.0/(60 + rb), 0.0), 6) AS rrf
+          FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id
+          ORDER BY rrf DESC, doc_id LIMIT 20""")),
 
     Q("q_tfidf", // smoothed TF-IDF top-5 terms per doc; scores rounded
       // BEFORE ranking so cross-engine ln() ulp noise can't flip order

@@ -370,4 +370,41 @@ object TermStats {
       .filter(col("_rn") <= k)
       .select(col("_qid").as(queryKeyCol), col(keyCol), col("bm25"))
   }
+
+  /**
+   * Reciprocal-rank fusion of two ranked lists (Cormack 2009, the standard
+   * BM25 + ANN hybrid-retrieval combiner): each side ranks by
+   * (score DESC, key ASC), fused score = Σ_side 1/(k0 + rank), keys
+   * missing from a side contribute nothing. Rank positions are integers
+   * and each fused score sums exactly two IEEE terms, so the result is
+   * engine-exact after round(6); final order (rrf DESC, key ASC).
+   *
+   * Contract: the inputs are RANKED LISTS (the bounded top-k output of a
+   * retrieval operator), not corpora — each side's rank is one
+   * single-partition window over candidate-list-sized input, which is the
+   * right plan for thousands of rows and would be wrong for billions (at
+   * that point the inputs were not rankings). The fusion join is
+   * candidate-list-sized on both sides.
+   */
+  def rrfFuse(a: DataFrame, aKey: String, aScore: String,
+              b: DataFrame, bKey: String, bScore: String,
+              k: Int, k0: Int = 60): DataFrame = {
+    require(k0 >= 1, "rank constant k0 must be >= 1")
+    def ranked(df: DataFrame, keyC: String, scoreC: String, out: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreC).desc, col("_key").asc)
+      df.select(col(keyC).as("_key"), col(scoreC))
+        .withColumn(out, row_number().over(w))
+        .select(col("_key"), col(out))
+    }
+    val ra = ranked(a, aKey, aScore, "_ra")
+    val rb = ranked(b, bKey, bScore, "_rb")
+    ra.join(rb, Seq("_key"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("_ra")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k0) + col("_rb")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("_key").asc)
+      .limit(k)
+      .select(col("_key").as(aKey), col("rrf"))
+  }
 }

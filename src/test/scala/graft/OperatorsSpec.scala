@@ -1771,6 +1771,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) > got(1L) && got(1L) > got(2L))
   }
 
+  test("rrfFuse: both-lists keys sum two reciprocals, single-list keys one; " +
+       "order by fused score with key tie-break") {
+    val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("k", "sa") // ranks 1,2,3
+    val b = Seq((2L, 0.9), (4L, 0.8)).toDF("k", "sb")            // ranks 1,2
+    val got = graft.operators.TermStats
+      .rrfFuse(a, "k", "sa", b, "k", "sb", k = 10, k0 = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      2L -> r6(1.0 / 62 + 1.0 / 61), // in both lists
+      1L -> r6(1.0 / 61),
+      4L -> r6(1.0 / 62),
+      3L -> r6(1.0 / 63))
+    assert(got == want, s"got $got want $want")
+  }
+
   test("bm25TopKBatch == bm25TopK per query (scores, ranking, tie-breaks)") {
     val docs = Seq(
       (1L, "a b a c"), (2L, "a c c"), (3L, "d d b"), (4L, "x y"))
