@@ -491,7 +491,8 @@ object Similarity {
 
   /** Encode every row to its m subspace codes: per subspace the exact-int64
     * argmin-L2 codebook entry, ties to the lower code. Pure scan stage —
-    * m·ksub literal-array distance expressions, no shuffle, no UDF.
+    * one fused codegen expression ([[graft.functions.PqEncodeExpr]]), no
+    * shuffle, no UDF, no per-element lambda dispatch.
     * Output: (key, codes int[m], keep…) — write it once and ANN scans read
     * 32x fewer bytes than the float column. `keep` columns (e.g. a coarse
     * list id for [[pqIvfBuild]]) pass through unchanged. */
