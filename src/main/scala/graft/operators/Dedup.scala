@@ -820,6 +820,17 @@ object Dedup {
     spark.read.parquet(indexPath)
       .groupBy(col("_h")).agg(sum(col("_n")).as("_n"))
 
+  /** Compact an append-grown gram artifact: re-aggregate the partials
+    * into one row per hash at `outPath` (a NEW path — Spark cannot
+    * overwrite a directory it is reading, and readers may hold the old
+    * one; the caller swaps paths when convenient). Purely an optimization
+    * of [[readGramIndex]]'s per-query aggregation — results are identical
+    * before and after (unit-pinned). */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, outPath: String): Unit =
+    readGramIndex(spark, indexPath)
+      .write.mode("overwrite").parquet(outPath)
+
   /**
    * Incremental substring dedup: clean an incoming crawl against a
    * prebuilt corpus gram index ([[buildGramIndex]]) — a token is removed

@@ -1833,6 +1833,13 @@ class OperatorsSpec extends SparkSpec {
     val full = Dedup.readGramIndex(spark, s"$dir/full").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc == full && inc.values.sum == 2 + 2 + 1) // "x1 x2 x3" seen twice
+    // compaction: one row per hash at the new path, identical totals
+    Dedup.compactGramIndex(spark, s"$dir/g", s"$dir/gc")
+    val raw = spark.read.parquet(s"$dir/gc")
+    assert(raw.count() == raw.select("_h").distinct().count())
+    val compacted = Dedup.readGramIndex(spark, s"$dir/gc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compacted == full)
   }
 
   // --- sessionize ---------------------------------------------------------------
