@@ -722,6 +722,25 @@ object SparkEntry {
         "vec_id", queryVec(s, d), 20),
       Some(sqlPqIvfTopK)),
 
+    Q("q_cluster_balance", // cluster-balanced sampling (the SemDeDup-style
+      // diversity step): route the corpus onto trained centroids, keep a
+      // reproducible uniform k per CLUSTER — equal semantic coverage
+      // instead of density-proportional. Pure composition of two audited
+      // kernels: kmeansAssignments (exact-integer Lloyd, engine-exact
+      // assignments) + perGroupUniform (md5-draw window); the oracle
+      // reuses the q_kmeans_train CTE chain so assignment and sampling
+      // cannot drift.
+      (s, d) => Sampling.perGroupUniform(
+          Similarity.kmeansAssignments(t(s, d, "embeddings"), "embedding",
+            "vec_id", k = 8, iters = 2, dim = 64),
+          "cid", "key", k = 3, seed = "bal")
+        .select(col("cid"), col("key").as("vec_id")),
+      Some(s"""WITH $sqlKmeansCtes
+          SELECT cid, vec_id FROM (
+            SELECT cid, vec_id, row_number() OVER (PARTITION BY cid
+              ORDER BY md5('bal-' || CAST(vec_id AS VARCHAR))) AS rn
+            FROM a2) WHERE rn <= 3""")),
+
     Q("q_kmeans_train", // IVF centroid TRAINING: two Lloyd assignment
       // passes with an exact-integer update between them (Similarity
       // scaladoc: every accumulated quantity is an int64, so the result is
@@ -1584,8 +1603,12 @@ object SparkEntry {
        ORDER BY score DESC, sc.vec_id LIMIT 20"""
   }
 
-  private lazy val sqlKmeansTrain: String =
-    """WITH scaled AS (
+  /** Shared exact-integer Lloyd CTE chain (k=8, iters=2 — the q_kmeans_train
+    * replay, ending at a2 = final assignments); also consumed by the
+    * cluster-balanced sampling oracle so assignment and sampling cannot
+    * drift. */
+  private lazy val sqlKmeansCtes: String =
+    """scaled AS (
          SELECT vec_id, list_transform(embedding,
                   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS ivec
          FROM embeddings WHERE len(embedding) = 64),
@@ -1617,7 +1640,10 @@ object SparkEntry {
          FROM scaled s CROSS JOIN c1 c),
        a2 AS (
          SELECT vec_id, ivec, cid FROM sc1
-         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) = 1)
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) = 1)"""
+
+  private lazy val sqlKmeansTrain: String =
+    s"""WITH $sqlKmeansCtes
        SELECT cid, count(*) AS n, sum(ivec[1]) AS c0sum FROM a2 GROUP BY cid"""
 
   /** DuckDB mirror of Similarity.ivfTopKBatchPrebuilt: per-query probe

@@ -408,6 +408,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("substringDedupPrebuilt random law: prebuilt(crawl | corpus artifact) " +
+       "== substringDedup(corpus ∪ crawl) restricted to crawl") {
+    import spark.implicits._
+    val k = 3
+    def doc() = Seq.fill(rnd.nextInt(20) + 1)("w" + rnd.nextInt(4)).mkString(" ")
+    val corpus = (100 to 140).map(i => (i.toLong, doc()))
+    val crawl = (1 to 40).map(i => (i.toLong, doc()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-gram-prop").toString
+    graft.operators.Dedup.buildGramIndex(
+      corpus.toDF("doc_id", "text"), "text", "doc_id", s"$dir/g", k = k)
+    val pre = graft.operators.Dedup.substringDedupPrebuilt(spark, s"$dir/g",
+        crawl.toDF("doc_id", "text"), "text", "doc_id", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    val full = graft.operators.Dedup.substringDedup(
+        (corpus ++ crawl).toDF("doc_id", "text"), "text", "doc_id", k = k)
+      .filter($"doc_id" < 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(pre == full)
+    // the tiny vocabulary guarantees the rule actually fired somewhere
+    assert(pre.values.exists(_._2 > 0), "fixture produced no duplication")
+  }
+
   test("segmentDedup invariants on 150 random docs: global uniqueness, order, subset") {
     import spark.implicits._
     // word soup with a small vocabulary so cross-doc segment collisions
