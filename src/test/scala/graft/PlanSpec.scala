@@ -281,7 +281,8 @@ class PlanSpec extends SparkSpec {
       "q_curriculum", // 1-row percentile-edge frame broadcast onto the scan
       "q_sketch_union", // 1-row merged-sketch x 1-row exact count
       "q_lm_score", // 1-row LM denominator + 1-row OOV floor broadcasts
-      "q_bm25", "q_bm25_batch") // 1-row (N, Σdl) stats broadcast (the tfidf shape)
+      "q_bm25", "q_bm25_batch", // 1-row (N, Σdl) stats broadcast (the tfidf shape)
+      "q_hybrid_rrf") // embeds the q_bm25 subplan (same 1-row stats broadcast)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
