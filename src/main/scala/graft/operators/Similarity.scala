@@ -385,6 +385,53 @@ object Similarity {
       mean.map(m => (m / norm).toFloat)
     }
 
+  /**
+   * IVF routing-quality diagnostic: mean recall@k of the routed probe vs
+   * exact brute force, per nprobe setting — the measurement that chooses
+   * nprobe BEFORE a 100 TB index serves traffic. `queries` is a bounded
+   * sample relation (queryKeyCol must be unique); per nprobe the routed
+   * candidates come from the same batch kernel the serving path uses
+   * ([[ivfTopKBatchPrebuilt]]), truth from one batch brute-force pass
+   * (queries broadcast onto a single corpus scan, per-query window
+   * top-k). Output: (nprobe, mean_recall, n_queries) — a |nprobes|-row
+   * frame. Corpus scans: 1 (truth) + |nprobes| routed partition-pruned
+   * scans; nothing quadratic, nothing driver-side beyond the final rows.
+   */
+  def ivfRecallReport(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, queries: DataFrame,
+                      queryKeyCol: String, queryVecCol: String,
+                      vecCol: String, keyCol: String, k: Int, dim: Int,
+                      nprobes: Seq[Int], nlist: Int = 16,
+                      seed: Long = 7L): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
+      s"nprobes must be within [1, nlist=$nlist]")
+    // truth: per-query exact top-k — queries broadcast, corpus scans once
+    val q = queries.filter(size(col(queryVecCol)) === dim)
+      .select(col(queryKeyCol).as("_qid"), col(queryVecCol).as("_qv"))
+    val corpus = spark.read.parquet(indexPath)
+      .select(col(keyCol), col(vecCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("_s").desc, col(keyCol).asc)
+    val truth = corpus.join(broadcast(q))
+      .withColumn("_s", VF.dot(col(vecCol), col("_qv")))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("_qid"), col(keyCol))
+    val truthHits = graft.CacheRegistry.track(truth)
+    val perProbe = nprobes.map { np =>
+      val routed = ivfTopKBatchPrebuilt(spark, indexPath, queries,
+          queryKeyCol, queryVecCol, vecCol, keyCol, k, dim, nlist, np, seed)
+        .select(col("qid").as("_qid"), col(keyCol))
+      val hit = truthHits.join(routed, Seq("_qid", keyCol), "left_semi")
+        .groupBy(col("_qid")).agg(count(lit(1)).as("_hits"))
+      q.select(col("_qid")).join(hit, Seq("_qid"), "left")
+        .agg(lit(np).as("nprobe"),
+          round(avg(coalesce(col("_hits"), lit(0L)).cast("double") / k), 4)
+            .as("mean_recall"),
+          count(lit(1)).as("n_queries"))
+    }
+    perProbe.reduce(_ unionByName _)
+  }
+
   // =========================================================================
   // Product quantization — the billion-vector ANN memory path (Jégou et
   // al. 2011, the FAISS IVF-ADC fine quantizer). The vector splits into m

@@ -295,6 +295,22 @@ class KmeansSpec extends SparkSpec {
     assert(nullIn.eval(null) == null, "NULL input must evaluate to NULL")
   }
 
+  test("ivfRecallReport: recall is monotone in nprobe and exactly 1.0 at " +
+       "nprobe = nlist (full routing == brute force)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-recall").toString
+    Similarity.ivfBuild(emb, "embedding", "vec_id", s"$path/idx", dim = 64)
+    val queries = emb.filter(col("vec_id") < 5)
+    val rep = Similarity.ivfRecallReport(spark, s"$path/idx", queries,
+        "vec_id", "embedding", "embedding", "vec_id", k = 10, dim = 64,
+        nprobes = Seq(1, 4, 16))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rep.keySet == Set(1, 4, 16))
+    assert(rep(1) <= rep(4) + 1e-9 && rep(4) <= rep(16) + 1e-9,
+      s"recall must be monotone in nprobe: $rep")
+    assert(rep(16) == 1.0, s"probing every list must recover brute force: $rep")
+    assert(rep(1) > 0.0, "even one probed list finds the query's own vector")
+  }
+
   test("pq: malformed rows (wrong dim, null key) excluded; dim must divide m") {
     val bad = emb.limit(5)
       .union(emb.limit(1).select(lit(null).cast("bigint").as("vec_id"),
