@@ -511,6 +511,18 @@ object SparkEntry {
       path
     })
 
+  /** One inverted text-index build per (session, dir) — the prebuilt
+    * BM25 fixture (same lifecycle discipline as [[pqIndexPath]]). */
+  private val textIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def textIndexPath(s: SparkSession, d: String): String =
+    textIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_text_").resolve("index").toString
+      TermStats.buildTextIndex(t(s, d, "documents"), "text", "doc_id", path)
+      path
+    })
+
   /** One IVF-PQ index build per (session, dir) — the routed product-
     * quantization fixture (same lifecycle discipline as [[pqIndexPath]]). */
   private val pqIvfIndexCache =
@@ -2085,6 +2097,16 @@ object SparkEntry {
           SELECT CAST(qid AS BIGINT) AS qid, doc_id, bm25 FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
             FROM pd) WHERE rn <= 5""")),
+
+    Q("q_bm25_prebuilt", // the search-engine form: postings + lengths +
+      // stats written once ([[TermStats.buildTextIndex]], term-sorted so
+      // row-group stats prune the isin), then a query touches ONLY its
+      // own terms' postings rows — the corpus text is not in the plan
+      // (plan-pinned). Identical results to q_bm25 by construction =>
+      // same oracle.
+      (s, d) => TermStats.bm25TopKPrebuilt(s, textIndexPath(s, d), "doc_id",
+        Seq("data", "spark", "index"), k = 20),
+      Some(sqlBm25)),
 
     Q("q_hybrid_rrf", // hybrid retrieval: reciprocal-rank fusion (Cormack
       // 2009, k0=60) of the BM25 keyword ranking and the vector cosine

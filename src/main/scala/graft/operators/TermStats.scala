@@ -407,4 +407,58 @@ object TermStats {
       .limit(k)
       .select(col("_key").as(aKey), col("rrf"))
   }
+
+  /**
+   * Materialize the inverted text index — the search-engine artifact that
+   * makes repeated BM25 queries corpus-scan-free: `postings/` =
+   * (term, doc key, tf) SORTED BY TERM so parquet row-group min/max stats
+   * prune a query's isin(terms) filter to the touched term ranges;
+   * `lengths/` = (doc key, dl); `stats/` = one (N, Σdl) row. Build cost:
+   * one tokenize pass (the same (doc, term) aggregate every BM25 query
+   * would have paid) + one doc-length pass.
+   */
+  def buildTextIndex(docs: DataFrame, textCol: String, keyCol: String,
+                     outPath: String): Unit = {
+    docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$outPath/postings")
+    val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$outPath/lengths")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .write.mode("overwrite").parquet(s"$outPath/stats")
+  }
+
+  /**
+   * BM25 over a prebuilt inverted index: identical results to
+   * [[bm25TopK]] by construction (same integer-scaled scoring), but the
+   * query reads ONLY the postings rows of its own terms (pushed isin
+   * filter over the term-sorted layout), the lengths of matching docs
+   * (keys-only semi via the join), and the 1-row stats — the corpus text
+   * is not in the plan at all. The serving form: thousands of queries
+   * against one build.
+   */
+  def bm25TopKPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, keyCol: String,
+                       query: Seq[String], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val tf = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("term").isin(query: _*))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$indexPath/lengths")
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(keyCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_ts", round(termScore * 1e6).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(round(sum(col("_ts")).cast("double") / 1e6, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

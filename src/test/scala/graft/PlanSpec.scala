@@ -96,6 +96,20 @@ class PlanSpec extends SparkSpec {
       s"IVF-PQ top-k is not a TakeOrderedAndProject:\n$p")
   }
 
+  test("prebuilt BM25: reads the postings artifact, never the corpus text") {
+    val p = plan("q_bm25_prebuilt")
+    assert(p.contains("postings"), s"postings scan missing:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"prebuilt BM25 re-scans the documents table:\n$p")
+    assert(!p.contains("text#"),
+      s"prebuilt BM25 drags the text column through the plan:\n$p")
+    // the query-term filter must reach the postings scan as a pushed filter
+    assert(p.contains("PushedFilters") && "In\\(term".r.findFirstIn(p).isDefined,
+      s"term isin not pushed into the postings scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranked limit is not a TakeOrderedAndProject:\n$p")
+  }
+
   test("segment dedup picks first occurrence with an aggregate, not a rank window") {
     // min(struct(key, idx)) combines MAP-SIDE: a hot segment sends one
     // partial per input partition to the shuffle. A row_number window
@@ -281,7 +295,7 @@ class PlanSpec extends SparkSpec {
       "q_curriculum", // 1-row percentile-edge frame broadcast onto the scan
       "q_sketch_union", // 1-row merged-sketch x 1-row exact count
       "q_lm_score", // 1-row LM denominator + 1-row OOV floor broadcasts
-      "q_bm25", "q_bm25_batch", // 1-row (N, Σdl) stats broadcast (the tfidf shape)
+      "q_bm25", "q_bm25_batch", "q_bm25_prebuilt", // 1-row (N, Σdl) stats broadcast (the tfidf shape)
       "q_hybrid_rrf") // embeds the q_bm25 subplan (same 1-row stats broadcast)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
