@@ -447,7 +447,11 @@ object TermStats {
       .filter(col("term").isin(query: _*))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = spark.read.parquet(s"$indexPath/lengths")
+    // stats rows are ADDITIVE partials (one per build/append) — aggregate
+    // on read, the readGramIndex discipline, so appendTextIndex stays a
+    // pure append-mode write
     val stats = spark.read.parquet(s"$indexPath/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
     val avgdl = col("sdl").cast("double") / col("n").cast("double")
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val termScore = idf * (col("tf") * (k1 + 1.0)) /
@@ -460,5 +464,28 @@ object TermStats {
       .agg(round(sum(col("_ts")).cast("double") / 1e6, 6).as("bm25"))
       .orderBy(col("bm25").desc, col(keyCol).asc)
       .limit(k)
+  }
+
+  /**
+   * Extend the text index IN PLACE with accepted new documents (the
+   * [[graft.operators.Dedup.appendGramIndex]] maintenance discipline):
+   * three append-mode writes — the batch's own postings, lengths, and one
+   * (n, Σdl) stats delta row. The existing artifact is neither read nor
+   * rewritten; [[bm25TopKPrebuilt]] aggregates the stats partials on
+   * read. Document keys must be NEW (an appended duplicate key would
+   * double-count its tf rows); appended postings files are term-sorted
+   * within themselves, so pruning degrades gracefully rather than
+   * breaking. Append == rebuild equality is unit-pinned.
+   */
+  def appendTextIndex(batch: DataFrame, textCol: String, keyCol: String,
+                      indexPath: String): Unit = {
+    batch.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(s"$indexPath/postings")
+    val dl = batch.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
+    dl.write.mode("append").parquet(s"$indexPath/lengths")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .write.mode("append").parquet(s"$indexPath/stats")
   }
 }

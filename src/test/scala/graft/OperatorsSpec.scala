@@ -1788,6 +1788,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("bm25TopKPrebuilt: build(A) + append(B) == bm25TopK over A ∪ B; " +
+       "identical to the adhoc form on one build") {
+    val a = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")
+    val b = Seq((3L, "d d b"), (4L, "x y a")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-text").toString
+    graft.operators.TermStats.buildTextIndex(a, "text", "doc_id", s"$dir/idx")
+    graft.operators.TermStats.appendTextIndex(b, "text", "doc_id", s"$dir/idx")
+    val pre = graft.operators.TermStats
+      .bm25TopKPrebuilt(spark, s"$dir/idx", "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adhoc = graft.operators.TermStats
+      .bm25TopK(a.union(b), "text", "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pre == adhoc, s"prebuilt drifted from adhoc: $pre vs $adhoc")
+    assert(pre.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("bm25TopKBatch == bm25TopK per query (scores, ranking, tie-breaks)") {
     val docs = Seq(
       (1L, "a b a c"), (2L, "a c c"), (3L, "d d b"), (4L, "x y"))
