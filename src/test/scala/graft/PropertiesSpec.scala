@@ -434,6 +434,41 @@ class PropertiesSpec extends SparkSpec {
     assert(pre.values.exists(_._2 > 0), "fixture produced no duplication")
   }
 
+  test("bm25TopK random law: distributed ranking == scalar replay on random " +
+       "small-vocab corpora") {
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val n = rnd.nextInt(30) + 10
+      def doc() = Seq.fill(rnd.nextInt(15) + 1)("w" + rnd.nextInt(6)).mkString(" ")
+      val corpus = (1 to n).map(i => (i.toLong, doc()))
+      val terms = Seq("w0", "w3")
+      val got = graft.operators.TermStats
+        .bm25TopK(corpus.toDF("doc_id", "text"), "text", "doc_id", terms, k = n)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // scalar replay with the identical integer-scaling discipline
+      val dls = corpus.map { case (id, t) => id -> t.split(" ").length }.toMap
+      val avgdl = dls.values.sum.toDouble / n
+      val dfm = terms.map(t =>
+        t -> corpus.count(_._2.split(" ").contains(t))).toMap
+      val want = corpus.flatMap { case (id, text) =>
+        val s = terms.map { t =>
+          val f = text.split(" ").count(_ == t)
+          if (f == 0 || dfm(t) == 0) 0L
+          else {
+            val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+            val ts = idf * (f * 2.2) /
+              (f + 1.2 * (1.0 - 0.75 + 0.75 * dls(id) / avgdl))
+            (math.signum(ts) * math.floor(math.abs(ts) * 1e6 + 0.5)).toLong
+          }
+        }.sum
+        if (terms.forall(t => !text.split(" ").contains(t))) None
+        else Some(id -> BigDecimal(s.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, sc) => (-sc, id) }
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
   test("segmentDedup invariants on 150 random docs: global uniqueness, order, subset") {
     import spark.implicits._
     // word soup with a small vocabulary so cross-doc segment collisions
