@@ -882,6 +882,55 @@ class StreamingSpec extends SparkSpec {
     assert(byId(3L) == "z1 z2",
       s"batch-2 copy of an accepted batch-1 passage must strip: ${byId(3L)}")
   }
+
+  test("streaming index maintenance: crawl batches append to the inverted " +
+       "text index; queries between batches see the grown corpus") {
+    // the serving loop: ingest crawl batches with appendTextIndex (three
+    // append-mode writes, no rebuild), query with bm25TopKPrebuilt between
+    // batches — rankings reflect every accepted doc so far
+    import graft.operators.TermStats
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    val seed = Seq((100L, "spark engine overview")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-stream-text").toString + "/idx"
+    TermStats.buildTextIndex(seed, "text", "doc_id", idx)
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TermStats.appendTextIndex(b.toDF(), "text", "doc_id", idx); ()
+      }
+      .start()
+
+    def hits() = TermStats
+      .bm25TopKPrebuilt(spark, idx, "doc_id", Seq("spark"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+
+    assert(hits() == Set(100L), "seed corpus only before any batch")
+    input.addData((1L, "spark spark tuning notes"), (2L, "unrelated text"))
+    q.processAllAvailable()
+    assert(hits() == Set(100L, 1L), s"batch-1 doc must rank: ${hits()}")
+    input.addData((3L, "more spark content here"))
+    q.processAllAvailable()
+    q.stop()
+    assert(hits() == Set(100L, 1L, 3L), s"batch-2 doc must rank: ${hits()}")
+    // and the grown index still equals a cold rebuild over everything
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft-stream-text2").toString + "/idx"
+    TermStats.buildTextIndex(
+      seed.union(Seq((1L, "spark spark tuning notes"), (2L, "unrelated text"),
+        (3L, "more spark content here")).toDF("doc_id", "text")),
+      "text", "doc_id", rebuilt)
+    val a = TermStats.bm25TopKPrebuilt(spark, idx, "doc_id", Seq("spark"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = TermStats.bm25TopKPrebuilt(spark, rebuilt, "doc_id", Seq("spark"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, s"append-grown index drifted from rebuild: $a vs $b")
+  }
 }
 
 /** Top-level: Dataset deserialization (.as[KV2]) cannot encode an
