@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-import graft.functions.{DotProduct, DotProductConst, GobDecode, GobEncode, MsgPackDecode, MsgPackEncode, NormalizeText, TokensContainPhrase}
+import graft.functions.{DotProduct, DotProductConst, GobDecode, GobEncode, MsgPackDecode, MsgPackEncode, NormalizeText, RollingGramHashExpr, TokensContainPhrase}
 
 /**
  * SQL surface for the engine's custom expressions, registered through the
@@ -27,6 +27,8 @@ import graft.functions.{DotProduct, DotProductConst, GobDecode, GobEncode, MsgPa
  *  - `graft_gob_pack(value)` / `graft_gob_unpack(bytes, 'ddl')` — the same
  *    pair for the legacy GOB encoding, so the GOB→MSGPACK migration runs
  *    from pure SQL
+ *  - `graft_gram_hashes(tokens, k)` — rolling k-gram hashes of a token
+ *    array (the substring-dedup gram index from pure SQL)
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -118,6 +120,13 @@ object GraftExtensions {
         GobDecode(exprs.head,
           org.apache.spark.sql.types.DataType.fromDDL(
             foldableString(exprs(1), "graft_gob_unpack")))
+      }),
+    ("graft_gram_hashes",
+      new ExpressionInfo(classOf[RollingGramHashExpr].getName, "graft_gram_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_gram_hashes(tokens, k)")
+        RollingGramHashExpr(exprs.head,
+          foldableString(exprs(1), "graft_gram_hashes").toInt)
       }))
 
   /** Register on an already-constructed session (tests, shared REPLs). */

@@ -32,6 +32,11 @@ class ExtensionsWiringSpec extends SparkSpec {
         |  graft_msgpack_pack(named_struct('a', 7L, 'b', 'hi')),
         |  'a BIGINT, b STRING, missing STRING') AS d)""".stripMargin).head()
     assert(mp.getLong(0) == 7L && mp.getString(1) == "hi" && mp.isNullAt(2))
+    // rolling gram hashes from SQL: n-k+1 hashes, identical windows collide
+    val gh = spark.sql(
+      "SELECT graft_gram_hashes(array('a','b','c','a','b','c'), 3) AS h")
+      .head().getSeq[Long](0)
+    assert(gh.length == 4 && gh(0) == gh(3) && gh.distinct.length == 3)
   }
 
   test("graft_gob_pack/unpack: the legacy migration chain runs from pure SQL") {
