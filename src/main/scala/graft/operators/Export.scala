@@ -47,4 +47,46 @@ object Export {
       .sortWithinPartitions(col("shard"), col("ord_key"))
       .write.mode("overwrite").partitionBy("shard").format(format).save(outPath)
   }
+
+  /**
+   * Per-shard integrity manifest of an exported corpus: `(shard, n_rows,
+   * content_hash)` where the hash is the int64-wrapped SUM of each row's
+   * xxhash64 over its canonical JSON — order-independent (sum commutes),
+   * so any partition layout of the same rows produces the same manifest,
+   * and any dropped / duplicated / altered row changes it. One pass, one
+   * shard-key aggregation; the manifest is |shards| rows.
+   *
+   * Contract: a Spark-side transfer check (export → copy → re-read →
+   * compare manifests). The canonical form is Spark's `to_json` of the
+   * non-shard columns by NAME ORDER — stable across Spark runs and
+   * partitionings, not asserted byte-stable across other engines.
+   */
+  def shardManifest(df: DataFrame, shardCol: String = "shard"): DataFrame = {
+    val payload = df.columns.filterNot(_ == shardCol).sorted
+    require(payload.nonEmpty, "manifest needs at least one payload column")
+    // sum in DECIMAL(38) then mod 2^64: order-independent and
+    // duplicate-sensitive like a wrapped int64 sum, but legal under ANSI
+    // mode (a raw long sum overflows and THROWS after ~2^63/hash rows)
+    val mod = lit(new java.math.BigDecimal("18446744073709551616"))
+    val h = xxhash64(to_json(struct(payload.map(col).toIndexedSeq: _*)))
+      .cast("decimal(38,0)")
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(h), mod).as("content_hash"))
+  }
+
+  /** Shards whose (count, hash) drifted between two manifests — empty ⇔
+    * the transfer preserved every shard byte-for-row. Full outer, so a
+    * shard missing entirely on either side also surfaces. */
+  def manifestDiff(expected: DataFrame, actual: DataFrame): DataFrame =
+    expected.alias("e")
+      .join(actual.alias("a"), col("e.shard") === col("a.shard"), "full_outer")
+      .filter(
+        col("e.n_rows").isNull || col("a.n_rows").isNull ||
+        col("e.n_rows") =!= col("a.n_rows") ||
+        col("e.content_hash") =!= col("a.content_hash"))
+      .select(coalesce(col("e.shard"), col("a.shard")).as("shard"),
+        col("e.n_rows").as("expected_rows"), col("a.n_rows").as("actual_rows"),
+        col("e.content_hash").as("expected_hash"),
+        col("a.content_hash").as("actual_hash"))
 }

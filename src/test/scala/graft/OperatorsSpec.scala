@@ -1592,6 +1592,34 @@ class OperatorsSpec extends SparkSpec {
     assert((1 to 2000).exists(i => two(i.toLong) != expect(i.toLong)))
   }
 
+  test("shard manifest: layout-independent, detects dropped/altered rows, " +
+       "diff empty on a faithful copy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val df = (1 to 500).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    Export.writeShards(df, "doc_id", 4, dir, seed = "m1")
+    val exported = spark.read.parquet(dir)
+    val m1 = Export.shardManifest(exported)
+    // partition layout must not matter: a repartitioned re-read hashes equal
+    val m2 = Export.shardManifest(exported.repartition(13))
+    assert(Export.manifestDiff(m1, m2).isEmpty, "layout changed the manifest")
+    // a faithful copy passes
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_manifest2").toString
+    exported.write.mode("overwrite").partitionBy("shard").parquet(dir2)
+    assert(Export.manifestDiff(m1,
+      Export.shardManifest(spark.read.parquet(dir2))).isEmpty)
+    // a dropped row and an altered row both surface, on the right shards
+    val tampered = exported.filter(col("doc_id") =!= 7L)
+      .union(exported.filter(col("doc_id") === 9L)
+        .withColumn("text", lit("evil")))
+      .filter(col("doc_id") =!= 9L || col("text") === "evil")
+    val bad = Export.manifestDiff(m1, Export.shardManifest(tampered))
+      .collect().map(_.getAs[Number]("shard").intValue()).toSet
+    val shardOf = exported.filter(col("doc_id").isin(7L, 9L))
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("shard").intValue()).toMap
+    assert(bad == Set(shardOf(7L), shardOf(9L)), s"wrong shards flagged: $bad")
+  }
+
   // --- segment dedup / boilerplate ---------------------------------------------
 
   test("segmentDedup: first occurrence wins, reassembly in order, empty doc drops") {
