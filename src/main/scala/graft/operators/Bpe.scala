@@ -155,4 +155,39 @@ object Bpe {
       .select(col(keyCol), col("pos"),
         posexplode(col("toks")).as(Seq("subpos", "token")))
   }
+
+  /**
+   * Persist a learned merge list as the tokenizer artifact — merge ORDER
+   * is the tokenizer (applying the same merges in a different order
+   * segments differently), so the row carries its index explicitly and
+   * [[loadMerges]] restores exactly that order. Same build-once
+   * lifecycle as every other artifact here: train once per corpus,
+   * apply from the artifact on every encode job after.
+   */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.zipWithIndex.map { case (m, i) =>
+        org.apache.spark.sql.Row(i, m.t1, m.t2, m.count)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("t1",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("t2",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Restore a merge list in its learned order (bounded: merge lists are
+    * vocabulary-scale — tens of thousands of rows). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy(org.apache.spark.sql.functions.col("idx"))
+      .collect()
+      .map(r => Merge(r.getString(1), r.getString(2), r.getLong(3))).toSeq
 }

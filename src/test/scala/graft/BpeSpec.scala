@@ -96,4 +96,21 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
     assert(a.length == 3)
   }
+
+  test("bpe merge artifact: save -> load preserves order and applies identically") {
+    import graft.operators.Bpe
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest newest"), (2L, "low lowest new new"))
+      .toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(docs, "text", merges = 6)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/merges"
+    Bpe.saveMerges(spark, merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    assert(loaded == merges, "artifact round-trip must preserve the ordered list")
+    val direct = Bpe.applyMerges(docs, "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).sorted.toSeq
+    val viaArtifact = Bpe.applyMerges(docs, "text", "doc_id", loaded)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).sorted.toSeq
+    assert(direct == viaArtifact)
+  }
 }
