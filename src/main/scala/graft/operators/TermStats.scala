@@ -488,4 +488,24 @@ object TermStats {
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .write.mode("append").parquet(s"$indexPath/stats")
   }
+
+  /**
+   * Compact an append-grown text index to `outPath` (a NEW path — the
+   * [[graft.operators.Dedup.compactGramIndex]] discipline): re-sort the
+   * postings by term corpus-wide (restoring full row-group pruning that
+   * per-append sorting only approximates), copy lengths, and fold the
+   * stats partials into one row. Query results are identical before and
+   * after (unit-pinned via the append test's rebuild equality).
+   */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, outPath: String): Unit = {
+    spark.read.parquet(s"$indexPath/postings")
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$outPath/postings")
+    spark.read.parquet(s"$indexPath/lengths")
+      .write.mode("overwrite").parquet(s"$outPath/lengths")
+    spark.read.parquet(s"$indexPath/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+      .write.mode("overwrite").parquet(s"$outPath/stats")
+  }
 }

@@ -1831,6 +1831,13 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(pre == adhoc, s"prebuilt drifted from adhoc: $pre vs $adhoc")
     assert(pre.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // compaction: identical rankings, stats folded to one row
+    graft.operators.TermStats.compactTextIndex(spark, s"$dir/idx", s"$dir/idx2")
+    val compacted = graft.operators.TermStats
+      .bm25TopKPrebuilt(spark, s"$dir/idx2", "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted == pre)
+    assert(spark.read.parquet(s"$dir/idx2/stats").count() == 1)
   }
 
   test("bm25TopKBatch == bm25TopK per query (scores, ranking, tie-breaks)") {
