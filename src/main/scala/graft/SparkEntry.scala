@@ -753,6 +753,18 @@ object SparkEntry {
               ORDER BY md5('bal-' || CAST(vec_id AS VARCHAR))) AS rn
             FROM a2) WHERE rn <= 3""")),
 
+    Q("q_ann_recall", // the index-quality gate itself, differentially
+      // checked: micro-averaged recall@10 of the routed probe vs brute
+      // force for nprobe in {1, 4} — total hits / total truth rows is one
+      // division of exact integers, so even the recall NUMBER is
+      // engine-identical. The oracle recomputes routing from the seeded
+      // centroid constants and truth from a windowed brute-force pass.
+      (s, d) => Similarity.ivfRecallReport(s, ivfIndexPath(s, d),
+        t(s, d, "embeddings").filter(col("vec_id") < 5),
+        "vec_id", "embedding", "embedding", "vec_id", k = 10, dim = 64,
+        nprobes = Seq(1, 4)),
+      Some(sqlAnnRecall)),
+
     Q("q_kmeans_train", // IVF centroid TRAINING: two Lloyd assignment
       // passes with an exact-integer update between them (Similarity
       // scaladoc: every accumulated quantity is an int64, so the result is
@@ -1653,6 +1665,45 @@ object SparkEntry {
        a2 AS (
          SELECT vec_id, ivec, cid FROM sc1
          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) = 1)"""
+
+  /** DuckDB mirror of Similarity.ivfRecallReport (k=10, queries vec_id<5,
+    * nprobe ∈ {1,4}): routing from the seeded centroid constants, truth
+    * from a windowed brute-force pass, recall micro-averaged as one exact
+    * integer division. */
+  private lazy val sqlAnnRecall: String = {
+    val (sCols, _, lstCase, centVals) = ivfSqlParts
+    val k = 10
+    def routedRec(np: Int) =
+      s"""r$np AS (SELECT qid, vec_id FROM (
+           SELECT p.qid, d.vec_id,
+                  row_number() OVER (PARTITION BY p.qid
+                    ORDER BY list_dot_product(d.embedding::DOUBLE[], p.qv) DESC, d.vec_id) AS rn
+           FROM (SELECT qid, qv, lst FROM probed WHERE rn <= $np) p
+             JOIN d ON d.lst = p.lst) WHERE rn <= $k),
+         rec$np AS (SELECT CAST($np AS INTEGER) AS nprobe,
+           round(CAST((SELECT count(*) FROM truth t
+                       JOIN r$np r ON t.qid = r.qid AND t.vec_id = r.vec_id) AS DOUBLE)
+                 / ($k * (SELECT count(*) FROM q)), 4) AS mean_recall,
+           (SELECT count(*) FROM q) AS n_queries)"""
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id < 5 AND len(embedding) = 64),
+        cent(i, cc) AS (SELECT * FROM (VALUES $centVals)),
+        qscore AS (SELECT qid, qv, i, list_dot_product(qv, cc) AS s FROM q, cent),
+        probed AS (SELECT qid, qv, i AS lst,
+                          row_number() OVER (PARTITION BY qid ORDER BY s DESC, i ASC) AS rn
+                   FROM qscore),
+        d AS (SELECT vec_id, embedding, (CASE $lstCase END) AS lst
+              FROM (SELECT vec_id, embedding, $sCols
+                    FROM embeddings WHERE len(embedding) = 64)),
+        truth AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, d.vec_id,
+                  row_number() OVER (PARTITION BY q.qid
+                    ORDER BY list_dot_product(d.embedding::DOUBLE[], q.qv) DESC, d.vec_id) AS rn
+           FROM q, d) WHERE rn <= $k),
+        ${routedRec(1)},
+        ${routedRec(4)}
+        SELECT * FROM rec1 UNION ALL SELECT * FROM rec4"""
+  }
 
   private lazy val sqlKmeansTrain: String =
     s"""WITH $sqlKmeansCtes

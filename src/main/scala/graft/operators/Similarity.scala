@@ -423,10 +423,15 @@ object Similarity {
         .select(col("qid").as("_qid"), col(keyCol))
       val hit = truthHits.join(routed, Seq("_qid", keyCol), "left_semi")
         .groupBy(col("_qid")).agg(count(lit(1)).as("_hits"))
+      // micro-averaged recall: one division of two EXACT integers (total
+      // hits / total truth rows), so the number is engine-deterministic —
+      // a per-query double average would sum inexact x/k terms in
+      // arbitrary order. Every query has exactly k truth rows when the
+      // corpus has >= k rows, so micro == macro.
       q.select(col("_qid")).join(hit, Seq("_qid"), "left")
         .agg(lit(np).as("nprobe"),
-          round(avg(coalesce(col("_hits"), lit(0L)).cast("double") / k), 4)
-            .as("mean_recall"),
+          round(sum(coalesce(col("_hits"), lit(0L))).cast("double") /
+            (count(lit(1)) * k), 4).as("mean_recall"),
           count(lit(1)).as("n_queries"))
     }
     perProbe.reduce(_ unionByName _)
