@@ -296,7 +296,8 @@ class PlanSpec extends SparkSpec {
       "q_sketch_union", // 1-row merged-sketch x 1-row exact count
       "q_lm_score", // 1-row LM denominator + 1-row OOV floor broadcasts
       "q_bm25", "q_bm25_batch", "q_bm25_prebuilt", // 1-row (N, Σdl) stats broadcast (the tfidf shape)
-      "q_hybrid_rrf") // embeds the q_bm25 subplan (same 1-row stats broadcast)
+      "q_hybrid_rrf", // embeds the q_bm25 subplan (same 1-row stats broadcast)
+      "q_ann_recall") // bounded query-sample broadcast onto the truth scan
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
