@@ -1599,6 +1599,32 @@ object SparkEntry {
          SELECT code.vec_id, CAST(sum(l) AS DOUBLE) AS si
          FROM code JOIN lut USING (s, c) GROUP BY code.vec_id)"""
 
+  /** DuckDB mirror of Dedup.lshRecallReport on the doc_id < 120 slice:
+    * exact pairwise-Jaccard truth + per-config counts from the SAME
+    * sqlLshNearDup generator the near-dup oracles use (full-table pairs
+    * restricted to the slice — banded pairs depend only on the two
+    * members' signatures, so the restriction is exact). */
+  private lazy val sqlLshRecall: String = {
+    val lim = 250; val th = 0.3
+    def cfgRow(nh: Int, bands: Int) =
+      s"""SELECT CAST($nh AS INTEGER) AS num_hashes, CAST($bands AS INTEGER) AS bands,
+            nex.n AS n_exact, f.n AS n_found,
+            CASE WHEN nex.n = 0 THEN NULL
+                 ELSE round(f.n::DOUBLE / nex.n, 4) END AS recall
+          FROM nex, (SELECT count(*) AS n FROM (${sqlLshNearDup(nh, bands, th)})
+                     WHERE key_a < $lim AND key_b < $lim) f"""
+    s"""WITH shx AS (SELECT doc_id, list_distinct($sqlShingles3) AS s
+              FROM documents WHERE doc_id < $lim),
+        nex AS (SELECT count(*) AS n FROM shx a, shx b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_distinct(a.s || b.s)) > 0
+                  AND len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(a.s || b.s))::DOUBLE >= $th)
+        ${cfgRow(16, 4)}
+        UNION ALL
+        ${cfgRow(16, 8)}"""
+  }
+
   /** DuckDB mirror of Similarity.pqTopK: the shared PQ chain ranked flat. */
   private lazy val sqlPqTopK: String =
     s"""WITH $sqlPqCtes
@@ -2188,6 +2214,18 @@ object SparkEntry {
                  round(coalesce(1.0/(60 + ra), 0.0) + coalesce(1.0/(60 + rb), 0.0), 6) AS rrf
           FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id
           ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    Q("q_lsh_recall", // the banding-scheme tuning gate, differentially
+      // checked (the q_ann_recall discipline for near-dup candidate
+      // generation): measured recall of (16,4) vs (16,8) banding against
+      // exact pairwise Jaccard on a bounded slice. Found pairs are
+      // exact-verified (⊆ truth), so recall is a ratio of exact integer
+      // counts — even the recall NUMBER is engine-identical. More bands
+      // (shorter rows) = higher candidate recall at the same hash budget.
+      (s, d) => Dedup.lshRecallReport(
+        t(s, d, "documents").filter(col("doc_id") < 250), "text", "doc_id",
+        shingleN = 3, threshold = 0.3, configs = Seq((16, 4), (16, 8))),
+      Some(sqlLshRecall)),
 
     Q("q_tfidf", // smoothed TF-IDF top-5 terms per doc; scores rounded
       // BEFORE ranking so cross-engine ln() ulp noise can't flip order

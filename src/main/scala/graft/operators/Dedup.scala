@@ -859,4 +859,56 @@ object Dedup {
       .select(col("_h"))
     cleanByDupGrams(incoming, textCol, keyCol, k, idx, dup)
   }
+
+  /**
+   * LSH tuning diagnostic: measured recall of banded MinHash vs EXACT
+   * Jaccard per (numHashes, bands) configuration — the measurement that
+   * chooses the banding scheme before a 100 TB dedup run, the
+   * [[Similarity.ivfRecallReport]] discipline applied to near-dup
+   * candidate generation. `df` is a bounded sample slice BY CONTRACT
+   * (ground truth is a pairwise join); banded pairs depend only on the
+   * two members' signatures, so slice recall estimates corpus recall for
+   * the same similarity profile. [[minhashLsh]] exact-verifies its
+   * candidates, so found ⊆ exact and recall is a ratio of exact integer
+   * counts — engine-deterministic, oracle-checkable. Output: one row per
+   * config (num_hashes, bands, n_exact, n_found, recall·1e-4-rounded;
+   * recall NULL when the slice has no exact pair).
+   */
+  def lshRecallReport(df: DataFrame, textCol: String, keyCol: String,
+                      shingleN: Int, threshold: Double,
+                      configs: Seq[(Int, Int)]): DataFrame = {
+    require(configs.nonEmpty, "at least one (numHashes, bands) config")
+    val spark = df.sparkSession
+    val sh = tracked(df.select(col(keyCol).as("_k"),
+      array_distinct(TF.shingles(col(textCol), shingleN)).as("_s")))
+    val a = sh.select(col("_k").as("_ka"), col("_s").as("_sa"))
+    val b = sh.select(col("_k").as("_kb"), col("_s").as("_sb"))
+    val j = size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+      size(array_union(col("_sa"), col("_sb"))).cast("double")
+    val nExact = a.join(b, col("_ka") < col("_kb"))
+      .filter(size(array_union(col("_sa"), col("_sb"))) > 0 && j >= threshold)
+      .count() // bounded-slice scalar, the diagnostic's contract
+    val rows = configs.map { case (nh, bands) =>
+      val found = minhashLsh(df, textCol, keyCol, shingleN, nh, bands,
+        threshold).count()
+      val recall: java.lang.Double =
+        if (nExact == 0) null
+        else Double.box(BigDecimal(found.toDouble / nExact)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      org.apache.spark.sql.Row(nh, bands, nExact, found, recall)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("num_hashes",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bands",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_exact",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_found",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("recall",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
 }

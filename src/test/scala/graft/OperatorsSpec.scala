@@ -1799,6 +1799,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) > got(1L) && got(1L) > got(2L))
   }
 
+  test("lshRecallReport: found <= exact always; more bands never lower " +
+       "recall at a fixed hash budget; empty-truth slice reports NULL") {
+    // moderately-similar pairs (J ~ 0.3-0.5): few-band configs miss some,
+    // many-band configs catch more — the s-curve the diagnostic measures
+    def doc(base: Seq[String], extra: Seq[String]) = (base ++ extra).mkString(" ")
+    val shared = (1 to 8).map("s" + _)
+    val docs = (0 until 20).map { i =>
+      val noise = (1 to 10).map(j => s"n$i-$j")
+      (i.toLong, doc(shared, noise))
+    }.toDF("doc_id", "text")
+    val rep = graft.operators.Dedup.lshRecallReport(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.2, configs = Seq((16, 2), (16, 4), (16, 8)))
+      .collect().map(r => (r.getInt(1),
+        (r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val nExact = rep(2)._1
+    assert(nExact > 0, "fixture must contain exact pairs")
+    rep.values.foreach { case (ex, found, rec) =>
+      assert(ex == nExact && found <= ex && rec.isDefined)
+    }
+    assert(rep(2)._3.get <= rep(4)._3.get + 1e-9 &&
+      rep(4)._3.get <= rep(8)._3.get + 1e-9,
+      s"recall must be monotone in bands at fixed hashes: $rep")
+    // an empty-truth slice reports NULL recall, not a division blowup
+    val empty = graft.operators.Dedup.lshRecallReport(
+        Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text"),
+        "text", "doc_id", shingleN = 3, threshold = 0.9,
+        configs = Seq((16, 4)))
+      .collect().head
+    assert(empty.getLong(2) == 0 && empty.isNullAt(4))
+  }
+
   test("rrfFuse: both-lists keys sum two reciprocals, single-list keys one; " +
        "order by fused score with key tie-break") {
     val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("k", "sa") // ranks 1,2,3
