@@ -765,6 +765,35 @@ object SparkEntry {
         nprobes = Seq(1, 4)),
       Some(sqlAnnRecall)),
 
+    Q("q_ann_pq_recall", // PQ quantization-quality gate: recall@20 of the
+      // ADC ranking vs the exact float ranking — |ADC∩exact| / 20 is one
+      // division of exact integers, so the metric is engine-identical.
+      // Closes the recall-diagnostic family: routing (q_ann_recall),
+      // banding (q_lsh_recall), and now code compression, each
+      // differentially checked.
+      (s, d) => {
+        val adc = Similarity.pqTopK(
+            t(s, d, "embeddings"), "embedding", "vec_id", queryVec(s, d), 20)
+          .select(col("vec_id"))
+        val exact = Similarity.bruteForceTopK(
+            t(s, d, "embeddings"), "embedding", "vec_id", queryVec(s, d), 20)
+          .select(col("vec_id"))
+        adc.join(exact, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"),
+            round(count(lit(1)).cast("double") / 20, 4).as("recall"))
+      },
+      Some(s"""WITH $sqlPqCtes,
+          adc AS (SELECT vec_id FROM (
+            SELECT vec_id, round(si / 1000000000000.0, 6) AS score
+            FROM sc ORDER BY score DESC, vec_id LIMIT 20)),
+          q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          exact AS (SELECT vec_id FROM (
+            SELECT e.vec_id FROM embeddings e, q2
+            ORDER BY list_dot_product(e.embedding::DOUBLE[], q2.qv::DOUBLE[]) DESC, e.vec_id
+            LIMIT 20)),
+          hit AS (SELECT count(*) AS n FROM adc JOIN exact USING (vec_id))
+          SELECT n AS n_hit, round(n::DOUBLE / 20, 4) AS recall FROM hit""")),
+
     Q("q_kmeans_train", // IVF centroid TRAINING: two Lloyd assignment
       // passes with an exact-integer update between them (Similarity
       // scaladoc: every accumulated quantity is an int64, so the result is
