@@ -2251,6 +2251,10 @@ object SparkEntry {
       // exact-verified (⊆ truth), so recall is a ratio of exact integer
       // counts — even the recall NUMBER is engine-identical. More bands
       // (shorter rows) = higher candidate recall at the same hash budget.
+      // Cost note: ~3s in-suite — a MULTI-ACTION diagnostic (truth count +
+      // one full LSH pipeline count per config), each action paying the
+      // scheduler floor across several stages. A tuning tool run once per
+      // corpus+config decision, not a per-crawl operator; priced as such.
       (s, d) => Dedup.lshRecallReport(
         t(s, d, "documents").filter(col("doc_id") < 250), "text", "doc_id",
         shingleN = 3, threshold = 0.3, configs = Seq((16, 4), (16, 8))),

@@ -888,8 +888,14 @@ object Dedup {
     val nExact = a.join(b, col("_ka") < col("_kb"))
       .filter(size(array_union(col("_sa"), col("_sb"))) > 0 && j >= threshold)
       .count() // bounded-slice scalar, the diagnostic's contract
+    // one signature table per DISTINCT hash budget, shared by every
+    // banding config over it — the signature pass is the expensive half,
+    // and (nh, 4) vs (nh, 8) differ only in how the same signature slices
+    val sigByNh = configs.map(_._1).distinct.map { nh =>
+      nh -> tracked(signaturePlan(df, textCol, keyCol, shingleN, nh))
+    }.toMap
     val rows = configs.map { case (nh, bands) =>
-      val found = minhashLsh(df, textCol, keyCol, shingleN, nh, bands,
+      val found = lshPairsFrom(sigByNh(nh), keyCol, nh, bands,
         threshold).count()
       val recall: java.lang.Double =
         if (nExact == 0) null
