@@ -1513,7 +1513,7 @@ object SparkEntry {
   private lazy val sqlBpeTrain: String =
     sqlBpeCtes +
       s"""
-         SELECT tok AS token, sum(f) AS freq FROM (
+         SELECT tok AS token, CAST(sum(f) AS BIGINT) AS freq FROM (
            SELECT f, unnest(string_split(trim(repr), '  ')) AS tok FROM r$bpeMerges)
          GROUP BY tok"""
 
@@ -1762,7 +1762,7 @@ object SparkEntry {
 
   private lazy val sqlKmeansTrain: String =
     s"""WITH $sqlKmeansCtes
-       SELECT cid, count(*) AS n, sum(ivec[1]) AS c0sum FROM a2 GROUP BY cid"""
+       SELECT cid, count(*) AS n, CAST(sum(ivec[1]) AS BIGINT) AS c0sum FROM a2 GROUP BY cid"""
 
   /** DuckDB mirror of Similarity.ivfTopKBatchPrebuilt: per-query probe
     * ranking (score desc, list-id asc) and per-row index assignment both
