@@ -343,8 +343,12 @@ object TermStats {
   def bm25TopKBatch(docs: DataFrame, textCol: String, keyCol: String,
                     queries: DataFrame, queryKeyCol: String, termsCol: String,
                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // array_distinct first: a term repeated in one query's terms array must
+    // score once, not twice — bm25TopK takes Seq terms through isin (set
+    // semantics), and the documented exact batch==single equivalence holds
+    // only if the batch side dedups the same way
     val qterms = queries.select(col(queryKeyCol).as("_qid"),
-      explode(col(termsCol)).as("term"))
+      explode(array_distinct(col(termsCol))).as("term"))
     val dict = qterms.select(col("term")).distinct()
     val toks = docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
     val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
@@ -411,19 +415,26 @@ object TermStats {
   /**
    * Materialize the inverted text index — the search-engine artifact that
    * makes repeated BM25 queries corpus-scan-free: `postings/` =
-   * (term, doc key, tf) SORTED BY TERM so parquet row-group min/max stats
-   * prune a query's isin(terms) filter to the touched term ranges;
-   * `lengths/` = (doc key, dl); `stats/` = one (N, Σdl) row. Build cost:
-   * one tokenize pass (the same (doc, term) aggregate every BM25 query
-   * would have paid) + one doc-length pass.
+   * (term, doc key, tf, dl) RANGE-PARTITIONED AND SORTED BY TERM so
+   * parquet row-group min/max stats prune a query's isin(terms) filter to
+   * the touched term ranges (range partitioning makes the clustering
+   * corpus-wide, not merely per-file); dl is DENORMALIZED into each
+   * posting row so a probe never joins the lengths table — at 10^11 docs
+   * the (key, dl) shuffle would otherwise dominate a "corpus-scan-free"
+   * query. `lengths/` = (doc key, dl) kept for rebuild/audit; `stats/` =
+   * one (N, Σdl) row. Build cost: one tokenize pass + one doc-length pass
+   * + one (key)-join shuffle to stitch dl in — paid once per build,
+   * amortized over every probe.
    */
   def buildTextIndex(docs: DataFrame, textCol: String, keyCol: String,
                      outPath: String): Unit = {
+    val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
     docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
+      .join(dl, Seq(keyCol))
+      .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$outPath/postings")
-    val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
     dl.write.mode("overwrite").parquet(s"$outPath/lengths")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .write.mode("overwrite").parquet(s"$outPath/stats")
@@ -433,10 +444,10 @@ object TermStats {
    * BM25 over a prebuilt inverted index: identical results to
    * [[bm25TopK]] by construction (same integer-scaled scoring), but the
    * query reads ONLY the postings rows of its own terms (pushed isin
-   * filter over the term-sorted layout), the lengths of matching docs
-   * (keys-only semi via the join), and the 1-row stats — the corpus text
-   * is not in the plan at all. The serving form: thousands of queries
-   * against one build.
+   * filter over the term-sorted layout, dl riding in the posting row) and
+   * the tiny stats partials — neither the corpus text nor the lengths
+   * table is in the plan at all (PlanSpec-pinned). The serving form:
+   * thousands of queries against one build.
    */
   def bm25TopKPrebuilt(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, keyCol: String,
@@ -446,7 +457,6 @@ object TermStats {
     val tf = spark.read.parquet(s"$indexPath/postings")
       .filter(col("term").isin(query: _*))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$indexPath/lengths")
     // stats rows are ADDITIVE partials (one per build/append) — aggregate
     // on read, the readGramIndex discipline, so appendTextIndex stays a
     // pure append-mode write
@@ -457,7 +467,6 @@ object TermStats {
     val termScore = idf * (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
     tf.join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq(keyCol))
       .crossJoin(broadcast(stats))
       .withColumn("_ts", round(termScore * 1e6).cast("long"))
       .groupBy(col(keyCol))
@@ -479,11 +488,12 @@ object TermStats {
    */
   def appendTextIndex(batch: DataFrame, textCol: String, keyCol: String,
                       indexPath: String): Unit = {
+    val dl = batch.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
     batch.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
+      .join(dl, Seq(keyCol))
       .sortWithinPartitions(col("term"))
       .write.mode("append").parquet(s"$indexPath/postings")
-    val dl = batch.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
     dl.write.mode("append").parquet(s"$indexPath/lengths")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .write.mode("append").parquet(s"$indexPath/stats")
@@ -499,7 +509,12 @@ object TermStats {
    */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, outPath: String): Unit = {
+    // repartitionByRange first: sortWithinPartitions alone would only sort
+    // each read-back partition, leaving terms interleaved ACROSS files —
+    // range partitioning restores the corpus-wide term clustering that
+    // full row-group pruning needs
     spark.read.parquet(s"$indexPath/postings")
+      .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$outPath/postings")
     spark.read.parquet(s"$indexPath/lengths")

@@ -1876,12 +1876,18 @@ class OperatorsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b a c"), (2L, "a c c"), (3L, "d d b"), (4L, "x y"))
       .toDF("doc_id", "text")
-    val qs = Seq((10L, Seq("a", "d")), (20L, Seq("c")), (30L, Seq("zz")))
+    // qid 40 repeats a term in its array: bm25TopK's Seq-of-terms goes
+    // through isin (set semantics), so the batch side must score "a" once,
+    // not twice — the duplicate-term double-count regression pin
+    val qs = Seq((10L, Seq("a", "d")), (20L, Seq("c")), (30L, Seq("zz")),
+      (40L, Seq("a", "a", "d")))
       .toDF("qid", "terms")
     val batch = graft.operators.TermStats
       .bm25TopKBatch(docs, "text", "doc_id", qs, "qid", "terms", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    assert(batch(40L) == batch(10L),
+      s"duplicate query term double-counted: ${batch(40L)} vs ${batch(10L)}")
     Seq(10L -> Seq("a", "d"), 20L -> Seq("c")).foreach { case (qid, terms) =>
       val single = graft.operators.TermStats
         .bm25TopK(docs, "text", "doc_id", terms, k = 3)

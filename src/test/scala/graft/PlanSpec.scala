@@ -108,6 +108,12 @@ class PlanSpec extends SparkSpec {
       s"term isin not pushed into the postings scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"ranked limit is not a TakeOrderedAndProject:\n$p")
+    // dl rides denormalized in the posting rows: the lengths table must not
+    // appear — at 10^11 docs a (key, dl) join would dominate a query whose
+    // whole point is reading only its own terms' postings
+    assert(!p.contains("lengths"),
+      s"prebuilt BM25 joins the lengths table instead of reading dl from " +
+        s"the posting rows:\n$p")
   }
 
   test("segment dedup picks first occurrence with an aggregate, not a rank window") {
