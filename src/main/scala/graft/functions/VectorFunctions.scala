@@ -183,10 +183,13 @@ case class DotProduct(left: Expression, right: Expression)
  * float/double vector quantizes to int64 (round-half-away of x·scale — the
  * SQL ROUND convention, matching the relational quantize the oracles
  * replay) and every subspace takes the argmin exact-int64 L2 codebook
- * entry, ties to the LOWER code. Output: int[m] codes; NULL input or a
- * dimension mismatch ⇒ NULL row (callers filter on size() first — the
- * NULL is the defensive contract, mirroring VectorFilter's
- * dim-mismatch ⇒ no-match).
+ * entry, ties to the LOWER code. Output: int[m] codes; NULL input, a
+ * dimension mismatch, or a NULL array ELEMENT ⇒ NULL row (callers filter
+ * on size() first — the NULL is the defensive contract, mirroring
+ * VectorFilter's dim-mismatch ⇒ no-match; the element check keeps the
+ * interpreted and codegen paths identical on containsNull=true inputs,
+ * where an unchecked getDouble would NPE interpreted but read garbage
+ * compiled).
  *
  * Why an Expression and not HOFs: Spark's higher-order functions evaluate
  * per-element closures interpreted (never whole-stage codegen), so the
@@ -219,6 +222,7 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Array[Long]],
     val iv = new Array[Long](dim)
     var i = 0
     while (i < dim) {
+      if (arr.isNullAt(i)) return null
       val x = (if (elementIsDouble) arr.getDouble(i)
                else arr.getFloat(i).toDouble) * scale
       iv(i) = (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
@@ -255,15 +259,21 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Array[Long]],
       val bestC = ctx.freshName("bestC"); val acc = ctx.freshName("acc")
       val off = ctx.freshName("off"); val ivo = ctx.freshName("ivo")
       val d = ctx.freshName("d")
+      val hasNull = ctx.freshName("hasNull")
       s"""
+         |boolean $hasNull = false;
          |if ($c.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
          |  long[] $iv = new long[$dim];
-         |  for (int $i = 0; $i < $dim; $i++) {
+         |  for (int $i = 0; $i < $dim && !$hasNull; $i++) {
+         |    if ($c.isNullAt($i)) { $hasNull = true; continue; }
          |    double $x = ((double) $c.$getter($i)) * $scale;
          |    $iv[$i] = (long) (Math.signum($x) * Math.floor(Math.abs($x) + 0.5));
          |  }
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
          |  int[] $codes = new int[$m];
          |  for (int $s = 0; $s < $m; $s++) {
          |    long $best = 0L; int $bestC = 0;
@@ -281,6 +291,7 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Array[Long]],
          |  }
          |  ${ev.value} =
          |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |  }
          |}
        """.stripMargin
     })

@@ -866,18 +866,31 @@ object Dedup {
    * chooses the banding scheme before a 100 TB dedup run, the
    * [[Similarity.ivfRecallReport]] discipline applied to near-dup
    * candidate generation. `df` is a bounded sample slice BY CONTRACT
-   * (ground truth is a pairwise join); banded pairs depend only on the
-   * two members' signatures, so slice recall estimates corpus recall for
-   * the same similarity profile. [[minhashLsh]] exact-verifies its
-   * candidates, so found ⊆ exact and recall is a ratio of exact integer
-   * counts — engine-deterministic, oracle-checkable. Output: one row per
-   * config (num_hashes, bands, n_exact, n_found, recall·1e-4-rounded;
+   * (ground truth is a pairwise join) — and the contract is ENFORCED:
+   * `maxRows` (default 10 000 ⇒ ≤ 5·10^7 truth pairs) fails fast on a
+   * caller that passes a full corpus, instead of launching a silent
+   * O(n²) job; banded pairs depend only on the two members' signatures,
+   * so slice recall estimates corpus recall for the same similarity
+   * profile. [[minhashLsh]] exact-verifies its candidates, so
+   * found ⊆ exact and recall is a ratio of exact integer counts —
+   * engine-deterministic, oracle-checkable. Output: one row per config
+   * (num_hashes, bands, n_exact, n_found, recall·1e-4-rounded;
    * recall NULL when the slice has no exact pair).
    */
   def lshRecallReport(df: DataFrame, textCol: String, keyCol: String,
                       shingleN: Int, threshold: Double,
-                      configs: Seq[(Int, Int)]): DataFrame = {
+                      configs: Seq[(Int, Int)],
+                      maxRows: Int = 10000): DataFrame = {
     require(configs.nonEmpty, "at least one (numHashes, bands) config")
+    require(maxRows >= 1, "maxRows must be positive")
+    // cheap guard: limit(maxRows+1).count() scans at most maxRows+1 rows
+    // and costs one short job — nothing next to the pairwise truth join
+    // it protects against
+    val nIn = df.limit(maxRows + 1).count()
+    require(nIn <= maxRows,
+      s"lshRecallReport ground truth is a pairwise join: input exceeds " +
+        s"maxRows=$maxRows rows — pass a bounded sample slice (or raise " +
+        s"maxRows deliberately)")
     val spark = df.sparkSession
     val sh = tracked(df.select(col(keyCol).as("_k"),
       array_distinct(TF.shingles(col(textCol), shingleN)).as("_s")))

@@ -293,6 +293,25 @@ class KmeansSpec extends SparkSpec {
     val nullIn = graft.functions.PqEncodeExpr(
       Literal.create(null, ArrayType(FloatType)), cb, 8, 1e6)
     assert(nullIn.eval(null) == null, "NULL input must evaluate to NULL")
+    // a NULL ELEMENT must also be a NULL row — in BOTH paths: the
+    // interpreted eval would otherwise NPE on getFloat and the compiled
+    // loop would read an undefined slot, silently diverging
+    val withNullElem: Seq[Any] = Seq.tabulate(64)(i => if (i == 3) null else 1.0f)
+    val nullElem = graft.functions.PqEncodeExpr(
+      Literal.create(withNullElem, ArrayType(FloatType, containsNull = true)),
+      cb, 8, 1e6)
+    assert(nullElem.eval(null) == null,
+      "NULL array element must evaluate to NULL (interpreted)")
+    val viaDfNull = {
+      import spark.implicits._
+      val df = Seq(Tuple1(withNullElem.map(x =>
+        Option(x).map(_.asInstanceOf[Float])))).toDF("embedding")
+      df.select(graft.functions.VectorFunctions
+        .pqEncode(col("embedding"), cb, 8, 1e6).as("codes"))
+        .head()
+    }
+    assert(viaDfNull.isNullAt(0),
+      "NULL array element must evaluate to NULL (codegen path)")
   }
 
   test("ivfRecallReport: recall is monotone in nprobe and exactly 1.0 at " +

@@ -1829,6 +1829,13 @@ class OperatorsSpec extends SparkSpec {
         configs = Seq((16, 4)))
       .collect().head
     assert(empty.getLong(2) == 0 && empty.isNullAt(4))
+    // the pairwise-truth contract is enforced, not just documented: a
+    // corpus-sized input fails fast instead of launching an O(n^2) join
+    val oversize = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.lshRecallReport(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.2, configs = Seq((16, 2)), maxRows = 10)
+    }
+    assert(oversize.getMessage.contains("maxRows"))
   }
 
   test("rrfFuse: both-lists keys sum two reciprocals, single-list keys one; " +
