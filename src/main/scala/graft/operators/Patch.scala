@@ -156,12 +156,21 @@ object Patch {
    * Rebuild the column along `segs`, applying `leaf` at the target. An
    * index segment rewrites ONLY that element via a position-indexed
    * `transform` — every other element passes through untouched, so the
-   * "untouched stays identical" invariant holds inside arrays too. The
-   * leaf function must be type-preserving when it sits under an index
-   * (Spark arrays are homogeneous: per-element field add/drop is
-   * inexpressible by the type system — element-level set/inc/remove are
-   * the supported indexed ops, a documented divergence from msgpack's
-   * heterogeneous lists).
+   * "untouched stays identical" invariant holds inside arrays too.
+   *
+   * Why `transform` and not slice/concat/get element surgery: the lambda
+   * is interpreted (the BENCH_NOTES HOF fact), but it references the
+   * input array ONCE — surgery references it five times (two slices, the
+   * element get, the size guard, the unchanged branch), and a multi-op
+   * patch FOLDS ops into nested rewrites, so the duplication compounds
+   * geometrically per op. Measured on q_patch_indexed (3 nested indexed
+   * ops, sf0.1): transform 1.1 s isolated, surgery 4.1 s — the
+   * interpreted lambda beats the codegen'd tree blow-up 4x. The leaf
+   * function must be type-preserving when it sits under an index (Spark
+   * arrays are homogeneous: per-element field add/drop is inexpressible
+   * by the type system — element-level set/inc/remove are the supported
+   * indexed ops, a documented divergence from msgpack's heterogeneous
+   * lists).
    */
   private def rebuild(cur: Column, segs: List[Seg], leaf: Column => Column): Column =
     segs match {
