@@ -496,6 +496,24 @@ object SparkEntry {
       path
     })
 
+  /** One TRAINED-codebook PQ index build per (session, dir) — the
+    * production build path ([[Similarity.pqTrainCodebook]] →
+    * [[Similarity.pqBuildWith]]) exercised end to end, same lifecycle
+    * discipline as [[pqIndexPath]]. */
+  private val pqTrainedIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqTrainedIndexPath(s: SparkSession, d: String): String =
+    pqTrainedIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_pqt_").resolve("index").toString
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqTrainCodebook(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, iters = 2, dim = 64)
+      Similarity.pqBuildWith(emb, "embedding", "vec_id", path, cb,
+        m = 8, dim = 64)
+      path
+    })
+
   /** One corpus gram-index build per (session, dir) — the prebuilt
     * substring-dedup artifact over the "existing corpus" half of the
     * incremental split (doc_id >= 250, matching q_dedup_incremental). */
@@ -733,6 +751,18 @@ object SparkEntry {
       (s, d) => Similarity.pqIvfTopK(s, pqIvfIndexPath(s, d),
         "vec_id", queryVec(s, d), 20),
       Some(sqlPqIvfTopK)),
+
+    Q("q_ann_pq_trained", // the PRODUCTION PQ build path end to end:
+      // Lloyd-trained codebook (pqTrainCodebook, 2 passes of exact-int64
+      // L2 against rounded integer centroids per subspace) → pqBuildWith
+      // → the same prebuilt ADC probe as q_ann_pq_prebuilt. The oracle
+      // replays the per-subspace training relationally (the
+      // q_kmeans_train discipline extended to the Euclidean objective),
+      // so even the TRAINED codebook — not just the probe over it — is
+      // differentially checked.
+      (s, d) => Similarity.pqTopKPrebuilt(s, pqTrainedIndexPath(s, d),
+        "vec_id", queryVec(s, d), 20),
+      Some(sqlPqTrained)),
 
     Q("q_cluster_balance", // cluster-balanced sampling (the SemDeDup-style
       // diversity step): route the corpus onto trained centroids, keep a
@@ -1627,6 +1657,98 @@ object SparkEntry {
        sc AS (
          SELECT code.vec_id, CAST(sum(l) AS DOUBLE) AS si
          FROM code JOIN lut USING (s, c) GROUP BY code.vec_id)"""
+
+  /** DuckDB replay of [[operators.Similarity.pqTrainCodebook]] (m=8,
+    * ksub=16, iters=2) + the ADC probe over the trained codebook — the
+    * production build path differentially checked end to end. Every pass
+    * is the q_kmeans_train discipline extended per subspace: seeds = the
+    * same (md5, key) 16-row draw for every subspace, assignment =
+    * exact-int64 squared-L2 against each centroid's ROUNDED integer
+    * vector (ties to the lower cid), update = exact per-(s, cid, pos)
+    * integer sums with the empty-cluster keep-previous rule. Because the
+    * Spark side rounds centroids BEFORE the distance, no compared
+    * quantity ever floats — the whole training chain is bit-replayable. */
+  private lazy val sqlPqTrainedCtes: String = {
+    def pass(p: Int): String =
+      s""",
+       tm$p AS (SELECT s, cid, list_transform(csum,
+                  x -> CAST(round(CAST(x AS DOUBLE)/n) AS BIGINT)) AS mc
+                FROM tc$p),
+       td$p AS (
+         SELECT r.vec_id, r.s, m.cid,
+                list_sum(list_transform(list_zip(r.sv, m.mc),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+         FROM rsub r JOIN tm$p m ON m.s = r.s),
+       ta$p AS (
+         SELECT vec_id, s, cid FROM (
+           SELECT vec_id, s, cid,
+                  row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+           FROM td$p)
+         WHERE rn = 1),
+       tg$p AS (SELECT a.s, a.cid, r.sv FROM ta$p a
+                JOIN rsub r ON r.vec_id = a.vec_id AND r.s = a.s),
+       tn$p AS (SELECT s, cid, count(*) AS n FROM tg$p GROUP BY s, cid),
+       ts$p AS (
+         SELECT s, cid, list(sv2 ORDER BY i) AS csum FROM (
+           SELECT s, cid, i, CAST(sum(v) AS BIGINT) AS sv2 FROM (
+             SELECT s, cid, unnest(sv) AS v, generate_subscripts(sv, 1) AS i
+             FROM tg$p)
+           GROUP BY s, cid, i)
+         GROUP BY s, cid),
+       tc${p + 1} AS (
+         SELECT c.s, c.cid, coalesce(ts.csum, c.csum) AS csum,
+                coalesce(tn.n, c.n) AS n
+         FROM tc$p c
+           LEFT JOIN ts$p ts ON ts.s = c.s AND ts.cid = c.cid
+           LEFT JOIN tn$p tn ON tn.s = c.s AND tn.cid = c.cid)"""
+    """scaled AS (
+         SELECT vec_id, list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
+         FROM embeddings WHERE len(embedding) = 64),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       rsub AS (SELECT vec_id, s, iv[s*8+1 : s*8+8] AS sv FROM scaled, subs),
+       tseed AS (
+         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, vec_id
+         FROM scaled
+         QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+       tc0 AS (SELECT r.s, t.cid, r.sv AS csum, CAST(1 AS BIGINT) AS n
+               FROM tseed t JOIN rsub r ON r.vec_id = t.vec_id)""" +
+      pass(0) + pass(1) +
+      s""",
+       tcb AS (SELECT s, cid AS c, list_transform(csum,
+                 x -> CAST(round(CAST(x AS DOUBLE)/n) AS BIGINT)) AS cv
+               FROM tc2),
+       tdist AS (
+         SELECT r.vec_id, r.s, cb.c,
+                list_sum(list_transform(list_zip(r.sv, cb.cv),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+         FROM rsub r JOIN tcb cb ON cb.s = r.s),
+       tcode AS (
+         SELECT vec_id, s, c FROM (
+           SELECT vec_id, s, c,
+                  row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+           FROM tdist)
+         WHERE rn = 1),
+       tqi AS (
+         SELECT list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+         FROM embeddings WHERE vec_id = 0),
+       tlut AS (
+         SELECT cb.s, cb.c,
+                list_sum(list_transform(list_zip(qv[cb.s*8+1 : cb.s*8+8], cb.cv),
+                  p -> p[1]*p[2])) AS l
+         FROM tcb cb, tqi),
+       tsc AS (
+         SELECT tcode.vec_id, CAST(sum(l) AS DOUBLE) AS si
+         FROM tcode JOIN tlut USING (s, c) GROUP BY tcode.vec_id)"""
+  }
+
+  /** DuckDB mirror of the trained-codebook PQ probe
+    * (pqTrainCodebook → pqBuildWith → pqTopKPrebuilt). */
+  private lazy val sqlPqTrained: String =
+    s"""WITH $sqlPqTrainedCtes
+       SELECT vec_id, round(si / 1000000000000.0, 6) AS score
+       FROM tsc ORDER BY score DESC, vec_id LIMIT 20"""
 
   /** DuckDB mirror of Dedup.lshRecallReport on the doc_id < 120 slice:
     * exact pairwise-Jaccard truth + per-config counts from the SAME

@@ -474,23 +474,29 @@ object Similarity {
       .select(col("ivec")).collect()
       .map(_.getSeq[Long](0).toArray)
 
-  /** One L2 Lloyd assignment pass against integer centroid states:
-    * argmin_c ‖x − mean_c‖² = argmin_c (‖mean_c‖² − 2·dot(x, csum_c)/n_c)
-    * — the ‖x‖² term is row-constant and drops out. The dot is exact
-    * int64 (the [[kmeansAssignOnce]] discipline); the two per-centroid
-    * scalars are doubles computed once per expression. This is the
+  /** One L2 Lloyd assignment pass: argmin_c ‖x − round(mean_c)‖² — the
+    * distance to each centroid's ROUNDED integer vector (half-away, the
+    * same rounding the final codebook emission applies), computed as an
+    * exact int64 sum of squared component deltas, ties to the lower cid.
+    * Rounding the centroid BEFORE the distance (rather than scoring
+    * against the exact rational mean) does two things at once: the
+    * objective being reduced is the TRUE quantization distortion of the
+    * integer codebook [[pqEncode]] will actually use, and every compared
+    * quantity is an exact int64 — no float accumulation order anywhere —
+    * so a SQL oracle replays training bit-exactly (the q_kmeans_train
+    * discipline extended to the Euclidean objective). This is the
     * EUCLIDEAN objective PQ encoding minimizes — [[kmeansAssignOnce]]'s
     * mean-inner-product criterion optimizes a different (spherical)
     * objective and would not monotonically reduce PQ distortion. */
   private def l2AssignOnce(scaled: DataFrame,
                            cs: Array[CentroidState]): DataFrame = {
     val candidates = cs.zipWithIndex.map { case (c, i) =>
-      val dot = aggregate(
-        zip_with(col("ivec"), array(c.csum.map(lit(_)): _*), (x, y) => x * y),
+      val mc = c.csum.map(v => roundHalfAway(v.toDouble / c.n))
+      val d = aggregate(
+        zip_with(col("ivec"), array(mc.map(lit(_)): _*),
+          (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, v) => acc + v)
-      val msq = c.csum.map { v => val mv = v.toDouble / c.n; mv * mv }.sum
-      struct((lit(msq) - dot.cast("double") * (2.0 / c.n)).as("d"),
-        lit(i.toLong).as("cid"))
+      struct(d.as("d"), lit(i.toLong).as("cid"))
     }
     scaled.withColumn("cid", least(candidates: _*).getField("cid"))
   }
