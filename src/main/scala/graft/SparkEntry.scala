@@ -2366,6 +2366,33 @@ object SparkEntry {
           FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id
           ORDER BY rrf DESC, doc_id LIMIT 20""")),
 
+    Q("q_hybrid_prebuilt", // the 100 TB serving form of hybrid retrieval:
+      // BOTH sides run against prebuilt artifacts only — bm25TopKPrebuilt
+      // reads its terms' postings rows (dl denormalized) + 1-row stats,
+      // pqTopKPrebuilt ADC-scans the m-int codes — fused with the same
+      // RRF combiner as q_hybrid_rrf. Neither the corpus text nor the raw
+      // embeddings appear anywhere in the plan (PlanSpec-pinned): a
+      // serving query touches index bytes only.
+      (s, d) => {
+        val text = TermStats.bm25TopKPrebuilt(s, textIndexPath(s, d), "doc_id",
+          Seq("data", "spark", "index"), k = 20)
+        val vec = Similarity.pqTopKPrebuilt(s, pqIndexPath(s, d),
+          "vec_id", queryVec(s, d), 20)
+        TermStats.rrfFuse(text, "doc_id", "bm25", vec, "vec_id", "score", k = 20)
+      },
+      Some("""WITH tr AS (
+            SELECT doc_id, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+            FROM (""" + sqlBm25 + """)),
+          vr AS (
+            SELECT vec_id, score,
+                   row_number() OVER (ORDER BY score DESC, vec_id) AS rb
+            FROM (""" + sqlPqTopK + """))
+          SELECT coalesce(tr.doc_id, vr.vec_id) AS doc_id,
+                 round(coalesce(1.0/(60 + ra), 0.0) + coalesce(1.0/(60 + rb), 0.0), 6) AS rrf
+          FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id
+          ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
     Q("q_lsh_recall", // the banding-scheme tuning gate, differentially
       // checked (the q_ann_recall discipline for near-dup candidate
       // generation): measured recall of (16,4) vs (16,8) banding against

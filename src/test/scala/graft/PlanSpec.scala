@@ -116,6 +116,25 @@ class PlanSpec extends SparkSpec {
         s"the posting rows:\n$p")
   }
 
+  test("hybrid prebuilt serving query touches index artifacts only") {
+    // the serving contract: BM25 side reads postings (+1-row stats), PQ
+    // side reads codes — neither the corpus text nor the raw embeddings
+    // may appear in any scan of the fused plan
+    val p = plan("q_hybrid_prebuilt")
+    assert(p.contains("postings"), s"postings scan missing:\n$p")
+    assert(p.contains("codes"), s"codes scan missing:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"hybrid prebuilt re-scans the documents table:\n$p")
+    assert(!p.contains("text#"),
+      s"hybrid prebuilt drags the corpus text through the plan:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"hybrid prebuilt re-scans the embeddings table:\n$p")
+    assert(!p.contains("embedding#"),
+      s"hybrid prebuilt drags the raw vectors through the plan:\n$p")
+    assert(!p.contains("lengths"),
+      s"hybrid prebuilt joins the lengths table:\n$p")
+  }
+
   test("segment dedup picks first occurrence with an aggregate, not a rank window") {
     // min(struct(key, idx)) combines MAP-SIDE: a hot segment sends one
     // partial per input partition to the shuffle. A row_number window
@@ -303,6 +322,7 @@ class PlanSpec extends SparkSpec {
       "q_lm_score", // 1-row LM denominator + 1-row OOV floor broadcasts
       "q_bm25", "q_bm25_batch", "q_bm25_prebuilt", // 1-row (N, Σdl) stats broadcast (the tfidf shape)
       "q_hybrid_rrf", // embeds the q_bm25 subplan (same 1-row stats broadcast)
+      "q_hybrid_prebuilt", // embeds the q_bm25_prebuilt subplan (same shape)
       "q_ann_recall") // bounded query-sample broadcast onto the truth scan
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
