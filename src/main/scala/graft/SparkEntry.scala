@@ -496,6 +496,41 @@ object SparkEntry {
       path
     })
 
+  /** One V1→V2 migration per (session, dir): builds a two-swamp V1 GOB
+    * command-log fixture derived deterministically from `orders` (so the
+    * DuckDB oracle can recompute the expected state from the same
+    * parquet), runs [[operators.Migrate.v1ToV2]] with verify on, and
+    * returns the V2 root. A failed migration fails loudly here rather
+    * than surfacing as a confusing hash mismatch downstream. */
+  private val migrateCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def migrateV2Root(s: SparkSession, d: String): String =
+    migrateCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_migrate_").toString
+      val o = t(s, d, "orders").select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val log = o.select(col("key"), lit(1L).as("seq"), lit("U").as("op"),
+          graft.functions.Gob.pack(
+            struct(col("status"), col("price"))).as("body"))
+        .unionByName(o.filter(col("key") % 3 === 0)
+          .select(col("key"), lit(2L).as("seq"), lit("U").as("op"),
+            graft.functions.Gob.pack(struct(col("status"),
+              (col("price") + 1).as("price"))).as("body")))
+        .unionByName(o.filter(col("key") % 5 === 0)
+          .select(col("key"), lit(3L).as("seq"), lit("D").as("op"),
+            lit(null).cast("binary").as("body")))
+      log.filter(col("key") % 2 === 0).write.parquet(s"$root/v1/even")
+      log.filter(col("key") % 2 =!= 0).write.parquet(s"$root/v1/odd")
+      val bodySchema = StructType(Seq(
+        StructField("status", StringType), StructField("price", DoubleType)))
+      val rep = Migrate.v1ToV2(s, s"$root/v1", s"$root/v2", bodySchema)
+      require(rep.failedSwamps == 0,
+        s"migration fixture failed: ${rep.perSwamp.filter(!_.ok)}")
+      s"$root/v2"
+    })
+
   /** One TRAINED-codebook PQ index build per (session, dir) — the
     * production build path ([[Similarity.pqTrainCodebook]] →
     * [[Similarity.pqBuildWith]]) exercised end to end, same lifecycle
@@ -3441,7 +3476,28 @@ object SparkEntry {
           .select(col("doc_id"), col("b.source").as("source"),
             col("b.lang").as("lang"), col("b.never_written").as("never_written"))
       },
-      Some("SELECT doc_id, source, lang, CAST(NULL AS VARCHAR) AS never_written FROM documents")))
+      Some("SELECT doc_id, source, lang, CAST(NULL AS VARCHAR) AS never_written FROM documents")),
+
+    Q("q_migrate", // the V1→V2 storage migration exercised END TO END on a
+      // reference-shaped fixture: two swamp directories of GOB command
+      // logs (seq'd U/U/D like q_chronicle_lww, bodies gob-packed like
+      // q_gob_migration) migrate through Migrate.v1ToV2 — LWW replay, GOB
+      // decode to native columns, CAS snapshot commit, distributed verify
+      // — and the query reads the COMMITTED V2 snapshots back. The oracle
+      // recomputes the surviving state straight from orders, so the whole
+      // load→convert→write→verify chain must be the identity on the data.
+      (s, d) => {
+        val root = migrateV2Root(s, d)
+        Snapshots.read(s, s"$root/even").withColumn("swamp", lit("even"))
+          .unionByName(
+            Snapshots.read(s, s"$root/odd").withColumn("swamp", lit("odd")))
+          .select(col("swamp"), col("key"), col("status"),
+            round(col("price"), 2).as("price"))
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS swamp,
+            o_orderkey AS key, o_orderstatus AS status,
+            round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END, 2) AS price
+          FROM orders WHERE o_orderkey % 5 <> 0""")))
 
   // ==========================================================================
   // assembled
