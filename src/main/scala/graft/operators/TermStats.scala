@@ -17,6 +17,62 @@ import graft.functions.{TextFunctions => TF}
  */
 object TermStats {
 
+  // ==========================================================================
+  // Text-index versioning — the [[Snapshots]] CAS discipline applied to the
+  // three-table inverted-index artifact: each build/compaction writes a NEW
+  // immutable `v=N` directory under the index root and atomically flips a
+  // `_current` pointer file AFTER all three tables are complete, so a
+  // concurrent [[bm25TopKPrebuilt]] reader either resolves the old version
+  // (whose files are never touched) or the new one — never a torn index.
+  // Single-WRITER contract: the pointer protects readers from compaction,
+  // not two concurrent writers from each other; append and compact must not
+  // run concurrently (the reference's compactor holds the same exclusivity).
+  // A legacy flat layout (tables directly under the root) stays readable.
+  // ==========================================================================
+
+  private def idxFs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest committed index version, None for a legacy flat layout. */
+  def currentIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Option[Long] = {
+    val f = idxFs(spark, indexPath)
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_current")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(s.toLongOption.getOrElse(throw new IllegalStateException(
+        s"text-index pointer $p holds '$s', not a version number")))
+    }
+  }
+
+  /** Directory holding the index tables: `root/v=N` when versioned,
+    * the root itself for a legacy flat layout. */
+  def resolveIndexDir(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): String =
+    currentIndexVersion(spark, indexPath)
+      .map(v => s"$indexPath/v=$v").getOrElse(indexPath)
+
+  /** Atomic pointer flip: write-temp + rename-overwrite (the
+    * [[Snapshots]] flipPointer mechanism — FileContext exposes the
+    * atomic-overwrite rename publicly). */
+  private def flipIndexPointer(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, next: Long): Unit = {
+    val f = idxFs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_current.tmp.${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(new org.apache.hadoop.fs.Path(indexPath).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$indexPath/_current"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /**
    * Top-k terms per document by smoothed TF-IDF:
    * `tf * (ln((N + 1) / (df + 1)) + 1)`, rounded to 6 decimals BEFORE
@@ -425,19 +481,27 @@ object TermStats {
    * one (N, Σdl) row. Build cost: one tokenize pass + one doc-length pass
    * + one (key)-join shuffle to stitch dl in — paid once per build,
    * amortized over every probe.
+   *
+   * The build lands as a fresh CAS version (`v=N` + pointer flip after all
+   * three tables are written): a rebuild over a live index never tears a
+   * concurrent reader.
    */
   def buildTextIndex(docs: DataFrame, textCol: String, keyCol: String,
                      outPath: String): Unit = {
+    val spark = docs.sparkSession
+    val next = currentIndexVersion(spark, outPath).getOrElse(0L) + 1
+    val vdir = s"$outPath/v=$next"
     val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
     docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
       .join(dl, Seq(keyCol))
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(s"$outPath/postings")
-    dl.write.mode("overwrite").parquet(s"$outPath/lengths")
+      .write.mode("overwrite").parquet(s"$vdir/postings")
+    dl.write.mode("overwrite").parquet(s"$vdir/lengths")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-      .write.mode("overwrite").parquet(s"$outPath/stats")
+      .write.mode("overwrite").parquet(s"$vdir/stats")
+    flipIndexPointer(spark, outPath, next)
   }
 
   /**
@@ -454,13 +518,16 @@ object TermStats {
                        query: Seq[String], k: Int,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "BM25 needs at least one query term")
-    val tf = spark.read.parquet(s"$indexPath/postings")
+    // resolve the pointer ONCE: the whole probe reads one consistent
+    // version even if a compaction flips the pointer mid-query
+    val dir = resolveIndexDir(spark, indexPath)
+    val tf = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(query: _*))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // stats rows are ADDITIVE partials (one per build/append) — aggregate
     // on read, the readGramIndex discipline, so appendTextIndex stays a
     // pure append-mode write
-    val stats = spark.read.parquet(s"$indexPath/stats")
+    val stats = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
     val avgdl = col("sdl").cast("double") / col("n").cast("double")
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
@@ -488,15 +555,19 @@ object TermStats {
    */
   def appendTextIndex(batch: DataFrame, textCol: String, keyCol: String,
                       indexPath: String): Unit = {
+    // append into the CURRENT version dir: files only ever accumulate, so
+    // a reader that listed before the append sees a consistent older
+    // state (single-writer contract: never concurrent with a compact)
+    val dir = resolveIndexDir(batch.sparkSession, indexPath)
     val dl = batch.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
     batch.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
       .join(dl, Seq(keyCol))
       .sortWithinPartitions(col("term"))
-      .write.mode("append").parquet(s"$indexPath/postings")
-    dl.write.mode("append").parquet(s"$indexPath/lengths")
+      .write.mode("append").parquet(s"$dir/postings")
+    dl.write.mode("append").parquet(s"$dir/lengths")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-      .write.mode("append").parquet(s"$indexPath/stats")
+      .write.mode("append").parquet(s"$dir/stats")
   }
 
   /**
@@ -505,22 +576,55 @@ object TermStats {
    * postings by term corpus-wide (restoring full row-group pruning that
    * per-append sorting only approximates), copy lengths, and fold the
    * stats partials into one row. Query results are identical before and
-   * after (unit-pinned via the append test's rebuild equality).
+   * after (unit-pinned via the append test's rebuild equality). The
+   * output lands as `outPath`'s next CAS version, pointer flipped last.
    */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, outPath: String): Unit = {
+    val src = resolveIndexDir(spark, indexPath)
+    val next = currentIndexVersion(spark, outPath).getOrElse(0L) + 1
+    val vdir = s"$outPath/v=$next"
     // repartitionByRange first: sortWithinPartitions alone would only sort
     // each read-back partition, leaving terms interleaved ACROSS files —
     // range partitioning restores the corpus-wide term clustering that
     // full row-group pruning needs
-    spark.read.parquet(s"$indexPath/postings")
+    spark.read.parquet(s"$src/postings")
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(s"$outPath/postings")
-    spark.read.parquet(s"$indexPath/lengths")
-      .write.mode("overwrite").parquet(s"$outPath/lengths")
-    spark.read.parquet(s"$indexPath/stats")
+      .write.mode("overwrite").parquet(s"$vdir/postings")
+    spark.read.parquet(s"$src/lengths")
+      .write.mode("overwrite").parquet(s"$vdir/lengths")
+    spark.read.parquet(s"$src/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
-      .write.mode("overwrite").parquet(s"$outPath/stats")
+      .write.mode("overwrite").parquet(s"$vdir/stats")
+    flipIndexPointer(spark, outPath, next)
+  }
+
+  /**
+   * Compact IN PLACE: the compacted tables land as the index's NEXT
+   * `v=N` directory and the pointer flips only after all three are
+   * complete — a reader mid-query on the old version keeps its file list
+   * (those files are never modified), new probes resolve the compacted
+   * version. The race [[Snapshots]] closes for snapshots, closed for the
+   * text index (pinned by the concurrent read-during-compact test). Old
+   * versions accumulate until [[vacuumTextIndex]].
+   */
+  def compactTextIndexInPlace(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String): Unit =
+    compactTextIndex(spark, indexPath, indexPath)
+
+  /** Delete every non-current version directory. Only safe once no
+    * reader still holds a pre-flip file list (the [[Snapshots.vacuum]]
+    * caveat verbatim). A legacy flat layout has nothing to vacuum. */
+  def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Unit = {
+    currentIndexVersion(spark, indexPath).foreach { cur =>
+      val f = idxFs(spark, indexPath)
+      f.listStatus(new org.apache.hadoop.fs.Path(indexPath)).toSeq
+        .filter(_.isDirectory)
+        .filter(s => s.getPath.getName.startsWith("v=") &&
+          s.getPath.getName.stripPrefix("v=").toLongOption.exists(_ != cur))
+        .foreach(s => f.delete(s.getPath, true))
+    }
   }
 }

@@ -1876,7 +1876,8 @@ class OperatorsSpec extends SparkSpec {
       .bm25TopKPrebuilt(spark, s"$dir/idx2", "doc_id", Seq("a", "d"), k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(compacted == pre)
-    assert(spark.read.parquet(s"$dir/idx2/stats").count() == 1)
+    val idx2dir = graft.operators.TermStats.resolveIndexDir(spark, s"$dir/idx2")
+    assert(spark.read.parquet(s"$idx2dir/stats").count() == 1)
   }
 
   test("bm25TopKBatch == bm25TopK per query (scores, ranking, tie-breaks)") {

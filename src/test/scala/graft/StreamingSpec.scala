@@ -931,6 +931,54 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b, s"append-grown index drifted from rebuild: $a vs $b")
   }
+
+  test("text index compacts IN PLACE under a live reader: a pre-compact " +
+       "DataFrame keeps its version's files, new probes see the compacted " +
+       "version, vacuum drops only non-current versions") {
+    import graft.operators.TermStats
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-cas-text").toString + "/idx"
+    val seed = Seq((1L, "spark engine overview"),
+      (2L, "unrelated prose entirely")).toDF("doc_id", "text")
+    TermStats.buildTextIndex(seed, "text", "doc_id", idx)
+    TermStats.appendTextIndex(
+      Seq((3L, "spark spark tuning")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    assert(TermStats.currentIndexVersion(spark, idx).contains(1L))
+
+    // the "live reader": a probe whose plan (and file listing) was built
+    // against v=1 BEFORE the compaction flips the pointer
+    val preCompact = TermStats
+      .bm25TopKPrebuilt(spark, idx, "doc_id", Seq("spark"), k = 10)
+    val expected = preCompact.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    TermStats.compactTextIndexInPlace(spark, idx)
+    assert(TermStats.currentIndexVersion(spark, idx).contains(2L),
+      "compaction must land as the next CAS version")
+
+    // old reader re-collects from its v=1 file list — files untouched
+    val stale = preCompact.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stale == expected,
+      s"pre-compact reader torn by in-place compaction: $stale vs $expected")
+    // fresh probe resolves v=2; results identical (compaction is a layout
+    // change, not a semantic one)
+    val after = TermStats
+      .bm25TopKPrebuilt(spark, idx, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == expected,
+      s"compacted index drifted from pre-compact results: $after vs $expected")
+
+    TermStats.vacuumTextIndex(spark, idx)
+    val left = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).toSet
+    assert(left == Set("v=2"), s"vacuum must keep only the current version: $left")
+    val postVacuum = TermStats
+      .bm25TopKPrebuilt(spark, idx, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(postVacuum == expected, "probe must stay green after vacuum")
+  }
 }
 
 /** Top-level: Dataset deserialization (.as[KV2]) cannot encode an
