@@ -576,6 +576,18 @@ object SparkEntry {
       path
     })
 
+  /** One positional phrase-index build per (session, dir) — the prebuilt
+    * phrase-search fixture (same lifecycle discipline as [[pqIndexPath]]). */
+  private val phraseIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def phraseIndexPath(s: SparkSession, d: String): String =
+    phraseIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_phrase_").resolve("index").toString
+      TermStats.buildPhraseIndex(t(s, d, "documents"), "text", "doc_id", path)
+      path
+    })
+
   /** One IVF-PQ index build per (session, dir) — the routed product-
     * quantization fixture (same lifecycle discipline as [[pqIndexPath]]). */
   private val pqIvfIndexCache =
@@ -1355,6 +1367,57 @@ object SparkEntry {
         idx AS (SELECT doc_id, ts, unnest(range(CAST(ceil(len(ts) / $n.0) AS BIGINT))) AS i FROM toks),
         segs AS (SELECT doc_id, i AS seg_idx, array_to_string(ts[(i * $n + 1):(i * $n + $n)], ' ') AS seg FROM idx)"""
   }
+
+  /** Oracle mirror of Importance.bucketArray's feature list: word unigrams
+    * ++ word bigrams. DuckDB's range(1, n) is empty for n <= 1, so the
+    * 1-token case needs no guard (matches TF.wordBigrams' size<2 branch). */
+  private val sqlDsirFeats =
+    """list_concat(string_split(text, ' '),
+       list_transform(range(1, len(string_split(text, ' '))),
+         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))"""
+
+  /** Shared CTE prefix for the DSIR oracles: per-(doc, bucket-occurrence)
+    * stream, target/raw bucket models, integer-scaled log ratios, per-doc
+    * weights. Target = docs < `targetMax`; raw = the whole corpus (so every
+    * scored bucket exists in rc and a LEFT JOIN suffices). */
+  private def sqlDsirWeightsCte(buckets: Int, targetMax: Int): String =
+    s"""WITH b AS (SELECT doc_id,
+             unnest(list_transform($sqlDsirFeats, f -> ${sqlHash32("f")} % $buckets)) AS bucket
+           FROM documents),
+         tc AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id < $targetMax GROUP BY bucket),
+         rc AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+         tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM tc),
+         rt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS r FROM rc),
+         lr AS (SELECT rc.bucket AS bucket,
+             CAST(round((ln((coalesce(tc.c, 0) + 1.0) / (tt.t + $buckets)) -
+                         ln((rc.c + 1.0) / (rt.r + $buckets))) * 1e6) AS BIGINT) AS lr
+           FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, tt, rt),
+         sc AS (SELECT doc_id, CAST(sum(lr) AS BIGINT) AS s
+           FROM b JOIN lr USING (bucket) GROUP BY doc_id)"""
+
+  /** Shared CTE prefix for the hashed-NB oracles: train split, per-slot
+    * class counts, integer-scaled log-likelihood ratios, OOV floor, prior
+    * bias. Train = doc_id % 5 <> 0; label = (lang = 'en'). */
+  private def sqlNbCte(buckets: Int): String =
+    s"""WITH tr AS (SELECT doc_id, (lang = 'en') AS y, text FROM documents WHERE doc_id % 5 <> 0),
+         trtok AS (SELECT y, ${sqlHash32("tok")} % $buckets AS bucket
+           FROM (SELECT y, unnest(string_split(text, ' ')) AS tok FROM tr)),
+         cnt AS (SELECT bucket,
+             count(*) FILTER (WHERE y) AS p, count(*) FILTER (WHERE NOT y) AS n
+           FROM trtok GROUP BY bucket),
+         tot AS (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) AS pt,
+                        CAST(coalesce(sum(n), 0) AS BIGINT) AS nt FROM cnt),
+         llr AS (SELECT bucket,
+             CAST(round((ln((p + 1.0) / (tot.pt + $buckets)) -
+                         ln((n + 1.0) / (tot.nt + $buckets))) * 1e6) AS BIGINT) AS llr
+           FROM cnt, tot),
+         consts AS (SELECT
+             CAST(round(ln((count(*) FILTER (WHERE y) + 1.0) /
+                           (count(*) FILTER (WHERE NOT y) + 1.0)) * 1e6) AS BIGINT) AS bias
+           FROM tr),
+         flo AS (SELECT CAST(round((ln(1.0 / (tot.pt + $buckets)) -
+                                    ln(1.0 / (tot.nt + $buckets))) * 1e6) AS BIGINT) AS f
+           FROM tot)"""
 
   private val sqlShingles3 = // mirrors TextFunctions.shingles(text, 3)
     "CASE WHEN len(string_split(text,' ')) >= 3 THEN list_transform(range(1, len(string_split(text,' ')) - 1), i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) ELSE [array_to_string(string_split(text,' '), ' ')] END"
@@ -2824,6 +2887,112 @@ object SparkEntry {
               WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80""")))
 
   // ==========================================================================
+  // learned curation: DSIR importance resampling (Xie et al. 2023) and a
+  // fastText-shaped hashed Naive-Bayes quality classifier (Joulin 2016 /
+  // Weinberger 2009) — the distribution-matching and classifier-gate
+  // stages of a pretraining pipeline, plus one-pass multi-benchmark
+  // decontamination. All follow the lmScore exactness discipline: log
+  // weights integer-scale (round(ln·1e6) AS BIGINT) before any sum.
+  // ==========================================================================
+
+  private val curationMlQueries = Seq(
+    Q("q_dsir_weights", // DSIR: per-doc log importance ratio of a hashed
+      // n-gram target model (docs < 25 as the "curated target") vs the raw
+      // pool. Models are 1024-bucket-bounded aggs; scoring is a MAP-ONLY
+      // fold against a dense int64 LUT literal — the corpus never joins,
+      // never shuffles (the 100 TB shape: score in the scan stage)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Importance.dsirScore(docs, "text", "doc_id",
+          Importance.dsirLogRatios(docs.filter(col("doc_id") < 25), docs,
+            "text", buckets = 1024),
+          buckets = 1024)
+      },
+      Some(s"""${sqlDsirWeightsCte(1024, 25)}
+          SELECT doc_id, round(CAST(s AS DOUBLE) / 1e6, 6) AS weight FROM sc""")),
+
+    Q("q_dsir_sample", // DSIR selection: keep the 150 best-matching docs —
+      // TakeOrdered (per-partition heaps, no global sort), key tie-break
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Importance.dsirSelect(
+          Importance.dsirScore(docs, "text", "doc_id",
+            Importance.dsirLogRatios(docs.filter(col("doc_id") < 25), docs,
+              "text", buckets = 1024),
+            buckets = 1024),
+          "doc_id", "weight", n = 150)
+      },
+      Some(s"""${sqlDsirWeightsCte(1024, 25)}
+          SELECT doc_id, round(CAST(s AS DOUBLE) / 1e6, 6) AS weight FROM sc
+          ORDER BY weight DESC, doc_id ASC LIMIT 150""")),
+
+    Q("q_nb_train", // hashed-NB training: per-slot integer-scaled log-odds
+      // from the 80% split (doc_id % 5 <> 0), label = (lang = 'en'). The
+      // model is <= 512 rows BY CONSTRUCTION — broadcastable at any corpus
+      // size; training's only shuffle is the slot-bounded count exchange
+      (s, d) => Classify.nbTrain(
+        t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+          .withColumn("_y", col("lang") === "en"),
+        "text", "_y", buckets = 512),
+      Some(s"""${sqlNbCte(512)}
+          SELECT bucket, llr FROM llr""")),
+
+    Q("q_nb_score", // classifier gate: score = (bias + Σ llr[slot(tok)])/1e6,
+      // pred = score > 0 — the fastText-form linear pass every corpus
+      // quality filter ships. Model broadcasts; OOV slots coalesce to the
+      // smoothed floor; one (doc, int64) row through the final shuffle
+      (s, d) => {
+        val train = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+          .withColumn("_y", col("lang") === "en")
+        val model = Classify.nbTrain(train, "text", "_y", buckets = 512)
+        val (bias, floor) = Classify.nbConstants(train, "text", "_y", buckets = 512)
+        Classify.nbScore(t(s, d, "documents"), model, "text", "doc_id",
+          buckets = 512, bias = bias, floor = floor)
+      },
+      Some(s"""${sqlNbCte(512)},
+          alltok AS (SELECT doc_id, ${sqlHash32("tok")} % 512 AS bucket
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+          sc AS (SELECT doc_id, CAST(sum(coalesce(llr.llr, flo.f)) AS BIGINT) AS s
+            FROM alltok LEFT JOIN llr USING (bucket), flo GROUP BY doc_id)
+          SELECT doc_id, round(CAST(sc.s + consts.bias AS DOUBLE) / 1e6, 6) AS score,
+                 (sc.s + consts.bias) > 0 AS pred
+          FROM sc, consts""")),
+
+    Q("q_phrase_prebuilt", // exact phrase search over the PREBUILT
+      // positional index: slot-offset voting over positional postings
+      // (count(distinct slot) = k per candidate start) — the serving form
+      // of q_phrase_match, which re-scans every document per query. The
+      // probe reads ONLY the phrase's own terms' postings (pushed isin,
+      // term-sorted layout; corpus text not in the plan — PlanSpec-pinned)
+      (s, d) => TermStats.phraseSearchPrebuilt(s, phraseIndexPath(s, d),
+        "doc_id", Seq("big", "table")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                unnest(range(len(string_split(text, ' ')))) AS pos FROM documents),
+          slots(term, slot) AS (VALUES ('big', CAST(0 AS BIGINT)), ('table', CAST(1 AS BIGINT))),
+          m AS (SELECT doc_id, pos - slot AS base, slot FROM tok JOIN slots USING (term)),
+          hit AS (SELECT doc_id, base FROM m GROUP BY doc_id, base
+                  HAVING count(DISTINCT slot) = 2)
+          SELECT doc_id, count(*) AS phrase_hits FROM hit GROUP BY doc_id""")),
+
+    Q("q_decontam_multi", // decontaminate against MANY benchmarks in ONE
+      // corpus pass: per-(doc, benchmark) shingle overlap with the K eval
+      // sets unioned (set-tagged) into a single broadcast probe — K
+      // separate q_contamination runs would re-scan the 100 TB corpus K
+      // times; here the corpus scan amortizes across every benchmark
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminationMulti(docs, docs.filter(col("doc_id") < 30),
+          "text", "doc_id", setCol = "source", shingleN = 3)
+          .filter(col("overlap") >= 2)
+      },
+      Some(s"""WITH b AS (SELECT DISTINCT source AS bench_set,
+                unnest(list_distinct($sqlShingles3)) AS sh
+              FROM documents WHERE doc_id < 30),
+          e AS (SELECT doc_id, unnest(list_distinct($sqlShingles3)) AS sh FROM documents)
+          SELECT doc_id, bench_set, count(*) AS overlap FROM e JOIN b USING (sh)
+          GROUP BY doc_id, bench_set HAVING count(*) >= 2""")))
+
+  // ==========================================================================
   // event analytics: cohort retention, funnel, gap-fill, profiling — the
   // event-workload queries the reference's catalog swamps feed client-side
   // today, run engine-side as declarative plans
@@ -3507,7 +3676,8 @@ object SparkEntry {
     filterQueries ++ indexQueries ++ aggQueries ++ joinQueries ++ windowQueries ++
       exoticQueries ++ nestedQueries ++ mutationQueries ++ incrementWidthQueries ++
       timeQueries ++
-      textQueries ++ corpusQueries ++ analyticsQueries ++ referenceQueries
+      textQueries ++ corpusQueries ++ curationMlQueries ++
+      analyticsQueries ++ referenceQueries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The curation
     * pipeline (dedup -> quality -> language -> length) is the engine's

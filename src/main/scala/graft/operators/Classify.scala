@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/**
+ * Hashed bag-of-words linear text classifier — the fastText-shaped quality
+ * gate (Joulin et al. 2016's model family) trained generatively as
+ * multinomial Naive Bayes with the hashing trick (Weinberger et al. 2009):
+ * tokens hash into `buckets` feature slots, training counts per-class slot
+ * occurrences, and the model is one log-likelihood-ratio weight per slot
+ * plus a class-prior bias. Scoring is the same linear form fastText serves:
+ * score(doc) = bias + Σ_tok w[bucket(tok)], predict positive iff score > 0.
+ *
+ * This is the classifier-quality-filter stage of a pretraining pipeline
+ * (e.g. "keep documents that look like the curated reference class") —
+ * the learned counterpart of the hand-rule TF.qualityScore, and the same
+ * §2.13 curation family as Importance (DSIR): DSIR matches a target
+ * DISTRIBUTION, this separates two labeled CLASSES.
+ *
+ * Cross-engine exactness: per-slot weights are integer-scaled
+ * (round(ln·1e6) AS BIGINT) before any per-document sum — identical
+ * discipline to TermStats.lmScore, so a DuckDB oracle reproduces scores
+ * bit-for-bit. Only the final display score divides back to double.
+ *
+ * Scale shape:
+ *  - TRAINING is two aggregations bounded by `buckets` rows — the corpus
+ *    contributes (bucket, partial count) pairs collapsed map-side; the
+ *    label column rides the same scan (no join against a label table
+ *    here; callers join labels in beforehand if separate).
+ *  - the MODEL is ≤ `buckets` rows and broadcasts; the two 1-row
+ *    total/floor frames broadcast the same way (the lmScore BNLJ shape,
+ *    bounded by construction).
+ *  - SCORING is scan-stage work: explode tokens, broadcast-hash-join the
+ *    model, one (key, sum) row per document through the final shuffle —
+ *    document text never moves, and the shuffle is one int64 pair per doc.
+ */
+object Classify {
+
+  /** Token→slot mapping shared by train and score: portable 32-bit md5
+    * hash mod `buckets` (hash32 is non-negative, so % == pmod). */
+  private def slot(tok: Column, buckets: Int): Column =
+    pmod(TF.hash32(tok), lit(buckets.toLong))
+
+  private def slots(docs: DataFrame, textCol: String, keyCol: String,
+                    buckets: Int): DataFrame =
+    docs.select(col(keyCol),
+      explode(TF.tokens(col(textCol))).as("_tok"))
+      .select(col(keyCol), slot(col("_tok"), buckets).as("bucket"))
+
+  /**
+   * Train: per-slot integer-scaled log-likelihood ratios
+   *   llr(b) = round(1e6 · [ln((p_b+1)/(P+B)) − ln((n_b+1)/(N+B))])
+   * (add-one smoothing over the B-slot vocabulary; P/N = total token
+   * occurrences in the positive/negative class). Output (bucket, llr),
+   * ≤ B rows — the broadcastable model.
+   *
+   * `labelCol` must be a boolean column on `docs`.
+   */
+  def nbTrain(docs: DataFrame, textCol: String, labelCol: String,
+              buckets: Int): DataFrame = {
+    val toks = docs.select(col(labelCol).as("_y"),
+      explode(TF.tokens(col(textCol))).as("_tok"))
+      .select(col("_y"), slot(col("_tok"), buckets).as("bucket"))
+    // one pass, both classes: conditional counts per slot
+    val cnt = toks.groupBy(col("bucket")).agg(
+      count(when(col("_y"), 1)).as("_p"),
+      count(when(!col("_y"), 1)).as("_n"))
+    val tot = cnt.agg(
+      coalesce(sum(col("_p")), lit(0L)).as("_ptot"),
+      coalesce(sum(col("_n")), lit(0L)).as("_ntot"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round((log((col("_p") + lit(1.0)) / (col("_ptot") + lit(buckets).cast("double"))) -
+               log((col("_n") + lit(1.0)) / (col("_ntot") + lit(buckets).cast("double")))) * lit(1e6))
+          .cast("long").as("llr"))
+  }
+
+  /**
+   * The two scalar model constants scoring needs besides the slot table,
+   * computed in ONE bounded job over the training set:
+   *  - bias  = round(1e6 · ln((docs⁺+1)/(docs⁻+1)))  (smoothed class prior)
+   *  - floor = round(1e6 · [ln(1/(P+B)) − ln(1/(N+B))]) — the llr of a slot
+   *    never seen in training (both counts zero), coalesced in at score
+   *    time so out-of-vocabulary tokens are defined.
+   * Driver-side single-row collect — bounded by construction (the same
+   * contract class as the lmScore denominator collect).
+   */
+  def nbConstants(docs: DataFrame, textCol: String, labelCol: String,
+                  buckets: Int): (Long, Long) = {
+    val r = docs.select(
+      count(when(col(labelCol), 1)).as("_pd"),
+      count(when(!col(labelCol), 1)).as("_nd"),
+      coalesce(sum(when(col(labelCol), TF.tokenCount(col(textCol)))), lit(0L)).as("_P"),
+      coalesce(sum(when(!col(labelCol), TF.tokenCount(col(textCol)))), lit(0L)).as("_N"))
+      .head()
+    val (pd, nd, p, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val bias = math.round(math.log((pd + 1.0) / (nd + 1.0)) * 1e6)
+    val floor = math.round((math.log(1.0 / (p + buckets.toDouble)) -
+      math.log(1.0 / (n + buckets.toDouble))) * 1e6)
+    (bias, floor)
+  }
+
+  /**
+   * Score: one row per document, (key, score, pred) where
+   * score = (bias + Σ_tok llr[slot(tok)]) / 1e6 and pred = score > 0.
+   * The model broadcasts; unseen slots coalesce to `floor`. Exact int64
+   * accumulation per document; text never shuffles.
+   */
+  def nbScore(docs: DataFrame, model: DataFrame, textCol: String,
+              keyCol: String, buckets: Int, bias: Long,
+              floor: Long): DataFrame =
+    slots(docs, textCol, keyCol, buckets)
+      .join(broadcast(model), Seq("bucket"), "left_outer")
+      .groupBy(col(keyCol))
+      .agg(sum(coalesce(col("llr"), lit(floor))).as("_s"))
+      .select(col(keyCol),
+        round((col("_s") + lit(bias)).cast("double") / lit(1e6), 6).as("score"),
+        ((col("_s") + lit(bias)) > 0).as("pred"))
+}

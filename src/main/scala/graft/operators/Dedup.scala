@@ -394,6 +394,44 @@ object Dedup {
       .agg(count(lit(1)).as("overlap"))
   }
 
+  /**
+   * Multi-benchmark decontamination in ONE corpus pass: per (document,
+   * benchmark-set) distinct-shingle overlap against K eval sets at once.
+   * A pipeline decontaminates against MANY benchmarks (MMLU + GSM8K +
+   * HumanEval + ...); running [[contaminationOverlap]] K times re-scans
+   * the 100 TB corpus K times — at scale the corpus scan IS the cost, so
+   * the K shingle sets must union (tagged by `setCol`) and ride a single
+   * scan. Output: (`keyCol`, bench_set, overlap).
+   *
+   * Same regime discipline as [[contaminationOverlap]]: the union of all
+   * benchmark shingle sets broadcasts only under the bounded probe
+   * (rows + estimated shingle volume); past either gate the hint is
+   * withheld and AQE decides at runtime. A shingle shared by several
+   * benchmarks appears once PER SET in the probe (set-tagged distinct),
+   * so per-set overlap counts are independent and exact.
+   */
+  def contaminationMulti(docs: DataFrame, benchmark: DataFrame,
+                         textCol: String, keyCol: String, setCol: String,
+                         shingleN: Int = 3,
+                         maxBroadcastDocs: Long = 100000L,
+                         maxBroadcastShingles: Long = 2000000L): DataFrame = {
+    val benchSh = benchmark
+      .select(col(setCol).as("bench_set"),
+        explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
+      .distinct()
+    val fits = fitsBroadcast(benchmark, maxBroadcastDocs) && {
+      val est = benchmark.select(sum(greatest(
+        size(split(col(textCol), " ")) - (shingleN - 1), lit(0))).as("n")).head()
+      est.isNullAt(0) || est.getLong(0) <= maxBroadcastShingles
+    }
+    val probe = if (fits) broadcast(benchSh) else benchSh
+    spreadModest(docs)
+      .select(col(keyCol), explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
+      .join(probe, Seq("_sh"))
+      .groupBy(col(keyCol), col("bench_set"))
+      .agg(count(lit(1)).as("overlap"))
+  }
+
   /** Seeded random hyperplanes — exposed so the DuckDB oracle can embed the
     * exact same constants (differential-testing requirement). */
   def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Float]] = {

@@ -613,6 +613,93 @@ object TermStats {
                               indexPath: String): Unit =
     compactTextIndex(spark, indexPath, indexPath)
 
+  /**
+   * Build a POSITIONAL index: postings (term, key, positions) where
+   * `positions` is the sorted 0-based token offsets of `term` inside the
+   * document — the artifact that makes PHRASE queries serving-shaped.
+   * The scan-time PhraseFilter (functions.PhraseExpr) re-reads every
+   * document per query; at 10¹¹ documents a phrase probe must touch only
+   * its own terms' postings, exactly like [[bm25TopKPrebuilt]]. Layout
+   * discipline is identical to [[buildTextIndex]]: term-range-partitioned
+   * + term-sorted for row-group pruning, CAS-versioned `v=N` directory,
+   * pointer flipped last.
+   *
+   * Positions arrays are per-(doc, term) — bounded by that document's
+   * own term frequency, so rows stay small and the build is one
+   * (key, term) aggregation: the same single shuffle the BM25 build pays.
+   */
+  def buildPhraseIndex(docs: DataFrame, textCol: String, keyCol: String,
+                       outPath: String): Unit = {
+    val spark = docs.sparkSession
+    val next = currentIndexVersion(spark, outPath).getOrElse(0L) + 1
+    val vdir = s"$outPath/v=$next"
+    docs.select(col(keyCol), posexplode(TF.tokens(col(textCol))))
+      .toDF(keyCol, "pos", "term")
+      .groupBy(col(keyCol), col("term"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$vdir/postings")
+    flipIndexPointer(spark, outPath, next)
+  }
+
+  /** Append new documents' positional postings into the current version —
+    * the [[appendTextIndex]] maintenance discipline verbatim: append-only
+    * files, NEW keys only, append == rebuild equality unit-pinned. */
+  def appendPhraseIndex(batch: DataFrame, textCol: String, keyCol: String,
+                        indexPath: String): Unit = {
+    val dir = resolveIndexDir(batch.sparkSession, indexPath)
+    batch.select(col(keyCol), posexplode(TF.tokens(col(textCol))))
+      .toDF(keyCol, "pos", "term")
+      .groupBy(col(keyCol), col("term"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(s"$dir/postings")
+  }
+
+  /**
+   * Exact phrase search over a prebuilt positional index: documents
+   * containing `phrase` as CONSECUTIVE tokens, with the per-document
+   * occurrence count. Output: (`keyCol`, phrase_hits), phrase_hits >= 1.
+   *
+   * Algorithm (the classic positional-postings intersection, stated
+   * relationally): a token of phrase-slot i found at document position p
+   * implies a candidate phrase start `base = p - i`; the phrase occurs at
+   * `base` iff ALL k slots voted for that base — `count(distinct slot) =
+   * k` per (doc, base). Duplicate phrase terms are handled naturally: the
+   * slots frame carries one row per slot, so a term appearing at slots
+   * i and j votes twice per occurrence, once for each base.
+   *
+   * Scale shape: the postings scan prunes to the phrase's own terms
+   * (pushed isin over the term-sorted layout — corpus text is NOT in the
+   * plan, PlanSpec-pinned); the slots frame is k rows and broadcasts;
+   * the only shuffle moves (key, base, slot) triples for MATCHED-term
+   * occurrences only. A stop-word-heavy phrase pays proportionally to
+   * that term's postings length — the published mitigation (next-word
+   * bigram indexing) composes on top of this artifact if needed.
+   */
+  def phraseSearchPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, keyCol: String,
+                           phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one term")
+    import spark.implicits._
+    val dir = resolveIndexDir(spark, indexPath)
+    val slots = broadcast(
+      phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .toDF("term", "slot"))
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(phrase.distinct: _*))
+      .join(slots, Seq("term"))
+      .select(col(keyCol), col("slot"),
+        explode(col("positions")).as("pos"))
+      .select(col(keyCol), (col("pos") - col("slot")).as("base"), col("slot"))
+      .groupBy(col(keyCol), col("base"))
+      .agg(count_distinct(col("slot")).as("_k"))
+      .filter(col("_k") === phrase.length.toLong)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("phrase_hits"))
+  }
+
   /** Delete every non-current version directory. Only safe once no
     * reader still holds a pre-flip file list (the [[Snapshots.vacuum]]
     * caveat verbatim). A legacy flat layout has nothing to vacuum. */

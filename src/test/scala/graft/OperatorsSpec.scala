@@ -1855,6 +1855,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("phraseSearchPrebuilt: consecutive-token semantics, duplicate slots, " +
+       "multi-occurrence counts, append == rebuild") {
+    import graft.operators.TermStats
+    val a = Seq(
+      (1L, "x a b a y a b a"),   // "a b a" at bases 1 and 5 (overlapping ok)
+      (2L, "a b c a b"),         // "a b" twice; "a b a" never
+      (3L, "b a b a"),           // "a b a" at base 1
+      (4L, "a x b x a")          // terms present, never consecutive
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    TermStats.buildPhraseIndex(a, "text", "doc_id", s"$dir/idx")
+    def hits(phrase: Seq[String]) =
+      TermStats.phraseSearchPrebuilt(spark, s"$dir/idx", "doc_id", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // duplicate-term phrase: slot voting must count the SAME term at two
+    // offsets — the case a naive distinct-term join silently breaks
+    assert(hits(Seq("a", "b", "a")) == Map(1L -> 2L, 3L -> 1L))
+    assert(hits(Seq("a", "b")) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+    // single term degenerates to term-occurrence count
+    assert(hits(Seq("y")) == Map(1L -> 1L))
+    // all terms present but non-consecutive: no hit (doc 4)
+    assert(!hits(Seq("a", "b")).contains(4L))
+    // append == rebuild: new docs join the same artifact
+    val b = Seq((5L, "q a b q")).toDF("doc_id", "text")
+    TermStats.appendPhraseIndex(b, "text", "doc_id", s"$dir/idx")
+    val appended = hits(Seq("a", "b"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-phrase2").toString
+    TermStats.buildPhraseIndex(a.union(b), "text", "doc_id", s"$dir2/idx")
+    val rebuilt = TermStats
+      .phraseSearchPrebuilt(spark, s"$dir2/idx", "doc_id", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(appended == rebuilt && appended.get(5L).contains(1L),
+      s"append $appended != rebuild $rebuilt")
+  }
+
   test("bm25TopKPrebuilt: build(A) + append(B) == bm25TopK over A ∪ B; " +
        "identical to the adhoc form on one build") {
     val a = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")

@@ -96,6 +96,18 @@ class PlanSpec extends SparkSpec {
       s"IVF-PQ top-k is not a TakeOrderedAndProject:\n$p")
   }
 
+  test("prebuilt phrase search: reads positional postings, never the corpus") {
+    val p = plan("q_phrase_prebuilt")
+    assert(p.contains("postings"), s"positional postings scan missing:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"prebuilt phrase search re-scans the documents table:\n$p")
+    assert(!p.contains("text#"),
+      s"prebuilt phrase search drags the text column through the plan:\n$p")
+    // the phrase's term set must prune the postings scan
+    assert(p.contains("PushedFilters") && "In\\(term".r.findFirstIn(p).isDefined,
+      s"phrase-term isin not pushed into the postings scan:\n$p")
+  }
+
   test("prebuilt BM25: reads the postings artifact, never the corpus text") {
     val p = plan("q_bm25_prebuilt")
     assert(p.contains("postings"), s"postings scan missing:\n$p")
@@ -310,6 +322,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("DSIR scoring is a map-only pass: the scored plan has no shuffle") {
+    // the whole point of the dense-LUT scoring contract: after the bounded
+    // model collect, weighing the corpus is scan-stage work — the 100 TB
+    // side neither joins nor exchanges. (The model-building aggregations
+    // run eagerly at plan-construction time and are bucket-bounded.)
+    val p = plan("q_dsir_weights")
+    assert(!p.contains("Exchange"), s"DSIR scoring pass shuffles:\n$p")
+    assert(!p.contains("Join"), s"DSIR scoring pass joins:\n$p")
+  }
+
   test("no query plans a CartesianProduct or a non-codegen Python eval") {
     // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
     // bounded kernel (cap-gate / tfidf / corpus-overlap 1-row count
@@ -323,7 +345,9 @@ class PlanSpec extends SparkSpec {
       "q_bm25", "q_bm25_batch", "q_bm25_prebuilt", // 1-row (N, Σdl) stats broadcast (the tfidf shape)
       "q_hybrid_rrf", // embeds the q_bm25 subplan (same 1-row stats broadcast)
       "q_hybrid_prebuilt", // embeds the q_bm25_prebuilt subplan (same shape)
-      "q_ann_recall") // bounded query-sample broadcast onto the truth scan
+      "q_ann_recall", // bounded query-sample broadcast onto the truth scan
+      "q_nb_train", "q_nb_score") // 1-row class-total broadcast onto the
+        // <=512-row slot table (the lmScore denominator shape)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
