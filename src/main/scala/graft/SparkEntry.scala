@@ -549,6 +549,26 @@ object SparkEntry {
       path
     })
 
+  /** One APPEND-MAINTAINED PQ index per (session, dir): built on the
+    * vec_id >= 100 half (codebook frozen from that subset), then extended
+    * with the vec_id < 100 half via [[operators.Similarity.appendPqIndex]]
+    * — the daily-crawl maintenance path exercised end to end, probed by
+    * q_ann_pq_append against an oracle that freezes the codebook the same
+    * way. */
+  private val pqAppendIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqAppendIndexPath(s: SparkSession, d: String): String =
+    pqAppendIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_pqa_").resolve("index").toString
+      val emb = t(s, d, "embeddings")
+      Similarity.pqBuild(emb.filter(col("vec_id") >= 100),
+        "embedding", "vec_id", path, m = 8, ksub = 16, dim = 64)
+      Similarity.appendPqIndex(emb.filter(col("vec_id") < 100),
+        "embedding", "vec_id", path, m = 8, dim = 64)
+      path
+    })
+
   /** One corpus gram-index build per (session, dir) — the prebuilt
     * substring-dedup artifact over the "existing corpus" half of the
     * incremental split (doc_id >= 250, matching q_dedup_incremental). */
@@ -810,6 +830,17 @@ object SparkEntry {
       (s, d) => Similarity.pqTopKPrebuilt(s, pqTrainedIndexPath(s, d),
         "vec_id", queryVec(s, d), 20),
       Some(sqlPqTrained)),
+
+    Q("q_ann_pq_append", // the vector-index MAINTENANCE path: build on
+      // vec_id >= 100 (codebook frozen from that subset's (md5, key)
+      // draw), append vec_id < 100 with the frozen codebook
+      // (appendPqIndex — one append-mode write, the corpus is never
+      // re-encoded), probe the grown index. The oracle freezes its
+      // codebook CTE the same way but encodes the whole corpus, so the
+      // row proves append == rebuild-with-the-frozen-codebook exactly.
+      (s, d) => Similarity.pqTopKPrebuilt(s, pqAppendIndexPath(s, d),
+        "vec_id", queryVec(s, d), 20),
+      Some(sqlPqAppend)),
 
     Q("q_cluster_balance", // cluster-balanced sampling (the SemDeDup-style
       // diversity step): route the corpus onto trained centroids, keep a
@@ -1718,16 +1749,18 @@ object SparkEntry {
   /** Shared PQ CTE chain (m=8, ksub=16, dim=64, scale=1e6): codebook
     * re-derived relationally (same (md5, key) draw as the kmeans seeds),
     * encode = argmin exact-int64 L2 per subspace with ties to the lower
-    * code, per-row ADC score in int64 — ONE definition consumed by both
-    * sqlPqTopK and sqlPqIvfTopK so flat and routed scoring cannot drift. */
-  private lazy val sqlPqCtes: String =
-    """scaled AS (
+    * code, per-row ADC score in int64 — ONE definition consumed by
+    * sqlPqTopK, sqlPqIvfTopK AND the append oracle (codebook narrowed to
+    * the build half via `cbWhere`) so flat, routed, and append-maintained
+    * scoring cannot drift. */
+  private def sqlPqCtesFrom(cbWhere: String): String =
+    s"""scaled AS (
          SELECT vec_id, list_transform(embedding,
                   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
          FROM embeddings WHERE len(embedding) = 64),
        cbrows AS (
          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, iv
-         FROM scaled
+         FROM scaled $cbWhere
          QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
        subs AS (SELECT unnest(generate_series(0, 7)) AS s),
        cb AS (SELECT s, c, iv[s*8+1 : s*8+8] AS cv FROM cbrows, subs),
@@ -1755,6 +1788,20 @@ object SparkEntry {
        sc AS (
          SELECT code.vec_id, CAST(sum(l) AS DOUBLE) AS si
          FROM code JOIN lut USING (s, c) GROUP BY code.vec_id)"""
+
+  /** The default PQ chain: codebook sampled from the WHOLE corpus. */
+  private lazy val sqlPqCtes: String = sqlPqCtesFrom("")
+
+  /** DuckDB mirror of the append-maintained PQ index (q_ann_pq_append):
+    * the codebook is FROZEN at build time — sampled from the build half
+    * (vec_id >= 100) only — while codes cover build + appended rows, i.e.
+    * the whole corpus. Append == rebuild-with-the-frozen-codebook is thus
+    * checked end to end: if appendPqIndex re-sampled, double-encoded, or
+    * dropped rows, the ranking would not match this replay. */
+  private lazy val sqlPqAppend: String =
+    s"""WITH ${sqlPqCtesFrom("WHERE vec_id >= 100")}
+       SELECT vec_id, round(si / 1000000000000.0, 6) AS score
+       FROM sc ORDER BY score DESC, vec_id LIMIT 20"""
 
   /** DuckDB replay of [[operators.Similarity.pqTrainCodebook]] (m=8,
     * ksub=16, iters=2) + the ADC probe over the trained codebook — the

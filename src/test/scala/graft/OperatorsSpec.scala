@@ -1915,6 +1915,43 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx2dir/stats").count() == 1)
   }
 
+  test("bm25TopKPrebuilt: a pre-dl LEGACY index (postings without the " +
+       "denormalized doc length) still serves via the lengths join; " +
+       "appendTextIndex refuses it loudly") {
+    import graft.operators.TermStats
+    val docs = Seq((1L, "a b a c"), (2L, "a c c"), (3L, "d d b"))
+      .toDF("doc_id", "text")
+    // hand-build the PRE-DL flat layout: postings (term, doc_id, tf) with
+    // no dl column, lengths and stats as today — what a v<=r9 build wrote
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    val idx = s"$dir/idx"
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .write.parquet(s"$idx/postings")
+    dl.write.parquet(s"$idx/lengths")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .write.parquet(s"$idx/stats")
+
+    val legacy = TermStats
+      .bm25TopKPrebuilt(spark, idx, "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adhoc = TermStats
+      .bm25TopK(docs, "text", "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(legacy == adhoc, s"legacy-index probe drifted: $legacy vs $adhoc")
+
+    // appending dl-bearing postings beside dl-less ones would read back
+    // inconsistently without mergeSchema — must be refused, not mixed
+    val e = intercept[IllegalArgumentException] {
+      TermStats.appendTextIndex(Seq((4L, "a a")).toDF("doc_id", "text"),
+        "text", "doc_id", idx)
+    }
+    assert(e.getMessage.contains("legacy"))
+  }
+
   test("bm25TopKBatch == bm25TopK per query (scores, ranking, tie-breaks)") {
     val docs = Seq(
       (1L, "a b a c"), (2L, "a c c"), (3L, "d d b"), (4L, "x y"))

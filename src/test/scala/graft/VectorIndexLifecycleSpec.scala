@@ -1,0 +1,182 @@
+package graft
+
+import graft.operators.{IndexLifecycle, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Vector-artifact lifecycle parity with the text index: CAS versioning
+  * (rebuild under a live reader, vacuum), frozen-codebook/centroid append
+  * (append == rebuild on probe results), legacy-index guards, and the
+  * codebook-drift measurement the appendPqIndex scaladoc cites. */
+class VectorIndexLifecycleSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def queryVec: Array[Float] =
+    emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("pq append == rebuild with the same frozen codebook (probe equality)") {
+    val build = emb.filter(col("vec_id") >= 100)
+    val batch = emb.filter(col("vec_id") < 100)
+
+    val grown = tmp("graft-pq-append")
+    val cb = Similarity.pqBuild(build, "embedding", "vec_id", grown,
+      m = 8, ksub = 16, dim = 64)
+    Similarity.appendPqIndex(batch, "embedding", "vec_id", grown,
+      m = 8, dim = 64)
+
+    // the reference ranking: the WHOLE corpus encoded in one build with
+    // the SAME frozen codebook — what append must be indistinguishable from
+    val rebuilt = tmp("graft-pq-rebuild")
+    Similarity.pqBuildWith(emb, "embedding", "vec_id", rebuilt, cb,
+      m = 8, dim = 64)
+
+    val a = rows(Similarity.pqTopKPrebuilt(spark, grown, "vec_id", queryVec, 20))
+    val b = rows(Similarity.pqTopKPrebuilt(spark, rebuilt, "vec_id", queryVec, 20))
+    assert(a == b, s"append-grown PQ index drifted from rebuild: $a vs $b")
+    // the appended batch actually entered the index (some vec_id < 100 can
+    // rank — and with this fixture's near-duplicate rows at least one does)
+    assert(a.nonEmpty && a.map(_._1).toSet !=
+      rows(Similarity.pqTopKPrebuilt(spark, {
+        val onlyBuild = tmp("graft-pq-buildonly")
+        Similarity.pqBuildWith(build, "embedding", "vec_id", onlyBuild, cb,
+          m = 8, dim = 64); onlyBuild
+      }, "vec_id", queryVec, 20)).map(_._1).toSet,
+      "append must change the candidate pool — batch rows never entered")
+  }
+
+  test("pq index rebuilds under a live reader: pre-rebuild DataFrame keeps " +
+       "its version's files; vacuum drops only non-current versions") {
+    val idx = tmp("graft-pq-cas")
+    Similarity.pqBuild(emb.filter(col("vec_id") < 250), "embedding",
+      "vec_id", idx, m = 8, ksub = 16, dim = 64)
+    assert(IndexLifecycle.currentVersion(spark, idx).contains(1L))
+
+    // the "live reader": plan + file listing built against v=1 BEFORE the
+    // rebuild flips the pointer
+    val preRebuild = Similarity.pqTopKPrebuilt(spark, idx, "vec_id", queryVec, 10)
+    val expected = rows(preRebuild)
+
+    // full rebuild (different corpus AND a re-sampled codebook — the
+    // retraining scenario); lands as v=2, pointer flipped last
+    Similarity.pqBuild(emb, "embedding", "vec_id", idx,
+      m = 8, ksub = 16, dim = 64)
+    assert(IndexLifecycle.currentVersion(spark, idx).contains(2L),
+      "rebuild must land as the next CAS version")
+
+    // old reader re-collects from its v=1 file list — files untouched
+    assert(rows(preRebuild) == expected,
+      "pre-rebuild reader torn by an in-place rebuild")
+    // fresh probe resolves v=2 (the bigger corpus ranks differently or at
+    // minimum sees more candidates)
+    val after = Similarity.pqTopKPrebuilt(spark, idx, "vec_id", queryVec, 10)
+    assert(after.count() == 10)
+
+    Similarity.vacuumVectorIndex(spark, idx)
+    val left = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).toSet
+    assert(left == Set("v=2"), s"vacuum must keep only the current version: $left")
+    assert(rows(Similarity.pqTopKPrebuilt(spark, idx, "vec_id", queryVec, 10))
+      == rows(after), "probe must stay green after vacuum")
+  }
+
+  test("ivf append routes with the frozen _centroids: append == rebuild, " +
+       "and a pre-versioning index is refused loudly") {
+    val build = emb.filter(col("vec_id") >= 100)
+    val batch = emb.filter(col("vec_id") < 100)
+
+    val grown = tmp("graft-ivf-append")
+    Similarity.ivfBuild(build, "embedding", "vec_id", grown, dim = 64)
+    Similarity.appendIvfIndex(batch, "embedding", "vec_id", grown)
+
+    val rebuilt = tmp("graft-ivf-rebuild")
+    Similarity.ivfBuild(emb, "embedding", "vec_id", rebuilt, dim = 64)
+
+    // seeded centroids are parameter-derived, so build-half and full-corpus
+    // builds share routing — append == rebuild exactly, probe-for-probe
+    val a = rows(Similarity.ivfTopKPrebuilt(spark, grown, "embedding",
+      "vec_id", queryVec, 10))
+    val b = rows(Similarity.ivfTopKPrebuilt(spark, rebuilt, "embedding",
+      "vec_id", queryVec, 10))
+    assert(a == b, s"append-grown IVF index drifted from rebuild: $a vs $b")
+
+    // legacy layout (no _centroids): the append must fail loudly, not
+    // guess routing constants
+    val legacy = tmp("graft-ivf-legacy")
+    build.withColumn("_list", lit(0))
+      .write.partitionBy("_list").parquet(legacy)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(batch, "embedding", "vec_id", legacy)
+    }
+    assert(e.getMessage.contains("_centroids"))
+  }
+
+  test("pq-ivf append: frozen codebook + frozen centroids land codes in " +
+       "the right _list partitions (probe == explicit re-derivation)") {
+    val build = emb.filter(col("vec_id") >= 100)
+    val batch = emb.filter(col("vec_id") < 100)
+
+    val grown = tmp("graft-pqivf-append")
+    val cb = Similarity.pqIvfBuild(build, "embedding", "vec_id", grown,
+      m = 8, ksub = 16, dim = 64, nlist = 16, seed = 7L)
+    Similarity.appendPqIvfIndex(batch, "embedding", "vec_id", grown,
+      m = 8, dim = 64)
+
+    val got = rows(Similarity.pqIvfTopK(spark, grown, "vec_id", queryVec, 10,
+      m = 8, dim = 64, nlist = 16, nprobe = 4, seed = 7L))
+
+    // re-derive from first principles with the frozen constants: encode the
+    // WHOLE corpus with cb, route on the seeded centroids, restrict to the
+    // probed lists, ADC-score
+    val cents = Similarity.ivfCentroids(16, 64, 7L)
+    val assign = cents.indices.map { i =>
+      struct(graft.functions.VectorFunctions
+        .cosine(col("embedding"), cents(i)).as("s"), lit(i).as("i"))
+    }
+    val routed = Similarity.pqEncode(
+      emb.withColumn("_list", array_max(array(assign: _*))("i")),
+      "embedding", "vec_id", cb, m = 8, dim = 64, keep = Seq("_list"))
+    val qScores = cents.map(_.zip(queryVec)
+      .map { case (x, y) => x.toDouble * y.toDouble }.sum)
+    val probed = qScores.zipWithIndex.sortBy(-_._1).take(4).map(_._2)
+    val want = rows(Similarity.pqAdcTopK(
+      routed.filter(col("_list").isin(probed: _*)),
+      "codes", "key", "vec_id", queryVec, 10, cb, m = 8, dim = 64))
+    assert(got == want, s"routed append drifted from re-derivation: $got vs $want")
+  }
+
+  test("codebook drift: recall@20 of the appended index vs the full rebuild " +
+       "(the number the appendPqIndex scaladoc cites)") {
+    val build = emb.filter(col("vec_id") >= 100)
+    val batch = emb.filter(col("vec_id") < 100)
+
+    val grown = tmp("graft-pq-drift-a")
+    Similarity.pqBuild(build, "embedding", "vec_id", grown,
+      m = 8, ksub = 16, dim = 64)
+    Similarity.appendPqIndex(batch, "embedding", "vec_id", grown,
+      m = 8, dim = 64)
+    val fresh = tmp("graft-pq-drift-b")
+    Similarity.pqBuild(emb, "embedding", "vec_id", fresh,
+      m = 8, ksub = 16, dim = 64)
+
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+      queryVec, 20).collect().map(_.getLong(0)).toSet
+    def recall(idx: String): Double =
+      Similarity.pqTopKPrebuilt(spark, idx, "vec_id", queryVec, 20)
+        .collect().map(_.getLong(0)).count(exact) / 20.0
+
+    val (rGrown, rFresh) = (recall(grown), recall(fresh))
+    info(s"recall@20 appended=$rGrown fresh-rebuild=$rFresh")
+    // i.i.d. append half ⇒ the frozen codebook loses little: stay within
+    // 0.15 of the re-sampled rebuild (both are 4-bit-code approximations)
+    assert((rGrown - rFresh).abs <= 0.15,
+      s"appended-index recall $rGrown too far from rebuild $rFresh")
+  }
+}
