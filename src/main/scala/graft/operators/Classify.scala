@@ -33,9 +33,12 @@ import graft.functions.{TextFunctions => TF}
  *  - the MODEL is ≤ `buckets` rows and broadcasts; the two 1-row
  *    total/floor frames broadcast the same way (the lmScore BNLJ shape,
  *    bounded by construction).
- *  - SCORING is scan-stage work: explode tokens, broadcast-hash-join the
- *    model, one (key, sum) row per document through the final shuffle —
- *    document text never moves, and the shuffle is one int64 pair per doc.
+ *  - SCORING is a SHUFFLE-FREE scan-stage pass: the model collapses to a
+ *    dense int64 LUT literal and every document folds its token slots
+ *    against it in place ([[Importance.lutFold]] — the dsirScore
+ *    machinery). Document text never moves; nothing shuffles at all.
+ *    Past [[Importance.MaxLutBuckets]] the broadcast-join form
+ *    ([[nbScoreJoin]]) takes over: one int64 pair per doc shuffles.
  */
 object Classify {
 
@@ -106,12 +109,43 @@ object Classify {
   /**
    * Score: one row per document, (key, score, pred) where
    * score = (bias + Σ_tok llr[slot(tok)]) / 1e6 and pred = score > 0.
-   * The model broadcasts; unseen slots coalesce to `floor`. Exact int64
-   * accumulation per document; text never shuffles.
+   * Unseen slots take `floor`; docs with an EMPTY token array score
+   * nothing (no output row — the join form's natural semantics, kept
+   * identical here).
+   *
+   * Plan shape: the model collapses to a dense int64 LUT
+   * ([[Importance.denseLut]]'s bounded driver-side contract, `floor`
+   * pre-filled) and scoring is a SHUFFLE-FREE per-row integer fold in the
+   * scan stage — the [[Importance.dsirScore]] machinery, so the two
+   * curation scorers cannot drift in shape. The old broadcast-join +
+   * per-doc aggregate form survives as [[nbScoreJoin]], the documented
+   * fallback for model sizes past [[Importance.MaxLutBuckets]] (where an
+   * 8 MB+ task literal would bloat every task binary); equality of the
+   * two forms is unit-pinned.
    */
   def nbScore(docs: DataFrame, model: DataFrame, textCol: String,
               keyCol: String, buckets: Int, bias: Long,
               floor: Long): DataFrame =
+    if (buckets <= Importance.MaxLutBuckets) {
+      val lut = Importance.denseLut(model, "bucket", "llr", buckets, floor)
+      docs.select(col(keyCol),
+          transform(TF.tokens(col(textCol)),
+            t => slot(t, buckets)).as("_slots"))
+        .filter(size(col("_slots")) > 0)
+        .select(col(keyCol),
+          (Importance.lutFold(col("_slots"), lut) + lit(bias)).as("_s"))
+        .select(col(keyCol),
+          round(col("_s").cast("double") / lit(1e6), 6).as("score"),
+          (col("_s") > 0).as("pred"))
+    } else nbScoreJoin(docs, model, textCol, keyCol, buckets, bias, floor)
+
+  /** The broadcast-join scoring form: explode token slots, left-join the
+    * broadcast model, one (key, int64) row per doc through the final
+    * shuffle. Same results as the LUT form (unit-pinned) at any model
+    * size — the >MaxLutBuckets path. */
+  def nbScoreJoin(docs: DataFrame, model: DataFrame, textCol: String,
+                  keyCol: String, buckets: Int, bias: Long,
+                  floor: Long): DataFrame =
     slots(docs, textCol, keyCol, buckets)
       .join(broadcast(model), Seq("bucket"), "left_outer")
       .groupBy(col(keyCol))

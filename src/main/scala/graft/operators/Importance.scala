@@ -69,7 +69,11 @@ object Importance {
    * The DSIR model: per-bucket integer-scaled log importance ratios
    *   lr(b) = round(1e6 · [ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))])
    * with add-one smoothing over the B-bucket vocabulary (T, R = total
-   * feature occurrences in target / raw). Output: (bucket, lr), ≤ B rows.
+   * feature occurrences in target / raw). Output: (bucket, lr, t_total,
+   * r_total), ≤ B rows — the totals ride along (constant per row, two
+   * int64s) so a consumer can evaluate the smoothed formula at t=r=0 for
+   * buckets ABSENT from the table: [[dsirScore]] uses them for its OOV
+   * floor, and a model round-tripped through parquet keeps them.
    *
    * The two 1-row total frames broadcast onto the bucket table (the
    * TermStats.lmScore shape — a bounded BroadcastNestedLoopJoin by
@@ -91,22 +95,56 @@ object Importance {
                    (col("_T") + lit(buckets).cast("double"))) -
                log((coalesce(col("_rc"), lit(0L)) + lit(1.0)) /
                    (col("_R") + lit(buckets).cast("double")))) * lit(1e6))
-          .cast("long").as("lr"))
+          .cast("long").as("lr"),
+        col("_T").as("t_total"), col("_R").as("r_total"))
   }
 
   /** Hard cap on the dense LUT the scoring pass collects: 2^20 buckets =
     * 8 MB of int64 — comfortably a task-literal broadcast. */
   val MaxLutBuckets = 1 << 20
 
+  /** Collect a bounded (bucket, value) model into a dense driver-side
+    * int64 LUT, absent buckets pre-filled with `default` — the shared
+    * kernel behind [[dsirScore]] and [[Classify.nbScore]]'s scan-stage
+    * scoring. The collect is the documented bounded contract (`buckets` ≤
+    * [[MaxLutBuckets]] enforced = 8 MB), the same class as the PQ
+    * codebook / minhash-seed collects. */
+  private[graft] def denseLut(model: DataFrame, bucketCol: String,
+                              valueCol: String, buckets: Int,
+                              default: Long): Array[Long] = {
+    require(buckets > 0 && buckets <= MaxLutBuckets,
+      s"buckets=$buckets outside (0, $MaxLutBuckets] — the dense-LUT " +
+        "scoring contract; shard the model or raise MaxLutBuckets " +
+        "deliberately")
+    val lut = Array.fill(buckets)(default)
+    model.select(col(bucketCol), col(valueCol)).collect().foreach { r =>
+      val b = r.getLong(0).toInt
+      if (b >= 0 && b < buckets) lut(b) = r.getLong(1)
+    }
+    lut
+  }
+
+  /** Shuffle-free integer fold: Σ_i lut[arr_i] as ONE scan-stage
+    * expression over the literal dense LUT — the map-only scoring kernel.
+    * `arr` values must be in [0, lut.length). */
+  private[graft] def lutFold(arr: Column, lut: Array[Long]): Column = {
+    val lutCol = typedlit(lut.toSeq)
+    aggregate(arr, lit(0L),
+      (acc, b) => acc + element_at(lutCol, (b + lit(1L)).cast(IntegerType)))
+  }
+
   /**
    * Score every document: weight = Σ_f lr(bucket(f)) / 1e6, one row per
    * input key. `ratios` (≤ `buckets` rows — the output of
-   * [[dsirLogRatios]]) is collected to a dense driver-side LUT; buckets
-   * absent from the table get the fully-smoothed ratio computed from the
-   * totals, so scoring a document whose features never occurred in either
-   * corpus is still defined. The collect is the documented bounded
-   * contract (`buckets` ≤ [[MaxLutBuckets]] enforced), the same class as
-   * the PQ codebook / minhash-seed collects.
+   * [[dsirLogRatios]]) is collected to a dense driver-side LUT
+   * ([[denseLut]]'s bounded contract); buckets ABSENT from the table get
+   * the fully-smoothed ratio evaluated at t=r=0 —
+   * round(1e6·ln((R+B)/(T+B))) from the model's own `t_total`/`r_total`
+   * columns — so scoring a document whose features never occurred in
+   * either corpus is defined and consistent with [[Classify.nbScore]]'s
+   * OOV floor (absence is unreachable when raw ⊇ scored docs, the usual
+   * DSIR setup). A legacy (bucket, lr)-only model without the totals
+   * falls back to a neutral 0 for absent buckets.
    *
    * The scoring pass itself is shuffle-free: a per-row integer fold over
    * the bucket array against the literal LUT, evaluated inside the scan
@@ -116,28 +154,23 @@ object Importance {
   def dsirScore(docs: DataFrame, textCol: String, keyCol: String,
                 ratios: DataFrame, buckets: Int,
                 weightCol: String = "weight"): DataFrame = {
-    require(buckets > 0 && buckets <= MaxLutBuckets,
-      s"buckets=$buckets outside (0, $MaxLutBuckets] — the dense-LUT " +
-        "scoring contract; shard the model or raise MaxLutBuckets " +
-        "deliberately")
-    val lut = new Array[Long](buckets)
-    // absent buckets: both counts were 0 in BOTH corpora *and* the bucket
-    // never even appeared — impossible when raw ⊇ scored docs, but defined
-    // anyway via the smoothed formula evaluated at t=r=0. That needs the
-    // totals, which dsirLogRatios does not output per row; recover them is
-    // impossible from (bucket, lr) alone, so absent buckets default to 0
-    // (log-ratio of "no evidence"): neutral, and unreachable when scoring
-    // the raw pool itself.
-    ratios.select(col("bucket"), col("lr")).collect().foreach { r =>
-      val b = r.getLong(0).toInt
-      if (b >= 0 && b < buckets) lut(b) = r.getLong(1)
-    }
-    val lutCol = typedlit(lut.toSeq)
+    // OOV floor from the smoothed formula at t=r=0; one bounded pass over
+    // the (constant) totals columns riding the model rows. first() not
+    // head(): an EMPTY model (two empty corpora) has no totals — every
+    // bucket is then absent and the neutral-0 default applies.
+    val floor: Long =
+      if (ratios.columns.contains("t_total") && ratios.columns.contains("r_total"))
+        ratios.select(col("t_total"), col("r_total")).limit(1).collect()
+          .headOption.map { r =>
+            val (t, rr) = (r.getLong(0), r.getLong(1))
+            math.round((math.log(1.0 / (t + buckets.toDouble)) -
+              math.log(1.0 / (rr + buckets.toDouble))) * 1e6)
+          }.getOrElse(0L)
+      else 0L
+    val lut = denseLut(ratios, "bucket", "lr", buckets, floor)
     docs.select(col(keyCol),
-      round(
-        aggregate(bucketArray(col(textCol), buckets), lit(0L),
-          (acc, b) => acc + element_at(lutCol, (b + lit(1L)).cast(IntegerType)))
-          .cast("double") / lit(1e6), 6).as(weightCol))
+      round(lutFold(bucketArray(col(textCol), buckets), lut)
+        .cast("double") / lit(1e6), 6).as(weightCol))
   }
 
   /** Importance selection: keep the `n` highest-weight documents, ties

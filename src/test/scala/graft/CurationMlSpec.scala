@@ -103,6 +103,75 @@ class CurationMlSpec extends SparkSpec {
     assert(floor == want, s"floor $floor != $want")
   }
 
+  test("nbScore LUT fold == nbScoreJoin broadcast form (rows, scores, preds)") {
+    val train = Seq(
+      (1L, "good fresh clean bright happy", true),
+      (2L, "good clean happy fresh calm", true),
+      (3L, "bad stale dirty dark sad", false),
+      (4L, "bad dirty sad stale angry", false)
+    ).toDF("doc_id", "text", "y")
+    val model = Classify.nbTrain(train, "text", "y", B)
+    val (bias, floor) = Classify.nbConstants(train, "text", "y", B)
+    val docs = Seq((10L, "fresh happy clean"), (11L, "stale dirty sad"),
+      (12L, "totally unseen tokens"), (13L, "good bad good bad"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val lutForm = canon(Classify.nbScore(docs, model, "text", "doc_id",
+      B, bias, floor))
+    val joinForm = canon(Classify.nbScoreJoin(docs, model, "text", "doc_id",
+      B, bias, floor))
+    assert(lutForm == joinForm,
+      s"scan-stage LUT scoring drifted from the join form:\n$lutForm\n$joinForm")
+  }
+
+  test("unified OOV semantics: dsirScore floors absent buckets with the " +
+       "smoothed t=r=0 ratio from the model's own totals (the nbScore rule)") {
+    val B2 = 64
+    val tgt = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta alpha"), (2L, "beta gamma beta"))
+      .toDF("doc_id", "text")
+    val ratios = Importance.dsirLogRatios(tgt, raw, "text", B2)
+    // the disjoint-vocabulary corpus: every feature is OOV up to hash
+    // collisions — the expectation below replays the defined semantics
+    // (coalesce to the smoothed floor) relationally, so collisions are
+    // handled identically on both sides
+    val foreign = Seq((9L, "zulu yankee xray whiskey"), (10L, "victor uniform"))
+      .toDF("doc_id", "text")
+    val tot = ratios.select($"t_total", $"r_total").head()
+    val floor = math.round((math.log(1.0 / (tot.getLong(0) + B2.toDouble)) -
+      math.log(1.0 / (tot.getLong(1) + B2.toDouble))) * 1e6)
+    val want = foreign
+      .select($"doc_id",
+        explode(Importance.bucketArray($"text", B2)).as("bucket"))
+      .join(ratios.select($"bucket", $"lr"), Seq("bucket"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(round(sum(coalesce($"lr", lit(floor))).cast("double") / 1e6, 6)
+        .as("weight"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Importance.dsirScore(foreign, "text", "doc_id", ratios, B2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"dsirScore OOV drifted from the floor replay: $got vs $want")
+    // T=5 < R=8 here, so the floor is ln((R+B)/(T+B)) > 0 — a fully-OOV
+    // doc must NOT score the old neutral 0
+    assert(floor > 0 && got.values.forall(_ > 0.0),
+      s"OOV docs must take the smoothed floor, not 0: $got (floor=$floor)")
+    // legacy (bucket, lr)-only model: absent buckets fall back to 0
+    val legacy = Importance.dsirScore(foreign, "text", "doc_id",
+        ratios.select($"bucket", $"lr"), B2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantLegacy = foreign
+      .select($"doc_id",
+        explode(Importance.bucketArray($"text", B2)).as("bucket"))
+      .join(ratios.select($"bucket", $"lr"), Seq("bucket"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(round(sum(coalesce($"lr", lit(0L))).cast("double") / 1e6, 6)
+        .as("weight"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(legacy == wantLegacy, s"legacy-model fallback drifted: $legacy")
+  }
+
   test("contaminationMulti matches per-set contaminationOverlap") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -322,14 +322,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("DSIR scoring is a map-only pass: the scored plan has no shuffle") {
+  test("DSIR and NB scoring are map-only passes: the scored plan has no shuffle") {
     // the whole point of the dense-LUT scoring contract: after the bounded
     // model collect, weighing the corpus is scan-stage work — the 100 TB
     // side neither joins nor exchanges. (The model-building aggregations
     // run eagerly at plan-construction time and are bucket-bounded.)
-    val p = plan("q_dsir_weights")
-    assert(!p.contains("Exchange"), s"DSIR scoring pass shuffles:\n$p")
-    assert(!p.contains("Join"), s"DSIR scoring pass joins:\n$p")
+    // q_nb_score shares the machinery since round 11 (Importance.lutFold).
+    for (name <- Seq("q_dsir_weights", "q_nb_score")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name scoring pass shuffles:\n$p")
+      assert(!p.contains("Join"), s"$name scoring pass joins:\n$p")
+    }
   }
 
   test("no query plans a CartesianProduct or a non-codegen Python eval") {
@@ -346,8 +349,9 @@ class PlanSpec extends SparkSpec {
       "q_hybrid_rrf", // embeds the q_bm25 subplan (same 1-row stats broadcast)
       "q_hybrid_prebuilt", // embeds the q_bm25_prebuilt subplan (same shape)
       "q_ann_recall", // bounded query-sample broadcast onto the truth scan
-      "q_nb_train", "q_nb_score") // 1-row class-total broadcast onto the
-        // <=512-row slot table (the lmScore denominator shape)
+      "q_nb_train") // 1-row class-total broadcast onto the <=512-row slot
+        // table (the lmScore denominator shape); q_nb_score left this set
+        // in round 11 — its scoring is now a shuffle-free LUT fold
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
