@@ -90,8 +90,18 @@ def main(sf_dir, out_dir):
             except Exception as e:
                 print(f"FAIL {name}: unreadable no-oracle output: {e}")
                 n_bad += 1
+    # standing type guard: DESCRIBE every oracle string and fail on output
+    # types Spark cannot produce (the round-9 HUGEINT class) — wired into
+    # the main check loop so the omission of a CAST can never pass silently
+    import oracle_type_guard
+    guard_bad = oracle_type_guard.main(sf_dir, out_dir)
+    if guard_bad:
+        n_bad += 1
+
     print(f"\n{n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
+    import os as _os
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
     sys.exit(main(sys.argv[1], sys.argv[2]))
