@@ -53,9 +53,19 @@ object Tables {
     // a SECOND time. Exchange-free plans (the scan shapes this helper
     // exists for) build their RDD lazily — counting partitions there runs
     // nothing.
-    val hasExchange = df.queryExecution.sparkPlan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-    if (hasExchange) df
+    //
+    // The probe below executes `sparkPlan` — the physical plan BEFORE
+    // EnsureRequirements — so it is only safe when no node still NEEDS an
+    // exchange inserted: executing an unprepared join zips its children's
+    // RDDs and crashes on unequal partition counts (found via a
+    // ChangeFeed.diff-derived input). Any non-trivial required child
+    // distribution marks such a plan; those get their parallelism from
+    // the shuffle/broadcast anyway, so identity is the right answer.
+    val needsPrep = df.queryExecution.sparkPlan.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange] ||
+        p.requiredChildDistribution.exists(_ !=
+          org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution))
+    if (needsPrep) df
     else if (df.queryExecution.sparkPlan.execute().getNumPartitions < t)
       df.repartition(t)
     else df

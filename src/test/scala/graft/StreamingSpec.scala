@@ -979,6 +979,107 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(postVacuum == expected, "probe must stay green after vacuum")
   }
+
+  test("ChangeFeed-driven index maintenance end to end: each micro-batch's " +
+       "NEW events append to the text, gram, AND signature artifacts; " +
+       "N streamed batches == one-shot rebuild on every probe") {
+    // the full "crawl keeps the serving artifacts fresh" loop: the stream
+    // carries corpus writes; foreachBatch diffs the keyed snapshot with
+    // ChangeFeed (the reference's per-write NEW/MODIFIED/DELETED algebra,
+    // per-batch here), and the NEW rows drive all three append paths under
+    // the single-writer contract (sequential inside one batch callback)
+    import graft.operators.{Dedup, TermStats}
+    import graft.streaming.ChangeFeed
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-maint").toString
+    val textIdx = s"$dir/text"
+    val gramIdx = s"$dir/grams"
+    val sigIdx = s"$dir/sigs"
+
+    val seedRows = Seq(
+      (100L, "spark engine overview with storage layout details inside the core"))
+    TermStats.buildTextIndex(seedRows.toDF("doc_id", "text"), "text", "doc_id", textIdx)
+    Dedup.buildGramIndex(seedRows.toDF("doc_id", "text"), "text", "doc_id", gramIdx)
+    Dedup.buildSignatures(seedRows.toDF("doc_id", "text"), "text", "doc_id", sigIdx)
+
+    // maintained keyed snapshot (driver-side rows — a test-sized corpus;
+    // the production form keeps the snapshot as a table and diffs lazily)
+    var corpus = seedRows
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batchRows = b.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val newRows = corpus ++ batchRows
+        val fresh = ChangeFeed.diff(
+            corpus.toDF("doc_id", "text"), newRows.toDF("doc_id", "text"), "doc_id")
+          .filter(col("_status") === ChangeFeed.New)
+          .select(col("doc_id"), col("text"))
+        TermStats.appendTextIndex(fresh, "text", "doc_id", textIdx)
+        Dedup.appendGramIndex(fresh, "text", "doc_id", gramIdx)
+        Dedup.appendSignatures(fresh, "text", "doc_id", sigIdx)
+        corpus = newRows
+        ()
+      }
+      .start()
+
+    // batch 1: two fresh docs (one spark-ish for the BM25 probe, one long
+    // passage the gram probe will repeat)
+    input.addData(
+      (1L, "spark spark tuning notes for shuffle heavy pipelines at scale"),
+      (2L, "the quick brown fox jumps over the lazy dog every single morning"))
+    q.processAllAvailable()
+    // batch 2: one more doc, near-duplicate of doc 2 (signature probe prey)
+    input.addData(
+      (3L, "the quick brown fox jumps over the lazy dog every single evening"))
+    q.processAllAvailable()
+    q.stop()
+    assert(corpus.map(_._1).toSet == Set(100L, 1L, 2L, 3L))
+
+    // one-shot rebuilds over the final corpus — the equality baselines
+    val all = corpus.toDF("doc_id", "text")
+    val textIdx2 = s"$dir/text2"; val gramIdx2 = s"$dir/grams2"
+    val sigIdx2 = s"$dir/sigs2"
+    TermStats.buildTextIndex(all, "text", "doc_id", textIdx2)
+    Dedup.buildGramIndex(all, "text", "doc_id", gramIdx2)
+    Dedup.buildSignatures(all, "text", "doc_id", sigIdx2)
+
+    // text probe: identical BM25 rankings (scores included)
+    def bm25(idx: String) = TermStats
+      .bm25TopKPrebuilt(spark, idx, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm25(textIdx) == bm25(textIdx2),
+      s"text index drifted: ${bm25(textIdx)} vs ${bm25(textIdx2)}")
+    assert(bm25(textIdx).map(_._1).contains(1L),
+      "batch-1 doc must rank for 'spark'")
+
+    // gram probe: an incoming doc repeating a STREAMED passage strips
+    // identically against grown and rebuilt artifacts
+    val incoming = Seq(
+      (50L, "intro words then the quick brown fox jumps over the lazy dog every single morning"))
+      .toDF("doc_id", "text")
+    def strip(idx: String) = Dedup
+      .substringDedupPrebuilt(spark, idx, incoming, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(strip(gramIdx) == strip(gramIdx2),
+      s"gram index drifted: ${strip(gramIdx)} vs ${strip(gramIdx2)}")
+
+    // signature probe: dedup a near-duplicate of a STREAMED doc against
+    // the corpus signatures — same verdicts from grown and rebuilt
+    val crawl = Seq((60L, "the quick brown fox jumps over the lazy dog every single morning today"))
+      .toDF("doc_id", "text")
+    def verdicts(idx: String) = Dedup
+      .dedupAgainstCorpusPrebuilt(spark, idx, crawl, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(verdicts(sigIdx) == verdicts(sigIdx2),
+      s"signature index drifted: ${verdicts(sigIdx)} vs ${verdicts(sigIdx2)}")
+  }
 }
 
 /** Top-level: Dataset deserialization (.as[KV2]) cannot encode an
