@@ -1792,6 +1792,60 @@ object SparkEntry {
   /** The default PQ chain: codebook sampled from the WHOLE corpus. */
   private lazy val sqlPqCtes: String = sqlPqCtesFrom("")
 
+  /** DuckDB mirror of the BATCH hybrid serving pipeline (q_hybrid_batch):
+    * per-query BM25 (the sqlBm25 chain grouped by qid over a VALUES query
+    * batch), per-query ADC (the shared PQ chain with per-qid LUTs derived
+    * from vec_id < 3 — the same relational integer discipline), RRF-fused
+    * per qid. Per-side k=20, fused k=10, k0=60 — every constant mirrors
+    * the Spark side. */
+  private lazy val sqlHybridBatch: String =
+    s"""WITH ${sqlPqCtesFrom("")},
+       qt(qid, term) AS (VALUES
+         (CAST(0 AS BIGINT), 'data'), (0, 'spark'), (0, 'index'),
+         (1, 'spark'), (1, 'table'),
+         (2, 'index'), (2, 'data')),
+       toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+       dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+       stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       ts AS (SELECT qt.qid, tf.doc_id,
+                CAST(round(ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+                  (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE)/n))) * 1e6) AS BIGINT) AS s
+              FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id, stats),
+       bm AS (SELECT qid, doc_id, round(CAST(sum(s) AS DOUBLE)/1e6, 6) AS bm25
+              FROM ts GROUP BY qid, doc_id),
+       tr AS (SELECT qid, doc_id, ra FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS ra
+                FROM bm) WHERE ra <= 20),
+       qis AS (SELECT vec_id AS qid, list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS bqv
+               FROM embeddings WHERE vec_id < 3),
+       luts AS (SELECT q.qid, cb.s, cb.c,
+                  list_sum(list_transform(list_zip(q.bqv[cb.s*8+1 : cb.s*8+8], cb.cv),
+                    p -> p[1]*p[2])) AS l
+                FROM cb, qis q),
+       scb AS (SELECT luts.qid, code.vec_id, CAST(sum(l) AS DOUBLE) AS si
+               FROM code JOIN luts USING (s, c) GROUP BY luts.qid, code.vec_id),
+       vr AS (SELECT qid, vec_id, rb FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY round(si / 1000000000000.0, 6) DESC, vec_id) AS rb
+                FROM scb) WHERE rb <= 20),
+       fused AS (SELECT coalesce(tr.qid, vr.qid) AS qid,
+                        coalesce(tr.doc_id, vr.vec_id) AS doc_id,
+                        round(coalesce(1.0/(60 + ra), 0.0) +
+                              coalesce(1.0/(60 + rb), 0.0), 6) AS rrf
+                 FROM tr FULL OUTER JOIN vr
+                   ON tr.qid = vr.qid AND tr.doc_id = vr.vec_id)
+       SELECT qid, doc_id, rrf FROM (
+         SELECT qid, doc_id, rrf,
+                row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
+         FROM fused) WHERE rn <= 10"""
+
   /** DuckDB mirror of the append-maintained PQ index (q_ann_pq_append):
     * the codebook is FROZEN at build time — sampled from the build half
     * (vec_id >= 100) only — while codes cover build + appended rows, i.e.
@@ -2537,6 +2591,30 @@ object SparkEntry {
                  round(coalesce(1.0/(60 + ra), 0.0) + coalesce(1.0/(60 + rb), 0.0), 6) AS rrf
           FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id
           ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    Q("q_hybrid_batch", // hybrid retrieval for a BATCH of stored queries,
+      // prebuilt artifacts only — the full serving pipeline: per-query
+      // BM25 over postings (bm25TopKBatchPrebuilt), per-query ADC over
+      // the PQ codes (pqTopKBatchPrebuilt, relationally-derived LUTs),
+      // fused per query with rrfFuseBatch. One plan scores every query;
+      // neither corpus text nor raw embeddings are read (PlanSpec-pinned,
+      // the q_hybrid_prebuilt contract batched).
+      (s, d) => {
+        import s.implicits._
+        val textQs = Seq(
+          (0L, Seq("data", "spark", "index")),
+          (1L, Seq("spark", "table")),
+          (2L, Seq("index", "data"))).toDF("qid", "terms")
+        val vecQs = t(s, d, "embeddings").filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val text = TermStats.bm25TopKBatchPrebuilt(s, textIndexPath(s, d),
+          "doc_id", textQs, "qid", "terms", k = 20)
+        val vec = Similarity.pqTopKBatchPrebuilt(s, pqIndexPath(s, d),
+          vecQs, "qid", "embedding", "vec_id", k = 20)
+        TermStats.rrfFuseBatch(text, "qid", "doc_id", "bm25",
+          vec, "vec_id", "score", k = 10)
+      },
+      Some(sqlHybridBatch)),
 
     Q("q_lsh_recall", // the banding-scheme tuning gate, differentially
       // checked (the q_ann_recall discipline for near-dup candidate

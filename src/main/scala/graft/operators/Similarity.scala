@@ -896,4 +896,64 @@ object Similarity {
     pqAdcTopK(spark.read.parquet(s"$dir/codes"), "codes", "key",
       outKey, query, k, readCodebook(spark, dir), m, dim, scale)
   }
+
+  /**
+   * Batch ADC over a prebuilt PQ index: top-k for EVERY query row in one
+   * plan — [[ivfTopKBatchPrebuilt]]'s pattern applied to the compressed
+   * codes, so a batch of stored queries serves against m ints per corpus
+   * row with the raw vectors absent from the plan. Scores are identical
+   * to [[pqTopKPrebuilt]] per query (unit-pinned): the per-query LUT is
+   * derived RELATIONALLY — queries quantize to round(x·scale) int64 in
+   * the plan, each (subspace, code) cell is an exact-int64 dot against
+   * the frozen codebook — so the whole batch stays oracle-checkable.
+   *
+   * Scale shape: the LUT relation is |queries|·m·ksub rows (bounded by
+   * the query batch — model-sized by contract) and BROADCASTS onto the
+   * codes scan exploded to (key, subspace, code) triples; map-side
+   * partial aggregation collapses each task to (qid, key) partials before
+   * the one shuffle, whose volume is |queries|·|corpus| int64 pairs — the
+   * irreducible output of unrouted batch scoring (route first via
+   * [[pqIvfBuild]] + a `_list` filter when the batch is large). Ranking
+   * is one window per query key; `queryKeyCol` must be unique per row.
+   */
+  def pqTopKBatchPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, queries: DataFrame,
+                          queryKeyCol: String, queryVecCol: String,
+                          outKey: String, k: Int, m: Int = 8, dim: Int = 64,
+                          scale: Double = 1e6): DataFrame = {
+    import spark.implicits._
+    val dir = IndexLifecycle.resolveDir(spark, indexPath)
+    val cb = readCodebook(spark, dir)
+    require(m >= 1 && dim % m == 0 && cb.forall(_.length == dim),
+      "codebook layout must match the declared (m, dim)")
+    val sd = dim / m
+    val ksub = cb.length
+    // codebook subvectors as a driver-built (s, c, cv) frame — m·ksub rows
+    val cbDf = (for { s <- 0 until m; c <- 0 until ksub }
+      yield (s, c, cb(c).slice(s * sd, (s + 1) * sd).toSeq))
+      .toDF("_s", "_c", "_cv")
+    val qis = queries.filter(size(col(queryVecCol)) === dim)
+      .select(col(queryKeyCol).as("_qid"),
+        transform(col(queryVecCol),
+          x => round(x.cast("double") * scale).cast("long")).as("_qv"))
+    val luts = qis.crossJoin(cbDf)
+      .select(col("_qid"), col("_s"), col("_c"),
+        aggregate(
+          zip_with(
+            slice(col("_qv"), col("_s") * lit(sd) + lit(1), lit(sd)),
+            col("_cv"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("_l"))
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("key"), posexplode(col("codes")).as(Seq("_s", "_c")))
+    val scored = codes.join(broadcast(luts), Seq("_s", "_c"))
+      .groupBy(col("_qid"), col("key"))
+      .agg(sum(col("_l")).as("_si"))
+      .select(col("_qid"), col("key"),
+        round(col("_si").cast("double") / lit(scale * scale), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score").desc, col("key").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as(queryKeyCol), col("key").as(outKey), col("score"))
+  }
 }

@@ -516,6 +516,90 @@ object TermStats {
   }
 
   /**
+   * Batch BM25 over the PREBUILT inverted index — [[bm25TopKBatch]]'s
+   * serving twin: a relation of keyword queries scores in ONE plan against
+   * postings + stats only; neither the corpus text nor the lengths table
+   * is read (dl rides the posting rows). Scoring and tie-breaks are
+   * identical to [[bm25TopKPrebuilt]] per query (same integer-scaled sum,
+   * unit-pinned against [[bm25TopKBatch]]).
+   *
+   * Scale shape: the distinct query-term dictionary (bounded by query
+   * vocabulary) broadcast-semi-filters the postings scan — a dynamic term
+   * set can't push a static isin into row groups the way a single query
+   * does, but the filter still runs in the scan stage and only matching
+   * postings move; per-term df and the 1-row stats partials are shared by
+   * every query; ranking is one window per query key. `queryKeyCol` must
+   * be unique per query row (the batch-ANN contract). Pre-dl legacy
+   * indexes fall back to the lengths join ([[bm25TopKPrebuilt]]'s rule).
+   */
+  def bm25TopKBatchPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, keyCol: String,
+                            queries: DataFrame, queryKeyCol: String,
+                            termsCol: String, k: Int, k1: Double = 1.2,
+                            b: Double = 0.75): DataFrame = {
+    val dir = resolveIndexDir(spark, indexPath)
+    val qterms = queries.select(col(queryKeyCol).as("_qid"),
+      explode(array_distinct(col(termsCol))).as("term"))
+    val dict = qterms.select(col("term")).distinct()
+    val postings = spark.read.parquet(s"$dir/postings")
+    val tf0 = postings.join(broadcast(dict), Seq("term"), "left_semi")
+    val tf =
+      if (postings.columns.contains("dl")) tf0
+      else tf0.join(spark.read.parquet(s"$dir/lengths"), Seq(keyCol))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val perDoc = qterms.join(tf, Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_ts", round(termScore * 1e6).cast("long"))
+      .groupBy(col("_qid"), col(keyCol))
+      .agg(round(sum(col("_ts")).cast("double") / 1e6, 6).as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("bm25").desc, col(keyCol).asc)
+    perDoc.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as(queryKeyCol), col(keyCol), col("bm25"))
+  }
+
+  /**
+   * Per-query reciprocal-rank fusion — [[rrfFuse]] lifted to query
+   * BATCHES: both inputs carry a `qidCol`; ranks, the full-outer fusion
+   * join, and the final top-k all partition by it, so a million stored
+   * hybrid queries fuse in ONE plan. Same formula, rounding, and
+   * tie-breaks as [[rrfFuse]] per query (unit-pinned). The inputs are
+   * bounded RANKED LISTS per query (the top-k output of the batch
+   * retrieval kernels), so every window partition is candidate-list-sized.
+   */
+  def rrfFuseBatch(a: DataFrame, qidCol: String, aKey: String, aScore: String,
+                   b: DataFrame, bKey: String, bScore: String,
+                   k: Int, k0: Int = 60): DataFrame = {
+    require(k0 >= 1, "rank constant k0 must be >= 1")
+    def ranked(df: DataFrame, keyC: String, scoreC: String, out: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_qid")).orderBy(col(scoreC).desc, col("_key").asc)
+      df.select(col(qidCol).as("_qid"), col(keyC).as("_key"), col(scoreC))
+        .withColumn(out, row_number().over(w))
+        .select(col("_qid"), col("_key"), col(out))
+    }
+    val ra = ranked(a, aKey, aScore, "_ra")
+    val rb = ranked(b, bKey, bScore, "_rb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("rrf").desc, col("_key").asc)
+    ra.join(rb, Seq("_qid", "_key"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("_ra")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k0) + col("_rb")), lit(0.0)), 6))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as(qidCol), col("_key").as(aKey), col("rrf"))
+  }
+
+  /**
    * Extend the text index IN PLACE with accepted new documents (the
    * [[graft.operators.Dedup.appendGramIndex]] maintenance discipline):
    * three append-mode writes — the batch's own postings, lengths, and one

@@ -1855,6 +1855,48 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("rrfFuseBatch == rrfFuse per query (fused scores, order, tie-breaks)") {
+    val a = Seq((10L, 1L, 9.0), (10L, 2L, 5.0), (10L, 3L, 1.0),
+      (20L, 7L, 4.0), (20L, 8L, 4.0)).toDF("qid", "k", "sa")
+    val b = Seq((10L, 2L, 0.9), (10L, 4L, 0.8),
+      (20L, 8L, 0.5), (20L, 9L, 0.4)).toDF("qid", "k", "sb")
+    val batch = graft.operators.TermStats
+      .rrfFuseBatch(a, "qid", "k", "sa", b, "k", "sb", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (qid <- Seq(10L, 20L)) {
+      val single = graft.operators.TermStats
+        .rrfFuse(a.filter($"qid" === qid).select("k", "sa"), "k", "sa",
+          b.filter($"qid" === qid).select("k", "sb"), "k", "sb", k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"qid $qid: batch ${batch(qid)} != single $single")
+    }
+  }
+
+  test("bm25TopKBatchPrebuilt == bm25TopKPrebuilt per query over one build") {
+    val docs = Seq((1L, "a b a c"), (2L, "a c c"), (3L, "d d b"),
+      (4L, "x y a"), (5L, "b b d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25b").toString
+    graft.operators.TermStats.buildTextIndex(docs, "text", "doc_id", s"$dir/idx")
+    val qs = Seq((10L, Seq("a", "d")), (20L, Seq("c")), (30L, Seq("zz")),
+      (40L, Seq("a", "a", "b"))).toDF("qid", "terms")
+    val batch = graft.operators.TermStats
+      .bm25TopKBatchPrebuilt(spark, s"$dir/idx", "doc_id", qs, "qid", "terms", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for ((qid, terms) <- Seq(10L -> Seq("a", "d"), 20L -> Seq("c"),
+        40L -> Seq("a", "a", "b"))) {
+      val single = graft.operators.TermStats
+        .bm25TopKPrebuilt(spark, s"$dir/idx", "doc_id", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"qid $qid: batch ${batch(qid)} != single $single")
+    }
+    // a query with no matching term contributes no rows
+    assert(!batch.contains(30L))
+  }
+
   test("phraseSearchPrebuilt: consecutive-token semantics, duplicate slots, " +
        "multi-occurrence counts, append == rebuild") {
     import graft.operators.TermStats
@@ -2184,9 +2226,13 @@ class OperatorsSpec extends SparkSpec {
     val zCust = meanSpan(z, "o_custkey"); val zPrice = meanSpan(z, "o_totalprice")
     // both dimensions prune: a filter on EITHER column reads a fraction
     // of the files (8 files; perfect 1-D clustering would be 1/8 ~ 0.125,
-    // z-order trades some of each dim for coverage of both)
-    assert(zCust < 0.6, s"custkey mean span $zCust")
-    assert(zPrice < 0.6, s"totalprice mean span $zPrice")
+    // z-order trades some of each dim for coverage of both). The bound is
+    // 0.7, not tighter: repartitionByRange's reservoir sampling is seeded
+    // by the session-global rdd.id, so file boundaries (and spans) move a
+    // few percent with SUITE ORDER — measured 0.55-0.62 across orderings.
+    // The single-sort baseline below stays > 0.8, so 0.7 still separates.
+    assert(zCust < 0.7, s"custkey mean span $zCust")
+    assert(zPrice < 0.7, s"totalprice mean span $zPrice")
 
     // baseline: range-sorted on custkey ALONE — custkey prunes hard,
     // totalprice not at all (each file spans ~the whole price range)

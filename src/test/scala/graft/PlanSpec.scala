@@ -143,6 +143,24 @@ class PlanSpec extends SparkSpec {
       s"hybrid prebuilt re-scans the embeddings table:\n$p")
     assert(!p.contains("embedding#"),
       s"hybrid prebuilt drags the raw vectors through the plan:\n$p")
+  }
+
+  test("hybrid BATCH serving query: postings + codes only; embeddings read " +
+       "solely as the pushed-filter query batch") {
+    // the q_hybrid_prebuilt contract batched: per-query BM25 reads
+    // postings (+1-row stats), per-query ADC reads codes; the corpus text
+    // never appears. The embeddings table IS legitimately in this plan —
+    // as the 3-row QUERY batch — so the pin is that its scan carries the
+    // pushed vec_id bound, not that it is absent.
+    val p = plan("q_hybrid_batch")
+    assert(p.contains("postings"), s"postings scan missing:\n$p")
+    assert(p.contains("codes"), s"codes scan missing:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"hybrid batch re-scans the documents table:\n$p")
+    assert(!p.contains("text#"),
+      s"hybrid batch drags the corpus text through the plan:\n$p")
+    assert("LessThan\\(vec_id,3\\)".r.findFirstIn(p).isDefined,
+      s"query-batch bound not pushed into the embeddings scan:\n$p")
     assert(!p.contains("lengths"),
       s"hybrid prebuilt joins the lengths table:\n$p")
   }
@@ -348,6 +366,8 @@ class PlanSpec extends SparkSpec {
       "q_bm25", "q_bm25_batch", "q_bm25_prebuilt", // 1-row (N, Σdl) stats broadcast (the tfidf shape)
       "q_hybrid_rrf", // embeds the q_bm25 subplan (same 1-row stats broadcast)
       "q_hybrid_prebuilt", // embeds the q_bm25_prebuilt subplan (same shape)
+      "q_hybrid_batch", // same stats broadcast + the bounded |q|·m·ksub
+        // query-LUT crossJoin (model-sized by the batch-ADC contract)
       "q_ann_recall", // bounded query-sample broadcast onto the truth scan
       "q_nb_train") // 1-row class-total broadcast onto the <=512-row slot
         // table (the lmScore denominator shape); q_nb_score left this set

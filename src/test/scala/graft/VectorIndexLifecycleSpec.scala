@@ -152,6 +152,27 @@ class VectorIndexLifecycleSpec extends SparkSpec {
     assert(got == want, s"routed append drifted from re-derivation: $got vs $want")
   }
 
+  test("pqTopKBatchPrebuilt == pqTopKPrebuilt per query (relational LUT " +
+       "matches the driver-side LUT, score for score)") {
+    val idx = tmp("graft-pq-batch")
+    Similarity.pqBuild(emb, "embedding", "vec_id", idx,
+      m = 8, ksub = 16, dim = 64)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Similarity.pqTopKBatchPrebuilt(spark, idx, queries,
+        "qid", "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (qid <- 0L until 3L) {
+      val qv = emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val single = rows(
+        Similarity.pqTopKPrebuilt(spark, idx, "vec_id", qv, 10))
+      assert(batch(qid) == single,
+        s"qid $qid: batch ${batch(qid)} != single $single")
+    }
+  }
+
   test("codebook drift: recall@20 of the appended index vs the full rebuild " +
        "(the number the appendPqIndex scaladoc cites)") {
     val build = emb.filter(col("vec_id") >= 100)
