@@ -1080,6 +1080,66 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts(sigIdx) == verdicts(sigIdx2),
       s"signature index drifted: ${verdicts(sigIdx)} vs ${verdicts(sigIdx2)}")
   }
+
+  test("streaming crawl keeps the PQ serving index fresh: appended " +
+       "micro-batches == one-shot rebuild with the same frozen codebook") {
+    // the vector half of the maintenance loop (the text half is the test
+    // above): an embedding stream drives appendPqIndex per micro-batch
+    // under the single-writer contract; the frozen codebook guarantees
+    // N streamed appends are probe-indistinguishable from one build over
+    // the final corpus with that codebook
+    import graft.operators.Similarity
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val seed = emb.filter(col("vec_id") >= 200)
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-pq").toString
+    val idx = s"$dir/idx"
+    val cb = Similarity.pqBuild(seed, "embedding", "vec_id", idx,
+      m = 8, ksub = 16, dim = 64)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.appendPqIndex(b, "embedding", "vec_id", idx,
+          m = 8, dim = 64)
+        ()
+      }
+      .start()
+
+    def feed(df: org.apache.spark.sql.DataFrame): Unit = {
+      input.addData(df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq: _*)
+      q.processAllAvailable()
+    }
+    feed(emb.filter(col("vec_id") < 100))
+    feed(emb.filter(col("vec_id") >= 100 && col("vec_id") < 200))
+    q.stop()
+
+    val rebuilt = s"$dir/rebuilt"
+    Similarity.pqBuildWith(emb, "embedding", "vec_id", rebuilt, cb,
+      m = 8, dim = 64)
+
+    val queryVec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    def probe(p: String) = Similarity
+      .pqTopKPrebuilt(spark, p, "vec_id", queryVec, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val grown = probe(idx)
+    assert(grown == probe(rebuilt),
+      s"stream-grown PQ index drifted from rebuild: $grown vs ${probe(rebuilt)}")
+    // the streamed rows actually serve: the query vector itself arrived
+    // via the stream (vec_id 0 in batch 1), so it must rank for itself
+    assert(grown.map(_._1).contains(0L),
+      "streamed batch rows never entered the serving index")
+  }
 }
 
 /** Top-level: Dataset deserialization (.as[KV2]) cannot encode an
