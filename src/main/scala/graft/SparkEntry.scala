@@ -740,6 +740,31 @@ object SparkEntry {
         "vec_id", "embedding", "embedding", "vec_id", k = 10, dim = 64),
       Some(sqlIvfBatch)),
 
+    Q("q_hard_negatives", // contrastive negative mining: per query row,
+      // the top-k most-similar corpus rows with a DIFFERENT label
+      // (Karpukhin 2020's hard negatives for bi-encoder training). The
+      // 5-row query batch broadcasts; the label exclusion is the join
+      // predicate, so positives never crowd negatives out of the top-k;
+      // scores round(6) BEFORE the per-qid window rank (engine-exact
+      // order). The corpus is scored in-task — its only shuffle is the
+      // irreducible (qid, key, score) rank.
+      (s, d) => Similarity.hardNegatives(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 5),
+        "embedding", "vec_id", "label", k = 10, dim = 64),
+      Some("""SELECT qid, vec_id, score FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                  round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                             e.vec_id ASC) AS rn
+           FROM embeddings e
+           JOIN (SELECT vec_id, embedding, label FROM embeddings
+                 WHERE vec_id < 5 AND len(embedding) = 64) q
+             ON e.label <> q.label
+           WHERE len(e.embedding) = 64)
+         WHERE rn <= 10""")),
+
     Q("q_ann_int8", // int8-quantized ANN: per-vector symmetric scalar
       // quantization (4x scan bandwidth at 100 TB), exact-int64 dot,
       // score = dot * rowScale * queryScale rounded BEFORE ranking so the
@@ -2291,6 +2316,23 @@ object SparkEntry {
       Some("""SELECT doc_id, source FROM (
           SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id ASC, doc_id ASC) AS rn
           FROM documents) WHERE rn <= 15""")),
+
+    Q("q_quality_calibrated", // per-language threshold calibration: each
+      // lang keeps ~75% of ITS docs (threshold = the exact 0.25-quantile
+      // of that lang's quality) — the CCNet/Gopher practice of per-
+      // language filter calibration so a cutoff tuned on one language
+      // doesn't wipe out another. Exact percentile + round(6) on both
+      // sides of the gate make the boundary engine-replayable; thresholds
+      // are |langs| rows and broadcast onto the scoring scan.
+      (s, d) => Sampling.calibratedQualityGate(
+        t(s, d, "documents"), "text", "doc_id", "lang", keepRate = 0.75),
+      Some(s"""WITH q AS (${sqlQualityFrom("documents")}),
+           j AS (SELECT q.doc_id, d.lang, q.quality
+                 FROM q JOIN documents d ON q.doc_id = d.doc_id),
+           t AS (SELECT lang, round(quantile_cont(quality, 0.25), 6) AS threshold
+                 FROM j GROUP BY lang)
+         SELECT j.doc_id, j.lang, j.quality, t.threshold
+         FROM j JOIN t USING (lang) WHERE j.quality >= t.threshold""")),
 
     Q("q_curation", // the flagship training-data curation pipeline: exact
       // dedup -> quality -> language -> length gates, one pass. Spread

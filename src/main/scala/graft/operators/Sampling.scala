@@ -241,4 +241,48 @@ object Sampling {
     df.withColumn("bin",
       floor(coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budget))
   }
+
+  /**
+   * Per-group quality-threshold calibration: instead of one global
+   * cutoff, each group (typically language) gets the quality quantile
+   * that keeps ~`keepRate` of ITS documents — the CCNet/Gopher practice
+   * of calibrating filters per language so low-resource languages are
+   * not wiped out by a threshold tuned on English. Output: the kept rows
+   * as (key, group, quality, threshold).
+   *
+   * Determinism: quality is [[TF.qualityScore]] (already round(6)ed), the
+   * threshold is the EXACT linear-interpolation percentile over those
+   * rounded values, itself round(6)ed, and the gate compares the two
+   * rounded numbers — every step replays bit-identically in any engine
+   * with the same percentile definition (DuckDB's quantile_cont; the
+   * oracle does exactly this).
+   *
+   * Scale shape: two passes over the corpus — one grouped percentile
+   * aggregation, then a broadcast join of the |groups|-row threshold
+   * table onto the scoring scan; the corpus itself never shuffles in the
+   * gating pass. The EXACT percentile holds each group's quality values
+   * in the aggregation buffer — fine while groups are languages (tens of
+   * millions of doubles per group at worst), but at 10¹¹ docs pass
+   * `approx = true`: `approx_percentile` is a mergeable constant-memory
+   * sketch, so the aggregation becomes map-side-combined partials and
+   * the threshold error is bounded by the sketch accuracy (1/10000
+   * relative rank), which moves the gate boundary by at most that
+   * fraction of each group.
+   */
+  def calibratedQualityGate(docs: DataFrame, textCol: String,
+                            keyCol: String, groupCol: String,
+                            keepRate: Double,
+                            approx: Boolean = false): DataFrame = {
+    require(keepRate > 0.0 && keepRate < 1.0, "keepRate must be in (0, 1)")
+    val scored = docs.select(col(keyCol), col(groupCol),
+      TF.qualityScore(col(textCol)).as("quality"))
+    val p = 1.0 - keepRate
+    val q = if (approx) s"approx_percentile(quality, $p, 10000)"
+            else s"percentile(quality, $p)"
+    val thr = scored.groupBy(col(groupCol))
+      .agg(round(expr(q), 6).as("threshold"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .filter(col("quality") >= col("threshold"))
+      .select(col(keyCol), col(groupCol), col("quality"), col("threshold"))
+  }
 }

@@ -245,6 +245,42 @@ object Similarity {
       .select(col("qid"), col(keyCol), round(col("_score"), 6).as("score"))
   }
 
+  /**
+   * Contrastive hard-negative mining: for every query row, the k corpus
+   * rows MOST similar by dot product whose label differs from the
+   * query's — the negative-mining step of bi-encoder retriever training
+   * (Karpukhin 2020's "hard negatives", run over the embedding space
+   * itself). Labels are excluded BEFORE ranking, so same-label positives
+   * never crowd negatives out of the top-k; scores round(6) BEFORE the
+   * window rank so the order is engine-exact. Output: (qid, key, score).
+   *
+   * Scale shape: the query batch is model-sized by contract and
+   * BROADCASTS (the non-equi label predicate makes this a broadcast
+   * nested-loop against |queries| rows — each corpus row tests the tiny
+   * batch in-task; no corpus shuffle to score). The one real shuffle is
+   * the per-qid window over (qid, key, score) — |queries|·|corpus| pairs,
+   * the irreducible output of exact batch scoring. When the batch grows
+   * past broadcast size, route through a prebuilt IVF index first
+   * ([[ivfTopKBatchPrebuilt]]'s pattern with the label filter on the
+   * routed rows) so each query scores nprobe/nlist of the corpus.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    keyCol: String, labelCol: String, k: Int,
+                    dim: Int): DataFrame = {
+    val q = queries.filter(size(col(vecCol)) === dim)
+      .select(col(keyCol).as("qid"), col(labelCol).as("_qlabel"),
+        col(vecCol).as("_qv"))
+    val scored = corpus.filter(size(col(vecCol)) === dim)
+      .join(broadcast(q), col(labelCol) =!= col("_qlabel"))
+      .select(col("qid"), col(keyCol),
+        round(VF.dot(col(vecCol), col("_qv")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col(keyCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("qid"), col(keyCol), col("score"))
+  }
+
   /** (score desc, id asc) sort of an array of (s, i) structs — the
     * comparator form of the single-query probe ranking. */
   private def udfFreeComparatorSort(arr: org.apache.spark.sql.Column) =

@@ -2371,4 +2371,67 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(ev == Map("k1" -> "DELETED", "k3" -> "NEW")) // k2 present in both
   }
+
+  // --- Hard-negative mining ------------------------------------------------
+
+  test("hardNegatives: same-label rows never rank; k bound and score order hold") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), // same label as the query — must not appear
+      (2L, Seq(0.9f, 0.1f), 1), // closest cross-label row
+      (3L, Seq(0.5f, 0.5f), 1),
+      (4L, Seq(0.0f, 1.0f), 2), // orthogonal cross-label row
+      (5L, Seq(1.0f, 0.0f), 0), // same label, identical vector — excluded
+      (6L, Seq(0.7f), 1)        // dim mismatch — excluded
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((10L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+
+    val out = Similarity.hardNegatives(corpus, queries,
+        "embedding", "vec_id", "label", k = 2, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSet == Set(2L, 3L),
+      s"top-2 negatives must be the closest CROSS-label rows: ${out.toSeq}")
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.reverse.toSeq,
+      "negatives must come score-descending")
+    assert(!out.map(_._2).contains(1L) && !out.map(_._2).contains(5L),
+      "a same-label row leaked into the negatives")
+  }
+
+  // --- Calibrated quality gate ---------------------------------------------
+
+  test("calibratedQualityGate: per-group keep-rate holds and approx == exact " +
+       "on fixture-sized groups") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = Sampling.calibratedQualityGate(docs, "text", "doc_id", "lang",
+      keepRate = 0.75)
+    val perLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val k = perLang.getOrElse(lang, 0L)
+      // >= by construction (quality >= the 0.25-quantile keeps at least
+      // 75%); ties at the threshold may keep more, never fewer
+      assert(k >= math.floor(n * 0.75).toLong - 1 && k <= n,
+        s"lang=$lang kept $k of $n — keep-rate violated")
+    }
+    // every group's threshold is that group's own quantile — groups differ
+    val thr = kept.select("lang", "threshold").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(thr.size == totals.size, "one threshold row per group")
+
+    // the scale path: approx_percentile returns an OBSERVED value where
+    // the exact form interpolates, so the boundary may shift by one
+    // distinct quality value — the kept set must agree except at that
+    // boundary (per-group kept counts within one rank-granularity step)
+    val approx = Sampling.calibratedQualityGate(docs, "text", "doc_id",
+      "lang", keepRate = 0.75, approx = true)
+    val perLangA = approx.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val e = perLang.getOrElse(lang, 0L); val a = perLangA.getOrElse(lang, 0L)
+      assert(math.abs(a - e) <= math.ceil(n * 0.02).toLong + 1,
+        s"lang=$lang approx gate kept $a vs exact $e of $n — beyond the " +
+          "one-boundary-value contract")
+    }
+  }
 }

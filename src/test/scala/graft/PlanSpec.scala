@@ -369,9 +369,13 @@ class PlanSpec extends SparkSpec {
       "q_hybrid_batch", // same stats broadcast + the bounded |q|·m·ksub
         // query-LUT crossJoin (model-sized by the batch-ADC contract)
       "q_ann_recall", // bounded query-sample broadcast onto the truth scan
-      "q_nb_train") // 1-row class-total broadcast onto the <=512-row slot
+      "q_nb_train", // 1-row class-total broadcast onto the <=512-row slot
         // table (the lmScore denominator shape); q_nb_score left this set
         // in round 11 — its scoring is now a shuffle-free LUT fold
+      "q_hard_negatives") // the label-exclusion (=!=) predicate against
+        // the 5-row broadcast query batch — the intended bounded kernel
+        // (each corpus row tests the tiny batch in-task; no corpus
+        // shuffle to score)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
