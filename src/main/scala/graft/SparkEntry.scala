@@ -730,6 +730,17 @@ object SparkEntry {
         "embedding", "vec_id", queryVec(s, d), 10),
       Some(sqlIvfTopK)),
 
+    Q("q_ann_filtered", // metadata-FILTERED ANN over the same prebuilt
+      // index — the vector-DB serving pattern "top-k WHERE label = 3".
+      // The index retains every metadata column, so the predicate runs in
+      // the partition-pruned probe scan BEFORE ranking (a post-filtered
+      // top-k would under-fill); nprobe doubles to 8, the standard recall
+      // compensation for selective filters (scaladoc note).
+      (s, d) => Similarity.ivfTopKPrebuiltFiltered(s, ivfIndexPath(s, d),
+        "embedding", "vec_id", queryVec(s, d), 10, col("label") === 3,
+        Similarity.ivfCentroids(16, 64, 7L), nprobe = 8),
+      Some(sqlIvfFiltered)),
+
     Q("q_ann_batch", // batch ANN: every query row's top-k in ONE plan —
       // per-row probe derivation from broadcast centroids, shuffle join
       // co-partitioned with the prebuilt index's _list layout, window
@@ -885,6 +896,23 @@ object SparkEntry {
             SELECT cid, vec_id, row_number() OVER (PARTITION BY cid
               ORDER BY md5('bal-' || CAST(vec_id AS VARCHAR))) AS rn
             FROM a2) WHERE rn <= 3""")),
+
+    Q("q_prototype_prune", // Sorscher 2022 data pruning: route the corpus
+      // onto trained centroids (the audited exact-integer Lloyd loop),
+      // prototypicality = the assignment score itself (dot(ivec,csum)/n),
+      // keep each cluster's ceil(0.3·n_c) LEAST prototypical members —
+      // the "prune the easy, redundant examples" curation step. The
+      // oracle reuses the q_kmeans_train CTE chain (a2 now carries the
+      // winning score), so assignment AND ranking replay bit-identically.
+      (s, d) => Similarity.prototypePrune(t(s, d, "embeddings"), "embedding",
+        "vec_id", k = 8, iters = 2, dim = 64, keepRate = 0.3)
+        .select(col("cid"), col("key").as("vec_id")),
+      Some(s"""WITH $sqlKmeansCtes
+          SELECT cid, vec_id FROM (
+            SELECT cid, vec_id,
+              row_number() OVER (PARTITION BY cid ORDER BY score ASC, vec_id ASC) AS rn,
+              count(*) OVER (PARTITION BY cid) AS n
+            FROM a2) WHERE rn <= ceil(0.3 * n)""")),
 
     Q("q_ann_recall", // the index-quality gate itself, differentially
       // checked: micro-averaged recall@10 of the routed probe vs brute
@@ -1649,6 +1677,24 @@ object SparkEntry {
         ORDER BY score DESC, vec_id ASC LIMIT $k"""
   }
 
+  /** [[sqlIvfTopK]] with the metadata predicate inside the scored scan
+    * (filtering before assignment == after: the list id is per-row) and
+    * nprobe widened to 8 — the filtered-ANN oracle. */
+  private lazy val sqlIvfFiltered: String = {
+    val nprobe = 8; val k = 10
+    val (sCols, _, lstCase, centVals) = ivfSqlParts
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cent(i, c) AS (SELECT * FROM (VALUES $centVals)),
+        probed AS (SELECT i FROM cent, q ORDER BY list_dot_product(c, qv) DESC, i ASC LIMIT $nprobe),
+        scored AS (SELECT vec_id, (CASE $lstCase END) AS lst,
+                          list_dot_product(embedding::DOUBLE[], qv) AS score
+                   FROM (SELECT vec_id, embedding, $sCols
+                         FROM embeddings WHERE len(embedding) = 64 AND label = 3), q)
+        SELECT vec_id, round(score, 6) AS score FROM scored
+        WHERE lst IN (SELECT i FROM probed)
+        ORDER BY score DESC, vec_id ASC LIMIT $k"""
+  }
+
   /** DuckDB mirror of Bpe.train(merges = 4): the identical iterations as
     * a generated CTE chain — same `[a-z]+` word filter, same double-space
     * boundary encoding, same (cnt DESC, t1, t2) winner, same left-to-right
@@ -2028,6 +2074,25 @@ object SparkEntry {
        ORDER BY score DESC, sc.vec_id LIMIT 20"""
   }
 
+  /** DuckDB mirror of TermStats.lmScoreBigram(vocabSize = 64) as a shared
+    * CTE chain ending at `lm2(doc_id, lm2_score)` — consumed by the
+    * q_lm_bigram oracle and the per-language perplexity-bucket oracle so
+    * scoring and bucketing cannot drift. */
+  private lazy val sqlBigramCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                unnest(range(len(string_split(text, ' ')))) AS pos FROM documents),
+       vocab AS (SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS id FROM tok GROUP BY t),
+       enc AS (SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS id
+               FROM tok LEFT JOIN (SELECT * FROM vocab WHERE id <= 64) v USING (t)),
+       bi AS (SELECT doc_id, id AS id1, lead(id) OVER (PARTITION BY doc_id ORDER BY pos) AS id2
+              FROM enc QUALIFY id2 IS NOT NULL),
+       c12 AS (SELECT id1, id2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+       c1 AS (SELECT id1, count(*) AS c1 FROM bi GROUP BY 1),
+       lp AS (SELECT id1, id2, CAST(round(ln((c12 + 1.0) / (c1 + 65.0)) * 1e6) AS BIGINT) AS lp
+              FROM c12 JOIN c1 USING (id1)),
+       lm2 AS (SELECT b.doc_id, round(CAST(sum(l.lp) AS DOUBLE) / count(*) / 1e6, 6) AS lm2_score
+               FROM bi b JOIN lp l USING (id1, id2) GROUP BY b.doc_id)"""
+
   /** Shared exact-integer Lloyd CTE chain (k=8, iters=2 — the q_kmeans_train
     * replay, ending at a2 = final assignments); also consumed by the
     * cluster-balanced sampling oracle so assignment and sampling cannot
@@ -2064,7 +2129,7 @@ object SparkEntry {
                 CAST(list_sum(list_transform(list_zip(s.ivec, c.csum), p -> p[1]*p[2])) AS DOUBLE) / c.n AS score
          FROM scaled s CROSS JOIN c1 c),
        a2 AS (
-         SELECT vec_id, ivec, cid FROM sc1
+         SELECT vec_id, ivec, cid, score FROM sc1
          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) = 1)"""
 
   /** DuckDB mirror of Similarity.ivfRecallReport (k=10, queries vec_id<5,
@@ -2837,19 +2902,30 @@ object SparkEntry {
       // builds the bigram stream, text never shuffles.
       (s, d) => TermStats.lmScoreBigram(t(s, d, "documents"), "text", "doc_id",
         vocabSize = 64),
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
-                unnest(range(len(string_split(text, ' ')))) AS pos FROM documents),
-          vocab AS (SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS id FROM tok GROUP BY t),
-          enc AS (SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS id
-                  FROM tok LEFT JOIN (SELECT * FROM vocab WHERE id <= 64) v USING (t)),
-          bi AS (SELECT doc_id, id AS id1, lead(id) OVER (PARTITION BY doc_id ORDER BY pos) AS id2
-                 FROM enc QUALIFY id2 IS NOT NULL),
-          c12 AS (SELECT id1, id2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-          c1 AS (SELECT id1, count(*) AS c1 FROM bi GROUP BY 1),
-          lp AS (SELECT id1, id2, CAST(round(ln((c12 + 1.0) / (c1 + 65.0)) * 1e6) AS BIGINT) AS lp
-                 FROM c12 JOIN c1 USING (id1))
-          SELECT b.doc_id, round(CAST(sum(l.lp) AS DOUBLE) / count(*) / 1e6, 6) AS lm2_score
-          FROM bi b JOIN lp l USING (id1, id2) GROUP BY b.doc_id""")),
+      Some(s"""WITH $sqlBigramCtes
+          SELECT doc_id, lm2_score FROM lm2""")),
+
+    Q("q_perplexity_buckets", // CCNet's per-language head/middle/tail:
+      // tercile edges of the bigram LM score computed PER lang (exact
+      // interpolated percentile of the round(6) scores, itself round(6)
+      // — the q_quality_calibrated boundary discipline), each doc tagged
+      // by which side of its own language's edges it falls on. One
+      // global fluency cutoff would wipe out low-resource languages;
+      // this is the standard fix.
+      (s, d) => TermStats.perplexityBuckets(t(s, d, "documents"),
+        "text", "doc_id", "lang", vocabSize = 64),
+      Some(s"""WITH $sqlBigramCtes,
+          j AS (SELECT s.doc_id, d.lang, s.lm2_score
+                FROM lm2 s JOIN documents d USING (doc_id)),
+          thr AS (SELECT lang,
+                    round(quantile_cont(lm2_score, ${1.0 / 3}), 6) AS q1,
+                    round(quantile_cont(lm2_score, ${2.0 / 3}), 6) AS q2
+                  FROM j GROUP BY lang)
+          SELECT j.doc_id, j.lang, j.lm2_score,
+                 CASE WHEN j.lm2_score > thr.q2 THEN 'head'
+                      WHEN j.lm2_score > thr.q1 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM j JOIN thr USING (lang)""")),
 
     Q("q_mix_tokens", // the same rebalance with the budget in TOKENS —
       // what a training mixture actually is: long docs count for what
@@ -2867,6 +2943,24 @@ object SparkEntry {
             least(1.0, 30000.0 * (CASE d.lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
               WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1
               ELSE 0.0 END) / c.wsum)""")),
+
+    Q("q_mix_temperature", // α-sampling (mC4/XLM-R): the target shares are
+      // COMPUTED from the corpus — share_g = cnt^α / Σ cnt^α with α = 0.5,
+      // upweighting low-resource languages relative to their natural share
+      // without duplicating rows. share and rate round(6) BEFORE the
+      // 1e-4-granular hash draw (pow's last-ulp is the one non-exact step
+      // — the standard boundary discipline).
+      (s, d) => Sampling.temperatureMix(t(s, d, "documents"),
+        "doc_id", "lang", alpha = 0.5, budget = 20000),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+          sh AS (SELECT lang, cnt,
+                   round(pow(cnt, 0.5) / sum(pow(cnt, 0.5)) OVER (), 6) AS share
+                 FROM c),
+          r AS (SELECT lang, share,
+                  round(least(1.0, 20000.0 * share / cnt), 6) AS rate FROM sh)
+          SELECT d.doc_id, d.lang, r.share, r.rate
+          FROM documents d JOIN r ON d.lang = r.lang
+          WHERE (${sqlHash32("d.doc_id::VARCHAR")} % 10000) / 10000.0 < r.rate""")),
 
     Q("q_mix_reweight", // rebalance toward a target language mixture under a
       // row budget: per-group keep-rate = min(1, budget*share/count) via the

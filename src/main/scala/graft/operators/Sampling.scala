@@ -285,4 +285,47 @@ object Sampling {
       .filter(col("quality") >= col("threshold"))
       .select(col(keyCol), col(groupCol), col("quality"), col("threshold"))
   }
+
+  /**
+   * Temperature-scaled mixture rebalance — [[mixToTarget]] where the
+   * target shares are COMPUTED from the corpus itself: share_g =
+   * count_g^α / Σ_j count_j^α (the multilingual α-sampling of mC4 and
+   * XLM-R: α = 1 preserves the natural distribution, α → 0 approaches
+   * uniform, so low-resource groups are upweighted RELATIVE to their
+   * natural share without duplicating rows — shares stay a ceiling).
+   * Keep-rate per group = min(1, budget · share_g / count_g), membership
+   * the same portable key-hash draw as every sampler here. Output: the
+   * kept rows as (key, group, share, rate).
+   *
+   * Determinism: `pow` is the one non-exact step (Math.pow and another
+   * engine's may differ in the last ulp), so the share AND the rate are
+   * both round(6)ed before the rate ever meets the 1/`buckets`-granular
+   * hash draw — a boundary flip would need the true rate within 1e-6 of
+   * a bucket edge AND a pow discrepancy there, the standard boundary
+   * discipline ([[curriculumSample]]'s edges).
+   *
+   * Scale shape: identical to [[mixToTarget]] — one map-side-combined
+   * count agg of |groups| rows (the share normalization is a window over
+   * that |groups|-row frame, not the corpus), broadcast back; membership
+   * is a pure scan-stage predicate, the corpus never shuffles.
+   */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+                     alpha: Double, budget: Long,
+                     buckets: Int = 10000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val shares = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
+      .withColumn("share",
+        round(pow(col("_cnt").cast("double"), alpha) /
+          sum(pow(col("_cnt").cast("double"), alpha)).over(w), 6))
+      .withColumn("rate",
+        round(least(lit(1.0), lit(budget.toDouble) * col("share") / col("_cnt")), 6))
+    df.join(broadcast(shares), Seq(groupCol))
+      .filter(keyBucket(keyCol, buckets).cast("double") / buckets < col("rate"))
+      .select(col(keyCol), col(groupCol), col("share"), col("rate"))
+  }
 }

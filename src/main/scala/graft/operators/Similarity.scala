@@ -195,10 +195,36 @@ object Similarity {
   def ivfTopKPrebuiltWith(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                           vecCol: String, keyCol: String,
                           query: Array[Float], k: Int,
-                          centroids: Array[Array[Float]], nprobe: Int = 4): DataFrame = {
+                          centroids: Array[Array[Float]], nprobe: Int = 4): DataFrame =
+    ivfTopKPrebuiltFiltered(spark, indexPath, vecCol, keyCol, query, k,
+      lit(true), centroids, nprobe)
+
+  /**
+   * Metadata-FILTERED ANN over a prebuilt IVF index — the vector-database
+   * serving pattern ("nearest neighbors WHERE label = x"): the index
+   * retains every metadata column of the frame it was built from
+   * ([[ivfBuild]] writes the whole row), so the predicate evaluates IN
+   * the probe scan, BEFORE ranking — post-filtering a plain top-k would
+   * return fewer than k (or zero) matches when the filter is selective.
+   *
+   * Scale shape: routing still prunes to nprobe/nlist of the partitions;
+   * the predicate is an ordinary pushable scalar filter on those files
+   * (`PushedFilters` carries it to the parquet reader when it is a
+   * plain comparison), then the same TakeOrdered(k) as the unfiltered
+   * probe. Recall caveat (the standard filtered-ANN trade-off): with a
+   * selective predicate the k survivors of nprobe lists may under-fill —
+   * raise nprobe for filtered traffic rather than post-filtering.
+   */
+  def ivfTopKPrebuiltFiltered(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, vecCol: String, keyCol: String,
+                              query: Array[Float], k: Int,
+                              predicate: org.apache.spark.sql.Column,
+                              centroids: Array[Array[Float]],
+                              nprobe: Int = 4): DataFrame = {
     val probed = probedLists(centroids, query, nprobe)
     spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
       .filter(col("_list").isin(probed: _*)) // partition pruning
+      .filter(predicate)
       .withColumn("score", VF.cosine(col(vecCol), query))
       .orderBy(col("score").desc, col(keyCol).asc)
       .limit(k)
@@ -352,7 +378,9 @@ object Similarity {
 
   /** Assign every row to the centroid maximizing dot(ivec, csum)/n
     * (mean inner product to members); ties break to the lower cid.
-    * Pure scan-stage: k dot-product columns over literal arrays. */
+    * Pure scan-stage: k dot-product columns over literal arrays. The
+    * winning score rides along as `_score` (the row's prototypicality —
+    * [[prototypePrune]] ranks on it); [[kmeansAssignments]] drops it. */
   private def kmeansAssignOnce(scaled: DataFrame,
                                cs: Array[CentroidState]): DataFrame = {
     val candidates = cs.zipWithIndex.map { case (c, i) =>
@@ -363,7 +391,10 @@ object Similarity {
       struct((-(dot.cast("double") / lit(c.n.toDouble))).as("neg"),
         lit(i.toLong).as("cid"))
     }
-    scaled.withColumn("cid", least(candidates: _*).getField("cid"))
+    scaled.withColumn("_best", least(candidates: _*))
+      .withColumn("cid", col("_best").getField("cid"))
+      .withColumn("_score", -col("_best").getField("neg"))
+      .drop("_best")
   }
 
   /** One Lloyd update: exact per-cluster integer sums + counts from the
@@ -423,7 +454,48 @@ object Similarity {
   def kmeansAssignments(df: DataFrame, vecCol: String, keyCol: String,
                         k: Int, iters: Int, dim: Int,
                         scale: Double = 1e6): DataFrame =
-    kmeansTrainLoop(df, vecCol, keyCol, k, iters, scale, dim)._2
+    kmeansTrainLoop(df, vecCol, keyCol, k, iters, scale, dim)._2.drop("_score")
+
+  /**
+   * Prototypicality pruning — "Beyond neural scaling laws" (Sorscher
+   * 2022): in a big corpus the EASY (most prototypical) examples are the
+   * redundant ones, so prune each semantic cluster down to its hardest
+   * `keepRate` fraction. Rows route onto trained centroids (the exact-
+   * integer Lloyd loop of [[kmeansAssignments]] — engine-exact
+   * assignments), prototypicality = the assignment score itself
+   * (dot(ivec, csum)/n, the row's mean inner product to its cluster), and
+   * each cluster keeps its `ceil(keepRate · n_c)` LOWEST-scoring members
+   * (ties to the lower key). Output: (cid, key) of the survivors.
+   *
+   * Determinism: the int64 dot is exact; the one division per row is a
+   * fixed IEEE operation both engines evaluate identically (the a1/a2
+   * oracle CTEs already pin this exact expression shape); ranking orders
+   * (score ASC, key ASC) so ties cannot flip across engines.
+   *
+   * Scale shape: training is the audited Lloyd loop (scan-stage
+   * assignment, one bounded (cid, pos) shuffle per pass); pruning adds
+   * ONE window shuffle keyed by cid over (cid, key, score) triples — the
+   * text/vector payload never moves. Cluster sizes are corpus/k-ish; a
+   * skewed giant cluster makes that window the straggler, in which case
+   * pre-aggregate per-cluster exact COUNTS (one map-side-combined agg)
+   * and gate on an approximate per-cluster score quantile instead
+   * ([[Sampling.calibratedQualityGate]]'s approx form) — same semantics,
+   * sketch-bounded boundary.
+   */
+  def prototypePrune(df: DataFrame, vecCol: String, keyCol: String,
+                     k: Int, iters: Int, dim: Int, keepRate: Double,
+                     scale: Double = 1e6): DataFrame = {
+    require(keepRate > 0.0 && keepRate < 1.0, "keepRate must be in (0, 1)")
+    val assigned = kmeansTrainLoop(df, vecCol, keyCol, k, iters, scale, dim)._2
+    val byHardness = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("_score").asc, col("key").asc)
+    val cluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    assigned
+      .withColumn("_rn", row_number().over(byHardness))
+      .withColumn("_n", count(lit(1)).over(cluster))
+      .filter(col("_rn") <= ceil(lit(keepRate) * col("_n")))
+      .select(col("cid"), col("key"))
+  }
 
   // =========================================================================
   // int8 scalar quantization — the 4× scan-bandwidth ANN path. At 100 TB

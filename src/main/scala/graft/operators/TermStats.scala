@@ -306,6 +306,47 @@ object TermStats {
         6).as("entropy"))
 
   /**
+   * CCNet-style perplexity bucketing: per GROUP (typically language),
+   * split documents into head / middle / tail terciles of the bigram
+   * LM score ([[lmScoreBigram]] — higher mean log-prob = more fluent =
+   * head), the labeling CCNet uses to keep the head, subsample the
+   * middle, and drop the tail per language rather than applying one
+   * global fluency cutoff. Output: (key, group, lm2_score, bucket).
+   *
+   * Determinism: scores are already round(6)ed; the two tercile edges
+   * are the exact interpolated percentiles of those rounded values,
+   * themselves round(6)ed, and the bucket compares rounded numbers —
+   * the [[Sampling.calibratedQualityGate]] boundary discipline, so an
+   * edge cannot flip across engines. Docs with < 2 tokens have no
+   * bigrams, hence no score and no row (the [[lmScoreBigram]] contract).
+   *
+   * Scale shape: scoring is [[lmScoreBigram]]'s (one slim int-triple
+   * shuffle, bounded model broadcast); the group column joins back on
+   * the key (one slim key shuffle — text never moves); the edges are one
+   * grouped aggregation of |groups|·2 numbers broadcast back. The exact
+   * percentile buffers each group's scores — swap `approx = true` at
+   * 10¹¹ docs for the mergeable sketch form, boundary moves bounded by
+   * sketch accuracy (the calibratedQualityGate trade, verbatim).
+   */
+  def perplexityBuckets(docs: DataFrame, textCol: String, keyCol: String,
+                        groupCol: String, vocabSize: Int = 64,
+                        approx: Boolean = false): DataFrame = {
+    val scored = lmScoreBigram(docs, textCol, keyCol, vocabSize)
+      .join(docs.select(col(keyCol), col(groupCol)), Seq(keyCol))
+    def q(p: Double) =
+      if (approx) s"approx_percentile(lm2_score, $p, 10000)"
+      else s"percentile(lm2_score, $p)"
+    val thr = scored.groupBy(col(groupCol)).agg(
+      round(expr(q(1.0 / 3)), 6).as("_q1"),
+      round(expr(q(2.0 / 3)), 6).as("_q2"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .select(col(keyCol), col(groupCol), col("lm2_score"),
+        when(col("lm2_score") > col("_q2"), lit("head"))
+          .when(col("lm2_score") > col("_q1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /**
    * BM25 ranked retrieval for a keyword query (k1 = 1.2, b = 0.75, the
    * Lucene-style non-negative idf = ln(1 + (N − df + 0.5)/(df + 0.5))):
    * score(d) = Σ_{t ∈ query} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
