@@ -741,6 +741,15 @@ object SparkEntry {
         Similarity.ivfCentroids(16, 64, 7L), nprobe = 8),
       Some(sqlIvfFiltered)),
 
+    Q("q_ann_diverse", // cluster-diverse ANN: at most 3 results per IVF
+      // list (the lists are the coarse clusters) — the cheap published
+      // diversification for redundant corpora; same probe scan as the
+      // plain prebuilt top-k plus one window over the probed lists only.
+      (s, d) => Similarity.ivfTopKPrebuiltDiverse(s, ivfIndexPath(s, d),
+        "embedding", "vec_id", queryVec(s, d), 10, perList = 3,
+        Similarity.ivfCentroids(16, 64, 7L), nprobe = 4),
+      Some(sqlIvfDiverse)),
+
     Q("q_ann_batch", // batch ANN: every query row's top-k in ONE plan —
       // per-row probe derivation from broadcast centroids, shuffle join
       // co-partitioned with the prebuilt index's _list layout, window
@@ -1695,6 +1704,28 @@ object SparkEntry {
         ORDER BY score DESC, vec_id ASC LIMIT $k"""
   }
 
+  /** [[sqlIvfTopK]] with a per-list result cap (rank within each probed
+    * list, keep <= 3, then the global top-k) — the cluster-diverse
+    * oracle. Rank on the unrounded score, round at output: the
+    * [[sqlIvfTopK]] discipline. */
+  private lazy val sqlIvfDiverse: String = {
+    val nprobe = 4; val k = 10; val perList = 3
+    val (sCols, _, lstCase, centVals) = ivfSqlParts
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cent(i, c) AS (SELECT * FROM (VALUES $centVals)),
+        probed AS (SELECT i FROM cent, q ORDER BY list_dot_product(c, qv) DESC, i ASC LIMIT $nprobe),
+        scored AS (SELECT vec_id, (CASE $lstCase END) AS lst,
+                          list_dot_product(embedding::DOUBLE[], qv) AS score
+                   FROM (SELECT vec_id, embedding, $sCols
+                         FROM embeddings WHERE len(embedding) = 64), q),
+        capped AS (SELECT vec_id, lst, score,
+                     row_number() OVER (PARTITION BY lst ORDER BY score DESC, vec_id ASC) AS rn
+                   FROM scored WHERE lst IN (SELECT i FROM probed))
+        SELECT vec_id, lst AS cluster, round(score, 6) AS score
+        FROM capped WHERE rn <= $perList
+        ORDER BY score DESC, vec_id ASC LIMIT $k"""
+  }
+
   /** DuckDB mirror of Bpe.train(merges = 4): the identical iterations as
     * a generated CTE chain — same `[a-z]+` word filter, same double-space
     * boundary encoding, same (cnt DESC, t1, t2) winner, same left-to-right
@@ -2399,6 +2430,37 @@ object SparkEntry {
          SELECT j.doc_id, j.lang, j.quality, t.threshold
          FROM j JOIN t USING (lang) WHERE j.quality >= t.threshold""")),
 
+    Q("q_gopher_rules", // the Gopher hard rule gate (Rae 2021 §A1.1),
+      // word-level subset (no line structure in this corpus): five
+      // published rules as INTEGER comparisons (ratio bounds cross-
+      // multiplied — no float boundary exists to flip across engines),
+      // raw counts kept so a user can re-gate at other thresholds
+      // without re-tokenizing. Pure scan-stage; runs FIRST at 100 TB,
+      // before anything that shuffles.
+      (s, d) => Curation.gopherRules(t(s, d, "documents"), "text", "doc_id",
+        minWords = 30, maxWords = 100000),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          m AS (SELECT doc_id,
+                  CAST(len(ts) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_transform(ts, x -> strlen(x))) AS BIGINT) AS sum_len,
+                  CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                  CAST(len(list_filter(ts, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_sym,
+                  CAST(len(list_intersect(list_distinct(ts),
+                    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+                FROM t)
+          SELECT doc_id, n_words, sum_len, n_alpha, n_sym, n_stop,
+                 (n_words >= 30 AND n_words <= 100000) AS r_words,
+                 (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS r_meanlen,
+                 (10 * n_alpha >= 8 * n_words) AS r_alpha,
+                 (10 * n_sym <= n_words) AS r_sym,
+                 (n_stop >= 2) AS r_stop,
+                 ((n_words >= 30 AND n_words <= 100000)
+                  AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+                  AND (10 * n_alpha >= 8 * n_words)
+                  AND (10 * n_sym <= n_words)
+                  AND (n_stop >= 2)) AS keep
+          FROM m""")),
+
     Q("q_curation", // the flagship training-data curation pipeline: exact
       // dedup -> quality -> language -> length gates, one pass. Spread
       // parallelizes the md5 digest, the semi-join probe, and the quality
@@ -2961,6 +3023,30 @@ object SparkEntry {
           SELECT d.doc_id, d.lang, r.share, r.rate
           FROM documents d JOIN r ON d.lang = r.lang
           WHERE (${sqlHash32("d.doc_id::VARCHAR")} % 10000) / 10000.0 < r.rate""")),
+
+    Q("q_repeat_epochs", // data-constrained epoch allocation (Muennighoff
+      // 2023): budget 40k tokens, the standard lang mixture, repeats
+      // capped at 2 epochs — 'de' hits the cap (its share over-asks its
+      // mass), the rest allocate fractionally. Exact int64 token masses;
+      // epochs round(6) BEFORE the effective-token product so both
+      // engines multiply the identical double.
+      (s, d) => Curation.repeatEpochs(t(s, d, "documents"), "text", "lang",
+        Map("en" -> 0.35, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15,
+          "zh" -> 0.1),
+        budgetTokens = 40000L, maxEpochs = 2.0),
+      Some("""WITH c AS (SELECT lang,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS m_tokens
+                FROM documents GROUP BY lang),
+          s AS (SELECT lang, m_tokens,
+                  CAST(CASE lang WHEN 'en' THEN 0.35 WHEN 'de' THEN 0.2
+                    WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1
+                    ELSE 0.0 END AS DOUBLE) AS share FROM c),
+          e AS (SELECT lang, m_tokens, share,
+                  round(least(2.0, 40000.0 * share / m_tokens), 6) AS epochs
+                FROM s)
+          SELECT lang, m_tokens, share, epochs,
+                 CAST(round(epochs * m_tokens) AS BIGINT) AS eff_tokens
+          FROM e""")),
 
     Q("q_mix_reweight", // rebalance toward a target language mixture under a
       // row budget: per-group keep-rate = min(1, budget*share/count) via the

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/**
+ * Rule-based corpus curation and token-budget planning — the two
+ * published curation steps that sit AROUND the scoring operators
+ * ([[graft.operators.Importance]], [[graft.operators.Classify]],
+ * [[TermStats.perplexityBuckets]]): the hard Gopher rule gate that runs
+ * before any model-based scorer, and the data-constrained epoch
+ * allocator that decides how often each surviving slice repeats.
+ */
+object Curation {
+
+  /** The Gopher stop-word probe list (Rae 2021 §A1.1 uses exactly this
+    * kind of tiny common-word set — presence of >= 2 distinct members is
+    * the "is this English prose at all" smoke test). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher quality rules (Rae 2021, "MassiveText" filter §A1.1), the
+   * word-level subset — this corpus has no line structure, so the
+   * line-start-bullet / line-end-ellipsis rules are out of scope and the
+   * remaining five published rules apply verbatim:
+   *
+   *  - `r_words`:   word count in [minWords, maxWords]
+   *  - `r_meanlen`: mean word length in [3, 10] characters
+   *  - `r_alpha`:   >= 80% of words contain an alphabetic character
+   *  - `r_sym`:     symbol-to-word ratio (words carrying `#` or `...`)
+   *                 <= 0.1
+   *  - `r_stop`:    >= 2 distinct stop words present
+   *
+   * plus `keep` = the conjunction. Output keeps the raw integer counts
+   * so a user can re-gate at different thresholds without re-tokenizing.
+   *
+   * Determinism: every rule is an INTEGER comparison — the ratio bounds
+   * are cross-multiplied (`3·n <= sum_len <= 10·n`, `10·n_alpha >= 8·n`,
+   * `10·n_sym <= n`) so there is no floating-point boundary to flip
+   * across engines at all, stronger than the usual round(6) discipline.
+   *
+   * Scale shape: pure per-row scan-stage work (tokenize once, fold the
+   * token array); no shuffle, no model, nothing collected. The gate is
+   * a pushable-after-projection predicate: at 10¹¹ docs this is the
+   * cheapest filter in the pipeline and should run FIRST, before any
+   * scorer that shuffles or broadcasts.
+   */
+  def gopherRules(docs: DataFrame, textCol: String, keyCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val counted = docs
+      .select(col(keyCol), TF.tokens(col(textCol)).as("_ts"))
+      .select(
+        col(keyCol),
+        size(col("_ts")).cast("long").as("n_words"),
+        aggregate(col("_ts"), lit(0L),
+          (acc, x) => acc + length(x).cast("long")).as("sum_len"),
+        size(filter(col("_ts"), x => x.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        size(filter(col("_ts"),
+          x => x.contains("#") || x.contains("...")))
+          .cast("long").as("n_sym"),
+        size(array_intersect(array_distinct(col("_ts")),
+          array(GopherStops.map(lit): _*))).cast("long").as("n_stop"))
+    counted
+      .withColumn("r_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_meanlen",
+        lit(3L) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10L) * col("n_words"))
+      .withColumn("r_alpha",
+        lit(10L) * col("n_alpha") >= lit(8L) * col("n_words"))
+      .withColumn("r_sym", lit(10L) * col("n_sym") <= col("n_words"))
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("r_words") && col("r_meanlen") && col("r_alpha") &&
+          col("r_sym") && col("r_stop"))
+  }
+
+  /**
+   * Data-constrained epoch allocation (Muennighoff 2023, "Scaling
+   * Data-Constrained Language Models"): given a token budget and a
+   * target mixture over groups, decide how many EPOCHS (repeats,
+   * fractional) of each group's token mass to train on —
+   * `epochs_g = min(maxEpochs, budget·share_g / tokens_g)` — capping
+   * repeats where the paper shows returns decay (~4 epochs) instead of
+   * silently over-repeating a small slice to fill its share. Output:
+   * (group, m_tokens, share, epochs, eff_tokens) — the training plan.
+   * Groups absent from `shares` get share 0 and drop to 0 epochs.
+   *
+   * Determinism: token masses are exact int64 sums; `epochs` is round(6)
+   * BEFORE the effective-token product so both sides of the oracle
+   * multiply the identical double; `eff_tokens` rounds to a whole token.
+   *
+   * Scale shape: one map-side-combined aggregation returning |groups|
+   * rows — the corpus is read once (token counting is a per-row fold)
+   * and never shuffles; everything after the agg is arithmetic on a
+   * frame the driver could hold a million groups of. The output is the
+   * input to [[Sampling.mixToTargetWeighted]]-style rate gates, which
+   * is where per-row work resumes.
+   */
+  def repeatEpochs(docs: DataFrame, textCol: String, groupCol: String,
+                   shares: Map[String, Double], budgetTokens: Long,
+                   maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochs > 0.0, "maxEpochs must be positive")
+    val shareCol = shares.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    docs.groupBy(col(groupCol))
+      .agg(sum(TF.tokenCount(col(textCol)).cast("long")).as("m_tokens"))
+      .withColumn("share", shareCol)
+      .withColumn("epochs",
+        round(least(lit(maxEpochs),
+          lit(budgetTokens.toDouble) * col("share") / col("m_tokens")), 6))
+      .withColumn("eff_tokens",
+        round(col("epochs") * col("m_tokens"), 0).cast("long"))
+      .select(col(groupCol), col("m_tokens"), col("share"),
+        col("epochs"), col("eff_tokens"))
+  }
+}

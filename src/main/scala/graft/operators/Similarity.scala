@@ -232,6 +232,42 @@ object Similarity {
   }
 
   /**
+   * Cluster-diverse ANN over a prebuilt IVF index: at most `perList`
+   * results per IVF list (the lists ARE the coarse clusters, so capping
+   * per list is the standard cheap diversification — a redundant result
+   * set where the whole top-k sits in one tight cluster spreads across
+   * clusters instead, the serving-side cousin of [[prototypePrune]]).
+   * Output: (key, cluster, score), the global top-k AFTER the per-list
+   * cap, same (score desc, key asc) order discipline as every probe.
+   *
+   * Scale shape: identical scan to [[ivfTopKPrebuiltFiltered]] (nprobe
+   * partition-pruned lists), plus ONE window partitioned by `_list` —
+   * the probed lists are already the read partitions, so the rank adds
+   * no extra shuffle of consequence (nprobe · listSize rows), then the
+   * same TakeOrdered(k).
+   */
+  def ivfTopKPrebuiltDiverse(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, vecCol: String, keyCol: String,
+                             query: Array[Float], k: Int, perList: Int,
+                             centroids: Array[Array[Float]],
+                             nprobe: Int = 4): DataFrame = {
+    require(perList > 0, "perList must be positive")
+    val probed = probedLists(centroids, query, nprobe)
+    val byList = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_list"))
+      .orderBy(col("score").desc, col(keyCol).asc)
+    spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
+      .filter(col("_list").isin(probed: _*)) // partition pruning
+      .withColumn("score", VF.cosine(col(vecCol), query))
+      .withColumn("_rn", row_number().over(byList))
+      .filter(col("_rn") <= perList)
+      .orderBy(col("score").desc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol), col("_list").as("cluster"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /**
    * Batch ANN against a prebuilt index: top-k for EVERY query row in one
    * plan — the 100 TB serving pattern (millions of queries as a relation,
    * not one driver-side vector). Each query row derives its nprobe probe

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Similarity}
+
+/** Gopher rule gate, data-constrained epoch allocation, and the
+  * cluster-diverse probe — edge-case pins the fixture oracle can't
+  * exercise (boundary-exact rule flips, cap/zero-share behavior,
+  * per-list cap semantics). */
+class CurationRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherRules: each rule flips exactly at its integer boundary") {
+    val docs = Seq(
+      // 4 words, mean len 4, all alpha, no symbols, 2 stops => fails only
+      // r_words (minWords = 5)
+      (1L, "the cake with have"),
+      // 5 words incl. a symbol word and a non-alpha word; 1 stop
+      (2L, "the #tag 123 cake bake"),
+      // mean word length exactly 3 (boundary: 3n <= sum_len holds)
+      (3L, "the abc def and off ghi jkl mno"),
+      // all-numeric words: r_alpha fails (0% alphabetic)
+      (4L, "111 222 333 444 555")
+    ).toDF("doc_id", "text")
+    val r = Curation.gopherRules(docs, "text", "doc_id", minWords = 5,
+      maxWords = 100)
+      .orderBy($"doc_id").collect()
+    assert(!r(0).getAs[Boolean]("r_words") &&
+      r(0).getAs[Boolean]("r_meanlen") && r(0).getAs[Boolean]("r_alpha") &&
+      r(0).getAs[Boolean]("r_sym") && r(0).getAs[Boolean]("r_stop"))
+    // doc 2: 1 symbol word of 5 => 10*1 > 5 fails r_sym; 1 distinct stop
+    // fails r_stop; 4/5 alphabetic => 40 >= 40 passes r_alpha exactly
+    assert(!r(1).getAs[Boolean]("r_sym") && !r(1).getAs[Boolean]("r_stop") &&
+      r(1).getAs[Boolean]("r_alpha"))
+    // doc 3: sum_len 24 over 8 words => 3*8 == 24 passes the lower bound
+    // exactly
+    assert(r(2).getAs[Long]("sum_len") == 24L &&
+      r(2).getAs[Boolean]("r_meanlen"))
+    assert(!r(3).getAs[Boolean]("r_alpha") && !r(3).getAs[Boolean]("keep"))
+  }
+
+  test("repeatEpochs: cap binds, zero-share group allocates nothing, " +
+    "effective tokens = epochs * mass") {
+    val docs = Seq(
+      (1L, "a b c d", "small"),   // 4 tokens
+      (2L, "a b c d e f", "big"), // 6 tokens
+      (3L, "a b", "other")        // 2 tokens, no share
+    ).toDF("doc_id", "text", "lang")
+    val r = Curation.repeatEpochs(docs, "text", "lang",
+      Map("small" -> 0.5, "big" -> 0.5), budgetTokens = 100L,
+      maxEpochs = 3.0)
+      .orderBy($"lang").collect().map(x =>
+        (x.getString(0), x.getLong(1), x.getDouble(3), x.getLong(4))).toSeq
+    // big: 50/6 = 8.33 capped to 3.0 epochs => 18 tokens; small: 50/4 =
+    // 12.5 capped to 3.0 => 12; other: share 0 => 0 epochs, 0 tokens
+    assert(r == Seq(("big", 6L, 3.0, 18L), ("other", 2L, 0.0, 0L),
+      ("small", 4L, 3.0, 12L)))
+  }
+
+  test("ivfTopKPrebuiltDiverse: no list exceeds perList in the result") {
+    val dir = s"/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-div").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(16, 64, 7L)
+    Similarity.ivfBuildWith(emb, "embedding", tmp, cents)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    // perList = 1 over all 16 lists: the 10 results must come from 10
+    // DISTINCT clusters — the strongest form of the cap
+    val diverse = Similarity.ivfTopKPrebuiltDiverse(spark, tmp, "embedding",
+      "vec_id", q, k = 10, perList = 1, cents, nprobe = 16).collect()
+    assert(diverse.length == 10)
+    val clusters = diverse.map(_.getAs[Any]("cluster")).toSet
+    assert(clusters.size == 10, s"duplicate clusters under perList=1: " +
+      diverse.map(_.getAs[Any]("cluster")).mkString(","))
+    // the cap binds on this fixture: the UNcapped top-10 repeats at least
+    // one cluster (otherwise this test pins nothing)
+    val plain = Similarity.ivfTopKPrebuiltWith(spark, tmp, "embedding",
+      "vec_id", q, k = 10, cents, nprobe = 16).collect().map(_.getLong(0))
+    assert(plain.toSet != diverse.map(_.getLong(0)).toSet,
+      "cap never bound — pick a fixture where the top-k is concentrated")
+  }
+}
