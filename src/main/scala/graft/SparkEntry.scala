@@ -750,6 +750,25 @@ object SparkEntry {
         Similarity.ivfCentroids(16, 64, 7L), nprobe = 4),
       Some(sqlIvfDiverse)),
 
+    Q("q_mmr_rerank", // MMR diversity re-rank of a brute-force top-20
+      // candidate set (k=5, lambda=0.7): the serving-tier tail of an ANN
+      // pipeline — candidate generation is the distributed stage, MMR is
+      // sequential BY DEFINITION and runs over the contract-bounded
+      // candidate relation. The oracle replays the greedy loop as a
+      // generated CTE chain (the q_bpe_train technique), one select/
+      // penalty step per rank.
+      (s, d) => {
+        val cand = t(s, d, "embeddings")
+          .filter(size(col("embedding")) === 64)
+          .withColumn("rel",
+            round(VF.cosine(col("embedding"), queryVec(s, d)), 6))
+          .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+          .select(col("vec_id"), col("embedding"), col("rel"))
+        Similarity.mmrRerank(cand, "embedding", "vec_id", "rel",
+          k = 5, lambda = 0.7)
+      },
+      Some(sqlMmrRerank)),
+
     Q("q_ann_batch", // batch ANN: every query row's top-k in ONE plan —
       // per-row probe derivation from broadcast centroids, shuffle join
       // co-partitioned with the prebuilt index's _list layout, window
@@ -1724,6 +1743,36 @@ object SparkEntry {
         SELECT vec_id, lst AS cluster, round(score, 6) AS score
         FROM capped WHERE rn <= $perList
         ORDER BY score DESC, vec_id ASC LIMIT $k"""
+  }
+
+  /** DuckDB mirror of Similarity.mmrRerank(k = 5, lambda = 0.7) over the
+    * brute-force top-20: the greedy loop as a GENERATED CTE chain — step
+    * i scores every unpicked candidate `λ·rel − (1−λ)·max round6 dot to
+    * sel(i−1)` and picks the (mmr desc, key asc) winner. λ and (1−λ) are
+    * interpolated from the SAME Scala doubles the operator multiplies
+    * with, so both engines compute identical IEEE products. */
+  private lazy val sqlMmrRerank: String = {
+    val n = 20; val k = 5; val lam = 0.7; val oml = 1 - lam
+    val sb = new StringBuilder(
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cand AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   round(list_dot_product(embedding::DOUBLE[], qv), 6) AS rel
+                 FROM embeddings, q WHERE len(embedding) = 64
+                 ORDER BY rel DESC, vec_id ASC LIMIT $n),
+        s1 AS (SELECT vec_id, v, rel, rel AS mmr, 1 AS rank FROM cand
+               ORDER BY rel DESC, vec_id ASC LIMIT 1),
+        sel1 AS (SELECT vec_id, v FROM s1)""")
+    for (i <- 2 to k) sb.append(s""",
+        c$i AS (SELECT c.vec_id, c.v, c.rel,
+                  round($lam * c.rel - $oml * (SELECT max(round(list_dot_product(c.v, s.v), 6)) FROM sel${i - 1} s), 6) AS mmr
+                FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+        s$i AS (SELECT vec_id, v, rel, mmr, $i AS rank FROM c$i
+                ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+        sel$i AS (SELECT vec_id, v FROM sel${i - 1} UNION ALL SELECT vec_id, v FROM s$i)""")
+    sb.append((1 to k)
+      .map(i => s"SELECT vec_id, rel, mmr, rank FROM s$i")
+      .mkString("\n        ", "\n        UNION ALL ", ""))
+    sb.toString
   }
 
   /** DuckDB mirror of Bpe.train(merges = 4): the identical iterations as

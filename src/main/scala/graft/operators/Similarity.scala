@@ -268,6 +268,79 @@ object Similarity {
   }
 
   /**
+   * Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of an
+   * ANN candidate set: greedily select k results maximizing
+   * `λ·rel − (1−λ)·max_{s∈selected} dot(c, s)` — relevance traded
+   * against redundancy to everything already picked. The first pick is
+   * the plain relevance argmax (no penalty exists yet); every score is
+   * round(6)ed BEFORE comparison (the repo-wide boundary discipline),
+   * ties break on the ascending numeric key. Output: (key, rel, mmr,
+   * rank) where `mmr` is the score AT selection time and `rank` the
+   * selection order.
+   *
+   * Scale shape: MMR is sequential in k BY DEFINITION (each pick changes
+   * every remaining score), so the published serving shape is exactly
+   * this — an ANN stage fans 10¹¹ vectors down to a top-n candidate
+   * relation, and MMR re-ranks that bounded tail. The collect here is a
+   * CONTRACT-BOUNDED driver step (`maxCandidates`, default 4096 rows ·
+   * dim doubles ≈ 2 MB at dim 64), not a distributed-work smell; the
+   * distributed half of the problem is the candidate generator
+   * ([[ivfTopKPrebuiltWith]] et al.). A million-query batch runs this
+   * per query inside its serving tier, not as one Spark job.
+   *
+   * Determinism: driver arithmetic replays the oracle exactly — dots
+   * accumulate left-to-right in double (the [[functions.DotProductConst]]
+   * order), round(6) is decimal HALF_UP (Spark's `round` convention,
+   * half-away-from-zero like the oracle engine's), λ and (1−λ) are the
+   * SAME IEEE doubles interpolated into the generated oracle SQL.
+   */
+  def mmrRerank(candidates: DataFrame, vecCol: String, keyCol: String,
+                relCol: String, k: Int, lambda: Double,
+                maxCandidates: Int = 4096): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = candidates.sparkSession
+    val rows = candidates
+      .select(col(keyCol).cast("long"),
+        col(vecCol).cast("array<double>"), round(col(relCol), 6))
+      .collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank is a bounded re-rank of an ANN candidate set: got " +
+        s"${rows.length} candidates > maxCandidates=$maxCandidates — " +
+        "narrow the generator, don't re-rank a corpus")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val pool = scala.collection.mutable.ArrayBuffer(rows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))): _*)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double, Int)] // key, rel, mmr, rank
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    var rank = 1
+    while (rank <= k && pool.nonEmpty) {
+      val scored = pool.map { case (key, v, rel) =>
+        val mmr =
+          if (pickedVecs.isEmpty) rel
+          else r6(lambda * rel -
+            (1 - lambda) * pickedVecs.map(s => r6(dot(v, s))).max)
+        (key, v, rel, mmr)
+      }
+      val best = scored.minBy { case (key, _, _, mmr) => (-mmr, key) }
+      picked += ((best._1, best._3, best._4, rank))
+      pickedVecs += best._2
+      pool.remove(pool.indexWhere(_._1 == best._1))
+      rank += 1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF(keyCol, relCol, "mmr", "rank")
+  }
+
+  /**
    * Batch ANN against a prebuilt index: top-k for EVERY query row in one
    * plan — the 100 TB serving pattern (millions of queries as a relation,
    * not one driver-side vector). Each query row derives its nprobe probe

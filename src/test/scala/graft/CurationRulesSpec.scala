@@ -80,4 +80,35 @@ class CurationRulesSpec extends SparkSpec {
     assert(plain.toSet != diverse.map(_.getLong(0)).toSet,
       "cap never bound — pick a fixture where the top-k is concentrated")
   }
+
+  // hand fixture: 1 and 2 are near-identical high-relevance vectors, 3 is
+  // orthogonal-ish and less relevant — MMR must defer the redundant twin
+  private lazy val mmrCand = Seq(
+    (1L, Array(1.0f, 0.0f), 0.99),
+    (2L, Array(0.999f, 0.04f), 0.98),
+    (3L, Array(0.0f, 1.0f), 0.50)
+  ).toDF("vec_id", "embedding", "rel")
+
+  test("mmrRerank defers the redundant twin; lambda=1 is plain relevance") {
+    val div = Similarity.mmrRerank(mmrCand, "embedding", "vec_id", "rel",
+      k = 3, lambda = 0.5).orderBy($"rank").collect().map(_.getLong(0))
+    // pick 1 (top rel); then 2's penalty ~1.0 sinks it below 3
+    assert(div.toSeq == Seq(1L, 3L, 2L))
+    val flat = Similarity.mmrRerank(mmrCand, "embedding", "vec_id", "rel",
+      k = 3, lambda = 1.0).orderBy($"rank").collect().map(_.getLong(0))
+    assert(flat.toSeq == Seq(1L, 2L, 3L))
+    // rank-1 mmr == rel by convention (no penalty exists yet)
+    val r1 = Similarity.mmrRerank(mmrCand, "embedding", "vec_id", "rel",
+      k = 1, lambda = 0.5).head
+    assert(r1.getAs[Double]("mmr") == r1.getAs[Double]("rel"))
+  }
+
+  test("mmrRerank enforces the bounded-candidate contract") {
+    val big = spark.range(10).selectExpr("id AS vec_id",
+      "array(CAST(id AS FLOAT)) AS embedding", "0.5 AS rel")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(big, "embedding", "vec_id", "rel", k = 2,
+        lambda = 0.5, maxCandidates = 5)
+    }
+  }
 }
