@@ -259,6 +259,9 @@ object Similarity {
     spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
       .filter(col("_list").isin(probed: _*)) // partition pruning
       .withColumn("score", VF.cosine(col(vecCol), query))
+      // vectors are consumed by the score above; only (key, list, score)
+      // may enter the rank exchange — explicit, not left to ColumnPruning
+      .select(col(keyCol), col("_list"), col("score"))
       .withColumn("_rn", row_number().over(byList))
       .filter(col("_rn") <= perList)
       .orderBy(col("score").desc, col(keyCol).asc)
@@ -600,6 +603,11 @@ object Similarity {
       .partitionBy(col("cid")).orderBy(col("_score").asc, col("key").asc)
     val cluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
     assigned
+      // explicit projection BEFORE the window: only (key, cid, score)
+      // enters the per-cluster exchange — the vectors themselves must
+      // never ride a corpus shuffle (ColumnPruning would likely drop
+      // them anyway; at 10¹¹ rows "likely" isn't a plan contract)
+      .select(col("key"), col("cid"), col("_score"))
       .withColumn("_rn", row_number().over(byHardness))
       .withColumn("_n", count(lit(1)).over(cluster))
       .filter(col("_rn") <= ceil(lit(keepRate) * col("_n")))

@@ -69,6 +69,52 @@ class PlanSpec extends SparkSpec {
       p.contains("_list#"), s"no _list membership filter visible:\n$p")
   }
 
+  test("filtered ANN: metadata predicate pushed into the pruned probe scan") {
+    val p = plan("q_ann_filtered")
+    assert(p.contains("PartitionFilters") && p.contains("_list"),
+      s"filtered probe does not prune _list partitions:\n$p")
+    // the label predicate must reach the parquet reader of the probed
+    // partitions (pre-ranking filter), not apply after the top-k
+    assert(p.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the probe scan:\n$p")
+  }
+
+  /** Output attribute names of every shuffle exchange in the plan. AQE
+    * hides the tree inside AdaptiveSparkPlanExec (collect sees no
+    * children), so the traversal plans with AQE off — the exchanges and
+    * their inputs are identical, only the runtime re-planner is absent. */
+  private def exchangeOutputs(name: String): Seq[Seq[String]] = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("diverse ANN: rank exchange carries (key, list, score) — vectors " +
+       "projected away before the window") {
+    val p = plan("q_ann_diverse")
+    assert(p.contains("PartitionFilters") && p.contains("_list"),
+      s"diverse probe does not prune _list partitions:\n$p")
+    val ex = exchangeOutputs("q_ann_diverse")
+    assert(ex.nonEmpty, s"expected a rank exchange in the diverse plan:\n$p")
+    assert(ex.forall(!_.contains("embedding")),
+      s"embedding column rides a shuffle exchange: $ex")
+  }
+
+  test("prototype pruning: the per-cluster window shuffles (key, cid, " +
+       "score), never the quantized vectors") {
+    val ex = exchangeOutputs("q_prototype_prune")
+    assert(ex.nonEmpty, "expected the per-cluster rank exchange")
+    // neither the raw embeddings nor the quantized int64 vectors may ride
+    // ANY shuffle — the training loop's only exchange is the bounded
+    // (cid, pos) aggregation, the prune's only exchange is (key,cid,score)
+    assert(ex.forall(o => !o.contains("embedding") && !o.contains("ivec")),
+      s"vector column rides a shuffle exchange: $ex")
+  }
+
   test("prebuilt PQ probe scans only the codes column — raw vectors absent") {
     // the 32x-bandwidth promise: the ADC scan reads (key, codes) from the
     // index artifact; if the embeddings table or the float vector column
