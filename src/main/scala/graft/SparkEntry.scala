@@ -2454,6 +2454,20 @@ object SparkEntry {
           WHERE (${sqlHash32("doc_id::VARCHAR")} % 10000) / 10000.0 <
             least(greatest(quality, 0.0), 1.0)""")),
 
+    Q("q_weighted_topk", // EXACT-k weighted sampling without replacement
+      // (Efraimidis-Spirakis log-priority form): q_weighted_sample's
+      // Bernoulli draw returns a binomial number of rows — a budget cut
+      // wants exactly k. Priority = ln(u)/w from the portable key-hash u,
+      // round(6) before ranking; pure scan-stage + TakeOrdered.
+      (s, d) => Sampling.weightedTopK(
+        t(s, d, "documents").withColumn("quality", TF.qualityScore(col("text"))),
+        "doc_id", "quality", k = 50),
+      Some(s"""WITH q AS (${sqlQualityFrom("documents")})
+          SELECT doc_id, quality,
+            round(ln(((${sqlHash32("doc_id::VARCHAR")} % 10000) + 1) / 10000.0)
+                  / greatest(quality, 0.001), 6) AS priority
+          FROM q ORDER BY priority DESC, doc_id ASC LIMIT 50""")),
+
     Q("q_source_quota", // corpus balancing: at most 15 docs per source
       (s, d) => Sampling.perGroupQuota(t(s, d, "documents"),
           "source", "doc_id", "doc_id", 15)
@@ -3096,6 +3110,55 @@ object SparkEntry {
           SELECT lang, m_tokens, share, epochs,
                  CAST(round(epochs * m_tokens) AS BIGINT) AS eff_tokens
           FROM e""")),
+
+    Q("q_doremi_step", // one DoReMi multiplicative-weights update (Xie
+      // 2023 eq. 2): per-lang excess loss (stand-in: 1 - mean quality,
+      // from telemetry in production) reweights the reference shares —
+      // share ∝ ref·exp(eta·loss), renormalized. The corpus contributes
+      // one |langs|-row agg; everything after is bounded-frame math.
+      (s, d) => {
+        val allW = org.apache.spark.sql.expressions.Window.partitionBy()
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val g = t(s, d, "documents")
+          .withColumn("q", TF.qualityScore(col("text")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("_n"),
+            round(lit(1.0) - avg(col("q")), 6).as("loss"))
+          .withColumn("ref_share",
+            round(col("_n").cast("double") / sum(col("_n")).over(allW), 6))
+        Curation.doremiStep(g, "lang", "ref_share", "loss", eta = 2.0)
+      },
+      Some(s"""WITH q AS (${sqlQualityFrom("documents")}),
+          j AS (SELECT d.lang, q.quality FROM q JOIN documents d USING (doc_id)),
+          g AS (SELECT lang, count(*) AS n, round(1.0 - avg(quality), 6) AS loss
+                FROM j GROUP BY lang),
+          r AS (SELECT lang, round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS ref_share,
+                  loss FROM g),
+          w AS (SELECT lang, ref_share, loss,
+                  round(ref_share * exp(2.0 * loss), 6) AS uw FROM r)
+          SELECT lang, ref_share, loss,
+                 round(uw / sum(uw) OVER (), 6) AS new_share FROM w""")),
+
+    Q("q_token_shards", // TOKEN-balanced export sharding: shards of equal
+      // token MASS (training loaders consume tokens; a long-doc shard is
+      // the epoch straggler under row-balanced hashing). Fine buckets →
+      // bounded mass agg → exact-integer prefix assignment broadcast
+      // back; no float anywhere, corpus never shuffles for assignment.
+      (s, d) => Export.tokenBalancedShards(t(s, d, "documents"),
+        "text", "doc_id", nShards = 8),
+      Some(s"""WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                  CAST(${sqlHash32("doc_id::VARCHAR")} % 512 AS BIGINT) AS bucket
+                FROM documents),
+          bm AS (SELECT bucket, CAST(sum(tokens) AS BIGINT) AS bm FROM t GROUP BY bucket),
+          cw AS (SELECT bucket,
+                   CAST(coalesce(sum(bm) OVER (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+                   CAST(sum(bm) OVER () AS BIGINT) AS total FROM bm),
+          a AS (SELECT bucket, least(7, cumb // ((total + 7) // 8)) AS shard FROM cw)
+          SELECT t.doc_id, t.tokens, CAST(a.shard AS BIGINT) AS shard
+          FROM t JOIN a USING (bucket)""")),
 
     Q("q_mix_reweight", // rebalance toward a target language mixture under a
       // row budget: per-group keep-rate = min(1, budget*share/count) via the

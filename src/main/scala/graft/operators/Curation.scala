@@ -119,4 +119,40 @@ object Curation {
       .select(col(groupCol), col("m_tokens"), col("share"),
         col("epochs"), col("eff_tokens"))
   }
+
+  /**
+   * One DoReMi mixture-update step (Xie 2023, "DoReMi" eq. 2 — the
+   * multiplicative-weights half that is pure data math): given per-group
+   * reference shares and per-group excess losses (from whatever proxy
+   * model the caller trains — that part is NOT a data-engine concern),
+   * the updated share is `share_g ∝ ref_g · exp(η · loss_g)`,
+   * renormalized. Groups the proxy finds hard (high excess loss) get
+   * upweighted; iterating this converges to the domain-reweighted
+   * mixture the paper trains on. Output: (group, ref_share, loss,
+   * new_share).
+   *
+   * Determinism: `exp` is the one non-exact step — the unnormalized
+   * weight AND the normalized share are both round(6)ed (the
+   * [[Sampling.temperatureMix]] pow discipline).
+   *
+   * Scale shape: the input is ALREADY the |groups|-row frame (losses
+   * come from training telemetry, not a corpus scan); one bounded
+   * window normalizes it. Feed the output shares straight into
+   * [[repeatEpochs]] or [[Sampling.mixToTarget]] — that's where the
+   * corpus-sized work lives, and it never shuffles there either.
+   */
+  def doremiStep(domains: DataFrame, groupCol: String, refShareCol: String,
+                 lossCol: String, eta: Double): DataFrame = {
+    require(eta > 0.0, "eta must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    domains
+      .withColumn("_w",
+        round(col(refShareCol) * exp(lit(eta) * col(lossCol)), 6))
+      .withColumn("new_share", round(col("_w") / sum(col("_w")).over(w), 6))
+      .select(col(groupCol), col(refShareCol), col(lossCol),
+        col("new_share"))
+  }
 }

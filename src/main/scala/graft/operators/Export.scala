@@ -49,6 +49,57 @@ object Export {
   }
 
   /**
+   * TOKEN-balanced shard assignment: shards of ~equal token MASS rather
+   * than ~equal row count ([[withShard]]'s uniform hash balances rows —
+   * training loaders consume tokens, and a shard of long documents
+   * otherwise becomes the epoch's straggler). Keys hash into
+   * `nShards · bucketsPerShard` fine buckets; bucket token masses
+   * aggregate once; each bucket maps to `shard = cum_mass_before /
+   * ceil(total / nShards)` (exact integer division, clamped to the last
+   * shard) so shards are contiguous bucket ranges with mass balanced to
+   * within one bucket's mass. Output: (key, tokens, shard).
+   *
+   * Determinism: the bucket hash is the portable md5-derived hash32 and
+   * every quantity is exact int64 — no float appears anywhere, so the
+   * assignment replays bit-identically on any engine.
+   *
+   * Scale shape: one map-side-combined (bucket → mass) aggregation of
+   * `nShards · bucketsPerShard` rows; the prefix-sum window runs over
+   * that BOUNDED frame (never the corpus); rows take their shard from a
+   * broadcast of it. The corpus itself never shuffles here — the
+   * subsequent [[writeShards]]-style repartition on the shard id is the
+   * one corpus shuffle, same as the row-balanced path.
+   */
+  def tokenBalancedShards(df: DataFrame, textCol: String, keyCol: String,
+                          nShards: Int,
+                          bucketsPerShard: Int = 64): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(bucketsPerShard > 0, "bucketsPerShard must be positive")
+    val nBuckets = nShards * bucketsPerShard
+    val rows = df.select(col(keyCol),
+      TF.tokenCount(col(textCol)).cast("long").as("tokens"),
+      pmod(TF.hash32(col(keyCol).cast("string")), lit(nBuckets))
+        .cast("long").as("_bucket"))
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val assign = rows.groupBy(col("_bucket"))
+      .agg(sum(col("tokens")).as("_bm"))
+      .withColumn("_cumb", coalesce(sum(col("_bm")).over(byBucket), lit(0L)))
+      .withColumn("_total", sum(col("_bm")).over(all))
+      .withColumn("shard",
+        least(lit(nShards - 1L),
+          expr(s"_cumb DIV ((_total + ${nShards - 1}) DIV $nShards)")))
+      .select(col("_bucket"), col("shard"))
+    rows.join(broadcast(assign), Seq("_bucket"))
+      .select(col(keyCol), col("tokens"), col("shard"))
+  }
+
+  /**
    * Per-shard integrity manifest of an exported corpus: `(shard, n_rows,
    * content_hash)` where the hash is the int64-wrapped SUM of each row's
    * xxhash64 over its canonical JSON — order-independent (sum commutes),

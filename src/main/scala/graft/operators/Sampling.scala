@@ -309,6 +309,38 @@ object Sampling {
    * that |groups|-row frame, not the corpus), broadcast back; membership
    * is a pure scan-stage predicate, the corpus never shuffles.
    */
+  /**
+   * EXACT-k weighted sampling without replacement (Efraimidis–Spirakis
+   * 2006, the log-priority form): each row draws a deterministic
+   * uniform u from its key hash and gets priority `ln(u) / w` — the
+   * top-k priorities are a weighted-without-replacement sample, the
+   * guarantee [[weightedSample]]'s Bernoulli form can't give (that one
+   * returns a BINOMIAL number of rows; a training-budget cut wants
+   * exactly k). Weights are clamped to `minWeight` so a zero-quality
+   * row keeps a defined (tiny) priority instead of dividing by zero.
+   * Output: (key, weight, priority), the k winners.
+   *
+   * Determinism: u = (hash(key) % buckets + 1) / buckets ∈ (0, 1] — the
+   * +1 keeps ln defined; priority is round(6)ed BEFORE ranking (`ln` is
+   * the one last-ulp step, the [[temperatureMix]] pow discipline), ties
+   * break on the key.
+   *
+   * Scale shape: a pure scan-stage priority column + TakeOrdered(k) —
+   * no shuffle, no model; the distributed top-k is exactly how a
+   * reservoir generalizes to a cluster.
+   */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: String,
+                   k: Int, buckets: Int = 10000,
+                   minWeight: Double = 0.001): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (keyBucket(keyCol, buckets).cast("double") + 1.0) / buckets
+    val w = greatest(col(weightCol), lit(minWeight))
+    df.withColumn("priority", round(log(u) / w, 6))
+      .orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol), col(weightCol), col("priority"))
+  }
+
   def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
                      alpha: Double, budget: Long,
                      buckets: Int = 10000): DataFrame = {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Sampling, Similarity}
 
 /** Gopher rule gate, data-constrained epoch allocation, and the
   * cluster-diverse probe — edge-case pins the fixture oracle can't
@@ -101,6 +101,55 @@ class CurationRulesSpec extends SparkSpec {
     val r1 = Similarity.mmrRerank(mmrCand, "embedding", "vec_id", "rel",
       k = 1, lambda = 0.5).head
     assert(r1.getAs[Double]("mmr") == r1.getAs[Double]("rel"))
+  }
+
+  test("tokenBalancedShards: every shard's token mass within one bucket " +
+    "of the target; assignment is layout-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = 4
+    val a = graft.operators.Export.tokenBalancedShards(docs, "text",
+      "doc_id", nShards = n)
+    val masses = a.groupBy($"shard").agg(sum($"tokens").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(masses.keySet == (0L until n).toSet, s"missing shards: $masses")
+    val total = masses.values.sum
+    val target = (total + n - 1) / n
+    // per-bucket max mass bounds the imbalance (contiguous prefix cut) —
+    // same hash, same granularity (nShards * 64 buckets) as the operator
+    val maxBucket = docs
+      .select(pmod(graft.functions.TextFunctions.hash32(
+          $"doc_id".cast("string")), lit(n * 64)).as("b"),
+        size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"b").agg(sum($"t")).collect().map(_.getLong(1)).max
+    masses.values.foreach(m =>
+      assert(m <= target + maxBucket,
+        s"shard over target+bucket: $m vs $target + $maxBucket"))
+    // re-assignment after a repartition is identical (pure key function)
+    val b = graft.operators.Export.tokenBalancedShards(docs.repartition(7),
+      "text", "doc_id", nShards = n)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("doremiStep: upweights the lossiest group, output shares sum to ~1") {
+    val domains = Seq(
+      ("web", 0.5, 0.1), ("code", 0.3, 0.9), ("books", 0.2, 0.5)
+    ).toDF("grp", "ref_share", "loss")
+    val out = Curation.doremiStep(domains, "grp", "ref_share", "loss",
+      eta = 1.0).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("new_share")).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-5, s"not normalized: $out")
+    // code: small ref share but highest loss — must gain vs its ref
+    assert(out("code") > 0.3, s"lossiest group not upweighted: $out")
+    assert(out("web") < 0.5, s"easiest group not downweighted: $out")
+  }
+
+  test("weightedTopK returns exactly k, highest-priority first") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("w", lit(0.5))
+    val out = Sampling.weightedTopK(docs, "doc_id", "w", k = 7).collect()
+    assert(out.length == 7)
+    val ps = out.map(_.getAs[Double]("priority"))
+    assert(ps.sameElements(ps.sortBy(-_)), "not priority-ordered")
   }
 
   test("mmrRerank enforces the bounded-candidate contract") {
