@@ -2158,9 +2158,14 @@ object SparkEntry {
     * CTE chain ending at `lm2(doc_id, lm2_score)` — consumed by the
     * q_lm_bigram oracle and the per-language perplexity-bucket oracle so
     * scoring and bucketing cannot drift. */
-  private lazy val sqlBigramCtes: String =
-    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
-                unnest(range(len(string_split(text, ' ')))) AS pos FROM documents),
+  private lazy val sqlBigramCtes: String = sqlBigramCtesFrom("documents")
+
+  /** [[sqlBigramCtes]] generalized over its source relation, so composite
+    * pipelines can train the bigram model on the SURVIVORS of upstream
+    * gates rather than the raw corpus (the [[sqlQualityFrom]] pattern). */
+  private def sqlBigramCtesFrom(src: String): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                unnest(range(len(string_split(text, ' ')))) AS pos FROM $src),
        vocab AS (SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS id FROM tok GROUP BY t),
        enc AS (SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS id
                FROM tok LEFT JOIN (SELECT * FROM vocab WHERE id <= 64) v USING (t)),
@@ -2499,9 +2504,11 @@ object SparkEntry {
       // multiplied — no float boundary exists to flip across engines),
       // raw counts kept so a user can re-gate at other thresholds
       // without re-tokenizing. Pure scan-stage; runs FIRST at 100 TB,
-      // before anything that shuffles.
+      // before anything that shuffles. Stop list calibrated to this
+      // corpus's vocabulary (the CCNet per-language practice — the
+      // published English list is the operator default).
       (s, d) => Curation.gopherRules(t(s, d, "documents"), "text", "doc_id",
-        minWords = 30, maxWords = 100000),
+        minWords = 30, maxWords = 100000, stops = Seq("the", "a")),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
           m AS (SELECT doc_id,
                   CAST(len(ts) AS BIGINT) AS n_words,
@@ -2509,7 +2516,7 @@ object SparkEntry {
                   CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
                   CAST(len(list_filter(ts, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_sym,
                   CAST(len(list_intersect(list_distinct(ts),
-                    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+                    ['the','a'])) AS BIGINT) AS n_stop
                 FROM t)
           SELECT doc_id, n_words, sum_len, n_alpha, n_sym, n_stop,
                  (n_words >= 30 AND n_words <= 100000) AS r_words,
@@ -3159,6 +3166,63 @@ object SparkEntry {
           a AS (SELECT bucket, least(7, cumb // ((total + 7) // 8)) AS shard FROM cw)
           SELECT t.doc_id, t.tokens, CAST(a.shard AS BIGINT) AS shard
           FROM t JOIN a USING (bucket)""")),
+
+    Q("q_pipeline_v2", // the MODERN curation pipeline end to end, four
+      // published stages composed in one plan: Gopher hard rules →
+      // exact dedup (min-key winner) → per-language perplexity terciles
+      // trained on the SURVIVORS (drop the tail) → temperature-mixed
+      // sampling to a row budget. Every stage is the already-oracled
+      // operator; the composite pins that they compose without drift
+      // (the bigram model here trains on gated+deduped docs, not the
+      // raw corpus — the real pipeline ordering).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gate = Curation.gopherRules(docs, "text", "doc_id",
+          minWords = 30, maxWords = 100000, stops = Seq("the", "a"))
+          .filter(col("keep")).select(col("doc_id"))
+        val deduped = Dedup.exact(docs.join(gate, Seq("doc_id")),
+          "text", "doc_id")
+        val kept = TermStats.perplexityBuckets(deduped, "text", "doc_id",
+          "lang", vocabSize = 64)
+          .filter(col("bucket") =!= "tail")
+          .select(col("doc_id"), col("lang"))
+        Sampling.temperatureMix(kept, "doc_id", "lang", alpha = 0.5,
+          budget = 150)
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, text, lang, string_split(text, ' ') AS ts FROM documents),
+          m0 AS (SELECT doc_id,
+                  CAST(len(ts) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_transform(ts, x -> strlen(x))) AS BIGINT) AS sum_len,
+                  CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                  CAST(len(list_filter(ts, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_sym,
+                  CAST(len(list_intersect(list_distinct(ts),
+                    ['the','a'])) AS BIGINT) AS n_stop
+                FROM t0),
+          g AS (SELECT t0.doc_id, t0.text, t0.lang FROM t0 JOIN m0 USING (doc_id)
+                WHERE (n_words >= 30 AND n_words <= 100000)
+                  AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+                  AND (10 * n_alpha >= 8 * n_words)
+                  AND (10 * n_sym <= n_words)
+                  AND (n_stop >= 2)),
+          dd AS (SELECT doc_id, text, lang FROM (
+                   SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                   FROM g) WHERE rn = 1),
+          ${sqlBigramCtesFrom("dd")},
+          j AS (SELECT s.doc_id, d.lang, s.lm2_score
+                FROM lm2 s JOIN dd d USING (doc_id)),
+          thr AS (SELECT lang, round(quantile_cont(lm2_score, ${1.0 / 3}), 6) AS q1
+                  FROM j GROUP BY lang),
+          k AS (SELECT j.doc_id, j.lang FROM j JOIN thr USING (lang)
+                WHERE j.lm2_score > thr.q1),
+          c AS (SELECT lang, count(*) AS cnt FROM k GROUP BY lang),
+          sh AS (SELECT lang, cnt,
+                   round(pow(cnt, 0.5) / sum(pow(cnt, 0.5)) OVER (), 6) AS share
+                 FROM c),
+          r AS (SELECT lang, share,
+                  round(least(1.0, 150.0 * share / cnt), 6) AS rate FROM sh)
+          SELECT k.doc_id, k.lang, r.share, r.rate
+          FROM k JOIN r USING (lang)
+          WHERE (${sqlHash32("k.doc_id::VARCHAR")} % 10000) / 10000.0 < r.rate""")),
 
     Q("q_mix_reweight", // rebalance toward a target language mixture under a
       // row budget: per-group keep-rate = min(1, budget*share/count) via the

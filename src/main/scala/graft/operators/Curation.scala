@@ -14,10 +14,12 @@ import graft.functions.{TextFunctions => TF}
  */
 object Curation {
 
-  /** The Gopher stop-word probe list (Rae 2021 §A1.1 uses exactly this
-    * kind of tiny common-word set — presence of >= 2 distinct members is
-    * the "is this English prose at all" smoke test). */
-  private val GopherStops =
+  /** The published English stop-word probe list (Rae 2021 §A1.1 —
+    * presence of >= 2 distinct members is the "is this prose at all"
+    * smoke test). A PARAMETER default, not a constant: stop lists are
+    * calibrated per language/corpus (the CCNet practice), so callers
+    * pass their own for non-English or synthetic corpora. */
+  val GopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /**
@@ -48,7 +50,9 @@ object Curation {
    * scorer that shuffles or broadcasts.
    */
   def gopherRules(docs: DataFrame, textCol: String, keyCol: String,
-                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  stops: Seq[String] = GopherStops): DataFrame = {
+    require(stops.nonEmpty, "stop list must be non-empty")
     val counted = docs
       .select(col(keyCol), TF.tokens(col(textCol)).as("_ts"))
       .select(
@@ -62,7 +66,7 @@ object Curation {
           x => x.contains("#") || x.contains("...")))
           .cast("long").as("n_sym"),
         size(array_intersect(array_distinct(col("_ts")),
-          array(GopherStops.map(lit): _*))).cast("long").as("n_stop"))
+          array(stops.map(lit): _*))).cast("long").as("n_stop"))
     counted
       .withColumn("r_words",
         col("n_words") >= minWords && col("n_words") <= maxWords)
