@@ -3180,8 +3180,12 @@ object SparkEntry {
         val gate = Curation.gopherRules(docs, "text", "doc_id",
           minWords = 30, maxWords = 100000, stops = Seq("the", "a"))
           .filter(col("keep")).select(col("doc_id"))
-        val deduped = Dedup.exact(docs.join(gate, Seq("doc_id")),
-          "text", "doc_id")
+        // the survivor set feeds the bigram scorer's SEVERAL passes
+        // (vocab agg, encode, bigram counts, per-doc score) — cache it
+        // once instead of re-running the gate join + dedup per pass,
+        // exactly the materialize-survivors step a 100 TB pipeline makes
+        val deduped = graft.CacheRegistry.track(
+          Dedup.exact(docs.join(gate, Seq("doc_id")), "text", "doc_id"))
         val kept = TermStats.perplexityBuckets(deduped, "text", "doc_id",
           "lang", vocabSize = 64)
           .filter(col("bucket") =!= "tail")

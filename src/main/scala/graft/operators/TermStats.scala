@@ -331,8 +331,12 @@ object TermStats {
   def perplexityBuckets(docs: DataFrame, textCol: String, keyCol: String,
                         groupCol: String, vocabSize: Int = 64,
                         approx: Boolean = false): DataFrame = {
-    val scored = lmScoreBigram(docs, textCol, keyCol, vocabSize)
-      .join(docs.select(col(keyCol), col(groupCol)), Seq(keyCol))
+    // the scored frame feeds BOTH the tercile aggregation and the final
+    // bucket join — cache the slim (key, group, score) triple or the
+    // whole bigram scorer (vocab agg + encode + counts) runs twice
+    val scored = graft.CacheRegistry.track(
+      lmScoreBigram(docs, textCol, keyCol, vocabSize)
+        .join(docs.select(col(keyCol), col(groupCol)), Seq(keyCol)))
     def q(p: Double) =
       if (approx) s"approx_percentile(lm2_score, $p, 10000)"
       else s"percentile(lm2_score, $p)"
