@@ -152,6 +152,60 @@ class CurationRulesSpec extends SparkSpec {
     assert(ps.sameElements(ps.sortBy(-_)), "not priority-ordered")
   }
 
+  test("temperatureMix laws: alpha=1 reproduces natural shares; shares " +
+    "sum to ~1 and are monotone in group size") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val natural = Sampling.temperatureMix(docs, "doc_id", "lang",
+      alpha = 1.0, budget = 1000000L)
+      .select($"lang", $"share").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val counts = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    natural.foreach { case (g, s) =>
+      assert(math.abs(s - counts(g) / total) < 1e-6,
+        s"alpha=1 share for $g drifted: $s vs ${counts(g) / total}")
+    }
+    val cooled = Sampling.temperatureMix(docs, "doc_id", "lang",
+      alpha = 0.3, budget = 1000000L)
+      .select($"lang", $"share").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cooled.values.sum - 1.0) < 1e-4)
+    // cooling compresses the spread: max/min share ratio strictly shrinks
+    def spread(m: Map[String, Double]) = m.values.max / m.values.min
+    assert(spread(cooled) < spread(natural),
+      s"alpha<1 did not flatten the mixture: $cooled vs $natural")
+  }
+
+  test("weightedTopK with uniform weights == deterministic hash-order " +
+    "top-k; heavier rows displace lighter ones") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val uni = Sampling.weightedTopK(docs.withColumn("w", lit(1.0)),
+      "doc_id", "w", k = 10).collect().map(_.getLong(0)).toSet
+    val uni2 = Sampling.weightedTopK(docs.withColumn("w", lit(0.25)),
+      "doc_id", "w", k = 10).collect().map(_.getLong(0)).toSet
+    // rescaling ALL weights equally never changes the selected set
+    // (ln(u)/w is order-isomorphic under w -> c*w)
+    assert(uni == uni2, "uniform rescale changed the winner set")
+    // give half the corpus 100x weight: winners concentrate there
+    val biased = Sampling.weightedTopK(
+      docs.withColumn("w", when($"doc_id" % 2 === 0, 100.0).otherwise(0.01)),
+      "doc_id", "w", k = 10).collect().map(_.getLong(0))
+    assert(biased.forall(_ % 2 == 0),
+      s"low-weight rows won under 10000x odds: ${biased.mkString(",")}")
+  }
+
+  test("tokenBalancedShards conserves rows and token mass") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.operators.Export.tokenBalancedShards(docs, "text",
+      "doc_id", nShards = 3)
+    assert(a.count() == docs.count(), "rows lost or duplicated")
+    val massOut = a.agg(sum($"tokens")).head.getLong(0)
+    val massIn = docs.select(size(split($"text", " ")).cast("long").as("t"))
+      .agg(sum($"t")).head.getLong(0)
+    assert(massOut == massIn, s"token mass drifted: $massOut vs $massIn")
+  }
+
   test("mmrRerank enforces the bounded-candidate contract") {
     val big = spark.range(10).selectExpr("id AS vec_id",
       "array(CAST(id AS FLOAT)) AS embedding", "0.5 AS rel")
