@@ -53,20 +53,22 @@ object Curation {
                   minWords: Int = 50, maxWords: Int = 100000,
                   stops: Seq[String] = GopherStops): DataFrame = {
     require(stops.nonEmpty, "stop list must be non-empty")
+    // fused codegen expression: ONE loop over the token array computes
+    // all five counts — the HOF formulation (aggregate + 2 filters +
+    // array_intersect) walks the array four times through interpreted
+    // lambdas (BENCH_NOTES.md HOF ladder). The struct is deterministic
+    // and lambda-free, so the five getField consumers CSE in codegen.
+    val c = graft.functions.GopherFunctions
+      .gopherCounts(TF.tokens(col(textCol)), stops)
     val counted = docs
-      .select(col(keyCol), TF.tokens(col(textCol)).as("_ts"))
+      .select(col(keyCol), c.as("_c"))
       .select(
         col(keyCol),
-        size(col("_ts")).cast("long").as("n_words"),
-        aggregate(col("_ts"), lit(0L),
-          (acc, x) => acc + length(x).cast("long")).as("sum_len"),
-        size(filter(col("_ts"), x => x.rlike("[A-Za-z]")))
-          .cast("long").as("n_alpha"),
-        size(filter(col("_ts"),
-          x => x.contains("#") || x.contains("...")))
-          .cast("long").as("n_sym"),
-        size(array_intersect(array_distinct(col("_ts")),
-          array(stops.map(lit): _*))).cast("long").as("n_stop"))
+        col("_c").getField("n_words").as("n_words"),
+        col("_c").getField("sum_len").as("sum_len"),
+        col("_c").getField("n_alpha").as("n_alpha"),
+        col("_c").getField("n_sym").as("n_sym"),
+        col("_c").getField("n_stop").as("n_stop"))
     counted
       .withColumn("r_words",
         col("n_words") >= minWords && col("n_words") <= maxWords)

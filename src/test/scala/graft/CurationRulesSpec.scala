@@ -39,6 +39,35 @@ class CurationRulesSpec extends SparkSpec {
     assert(!r(3).getAs[Boolean]("r_alpha") && !r(3).getAs[Boolean]("keep"))
   }
 
+  test("fused GopherCountsExpr == HOF formulation on 200 random docs " +
+    "(letters, symbols, stops, unicode)") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val vocab = Seq("the", "a", "have", "#tag", "...", "x#y", "abc...",
+      "123", "9-9", "zzz", "Ünïcode", "中文", "", "Mixed1", "the")
+    val texts = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val stops = Seq("the", "a", "have")
+    val fused = texts.select($"doc_id",
+      graft.functions.GopherFunctions.gopherCounts(
+        split($"text", " "), stops).as("c"))
+      .select($"doc_id", $"c.n_words", $"c.sum_len", $"c.n_alpha",
+        $"c.n_sym", $"c.n_stop")
+    val ts = split($"text", " ")
+    val hof = texts.select($"doc_id",
+      size(ts).cast("long").as("n_words"),
+      aggregate(ts, lit(0L), (acc, x) => acc + length(x).cast("long"))
+        .as("sum_len"),
+      size(filter(ts, x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      size(filter(ts, x => x.contains("#") || x.contains("...")))
+        .cast("long").as("n_sym"),
+      size(array_intersect(array_distinct(ts),
+        array(stops.map(lit): _*))).cast("long").as("n_stop"))
+    assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty,
+      "fused counts diverge from the HOF reference")
+  }
+
   test("repeatEpochs: cap binds, zero-share group allocates nothing, " +
     "effective tokens = epochs * mass") {
     val docs = Seq(
