@@ -100,9 +100,17 @@ object Dedup {
    * `app/core/hydra/swamp/beacon/bucket.go:145-163`).
    */
   def buildSignatures(df: DataFrame, textCol: String, keyCol: String,
-                      path: String, shingleN: Int = 3, numHashes: Int = 16): Unit =
+                      path: String, shingleN: Int = 3, numHashes: Int = 16): Unit = {
+    // CAS-versioned like every serving artifact (IndexLifecycle): the
+    // table stages under an immutable v=N and the pointer flips last, so
+    // a REBUILD over a live artifact never tears a concurrent band scan;
+    // legacy flat layouts stay readable and appendable
+    val spark = df.sparkSession
+    val next = IndexLifecycle.nextVersion(spark, path)
     signaturePlan(df, textCol, keyCol, shingleN, numHashes)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/v=$next")
+    IndexLifecycle.flipPointer(spark, path, next)
+  }
 
   /** Extend the signature artifact with NEW documents — the maintenance
     * half of incremental dedup: after a crawl batch's survivors are
@@ -116,7 +124,8 @@ object Dedup {
   def appendSignatures(df: DataFrame, textCol: String, keyCol: String,
                        path: String, shingleN: Int = 3, numHashes: Int = 16): Unit =
     signaturePlan(df, textCol, keyCol, shingleN, numHashes)
-      .write.mode("append").parquet(path)
+      .write.mode("append")
+      .parquet(IndexLifecycle.resolveDir(df.sparkSession, path))
 
   /** Band projection of a signature table: (key, _band, _bh) — the ONLY
     * rows that enter any LSH candidate shuffle. */
@@ -187,7 +196,7 @@ object Dedup {
                          sigPath: String, keyCol: String,
                          numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.8): DataFrame =
-    lshPairsFrom(requireSigWidth(spark.read.parquet(sigPath), numHashes, sigPath),
+    lshPairsFrom(requireSigWidth(spark.read.parquet(IndexLifecycle.resolveDir(spark, sigPath)), numHashes, sigPath),
       keyCol, numHashes, bands, threshold)
 
   /** A prebuilt table consumed with the WRONG numHashes is a silent
@@ -260,7 +269,7 @@ object Dedup {
                                  shingleN: Int = 3, numHashes: Int = 16,
                                  bands: Int = 4, threshold: Double = 0.8): DataFrame =
     dedupAgainstSignatures(
-      requireSigWidth(spark.read.parquet(corpusSigPath), numHashes, corpusSigPath),
+      requireSigWidth(spark.read.parquet(IndexLifecycle.resolveDir(spark, corpusSigPath)), numHashes, corpusSigPath),
       incoming, textCol, keyCol, shingleN, numHashes, bands, threshold)
 
   private def dedupAgainstSignatures(corSig: DataFrame, incoming: DataFrame,
@@ -532,9 +541,24 @@ object Dedup {
     * 8-byte-row parquet read. The artifact is parameterized only by
     * `shingleN`; the df-cap and threshold stay query-time knobs. */
   def buildShinglePostings(df: DataFrame, textCol: String, keyCol: String,
-                           path: String, shingleN: Int = 3): Unit =
+                           path: String, shingleN: Int = 3): Unit = {
+    // CAS-versioned (IndexLifecycle) — see [[buildSignatures]]
+    val spark = df.sparkSession
+    val next = IndexLifecycle.nextVersion(spark, path)
     postingsPlan(df, textCol, keyCol, shingleN)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/v=$next")
+    IndexLifecycle.flipPointer(spark, path, next)
+  }
+
+  /** Extend the posting artifact with NEW documents (the
+    * [[appendSignatures]] maintenance step for the containment kernel):
+    * postings are per-(doc, shingle) rows, so new docs only ADD rows —
+    * one append-mode write into the current version, nothing re-read. */
+  def appendShinglePostings(df: DataFrame, textCol: String, keyCol: String,
+                            path: String, shingleN: Int = 3): Unit =
+    postingsPlan(df, textCol, keyCol, shingleN)
+      .write.mode("append")
+      .parquet(IndexLifecycle.resolveDir(df.sparkSession, path))
 
   /** [[containmentPairs]] served from a posting table materialized by
     * [[buildShinglePostings]] — the production shape for the heaviest
@@ -547,7 +571,7 @@ object Dedup {
                                postingsPath: String,
                                minContainment: Double = 0.5,
                                maxDf: Int = 20): DataFrame =
-    containmentFromPostings(tracked(spark.read.parquet(postingsPath)),
+    containmentFromPostings(tracked(spark.read.parquet(IndexLifecycle.resolveDir(spark, postingsPath))),
       minContainment, maxDf)
 
   private def containmentFromPostings(sh: DataFrame, minContainment: Double,
@@ -833,41 +857,67 @@ object Dedup {
     * ([[readGramIndex]]): counts are additive, so [[appendGramIndex]]
     * maintenance is a pure APPEND-mode write — no read-modify-rewrite of
     * a 100 TB corpus's gram table, no coordination with concurrent
-    * readers, and a periodic compaction (re-aggregate + overwrite) is an
-    * optimization, never a correctness step. */
+    * readers, and a periodic compaction (re-aggregate into the next CAS
+    * version) is an optimization, never a correctness step.
+    *
+    * Lifecycle ([[IndexLifecycle]], the text/PQ/IVF scheme): partials
+    * land under an immutable `root/v=N` and the `_current` pointer flips
+    * last, so a rebuild or compaction never tears a concurrent reader; a
+    * legacy flat layout (partials directly under the root) stays
+    * readable and appendable. */
   def buildGramIndex(df: DataFrame, textCol: String, keyCol: String,
-                     outPath: String, k: Int = 8): Unit =
+                     outPath: String, k: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val next = IndexLifecycle.nextVersion(spark, outPath)
     gramIndex(df, textCol, keyCol, k)
       .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
-      .write.mode("overwrite").parquet(outPath)
+      .write.mode("overwrite").parquet(s"$outPath/v=$next")
+    IndexLifecycle.flipPointer(spark, outPath, next)
+  }
 
   /** Extend a gram-index artifact IN PLACE with a new batch (the
     * accepted-survivor maintenance step): one append-mode write of the
-    * batch's own (hash, count) partials — the existing artifact is
-    * neither read nor rewritten. */
+    * batch's own (hash, count) partials into the CURRENT version
+    * directory — the existing files are neither read nor rewritten, so
+    * a reader that listed before the append sees a consistent older
+    * state (single-writer contract: never concurrent with a compact). */
   def appendGramIndex(batch: DataFrame, textCol: String, keyCol: String,
                       indexPath: String, k: Int = 8): Unit =
     gramIndex(batch, textCol, keyCol, k)
       .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
-      .write.mode("append").parquet(indexPath)
+      .write.mode("append")
+      .parquet(IndexLifecycle.resolveDir(batch.sparkSession, indexPath))
 
   /** The consumer view of a gram-index artifact: total counts per hash
-    * (sums the partials the append-mode maintenance leaves behind). */
+    * (sums the partials the append-mode maintenance leaves behind),
+    * resolved against ONE consistent version. */
   def readGramIndex(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String): DataFrame =
-    spark.read.parquet(indexPath)
+    spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
       .groupBy(col("_h")).agg(sum(col("_n")).as("_n"))
 
-  /** Compact an append-grown gram artifact: re-aggregate the partials
-    * into one row per hash at `outPath` (a NEW path — Spark cannot
-    * overwrite a directory it is reading, and readers may hold the old
-    * one; the caller swaps paths when convenient). Purely an optimization
-    * of [[readGramIndex]]'s per-query aggregation — results are identical
-    * before and after (unit-pinned). */
+  /** Compact an append-grown gram artifact IN PLACE: the re-aggregated
+    * partials (one row per hash) land as the index's next `v=N`
+    * directory and the pointer flips only after the write completes — a
+    * reader mid-query keeps its old file list (those files are never
+    * modified), new probes resolve the compacted version (the
+    * [[graft.operators.TermStats.compactTextIndexInPlace]] race
+    * discipline). Purely an optimization of [[readGramIndex]]'s
+    * per-query aggregation — results are identical before and after
+    * (unit-pinned). Old versions accumulate until [[vacuumGramIndex]]. */
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String, outPath: String): Unit =
+                       indexPath: String): Unit = {
+    val next = IndexLifecycle.nextVersion(spark, indexPath)
     readGramIndex(spark, indexPath)
-      .write.mode("overwrite").parquet(outPath)
+      .write.mode("overwrite").parquet(s"$indexPath/v=$next")
+    IndexLifecycle.flipPointer(spark, indexPath, next)
+  }
+
+  /** Delete all non-current `v=N` directories and stale pointer temp
+    * files. Only safe once no reader still holds an old version. */
+  def vacuumGramIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Unit =
+    IndexLifecycle.vacuum(spark, indexPath)
 
   /**
    * Incremental substring dedup: clean an incoming crawl against a

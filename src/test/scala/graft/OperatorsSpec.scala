@@ -2045,13 +2045,30 @@ class OperatorsSpec extends SparkSpec {
     val full = Dedup.readGramIndex(spark, s"$dir/full").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc == full && inc.values.sum == 2 + 2 + 1) // "x1 x2 x3" seen twice
-    // compaction: one row per hash at the new path, identical totals
-    Dedup.compactGramIndex(spark, s"$dir/g", s"$dir/gc")
-    val raw = spark.read.parquet(s"$dir/gc")
+    // a reader resolved BEFORE the compaction must keep a consistent
+    // file list — snapshot the pre-compact resolution (the CAS race pin)
+    val preCompactDir =
+      graft.operators.IndexLifecycle.resolveDir(spark, s"$dir/g")
+    // in-place compaction: one row per hash in the NEXT version, pointer
+    // flipped last, identical totals through the same root path
+    Dedup.compactGramIndex(spark, s"$dir/g")
+    val raw = spark.read.parquet(
+      graft.operators.IndexLifecycle.resolveDir(spark, s"$dir/g"))
     assert(raw.count() == raw.select("_h").distinct().count())
-    val compacted = Dedup.readGramIndex(spark, s"$dir/gc").collect()
+    val compacted = Dedup.readGramIndex(spark, s"$dir/g").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(compacted == full)
+    // the old version's files still exist untouched (reader holds them
+    // until vacuum) and still sum to the same totals
+    val old = spark.read.parquet(preCompactDir)
+      .groupBy(col("_h")).agg(sum(col("_n"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(old == full, "pre-compact reader's version was disturbed")
+    // vacuum removes the superseded version; current still reads
+    Dedup.vacuumGramIndex(spark, s"$dir/g")
+    assert(!new java.io.File(preCompactDir).exists())
+    assert(Dedup.readGramIndex(spark, s"$dir/g").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == full)
   }
 
   // --- sessionize ---------------------------------------------------------------
