@@ -1320,6 +1320,29 @@ class OperatorsSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("signature table rebuild never tears a live reader (CAS versions)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigv").toString
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"))
+      .toDF("doc_id", "text")
+    Dedup.buildSignatures(docs, "text", "doc_id", s"$tmp/s",
+      shingleN = 3, numHashes = 16)
+    // a reader resolves v=1 and holds its file list
+    val held = graft.operators.IndexLifecycle.resolveDir(spark, s"$tmp/s")
+    val before = spark.read.parquet(held).count()
+    // REBUILD over the live artifact (bigger corpus) — stages v=2, flips
+    Dedup.buildSignatures(docs.union(
+        Seq((3L, "x y z w v u t")).toDF("doc_id", "text")),
+      "text", "doc_id", s"$tmp/s", shingleN = 3, numHashes = 16)
+    // the held version's files are untouched; new resolutions see v=2
+    assert(spark.read.parquet(held).count() == before,
+      "rebuild disturbed the version a live reader holds")
+    assert(graft.operators.IndexLifecycle.resolveDir(spark, s"$tmp/s") != held)
+    assert(spark.read.parquet(
+      graft.operators.IndexLifecycle.resolveDir(spark, s"$tmp/s"))
+      .count() == before + 1)
+    CacheRegistry.releaseAll()
+  }
+
   test("connected components: star-contraction fallback converges past the iteration budget") {
     // chain 1-2-3-...-40: diameter 39 >> maxIter 2 — the in-loop rounds
     // cannot finish, so the quotient recursion must close the cluster.
