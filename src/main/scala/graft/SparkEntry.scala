@@ -2512,7 +2512,7 @@ object SparkEntry {
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
           m AS (SELECT doc_id,
                   CAST(len(ts) AS BIGINT) AS n_words,
-                  CAST(list_sum(list_transform(ts, x -> strlen(x))) AS BIGINT) AS sum_len,
+                  CAST(list_sum(list_transform(ts, x -> length(x))) AS BIGINT) AS sum_len,
                   CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
                   CAST(len(list_filter(ts, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_sym,
                   CAST(len(list_intersect(list_distinct(ts),
@@ -3196,7 +3196,7 @@ object SparkEntry {
       Some(s"""WITH t0 AS (SELECT doc_id, text, lang, string_split(text, ' ') AS ts FROM documents),
           m0 AS (SELECT doc_id,
                   CAST(len(ts) AS BIGINT) AS n_words,
-                  CAST(list_sum(list_transform(ts, x -> strlen(x))) AS BIGINT) AS sum_len,
+                  CAST(list_sum(list_transform(ts, x -> length(x))) AS BIGINT) AS sum_len,
                   CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
                   CAST(len(list_filter(ts, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_sym,
                   CAST(len(list_intersect(list_distinct(ts),
@@ -3466,15 +3466,15 @@ object SparkEntry {
 
     Q("q_nb_score", // classifier gate: score = (bias + Σ llr[slot(tok)])/1e6,
       // pred = score > 0 — the fastText-form linear pass every corpus
-      // quality filter ships. Model broadcasts; OOV slots coalesce to the
-      // smoothed floor; one (doc, int64) row through the final shuffle
+      // quality filter ships. FUSED fit: slot table + bias + floor from
+      // ONE training action (sentinel-bucket doc counts ride the slot
+      // aggregation); scoring is the shuffle-free scan-stage LUT fold
       (s, d) => {
         val train = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
           .withColumn("_y", col("lang") === "en")
-        val model = Classify.nbTrain(train, "text", "_y", buckets = 512)
-        val (bias, floor) = Classify.nbConstants(train, "text", "_y", buckets = 512)
-        Classify.nbScore(t(s, d, "documents"), model, "text", "doc_id",
-          buckets = 512, bias = bias, floor = floor)
+        Classify.nbScore(t(s, d, "documents"),
+          Classify.nbFit(train, "text", "_y", buckets = 512),
+          "text", "doc_id")
       },
       Some(s"""${sqlNbCte(512)},
           alltok AS (SELECT doc_id, ${sqlHash32("tok")} % 512 AS bucket

@@ -40,6 +40,12 @@ import graft.functions.{TextFunctions => TF}
  *    Past [[Importance.MaxLutBuckets]] the broadcast-join form
  *    ([[nbScoreJoin]]) takes over: one int64 pair per doc shuffles.
  */
+/** The fused-fit model: the dense per-slot llr LUT (index = slot, absent
+  * slots pre-filled with the OOV `floor`), the class-prior `bias`, and the
+  * `floor` itself — everything [[Classify.nbScore]] needs, one small
+  * driver-side value (≤ 8 MB by the MaxLutBuckets contract). */
+final case class NbModel(lut: Array[Long], bias: Long, floor: Long)
+
 object Classify {
 
   /** Token→slot mapping shared by train and score: portable 32-bit md5
@@ -104,6 +110,88 @@ object Classify {
     val floor = math.round((math.log(1.0 / (p + buckets.toDouble)) -
       math.log(1.0 / (n + buckets.toDouble))) * 1e6)
     (bias, floor)
+  }
+
+  /**
+   * The FUSED fit: slot table, prior bias, and OOV floor from ONE corpus
+   * action. [[nbTrain]] + [[nbConstants]] need two-to-three separate
+   * passes over the training text (the per-slot counts, their totals, and
+   * the doc/token tallies); at 100 TB — and even at sf0.1, where the
+   * composite q_nb_score paid a 4× job-count penalty over the oracle —
+   * those passes are the whole cost, so this form folds everything into
+   * a single bucket-bounded aggregation:
+   *
+   *  - every doc contributes its token slots PLUS one sentinel `-1`
+   *    element, so the same groupBy(bucket) that counts per-slot class
+   *    occurrences also counts documents per class (the bucket = -1 row);
+   *  - the ≤ buckets+1 result rows collect once (the [[Importance
+   *    .denseLut]] bounded contract — `buckets` ≤ MaxLutBuckets enforced),
+   *    and P/N totals, per-slot llr, bias, and floor are all derived
+   *    driver-side from that one result.
+   *
+   * Values are bit-identical to the unfused pair: the llr/bias/floor
+   * rounding uses the same HALF_UP-on-decimal-repr semantics as Spark's
+   * `round` (scala BigDecimal(d) == BigDecimal.valueOf(d), the path
+   * Catalyst's Round takes on doubles), and P/N equal the slot-count sums
+   * by construction. Equality is unit-pinned (ClassifySpec).
+   */
+  def nbFit(docs: DataFrame, textCol: String, labelCol: String,
+            buckets: Int): NbModel = {
+    require(buckets > 0 && buckets <= Importance.MaxLutBuckets,
+      s"buckets=$buckets outside (0, ${Importance.MaxLutBuckets}] — nbFit " +
+        "collects the slot table under the dense-LUT contract; use " +
+        "nbTrain + nbScoreJoin past it")
+    val cnt = docs.select(col(labelCol).as("_y"),
+        explode(concat(array(lit(-1L)),
+          transform(TF.tokens(col(textCol)), t => slot(t, buckets)))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("_y"), 1)).as("_p"),
+           count(when(!col("_y"), 1)).as("_n"))
+    val rows = cnt.collect() // bounded: ≤ buckets+1 rows by construction
+    var pd = 0L; var nd = 0L; var ptot = 0L; var ntot = 0L
+    rows.foreach { r =>
+      if (r.getLong(0) < 0) { pd = r.getLong(1); nd = r.getLong(2) }
+      else { ptot += r.getLong(1); ntot += r.getLong(2) }
+    }
+    val bias = roundScaled(math.log((pd + 1.0) / (nd + 1.0)))
+    val floor = roundScaled(
+      math.log(1.0 / (ptot + buckets.toDouble)) -
+      math.log(1.0 / (ntot + buckets.toDouble)))
+    val lut = Array.fill(buckets)(floor)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      if (b >= 0) lut(b.toInt) = roundScaled(
+        math.log((r.getLong(1) + 1.0) / (ptot + buckets.toDouble)) -
+        math.log((r.getLong(2) + 1.0) / (ntot + buckets.toDouble)))
+    }
+    NbModel(lut, bias, floor)
+  }
+
+  /** Driver-side mirror of Spark's `round(x * 1e6).cast("long")`:
+    * HALF_UP over the shortest-decimal representation of the double
+    * (scala BigDecimal(d) uses java BigDecimal.valueOf, the same repr
+    * Catalyst's Round rounds) — NOT java Math.round, whose half-toward-
+    * positive-infinity disagrees on negative .5 boundaries. */
+  private def roundScaled(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Score against a fused [[nbFit]] model: the dense LUT ships as a task
+    * literal directly (no model-frame round trip, no second collect) and
+    * scoring is the same shuffle-free scan-stage fold as the DataFrame
+    * form — the whole train+score composite is ONE training action plus
+    * the scoring pass. */
+  def nbScore(docs: DataFrame, model: NbModel, textCol: String,
+              keyCol: String): DataFrame = {
+    val buckets = model.lut.length
+    docs.select(col(keyCol),
+        transform(TF.tokens(col(textCol)),
+          t => slot(t, buckets)).as("_slots"))
+      .filter(size(col("_slots")) > 0)
+      .select(col(keyCol),
+        (Importance.lutFold(col("_slots"), model.lut) + lit(model.bias)).as("_s"))
+      .select(col(keyCol),
+        round(col("_s").cast("double") / lit(1e6), 6).as("score"),
+        (col("_s") > 0).as("pred"))
   }
 
   /**

@@ -287,29 +287,6 @@ object Sampling {
   }
 
   /**
-   * Temperature-scaled mixture rebalance — [[mixToTarget]] where the
-   * target shares are COMPUTED from the corpus itself: share_g =
-   * count_g^α / Σ_j count_j^α (the multilingual α-sampling of mC4 and
-   * XLM-R: α = 1 preserves the natural distribution, α → 0 approaches
-   * uniform, so low-resource groups are upweighted RELATIVE to their
-   * natural share without duplicating rows — shares stay a ceiling).
-   * Keep-rate per group = min(1, budget · share_g / count_g), membership
-   * the same portable key-hash draw as every sampler here. Output: the
-   * kept rows as (key, group, share, rate).
-   *
-   * Determinism: `pow` is the one non-exact step (Math.pow and another
-   * engine's may differ in the last ulp), so the share AND the rate are
-   * both round(6)ed before the rate ever meets the 1/`buckets`-granular
-   * hash draw — a boundary flip would need the true rate within 1e-6 of
-   * a bucket edge AND a pow discrepancy there, the standard boundary
-   * discipline ([[curriculumSample]]'s edges).
-   *
-   * Scale shape: identical to [[mixToTarget]] — one map-side-combined
-   * count agg of |groups| rows (the share normalization is a window over
-   * that |groups|-row frame, not the corpus), broadcast back; membership
-   * is a pure scan-stage predicate, the corpus never shuffles.
-   */
-  /**
    * EXACT-k weighted sampling without replacement (Efraimidis–Spirakis
    * 2006, the log-priority form): each row draws a deterministic
    * uniform u from its key hash and gets priority `ln(u) / w` — the
@@ -341,6 +318,29 @@ object Sampling {
       .select(col(keyCol), col(weightCol), col("priority"))
   }
 
+  /**
+   * Temperature-scaled mixture rebalance — [[mixToTarget]] where the
+   * target shares are COMPUTED from the corpus itself: share_g =
+   * count_g^α / Σ_j count_j^α (the multilingual α-sampling of mC4 and
+   * XLM-R: α = 1 preserves the natural distribution, α → 0 approaches
+   * uniform, so low-resource groups are upweighted RELATIVE to their
+   * natural share without duplicating rows — shares stay a ceiling).
+   * Keep-rate per group = min(1, budget · share_g / count_g), membership
+   * the same portable key-hash draw as every sampler here. Output: the
+   * kept rows as (key, group, share, rate).
+   *
+   * Determinism: `pow` is the one non-exact step (Math.pow and another
+   * engine's may differ in the last ulp), so the share AND the rate are
+   * both round(6)ed before the rate ever meets the 1/`buckets`-granular
+   * hash draw — a boundary flip would need the true rate within 1e-6 of
+   * a bucket edge AND a pow discrepancy there, the standard boundary
+   * discipline ([[curriculumSample]]'s edges).
+   *
+   * Scale shape: identical to [[mixToTarget]] — one map-side-combined
+   * count agg of |groups| rows (the share normalization is a window over
+   * that |groups|-row frame, not the corpus), broadcast back; membership
+   * is a pure scan-stage predicate, the corpus never shuffles.
+   */
   def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
                      alpha: Double, budget: Long,
                      buckets: Int = 10000): DataFrame = {

@@ -883,9 +883,28 @@ object Similarity {
     val spark = batch.sparkSession
     val dir = IndexLifecycle.resolveDir(spark, indexPath)
     val cb = readCodebook(spark, dir)
+    requireMatchingM(spark, dir, m)
     pqEncode(batch, vecCol, keyCol, cb, m, dim, scale)
       .write.mode("append").parquet(s"$dir/codes")
   }
+
+  /** Refuse an append whose `m` disagrees with the index's build-time
+    * subspace count (read off one existing codes row — works on any
+    * version of the artifact, including legacy ones that predate any
+    * build metadata): a shorter/longer code array would land silently in
+    * the serving codes table and corrupt every subsequent ADC ranking —
+    * the loud-refusal discipline of [[TermStats.appendTextIndex]]. An
+    * empty codes table constrains nothing. */
+  private def requireMatchingM(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, m: Int): Unit =
+    spark.read.parquet(s"$dir/codes")
+      .select(size(col("codes")).as("_m")).head(1).headOption
+      .foreach { r =>
+        require(r.getInt(0) == m,
+          s"append m=$m does not match the index's build-time m=${r.getInt(0)} " +
+            "— appended codes would corrupt ADC rankings; rebuild with " +
+            "pqBuildWith/pqIvfBuild to change the code layout")
+      }
 
   /** [[appendPqIndex]] for a ROUTED ([[pqIvfBuild]]) index: the batch
     * routes on the frozen `_centroids` AND encodes with the frozen
@@ -900,6 +919,7 @@ object Similarity {
     val spark = batch.sparkSession
     val dir = IndexLifecycle.resolveDir(spark, indexPath)
     val cb = readCodebook(spark, dir)
+    requireMatchingM(spark, dir, m)
     val cents = readCentroids(spark, dir)
     val assign = cents.indices.map { i =>
       struct(VF.cosine(col(vecCol), cents(i)).as("s"), lit(i).as("i"))

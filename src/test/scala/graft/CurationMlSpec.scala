@@ -126,6 +126,36 @@ class CurationMlSpec extends SparkSpec {
       s"scan-stage LUT scoring drifted from the join form:\n$lutForm\n$joinForm")
   }
 
+  test("nbFit one-action fused fit == nbTrain + nbConstants (bias, floor, " +
+       "every slot llr, and the scored frame)") {
+    val train = Seq(
+      (1L, "good fresh clean bright happy", true),
+      (2L, "good clean happy fresh calm", true),
+      (3L, "bad stale dirty dark sad", false),
+      (4L, "bad dirty sad stale angry", false),
+      (5L, "", true) // empty doc: counts toward the prior, adds no slots
+    ).toDF("doc_id", "text", "y")
+    val model = Classify.nbTrain(train, "text", "y", B)
+    val (bias, floor) = Classify.nbConstants(train, "text", "y", B)
+    val fit = Classify.nbFit(train, "text", "y", B)
+    assert(fit.bias == bias, s"fused bias ${fit.bias} != $bias")
+    assert(fit.floor == floor, s"fused floor ${fit.floor} != $floor")
+    val slotLlr = model.collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 until B).foreach { b =>
+      val want = slotLlr.getOrElse(b, floor)
+      assert(fit.lut(b) == want, s"slot $b: fused llr ${fit.lut(b)} != $want")
+    }
+    val docs = Seq((10L, "fresh happy clean"), (11L, "stale dirty sad"),
+      (12L, "totally unseen tokens"), (13L, "good bad good bad"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    assert(canon(Classify.nbScore(docs, fit, "text", "doc_id")) ==
+           canon(Classify.nbScore(docs, model, "text", "doc_id", B, bias, floor)),
+      "fused-model scoring drifted from the DataFrame-model form")
+  }
+
   test("unified OOV semantics: dsirScore floors absent buckets with the " +
        "smoothed t=r=0 ratio from the model's own totals (the nbScore rule)") {
     val B2 = 64

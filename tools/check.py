@@ -8,8 +8,14 @@ Mirrors the driver's compare: sort columns by name, sort rows, compare
 values cell-by-cell (floats with tolerance reported separately so we can
 decide whether rounding discipline is sufficient for a hash match).
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
+
+# tools/ must be importable for the oracle_type_guard used in main() —
+# anchored to this file's own directory so `import check; check.main(...)`
+# from any cwd works, not just the __main__ entry
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import oracle_type_guard
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -93,7 +99,6 @@ def main(sf_dir, out_dir):
     # standing type guard: DESCRIBE every oracle string and fail on output
     # types Spark cannot produce (the round-9 HUGEINT class) — wired into
     # the main check loop so the omission of a CAST can never pass silently
-    import oracle_type_guard
     guard_bad = oracle_type_guard.main(sf_dir, out_dir)
     if guard_bad:
         n_bad += 1
@@ -102,6 +107,4 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    import os as _os
-    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
     sys.exit(main(sys.argv[1], sys.argv[2]))
