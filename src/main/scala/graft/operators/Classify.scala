@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{TextFunctions => TF, TokenSlotFunctions => TS}
 
 /**
  * Hashed bag-of-words linear text classifier — the fastText-shaped quality
@@ -141,9 +141,14 @@ object Classify {
       s"buckets=$buckets outside (0, ${Importance.MaxLutBuckets}] — nbFit " +
         "collects the slot table under the dense-LUT contract; use " +
         "nbTrain + nbScoreJoin past it")
+    // fused slot computation (functions.TokenSlotsExpr: one md5 loop per
+    // row, codegen'd) — bit-identical to the transform+hash32 Column
+    // chain; a NULL text coalesces to no slots so the doc still counts
+    // toward the sentinel prior row, matching nbConstants' count(*)
     val cnt = docs.select(col(labelCol).as("_y"),
         explode(concat(array(lit(-1L)),
-          transform(TF.tokens(col(textCol)), t => slot(t, buckets)))).as("bucket"))
+          coalesce(TS.tokenSlots(TF.tokens(col(textCol)), buckets),
+            array().cast("array<bigint>")))).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(when(col("_y"), 1)).as("_p"),
            count(when(!col("_y"), 1)).as("_n"))
@@ -181,18 +186,14 @@ object Classify {
     * form — the whole train+score composite is ONE training action plus
     * the scoring pass. */
   def nbScore(docs: DataFrame, model: NbModel, textCol: String,
-              keyCol: String): DataFrame = {
-    val buckets = model.lut.length
-    docs.select(col(keyCol),
-        transform(TF.tokens(col(textCol)),
-          t => slot(t, buckets)).as("_slots"))
-      .filter(size(col("_slots")) > 0)
+              keyCol: String): DataFrame =
+    docs.select(col(keyCol), TF.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
       .select(col(keyCol),
-        (Importance.lutFold(col("_slots"), model.lut) + lit(model.bias)).as("_s"))
+        (TS.tokenSlotFold(col("_toks"), model.lut) + lit(model.bias)).as("_s"))
       .select(col(keyCol),
         round(col("_s").cast("double") / lit(1e6), 6).as("score"),
         (col("_s") > 0).as("pred"))
-  }
 
   /**
    * Score: one row per document, (key, score, pred) where

@@ -986,18 +986,32 @@ object Dedup {
     val b = sh.select(col("_k").as("_kb"), col("_s").as("_sb"))
     val j = size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
       size(array_union(col("_sa"), col("_sb"))).cast("double")
-    val nExact = a.join(b, col("_ka") < col("_kb"))
-      .filter(size(array_union(col("_sa"), col("_sb"))) > 0 && j >= threshold)
-      .count() // bounded-slice scalar, the diagnostic's contract
     // one signature table per DISTINCT hash budget, shared by every
     // banding config over it — the signature pass is the expensive half,
     // and (nh, 4) vs (nh, 8) differ only in how the same signature slices
     val sigByNh = configs.map(_._1).distinct.map { nh =>
       nh -> tracked(signaturePlan(df, textCol, keyCol, shingleN, nh))
     }.toMap
+    // ALL counts — the exact ground truth (sentinel config (-1,-1)) and
+    // every banding config's candidate pairs — union into ONE tagged plan
+    // and collapse to one count per config: the diagnostic pays a single
+    // action instead of 1 + |configs| (each with its own scheduler floor
+    // and stage re-walk; measured 3.9 s → the job floor share of it at
+    // sf0.1). The cached signature/shingle tables materialize inside the
+    // same job and are shared across the union's branches.
+    val exactPairs = a.join(b, col("_ka") < col("_kb"))
+      .filter(size(array_union(col("_sa"), col("_sb"))) > 0 && j >= threshold)
+      .select(lit(-1).as("_nh"), lit(-1).as("_bands"))
+    val countsByConfig = configs.map { case (nh, bands) =>
+        lshPairsFrom(sigByNh(nh), keyCol, nh, bands, threshold)
+          .select(lit(nh).as("_nh"), lit(bands).as("_bands"))
+      }.foldLeft(exactPairs)(_ union _)
+      .groupBy(col("_nh"), col("_bands")).agg(count(lit(1)).as("_c"))
+      .collect() // ≤ |configs|+1 rows — bounded by the config list
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nExact = countsByConfig.getOrElse((-1, -1), 0L)
     val rows = configs.map { case (nh, bands) =>
-      val found = lshPairsFrom(sigByNh(nh), keyCol, nh, bands,
-        threshold).count()
+      val found = countsByConfig.getOrElse((nh, bands), 0L)
       val recall: java.lang.Double =
         if (nExact == 0) null
         else Double.box(BigDecimal(found.toDouble / nExact)

@@ -49,6 +49,12 @@ object IndexLifecycle {
   def resolveDir(spark: SparkSession, root: String): String =
     currentVersion(spark, root).map(v => s"$root/v=$v").getOrElse(root)
 
+  /** Does an artifact sub-table exist at `path`? A driver-side FS probe —
+    * the serving paths use it to pick between a denormalized metadata
+    * table and the legacy recompute-from-postings fallback. */
+  def tableExists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
   /** The version number the next build/compaction should stage under. */
   def nextVersion(spark: SparkSession, root: String): Long =
     currentVersion(spark, root).getOrElse(0L) + 1

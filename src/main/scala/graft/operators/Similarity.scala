@@ -1166,17 +1166,26 @@ object Similarity {
                           queryKeyCol: String, queryVecCol: String,
                           outKey: String, k: Int, m: Int = 8, dim: Int = 64,
                           scale: Double = 1e6): DataFrame = {
-    import spark.implicits._
     val dir = IndexLifecycle.resolveDir(spark, indexPath)
-    val cb = readCodebook(spark, dir)
-    require(m >= 1 && dim % m == 0 && cb.forall(_.length == dim),
-      "codebook layout must match the declared (m, dim)")
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must divide into m=$m subspaces")
     val sd = dim / m
-    val ksub = cb.length
-    // codebook subvectors as a driver-built (s, c, cv) frame — m·ksub rows
-    val cbDf = (for { s <- 0 until m; c <- 0 until ksub }
-      yield (s, c, cb(c).slice(s * sd, (s + 1) * sd).toSeq))
-      .toDF("_s", "_c", "_cv")
+    // codebook subvectors as a RELATIONAL (s, c, cv) frame — the ksub-row
+    // _codebook table exploded to m·ksub rows in the plan, not a driver
+    // collect: the serving probe then has NO eager construction-time
+    // action at all; the codebook read rides the luts broadcast future
+    // inside the one main job (the TermStats.dfreqFor discipline). Rows
+    // whose width disagrees with the declared dim slice to empty/short
+    // subvectors and are refused by the width filter below — a mismatched
+    // (m, dim) yields zero LUT rows (⇒ empty result), never silent
+    // garbage rankings.
+    val cbDf = spark.read.parquet(s"$dir/_codebook")
+      .filter(size(col("row")) === dim)
+      .select(col("c").as("_c"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.as("s"),
+            slice(col("row"), s * sd + 1, lit(sd)).as("cv")))).as("_e"))
+      .select(col("_e.s").as("_s"), col("_c"), col("_e.cv").as("_cv"))
     val qis = queries.filter(size(col(queryVecCol)) === dim)
       .select(col(queryKeyCol).as("_qid"),
         transform(col(queryVecCol),

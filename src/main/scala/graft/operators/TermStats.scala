@@ -512,8 +512,41 @@ object TermStats {
     dl.write.mode("overwrite").parquet(s"$vdir/lengths")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .write.mode("overwrite").parquet(s"$vdir/stats")
+    // terms/ = per-term document frequency — the classic inverted-index
+    // dictionary. Without it every BM25 probe re-scans the query terms'
+    // FULL posting lists a second time just to count them; with it the
+    // probe reads |query terms| metadata rows. Derived from the written
+    // postings (one columnar term-only scan) so the build stays one
+    // tokenize pass. Rows are ADDITIVE partials (the stats discipline) —
+    // appendTextIndex appends the batch's own counts, readers sum.
+    writeTermsTable(spark, vdir)
     IndexLifecycle.flipPointer(spark, outPath, next)
   }
+
+  /** (term, df) partials for every posting row under `vdir/postings` —
+    * the build/compact-time dictionary writer. */
+  private def writeTermsTable(spark: org.apache.spark.sql.SparkSession,
+                              vdir: String): Unit =
+    spark.read.parquet(s"$vdir/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$vdir/terms")
+
+  /** The query-pruned df lookup as a LAZY relation: sum the dictionary
+    * partials for exactly the probe's terms (a |terms|-row read), falling
+    * back to counting the posting rows themselves on a legacy index that
+    * predates `terms/`. `tf` must already be filtered to the query's
+    * terms. Deliberately NOT an eager collect: the caller broadcasts it
+    * inside the probe's ONE action, where broadcast futures materialize
+    * concurrently — a driver-side head()/collect() here would serialize
+    * a ~0.2 s planning+codegen mini-action per probe (measured), the
+    * opposite of the job-count fix it looks like. */
+  private def dfreqFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       terms: Seq[String], tf: DataFrame): DataFrame =
+    if (IndexLifecycle.tableExists(spark, s"$dir/terms"))
+      spark.read.parquet(s"$dir/terms")
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    else tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
   /**
    * BM25 over a prebuilt inverted index: identical results to
@@ -541,10 +574,13 @@ object TermStats {
     val tf =
       if (postings.columns.contains("dl")) tf0
       else tf0.join(spark.read.parquet(s"$dir/lengths"), Seq(keyCol))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // stats rows are ADDITIVE partials (one per build/append) — aggregate
-    // on read, the readGramIndex discipline, so appendTextIndex stays a
-    // pure append-mode write
+    // df from the terms/ dictionary (a |query|-row pruned read) where the
+    // artifact has one — removes the second full posting-list scan the
+    // df recount used to pay per probe. stats stays a lazy 1-row
+    // broadcast: it materializes concurrently with the other broadcast
+    // futures inside the probe's one action (the dfreqFor scaladoc's
+    // eager-collect trap)
+    val dfreq = dfreqFor(spark, dir, query, tf)
     val stats = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
     val avgdl = col("sdl").cast("double") / col("n").cast("double")
@@ -591,7 +627,16 @@ object TermStats {
     val tf =
       if (postings.columns.contains("dl")) tf0
       else tf0.join(spark.read.parquet(s"$dir/lengths"), Seq(keyCol))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df from the terms/ dictionary pruned to the batch's distinct terms
+    // (the single-query form's rule, relational because the batch
+    // vocabulary is a relation); stats stays a lazy 1-row broadcast (the
+    // dfreqFor scaladoc's eager-collect trap)
+    val dfreq =
+      if (IndexLifecycle.tableExists(spark, s"$dir/terms"))
+        spark.read.parquet(s"$dir/terms")
+          .join(broadcast(dict), Seq("term"), "left_semi")
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      else tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
     val avgdl = col("sdl").cast("double") / col("n").cast("double")
@@ -669,14 +714,22 @@ object TermStats {
       s"$indexPath is a pre-dl legacy index — appending would mix posting " +
         "schemas; rebuild with buildTextIndex first")
     val dl = batch.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
-    batch.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
+    val tf = batch.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
-      .join(dl, Seq(keyCol))
+    tf.join(dl, Seq(keyCol))
       .sortWithinPartitions(col("term"))
       .write.mode("append").parquet(s"$dir/postings")
     dl.write.mode("append").parquet(s"$dir/lengths")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .write.mode("append").parquet(s"$dir/stats")
+    // maintain the terms/ dictionary with the batch's own df partials —
+    // but ONLY where the build created one: writing partials into a
+    // legacy index with no base counts would serve undercounted df
+    // (readers sum whatever rows exist). Legacy indexes keep the
+    // recompute-from-postings fallback until their next rebuild.
+    if (IndexLifecycle.tableExists(batch.sparkSession, s"$dir/terms"))
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("append").parquet(s"$dir/terms")
   }
 
   /**
@@ -706,6 +759,10 @@ object TermStats {
     spark.read.parquet(s"$src/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
       .write.mode("overwrite").parquet(s"$vdir/stats")
+    // a compact is rebuild-grade: always (re)derive the terms/ dictionary
+    // from the compacted postings, which also upgrades a legacy index
+    // that predates it
+    writeTermsTable(spark, vdir)
     IndexLifecycle.flipPointer(spark, outPath, next)
   }
 

@@ -2017,6 +2017,55 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("legacy"))
   }
 
+  test("terms/ df dictionary: build writes it, append maintains additive " +
+       "partials, a dl-bearing index WITHOUT it serves via recount and " +
+       "append leaves it absent until compact upgrades") {
+    import graft.operators.{TermStats, IndexLifecycle}
+    val a = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")
+    val b = Seq((3L, "d d b"), (4L, "x y a")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-terms").toString
+    TermStats.buildTextIndex(a, "text", "doc_id", s"$dir/idx")
+    TermStats.appendTextIndex(b, "text", "doc_id", s"$dir/idx")
+    val vdir = TermStats.resolveIndexDir(spark, s"$dir/idx")
+    // summed partials must equal a recount over the grown postings
+    val fromTerms = spark.read.parquet(s"$vdir/terms")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recount = spark.read.parquet(s"$vdir/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromTerms == recount,
+      s"terms/ partials drifted from the postings recount: $fromTerms vs $recount")
+
+    // a dl-bearing index with NO terms/ (the r11 layout): serving falls
+    // back to the recount, append must NOT create undercounted partials
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-noterms").toString
+    TermStats.buildTextIndex(a, "text", "doc_id", s"$dir2/idx")
+    val v2 = TermStats.resolveIndexDir(spark, s"$dir2/idx")
+    val fsPath = new org.apache.hadoop.fs.Path(s"$v2/terms")
+    fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(fsPath, true)
+    TermStats.appendTextIndex(b, "text", "doc_id", s"$dir2/idx")
+    assert(!IndexLifecycle.tableExists(spark, s"$v2/terms"),
+      "append must not seed a partial-only terms/ on an index built without one")
+    val served = TermStats
+      .bm25TopKPrebuilt(spark, s"$dir2/idx", "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adhoc = graft.operators.TermStats
+      .bm25TopK(a.union(b), "text", "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == adhoc, s"no-terms fallback drifted: $served vs $adhoc")
+    // compact is rebuild-grade: it derives terms/ and results still match
+    TermStats.compactTextIndexInPlace(spark, s"$dir2/idx")
+    val v3 = TermStats.resolveIndexDir(spark, s"$dir2/idx")
+    assert(IndexLifecycle.tableExists(spark, s"$v3/terms"),
+      "compact must (re)derive the terms/ dictionary")
+    val afterCompact = TermStats
+      .bm25TopKPrebuilt(spark, s"$dir2/idx", "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterCompact == adhoc)
+  }
+
   test("bm25TopKBatch == bm25TopK per query (scores, ranking, tie-breaks)") {
     val docs = Seq(
       (1L, "a b a c"), (2L, "a c c"), (3L, "d d b"), (4L, "x y"))

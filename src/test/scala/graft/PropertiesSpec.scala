@@ -64,6 +64,36 @@ class PropertiesSpec extends SparkSpec {
       .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("TokenSlotsExpr/TokenSlotFoldExpr == hash32 Column chain on 200 " +
+       "random token arrays (incl. empty strings and non-ASCII)") {
+    import graft.functions.{TextFunctions => TF, TokenSlotFunctions => TS}
+    val B = 97 // prime, not a power of two — exercises the modulo honestly
+    val alphabet = Seq("a", "bb", "", "Zebra", "héllo", "日本語", "x#y", "...")
+    val texts = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString(" "))
+    val lut = Array.fill(B)(rnd.nextLong() % 1000000L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.zipWithIndex.map { case (s, i) => Row(i.toLong, s) }),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val lutCol = typedlit(lut.toSeq)
+    df.select(
+        TS.tokenSlots(TF.tokens(col("text")), B).as("fast"),
+        transform(TF.tokens(col("text")),
+          t => pmod(TF.hash32(t), lit(B.toLong))).as("ref"),
+        TS.tokenSlotFold(TF.tokens(col("text")), lut).as("fastSum"),
+        aggregate(TF.tokens(col("text")), lit(0L), (acc, t) =>
+          acc + element_at(lutCol,
+            (pmod(TF.hash32(t), lit(B.toLong)) + lit(1L)).cast(IntegerType)))
+          .as("refSum"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"slots diverged: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+        assert(r.getLong(2) == r.getLong(3),
+          s"fold diverged: ${r.getLong(2)} vs ${r.getLong(3)}")
+      }
+  }
+
   test("TokensContainPhrase == Scala sliding check on 300 random token arrays") {
     val vocab = Vector("a", "b", "c", "ab")
     def randToks() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))

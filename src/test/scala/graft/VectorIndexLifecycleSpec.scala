@@ -52,6 +52,34 @@ class VectorIndexLifecycleSpec extends SparkSpec {
       "append must change the candidate pool — batch rows never entered")
   }
 
+  test("append with a mismatched m is refused loudly (flat and ivf forms) " +
+       "— a shorter code array would silently corrupt ADC rankings") {
+    val idx = tmp("graft-pq-mguard")
+    Similarity.pqBuild(emb.filter(col("vec_id") >= 100), "embedding",
+      "vec_id", idx, m = 8, ksub = 16, dim = 64)
+    val batch = emb.filter(col("vec_id") < 100)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendPqIndex(batch, "embedding", "vec_id", idx,
+        m = 4, dim = 64)
+    }
+    assert(e.getMessage.contains("m=4") && e.getMessage.contains("m=8"),
+      s"refusal must name both widths: ${e.getMessage}")
+
+    val ivf = tmp("graft-pqivf-mguard")
+    Similarity.pqIvfBuild(emb.filter(col("vec_id") >= 100), "embedding",
+      "vec_id", ivf, m = 8, ksub = 16, dim = 64, nlist = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendPqIvfIndex(batch, "embedding", "vec_id", ivf,
+        m = 16, dim = 64)
+    }
+    assert(e2.getMessage.contains("m=16") && e2.getMessage.contains("m=8"))
+    // the matching m still appends fine after the refusals
+    Similarity.appendPqIndex(batch, "embedding", "vec_id", idx,
+      m = 8, dim = 64)
+    assert(rows(Similarity.pqTopKPrebuilt(spark, idx, "vec_id", queryVec, 5))
+      .nonEmpty)
+  }
+
   test("pq index rebuilds under a live reader: pre-rebuild DataFrame keeps " +
        "its version's files; vacuum drops only non-current versions") {
     val idx = tmp("graft-pq-cas")
