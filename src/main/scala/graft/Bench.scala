@@ -153,7 +153,12 @@ object Bench {
       // LAST line guaranteed to survive the tail whole: same shape, but the
       // queries map carries only the slowest entries (and every failure) up
       // to a byte budget — the complete map lives in bench_full.json.
-      val budget = 1500
+      // the driver keeps ~2 KB of stdout TAIL: this line must fit in it
+      // TOGETHER with whatever the build tool prints after it (sbt's
+      // "[success] Total time ..." epilogue, ~100 bytes) — round 11's
+      // 1500-byte budget left a ~1.8 KB line whose HEAD the window
+      // clipped, so the record's "parsed" came back null
+      val budget = 1000
       val slowFirst = results.sortBy { case (_, v) =>
         if (v < 0) Double.MinValue else -v // failures first, then slowest
       }

@@ -69,42 +69,103 @@ object Bpe {
    * Learn `merges` BPE merges from the corpus. Returns the ordered merge
    * list and the final token vocabulary with frequencies — both the
    * artifacts a tokenizer build consumes.
+   *
+   * BATCHED selection (the job-count fix for real tokenizer builds —
+   * 30k merges must not be 30k Spark actions): each corpus action
+   * collects the top `batchSize` pairs and accepts a PREFIX of them that
+   * is provably what sequential selection would pick, by two rules over
+   * the collected list alone:
+   *
+   *  - token disjointness: a candidate is only accepted while neither of
+   *    its tokens appears in an earlier accepted merge of this batch —
+   *    applying those merges then provably leaves the candidate's own
+   *    count unchanged (no shared adjacency can be created or destroyed);
+   *  - interference bound: a merge (a,b)→ab can CREATE pairs — (x,ab)
+   *    needs an (x,a) adjacency and (ab,y) needs (b,y), so every created
+   *    pair's count is bounded by the current count of an old pair with
+   *    t2 = a or t1 = b (chained products (ab_i, ab_j) reduce to (b_i,
+   *    a_j), the same bound). Old pairs NOT in the collected top-K are
+   *    bounded by the K-th count. A candidate is accepted only while its
+   *    count STRICTLY exceeds the running maximum of these bounds —
+   *    strict, because an equal-count created pair could win the
+   *    (cnt, t1, t2) tie-break. Destroyed/shrunk pairs only ever drop in
+   *    rank, so the collected order stays valid for the rest.
+   *
+   * The batch stops at the first rejection (sequential selection could
+   * diverge there), so `batchSize = 1` degenerates to the classic
+   * one-merge-per-action loop and every batch size learns the IDENTICAL
+   * merge sequence (BpeSpec-pinned). Zipfian corpora share letters across
+   * top pairs, so typical batches accept a few merges each — the job
+   * count drops by that factor, it does not divide perfectly by
+   * `batchSize`.
    */
   def train(docs: DataFrame, textCol: String,
-            merges: Int, checkpointEvery: Int = 16): (Seq[Merge], DataFrame) = {
+            merges: Int, checkpointEvery: Int = 16,
+            batchSize: Int = 16): (Seq[Merge], DataFrame) = {
     require(merges >= 0, "non-negative merge count")
     require(checkpointEvery >= 1, "positive checkpoint interval")
+    require(batchSize >= 1, "positive selection batch size")
     // iterations re-read the working table; vocabulary-bounded cache
     var repr = graft.CacheRegistry.track(initRepr(docs, textCol))
     val learned = Seq.newBuilder[Merge]
     var step = 0
-    while (step < merges) {
+    var exhausted = false
+    while (step < merges && !exhausted) {
       val top = pairCounts(repr)
         .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
-        .limit(1).collect()
-      if (top.isEmpty) { step = merges } // no pairs left (all words 1 token)
+        .limit(batchSize).collect()
+        .map(r => Merge(r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true // no pairs left (all words 1 token)
       else {
-        val m = Merge(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += m
-        repr = repr.withColumn("repr", replace(col("repr"),
-          lit(s" ${m.t1}  ${m.t2} "), lit(s" ${m.t1}${m.t2} ")))
-        step += 1
-        // a REAL tokenizer build runs tens of thousands of merges, and the
-        // naive loop would nest one `replace` per merge — expression depth
-        // grows linearly, so analyzer + codegen cost compounds
-        // quadratically and the plan eventually breaks the JVM method
-        // limit. Cut the lineage every `checkpointEvery` merges (the
-        // Clustering discipline): the working table is vocabulary-sized,
-        // so a localCheckpoint materialization is cheap, and the plan
-        // stays O(checkpointEvery) deep FOREVER regardless of merge count.
-        // Between cuts the frame is deliberately NOT cached: tracking a
-        // new persist per merge would accumulate O(merges) vocabulary
-        // copies in the block manager (none released until releaseAll),
-        // while recomputing ≤checkpointEvery map-only replaces over the
-        // materialized checkpoint is vocabulary-cheap by construction.
-        if (step % checkpointEvery == 0)
-          repr = org.apache.spark.sql.GraftBridge.dropLineageAndStats(
-            repr.localCheckpoint())
+        // pairs beyond the collected K can hold at most the K-th count;
+        // a short collect means the table is exhausted — nothing hides
+        val tailBound = if (top.length < batchSize) 0L else top.last.count
+        val used = scala.collection.mutable.Set.empty[String]
+        var interference = 0L
+        var stop = false
+        for (c <- top if !stop && step < merges) {
+          val disjoint = !used(c.t1) && !used(c.t2)
+          if (disjoint && (used.isEmpty || c.count > interference)) {
+            learned += c
+            val product = c.t1 + c.t2
+            used += c.t1; used += c.t2
+            // the product symbol is a token too: later candidates naming
+            // it would have boosted counts — exclude them like the parents
+            used += product
+            val neighborBound = top.iterator
+              .filter(p => p.t2 == c.t1 || p.t1 == c.t2)
+              .map(_.count).maxOption.getOrElse(0L)
+            // created pairs are bounded by neighborBound; an UNCOLLECTED
+            // old pair that happens to involve a token spelled `product`
+            // could additionally carry its own ≤ tailBound count on top —
+            // the sum covers both. A COLLECTED pair already naming the
+            // product symbol can be boosted past any bound we can compute
+            // from here, so the batch conservatively ends with this pick.
+            interference = math.max(interference, tailBound + neighborBound)
+            if (top.exists(p => p.t1 == product || p.t2 == product))
+              stop = true
+            repr = repr.withColumn("repr", replace(col("repr"),
+              lit(s" ${c.t1}  ${c.t2} "), lit(s" ${c.t1}${c.t2} ")))
+            step += 1
+            // a REAL tokenizer build runs tens of thousands of merges, and
+            // the naive loop would nest one `replace` per merge —
+            // expression depth grows linearly, so analyzer + codegen cost
+            // compounds quadratically and the plan eventually breaks the
+            // JVM method limit. Cut the lineage every `checkpointEvery`
+            // merges (the Clustering discipline): the working table is
+            // vocabulary-sized, so a localCheckpoint materialization is
+            // cheap, and the plan stays O(checkpointEvery) deep FOREVER
+            // regardless of merge count. Between cuts the frame is
+            // deliberately NOT cached: tracking a new persist per merge
+            // would accumulate O(merges) vocabulary copies in the block
+            // manager (none released until releaseAll), while recomputing
+            // ≤checkpointEvery map-only replaces over the materialized
+            // checkpoint is vocabulary-cheap by construction.
+            if (step % checkpointEvery == 0)
+              repr = org.apache.spark.sql.GraftBridge.dropLineageAndStats(
+                repr.localCheckpoint())
+          } else stop = true
+        }
       }
     }
     val vocab = repr

@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/**
+ * Point-in-time backup/restore BUNDLES for CAS-versioned artifacts — the
+ * engine's parity with the reference's `hydraidectl backup` / `restore`
+ * (reference `app/hydraidectl/cmd/backup.go:20-41`, `restore.go:41-120`:
+ * copy the instance's data tree out for disaster recovery, replace it on
+ * restore, keeping the displaced data until the restore is known-good).
+ *
+ * Here the unit of backup is one CAS-versioned artifact root — a snapshot
+ * table ([[Snapshots]], pointer file `_latest`) or a serving index
+ * ([[IndexLifecycle]]-managed: text/gram/signature/PQ artifacts, pointer
+ * file `_current`) — and the consistency story is STRONGER than the
+ * reference's stop-the-instance rule: version directories are immutable
+ * once their pointer flipped, so exporting `v=N` needs no quiescence at
+ * all (the no-stop backup the reference warns about is safe here by
+ * construction). Appends into the CURRENT version are the one exception,
+ * and the inventory check catches a file that changed size mid-copy.
+ *
+ * Torn-bundle discipline: the bundle's `_manifest` (header, pointer name,
+ * intended current version, version list, full file inventory with byte
+ * sizes) is written LAST — a bundle whose writer died mid-copy has no
+ * manifest and is refused by import; a bundle missing listed bytes (a
+ * partial transfer, a truncated file) is refused BEFORE anything is
+ * written to the target. This is the flip-pointer-last rule applied to
+ * the backup medium.
+ *
+ * Import safety (the restore.go `data.old.<ts>` rollback, strengthened by
+ * CAS): importing into a LIVE artifact never touches existing version
+ * directories — bundled versions land under FRESH version numbers and the
+ * pointer flips only after every file is in place, so a reader mid-query
+ * keeps its pre-import file list (the rebuild-under-live-reader pin) and
+ * rollback is `flipPointer(old)` + vacuum rather than a directory swap.
+ *
+ * Scale shape: export/import move bytes with per-file streamed copies on
+ * a bounded driver-side pool — file COUNT is bounded by the artifact's
+ * own layout (one artifact, a few versions, each sized-by-build), not by
+ * corpus rows. Cross-cluster DR of a multi-PB artifact estate would hand
+ * the same manifest to a distcp-class job; the manifest format is plain
+ * text precisely so external movers can verify it.
+ */
+object Bundles {
+
+  /** What a bundle holds / what an import produced: the pointer file name
+    * (`_current` vs `_latest`), the current version (post-remap for
+    * imports), every bundled/imported version, and the file/byte tally. */
+  final case class BundleInfo(pointerName: String, current: Long,
+                              versions: Seq[Long], files: Long, bytes: Long)
+
+  private val PointerNames = Seq("_current", "_latest")
+  private val ManifestName = "_manifest"
+  private val Header = "graft-bundle v1"
+  private val CopyThreads = 8
+
+  private def fsFor(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The artifact's pointer file (name, value), across both artifact
+    * families. */
+  private def pointer(f: FileSystem, root: String): Option[(String, Long)] =
+    PointerNames.iterator.flatMap { n =>
+      val p = new Path(s"$root/$n")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        s.toLongOption.map(n -> _)
+      }
+    }.nextOption()
+
+  private def listVersions(f: FileSystem, root: String): Seq[Long] = {
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toLongOption).sorted
+  }
+
+  /** Recursive (relativePath, bytes) inventory of one version dir. */
+  private def inventory(f: FileSystem, rootQ: String,
+                        dir: Path): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val s = st.getPath.toString
+      require(s.startsWith(rootQ + "/"),
+        s"listed file $s escapes the artifact root $rootQ")
+      out += s.stripPrefix(rootQ + "/") -> st.getLen
+    }
+    out.toSeq
+  }
+
+  /** Streamed per-file copies on a bounded pool; any failure propagates. */
+  private def copyFiles(srcFs: FileSystem, srcRootQ: String,
+                        dstFs: FileSystem, dstRoot: String,
+                        files: Seq[(String, String)]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(CopyThreads, math.max(1, files.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = files.map { case (srcRel, dstRel) =>
+        new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val in = srcFs.open(new Path(s"$srcRootQ/$srcRel"))
+            try {
+              val out = dstFs.create(new Path(s"$dstRoot/$dstRel"), false)
+              try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+              finally out.close()
+            } finally in.close()
+          }
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get()) // rethrow first failure
+    } finally pool.shutdown()
+  }
+
+  private def writePointerAtomic(spark: SparkSession, root: String,
+                                 name: String, value: Long): Unit = {
+    val f = fsFor(spark, root)
+    val tmp = new Path(s"$root/$name.tmp.${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(new Path(root).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(s"$root/$name"), Options.Rename.OVERWRITE)
+  }
+
+  /**
+   * Export a CAS-versioned artifact into a write-once bundle directory.
+   * Default = the CURRENT version only (point-in-time backup, the
+   * `hydraidectl backup` shape); `version = Some(n)` exports that pinned
+   * version; `allVersions = true` exports the whole history (pointer
+   * included), for estate migration. Refuses a legacy unversioned root
+   * (nothing immutable to copy — rebuild it under the CAS layout first)
+   * and an existing bundle path (bundles are write-once by contract).
+   */
+  def exportBundle(spark: SparkSession, artifactRoot: String,
+                   bundlePath: String, allVersions: Boolean = false,
+                   version: Option[Long] = None): BundleInfo = {
+    require(!(allVersions && version.nonEmpty),
+      "pass allVersions OR a pinned version, not both")
+    val f = fsFor(spark, artifactRoot)
+    val (pname, cur) = pointer(f, artifactRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"$artifactRoot has no CAS pointer (${PointerNames.mkString("/")}) " +
+          "— only versioned artifacts bundle; rebuild it under the " +
+          "versioned layout first"))
+    val versions: Seq[Long] =
+      if (allVersions) listVersions(f, artifactRoot)
+      else Seq(version.getOrElse(cur))
+    require(versions.nonEmpty, s"$artifactRoot holds no version directories")
+    versions.foreach(v => require(
+      f.exists(new Path(s"$artifactRoot/v=$v")),
+      s"requested version $v missing under $artifactRoot"))
+    // the version the restored artifact should point at: the live pointer
+    // when it's in the bundle, else the newest bundled version
+    val bundleCurrent = if (versions.contains(cur)) cur else versions.max
+    val bf = fsFor(spark, bundlePath)
+    require(!bf.exists(new Path(bundlePath)),
+      s"bundle target $bundlePath already exists — bundles are write-once")
+    val rootQ = f.makeQualified(new Path(artifactRoot)).toString
+    val inv = versions.flatMap(v =>
+      inventory(f, rootQ, new Path(s"$artifactRoot/v=$v")))
+    copyFiles(f, rootQ, bf, bundlePath, inv.map { case (p, _) => (p, p) })
+    // manifest LAST: its presence certifies a complete bundle
+    val lines = Seq(Header, s"pointer=$pname", s"current=$bundleCurrent") ++
+      versions.sorted.map(v => s"version=$v") ++
+      inv.sorted.map { case (p, n) => s"file\t$p\t$n" }
+    val out = bf.create(new Path(s"$bundlePath/$ManifestName"), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    BundleInfo(pname, bundleCurrent, versions.sorted, inv.size,
+      inv.map(_._2).sum)
+  }
+
+  /**
+   * Import a bundle into `targetRoot`. A torn bundle — no manifest, a
+   * listed file missing, or a byte-size mismatch — is refused BEFORE the
+   * target is touched. A fresh/empty target receives the bundled version
+   * numbers verbatim (the DR restore). A LIVE target is refused unless
+   * `overwrite = true`, and even then nothing existing is modified:
+   * bundled versions are renumbered after the target's newest (order
+   * preserved — version continuity) and the pointer flips to the imported
+   * current only once every file landed, so concurrent readers keep their
+   * pre-import version (the rebuild-under-live-reader guarantee; roll
+   * back by flipping the pointer to the old version). Importing a
+   * `_latest`-family bundle onto a `_current`-family artifact (or vice
+   * versa) is a category error and refused.
+   */
+  def importBundle(spark: SparkSession, bundlePath: String,
+                   targetRoot: String, overwrite: Boolean = false): BundleInfo = {
+    val bf = fsFor(spark, bundlePath)
+    val mp = new Path(s"$bundlePath/$ManifestName")
+    if (!bf.exists(mp)) throw new IllegalStateException(
+      s"$bundlePath has no $ManifestName — torn or foreign bundle " +
+        "(the manifest is written last; its absence means the export " +
+        "never completed)")
+    val in = bf.open(mp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    require(lines.headOption.contains(Header),
+      s"$bundlePath manifest is not a ${Header} manifest")
+    def field(k: String): String = lines
+      .collectFirst { case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=") }
+      .getOrElse(throw new IllegalStateException(
+        s"manifest missing required field '$k'"))
+    val pname = field("pointer")
+    require(PointerNames.contains(pname), s"unknown pointer family '$pname'")
+    val current = field("current").toLong
+    val versions = lines.filter(_.startsWith("version="))
+      .map(_.stripPrefix("version=").toLong)
+    val files = lines.filter(_.startsWith("file\t")).map { l =>
+      l.split('\t') match {
+        case Array(_, p, n) => (p, n.toLong)
+        case _ => throw new IllegalStateException(s"malformed manifest line: $l")
+      }
+    }
+    require(versions.nonEmpty && versions.contains(current),
+      "manifest names no versions or a current outside them")
+    // verify the inventory against the medium BEFORE touching the target
+    files.foreach { case (relp, len) =>
+      val p = new Path(s"$bundlePath/$relp")
+      if (!bf.exists(p)) throw new IllegalStateException(
+        s"torn bundle: $relp listed in the manifest but missing")
+      val got = bf.getFileStatus(p).getLen
+      if (got != len) throw new IllegalStateException(
+        s"torn bundle: $relp is $got bytes, manifest says $len")
+    }
+    val tf = fsFor(spark, targetRoot)
+    val existingPtr = pointer(tf, targetRoot)
+    val existingVersions = listVersions(tf, targetRoot)
+    val live = existingPtr.nonEmpty || existingVersions.nonEmpty
+    if (live && !overwrite) throw new IllegalArgumentException(
+      s"$targetRoot already holds a versioned artifact — pass " +
+        "overwrite=true to import on top (existing versions stay " +
+        "readable until vacuum)")
+    existingPtr.foreach { case (n, _) => require(n == pname,
+      s"pointer family mismatch: bundle is $pname, target uses $n — " +
+        "refusing to mix artifact families") }
+    // fresh target keeps the bundled numbers; a live one renumbers after
+    // its newest so history stays monotone
+    val base: Long =
+      if (!live) 0L
+      else math.max(existingPtr.map(_._2).getOrElse(0L),
+        existingVersions.maxOption.getOrElse(0L))
+    val remap: Map[Long, Long] =
+      if (!live) versions.map(v => v -> v).toMap
+      else versions.sorted.zipWithIndex.map { case (v, i) =>
+        v -> (base + i + 1)
+      }.toMap
+    def remapPath(p: String): String = {
+      val slash = p.indexOf('/')
+      require(slash > 0 && p.startsWith("v="),
+        s"bundle file outside a version dir: $p")
+      val v = p.substring(2, slash).toLong
+      s"v=${remap(v)}${p.substring(slash)}"
+    }
+    copyFiles(bf, bf.makeQualified(new Path(bundlePath)).toString,
+      tf, targetRoot, files.map { case (p, _) => (p, remapPath(p)) })
+    // flip LAST — the import becomes visible atomically or not at all
+    writePointerAtomic(spark, targetRoot, pname, remap(current))
+    BundleInfo(pname, remap(current), versions.map(remap).sorted,
+      files.size, files.map(_._2).sum)
+  }
+}

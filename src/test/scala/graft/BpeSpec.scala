@@ -76,6 +76,37 @@ class BpeSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("bpe: batched selection learns the IDENTICAL merge sequence as the " +
+       "sequential loop, in fewer Spark actions") {
+    // disjoint-alphabet word families so batches can accept several
+    // merges, plus shared-letter families that force the disjointness and
+    // interference rules to fire (partial batches) — and a product
+    // collision: 'ab' exists as a 2-char word while (a,b) merges
+    val d = docs(
+      "aa aa aa aa cc cc cc dd dd ee",
+      "ab ab ab a b a b a b",
+      "xy xy xz zx yx",
+      "pq pq qr rs st")
+    val many = 12
+    def jobs(): Int = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).length
+    graft.CacheRegistry.releaseAll()
+    val j0 = jobs()
+    val (seqMs, seqVocab) = Bpe.train(d, "text", many, batchSize = 1)
+    val seqJobs = jobs() - j0
+    graft.CacheRegistry.releaseAll()
+    val j1 = jobs()
+    val (batMs, batVocab) = Bpe.train(d, "text", many, batchSize = 16)
+    val batJobs = jobs() - j1
+    assert(batMs == seqMs,
+      s"batched selection diverged from sequential:\n$batMs\n$seqMs")
+    val sv = seqVocab.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val bv = batVocab.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(bv == sv)
+    assert(batJobs < seqJobs,
+      s"batching must cut the action count: batched=$batJobs sequential=$seqJobs")
+  }
+
   test("bpe: lineage-cut interval does not change results (regime equivalence)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val (mA, vA) = Bpe.train(d, "text", 5, checkpointEvery = 2)

@@ -1,0 +1,163 @@
+package graft
+
+import graft.operators.{Bundles, IndexLifecycle, Snapshots, TermStats}
+import org.apache.spark.sql.functions._
+
+/** Backup/restore bundle parity (reference backup.go/restore.go): export
+  * == import round trips on both artifact families, torn bundles refused
+  * before the target is touched, and the import-under-live-reader race
+  * closed by the flip-pointer-last discipline. */
+class BundlesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def bm25(idx: String): Seq[(Long, Double)] =
+    TermStats.bm25TopKPrebuilt(spark, idx, "doc_id", Seq("a", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("text-index bundle round trip: export current, import to a fresh " +
+       "root, identical probe results and version number") {
+    val docs = Seq((1L, "a b a c"), (2L, "a c c"), (3L, "d d b"))
+      .toDF("doc_id", "text")
+    val src = tmp("graft-bsrc") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    val want = bm25(src)
+
+    val bundle = tmp("graft-bdl") + "/b1"
+    val info = Bundles.exportBundle(spark, src, bundle)
+    assert(info.pointerName == "_current" && info.versions == Seq(1L) &&
+      info.current == 1L && info.files > 0 && info.bytes > 0)
+
+    val dst = tmp("graft-bdst") + "/idx"
+    val imported = Bundles.importBundle(spark, bundle, dst)
+    assert(imported.current == 1L && imported.versions == Seq(1L))
+    assert(IndexLifecycle.currentVersion(spark, dst).contains(1L))
+    assert(bm25(dst) == want, "restored index must serve identically")
+  }
+
+  test("snapshot bundle round trip (the _latest pointer family): read() " +
+       "and a version-pinned read come back equal") {
+    val dir = tmp("graft-bsnap") + "/snap"
+    Snapshots.commit(Seq((1L, "x"), (2L, "y")).toDF("k", "v"), dir)
+    Snapshots.commit(Seq((1L, "x2"), (3L, "z")).toDF("k", "v"), dir)
+    val want = Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    val bundle = tmp("graft-bdl2") + "/b"
+    val info = Bundles.exportBundle(spark, dir, bundle, allVersions = true)
+    assert(info.pointerName == "_latest" && info.versions == Seq(0L, 1L))
+
+    val dst = tmp("graft-bdst2") + "/snap"
+    Bundles.importBundle(spark, bundle, dst)
+    val got = Snapshots.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == want, s"restored snapshot drifted: $got vs $want")
+    // history travelled too: the pre-compaction version is readable
+    assert(Snapshots.read(spark, dst, Some(0L)).count() == 2)
+  }
+
+  test("torn bundles are refused before the target is touched: no " +
+       "manifest, missing file, size mismatch") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val src = tmp("graft-btorn") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+    // 1. manifest missing (writer died mid-copy)
+    val b1 = tmp("graft-bdl3") + "/b"
+    Bundles.exportBundle(spark, src, b1)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$b1/_manifest"), false)
+    val dst = tmp("graft-bdst3") + "/idx"
+    val e1 = intercept[IllegalStateException] {
+      Bundles.importBundle(spark, b1, dst)
+    }
+    assert(e1.getMessage.contains("_manifest"))
+
+    // 2. a listed file missing
+    val b2 = tmp("graft-bdl4") + "/b"
+    Bundles.exportBundle(spark, src, b2)
+    val victim = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$b2/v=1/postings"), true).next().getPath
+    fs.delete(victim, false)
+    val e2 = intercept[IllegalStateException] {
+      Bundles.importBundle(spark, b2, dst)
+    }
+    assert(e2.getMessage.contains("missing"))
+
+    // 3. size mismatch (truncated transfer)
+    val b3 = tmp("graft-bdl5") + "/b"
+    Bundles.exportBundle(spark, src, b3)
+    val victim3 = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$b3/v=1/postings"), true).next().getPath
+    val out = fs.create(victim3, true)
+    try out.write("short".getBytes("UTF-8")) finally out.close()
+    val e3 = intercept[IllegalStateException] {
+      Bundles.importBundle(spark, b3, dst)
+    }
+    assert(e3.getMessage.contains("bytes"))
+    // in all three cases the target was never created
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst)),
+      "a refused import must leave the target untouched")
+  }
+
+  test("import onto a LIVE artifact: refused without overwrite; with it, " +
+       "versions renumber after the target's newest, a concurrent reader " +
+       "keeps its pre-import files, and rollback is a pointer flip") {
+    val oldDocs = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")
+    val newDocs = Seq((7L, "a d d"), (8L, "d b")).toDF("doc_id", "text")
+    val live = tmp("graft-blive") + "/idx"
+    TermStats.buildTextIndex(oldDocs, "text", "doc_id", live)
+    val preImport = bm25(live)
+
+    val srcNew = tmp("graft-bnew") + "/idx"
+    TermStats.buildTextIndex(newDocs, "text", "doc_id", srcNew)
+    val wantNew = bm25(srcNew)
+    val bundle = tmp("graft-bdl6") + "/b"
+    Bundles.exportBundle(spark, srcNew, bundle)
+
+    intercept[IllegalArgumentException] {
+      Bundles.importBundle(spark, bundle, live)
+    }
+
+    // a reader that resolved the artifact BEFORE the import
+    val dir = IndexLifecycle.resolveDir(spark, live)
+    val liveReader = spark.read.parquet(s"$dir/postings")
+
+    val info = Bundles.importBundle(spark, bundle, live, overwrite = true)
+    assert(info.versions == Seq(2L) && info.current == 2L,
+      s"bundled v=1 must renumber to v=2 on the live target: $info")
+    assert(IndexLifecycle.currentVersion(spark, live).contains(2L))
+    assert(bm25(live) == wantNew, "post-import probes must serve the bundle")
+    // the pre-import reader still reads ITS version's files
+    assert(liveReader.count() > 0)
+    // rollback = flip back; the old version was never touched
+    IndexLifecycle.flipPointer(spark, live, 1L)
+    assert(bm25(live) == preImport, "rollback must restore pre-import results")
+  }
+
+  test("pinned-version export refuses a missing version; bundle paths are " +
+       "write-once; pointer-family mixing is refused") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val src = tmp("graft-bmisc") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    intercept[IllegalArgumentException] {
+      Bundles.exportBundle(spark, src, tmp("graft-bdl7") + "/b",
+        version = Some(99L))
+    }
+    val b = tmp("graft-bdl8") + "/b"
+    Bundles.exportBundle(spark, src, b)
+    intercept[IllegalArgumentException] {
+      Bundles.exportBundle(spark, src, b) // write-once
+    }
+    // a _current-family bundle cannot land on a _latest-family artifact
+    val snap = tmp("graft-bsnap2") + "/snap"
+    Snapshots.commit(Seq((1L, "x")).toDF("k", "v"), snap)
+    val e = intercept[IllegalArgumentException] {
+      Bundles.importBundle(spark, b, snap, overwrite = true)
+    }
+    assert(e.getMessage.contains("family"))
+  }
+}

@@ -181,6 +181,85 @@ class StreamingSpec extends SparkSpec {
     assert(latencyMs < 30000)
   }
 
+  test("changeFeedTws (transformWithState) == changeFeed event-for-event, " +
+       "including tombstone semantics, on the RocksDB store") {
+    import graft.streaming.StatefulFeed
+    import graft.streaming.StatefulFeed.Command
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(form: String): Set[(String, Long, String, Option[String], Option[String])] = {
+        val input = MemoryStream[Command]
+        val ds = input.toDS().repartition(4)
+        val feed = if (form == "tws") StatefulFeed.changeFeedTws(ds)
+                   else StatefulFeed.changeFeed(ds)
+        val q = feed.writeStream.outputMode("append").format("memory")
+          .queryName(s"tws_eq_$form").start()
+        input.addData(Command("a", 1, "U", "v1"), Command("b", 1, "U", "w1"),
+          Command("a", 2, "U", "v2"))
+        q.processAllAvailable()
+        input.addData(Command("a", 3, "D", ""), Command("b", 2, "U", "w1"),
+          Command("c", 5, "D", ""), Command("a", 4, "U", "v4"))
+        q.processAllAvailable()
+        // stale replay + resurrection guard: must be a no-op in both forms
+        input.addData(Command("a", 2, "U", "v2"), Command("c", 3, "U", "ghost"))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(s"tws_eq_$form")
+          .select("key", "seq", "_status", "value", "old_value")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+            Option(r.getString(3)), Option(r.getString(4)))).toSet
+      }
+      val v1 = run("v1")
+      val v2 = run("tws")
+      assert(v2 == v1, s"transformWithState feed drifted from v1:\n$v2\n$v1")
+      assert(v1.contains(("a", 4L, "NEW", Some("v4"), None)),
+        "post-tombstone upsert must emit NEW in both forms")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("subscribe: per-EVENT delivery; per-key order equals write order " +
+       "across micro-batches (the queue-consumer contract)") {
+    import graft.streaming.StatefulFeed
+    import graft.streaming.StatefulFeed.Command
+    implicit val sqlCtx = spark.sqlContext
+    StreamingSpecSink.q.clear()
+    val input = MemoryStream[Command]
+    val q = StatefulFeed.subscribe(
+      StatefulFeed.changeFeed(input.toDS().repartition(4)),
+      StreamingSpecSink.deliver).start()
+    val keys = Seq("a", "b", "c")
+    var seq = 0L
+    for (_ <- 1 to 5) { // 5 real micro-batch boundaries inside each history
+      input.addData(keys.flatMap { k =>
+        Seq({ seq += 1; Command(k, seq, "U", s"$k$seq") },
+            { seq += 1; Command(k, seq, "U", s"$k$seq") })
+      })
+      q.processAllAvailable()
+    }
+    q.stop()
+    val delivered = StreamingSpecSink.q.toArray(Array.empty[StatefulFeed.Change]).toSeq
+    assert(delivered.size == keys.size * 10,
+      s"expected one delivery per write: ${delivered.size}")
+    for (k <- keys) {
+      val evs = delivered.filter(_.key == k)
+      assert(evs.map(_.seq) == evs.map(_.seq).sorted,
+        s"key $k delivered out of write order: ${evs.map(_.seq)}")
+      evs.sliding(2).foreach {
+        case Seq(p, c) => assert(c.old_value == p.value,
+          s"key $k value chain broke at seq ${c.seq}")
+        case _ => ()
+      }
+    }
+  }
+
   test("dedupStream: first arrival wins across micro-batches; state evicts past watermark") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
@@ -1145,3 +1224,11 @@ class StreamingSpec extends SparkSpec {
 /** Top-level: Dataset deserialization (.as[KV2]) cannot encode an
   * inner class without its outer scope. */
 case class KV2(key: String, v: Double)
+
+/** Static per-JVM sink for the per-event subscribe pin: the ForeachWriter
+  * closure ships to executors, so the collection point must be reachable
+  * statically (local[32] = same JVM). */
+object StreamingSpecSink {
+  val q = new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.StatefulFeed.Change]()
+  def deliver(c: graft.streaming.StatefulFeed.Change): Unit = { q.add(c); () }
+}
