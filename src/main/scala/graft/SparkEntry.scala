@@ -596,6 +596,22 @@ object SparkEntry {
       path
     })
 
+  /** One backup/restore round trip per (session, dir): export the text
+    * index to a write-once bundle, import it to a fresh root, serve from
+    * the RESTORED copy (q_bundle_restore's fixture — the hydraidectl
+    * backup/restore parity path exercised end-to-end per run). */
+  private val bundleRestoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bundleRestorePath(s: SparkSession, d: String): String =
+    bundleRestoreCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_bundle_")
+      val bundle = base.resolve("bundle").toString
+      val restored = base.resolve("restored").toString
+      operators.Bundles.exportBundle(s, textIndexPath(s, d), bundle)
+      operators.Bundles.importBundle(s, bundle, restored)
+      restored
+    })
+
   /** One positional phrase-index build per (session, dir) — the prebuilt
     * phrase-search fixture (same lifecycle discipline as [[pqIndexPath]]). */
   private val phraseIndexCache =
@@ -2774,6 +2790,18 @@ object SparkEntry {
         Seq("data", "spark", "index"), k = 20),
       Some(sqlBm25)),
 
+    Q("q_bundle_restore", // disaster-recovery parity gate (hydraidectl
+      // backup/restore, reference backup.go:20-41): the text index is
+      // EXPORTED to a write-once bundle (manifest-last, torn-refusal)
+      // and IMPORTED to a fresh root, and the probe serves from the
+      // RESTORED artifact — identical results to q_bm25_prebuilt by the
+      // round-trip contract, so the same oracle differentially proves
+      // restore fidelity cross-engine. Export+import run once per
+      // (session, sf) fixture; the timed query is the probe itself.
+      (s, d) => TermStats.bm25TopKPrebuilt(s, bundleRestorePath(s, d),
+        "doc_id", Seq("data", "spark", "index"), k = 20),
+      Some(sqlBm25)),
+
     Q("q_hybrid_rrf", // hybrid retrieval: reciprocal-rank fusion (Cormack
       // 2009, k0=60) of the BM25 keyword ranking and the vector cosine
       // ranking over the shared id space — the standard BM25+ANN hybrid
@@ -2847,11 +2875,11 @@ object SparkEntry {
         val vecQs = t(s, d, "embeddings").filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("embedding"))
         val text = TermStats.bm25TopKBatchPrebuilt(s, textIndexPath(s, d),
-          "doc_id", textQs, "qid", "terms", k = 20)
+          "doc_id", textQs, "qid", "terms", k = 20, rankCol = Some("_rank"))
         val vec = Similarity.pqTopKBatchPrebuilt(s, pqIndexPath(s, d),
-          vecQs, "qid", "embedding", "vec_id", k = 20)
-        TermStats.rrfFuseBatch(text, "qid", "doc_id", "bm25",
-          vec, "vec_id", "score", k = 10)
+          vecQs, "qid", "embedding", "vec_id", k = 20, rankCol = Some("_rank"))
+        TermStats.rrfFuseBatchRanked(text, "qid", "doc_id", "_rank",
+          vec, "vec_id", "_rank", k = 10)
       },
       Some(sqlHybridBatch)),
 

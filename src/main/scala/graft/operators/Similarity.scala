@@ -1165,7 +1165,8 @@ object Similarity {
                           indexPath: String, queries: DataFrame,
                           queryKeyCol: String, queryVecCol: String,
                           outKey: String, k: Int, m: Int = 8, dim: Int = 64,
-                          scale: Double = 1e6): DataFrame = {
+                          scale: Double = 1e6,
+                          rankCol: Option[String] = None): DataFrame = {
     val dir = IndexLifecycle.resolveDir(spark, indexPath)
     require(m >= 1 && dim % m == 0,
       s"dim $dim must divide into m=$m subspaces")
@@ -1206,8 +1207,11 @@ object Similarity {
         round(col("_si").cast("double") / lit(scale * scale), 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_qid")).orderBy(col("score").desc, col("key").asc)
+    // rankCol: the ranked handoff for rrfFuseBatchRanked (see the BM25
+    // batch kernel's note) — same rank the fuse would recompute
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
-      .select(col("_qid").as(queryKeyCol), col("key").as(outKey), col("score"))
+      .select(Seq(col("_qid").as(queryKeyCol), col("key").as(outKey),
+        col("score")) ++ rankCol.map(rc => col("_rn").as(rc)): _*)
   }
 }

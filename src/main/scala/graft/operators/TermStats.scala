@@ -617,7 +617,8 @@ object TermStats {
                             indexPath: String, keyCol: String,
                             queries: DataFrame, queryKeyCol: String,
                             termsCol: String, k: Int, k1: Double = 1.2,
-                            b: Double = 0.75): DataFrame = {
+                            b: Double = 0.75,
+                            rankCol: Option[String] = None): DataFrame = {
     val dir = resolveIndexDir(spark, indexPath)
     val qterms = queries.select(col(queryKeyCol).as("_qid"),
       explode(array_distinct(col(termsCol))).as("term"))
@@ -651,9 +652,13 @@ object TermStats {
       .agg(round(sum(col("_ts")).cast("double") / 1e6, 6).as("bm25"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_qid")).orderBy(col("bm25").desc, col(keyCol).asc)
+    // rankCol exposes the ranking window's own row_number (the exact rank
+    // rrfFuseBatch would re-derive with one more window per side — the
+    // ranked handoff saves those exchanges in the hybrid serving plan)
     perDoc.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
-      .select(col("_qid").as(queryKeyCol), col(keyCol), col("bm25"))
+      .select(Seq(col("_qid").as(queryKeyCol), col(keyCol), col("bm25")) ++
+        rankCol.map(rc => col("_rn").as(rc)): _*)
   }
 
   /**
@@ -678,6 +683,37 @@ object TermStats {
     }
     val ra = ranked(a, aKey, aScore, "_ra")
     val rb = ranked(b, bKey, bScore, "_rb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("rrf").desc, col("_key").asc)
+    ra.join(rb, Seq("_qid", "_key"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("_ra")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k0) + col("_rb")), lit(0.0)), 6))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as(qidCol), col("_key").as(aKey), col("rrf"))
+  }
+
+  /**
+   * [[rrfFuseBatch]] for PRE-RANKED inputs — the ranked handoff: both
+   * retrieval kernels already rank their candidates under exactly the
+   * ordering the fusion needs (score DESC, key ASC — that window IS how
+   * their top-k is cut), so when the caller passes those ranks through
+   * (`rankCol` on [[bm25TopKBatchPrebuilt]] /
+   * [[Similarity.pqTopKBatchPrebuilt]]) the fusion skips its two
+   * re-ranking windows and pays ONE window (the final per-query top-k)
+   * instead of three. Results are identical to [[rrfFuseBatch]] by
+   * construction — re-ranking a kernel's kept top-k rows under the same
+   * ordering reproduces ranks 1..k — and the equality is unit-pinned.
+   */
+  def rrfFuseBatchRanked(a: DataFrame, qidCol: String, aKey: String,
+                         aRank: String, b: DataFrame, bKey: String,
+                         bRank: String, k: Int, k0: Int = 60): DataFrame = {
+    require(k0 >= 1, "rank constant k0 must be >= 1")
+    val ra = a.select(col(qidCol).as("_qid"), col(aKey).as("_key"),
+      col(aRank).as("_ra"))
+    val rb = b.select(col(qidCol).as("_qid"), col(bKey).as("_key"),
+      col(bRank).as("_rb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_qid")).orderBy(col("rrf").desc, col("_key").asc)
     ra.join(rb, Seq("_qid", "_key"), "full_outer")

@@ -1897,6 +1897,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuseBatchRanked over kernel-supplied ranks == rrfFuseBatch over " +
+       "scores (the ranked handoff drops two windows, changes nothing)") {
+    // ranks computed exactly as the kernels cut their top-k: score DESC,
+    // key ASC within each qid — including a tie (7/8 at 4.0, key breaks)
+    val a = Seq((10L, 1L, 9.0), (10L, 2L, 5.0), (10L, 3L, 1.0),
+      (20L, 7L, 4.0), (20L, 8L, 4.0)).toDF("qid", "k", "sa")
+    val b = Seq((10L, 2L, 0.9), (10L, 4L, 0.8),
+      (20L, 8L, 0.5), (20L, 9L, 0.4)).toDF("qid", "k", "sb")
+    def ranked(df: org.apache.spark.sql.DataFrame, sc: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy(col(sc).desc, $"k".asc)
+      df.withColumn("_rank", row_number().over(w))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val viaScores = canon(graft.operators.TermStats
+      .rrfFuseBatch(a, "qid", "k", "sa", b, "k", "sb", k = 10))
+    val viaRanks = canon(graft.operators.TermStats
+      .rrfFuseBatchRanked(ranked(a, "sa"), "qid", "k", "_rank",
+        ranked(b, "sb"), "k", "_rank", k = 10))
+    assert(viaRanks == viaScores,
+      s"ranked handoff drifted:\n$viaRanks\n$viaScores")
+  }
+
   test("bm25TopKBatchPrebuilt == bm25TopKPrebuilt per query over one build") {
     val docs = Seq((1L, "a b a c"), (2L, "a c c"), (3L, "d d b"),
       (4L, "x y a"), (5L, "b b d")).toDF("doc_id", "text")
