@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /**
  * Point-in-time backup/restore BUNDLES for CAS-versioned artifacts — the
@@ -59,17 +59,10 @@ object Bundles {
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The artifact's pointer file (name, value), across both artifact
-    * families. */
-  private def pointer(f: FileSystem, root: String): Option[(String, Long)] =
+    * families — [[IndexLifecycle.currentVersionAt]] per candidate name. */
+  private def pointer(spark: SparkSession, root: String): Option[(String, Long)] =
     PointerNames.iterator.flatMap { n =>
-      val p = new Path(s"$root/$n")
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        s.toLongOption.map(n -> _)
-      }
+      IndexLifecycle.currentVersionAt(spark, root, n).map(n -> _)
     }.nextOption()
 
   private def listVersions(f: FileSystem, root: String): Seq[Long] = {
@@ -119,16 +112,6 @@ object Bundles {
     } finally pool.shutdown()
   }
 
-  private def writePointerAtomic(spark: SparkSession, root: String,
-                                 name: String, value: Long): Unit = {
-    val f = fsFor(spark, root)
-    val tmp = new Path(s"$root/$name.tmp.${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(new Path(root).toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new Path(s"$root/$name"), Options.Rename.OVERWRITE)
-  }
 
   /**
    * Export a CAS-versioned artifact into a write-once bundle directory.
@@ -145,7 +128,7 @@ object Bundles {
     require(!(allVersions && version.nonEmpty),
       "pass allVersions OR a pinned version, not both")
     val f = fsFor(spark, artifactRoot)
-    val (pname, cur) = pointer(f, artifactRoot).getOrElse(
+    val (pname, cur) = pointer(spark, artifactRoot).getOrElse(
       throw new IllegalArgumentException(
         s"$artifactRoot has no CAS pointer (${PointerNames.mkString("/")}) " +
           "— only versioned artifacts bundle; rebuild it under the " +
@@ -167,6 +150,18 @@ object Bundles {
     val inv = versions.flatMap(v =>
       inventory(f, rootQ, new Path(s"$artifactRoot/v=$v")))
     copyFiles(f, rootQ, bf, bundlePath, inv.map { case (p, _) => (p, p) })
+    // re-verify the copied bytes against the inventory BEFORE the manifest
+    // certifies anything: a file that grew mid-copy (an append into the
+    // CURRENT version racing the export) would otherwise produce a bundle
+    // whose unrestorability is discovered at RESTORE time — during the
+    // disaster, not during the backup
+    inv.foreach { case (relp, len) =>
+      val got = bf.getFileStatus(new Path(s"$bundlePath/$relp")).getLen
+      if (got != len) throw new IllegalStateException(
+        s"export raced a writer: $relp was $len bytes at inventory, " +
+          s"$got after copy — re-run the export (or export a pinned " +
+          "non-current version, which is immutable)")
+    }
     // manifest LAST: its presence certifies a complete bundle
     val lines = Seq(Header, s"pointer=$pname", s"current=$bundleCurrent") ++
       versions.sorted.map(v => s"version=$v") ++
@@ -232,9 +227,20 @@ object Bundles {
         s"torn bundle: $relp is $got bytes, manifest says $len")
     }
     val tf = fsFor(spark, targetRoot)
-    val existingPtr = pointer(tf, targetRoot)
+    val existingPtr = pointer(spark, targetRoot)
     val existingVersions = listVersions(tf, targetRoot)
     val live = existingPtr.nonEmpty || existingVersions.nonEmpty
+    // a LEGACY FLAT artifact (tables directly under the root, no pointer,
+    // no v= dirs) is not importable-onto at all: dropping a v=1 + pointer
+    // beside its tables would silently re-route every resolveDir reader
+    // to the bundle's data with no consent path — the overwrite flag only
+    // covers CAS-versioned targets, whose old versions stay readable
+    if (!live && tf.exists(new Path(targetRoot)) &&
+        tf.listStatus(new Path(targetRoot)).nonEmpty)
+      throw new IllegalArgumentException(
+        s"$targetRoot holds a legacy flat (unversioned) artifact — " +
+          "importing beside it would hijack its readers; rebuild it under " +
+          "the CAS layout first, or import to a fresh root")
     if (live && !overwrite) throw new IllegalArgumentException(
       s"$targetRoot already holds a versioned artifact — pass " +
         "overwrite=true to import on top (existing versions stay " +
@@ -263,7 +269,9 @@ object Bundles {
     copyFiles(bf, bf.makeQualified(new Path(bundlePath)).toString,
       tf, targetRoot, files.map { case (p, _) => (p, remapPath(p)) })
     // flip LAST — the import becomes visible atomically or not at all
-    writePointerAtomic(spark, targetRoot, pname, remap(current))
+    // (IndexLifecycle's atomic write-temp + rename + stale-tmp sweep, so a
+    // crashed earlier import's pointer debris is also cleaned here)
+    IndexLifecycle.flipPointerAt(spark, targetRoot, pname, remap(current))
     BundleInfo(pname, remap(current), versions.map(remap).sorted,
       files.size, files.map(_._2).sum)
   }

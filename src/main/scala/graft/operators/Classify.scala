@@ -106,9 +106,13 @@ object Classify {
       coalesce(sum(when(!col(labelCol), TF.tokenCount(col(textCol)))), lit(0L)).as("_N"))
       .head()
     val (pd, nd, p, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val bias = math.round(math.log((pd + 1.0) / (nd + 1.0)) * 1e6)
-    val floor = math.round((math.log(1.0 / (p + buckets.toDouble)) -
-      math.log(1.0 / (n + buckets.toDouble))) * 1e6)
+    // roundScaled, NOT math.round: one rounding rule across the fused and
+    // unfused fits — math.round's half-toward-+infinity disagrees with
+    // Spark/DuckDB HALF_UP on negative exact-.5 boundaries, which would
+    // break the pinned nbFit == nbTrain+nbConstants equality on such data
+    val bias = roundScaled(math.log((pd + 1.0) / (nd + 1.0)))
+    val floor = roundScaled(math.log(1.0 / (p + buckets.toDouble)) -
+      math.log(1.0 / (n + buckets.toDouble)))
     (bias, floor)
   }
 

@@ -1002,7 +1002,11 @@ object Dedup {
     val exactPairs = a.join(b, col("_ka") < col("_kb"))
       .filter(size(array_union(col("_sa"), col("_sb"))) > 0 && j >= threshold)
       .select(lit(-1).as("_nh"), lit(-1).as("_bands"))
-    val countsByConfig = configs.map { case (nh, bands) =>
+    // configs.distinct: a repeated (nh, bands) entry must not contribute
+    // two identical branches to one group — the groupBy would sum them
+    // into a doubled n_found (recall > 1); the per-entry output rows below
+    // still repeat per the caller's list, each reading the one true count
+    val countsByConfig = configs.distinct.map { case (nh, bands) =>
         lshPairsFrom(sigByNh(nh), keyCol, nh, bands, threshold)
           .select(lit(nh).as("_nh"), lit(bands).as("_bands"))
       }.foldLeft(exactPairs)(_ union _)

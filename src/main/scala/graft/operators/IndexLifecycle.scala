@@ -31,9 +31,16 @@ object IndexLifecycle {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Latest committed version, None for a legacy flat layout. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    currentVersionAt(spark, root, "_current")
+
+  /** [[currentVersion]] generalized over the pointer file name — the
+    * snapshot family uses `_latest`; [[graft.operators.Bundles]] round
+    * trips both families through this one reader. */
+  def currentVersionAt(spark: SparkSession, root: String,
+                       pointerName: String): Option[Long] = {
     val f = fs(spark, root)
-    val p = new org.apache.hadoop.fs.Path(s"$root/_current")
+    val p = new org.apache.hadoop.fs.Path(s"$root/$pointerName")
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
@@ -64,27 +71,35 @@ object IndexLifecycle {
     * `_current.tmp.*` debris a previous writer left by dying between
     * create and rename — safe under the single-writer contract, and
     * without it crashed-flip temp files would accumulate forever. */
-  def flipPointer(spark: SparkSession, root: String, next: Long): Unit = {
+  def flipPointer(spark: SparkSession, root: String, next: Long): Unit =
+    flipPointerAt(spark, root, "_current", next)
+
+  /** [[flipPointer]] generalized over the pointer file name (same atomic
+    * write-temp + rename-overwrite + stale-tmp sweep for `_latest`-family
+    * artifacts — [[graft.operators.Bundles]] imports flip through this). */
+  def flipPointerAt(spark: SparkSession, root: String, pointerName: String,
+                    next: Long): Unit = {
     val f = fs(spark, root)
-    sweepStaleTmp(f, root)
+    sweepStaleTmp(f, root, pointerName)
     val tmp = new org.apache.hadoop.fs.Path(
-      s"$root/_current.tmp.${java.util.UUID.randomUUID()}")
+      s"$root/$pointerName.tmp.${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     org.apache.hadoop.fs.FileContext
       .getFileContext(new org.apache.hadoop.fs.Path(root).toUri,
         spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_current"),
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/$pointerName"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def sweepStaleTmp(f: org.apache.hadoop.fs.FileSystem,
-                            root: String): Unit = {
+                            root: String,
+                            pointerName: String = "_current"): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (f.exists(rootPath))
       f.listStatus(rootPath).toSeq
         .filter(s => !s.isDirectory &&
-          s.getPath.getName.startsWith("_current.tmp."))
+          s.getPath.getName.startsWith(s"$pointerName.tmp."))
         .foreach(s => f.delete(s.getPath, false))
   }
 

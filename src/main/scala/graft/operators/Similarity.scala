@@ -1175,17 +1175,22 @@ object Similarity {
     // _codebook table exploded to m·ksub rows in the plan, not a driver
     // collect: the serving probe then has NO eager construction-time
     // action at all; the codebook read rides the luts broadcast future
-    // inside the one main job (the TermStats.dfreqFor discipline). Rows
-    // whose width disagrees with the declared dim slice to empty/short
-    // subvectors and are refused by the width filter below — a mismatched
-    // (m, dim) yields zero LUT rows (⇒ empty result), never silent
-    // garbage rankings.
+    // inside the one main job (the TermStats.dfreqFor discipline). A row
+    // whose width disagrees with the declared dim raises IN the plan
+    // (raise_error is non-foldable, so the guard survives optimization) —
+    // the loud-refusal discipline of the requireMatchingM append guard;
+    // silently dropping mismatched rows would serve an EMPTY vector
+    // ranking and a hybrid pipeline would degrade to BM25-only unnoticed.
+    val rowChecked = when(size(col("row")) === dim, col("row"))
+      .otherwise(raise_error(concat(
+        lit("codebook row width "), size(col("row")).cast("string"),
+        lit(s" does not match the declared dim=$dim — wrong (m, dim) for " +
+          "this index"))))
     val cbDf = spark.read.parquet(s"$dir/_codebook")
-      .filter(size(col("row")) === dim)
       .select(col("c").as("_c"),
         explode(transform(sequence(lit(0), lit(m - 1)),
           s => struct(s.as("s"),
-            slice(col("row"), s * sd + 1, lit(sd)).as("cv")))).as("_e"))
+            slice(rowChecked, s * sd + 1, lit(sd)).as("cv")))).as("_e"))
       .select(col("_e.s").as("_s"), col("_c"), col("_e.cv").as("_cv"))
     val qis = queries.filter(size(col(queryVecCol)) === dim)
       .select(col(queryKeyCol).as("_qid"),

@@ -151,11 +151,23 @@ object StatefulFeed {
   private class FeedProcessor(tombstoneTtlMs: Option[Long])
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Command, Change] {
     @transient private var kv: org.apache.spark.sql.streaming.ValueState[KV] = _
+    // processing-time ms when the CURRENT tombstone was armed — timers are
+    // fire-and-forget, so a key tombstoned, revived, and tombstoned again
+    // still has the FIRST timer pending; an expiry may only clear state
+    // once the LATEST tombstone's own TTL has fully elapsed, or a stale
+    // timer would GC a younger tombstone early and let a replayed old
+    // upsert resurrect the key (the exactly-once violation the tombstone
+    // exists to prevent)
+    @transient private var tombstonedAt: org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
-                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       kv = getHandle.getValueState[KV]("kv", kvEnc,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      if (tombstoneTtlMs.isDefined)
+        tombstonedAt = getHandle.getValueState[Long]("tombstonedAt",
+          Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[Command],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Change] = {
@@ -163,8 +175,13 @@ object StatefulFeed {
         rows, if (kv.exists()) Some(kv.get()) else None)
       cur.foreach { s =>
         kv.update(s)
-        if (s.value == null) tombstoneTtlMs.foreach(ttl =>
-          getHandle.registerTimer(timers.getCurrentProcessingTimeInMs + ttl))
+        tombstoneTtlMs.foreach { ttl =>
+          if (s.value == null) {
+            val now = timers.getCurrentProcessingTimeInMs
+            tombstonedAt.update(now)
+            getHandle.registerTimer(now + ttl)
+          } else if (tombstonedAt.exists()) tombstonedAt.clear()
+        }
       }
       out.iterator
     }
@@ -172,9 +189,14 @@ object StatefulFeed {
     override def handleExpiredTimer(key: String,
         timers: org.apache.spark.sql.streaming.TimerValues,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Change] = {
-      // clear ONLY a still-tombstoned key: a live value written after the
-      // timer was armed must survive its stale timer
-      if (kv.exists() && kv.get().value == null) kv.clear()
+      // clear ONLY a tombstone whose OWN ttl elapsed: a stale timer from an
+      // earlier tombstone (or one armed before a revive) must be a no-op —
+      // the latest tombstone's own timer will do the GC at the right time
+      val expired = tombstoneTtlMs.exists(ttl =>
+        kv.exists() && kv.get().value == null &&
+          tombstonedAt.exists() &&
+          timers.getCurrentProcessingTimeInMs >= tombstonedAt.get() + ttl)
+      if (expired) { kv.clear(); tombstonedAt.clear() }
       Iterator.empty
     }
   }

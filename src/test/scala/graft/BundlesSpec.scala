@@ -138,6 +138,26 @@ class BundlesSpec extends SparkSpec {
     assert(bm25(live) == preImport, "rollback must restore pre-import results")
   }
 
+  test("import refuses a LEGACY FLAT target outright: dropping v=1 + a " +
+       "pointer beside unversioned tables would hijack its readers") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val src = tmp("graft-bflat-src") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    val bundle = tmp("graft-bdl9") + "/b"
+    Bundles.exportBundle(spark, src, bundle)
+    // hand-build a legacy FLAT artifact (tables directly under the root)
+    val flat = tmp("graft-bflat") + "/idx"
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .write.parquet(s"$flat/postings")
+    val e = intercept[IllegalArgumentException] {
+      Bundles.importBundle(spark, bundle, flat, overwrite = true)
+    }
+    assert(e.getMessage.contains("flat"), e.getMessage)
+    // the flat artifact is untouched: no pointer, no v= dir appeared
+    assert(IndexLifecycle.currentVersion(spark, flat).isEmpty)
+    assert(TermStats.resolveIndexDir(spark, flat) == flat)
+  }
+
   test("pinned-version export refuses a missing version; bundle paths are " +
        "write-once; pointer-family mixing is refused") {
     val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
