@@ -410,6 +410,7 @@ class PlanSpec extends SparkSpec {
       "q_sketch_union", // 1-row merged-sketch x 1-row exact count
       "q_lm_score", // 1-row LM denominator + 1-row OOV floor broadcasts
       "q_bm25", "q_bm25_batch", "q_bm25_prebuilt", // 1-row (N, Σdl) stats broadcast (the tfidf shape)
+      "q_bundle_restore", // q_bm25_prebuilt served from a restored bundle (same shape)
       "q_hybrid_rrf", // embeds the q_bm25 subplan (same 1-row stats broadcast)
       "q_hybrid_prebuilt", // embeds the q_bm25_prebuilt subplan (same shape)
       "q_hybrid_batch", // same stats broadcast + the bounded |q|·m·ksub
