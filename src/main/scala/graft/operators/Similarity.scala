@@ -176,18 +176,38 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$vdir/_centroids")
   }
 
+  /**
+   * Per-(version dir) memo for the frozen model tables a probe must hold
+   * as driver literals (codebooks, centroids): `_codebook`/`_centroids`
+   * are written once per `v=N` and NEVER modified inside it (appends only
+   * grow `codes/` — the frozen-codebook contract), so the collected array
+   * is immutable for the lifetime of the key and a repeated serving probe
+   * skips the ~0.1-0.2 s planning+codegen mini-action the collect costs
+   * (the BENCH_NOTES eager-collect finding, applied to the one collect
+   * that MUST stay eager because the ADC kernel needs a literal LUT).
+   * A rebuild flips the pointer to a NEW v=N+1 → a new key; bounded by a
+   * size cap so a build-heavy test session cannot hoard.
+   */
+  private val modelMemo =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  private def memoized[T <: AnyRef](key: String)(load: => T): T = {
+    if (modelMemo.size > 256) modelMemo.clear() // crude cap; reload is cheap
+    modelMemo.getOrElseUpdate(key, load).asInstanceOf[T]
+  }
+
   /** Bounded nlist-row collect — the codebook-collect contract class. */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
-                            vdir: String): Array[Array[Float]] = {
-    val p = s"$vdir/_centroids"
-    require(new org.apache.hadoop.fs.Path(p).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(p)),
-      s"$vdir has no _centroids table — a pre-versioning legacy index " +
-        "cannot be appended to; rebuild with ivfBuild/ivfBuildWith first")
-    spark.read.parquet(p).orderBy(col("i")).collect()
-      .map(_.getSeq[Float](1).toArray)
-  }
+                            vdir: String): Array[Array[Float]] =
+    memoized(s"centroids|$vdir") {
+      val p = s"$vdir/_centroids"
+      require(new org.apache.hadoop.fs.Path(p).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(p)),
+        s"$vdir has no _centroids table — a pre-versioning legacy index " +
+          "cannot be appended to; rebuild with ivfBuild/ivfBuildWith first")
+      spark.read.parquet(p).orderBy(col("i")).collect()
+        .map(_.getSeq[Float](1).toArray)
+    }
 
   /** [[ivfTopKPrebuilt]] against an index built with explicit (e.g.
     * trained) centroids: the probe set derives from the SAME centroid
@@ -1123,12 +1143,16 @@ object Similarity {
       m, dim, scale)
   }
 
-  /** Bounded ksub-row collect — the documented codebook contract. */
+  /** Bounded ksub-row collect — the documented codebook contract;
+    * memoized per version dir (the [[readCentroids]] rationale: frozen
+    * within a version, a new version is a new key). */
   private def readCodebook(spark: org.apache.spark.sql.SparkSession,
                            vdir: String): Array[Array[Long]] =
-    spark.read.parquet(s"$vdir/_codebook")
-      .orderBy(col("c")).collect()
-      .map(_.getSeq[Long](1).toArray)
+    memoized(s"codebook|$vdir") {
+      spark.read.parquet(s"$vdir/_codebook")
+        .orderBy(col("c")).collect()
+        .map(_.getSeq[Long](1).toArray)
+    }
 
   /** The steady-state PQ probe: read the codebook (ksub rows), ADC-scan
     * the codes table. Scan bytes = m ints per row — the raw embedding
