@@ -111,9 +111,24 @@ object Locks {
         val tomb = new Path(s"$dir/_lock_$name.tomb.${java.util.UUID.randomUUID()}")
         try fc(spark, p).rename(p, tomb)
         catch { case _: java.io.IOException => return None } // lost steal race
-        readLease(f, tomb, name) match {
-          case Some(moved) if moved.expiresAtMs > System.currentTimeMillis() &&
-                              moved.lockId != stale.lockId =>
+        // verify WHAT we moved before the destructive branch, retrying
+        // transient garbage reads (the create-confirm discipline): a single
+        // IOException parsing as claimable garbage would otherwise route a
+        // displaced FRESH lease into delete+create — two seated holders.
+        // PERSISTENT garbage must still fall through and be claimed, or a
+        // truly corrupt lease would deadlock the name forever (the
+        // readLease scaladoc's contract); the retries narrow the transient
+        // misread from one read to four over ~60ms, the best a
+        // content-CAS-free filesystem offers.
+        var moved = readLease(f, tomb, name)
+        var tombRetries = 0
+        while (moved.exists(_.lockId.isEmpty) && tombRetries < 3) {
+          Thread.sleep(20L); tombRetries += 1
+          moved = readLease(f, tomb, name)
+        }
+        moved match {
+          case Some(m) if m.expiresAtMs > System.currentTimeMillis() &&
+                          m.lockId != stale.lockId =>
             // we moved someone's FRESH lease: put it back
             try fc(spark, p).rename(tomb, p)
             catch { case _: java.io.IOException => () } // keep tomb: see above
@@ -143,9 +158,15 @@ object Locks {
       // garbage still returns None (safety over availability: claiming a
       // lease we cannot read back could seat two holders on a weak FS —
       // and garbage is claimable, so the name self-heals via a steal).
+      // retry a MISSING read too, not just garbage: on the weak
+      // filesystems this path targets, read-after-create can transiently
+      // report not-found (or a racing stealer tombs and restores us within
+      // the window) — giving up on one such read abandons our own valid
+      // lease file and leaves the lock ownerless for the whole TTL
       var confirm = readLease(f, p, name)
       var retries = 0
-      while (confirm.exists(_.lockId.isEmpty) && retries < 3) {
+      while ((confirm.isEmpty || confirm.exists(_.lockId.isEmpty)) &&
+             retries < 3) {
         Thread.sleep(20L); retries += 1
         confirm = readLease(f, p, name)
       }
@@ -155,9 +176,12 @@ object Locks {
 
   /** Blocking acquire, the reference's default: poll until granted or
     * `waitMs` elapses (the reference queues callers FIFO server-side; a
-    * shared filesystem has no queue, so this is a fair-enough poll). */
+    * shared filesystem has no queue, so this is a fair-enough poll).
+    * The default wait is genuinely blocking — waitMs = 0 would make the
+    * "blocking" API behave exactly like [[tryAcquire]], contradicting
+    * this contract; pass 0 explicitly for a single non-blocking attempt. */
   def acquire(spark: SparkSession, dir: String, name: String,
-              ttlMs: Long, waitMs: Long = 0L, pollMs: Long = 50L): Option[Lease] = {
+              ttlMs: Long, waitMs: Long = 10000L, pollMs: Long = 50L): Option[Lease] = {
     val deadline = System.currentTimeMillis() + waitMs
     var got = tryAcquire(spark, dir, name, ttlMs)
     while (got.isEmpty && System.currentTimeMillis() < deadline) {

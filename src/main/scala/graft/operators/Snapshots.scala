@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -59,16 +59,13 @@ object Snapshots {
     org.apache.hadoop.fs.FileContext
       .getFileContext(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
 
-  /** Atomically flip the pointer file to `next` (write-temp + rename-
-    * overwrite — FileContext exposes the atomic-overwrite flavor publicly;
-    * FileSystem's 2-arg rename refuses an existing destination). */
-  private def flipPointer(spark: SparkSession, dir: String, next: Long): Unit = {
-    val f = fs(spark, dir)
-    val tmp = new Path(s"$dir/_latest.tmp.${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    fc(spark, dir).rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
-  }
+  /** Atomically flip the pointer file to `next` — delegates to the ONE
+    * shared pointer primitive ([[IndexLifecycle.flipPointerAt]]: write-
+    * temp + rename-overwrite + stale `_latest.tmp.*` sweep), so the three
+    * artifact families cannot drift on the atomic-replace idiom and a
+    * crashed flip's temp debris is cleaned by the next flip here too. */
+  private def flipPointer(spark: SparkSession, dir: String, next: Long): Unit =
+    IndexLifecycle.flipPointerAt(spark, dir, "_latest", next)
 
   /** Write `df` as the next immutable version and atomically flip the
     * pointer. Optimistic: on a version conflict the write is retried
@@ -134,7 +131,17 @@ object Snapshots {
         finally out.close()
       }
     } catch { // a half-written staging dir must not outlive the failed write
-      case e: Throwable => f.delete(staged, true); throw e
+      case e: Throwable =>
+        f.delete(staged, true)
+        // `df` reads its base version LAZILY — a racing commit+vacuum
+        // (maintain is documented as an expected background racer) can
+        // delete that base mid-staging-write. When the pointer has in fact
+        // moved, that failure IS the conflict this CAS exists to signal:
+        // return None so the caller's retry loop re-derives against the
+        // fresh version instead of dying on the rethrow. A failure with
+        // the pointer UNMOVED is a genuine error and still propagates.
+        if (currentVersion(spark, dir) != expected) return None
+        throw e
     }
     val dest = new Path(s"$dir/v=$next")
     val won =
@@ -181,16 +188,35 @@ object Snapshots {
                        keys: Seq[String]): Option[Map[String, String]] = {
     val f = fs(spark, dir)
     if (!f.exists(new Path(dir))) return None
-    val versions = versionsIn(f, dir)
-    val cur = currentVersion(spark, dir).getOrElse(return None)
-    versions.filter(_ <= cur).sorted(Ordering[Long].reverse)
-      .iterator
-      .map { v =>
-        val meta = versionMeta(spark, dir, Some(v))
-        if (keys.forall(meta.contains)) Some(keys.map(k => k -> meta(k)).toMap)
-        else None
+    // pointer FIRST, then the listing (with the pointer's version unioned
+    // in — a fresh commit's dir may postdate the listing), and retry the
+    // whole walk while the pointer MOVES under us: a concurrent maintain
+    // (commit + vacuum, the documented background racer) between any two
+    // reads here could otherwise make every listed version's _meta vanish
+    // and silently disable the sink's replay guard. The loop terminates:
+    // each retry requires a pointer advance, and an unmoved pointer with
+    // an empty walk is an honestly empty answer.
+    var lastCur = -1L
+    var done = false
+    var out: Option[Map[String, String]] = None
+    while (!done) {
+      val cur = currentVersion(spark, dir).getOrElse(return None)
+      if (cur == lastCur) done = true
+      else {
+        lastCur = cur
+        out = (versionsIn(f, dir) :+ cur).distinct
+          .filter(_ <= cur).sorted(Ordering[Long].reverse)
+          .iterator
+          .map { v =>
+            val meta = versionMeta(spark, dir, Some(v))
+            if (keys.forall(meta.contains)) Some(keys.map(k => k -> meta(k)).toMap)
+            else None
+          }
+          .collectFirst { case Some(m) => m }
+        if (out.nonEmpty) done = true
       }
-      .collectFirst { case Some(m) => m }
+    }
+    out
   }
 
   /** Metadata committed with a version (atomic with its rename). */
@@ -303,6 +329,12 @@ object Snapshots {
         require(!seq.equalsIgnoreCase(keyCol),
           s"dedupSeqCol ('$seq') must not be the key column — the seq " +
             "column is transport metadata and is DROPPED before the merge")
+        // same fail-fast class for the scratch column: withColumn would
+        // silently OVERWRITE a pre-existing '_mc_rn' value column and the
+        // drop below would then delete the caller's data from the commit
+        require(!delta.columns.exists(_.equalsIgnoreCase("_mc_rn")),
+          "delta carries a column named '_mc_rn', which the per-key dedup " +
+            "uses as its scratch rank — rename it before mergeCommit")
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{col, row_number}
         val w = Window.partitionBy(col(keyCol)).orderBy(col(seq).desc)
@@ -399,11 +431,23 @@ object Snapshots {
     val frag = if (total == 0) 0.0 else (total - live).toDouble / total
     val due = frag >= fragmentationThreshold || versions.length > maxVersions
     if (!due) return MaintainReport(compacted = false, frag, versions.length, 0L, None)
-    // Latest value per meta key across retained history (oldest-first fold:
-    // newer versions overwrite) — vacuuming must not erase high-water marks.
-    val carried = versions.foldLeft(Map.empty[String, String]) {
-      (acc, v) => acc ++ versionMeta(spark, dir, Some(v))
-    }
+    // Carry meta across the vacuum as ATOMIC PER-VERSION GROUPS, newest
+    // first: an older version's map is carried ONLY when its key set is
+    // fully disjoint from everything newer already carried. A per-key fold
+    // would stitch values from different commits into one version's meta
+    // — exactly the cross-commit pairing latestMetaValues refuses — and
+    // bake it where the same-version guarantee can no longer detect it
+    // (e.g. a partial commit's runId paired with an older batchId would
+    // make the sink SKIP batches it never committed). Dropping the
+    // partially-overlapped older group instead fails in the safe
+    // direction: the high-water mark reads absent and the sink re-merges
+    // (idempotent), never skips.
+    val carried = versions.sorted(Ordering[Long].reverse)
+      .foldLeft(Map.empty[String, String]) { (acc, v) =>
+        val m = versionMeta(spark, dir, Some(v))
+        if (m.nonEmpty && m.keySet.intersect(acc.keySet).isEmpty) acc ++ m
+        else acc
+      }
     val files = math.max(1L, (live + targetBytesPerFile - 1) / targetBytesPerFile).toInt
     val compacted = read(spark, dir, Some(cur)).coalesce(files)
     commitIf(compacted, dir, Some(cur), carried) match {
@@ -416,9 +460,13 @@ object Snapshots {
     }
   }
 
-  /** Drop all versions strictly older than `keepFrom`. */
+  /** Drop all versions strictly older than `keepFrom`. A table directory
+    * that does not exist yet has nothing to vacuum (the recoverOrphans /
+    * maintain guard — scheduled maintenance may be configured before the
+    * first commit). */
   def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Unit = {
     val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return
     val st = f.listStatus(new Path(dir))
     st.filter(_.getPath.getName.startsWith("v="))
       .filter(_.getPath.getName.stripPrefix("v=").toLongOption.exists(_ < keepFrom))

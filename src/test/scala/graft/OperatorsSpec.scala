@@ -404,6 +404,51 @@ class OperatorsSpec extends SparkSpec {
     assert(!Snapshots.maintain(spark, dir).compacted)
   }
 
+  test("maintain carries meta as ATOMIC per-version groups: a partial " +
+       "commit's key never stitches with an older commit's other half") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mstitch").toString + "/t"
+    // v0+v1: full (runId, batchId) groups; v2: a PARTIAL commit carrying
+    // only runId (the manual-maintenance shape latestMetaValues guards
+    // against) plus an unrelated disjoint subsystem key
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), dir,
+      meta = Map("stream.runId" -> "run-A", "stream.batchId" -> "0"))
+    Snapshots.commit(Seq((1L, "b")).toDF("k", "v"), dir,
+      meta = Map("stream.runId" -> "run-A", "stream.batchId" -> "1"))
+    Snapshots.commit(Seq((1L, "c")).toDF("k", "v"), dir,
+      meta = Map("stream.runId" -> "run-B", "compactor.note" -> "manual"))
+    // pre-compaction truth: the GROUP answer comes from v1 (the newest
+    // version carrying both keys)
+    assert(Snapshots.latestMetaValues(spark, dir,
+        Seq("stream.runId", "stream.batchId"))
+      .contains(Map("stream.runId" -> "run-A", "stream.batchId" -> "1")))
+    val r = Snapshots.maintain(spark, dir, maxVersions = 1,
+      fragmentationThreshold = 0.0)
+    assert(r.compacted)
+    // post-vacuum: the partial v2 group must NOT have stitched run-B with
+    // v1's batchId=1 (that would make a resumed run-B SKIP batches 0-1 it
+    // never committed). The safe direction is an ABSENT group -> re-merge.
+    val group = Snapshots.latestMetaValues(spark, dir,
+      Seq("stream.runId", "stream.batchId"))
+    assert(!group.contains(Map("stream.runId" -> "run-B", "stream.batchId" -> "1")),
+      s"stitched high-water mark survived compaction: $group")
+    // single-key and disjoint-group reads still serve from the carried meta
+    assert(Snapshots.latestMetaValue(spark, dir, "stream.runId").contains("run-B"))
+    assert(Snapshots.latestMetaValue(spark, dir, "compactor.note").contains("manual"))
+  }
+
+  test("snapshot edge guards: vacuum on a missing table is a no-op; " +
+       "mergeCommit refuses a delta carrying the _mc_rn scratch name") {
+    val missing = java.nio.file.Files.createTempDirectory("graft_none").toString + "/never"
+    Snapshots.vacuum(spark, missing, keepFrom = 5L) // must not throw
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcrn").toString + "/t"
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeCommit(spark, dir,
+        Seq(("k1", 1.0, 7L)).toDF("key", "v", "_mc_rn"), "key",
+        dedupSeqCol = Some("v"))
+    }
+    assert(e.getMessage.contains("_mc_rn"))
+  }
+
   test("mergeCommit: durable Set loop over snapshot versions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
     Snapshots.mergeCommit(spark, dir, Seq(("k1", 1.0), ("k2", 2.0)).toDF("key", "v"), "key")
