@@ -75,6 +75,14 @@ object Clustering {
                           checkpointDir: Option[String] = None,
                           driverThreshold: Long = 500000L): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
+    // fail fast, not at the first downstream reference: the output schema
+    // is (outKey, "cluster"), so outKey = "cluster" (case-insensitively —
+    // Spark resolves names case-insensitively) would emit two same-named
+    // columns and every consumer's col("cluster") dies AMBIGUOUS_REFERENCE
+    // (the Snapshots._mc_rn guard discipline)
+    require(!outKey.equalsIgnoreCase("cluster"),
+      "outKey must not be 'cluster' — the second output column carries " +
+        "the cluster label under that name")
     // localCheckpoint (eager), not cache: an iterative algorithm must
     // CUT the logical plan each round, not just memoize results. A
     // cached frame still carries its full lineage, so every iteration's
@@ -132,10 +140,14 @@ object Clustering {
         }
         df => {
           // persist first: eager checkpoint runs a count job AND a file-write
-          // job — without the cache the round's joins execute twice
+          // job — without the cache the round's joins execute twice. The
+          // unpersist must also run when checkpoint() THROWS (checkpoint FS
+          // full, job aborted): a caller that catches and retries would
+          // otherwise accumulate one pinned round-sized cache per failure
           val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val ck = cached.checkpoint()
-          cached.unpersist(blocking = false)
+          val ck =
+            try cached.checkpoint()
+            finally cached.unpersist(blocking = false)
           val files = ck.queryExecution.analyzed.collect {
             case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
           }.flatMap(_.getCheckpointFile)
@@ -166,7 +178,13 @@ object Clustering {
       // long keys (plus the parallelize copy of one row per NODE) — fits a
       // default 1-4 GiB cluster driver with headroom, which the old
       // "~16 bytes/edge" claim only pretended to demonstrate
-      val tuples = edges.rdd.map(r => (r.get(0), r.get(1))).collect()
+      // collect ONE orientation only: edges carry (u,v) AND (v,u), and
+      // union-find is symmetric — both directions would double the
+      // transient driver heap at exactly the collect the threshold is
+      // sized for. u <= v keeps self-loops (isolated nodes) and one copy
+      // of every undirected edge; every node still appears on some side.
+      val tuples = edges.filter(col("u") <= col("v"))
+        .rdd.map(r => (r.get(0), r.get(1))).collect()
       val result = driverUnionFind(tuples, session, keyType, outKey)
       deleteFiles(edgeFiles)
       return result
@@ -241,7 +259,8 @@ object Clustering {
     * iterative path compression over the collected edge list, labels =
     * the MIN member key per component (the same canonical-winner
     * convention as the distributed kernel — a property test holds the
-    * two regimes equal). Input tuples are (u, v) in both directions; the
+    * two regimes equal). Input tuples are ONE orientation (u <= v) of the
+    * undirected edge set, self-loops included for isolated nodes; the
     * key type must be Comparable (Long/String/etc., which is every key
     * type the engine produces). */
   private def driverUnionFind(edges: Array[(Any, Any)],
@@ -310,8 +329,16 @@ object Clustering {
    * actually measures small — the hint only removed the safety net.
    */
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
-                         aCol: String, bCol: String, keyCol: String): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol, outKey = keyCol)
+                         aCol: String, bCol: String, keyCol: String,
+                         maxIter: Int = 20,
+                         checkpointDir: Option[String] = None,
+                         driverThreshold: Long = 500000L): DataFrame = {
+    // the clustering knobs pass through: a web-scale run through this
+    // wrapper needs the reliable-checkpoint path and a tuned iteration
+    // budget just as much as a direct connectedComponents caller does
+    val comps = connectedComponents(pairs, aCol, bCol, outKey = keyCol,
+      maxIter = maxIter, checkpointDir = checkpointDir,
+      driverThreshold = driverThreshold)
     val losers = comps.filter(col(keyCol) =!= col("cluster")).select(col(keyCol))
     docs.join(losers, Seq(keyCol), "left_anti")
   }
@@ -335,8 +362,13 @@ object Clustering {
    */
   def resolveCanonical(docs: DataFrame, pairs: DataFrame,
                        aCol: String, bCol: String, keyCol: String,
-                       priority: org.apache.spark.sql.Column): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol, outKey = keyCol)
+                       priority: org.apache.spark.sql.Column,
+                       maxIter: Int = 20,
+                       checkpointDir: Option[String] = None,
+                       driverThreshold: Long = 500000L): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, outKey = keyCol,
+      maxIter = maxIter, checkpointDir = checkpointDir,
+      driverThreshold = driverThreshold)
     val members = comps.join(
       docs.select(col(keyCol), priority.cast("double").as("_prio")), Seq(keyCol))
     val winners = members.groupBy(col("cluster"))

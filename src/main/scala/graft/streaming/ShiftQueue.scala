@@ -73,14 +73,42 @@ object ShiftQueue {
   implicit private val claimedEnc: Encoder[Claimed] = Encoders.product[Claimed]
   implicit private val strEnc: Encoder[String] = Encoders.STRING
 
-  def run(commands: Dataset[Cmd]): Dataset[Claimed] =
+  /**
+   * PRODUCER CONTRACT (load-bearing, not advisory): commands for one queue
+   * must reach the stream in non-decreasing `seq` order ACROSS micro-batches
+   * — i.e. the source must be partitioned/keyed by queue (exactly how the
+   * reference shards per-swamp queues). Within one batch any arrival order
+   * is fine (commands replay sorted), but a FRESH command that arrives in a
+   * LATER batch with a seq below the applied high-water mark is
+   * indistinguishable from an at-least-once redelivery and is dropped —
+   * distinguishing them would require remembering every applied seq, which
+   * is unbounded. `idleTtl` (opt-in) retires a DRAINED queue's state entry
+   * after that much processing-time idleness, bounding state for workloads
+   * with ephemeral queue keys; the tradeoff is the [[StatefulFeed]]
+   * tombstone one — a command redelivered later than the TTL replays as
+   * new. A queue with pending items never retires.
+   */
+  def run(commands: Dataset[Cmd],
+          idleTtl: Option[String] = None): Dataset[Claimed] =
     commands
       .groupByKey(_.queue)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (queue: String, cmds: Iterator[Cmd], state: GroupState[QueueState]) =>
+          if (state.hasTimedOut) {
+            // armed only when the queue drained; items cannot be lost here
+            state.remove()
+            Iterator.empty
+          } else {
           val st = state.getOption.getOrElse(QueueState(Nil, Long.MinValue))
           var items = st.items
           var lastSeq = st.lastSeq
+          // the sentinel lastSeq == Long.MinValue is only a guard once a
+          // command HAS applied: a fresh queue's first command may itself
+          // carry seq = Long.MinValue and must not be swallowed by the
+          // sentinel comparing equal to it
+          var hasSeq = state.getOption.isDefined
           // pending-id membership as a Set maintained alongside the list:
           // per-enqueue List.exists would make an enqueue-heavy batch
           // O(enqueues x pending), breaking the documented envelope
@@ -95,27 +123,31 @@ object ShiftQueue {
           // two copies of one command inside a single micro-batch both
           // execute (the second would re-claim under a stale claimId)
           cmds.toSeq.sortBy(_.seq).foreach {
-            case c if c.seq <= lastSeq => () // redelivery, incl. in-batch dup
+            case c if hasSeq && c.seq <= lastSeq => () // redelivery, incl. in-batch dup
             case c if c.op == "E" =>
-              lastSeq = c.seq
+              lastSeq = c.seq; hasSeq = true
               if (!ids(c.id)) {
                 items = Item(c.id, c.expireAtMs, c.value) :: items
                 ids += c.id
               }
             case c if c.op == "C" =>
-              lastSeq = c.seq
+              lastSeq = c.seq; hasSeq = true
               val (expired, live) = items.partition(_.expireAtMs < c.nowMs)
               val take = expired.sortBy(i => (i.expireAtMs, i.id)).take(c.n)
               val takenIds = take.map(_.id).toSet
               items = live ++ expired.filterNot(i => takenIds(i.id))
               ids --= takenIds
               out ++= take.map(i => Claimed(queue, c.claimId, i.id, i.expireAtMs, i.value))
-            case c => lastSeq = c.seq // unknown op: consumed, not re-runnable
+            case c => lastSeq = c.seq; hasSeq = true // unknown op: consumed, not re-runnable
           }
           // the state entry persists even with an empty pending list: it
           // carries the high-water seq (dropping it would re-open the
-          // redelivery window the moment a queue drains)
+          // redelivery window the moment a queue drains). With idleTtl a
+          // DRAINED queue arms a retirement timer instead of living forever;
+          // a non-empty queue never arms one (its items must survive).
           state.update(QueueState(items, lastSeq))
+          if (items.isEmpty) idleTtl.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
 }
