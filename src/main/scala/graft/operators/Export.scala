@@ -28,7 +28,19 @@ object Export {
   def withShard(df: DataFrame, keyCol: String, nShards: Int,
                 seed: String): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val salted: Column = concat(lit(seed + "-"), col(keyCol).cast("string"))
+    // reserved-output guard (the patchExpired discipline): an existing
+    // ord_key/shard — e.g. re-exporting a dataset writeShards itself
+    // produced, which persists both — would be silently clobbered
+    val clash = df.columns.filter(c =>
+      c.equalsIgnoreCase("ord_key") || c.equalsIgnoreCase("shard"))
+    require(clash.isEmpty,
+      s"input already carries ${clash.mkString("/")} — drop or rename " +
+        "before sharding (writeShards persists these columns)")
+    // NULL keys salt as the empty string, so they land in a deterministic
+    // shard instead of a NULL shard (which partitionBy would write to the
+    // Hive default partition, invisible to loaders iterating shard=0..N-1)
+    val salted: Column = concat(lit(seed + "-"),
+      coalesce(col(keyCol).cast("string"), lit("")))
     df.withColumn("ord_key", md5(salted))
       .withColumn("shard", pmod(TF.hash32(salted), lit(nShards)).cast("int"))
   }
@@ -76,10 +88,13 @@ object Export {
     require(nShards > 0, "nShards must be positive")
     require(bucketsPerShard > 0, "bucketsPerShard must be positive")
     val nBuckets = nShards * bucketsPerShard
+    // NULL keys bucket as the empty string (the withShard rule): a null
+    // hash would be a null _bucket, and the assignment join below would
+    // silently DROP those rows from the export
     val rows = df.select(col(keyCol),
       TF.tokenCount(col(textCol)).cast("long").as("tokens"),
-      pmod(TF.hash32(col(keyCol).cast("string")), lit(nBuckets))
-        .cast("long").as("_bucket"))
+      pmod(TF.hash32(coalesce(col(keyCol).cast("string"), lit(""))),
+        lit(nBuckets)).cast("long").as("_bucket"))
     val byBucket = org.apache.spark.sql.expressions.Window
       .orderBy(col("_bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -33,24 +33,61 @@ object Patch {
   final case class MergeMap(path: String, value: Column) extends PatchOp
 
   /** Condition on the current row gating the whole patch (PatchCondition,
-    * proto:3401-3433): unmet => row unchanged (all-or-nothing per key). */
+    * proto:3401-3433): unmet => row unchanged (all-or-nothing per key).
+    *
+    * Schema-CHANGING op sets (a plain DeleteField, a SetField that adds a
+    * new field or changes a field's type) are applied directly when the
+    * patch is unconditional — a relational column has ONE schema, so the
+    * usual when/otherwise row gate would need two different struct types
+    * in one CASE and fails analysis. With a REAL per-row condition such an
+    * op set is inexpressible (unmatched rows would need the old shape) and
+    * is refused loudly instead of dying in the analyzer. */
   def applyPatch(df: DataFrame, structCol: String, ops: Seq[PatchOp],
                  condition: Column = lit(true)): DataFrame = {
     val patched = ops.foldLeft(col(structCol)) { (cur, op) => applyOp(df, structCol, cur, op) }
-    df.withColumn(structCol,
-      when(coalesce(condition, lit(false)), patched).otherwise(col(structCol)))
+    // sameType, not ==: a SetField with a non-nullable literal only
+    // TIGHTENS a field's nullability, which CASE WHEN unifies fine —
+    // only genuine shape/type changes need the unconditional path
+    val sameType = org.apache.spark.sql.GraftBridge.sameType(
+      df.select(col(structCol)).schema.head.dataType,
+      df.select(patched).schema.head.dataType)
+    if (sameType)
+      df.withColumn(structCol,
+        when(coalesce(condition, lit(false)), patched).otherwise(col(structCol)))
+    else {
+      require(isLiteralTrue(condition),
+        s"patch on '$structCol' changes the struct's SCHEMA (field added/" +
+          "dropped/retyped) — a per-row condition cannot keep the old shape " +
+          "for unmatched rows (one column, one schema). Apply it " +
+          "unconditionally, or pre-filter the rows into a separate frame.")
+      df.withColumn(structCol, patched)
+    }
   }
+
+  private def isLiteralTrue(c: Column): Boolean =
+    org.apache.spark.sql.GraftBridge.isTrueLiteral(c)
 
   private def applyOp(df: DataFrame, structCol: String, cur: Column, op: PatchOp): Column = {
     def indexed(p: String) = p.contains('[')
     val mergeLeaf: Column => Column = { orig =>
       // incoming keys win: strip overridden keys from the original first
       // (map_concat alone would throw on duplicates under the default
-      // EXCEPTION dedup policy); NULL original => the incoming map
+      // EXCEPTION dedup policy); NULL original => the incoming map; NULL
+      // INCOMING map => no-op (the null-operand discipline below — without
+      // the guard map_concat(_, null) would null the whole field)
       val v = op.asInstanceOf[MergeMap].value
-      when(orig.isNull, v).otherwise(
-        map_concat(map_filter(orig, (k, _) => !map_contains_key(v, k)), v))
+      when(v.isNull, orig).otherwise(when(orig.isNull, v).otherwise(
+        map_concat(map_filter(orig, (k, _) => !map_contains_key(v, k)), v)))
     }
+    // Null-OPERAND discipline for the arithmetic/merge ops (Inc, Append,
+    // Prepend, MergeMap): a per-row operand column with null rows means
+    // "nothing to contribute" for those rows, so the target field stays
+    // IDENTICAL — not nulled, which is what raw `field + null` /
+    // `concat(f, null)` would do, silently destroying data wherever the
+    // operand was sparse. SetField deliberately keeps raw semantics: an
+    // explicit null SET is a legitimate "set to null".
+    def unlessNull(v: Column, orig: Column, applied: Column): Column =
+      when(v.isNull, orig).otherwise(applied)
     op match {
       case SetField(p, v) if indexed(p) => rebuildPath(cur, p, _ => v)
       case SetField(p, v)   => cur.withField(p, v)
@@ -71,16 +108,20 @@ object Patch {
         val fieldType = fieldTypeOf(df, structCol, p)
         // cast-back keeps int8 + 1 a ByteType, mirroring the reference's
         // exact type-code preservation (msgpackpatch/numeric.go)
-        def incd(field: Column) =
-          fieldType.map(t => (field + d).cast(t)).getOrElse(field + d)
+        def incd(field: Column) = unlessNull(d, field,
+          fieldType.map(t => (field + d).cast(t)).getOrElse(field + d))
         if (indexed(p)) rebuildPath(cur, p, incd)
         else cur.withField(p, incd(fieldRef(cur, p)))
       case Append(p, vs) if indexed(p) =>
-        rebuildPath(cur, p, a => concat(coalesce(a, array()), vs))
-      case Append(p, vs)    => cur.withField(p, concat(coalesce(fieldRef(cur, p), array()), vs))
+        rebuildPath(cur, p, a => unlessNull(vs, a, concat(coalesce(a, array()), vs)))
+      case Append(p, vs)    =>
+        val f = fieldRef(cur, p)
+        cur.withField(p, unlessNull(vs, f, concat(coalesce(f, array()), vs)))
       case Prepend(p, vs) if indexed(p) =>
-        rebuildPath(cur, p, a => concat(vs, coalesce(a, array())))
-      case Prepend(p, vs)   => cur.withField(p, concat(vs, coalesce(fieldRef(cur, p), array())))
+        rebuildPath(cur, p, a => unlessNull(vs, a, concat(vs, coalesce(a, array()))))
+      case Prepend(p, vs)   =>
+        val f = fieldRef(cur, p)
+        cur.withField(p, unlessNull(vs, f, concat(vs, coalesce(f, array()))))
       case RemoveAt(p, i) if indexed(p) => rebuildPath(cur, p, a => removeAt(a, i))
       case RemoveAt(p, i)   => cur.withField(p, removeAt(fieldRef(cur, p), i))
       case RemoveVal(p, v) if indexed(p) => rebuildPath(cur, p, a => array_remove(a, v))
@@ -189,20 +230,28 @@ object Patch {
     }
   }
 
-  /** Remove the element at 0-based `i` (1-based slice arithmetic). */
-  private def removeAt(a: Column, i: Int): Column =
+  /** Remove the element at 0-based `i` (1-based slice arithmetic). The
+    * bound check is driver-side fail-fast: a negative index would only
+    * surface as an opaque slice-length SparkRuntimeException mid-job. */
+  private def removeAt(a: Column, i: Int): Column = {
+    require(i >= 0, s"RemoveAt index must be >= 0, got $i")
     concat(slice(a, lit(1), lit(i)), slice(a, lit(i + 2), greatest(size(a) - i - 1, lit(0))))
+  }
 
   private def fieldTypeOf(df: DataFrame, structCol: String, dotted: String) = {
     import org.apache.spark.sql.types._
+    // case-INSENSITIVE name matching throughout: Spark's default resolver
+    // resolves col("Body")/withField("N") case-insensitively, so an exact
+    // == here would miss a case-variant path that resolves fine everywhere
+    // else — silently dropping IncField's cast-back and widening the type
     def walk(dt: DataType, segs: List[Seg]): Option[DataType] = (dt, segs) match {
       case (t, Nil) => Some(t)
       case (st: StructType, FSeg(p) :: rest) =>
-        st.find(_.name == p).flatMap(f => walk(f.dataType, rest))
+        st.find(_.name.equalsIgnoreCase(p)).flatMap(f => walk(f.dataType, rest))
       case (ArrayType(et, _), ISeg(_) :: rest) => walk(et, rest)
       case _ => None
     }
-    df.schema.find(_.name == structCol)
+    df.schema.find(_.name.equalsIgnoreCase(structCol))
       .flatMap(f => walk(f.dataType, parsePath(dotted)))
   }
 }

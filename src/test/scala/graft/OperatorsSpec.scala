@@ -139,6 +139,47 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(5, 10, 30))
   }
 
+  test("patch: schema-changing ops work unconditionally, are refused with " +
+       "a per-row condition; null operands are no-ops, not field wipes") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("a",
+          org.apache.spark.sql.Row("s1", 1.0, Seq("t1"), Map("m" -> 1)), true))),
+      StructType(Seq(
+        StructField("k", StringType),
+        StructField("body", StructType(Seq(
+          StructField("status", StringType), StructField("price", DoubleType),
+          StructField("tags", ArrayType(StringType)),
+          StructField("attrs", MapType(StringType, IntegerType))))),
+        StructField("cond", BooleanType))))
+    // unconditional DeleteField (schema-changing): must analyze and run
+    val dropped = Patch.applyPatch(df, "body", Seq(Patch.DeleteField("status")))
+    assert(!dropped.schema("body").dataType.asInstanceOf[StructType]
+      .fieldNames.contains("status"))
+    // unconditional SetField of a NEW field: also schema-changing, works
+    val added = Patch.applyPatch(df, "body", Seq(Patch.SetField("newf", lit(7))))
+    assert(added.select(col("body.newf")).head().getInt(0) == 7)
+    // the same ops under a REAL condition: loud refusal, not AnalysisException
+    val e = intercept[IllegalArgumentException] {
+      Patch.applyPatch(df, "body", Seq(Patch.DeleteField("status")),
+        condition = col("cond"))
+    }
+    assert(e.getMessage.contains("SCHEMA"), e.getMessage)
+    // null operands: Inc/Append/MergeMap leave the field IDENTICAL
+    val out = Patch.applyPatch(df, "body", Seq(
+      Patch.IncField("price", lit(null).cast("double")),
+      Patch.Append("tags", lit(null).cast("array<string>")),
+      Patch.MergeMap("attrs", lit(null).cast("map<string,int>"))))
+      .select("body.price", "body.tags", "body.attrs").head()
+    assert(out.getDouble(0) == 1.0 && out.getSeq[String](1) == Seq("t1") &&
+      out.getMap[String, Int](2) == Map("m" -> 1),
+      s"null operand wiped a field: $out")
+    // negative RemoveAt: driver-side fail-fast
+    intercept[IllegalArgumentException] {
+      Patch.applyPatch(df, "body", Seq(Patch.RemoveAt("tags", -1)))
+    }
+  }
+
   // --- shift / cap -----------------------------------------------------------
 
   test("shift claims oldest-first, claimed and remaining are disjoint and complete") {
@@ -1658,6 +1699,29 @@ class OperatorsSpec extends SparkSpec {
     val two = spark.read.parquet(dir + "2").select("doc_id", "shard").collect()
       .map(r => r.getLong(0) -> r.getAs[Number]("shard").intValue()).toMap
     assert((1 to 2000).exists(i => two(i.toLong) != expect(i.toLong)))
+  }
+
+  test("shard export edge rules: null keys land in a real shard (both " +
+       "assignment paths agree rows survive); re-sharding a sharded frame " +
+       "is refused") {
+    val df = Seq((java.lang.Long.valueOf(1L), "a b"),
+      (null.asInstanceOf[java.lang.Long], "c d e"),
+      (java.lang.Long.valueOf(3L), "f")).toDF("doc_id", "text")
+    val shards = Export.withShard(df, "doc_id", 4, "e1").collect()
+    assert(shards.length == 3, "withShard dropped a row")
+    assert(shards.forall(r => !r.isNullAt(r.fieldIndex("shard"))),
+      "null key produced a NULL shard (the Hive default-partition trap)")
+    val tb = Export.tokenBalancedShards(df, "text", "doc_id", 2,
+      bucketsPerShard = 4).collect()
+    assert(tb.length == 3, "tokenBalancedShards dropped the null-key row")
+    assert(tb.forall(r => !r.isNullAt(r.fieldIndex("shard"))))
+    // clobber guard: a frame that already carries shard/ord_key (the shape
+    // writeShards itself persists) is refused, not silently re-assigned
+    val e = intercept[IllegalArgumentException] {
+      Export.withShard(
+        Export.withShard(df, "doc_id", 4, "e1"), "doc_id", 8, "e2")
+    }
+    assert(e.getMessage.contains("shard"), e.getMessage)
   }
 
   test("shard manifest: layout-independent, detects dropped/altered rows, " +
