@@ -101,8 +101,11 @@ object KeyProbe {
     // keys-only, released by CacheRegistry like every engine cache
     val keys = tracked(probe.select(col(probeKeyCol).as(ProbeCol)))
     val bf = keys.stat.bloomFilter(ProbeCol, expectedKeys, fpp)
+    // no .distinct() on the probe side: semi-join semantics already
+    // ignore right-side duplicates, so the dedup was a pure extra
+    // exchange+aggregate over every probe key per call
     df.filter(graft.functions.BloomFunctions.mightContain(col(keyCol), bf))
-      .join(keys.distinct(), df(keyCol) === col(ProbeCol), "left_semi")
+      .join(keys, df(keyCol) === col(ProbeCol), "left_semi")
   }
 
   /**
@@ -122,8 +125,8 @@ object KeyProbe {
     val bf = keys.stat.bloomFilter(ProbeCol, expectedKeys, fpp)
     val mc = graft.functions.BloomFunctions.mightContain(col(keyCol), bf)
     val definiteMiss = df.filter(col(keyCol).isNull || !mc)
-    val needExact = df.filter(mc)
-      .join(keys.distinct(), df(keyCol) === col(ProbeCol), "left_anti")
+    val needExact = df.filter(mc) // anti ignores right dups (see semiJoin)
+      .join(keys, df(keyCol) === col(ProbeCol), "left_anti")
     definiteMiss.unionAll(needExact)
   }
 

@@ -48,6 +48,19 @@ object Mutations {
     val valueCols = base.columns.filter(_ != keyCol).toSeq
     require(valueCols.forall(delta.columns.contains),
       s"delta must carry all value columns ${valueCols.mkString(",")}")
+    // reserved-name guard (the capGate discipline): an existing _graft_b
+    // data column would be REPLACED by the presence flag and then emitted
+    // as lit(true) for every row — silent data loss, not an error
+    val clash = (base.columns ++ delta.columns).distinct.filter(c =>
+      c.equalsIgnoreCase("_graft_b") || c.equalsIgnoreCase("_graft_d") ||
+      c.equalsIgnoreCase("_status"))
+    require(clash.isEmpty, s"input must not contain reserved columns: ${clash.toSeq}")
+    // PRECONDITION (documented, not scanned — a uniqueness probe would be
+    // a full pass per call): delta must be KEY-UNIQUE. A duplicate delta
+    // key fans the matching base row out into duplicate post-state rows
+    // (the reference serializes same-key writes FIFO; a seq-ordered
+    // last-write-wins dedup lives upstream in Snapshots.mergeCommit's
+    // dedupSeqCol).
 
     // Null-key discipline: a null-key DELTA row is unaddressable (it can
     // join no base row) — without the strip it surfaced as a phantom
@@ -118,7 +131,7 @@ object Mutations {
     val changed =
       if (valueCols.isEmpty) lit(false)
       else valueCols.map(c => !(col(s"b.$c") <=> col(s"d.$c"))).reduce(_ || _)
-    val status = mode match {
+    val modeStatus = mode match {
       case Upsert =>
         when(!inBase, StatusNew).when(changed, StatusUpdated).otherwise(StatusUnchanged)
       case InsertOnly =>
@@ -128,6 +141,11 @@ object Mutations {
       case DryRun =>
         when(!inBase, StatusNotFound).otherwise(StatusUnchanged)
     }
+    // a null-key delta row is unaddressable — set() strips it and writes
+    // NOTHING, so this view must not promise NEW for it (the status/data
+    // reconciliation lie): NOT_FOUND is the honest per-key answer
+    val status = when(col(s"d.$keyCol").isNull, StatusNotFound)
+      .otherwise(modeStatus)
     joined.select(col(s"d.$keyCol").as(keyCol), status.as("_status"))
   }
 
@@ -161,12 +179,46 @@ object Mutations {
     // read-modify-write (swamp.go:1274-2017). Spark's `+` widens to the
     // delta's type, so cast the result back to the column's declared type —
     // the output schema is byte-for-byte the input schema plus `_applied`.
+    require(!base.columns.exists(_.equalsIgnoreCase("_applied")),
+      "input must not contain the reserved column _applied")
     val origType = base.schema(valueCol).dataType
-    val applied = coalesce(condition, lit(false))
-    base
-      .withColumn("_applied", applied)
-      .withColumn(valueCol,
-        when(applied, (col(valueCol) + delta).cast(origType)).otherwise(col(valueCol)))
+    import org.apache.spark.sql.types._
+    val bounds: Option[(Long, Long)] = origType match {
+      case ByteType => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
+      case ShortType => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
+      case IntegerType => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+      case LongType => Some((Long.MinValue, Long.MaxValue))
+      case _ => None
+    }
+    bounds match {
+      case Some((lo, hi)) =>
+        // INTEGRAL columns: under Spark 4's default ANSI mode a widened
+        // add's cast-back (or an int+int add itself) THROWS on overflow —
+        // one poisoned key aborting the whole batch job, where the
+        // reference applies per-key. The non-aborting contract here:
+        // a would-overflow increment is simply NOT APPLIED (_applied =
+        // false, value unchanged — the same per-key refusal surface as a
+        // failed condition). The fit check compares, never overflows:
+        // each branch's bound arithmetic stays inside long range. Deltas
+        // are applied at integral precision (cast to long) — the typed
+        // reference RPCs are integral here by construction.
+        val dL = delta.cast(LongType)
+        val xL = col(valueCol).cast(LongType)
+        val fits = when(dL >= 0, xL <= lit(hi) - dL)
+          .otherwise(xL >= lit(lo) - dL)
+        val applied = coalesce(condition, lit(false)) &&
+          coalesce(fits, lit(false))
+        base
+          .withColumn("_applied", applied)
+          .withColumn(valueCol,
+            when(applied, (xL + dL).cast(origType)).otherwise(col(valueCol)))
+      case None =>
+        val applied = coalesce(condition, lit(false))
+        base
+          .withColumn("_applied", applied)
+          .withColumn(valueCol,
+            when(applied, (col(valueCol) + delta).cast(origType)).otherwise(col(valueCol)))
+    }
   }
 
   /**
@@ -183,5 +235,10 @@ object Mutations {
   def sliceContains(arr: Column, value: Long): Column =
     coalesce(array_contains(arr, lit(value)), lit(false))
 
-  def sliceSize(arr: Column): Column = coalesce(size(arr), lit(0))
+  /** Explicit null guard, not coalesce(size(...)): under
+    * spark.sql.legacy.sizeOfNull (ANSI off — the pre-Spark-4 default many
+    * deployments restore) size(NULL) is -1, not null, and the coalesce
+    * would pass the -1 through as a "cardinality". */
+  def sliceSize(arr: Column): Column =
+    when(arr.isNull, lit(0)).otherwise(size(arr))
 }

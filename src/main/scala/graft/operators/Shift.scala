@@ -28,8 +28,18 @@ object Shift {
    */
   def shiftExpired(df: DataFrame, expiryCol: String, keyCol: String,
                    now: java.sql.Timestamp, howMany: Int): ShiftResult = {
-    val expired = df.filter(col(expiryCol).isNotNull && col(expiryCol) < lit(now))
-    val claimed = expired.orderBy(col(expiryCol).asc, col(keyCol).asc).limit(howMany)
+    // null-key rows are UNADDRESSABLE (the Mutations.set discipline): a
+    // claimed null key can never anti-join out of the survivor set, so it
+    // would appear in BOTH claimed and remaining — double delivery. They
+    // stay in `remaining` untouched instead of being claimable.
+    // The claimed set is tracked (≤ howMany rows — trivially cacheable):
+    // the caller reads it AND the anti-join reads it, and without the
+    // pin the expensive filter+sort+limit would run once per consumer
+    // (and any tie nondeterminism could make the two runs disagree).
+    val expired = df.filter(col(expiryCol).isNotNull &&
+      col(expiryCol) < lit(now) && col(keyCol).isNotNull)
+    val claimed = graft.CacheRegistry.track(
+      expired.orderBy(col(expiryCol).asc, col(keyCol).asc).limit(howMany))
     val remaining = df.join(claimed.select(keyCol), Seq(keyCol), "left_anti")
     ShiftResult(claimed, remaining)
   }
@@ -46,8 +56,10 @@ object Shift {
   def shiftMatching(df: DataFrame, filter: FilterNode, orderCol: String,
                     ascending: Boolean, keyCol: String, howMany: Int): ShiftResult = {
     val ord = if (ascending) col(orderCol).asc else col(orderCol).desc
-    val claimed = df.filter(FilterCompiler.compile(filter, df))
-      .orderBy(ord, col(keyCol).asc).limit(howMany)
+    // same null-key exclusion + claimed-set pin as shiftExpired
+    val claimed = graft.CacheRegistry.track(
+      df.filter(FilterCompiler.compile(filter, df) && col(keyCol).isNotNull)
+        .orderBy(ord, col(keyCol).asc).limit(howMany))
     val remaining = df.join(claimed.select(keyCol), Seq(keyCol), "left_anti")
     ShiftResult(claimed, remaining)
   }
