@@ -2547,18 +2547,32 @@ object SparkEntry {
                   AND (n_stop >= 2)) AS keep
           FROM m""")),
 
-    Q("q_curation", // the flagship training-data curation pipeline: exact
-      // dedup -> quality -> language -> length gates, one pass. Spread
-      // parallelizes the md5 digest, the semi-join probe, and the quality
-      // output projection (~10% at sf0.1, measured); the gate FILTER
-      // itself still sinks below the exchange onto the one-row-group scan
-      // — that pushdown is what you want at cluster scale (gate before
-      // moving bytes), so we don't fence it for the fixture's benefit
-      (s, d) => Dedup.exact(Tables.spread(t(s, d, "documents")), "text", "doc_id")
-        .withColumn("quality", TF.qualityScore(col("text")))
-        .withColumn("lang_pred", TF.langId(col("text")))
-        .filter(col("quality") >= 0.4 && col("lang_pred") === "en" &&
-          TF.tokenCount(col("text")) >= 8)
+    Q("q_curation", // the flagship training-data curation pipeline:
+      // quality -> language -> length gates + exact dedup, as ONE scan +
+      // ONE tiny shuffle. The gates and the kept output (quality) are
+      // functions of the text alone, and an exact-dup group shares one
+      // text — so the gates keep/drop digest groups WHOLE (winner
+      // unchanged vs the oracle's dedup-first statement) and quality is
+      // constant within a group (Dedup.exactDerived's contract). The
+      // gates travel as a computed _keep column and apply as a HAVING
+      // after the digest agg rather than as a pre-agg filter: a filter
+      // form is pushed below the spread exchange onto the fixture's
+      // one-row-group scan (serial compute — the r12 form's documented
+      // cost), while a projection stays above it, so the heavy text
+      // kernels run at full width and the shuffle still carries only
+      // (digest, doc_id, quality, keep). vs the r12 dedup-first +
+      // Dedup.exact form (two text scans + a semi-join): same-JVM A/B at
+      // sf0.1 warm 0.42-0.58 vs 0.56-0.65, and at cluster scale this form
+      // drops a whole pass over the corpus
+      (s, d) => Dedup.exactDerived(
+          Tables.spread(t(s, d, "documents"))
+            .withColumn("quality", TF.qualityScore(col("text")))
+            .withColumn("_keep", col("quality") >= 0.4 &&
+              TF.langId(col("text")) === "en" &&
+              TF.tokenCount(col("text")) >= 8),
+          "text", "doc_id",
+          "quality" -> col("quality"), "_keep" -> col("_keep"))
+        .filter(col("_keep"))
         .select(col("doc_id"), col("quality")),
       Some(s"""WITH dd AS (SELECT doc_id, text FROM (
             SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

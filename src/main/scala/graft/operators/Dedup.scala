@@ -73,6 +73,29 @@ object Dedup {
     withH.join(winners, Seq("_digest", keyCol), "left_semi").drop("_digest")
   }
 
+  /** Exact dedup specialized for outputs that are FUNCTIONS OF THE TEXT:
+    * one digest groupBy carries (key, derived values) — no join back, no
+    * second scan of the input. Valid because an exact-dup group shares one
+    * text, so any text-determined derived column is constant within the
+    * group and `first` is deterministic in VALUE. Versus [[exact]] (which
+    * must semi-join to recover arbitrary row payloads), this is one scan +
+    * one map-combined shuffle of (digest, key, derived…) — the narrowest
+    * possible plan for the "curate then keep (id, score)" shape, and the
+    * one you want at 100 TB (the text never moves, and there is no second
+    * pass over it). Null keys keep the engine-wide probe discipline: a
+    * group whose every key is null elects no winner and is dropped
+    * (matching [[exact]]'s null-hostile semi-join). */
+  def exactDerived(df: DataFrame, textCol: String, keyCol: String,
+                   derived: (String, Column)*): DataFrame = {
+    val withH = df.withColumn("_digest",
+      coalesce(md5(col(textCol)), lit("null")))
+    withH.groupBy(col("_digest"))
+      .agg(min(col(keyCol)).as(keyCol),
+        derived.map { case (n, c) => first(c).as(n) }: _*)
+      .filter(col(keyCol).isNotNull)
+      .drop("_digest")
+  }
+
   // ==========================================================================
   // MinHash signature table — the shared artifact of every LSH consumer
   // ==========================================================================
