@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST line of stdout as JSON. Two sbt
+// behaviors defeat that: forked-process output is re-logged with an
+// "[info] " prefix, and a "[success] Total time ..." epilogue lands after
+// the program's final line. StdoutOutput inherits the child's stdout
+// verbatim (no prefix), and showSuccess drops the epilogue — so the
+// compact JSON record Bench prints last IS the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
