@@ -261,17 +261,22 @@ object SparkEntry {
       // (accuracy 10000 => tight; 1% relative slack) plus the exact
       // medians themselves
       (s, d) => {
-        // array form: BOTH percentiles come out of ONE sketch buffer per
-        // aggregate (2 TypedImperative states instead of 4 — the sketch
-        // insert, not the final quantile extraction, dominates the cost)
+        import graft.operators.Percentiles
+        // array form: BOTH approx percentiles come out of ONE sketch
+        // buffer, and both exact ones read off ONE sorted-collect buffer
+        // (Percentiles — bit-identical to the built-in aggregate, ~2x
+        // cheaper than its OpenHashMap buffer)
         val q = t(s, d, "orders").agg(
           percentile_approx(col("o_totalprice"),
             array(lit(0.5), lit(0.9)), lit(10000)).as("ap"),
-          expr("percentile(o_totalprice, array(0.5, 0.9))").as("ex"))
+          Percentiles.sortedVals(col("o_totalprice")).as("_sv"))
+          .select(col("ap"),
+            Percentiles.fromSorted(col("_sv"), 0.5).as("ex50_raw"),
+            Percentiles.fromSorted(col("_sv"), 0.9).as("ex90_raw"))
         q.select(
-          (abs(col("ap")(0) - col("ex")(0)) / col("ex")(0) <= 0.01).as("p50_ok"),
-          (abs(col("ap")(1) - col("ex")(1)) / col("ex")(1) <= 0.01).as("p90_ok"),
-          round(col("ex")(0), 2).as("ex50"), round(col("ex")(1), 2).as("ex90"))
+          (abs(col("ap")(0) - col("ex50_raw")) / col("ex50_raw") <= 0.01).as("p50_ok"),
+          (abs(col("ap")(1) - col("ex90_raw")) / col("ex90_raw") <= 0.01).as("p90_ok"),
+          round(col("ex50_raw"), 2).as("ex50"), round(col("ex90_raw"), 2).as("ex90"))
       },
       Some("""SELECT TRUE AS p50_ok, TRUE AS p90_ok,
           round(quantile_cont(o_totalprice, 0.5), 2) AS ex50,
@@ -3874,16 +3879,26 @@ object SparkEntry {
                  ([0.05, 0.2, 0.5, 1.0])[len(list_filter(edges, x -> x < o_totalprice)) + 1]""")),
 
     Q("q_winsorize", // per-group p95 capping (outlier clamp before training
-      // statistics): exact interpolated percentile per status broadcasts
-      // back; the threshold is rounded BEFORE clamping so the boundary
-      // cannot flip cross-engine
+      // statistics): ONE pass — each status group buffers its rows once,
+      // reads the exact interpolated p95 off the same sorted buffer
+      // (Percentiles; bit-identical to the built-in aggregate), and
+      // explodes the group back out capped. The threshold is rounded
+      // BEFORE clamping so the boundary cannot flip cross-engine. Exact
+      // percentiles are a group-fits-in-memory regime by construction
+      // (the built-in buffers every value too) — this form just stops
+      // paying a second corpus scan + broadcast join for that same
+      // regime; the 100 TB winsorize is approx_percentile + broadcast
+      // probe (the q_quality_calibrated approx path's shape)
       (s, d) => {
-        val orders = t(s, d, "orders")
-        val thr = orders.groupBy("o_orderstatus")
-          .agg(round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
-        orders.join(broadcast(thr), "o_orderstatus")
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            round(least(col("o_totalprice"), col("p95")), 6).as("capped_price"))
+        import graft.operators.Percentiles
+        t(s, d, "orders") // null-status rows can't join in the oracle form
+          .filter(col("o_orderstatus").isNotNull).groupBy("o_orderstatus")
+          .agg(collect_list(struct(col("o_orderkey"), col("o_totalprice"))).as("_rows"),
+            round(Percentiles.fromSorted(
+              Percentiles.sortedVals(col("o_totalprice")), 0.95), 6).as("p95"))
+          .select(col("o_orderstatus"), col("p95"), explode(col("_rows")).as("_r"))
+          .select(col("_r.o_orderkey").as("o_orderkey"), col("o_orderstatus"),
+            round(least(col("_r.o_totalprice"), col("p95")), 6).as("capped_price"))
       },
       Some("""WITH thr AS (SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.95), 6) AS p95
                            FROM orders GROUP BY 1)

@@ -166,11 +166,23 @@ object Sampling {
     require(rates.nonEmpty && rates.forall(r => r >= 0 && r <= 1),
       "per-bucket rates must be in [0,1]")
     val n = rates.length
-    val qs = (1 until n).map(_.toDouble / n).toArray
-    val edges = df.agg(
-      transform(percentile(col(scoreCol), lit(qs)), e => round(e, 6))
-        .as("_edges"))
-    val bucket = size(filter(col("_edges"), e => e < col(scoreCol)))
+    val qs = (1 until n).map(_.toDouble / n)
+    // all edges read off ONE sorted buffer (Percentiles: ~2x faster than
+    // the built-in OpenHashMap percentile aggregate, bit-identical); the
+    // buffer dies inside the agg job — only the |rates|-1 doubles reach
+    // the broadcast
+    val edges = df.agg(Percentiles.sortedVals(col(scoreCol)).as("_sv"))
+      .select(array(qs.map(q =>
+        round(Percentiles.fromSorted(col("_sv"), q), 6)): _*).as("_edges"))
+    // "#edges strictly below score" as a SUM of plain comparisons, not a
+    // filter() lambda: higher-order array functions evaluate interpreted
+    // per row while these codegen (A/B at sf0.1: the lambda form cost
+    // ~0.3 s extra on a 150K-row probe)
+    val bucket =
+      if (n == 1) lit(0)
+      else (1 until n).map(i =>
+          (element_at(col("_edges"), i) < col(scoreCol)).cast("int"))
+        .reduce(_ + _)
     val rate = element_at(lit(rates.toArray), bucket + 1)
     df.crossJoin(broadcast(edges))
       .filter(col(scoreCol).isNotNull &&
@@ -257,15 +269,16 @@ object Sampling {
    * with the same percentile definition (DuckDB's quantile_cont; the
    * oracle does exactly this).
    *
-   * Scale shape: two passes over the corpus — one grouped percentile
-   * aggregation, then a broadcast join of the |groups|-row threshold
-   * table onto the scoring scan; the corpus itself never shuffles in the
-   * gating pass. The EXACT percentile holds each group's quality values
-   * in the aggregation buffer — fine while groups are languages (tens of
-   * millions of doubles per group at worst), but at 10¹¹ docs pass
-   * `approx = true`: `approx_percentile` is a mergeable constant-memory
-   * sketch, so the aggregation becomes map-side-combined partials and
-   * the threshold error is bounded by the sketch accuracy (1/10000
+   * Scale shape, two regimes. Exact (default): the exact percentile
+   * buffers every group value by definition, so the group fits one task
+   * — the operator leans into that and runs ONE corpus pass (score once,
+   * buffer (key, quality) per group, read the threshold off the same
+   * sorted buffer, explode back gated) instead of scoring twice and
+   * joining. At 10¹¹ docs pass `approx = true`: `approx_percentile` is a
+   * mergeable constant-memory sketch, the aggregation becomes map-side-
+   * combined partials feeding a broadcast of the |groups|-row threshold
+   * table onto the scoring scan — the corpus never shuffles or buffers,
+   * and the threshold error is bounded by the sketch accuracy (1/10000
    * relative rank), which moves the gate boundary by at most that
    * fraction of each group.
    */
@@ -277,13 +290,32 @@ object Sampling {
     val scored = docs.select(col(keyCol), col(groupCol),
       TF.qualityScore(col(textCol)).as("quality"))
     val p = 1.0 - keepRate
-    val q = if (approx) s"approx_percentile(quality, $p, 10000)"
-            else s"percentile(quality, $p)"
-    val thr = scored.groupBy(col(groupCol))
-      .agg(round(expr(q), 6).as("threshold"))
-    scored.join(broadcast(thr), Seq(groupCol))
-      .filter(col("quality") >= col("threshold"))
-      .select(col(keyCol), col(groupCol), col("quality"), col("threshold"))
+    if (approx) {
+      // 100 TB form: constant-memory mergeable sketch per group, then a
+      // broadcast of the |groups|-row threshold table onto the scoring
+      // scan — the corpus never shuffles and never buffers.
+      val thr = scored.groupBy(col(groupCol))
+        .agg(round(expr(s"approx_percentile(quality, $p, 10000)"), 6).as("threshold"))
+      scored.join(broadcast(thr), Seq(groupCol))
+        .filter(col("quality") >= col("threshold"))
+        .select(col(keyCol), col(groupCol), col("quality"), col("threshold"))
+    } else {
+      // Exact form: the exact percentile buffers every group value by
+      // definition, so the group already fits one task — make that ONE
+      // pass (score once, buffer (key, quality), read the threshold off
+      // the same sorted buffer, explode back gated) instead of scoring
+      // the corpus twice and joining. Null-group rows can't join in the
+      // broadcast form; the filter keeps that contract here.
+      scored.filter(col(groupCol).isNotNull)
+        .groupBy(col(groupCol))
+        .agg(collect_list(struct(col(keyCol), col("quality"))).as("_rows"),
+          round(Percentiles.fromSorted(
+            Percentiles.sortedVals(col("quality")), p), 6).as("threshold"))
+        .select(col(groupCol), col("threshold"), explode(col("_rows")).as("_r"))
+        .filter(col("_r.quality") >= col("threshold"))
+        .select(col(s"_r.$keyCol").as(keyCol), col(groupCol),
+          col("_r.quality").as("quality"), col("threshold"))
+    }
   }
 
   /**

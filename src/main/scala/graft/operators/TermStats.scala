@@ -337,12 +337,16 @@ object TermStats {
     val scored = graft.CacheRegistry.track(
       lmScoreBigram(docs, textCol, keyCol, vocabSize)
         .join(docs.select(col(keyCol), col(groupCol)), Seq(keyCol)))
-    def q(p: Double) =
-      if (approx) s"approx_percentile(lm2_score, $p, 10000)"
-      else s"percentile(lm2_score, $p)"
-    val thr = scored.groupBy(col(groupCol)).agg(
-      round(expr(q(1.0 / 3)), 6).as("_q1"),
-      round(expr(q(2.0 / 3)), 6).as("_q2"))
+    val thr =
+      if (approx) scored.groupBy(col(groupCol)).agg(
+        round(expr(s"approx_percentile(lm2_score, ${1.0 / 3}, 10000)"), 6).as("_q1"),
+        round(expr(s"approx_percentile(lm2_score, ${2.0 / 3}, 10000)"), 6).as("_q2"))
+      else // both exact terciles read off ONE sorted buffer (Percentiles)
+        scored.groupBy(col(groupCol))
+          .agg(Percentiles.sortedVals(col("lm2_score")).as("_sv"))
+          .select(col(groupCol),
+            round(Percentiles.fromSorted(col("_sv"), 1.0 / 3), 6).as("_q1"),
+            round(Percentiles.fromSorted(col("_sv"), 2.0 / 3), 6).as("_q2"))
     scored.join(broadcast(thr), Seq(groupCol))
       .select(col(keyCol), col(groupCol), col("lm2_score"),
         when(col("lm2_score") > col("_q2"), lit("head"))
