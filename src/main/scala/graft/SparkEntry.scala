@@ -492,7 +492,7 @@ object SparkEntry {
     * quantization fixture (same lifecycle discipline as [[ivfIndexPath]]). */
   private val pqIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def pqIndexPath(s: SparkSession, d: String): String =
+  private[graft] def pqIndexPath(s: SparkSession, d: String): String =
     pqIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_pq_").resolve("index").toString
@@ -593,7 +593,7 @@ object SparkEntry {
     * BM25 fixture (same lifecycle discipline as [[pqIndexPath]]). */
   private val textIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def textIndexPath(s: SparkSession, d: String): String =
+  private[graft] def textIndexPath(s: SparkSession, d: String): String =
     textIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_text_").resolve("index").toString
@@ -2879,12 +2879,14 @@ object SparkEntry {
           ORDER BY rrf DESC, doc_id LIMIT 20""")),
 
     Q("q_hybrid_batch", // hybrid retrieval for a BATCH of stored queries,
-      // prebuilt artifacts only — the full serving pipeline: per-query
-      // BM25 over postings (bm25TopKBatchPrebuilt), per-query ADC over
-      // the PQ codes (pqTopKBatchPrebuilt, relationally-derived LUTs),
-      // fused per query with rrfFuseBatch. One plan scores every query;
-      // neither corpus text nor raw embeddings are read (PlanSpec-pinned,
-      // the q_hybrid_prebuilt contract batched).
+      // prebuilt artifacts only — the full serving pipeline (per-query
+      // BM25 over postings, per-query ADC over the PQ codes, RRF fusion)
+      // as ONE fused plan: both kernels' candidates rank in a single
+      // tagged-union window and fuse with a groupBy sum instead of two
+      // rank windows + a full-outer join (hybridRrfBatchPrebuilt; pinned
+      // == the composed kernels). Neither corpus text nor raw embeddings
+      // are read (PlanSpec-pinned, the q_hybrid_prebuilt contract
+      // batched).
       (s, d) => {
         import s.implicits._
         val textQs = Seq(
@@ -2893,12 +2895,10 @@ object SparkEntry {
           (2L, Seq("index", "data"))).toDF("qid", "terms")
         val vecQs = t(s, d, "embeddings").filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("embedding"))
-        val text = TermStats.bm25TopKBatchPrebuilt(s, textIndexPath(s, d),
-          "doc_id", textQs, "qid", "terms", k = 20, rankCol = Some("_rank"))
-        val vec = Similarity.pqTopKBatchPrebuilt(s, pqIndexPath(s, d),
-          vecQs, "qid", "embedding", "vec_id", k = 20, rankCol = Some("_rank"))
-        TermStats.rrfFuseBatchRanked(text, "qid", "doc_id", "_rank",
-          vec, "vec_id", "_rank", k = 10)
+        TermStats.hybridRrfBatchPrebuilt(s,
+          textIndexPath(s, d), "doc_id", textQs, "qid", "terms",
+          pqIndexPath(s, d), vecQs, "qid", "embedding",
+          kKernel = 20, k = 10)
       },
       Some(sqlHybridBatch)),
 

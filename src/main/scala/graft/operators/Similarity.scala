@@ -1191,6 +1191,28 @@ object Similarity {
                           outKey: String, k: Int, m: Int = 8, dim: Int = 64,
                           scale: Double = 1e6,
                           rankCol: Option[String] = None): DataFrame = {
+    val scored = pqScoredBatchPrebuilt(spark, indexPath, queries,
+      queryKeyCol, queryVecCol, m, dim, scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score").desc, col("key").asc)
+    // rankCol: the ranked handoff for rrfFuseBatchRanked (see the BM25
+    // batch kernel's note) — same rank the fuse would recompute
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(Seq(col("_qid").as(queryKeyCol), col("key").as(outKey),
+        col("score")) ++ rankCol.map(rc => col("_rn").as(rc)): _*)
+  }
+
+  /** Scored (query, doc) ADC candidates for a batch of queries — the
+    * frame [[pqTopKBatchPrebuilt]] cuts its per-query top-k from, exposed
+    * package-private so [[TermStats.hybridRrfBatchPrebuilt]] can rank
+    * both retrieval kernels inside ONE window exchange. Columns:
+    * (_qid, key, score). */
+  private[operators] def pqScoredBatchPrebuilt(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      queryKeyCol: String, queryVecCol: String,
+      m: Int = 8, dim: Int = 64, scale: Double = 1e6): DataFrame = {
     val dir = IndexLifecycle.resolveDir(spark, indexPath)
     require(m >= 1 && dim % m == 0,
       s"dim $dim must divide into m=$m subspaces")
@@ -1229,18 +1251,10 @@ object Similarity {
           lit(0L), (acc, v) => acc + v).as("_l"))
     val codes = spark.read.parquet(s"$dir/codes")
       .select(col("key"), posexplode(col("codes")).as(Seq("_s", "_c")))
-    val scored = codes.join(broadcast(luts), Seq("_s", "_c"))
+    codes.join(broadcast(luts), Seq("_s", "_c"))
       .groupBy(col("_qid"), col("key"))
       .agg(sum(col("_l")).as("_si"))
       .select(col("_qid"), col("key"),
         round(col("_si").cast("double") / lit(scale * scale), 6).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_qid")).orderBy(col("score").desc, col("key").asc)
-    // rankCol: the ranked handoff for rrfFuseBatchRanked (see the BM25
-    // batch kernel's note) — same rank the fuse would recompute
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(Seq(col("_qid").as(queryKeyCol), col("key").as(outKey),
-        col("score")) ++ rankCol.map(rc => col("_rn").as(rc)): _*)
   }
 }

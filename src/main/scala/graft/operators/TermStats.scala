@@ -623,6 +623,29 @@ object TermStats {
                             termsCol: String, k: Int, k1: Double = 1.2,
                             b: Double = 0.75,
                             rankCol: Option[String] = None): DataFrame = {
+    val perDoc = bm25ScoredBatchPrebuilt(spark, indexPath, keyCol, queries,
+      queryKeyCol, termsCol, k1, b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("bm25").desc, col(keyCol).asc)
+    // rankCol exposes the ranking window's own row_number (the exact rank
+    // rrfFuseBatch would re-derive with one more window per side — the
+    // ranked handoff saves those exchanges in the hybrid serving plan)
+    perDoc.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(Seq(col("_qid").as(queryKeyCol), col(keyCol), col("bm25")) ++
+        rankCol.map(rc => col("_rn").as(rc)): _*)
+  }
+
+  /** Scored (query, doc) BM25 candidates for a batch of queries — the
+    * frame [[bm25TopKBatchPrebuilt]] cuts its per-query top-k from,
+    * exposed package-private so [[hybridRrfBatchPrebuilt]] can rank both
+    * retrieval kernels inside ONE window exchange. Columns:
+    * (_qid, keyCol, bm25). */
+  private[operators] def bm25ScoredBatchPrebuilt(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, keyCol: String,
+      queries: DataFrame, queryKeyCol: String,
+      termsCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dir = resolveIndexDir(spark, indexPath)
     val qterms = queries.select(col(queryKeyCol).as("_qid"),
       explode(array_distinct(col(termsCol))).as("term"))
@@ -648,21 +671,12 @@ object TermStats {
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val termScore = idf * (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
-    val perDoc = qterms.join(tf, Seq("term"))
+    qterms.join(tf, Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("_ts", round(termScore * 1e6).cast("long"))
       .groupBy(col("_qid"), col(keyCol))
       .agg(round(sum(col("_ts")).cast("double") / 1e6, 6).as("bm25"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_qid")).orderBy(col("bm25").desc, col(keyCol).asc)
-    // rankCol exposes the ranking window's own row_number (the exact rank
-    // rrfFuseBatch would re-derive with one more window per side — the
-    // ranked handoff saves those exchanges in the hybrid serving plan)
-    perDoc.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(Seq(col("_qid").as(queryKeyCol), col(keyCol), col("bm25")) ++
-        rankCol.map(rc => col("_rn").as(rc)): _*)
   }
 
   /**
@@ -727,6 +741,65 @@ object TermStats {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("_qid").as(qidCol), col("_key").as(aKey), col("rrf"))
+  }
+
+  /**
+   * The whole batch hybrid serving pipeline — BM25 over the text index,
+   * ADC over the PQ codes, RRF-fused per query — as ONE fused plan: both
+   * kernels' scored candidates union under a source tag, ONE window
+   * (partitioned by query AND source) assigns both kernels' ranks, and
+   * the fusion is a plain groupBy sum of 1/(k0+rank) — no full-outer
+   * join, no per-kernel rank windows. Three exchanges total (tagged-
+   * union rank, fuse groupBy, final top-k) where the composed form
+   * ([[bm25TopKBatchPrebuilt]] + [[Similarity.pqTopKBatchPrebuilt]] +
+   * [[rrfFuseBatchRanked]]) paid two rank exchanges plus a join plus the
+   * final window — the q_lsh_recall one-plan-union trick applied to
+   * serving. Results are identical by construction: each source's rank
+   * window orders (score DESC, key ASC) exactly as its kernel does, a
+   * (query, key) pair contributes one rrf term per source it appears in
+   * (sum == the coalesce-0 two-term form), and the final cut uses the
+   * same (rrf DESC, key ASC) order — equality with the composed form is
+   * unit-pinned. Ranking-only contract (like [[rrfFuseBatch]]): the
+   * fused output carries ranks, not kernel scores. Key columns of the
+   * two kernels must share a type (they name the same corpus key).
+   *
+   * Scale shape: identical to the composed kernels — postings and codes
+   * only, query-pruned dictionary/LUT broadcasts, every window partition
+   * bounded by one query's candidate set (and the final one by 2·kKernel
+   * ranked rows).
+   */
+  def hybridRrfBatchPrebuilt(spark: org.apache.spark.sql.SparkSession,
+                             textIndexPath: String, keyCol: String,
+                             textQueries: DataFrame, queryKeyCol: String,
+                             termsCol: String,
+                             pqIndexPath: String, vecQueries: DataFrame,
+                             vecQueryKeyCol: String, vecCol: String,
+                             kKernel: Int, k: Int, k0: Int = 60,
+                             k1: Double = 1.2, b: Double = 0.75,
+                             m: Int = 8, dim: Int = 64,
+                             scale: Double = 1e6): DataFrame = {
+    require(k0 >= 1, "rank constant k0 must be >= 1")
+    val text = bm25ScoredBatchPrebuilt(spark, textIndexPath, keyCol,
+        textQueries, queryKeyCol, termsCol, k1, b)
+      .select(col("_qid"), col(keyCol).as("_key"),
+        col("bm25").cast("double").as("_score"), lit(0).as("_src"))
+    val vec = Similarity.pqScoredBatchPrebuilt(spark, pqIndexPath,
+        vecQueries, vecQueryKeyCol, vecCol, m, dim, scale)
+      .select(col("_qid"), col("key").as("_key"),
+        col("score").cast("double").as("_score"), lit(1).as("_src"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid"), col("_src"))
+      .orderBy(col("_score").desc, col("_key").asc)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("rrf").desc, col("_key").asc)
+    text.unionByName(vec)
+      .withColumn("_rn", row_number().over(wRank))
+      .filter(col("_rn") <= kKernel)
+      .groupBy(col("_qid"), col("_key"))
+      .agg(round(sum(lit(1.0) / (lit(k0) + col("_rn"))), 6).as("rrf"))
+      .withColumn("_fr", row_number().over(wTop))
+      .filter(col("_fr") <= k)
+      .select(col("_qid").as(queryKeyCol), col("_key").as(keyCol), col("rrf"))
   }
 
   /**

@@ -25,23 +25,39 @@ object PerfScratch {
       println(f"$name%-28s min=${xs.min}%.3f  ${xs.map(x => f"$x%.3f").mkString("/")}")
     }
 
-    def orders = Tables(spark, sfDir, "orders")
-    def currA: DataFrame = SparkEntry.queries("q_curriculum")(spark, sfDir)
-    def edgesOnly: DataFrame = orders.agg(
-      graft.operators.Percentiles.sortedVals(col("o_totalprice")).as("_sv"))
-      .select(array(Seq(0.25, 0.5, 0.75).map(q =>
-        round(graft.operators.Percentiles.fromSorted(col("_sv"), q), 6)): _*).as("_edges"))
+    import spark.implicits._
+    import graft.operators.{TermStats, Similarity}
+    val textQs = Seq(
+      (0L, Seq("data", "spark", "index")),
+      (1L, Seq("spark", "table")),
+      (2L, Seq("index", "data"))).toDF("qid", "terms")
+    def vecQs = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val tIdx = SparkEntry.textIndexPath(spark, sfDir)
+    val pIdx = SparkEntry.pqIndexPath(spark, sfDir)
 
-    def currCached: DataFrame = {
-      val slim = CacheRegistry.track(orders.select("o_orderkey", "o_totalprice"))
-      graft.operators.Sampling.curriculumSample(
-        slim, "o_orderkey", "o_totalprice", Seq(0.05, 0.2, 0.5, 1.0))
-        .select(col("o_orderkey"), col("o_totalprice"))
+    def fused: DataFrame = TermStats.hybridRrfBatchPrebuilt(spark,
+      tIdx, "doc_id", textQs, "qid", "terms",
+      pIdx, vecQs, "qid", "embedding", kKernel = 20, k = 10)
+    def composed: DataFrame = {
+      val text = TermStats.bm25TopKBatchPrebuilt(spark, tIdx, "doc_id",
+        textQs, "qid", "terms", k = 20, rankCol = Some("_rank"))
+      val vec = Similarity.pqTopKBatchPrebuilt(spark, pIdx, vecQs,
+        "qid", "embedding", "vec_id", k = 20, rankCol = Some("_rank"))
+      TermStats.rrfFuseBatchRanked(text, "qid", "doc_id", "_rank",
+        vec, "vec_id", "_rank", k = 10)
     }
-    bench("currA_current", currA)
-    bench("currCached", currCached)
-    bench("currA_current", currA)
-    bench("currCached", currCached)
+    def bm25Only: DataFrame = TermStats.bm25TopKBatchPrebuilt(spark, tIdx,
+      "doc_id", textQs, "qid", "terms", k = 20, rankCol = Some("_rank"))
+    def pqOnly: DataFrame = Similarity.pqTopKBatchPrebuilt(spark, pIdx, vecQs,
+      "qid", "embedding", "vec_id", k = 20, rankCol = Some("_rank"))
+
+    bench("fused", fused)
+    bench("composed", composed)
+    bench("bm25Only", bm25Only)
+    bench("pqOnly", pqOnly)
+    bench("fused", fused)
+    bench("composed", composed)
     spark.stop()
   }
 }

@@ -201,6 +201,37 @@ class VectorIndexLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("hybridRrfBatchPrebuilt == composed kernels + rrfFuseBatchRanked " +
+       "(one tagged-union window + groupBy fuse changes nothing)") {
+    import graft.operators.TermStats
+    import spark.implicits._
+    val idx = tmp("graft-pq-hybrid")
+    Similarity.pqBuild(emb, "embedding", "vec_id", idx, m = 8, ksub = 16, dim = 64)
+    val tdir = tmp("graft-text-hybrid")
+    val docs = Seq((0L, "a b c"), (1L, "a c"), (2L, "b d"), (3L, "d d a"),
+      (4L, "c b"), (5L, "a a b d")).toDF("doc_id", "text")
+    TermStats.buildTextIndex(docs, "text", "doc_id", tdir)
+    // include a term-less query (drops from text side) and overlapping keys
+    val textQs = Seq((0L, Seq("a", "b")), (1L, Seq("d")), (2L, Seq("zz")))
+      .toDF("qid", "terms")
+    val vecQs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val fused = canon(TermStats.hybridRrfBatchPrebuilt(spark,
+      tdir, "doc_id", textQs, "qid", "terms",
+      idx, vecQs, "qid", "embedding", kKernel = 5, k = 4))
+    val text = TermStats.bm25TopKBatchPrebuilt(spark, tdir, "doc_id",
+      textQs, "qid", "terms", k = 5, rankCol = Some("_rank"))
+    val vec = Similarity.pqTopKBatchPrebuilt(spark, idx, vecQs,
+      "qid", "embedding", "vec_id", k = 5, rankCol = Some("_rank"))
+    val composed = canon(TermStats.rrfFuseBatchRanked(text, "qid", "doc_id",
+      "_rank", vec, "vec_id", "_rank", k = 4))
+    assert(fused == composed, s"fused hybrid drifted:\n$fused\n$composed")
+    assert(fused.nonEmpty)
+  }
+
   test("codebook drift: recall@20 of the appended index vs the full rebuild " +
        "(the number the appendPqIndex scaladoc cites)") {
     val build = emb.filter(col("vec_id") >= 100)
