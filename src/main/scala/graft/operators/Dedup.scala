@@ -1002,13 +1002,15 @@ object Dedup {
       s"lshRecallReport ground truth is a pairwise join: input exceeds " +
         s"maxRows=$maxRows rows — pass a bounded sample slice (or raise " +
         s"maxRows deliberately)")
+    require(threshold > 0.0,
+      "lshRecallReport needs a positive Jaccard threshold: the exact " +
+        "ground truth is computed over the shingle inverted index, which " +
+        "by construction only sees pairs sharing at least one shingle — " +
+        "exactly the pairs that can reach a positive threshold (and a " +
+        "banding scheme is only ever tuned for one)")
     val spark = df.sparkSession
     val sh = tracked(df.select(col(keyCol).as("_k"),
       array_distinct(TF.shingles(col(textCol), shingleN)).as("_s")))
-    val a = sh.select(col("_k").as("_ka"), col("_s").as("_sa"))
-    val b = sh.select(col("_k").as("_kb"), col("_s").as("_sb"))
-    val j = size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
-      size(array_union(col("_sa"), col("_sb"))).cast("double")
     // one signature table per DISTINCT hash budget, shared by every
     // banding config over it — the signature pass is the expensive half,
     // and (nh, 4) vs (nh, 8) differ only in how the same signature slices
@@ -1022,8 +1024,26 @@ object Dedup {
     // and stage re-walk; measured 3.9 s → the job floor share of it at
     // sf0.1). The cached signature/shingle tables materialize inside the
     // same job and are shared across the union's branches.
-    val exactPairs = a.join(b, col("_ka") < col("_kb"))
-      .filter(size(array_union(col("_sa"), col("_sb"))) > 0 && j >= threshold)
+    // Exact truth over the shingle INVERTED INDEX, not an O(n²) theta
+    // join: |A∩B| is a hash-aggregated count over pairs sharing a
+    // shingle, |A∪B| = |A|+|B|-|A∩B| from the per-doc set sizes. Same
+    // integer counts as the array_intersect/array_union form (pinned by
+    // the unchanged oracle), but the only pairs that materialize are
+    // those with a shared shingle — the ones a positive threshold can
+    // admit — and the work is a parallel shuffle, not a nested loop over
+    // every (a,b) with a per-pair set intersection (A/B at sf0.1:
+    // 4.2 s → 0.5 s for the truth branch; hot shingles bound the fan-out
+    // and the maxRows contract bounds the slice)
+    val sz = sh.select(col("_k"), size(col("_s")).as("_n"))
+    val ex = sh.select(col("_k"), explode(col("_s")).as("_g"))
+    val exactPairs = ex.as("a").join(ex.as("b"),
+        col("a._g") === col("b._g") && col("a._k") < col("b._k"))
+      .groupBy(col("a._k").as("_ka"), col("b._k").as("_kb"))
+      .agg(count(lit(1)).as("_i"))
+      .join(sz.select(col("_k").as("_ka"), col("_n").as("_na")), Seq("_ka"))
+      .join(sz.select(col("_k").as("_kb"), col("_n").as("_nb")), Seq("_kb"))
+      .filter(col("_i").cast("double") /
+        (col("_na") + col("_nb") - col("_i")).cast("double") >= threshold)
       .select(lit(-1).as("_nh"), lit(-1).as("_bands"))
     // configs.distinct: a repeated (nh, bands) entry must not contribute
     // two identical branches to one group — the groupBy would sum them

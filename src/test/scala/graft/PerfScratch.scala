@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
 
 /**
  * Scratch variant A/B bench (test scope, never shipped): candidate plan
@@ -15,49 +16,62 @@ object PerfScratch {
     spark.sparkContext.setLogLevel("ERROR")
     Tables(spark, sfDir, "documents").groupBy("lang").count().collect()
 
-    def once(df: => DataFrame): Double = {
+    def once(act: => Unit): Double = {
       val t0 = System.nanoTime()
-      df.queryExecution.toRdd.count()
+      act
       (System.nanoTime() - t0) / 1e9
     }
-    def bench(name: String, df: => DataFrame): Unit = {
-      val xs = (1 to 4).map(_ => once(df))
+    def bench(name: String)(act: => Unit): Unit = {
+      val xs = (1 to 3).map(_ => once(act))
       println(f"$name%-28s min=${xs.min}%.3f  ${xs.map(x => f"$x%.3f").mkString("/")}")
     }
 
-    import spark.implicits._
-    import graft.operators.{TermStats, Similarity}
-    val textQs = Seq(
-      (0L, Seq("data", "spark", "index")),
-      (1L, Seq("spark", "table")),
-      (2L, Seq("index", "data"))).toDF("qid", "terms")
-    def vecQs = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("embedding"))
-    val tIdx = SparkEntry.textIndexPath(spark, sfDir)
-    val pIdx = SparkEntry.pqIndexPath(spark, sfDir)
+    def docs = Tables(spark, sfDir, "documents").filter(col("doc_id") < 250)
+    val shingleN = 3
+    val threshold = 0.3
 
-    def fused: DataFrame = TermStats.hybridRrfBatchPrebuilt(spark,
-      tIdx, "doc_id", textQs, "qid", "terms",
-      pIdx, vecQs, "qid", "embedding", kKernel = 20, k = 10)
-    def composed: DataFrame = {
-      val text = TermStats.bm25TopKBatchPrebuilt(spark, tIdx, "doc_id",
-        textQs, "qid", "terms", k = 20, rankCol = Some("_rank"))
-      val vec = Similarity.pqTopKBatchPrebuilt(spark, pIdx, vecQs,
-        "qid", "embedding", "vec_id", k = 20, rankCol = Some("_rank"))
-      TermStats.rrfFuseBatchRanked(text, "qid", "doc_id", "_rank",
-        vec, "vec_id", "_rank", k = 10)
+    def shinglesDf = docs.select(col("doc_id").as("_k"),
+      array_distinct(TF.shingles(col("text"), shingleN)).as("_s"))
+
+    def exactPairsCount(): Unit = {
+      val sh = shinglesDf
+      val a = sh.select(col("_k").as("_ka"), col("_s").as("_sa"))
+      val b = sh.select(col("_k").as("_kb"), col("_s").as("_sb"))
+      val j = size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+        size(array_union(col("_sa"), col("_sb"))).cast("double")
+      val n = a.join(b, col("_ka") < col("_kb"))
+        .filter(size(array_union(col("_sa"), col("_sb"))) > 0 && j >= threshold)
+        .count()
+      println(s"  exact pairs = $n")
     }
-    def bm25Only: DataFrame = TermStats.bm25TopKBatchPrebuilt(spark, tIdx,
-      "doc_id", textQs, "qid", "terms", k = 20, rankCol = Some("_rank"))
-    def pqOnly: DataFrame = Similarity.pqTopKBatchPrebuilt(spark, pIdx, vecQs,
-      "qid", "embedding", "vec_id", k = 20, rankCol = Some("_rank"))
 
-    bench("fused", fused)
-    bench("composed", composed)
-    bench("bm25Only", bm25Only)
-    bench("pqOnly", pqOnly)
-    bench("fused", fused)
-    bench("composed", composed)
+    def exactPairsInverted(): Unit = {
+      val sh = shinglesDf
+      val sz = sh.select(col("_k"), size(col("_s")).as("_n"))
+      val ex = sh.select(col("_k"), explode(col("_s")).as("_g"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a._g") === col("b._g") && col("a._k") < col("b._k"))
+        .groupBy(col("a._k").as("_ka"), col("b._k").as("_kb"))
+        .agg(count(lit(1)).as("_i"))
+      val n = inter
+        .join(sz.select(col("_k").as("_ka"), col("_n").as("_na")), Seq("_ka"))
+        .join(sz.select(col("_k").as("_kb"), col("_n").as("_nb")), Seq("_kb"))
+        .filter(col("_i").cast("double") /
+          (col("_na") + col("_nb") - col("_i")).cast("double") >= threshold)
+        .count()
+      println(s"  exact pairs (inverted) = $n")
+    }
+
+    def lshFull(): Unit = {
+      val n = SparkEntry.queries("q_lsh_recall")(spark, sfDir).collect().length
+      println(s"  report rows = $n")
+    }
+
+    bench("exact_bnlj")(exactPairsCount())
+    bench("exact_inverted")(exactPairsInverted())
+    bench("q_lsh_recall_full")(lshFull())
+    bench("exact_bnlj")(exactPairsCount())
+    bench("exact_inverted")(exactPairsInverted())
     spark.stop()
   }
 }
