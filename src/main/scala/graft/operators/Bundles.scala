@@ -149,26 +149,38 @@ object Bundles {
     val rootQ = f.makeQualified(new Path(artifactRoot)).toString
     val inv = versions.flatMap(v =>
       inventory(f, rootQ, new Path(s"$artifactRoot/v=$v")))
-    copyFiles(f, rootQ, bf, bundlePath, inv.map { case (p, _) => (p, p) })
-    // re-verify the copied bytes against the inventory BEFORE the manifest
-    // certifies anything: a file that grew mid-copy (an append into the
-    // CURRENT version racing the export) would otherwise produce a bundle
-    // whose unrestorability is discovered at RESTORE time — during the
-    // disaster, not during the backup
-    inv.foreach { case (relp, len) =>
-      val got = bf.getFileStatus(new Path(s"$bundlePath/$relp")).getLen
-      if (got != len) throw new IllegalStateException(
-        s"export raced a writer: $relp was $len bytes at inventory, " +
-          s"$got after copy — re-run the export (or export a pinned " +
-          "non-current version, which is immutable)")
+    // any failure from here leaves a MANIFEST-LESS directory — already
+    // unusable by contract (the manifest is written last), but its
+    // existence would trip the write-once check and permanently refuse
+    // the retry; since the path did not exist before this call (required
+    // above), the debris is entirely ours to best-effort remove
+    try {
+      copyFiles(f, rootQ, bf, bundlePath, inv.map { case (p, _) => (p, p) })
+      // re-verify the copied bytes against the inventory BEFORE the manifest
+      // certifies anything: a file that grew mid-copy (an append into the
+      // CURRENT version racing the export) would otherwise produce a bundle
+      // whose unrestorability is discovered at RESTORE time — during the
+      // disaster, not during the backup
+      inv.foreach { case (relp, len) =>
+        val got = bf.getFileStatus(new Path(s"$bundlePath/$relp")).getLen
+        if (got != len) throw new IllegalStateException(
+          s"export raced a writer: $relp was $len bytes at inventory, " +
+            s"$got after copy — re-run the export (or export a pinned " +
+            "non-current version, which is immutable)")
+      }
+      // manifest LAST: its presence certifies a complete bundle
+      val lines = Seq(Header, s"pointer=$pname", s"current=$bundleCurrent") ++
+        versions.sorted.map(v => s"version=$v") ++
+        inv.sorted.map { case (p, n) => s"file\t$p\t$n" }
+      val out = bf.create(new Path(s"$bundlePath/$ManifestName"), false)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try bf.delete(new Path(bundlePath), true)
+        catch { case scala.util.control.NonFatal(_) => () } // keep the cause
+        throw e
     }
-    // manifest LAST: its presence certifies a complete bundle
-    val lines = Seq(Header, s"pointer=$pname", s"current=$bundleCurrent") ++
-      versions.sorted.map(v => s"version=$v") ++
-      inv.sorted.map { case (p, n) => s"file\t$p\t$n" }
-    val out = bf.create(new Path(s"$bundlePath/$ManifestName"), false)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
     BundleInfo(pname, bundleCurrent, versions.sorted, inv.size,
       inv.map(_._2).sum)
   }
@@ -266,8 +278,22 @@ object Bundles {
       val v = p.substring(2, slash).toLong
       s"v=${remap(v)}${p.substring(slash)}"
     }
-    copyFiles(bf, bf.makeQualified(new Path(bundlePath)).toString,
+    // a copy failure leaves partial v= dirs that would reclassify a fresh
+    // target as LIVE (forcing overwrite=true + renumbering on the retry);
+    // the remapped version numbers are new by construction — fresh target
+    // had none, live target renumbers past its max — so the debris dirs
+    // are entirely this import's to best-effort remove (the pointer flips
+    // last, so no reader ever saw them)
+    try copyFiles(bf, bf.makeQualified(new Path(bundlePath)).toString,
       tf, targetRoot, files.map { case (p, _) => (p, remapPath(p)) })
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        remap.values.foreach { v =>
+          try tf.delete(new Path(s"$targetRoot/v=$v"), true)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
+    }
     // flip LAST — the import becomes visible atomically or not at all
     // (IndexLifecycle's atomic write-temp + rename + stale-tmp sweep, so a
     // crashed earlier import's pointer debris is also cleaned here)

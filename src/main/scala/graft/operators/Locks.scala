@@ -179,7 +179,14 @@ object Locks {
     * shared filesystem has no queue, so this is a fair-enough poll).
     * The default wait is genuinely blocking — waitMs = 0 would make the
     * "blocking" API behave exactly like [[tryAcquire]], contradicting
-    * this contract; pass 0 explicitly for a single non-blocking attempt. */
+    * this contract; pass 0 explicitly for a single non-blocking attempt.
+    *
+    * COMPATIBILITY NOTE: before round 12 the default was waitMs = 0 (a
+    * misnomer — "acquire" never blocked). A caller upgrading across that
+    * change who wants the old semantics should call [[tryAcquire]] (the
+    * non-blocking API, same return shape) or pass waitMs = 0 — relying
+    * on the old default now blocks up to 10 s when contended. All
+    * in-repo call sites pass waitMs explicitly (audited round 13). */
   def acquire(spark: SparkSession, dir: String, name: String,
               ttlMs: Long, waitMs: Long = 10000L, pollMs: Long = 50L): Option[Lease] = {
     val deadline = System.currentTimeMillis() + waitMs

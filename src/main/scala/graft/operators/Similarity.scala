@@ -195,10 +195,28 @@ object Similarity {
     modelMemo.getOrElseUpdate(key, load).asInstanceOf[T]
   }
 
+  /** Cheap content fingerprint of a frozen model table, folded into the
+    * memo key: an artifact root deleted and rebuilt OUT-OF-BAND to the
+    * same v=N path (test fixtures, a manual wipe — the CAS lifecycle
+    * itself never reuses a version number) changes the file set's
+    * lengths/mtimes, so the stale codebook/centroid literals are
+    * re-collected instead of silently corrupting ADC rankings. One FS
+    * listing per probe — noise next to the collect it guards. */
+  private def tableFingerprint(spark: org.apache.spark.sql.SparkSession,
+                               path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString(",").hashCode.toString
+  }
+
   /** Bounded nlist-row collect — the codebook-collect contract class. */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
                             vdir: String): Array[Array[Float]] =
-    memoized(s"centroids|$vdir") {
+    memoized(s"centroids|$vdir|" +
+        tableFingerprint(spark, s"$vdir/_centroids")) {
       val p = s"$vdir/_centroids"
       require(new org.apache.hadoop.fs.Path(p).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
@@ -1148,7 +1166,8 @@ object Similarity {
     * within a version, a new version is a new key). */
   private def readCodebook(spark: org.apache.spark.sql.SparkSession,
                            vdir: String): Array[Array[Long]] =
-    memoized(s"codebook|$vdir") {
+    memoized(s"codebook|$vdir|" +
+        tableFingerprint(spark, s"$vdir/_codebook")) {
       spark.read.parquet(s"$vdir/_codebook")
         .orderBy(col("c")).collect()
         .map(_.getSeq[Long](1).toArray)

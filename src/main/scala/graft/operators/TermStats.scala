@@ -826,23 +826,37 @@ object TermStats {
         .columns.contains("dl"),
       s"$indexPath is a pre-dl legacy index — appending would mix posting " +
         "schemas; rebuild with buildTextIndex first")
+    // tf and dl each feed MULTIPLE writes below — persist them for the
+    // duration so (a) the tokenize+explode+groupBy over the batch runs
+    // once, not once per write, and (b) a non-deterministic batch source
+    // cannot yield terms/ df partials inconsistent with the postings just
+    // written (each write re-executing the source was the consistency
+    // hole). Local persist handles, released in the finally — maintenance
+    // ops must not leave cache residue for the session's queries.
     val dl = batch.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
+      .persist()
     val tf = batch.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
-    tf.join(dl, Seq(keyCol))
-      .sortWithinPartitions(col("term"))
-      .write.mode("append").parquet(s"$dir/postings")
-    dl.write.mode("append").parquet(s"$dir/lengths")
-    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-      .write.mode("append").parquet(s"$dir/stats")
-    // maintain the terms/ dictionary with the batch's own df partials —
-    // but ONLY where the build created one: writing partials into a
-    // legacy index with no base counts would serve undercounted df
-    // (readers sum whatever rows exist). Legacy indexes keep the
-    // recompute-from-postings fallback until their next rebuild.
-    if (IndexLifecycle.tableExists(batch.sparkSession, s"$dir/terms"))
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .write.mode("append").parquet(s"$dir/terms")
+      .persist()
+    try {
+      tf.join(dl, Seq(keyCol))
+        .sortWithinPartitions(col("term"))
+        .write.mode("append").parquet(s"$dir/postings")
+      dl.write.mode("append").parquet(s"$dir/lengths")
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+        .write.mode("append").parquet(s"$dir/stats")
+      // maintain the terms/ dictionary with the batch's own df partials —
+      // but ONLY where the build created one: writing partials into a
+      // legacy index with no base counts would serve undercounted df
+      // (readers sum whatever rows exist). Legacy indexes keep the
+      // recompute-from-postings fallback until their next rebuild.
+      if (IndexLifecycle.tableExists(batch.sparkSession, s"$dir/terms"))
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .write.mode("append").parquet(s"$dir/terms")
+    } finally {
+      tf.unpersist(blocking = false)
+      dl.unpersist(blocking = false)
+    }
   }
 
   /**

@@ -201,6 +201,36 @@ class VectorIndexLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("out-of-band rebuild at the SAME v= path serves the new codebook " +
+       "(memo key carries a content fingerprint, not just the path)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-oob")
+    val idx = root.toString + "/idx"
+    Similarity.pqBuild(emb.filter(col("vec_id") >= 100), "embedding",
+      "vec_id", idx, m = 8, ksub = 16, dim = 64)
+    val before = rows(Similarity.pqTopKPrebuilt(spark, idx, "vec_id",
+      queryVec, 10)) // warms the codebook memo for this v= dir
+    // wipe the artifact root OUT-OF-BAND (no lifecycle call) and rebuild
+    // to the same path — version numbering restarts, so the v= dir path
+    // repeats with different contents
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete()
+    }
+    rmrf(new java.io.File(idx))
+    Similarity.pqBuild(emb.filter(col("vec_id") < 120), "embedding",
+      "vec_id", idx, m = 8, ksub = 16, dim = 64)
+    val after = rows(Similarity.pqTopKPrebuilt(spark, idx, "vec_id",
+      queryVec, 10))
+    // ground truth: an identical rebuild at a FRESH path (memo never warm)
+    val fresh = tmp("graft-pq-oob-fresh")
+    Similarity.pqBuild(emb.filter(col("vec_id") < 120), "embedding",
+      "vec_id", fresh, m = 8, ksub = 16, dim = 64)
+    val want = rows(Similarity.pqTopKPrebuilt(spark, fresh, "vec_id",
+      queryVec, 10))
+    assert(after == want,
+      s"stale memoized codebook served after out-of-band rebuild:\n" +
+        s"got  $after\nwant $want\n(before: $before)")
+  }
+
   test("hybridRrfBatchPrebuilt == composed kernels + rrfFuseBatchRanked " +
        "(one tagged-union window + groupBy fuse changes nothing)") {
     import graft.operators.TermStats
