@@ -99,11 +99,19 @@ object Classify {
    */
   def nbConstants(docs: DataFrame, textCol: String, labelCol: String,
                   buckets: Int): (Long, Long) = {
+    // null-text guard, the Mutations.sliceSize discipline: under a
+    // deployment that restores spark.sql.legacy.sizeOfNull, size(split(
+    // NULL)) is -1 — each null-text doc would SUBTRACT one token from its
+    // class total, skewing the OOV floor and breaking the pinned
+    // nbFit == nbTrain+nbConstants equality (nbFit counts such docs as
+    // zero-token via its coalesce-to-no-slots path)
+    val tc = when(col(textCol).isNull, lit(0))
+      .otherwise(TF.tokenCount(col(textCol)))
     val r = docs.select(
       count(when(col(labelCol), 1)).as("_pd"),
       count(when(!col(labelCol), 1)).as("_nd"),
-      coalesce(sum(when(col(labelCol), TF.tokenCount(col(textCol)))), lit(0L)).as("_P"),
-      coalesce(sum(when(!col(labelCol), TF.tokenCount(col(textCol)))), lit(0L)).as("_N"))
+      coalesce(sum(when(col(labelCol), tc)), lit(0L)).as("_P"),
+      coalesce(sum(when(!col(labelCol), tc)), lit(0L)).as("_N"))
       .head()
     val (pd, nd, p, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     // roundScaled, NOT math.round: one rounding rule across the fused and
@@ -181,7 +189,7 @@ object Classify {
     * (scala BigDecimal(d) uses java BigDecimal.valueOf, the same repr
     * Catalyst's Round rounds) — NOT java Math.round, whose half-toward-
     * positive-infinity disagrees on negative .5 boundaries. */
-  private def roundScaled(x: Double): Long =
+  private[operators] def roundScaled(x: Double): Long =
     BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** Score against a fused [[nbFit]] model: the dense LUT ships as a task

@@ -170,10 +170,16 @@ object Importance {
       if (hasTotals) Seq(col("bucket"), col("lr"), col("t_total"), col("r_total"))
       else Seq(col("bucket"), col("lr"))
     val rows = ratios.select(cols: _*).collect()
+    // Classify.roundScaled, NOT math.round: one HALF_UP rounding rule
+    // across every driver-side 1e6 scaling in the engine — math.round's
+    // half-toward-+infinity disagrees with Spark/DuckDB on negative
+    // exact-.5 boundaries, which would shift every OOV bucket's score
+    // by 1e-6 against the relational oracle replay
     val floor: Long =
       if (hasTotals) rows.headOption.map { r =>
-        math.round((math.log(1.0 / (r.getLong(2) + buckets.toDouble)) -
-          math.log(1.0 / (r.getLong(3) + buckets.toDouble))) * 1e6)
+        Classify.roundScaled(
+          math.log(1.0 / (r.getLong(2) + buckets.toDouble)) -
+          math.log(1.0 / (r.getLong(3) + buckets.toDouble)))
       }.getOrElse(0L)
       else 0L
     val lut = Array.fill(buckets)(floor)

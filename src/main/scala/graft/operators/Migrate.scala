@@ -111,13 +111,20 @@ object Migrate {
       // create(path, overwrite=false) arbitrates atomically; but
       // RawLocalFileSystem implements it as exists-then-create, so two
       // racing local migrators could both pass — on file:// the arbiter
-      // is java.io.File.createNewFile (POSIX O_CREAT|O_EXCL).
-      val scheme = lock.toUri.getScheme
+      // is java.io.File.createNewFile (POSIX O_CREAT|O_EXCL). Local-ness
+      // is decided by the RESOLVED FileSystem type, NOT the URI scheme: a
+      // scheme-less path resolves against fs.defaultFS, which on a
+      // cluster is HDFS — the scheme==null branch would then create the
+      // "lock" on the driver's local disk (arbitrating nothing across
+      // hosts) while the finally deletes the nonexistent HDFS path and
+      // leaves the local debris blocking every rerun from that host.
+      val isLocalFs =
+        dstFs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+          dstFs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
       val acquired =
-        if (scheme == null || scheme == "file")
-          new java.io.File(lock.toUri.getPath match {
-            case null => lock.toString; case p => p
-          }).createNewFile()
+        if (isLocalFs)
+          new java.io.File(dstFs.makeQualified(lock).toUri.getPath)
+            .createNewFile()
         else
           try { dstFs.create(lock, false).close(); true }
           catch {
@@ -235,7 +242,14 @@ object Migrate {
             entries, duplicateKeys, tombstoned, skippedEmpty = false,
             oldBytes, 0, Some(e.getMessage))
       }
-      val newBytes = dirBytes(fs(spark, dst), new Path(dst))
+      // telemetry only, and the snapshot is already COMMITTED: a transient
+      // FS error here must not bubble to the outer handler, which would
+      // report phase="convert"/entries=0 for a swamp whose V2 data is
+      // live — an operator (or retry policy) would hunt for decode
+      // corruption that does not exist
+      val newBytes =
+        try dirBytes(fs(spark, dst), new Path(dst))
+        catch { case _: Exception => 0L }
 
       // ---- verify: distributed symmetric difference (not just a count —
       // a count match with swapped rows would pass; exceptAll will not)

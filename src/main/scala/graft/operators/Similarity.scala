@@ -147,10 +147,29 @@ object Similarity {
     val assign = centroids.indices.map { i =>
       struct(VF.cosine(col(vecCol), centroids(i)).as("s"), lit(i).as("i"))
     }
-    batch.filter(size(col(vecCol)) === dim)
+    requireAppendDim(batch, vecCol, dim)
+      .filter(col(vecCol).isNotNull)
       .withColumn("_list", array_max(array(assign: _*))("i"))
       .write.mode("append").partitionBy("_list").parquet(dir)
   }
+
+  /** Loud-refusal dim guard for the APPEND paths: a batch whose vectors
+    * disagree with the index dimension must abort, not silently filter
+    * to nothing — the daily-crawl embedding-model upgrade would
+    * otherwise "append" zero rows forever while every job reports
+    * success (the [[requireMatchingM]] hazard, one step earlier). Null
+    * vectors stay droppable hygiene (the encode paths' contract); only
+    * a PRESENT wrong-width vector raises, in the plan, on the first
+    * such row. */
+  private def requireAppendDim(batch: DataFrame, vecCol: String,
+                               dim: Int): DataFrame =
+    batch.withColumn(vecCol,
+      when(col(vecCol).isNull || size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit("append vector dim "), size(col(vecCol)).cast("string"),
+          lit(s" does not match the index dim=$dim — the batch would be " +
+            "silently dropped; fix the embedding pipeline or rebuild the " +
+            "index at the new dimension")))))
 
   /** The frozen routing constants ride inside the version directory (the
     * `_codebook` discipline applied to coarse centroids) so append-time
@@ -226,6 +245,23 @@ object Similarity {
       spark.read.parquet(p).orderBy(col("i")).collect()
         .map(_.getSeq[Float](1).toArray)
     }
+
+  /** The centroids a prebuilt probe must ROUTE with: the index's own
+    * frozen `_centroids` table when present — an index built with
+    * TRAINED centroids ([[ivfBuildWith]] + [[kmeansCentroids]]) lays its
+    * lists out by them, and routing with the seeded defaults instead
+    * would select lists uncorrelated with that layout (near-zero recall,
+    * no error). Falls back to the seeded hyperplanes only for legacy
+    * dirs that predate the table. For a seeded build the table CONTAINS
+    * the seeded centroids, so reading it changes nothing there. */
+  private def routingCentroids(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, nlist: Int, dim: Int,
+                               seed: Long): Array[Array[Float]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) readCentroids(spark, dir)
+    else ivfCentroids(nlist, dim, seed)
+  }
 
   /** [[ivfTopKPrebuilt]] against an index built with explicit (e.g.
     * trained) centroids: the probe set derives from the SAME centroid
@@ -341,14 +377,26 @@ object Similarity {
     require(k > 0, "k must be positive")
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
     val spark = candidates.sparkSession
+    // the bound is enforced BEFORE the full collect: limit(max+1) caps
+    // what can ever reach the driver, so an accidentally corpus-sized
+    // candidate frame produces the contract error below, not a driver OOM
+    // inside the very collect the require was written to prevent
     val rows = candidates
-      .select(col(keyCol).cast("long"),
+      .select(col(keyCol).cast("long").as("_k"),
         col(vecCol).cast("array<double>"), round(col(relCol), 6))
+      .limit(maxCandidates + 1)
       .collect()
     require(rows.length <= maxCandidates,
       s"mmrRerank is a bounded re-rank of an ANN candidate set: got " +
-        s"${rows.length} candidates > maxCandidates=$maxCandidates — " +
+        s"more than maxCandidates=$maxCandidates candidates — " +
         "narrow the generator, don't re-rank a corpus")
+    // numeric-key contract, failed loudly: a non-numeric key casts to
+    // NULL and would otherwise surface as an opaque NullPointerException
+    // from getLong deep in the selection loop
+    require(rows.forall(!_.isNullAt(0)),
+      s"mmrRerank keys must be numeric and non-null: '$keyCol' cast to " +
+        "long produced NULLs — re-key the candidates (the tie-break " +
+        "contract orders by the numeric key)")
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
         .toDouble
@@ -400,8 +448,11 @@ object Similarity {
                            queries: DataFrame, queryKeyCol: String, queryVecCol: String,
                            vecCol: String, keyCol: String, k: Int, dim: Int,
                            nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
-    val centroids = ivfCentroids(nlist, dim, seed)
-    val scored = array((0 until nlist).map { i =>
+    val dir = IndexLifecycle.resolveDir(spark, indexPath)
+    // route with the index's OWN centroids (trained or seeded) — seeded
+    // recomputation here silently mis-routed trained-centroid indexes
+    val centroids = routingCentroids(spark, dir, nlist, dim, seed)
+    val scored = array(centroids.indices.map { i =>
       struct(VF.cosine(col(queryVecCol), centroids(i)).as("s"), lit(i).as("i"))
     }: _*)
     val desc = udfFreeComparatorSort(scored)
@@ -409,7 +460,7 @@ object Similarity {
       .filter(size(col(queryVecCol)) === dim)
       .select(col(queryKeyCol).as("qid"), col(queryVecCol).as("_qv"),
         explode(transform(slice(desc, 1, nprobe), x => x("i"))).as("_list"))
-    val idx = spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
+    val idx = spark.read.parquet(dir)
       .select(col(keyCol), col(vecCol), col("_list"))
     val joined = probes.join(idx, Seq("_list"))
       .select(col("qid"), col(keyCol),
@@ -473,7 +524,8 @@ object Similarity {
                       query: Array[Float], k: Int,
                       nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame =
     ivfTopKPrebuiltWith(spark, indexPath, vecCol, keyCol, query, k,
-      ivfCentroids(nlist, query.length, seed), nprobe)
+      routingCentroids(spark, IndexLifecycle.resolveDir(spark, indexPath),
+        nlist, query.length, seed), nprobe)
 
   // =========================================================================
   // IVF centroid TRAINING — distributed Lloyd refinement in exact integer
@@ -922,7 +974,8 @@ object Similarity {
     val dir = IndexLifecycle.resolveDir(spark, indexPath)
     val cb = readCodebook(spark, dir)
     requireMatchingM(spark, dir, m)
-    pqEncode(batch, vecCol, keyCol, cb, m, dim, scale)
+    pqEncode(requireAppendDim(batch, vecCol, dim), vecCol, keyCol,
+        cb, m, dim, scale)
       .write.mode("append").parquet(s"$dir/codes")
   }
 
@@ -962,7 +1015,8 @@ object Similarity {
     val assign = cents.indices.map { i =>
       struct(VF.cosine(col(vecCol), cents(i)).as("s"), lit(i).as("i"))
     }
-    pqEncode(batch.withColumn("_list", array_max(array(assign: _*))("i")),
+    pqEncode(requireAppendDim(batch, vecCol, dim)
+          .withColumn("_list", array_max(array(assign: _*))("i")),
         vecCol, keyCol, cb, m, dim, scale, keep = Seq("_list"))
       .write.mode("append").partitionBy("_list").parquet(s"$dir/codes")
   }
@@ -1031,7 +1085,17 @@ object Similarity {
       zip_with(col(codesCol), sequence(lit(0), lit(m - 1)),
         (c, s) => element_at(lutLit, s * ksub + c + 1)),
       lit(0L), (acc, v) => acc + v)
+    // requireMatchingM's loud-refusal discipline, probe-side: a code row
+    // whose length disagrees with the declared m would null-pad through
+    // zip_with, null-poison the LUT sum, and return k ARBITRARY rows
+    // with NULL scores — a wrong-m probe must fail, not degrade
+    val codesChecked = when(size(col(codesCol)) === m, col(codesCol))
+      .otherwise(raise_error(concat(
+        lit("code row width "), size(col(codesCol)).cast("string"),
+        lit(s" does not match the declared m=$m — wrong (m, dim) for " +
+          "this index"))))
     codesDf
+      .withColumn(codesCol, codesChecked)
       .withColumn("score",
         round(scoreInt.cast("double") / lit(scale * scale), 6))
       .orderBy(col("score").desc, col(keyCol).asc)
@@ -1153,7 +1217,8 @@ object Similarity {
     // resolve the pointer ONCE: probe and codebook read one consistent
     // version even if a rebuild flips the pointer mid-query
     val dir = IndexLifecycle.resolveDir(spark, indexPath)
-    val probed = probedLists(ivfCentroids(nlist, dim, seed), query, nprobe)
+    val probed = probedLists(
+      routingCentroids(spark, dir, nlist, dim, seed), query, nprobe)
     pqAdcTopK(
       spark.read.parquet(s"$dir/codes")
         .filter(col("_list").isin(probed: _*)),

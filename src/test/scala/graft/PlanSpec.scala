@@ -454,15 +454,21 @@ class PlanSpec extends SparkSpec {
         }
       }.toVector
     val allowed = hits.filter { h =>
-      h.contains("Clustering.scala") && h.contains("persist")
+      (h.contains("Clustering.scala") || h.contains("TermStats.scala")) &&
+        h.contains("persist")
     }
     assert(hits == allowed,
       s"untracked cache/persist outside CacheRegistry:\n${(hits diff allowed).mkString("\n")}")
-    // the allowed site must still be the self-unpersisting staging pattern
+    // the allowed sites must still be the self-unpersisting staging
+    // pattern (persist -> use -> unpersist within the same operator)
     val clustering = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/operators/Clustering.scala")))
     assert(clustering.contains("cached.unpersist"),
       "Clustering's direct persist lost its paired unpersist")
+    val termStats = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/operators/TermStats.scala")))
+    assert(termStats.contains("tf.unpersist") && termStats.contains("dl.unpersist"),
+      "appendTextIndex's direct persists lost their paired finally-unpersist")
   }
 
   test("kmeans assignment is scan-stage: centroids ride as literals, no shuffle") {

@@ -201,6 +201,59 @@ class VectorIndexLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("prebuilt probes route with the index's OWN (trained) centroids, " +
+       "not seeded recomputation") {
+    // train centroids on the corpus — a layout the seeded hyperplanes
+    // know nothing about — and require every default-probe path to agree
+    // with the explicit-centroids probe
+    val trained = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+      k = 8, iters = 2, dim = 64)
+    val idx = tmp("graft-ivf-trained")
+    Similarity.ivfBuildWith(emb, "embedding", idx, trained)
+    val want = rows(Similarity.ivfTopKPrebuiltWith(spark, idx, "embedding",
+      "vec_id", queryVec, 10, trained, nprobe = 2))
+    val single = rows(Similarity.ivfTopKPrebuilt(spark, idx, "embedding",
+      "vec_id", queryVec, 10, nlist = 8, nprobe = 2))
+    assert(single == want,
+      s"single-query default probe mis-routed a trained index:\n$single\n$want")
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Similarity.ivfTopKBatchPrebuilt(spark, idx, queries, "qid",
+        "embedding", "embedding", "vec_id", k = 10, dim = 64,
+        nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch == want,
+      s"batch probe mis-routed a trained index:\n$batch\n$want")
+  }
+
+  test("wrong-m probe and wrong-dim append fail loudly instead of " +
+       "degrading (NULL scores / silently-empty appends)") {
+    val idx = tmp("graft-pq-mprobe")
+    Similarity.pqBuild(emb, "embedding", "vec_id", idx, m = 8, ksub = 16, dim = 64)
+    val probeErr = intercept[Exception] {
+      Similarity.pqTopKPrebuilt(spark, idx, "vec_id", queryVec, 10, m = 16,
+        dim = 64).collect()
+    }
+    assert(probeErr.getMessage != null &&
+      (probeErr.getMessage.contains("does not match the declared m") ||
+        Option(probeErr.getCause).exists(
+          _.getMessage.contains("does not match the declared m"))),
+      s"wrong-m probe must name the mismatch: $probeErr")
+
+    val ivf = tmp("graft-ivf-dimguard")
+    Similarity.ivfBuild(emb, "embedding", "vec_id", ivf, dim = 64, nlist = 8)
+    val short = emb.limit(5).select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding")) // dim-32 batch
+    val appendErr = intercept[Exception] {
+      Similarity.appendIvfIndex(short, "embedding", "vec_id", ivf)
+    }
+    def mentionsDim(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("append vector dim")) ||
+        mentionsDim(t.getCause))
+    assert(mentionsDim(appendErr),
+      s"wrong-dim append must name the mismatch: $appendErr")
+  }
+
   test("out-of-band rebuild at the SAME v= path serves the new codebook " +
        "(memo key carries a content fingerprint, not just the path)") {
     val root = java.nio.file.Files.createTempDirectory("graft-pq-oob")
