@@ -3131,7 +3131,8 @@ object SparkEntry {
       // — the standard boundary discipline).
       (s, d) => Sampling.temperatureMix(t(s, d, "documents"),
         "doc_id", "lang", alpha = 0.5, budget = 20000),
-      Some(s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+                 WHERE lang IS NOT NULL GROUP BY lang),
           sh AS (SELECT lang, cnt,
                    round(pow(cnt, 0.5) / sum(pow(cnt, 0.5)) OVER (), 6) AS share
                  FROM c),

@@ -58,9 +58,17 @@ object AsofJoin {
         Seq(col(leftTimeCol).as("_asof_t"), lit(1).as("_asof_isL")) ++
         leftCols.map(col) :+
         lit(null).cast(rvType).as("_asof_rv"): _*)
-    // right rows with a NULL time can never legitimately match (SQL ASOF
-    // comparisons with NULL are no-matches) — drop them before the walk
-    val rTagged = right.filter(col(rightTimeCol).isNotNull).select(
+    // right rows with a NULL time OR a NULL key component can never
+    // legitimately match (SQL ASOF comparisons and equi-keys with NULL
+    // are no-matches) — drop them before the walk. Without the key
+    // filter, Window.partitionBy would group NULL = NULL into one
+    // partition and a NULL-key left row would pick up NULL-key right
+    // values, a row SQL ASOF LEFT JOIN never produces; with it, NULL-key
+    // left rows share a partition containing no right rows and keep
+    // NULLs (the left-outer contract).
+    val rTagged = right.filter(
+      keyCols.map(col(_).isNotNull)
+        .foldLeft(col(rightTimeCol).isNotNull)(_ && _)).select(
       keyCols.map(col) ++
         Seq(col(rightTimeCol).as("_asof_t"), lit(0).as("_asof_isL")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+

@@ -168,6 +168,18 @@ object Bundles {
             s"$got after copy — re-run the export (or export a pinned " +
             "non-current version, which is immutable)")
       }
+      // size re-verify only catches files that GREW — a Spark-style
+      // append lands NEW part files, which the stale inventory never
+      // listed; re-list each exported version and compare file SETS so a
+      // half-visible multi-file append cannot certify a torn bundle
+      val after = versions.flatMap(v =>
+        inventory(f, rootQ, new Path(s"$artifactRoot/v=$v"))).map(_._1).toSet
+      val missed = after -- inv.map(_._1).toSet
+      if (missed.nonEmpty) throw new IllegalStateException(
+        s"export raced a writer: ${missed.size} file(s) appeared in the " +
+          s"source after the inventory listing (e.g. ${missed.head}) — " +
+          "re-run the export (or export a pinned non-current version, " +
+          "which is immutable)")
       // manifest LAST: its presence certifies a complete bundle
       val lines = Seq(Header, s"pointer=$pname", s"current=$bundleCurrent") ++
         versions.sorted.map(v => s"version=$v") ++
@@ -230,6 +242,7 @@ object Bundles {
     require(versions.nonEmpty && versions.contains(current),
       "manifest names no versions or a current outside them")
     // verify the inventory against the medium BEFORE touching the target
+    val declared = versions.toSet
     files.foreach { case (relp, len) =>
       val p = new Path(s"$bundlePath/$relp")
       if (!bf.exists(p)) throw new IllegalStateException(
@@ -237,6 +250,15 @@ object Bundles {
       val got = bf.getFileStatus(p).getLen
       if (got != len) throw new IllegalStateException(
         s"torn bundle: $relp is $got bytes, manifest says $len")
+      // a file under an undeclared version would otherwise surface as a
+      // bare NoSuchElementException from the remap — give it the same
+      // torn/foreign diagnostics as every other malformed-manifest path
+      val slash = relp.indexOf('/')
+      if (slash <= 0 || !relp.startsWith("v=") ||
+          relp.substring(2, slash).toLongOption.forall(!declared.contains(_)))
+        throw new IllegalStateException(
+          s"torn bundle: $relp is outside the manifest's declared " +
+            s"version set ${versions.sorted.mkString("[", ",", "]")}")
     }
     val tf = fsFor(spark, targetRoot)
     val existingPtr = pointer(spark, targetRoot)

@@ -25,6 +25,12 @@ import graft.functions.{GeoFunctions => GF}
  *
  * Null Island (0, 0) rows are excluded on both sides, matching the
  * reference's GeoDistanceFilter contract (filter_native.go:637-704).
+ *
+ * REQUIREMENT (documented, the AsofJoin right-uniqueness discipline):
+ * `keyCol` must be UNIQUE — self-pairs are removed by key inequality, so
+ * two DISTINCT rows sharing a key value would have their pair silently
+ * discarded (the one pair a location-duplicate detector exists to find).
+ * De-duplicate or re-key (e.g. a row id) before joining.
  */
 object GeoJoin {
 

@@ -21,6 +21,17 @@ object Sampling {
   def keyBucket(keyCol: String, buckets: Int = 100): org.apache.spark.sql.Column =
     pmod(TF.hash32(col(keyCol).cast("string")), lit(buckets))
 
+  /** Reserved-name guard (the AsofJoin/Mutations discipline): an input
+    * already carrying one of an operator's internal or output column
+    * names would either throw an ambiguous-reference AnalysisException
+    * after the internal join or — worse — be silently overwritten by the
+    * withColumn and dropped on the way out. */
+  private def requireNoReserved(df: DataFrame, names: Seq[String]): Unit = {
+    val hit = df.columns.filter(c => names.exists(_.equalsIgnoreCase(c)))
+    require(hit.isEmpty,
+      s"input must not contain reserved columns: ${hit.toSeq.mkString(", ")}")
+  }
+
   /** Keep keys whose bucket < `percent` (deterministic ~percent% sample). */
   def deterministicSample(df: DataFrame, keyCol: String, percent: Int,
                           buckets: Int = 100): DataFrame =
@@ -99,6 +110,7 @@ object Sampling {
                   buckets: Int = 10000): DataFrame = {
     require(shares.values.forall(s => s >= 0 && s <= 1),
       "target shares must be in [0,1]")
+    requireNoReserved(df, Seq("_cnt"))
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
     // fold from 0.0, NOT null: `least` SKIPS nulls (both here and in
     // DuckDB), so a null share would silently become keep-rate 1.0 —
@@ -134,6 +146,7 @@ object Sampling {
                           buckets: Int = 10000): DataFrame = {
     require(shares.values.forall(s => s >= 0 && s <= 1),
       "target shares must be in [0,1]")
+    requireNoReserved(df, Seq("_w", "_wsum"))
     val wdf = df.withColumn("_w", weight.cast("long"))
     val sums = wdf.groupBy(col(groupCol)).agg(sum(col("_w")).as("_wsum"))
     val share = shares.foldLeft(lit(0.0)) {
@@ -165,7 +178,16 @@ object Sampling {
                        rates: Seq[Double], buckets: Int = 10000): DataFrame = {
     require(rates.nonEmpty && rates.forall(r => r >= 0 && r <= 1),
       "per-bucket rates must be in [0,1]")
+    requireNoReserved(df, Seq("_edges", "_sv"))
     val n = rates.length
+    // one rate = one bucket = a plain deterministic sample: computing
+    // (and corpus-buffering) an edge set that bucket = lit(0) would
+    // never consult is pure waste — and the sortedVals aggregation is
+    // the group-fits-in-memory regime, which a degenerate call must not
+    // enter for nothing
+    if (n == 1)
+      return df.filter(col(scoreCol).isNotNull &&
+        keyBucket(keyCol, buckets).cast("double") / buckets < rates.head)
     val qs = (1 until n).map(_.toDouble / n)
     // all edges read off ONE sorted buffer (Percentiles: ~2x faster than
     // the built-in OpenHashMap percentile aggregate, bit-identical); the
@@ -178,11 +200,9 @@ object Sampling {
     // filter() lambda: higher-order array functions evaluate interpreted
     // per row while these codegen (A/B at sf0.1: the lambda form cost
     // ~0.3 s extra on a 150K-row probe)
-    val bucket =
-      if (n == 1) lit(0)
-      else (1 until n).map(i =>
-          (element_at(col("_edges"), i) < col(scoreCol)).cast("int"))
-        .reduce(_ + _)
+    val bucket = (1 until n).map(i =>
+        (element_at(col("_edges"), i) < col(scoreCol)).cast("int"))
+      .reduce(_ + _)
     val rate = element_at(lit(rates.toArray), bucket + 1)
     df.crossJoin(broadcast(edges))
       .filter(col(scoreCol).isNotNull &&
@@ -378,11 +398,19 @@ object Sampling {
                      buckets: Int = 10000): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(budget > 0, "budget must be positive")
+    requireNoReserved(df, Seq("_cnt", "share", "rate"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val shares = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
+    // NULL-group rows can never be kept (the equi-join below drops them),
+    // so they must not count in the α-share normalization either — with
+    // them in, every REAL group's share and rate deflate and the budget
+    // is silently undershot (50% null-group rows ≈ half the intended
+    // corpus out). The calibratedQualityGate null-group rule, applied to
+    // the share denominator.
+    val shares = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
       .withColumn("share",
         round(pow(col("_cnt").cast("double"), alpha) /
           sum(pow(col("_cnt").cast("double"), alpha)).over(w), 6))

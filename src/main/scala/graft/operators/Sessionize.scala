@@ -32,6 +32,14 @@ object Sessionize {
              tieCol: String, gapSeconds: Long): DataFrame = {
     require(!events.columns.contains("_new"),
       "input must not contain the reserved internal column _new")
+    // the OUTPUT name gets the same guard: an upstream session_id would
+    // be silently overwritten by the withColumn below (and sessions()
+    // would then group on the recomputed values) — the exact hazard the
+    // _new guard exists for, one column over
+    require(!events.columns.contains("session_id"),
+      "input already contains a session_id column — rename it before " +
+        "re-sessionizing, or the upstream assignment would be " +
+        "silently overwritten")
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val micros = unix_micros(col(tsCol))
     val prev = lag(micros, 1).over(w)
