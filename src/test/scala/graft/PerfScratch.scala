@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFunctions => TF}
+import graft.operators.Patch
 
 /**
  * Scratch variant A/B bench (test scope, never shipped): candidate plan
@@ -16,62 +16,51 @@ object PerfScratch {
     spark.sparkContext.setLogLevel("ERROR")
     Tables(spark, sfDir, "documents").groupBy("lang").count().collect()
 
-    def once(act: => Unit): Double = {
+    def once(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      act
+      df.queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
-    def bench(name: String)(act: => Unit): Unit = {
-      val xs = (1 to 3).map(_ => once(act))
+    def bench(name: String, df: => DataFrame): Unit = {
+      val xs = (1 to 3).map(_ => once(df))
       println(f"$name%-28s min=${xs.min}%.3f  ${xs.map(x => f"$x%.3f").mkString("/")}")
     }
 
-    def docs = Tables(spark, sfDir, "documents").filter(col("doc_id") < 250)
-    val shingleN = 3
-    val threshold = 0.3
-
-    def shinglesDf = docs.select(col("doc_id").as("_k"),
-      array_distinct(TF.shingles(col("text"), shingleN)).as("_s"))
-
-    def exactPairsCount(): Unit = {
-      val sh = shinglesDf
-      val a = sh.select(col("_k").as("_ka"), col("_s").as("_sa"))
-      val b = sh.select(col("_k").as("_kb"), col("_s").as("_sb"))
-      val j = size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
-        size(array_union(col("_sa"), col("_sb"))).cast("double")
-      val n = a.join(b, col("_ka") < col("_kb"))
-        .filter(size(array_union(col("_sa"), col("_sb"))) > 0 && j >= threshold)
-        .count()
-      println(s"  exact pairs = $n")
+    // 5x-wider orders fixture (shifted keys so they stay unique)
+    val wide = "/tmp/graft_orders_5x.parquet"
+    if (!new java.io.File(wide).exists()) {
+      val o = Tables(spark, sfDir, "orders")
+      (0 until 5).map(i => o.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+        .repartition(8).write.mode("overwrite").parquet(wide)
     }
 
-    def exactPairsInverted(): Unit = {
-      val sh = shinglesDf
-      val sz = sh.select(col("_k"), size(col("_s")).as("_n"))
-      val ex = sh.select(col("_k"), explode(col("_s")).as("_g"))
-      val inter = ex.as("a").join(ex.as("b"),
-          col("a._g") === col("b._g") && col("a._k") < col("b._k"))
-        .groupBy(col("a._k").as("_ka"), col("b._k").as("_kb"))
-        .agg(count(lit(1)).as("_i"))
-      val n = inter
-        .join(sz.select(col("_k").as("_ka"), col("_n").as("_na")), Seq("_ka"))
-        .join(sz.select(col("_k").as("_kb"), col("_n").as("_nb")), Seq("_kb"))
-        .filter(col("_i").cast("double") /
-          (col("_na") + col("_nb") - col("_i")).cast("double") >= threshold)
-        .count()
-      println(s"  exact pairs (inverted) = $n")
+    def patchIndexed(src: DataFrame): DataFrame = {
+      val base = src.withColumn("body", struct(
+        array(
+          struct(col("o_totalprice").as("price"), lit(1).as("qty")),
+          struct((col("o_totalprice") + 1000.0).as("price"), lit(2).as("qty")),
+          struct((col("o_totalprice") + 2000.0).as("price"), lit(3).as("qty"))
+        ).as("items")))
+      Patch.applyPatch(base, "body",
+        Seq(Patch.SetField("items[0].qty", lit(9)),
+          Patch.IncField("items[1].price", lit(10.0)),
+          Patch.DeleteField("items[2]")),
+        condition = col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"),
+          col("body.items").getItem(0).getField("qty").as("i0_qty"),
+          round(col("body.items").getItem(1).getField("price"), 2).as("i1_price"),
+          size(col("body.items")).as("n_items"))
     }
 
-    def lshFull(): Unit = {
-      val n = SparkEntry.queries("q_lsh_recall")(spark, sfDir).collect().length
-      println(s"  report rows = $n")
-    }
+    def ordersSf01 = Tables(spark, sfDir, "orders")
+    def orders5x = spark.read.parquet(wide)
 
-    bench("exact_bnlj")(exactPairsCount())
-    bench("exact_inverted")(exactPairsInverted())
-    bench("q_lsh_recall_full")(lshFull())
-    bench("exact_bnlj")(exactPairsCount())
-    bench("exact_inverted")(exactPairsInverted())
+    bench("patch_indexed_sf01", patchIndexed(ordersSf01))
+    bench("patch_indexed_5x", patchIndexed(orders5x))
+    bench("patch_indexed_sf01", patchIndexed(ordersSf01))
+    bench("patch_indexed_5x", patchIndexed(orders5x))
     spark.stop()
   }
 }
