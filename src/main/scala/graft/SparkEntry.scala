@@ -2970,8 +2970,8 @@ object SparkEntry {
       (s, d) => Multimodal.extractFeatures(
           Multimodal.asMedia(t(s, d, "documents"), "doc_id", col("text"), "text/plain"))
         .select(col("media_id"), col("features.n_bytes").as("n_bytes"),
-          col("features.sha_prefix").as("sha_prefix")),
-      Some("SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes, substr(md5(text), 1, 8) AS sha_prefix FROM documents")),
+          col("features.digest_prefix").as("digest_prefix")),
+      Some("SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes, substr(md5(text), 1, 8) AS digest_prefix FROM documents")),
 
     Q("q_media_frames", // frame-sampling explode plumbing
       (s, d) => Multimodal.sampleFrames(
@@ -3191,7 +3191,7 @@ object SparkEntry {
           r AS (SELECT lang, round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS ref_share,
                   loss FROM g),
           w AS (SELECT lang, ref_share, loss,
-                  round(ref_share * exp(2.0 * loss), 6) AS uw FROM r)
+                  round(ref_share * exp(2.0 * (loss - max(loss) OVER ())), 6) AS uw FROM r)
           SELECT lang, ref_share, loss,
                  round(uw / sum(uw) OVER (), 6) AS new_share FROM w""")),
 

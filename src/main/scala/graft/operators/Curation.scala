@@ -154,9 +154,18 @@ object Curation {
       .partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // max-shift the exponent before rounding (the softmax/logsumexp
+    // trick, here for the ROUNDING's sake): round(_w, 6) underflows to 0
+    // for magnitudes below 5e-7, and with many small-ref-share domains
+    // and negative excess losses EVERY weight could round to 0 — sum 0,
+    // all shares NULL. Shifting by max(loss) makes the largest weight
+    // O(max ref_share), cancels exactly in the normalization, and keeps
+    // the round-before-normalize determinism discipline (max over
+    // round(6)ed losses is exact cross-engine).
     domains
       .withColumn("_w",
-        round(col(refShareCol) * exp(lit(eta) * col(lossCol)), 6))
+        round(col(refShareCol) *
+          exp(lit(eta) * (col(lossCol) - max(col(lossCol)).over(w))), 6))
       .withColumn("new_share", round(col("_w") / sum(col("_w")).over(w), 6))
       .select(col(groupCol), col(refShareCol), col(lossCol),
         col("new_share"))

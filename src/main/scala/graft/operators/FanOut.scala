@@ -17,9 +17,19 @@ import org.apache.spark.sql.functions._
  */
 object FanOut {
 
-  /** Explode `tagsCol` to one row per (tag, row). */
-  def explodeTags(df: DataFrame, tagsCol: String, tagOut: String = "tag"): DataFrame =
+  /** Explode `tagsCol` to one row per (tag, row). The output name must be
+    * fresh: writing into an existing column would silently clobber its
+    * data just before the partitioned write, and `tagOut == tagsCol`
+    * would drop the just-exploded output. */
+  def explodeTags(df: DataFrame, tagsCol: String, tagOut: String = "tag"): DataFrame = {
+    require(tagOut != tagsCol,
+      s"tag output column '$tagOut' must differ from the tags array " +
+        "column it explodes — the drop would delete the output")
+    require(!df.columns.contains(tagOut),
+      s"input already contains a '$tagOut' column — it would be " +
+        "silently overwritten; pass a different tagOut")
     df.withColumn(tagOut, explode(col(tagsCol))).drop(tagsCol)
+  }
 
   /**
    * Fan-out write partitioned by tag. `coalescePerTag` repartitions by the

@@ -63,7 +63,12 @@ object IndexRead {
       cur = cur.filter(col(q.keyCol).isNull || !col(q.keyCol).isin(exKeys: _*))
 
     // half-open time window [from, to) — binary-searched beacon bounds in the
-    // reference (beacon.go:1435-1500); pushed-down range predicate here
+    // reference (beacon.go:1435-1500); pushed-down range predicate here.
+    // Bounds WITHOUT an axis are an inconsistent query: silently ignoring
+    // them would hand a caller who asked for [t1, t2) the entire table
+    require(q.timeAxis.isDefined || (q.fromTime.isEmpty && q.toTime.isEmpty),
+      "fromTime/toTime need timeAxis — a time window without an axis " +
+        "would be silently ignored")
     q.timeAxis.foreach { axis =>
       q.fromTime.foreach(t => cur = cur.filter(col(axis) >= lit(t)))
       q.toTime.foreach(t => cur = cur.filter(col(axis) < lit(t)))
@@ -108,7 +113,11 @@ object IndexRead {
       cur = cur.filter(after(0))
     }
 
-    if (q.orderBy.nonEmpty) {
+    // key-only pagination (afterKey with no orderBy axes) must still SORT
+    // by the key: the continuation filter alone would page an unordered
+    // stream — the client takes the page's max key as the next token and
+    // every unserved row below it is skipped forever
+    if (q.orderBy.nonEmpty || q.afterKey.isDefined) {
       val sortCols: Seq[Column] = q.orderBy.map {
         case (c, Asc)  => col(c).asc
         case (c, Desc) => col(c).desc

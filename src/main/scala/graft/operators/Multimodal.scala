@@ -35,7 +35,7 @@ object Multimodal {
 
   val featureType: StructType = StructType(Seq(
     StructField("n_bytes", LongType),
-    StructField("sha_prefix", StringType),
+    StructField("digest_prefix", StringType),
     StructField("fake_brightness", DoubleType),
     // which kernel produced the feature: "imageio" / "wav" = real decode,
     // "stub" = deterministic fake (codec not in this environment). A
@@ -55,7 +55,7 @@ object Multimodal {
         lit(null).cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
-  private def shaPrefix(bytes: Array[Byte]): String =
+  private def md5Prefix(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .take(4).map("%02x".format(_)).mkString
 
@@ -70,7 +70,7 @@ object Multimodal {
     else {
       val brightness = (bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble /
         math.max(bytes.length, 1)) / 255.0
-      (bytes.length.toLong, shaPrefix(bytes), brightness)
+      (bytes.length.toLong, md5Prefix(bytes), brightness)
     }
   }
 
@@ -204,7 +204,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val kept = keepIdx.map(r.get)
         def withMeta(scalar: Double, decoder: String)(patch: Map[String, Any]): Row = {
-          val out = kept :+ Row(bytes.length.toLong, shaPrefix(bytes), scalar, decoder)
+          val out = kept :+ Row(bytes.length.toLong, md5Prefix(bytes), scalar, decoder)
           val m = if (metaOutIdx < 0) null else out(metaOutIdx).asInstanceOf[Row]
           if (m == null) Row.fromSeq(out)
           else {
@@ -231,13 +231,17 @@ object Multimodal {
 
   /** Frame-sampling plumbing: emit `n` evenly spaced (frame_no, offset)
     * stubs per video row — the explode pattern a real sampler uses. */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    // n = 0 would make sequence(0, -1) a DESCENDING [0, -1] (two bogus
+    // frames) and the /n offset a division by zero — refuse, don't emit
+    require(n > 0, s"frame sample count must be positive, got $n")
     media
       .withColumn("frame_no", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_offset_ms",
         floor((col("frame_no") * coalesce(col("meta.duration_ms"), lit(1000L))) / n)
           .cast("long"))
       .drop("content")
+  }
 
   val frameFeatureType: StructType = StructType(Seq(
     StructField("frame_index", IntegerType),
@@ -264,14 +268,24 @@ object Multimodal {
             rd.setInput(iis)
             val total = rd.getNumImages(true)
             if (total <= 0) None
-            // same bomb ceiling as stills, checked on the header before any
-            // frame decode
-            else if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels) None
-            else Some((0 until n).map { i =>
-              val fi = math.min(total - 1, (i.toLong * total / n).toInt)
-              val img = rd.read(fi)
-              (fi, img.getWidth, img.getHeight, meanLuma(img))
-            })
+            else {
+              // the bomb ceiling is PER FRAME: GIF image descriptors carry
+              // 16-bit dims per frame, so a 1x1 frame 0 followed by a
+              // 65535x65535 frame 1 would pass a frame-0-only check and
+              // the rd.read below would allocate ~17 GB — the executor
+              // OOM this guard exists to prevent. Header dims are read
+              // without decoding, so the check stays cheap.
+              val frames = (0 until n).map(i =>
+                math.min(total - 1, (i.toLong * total / n).toInt)).distinct
+              if (frames.exists(fi =>
+                  rd.getWidth(fi).toLong * rd.getHeight(fi) > MaxDecodePixels))
+                None
+              else Some((0 until n).map { i =>
+                val fi = math.min(total - 1, (i.toLong * total / n).toInt)
+                val img = rd.read(fi)
+                (fi, img.getWidth, img.getHeight, meanLuma(img))
+              })
+            }
           } finally rd.dispose()
         }
       } finally iis.close()
@@ -286,6 +300,7 @@ object Multimodal {
    * Runs in the scan stage; the binary payload never shuffles.
    */
   def sampleFrameFeatures(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"frame sample count must be positive, got $n")
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "content") ++
       Seq(StructField("frame_no", IntegerType),
         StructField("frame", frameFeatureType)))

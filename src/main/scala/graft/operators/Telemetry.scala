@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
@@ -28,12 +27,28 @@ object Telemetry {
 
   private val maxRecords = 10000
   private val records = new ConcurrentLinkedQueue[QueryRecord]
-  private val installed = new AtomicBoolean(false)
+  // O(1) ring size: ConcurrentLinkedQueue.size TRAVERSES the whole list —
+  // at steady state (full ring) that was a ~10k-node walk per recorded
+  // action, on Spark's listener-bus thread
+  private val ringSize = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def enqueue(r: QueryRecord): Unit = {
+    records.add(r); ringSize.incrementAndGet()
+  }
+  private def dequeue(): QueryRecord = {
+    val r = records.poll()
+    if (r != null) ringSize.decrementAndGet()
+    r
+  }
+  // install() must be per SESSION, not process-global: a singleton boolean
+  // silently no-ops the second session (spark.newSession(), a test
+  // harness's fresh session) and its queries are never recorded
+  private val installedSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
   @volatile private var subscriber: QueryRecord => Unit = _ => ()
 
   private def record(r: QueryRecord): Unit = {
-    records.add(r)
-    while (records.size > maxRecords) records.poll() // bounded ring
+    enqueue(r)
+    while (ringSize.get() > maxRecords) dequeue() // bounded ring
     subscriber(r)
   }
 
@@ -48,9 +63,9 @@ object Telemetry {
         String.valueOf(exception)))
   }
 
-  /** Install the listener on the session (idempotent). */
+  /** Install the listener on the session (idempotent per session). */
   def install(spark: SparkSession): Unit =
-    if (installed.compareAndSet(false, true))
+    if (installedSessions.add(System.identityHashCode(spark)))
       spark.listenerManager.register(listener)
 
   /** SubscribeToTelemetry: live per-record callback (single subscriber). */
@@ -90,13 +105,20 @@ object Telemetry {
     // including the flush's own actions — can be lost or double-flushed.
     // On a failed write the drained batch is put back, so telemetry is
     // never silently dropped by a bad path / full disk.
-    val drained = Iterator.continually(records.poll()).takeWhile(_ != null).toSeq
+    val drained = Iterator.continually(dequeue()).takeWhile(_ != null).toSeq
     if (drained.nonEmpty) {
       import spark.implicits._
       try drained.toDF().write.mode("append").parquet(path)
       catch {
         case e: Throwable =>
-          drained.foreach(records.add)
+          // restore chronological order: records that arrived DURING the
+          // failed write drain out, the old batch goes back first, and the
+          // newer arrivals re-append behind it — a plain tail re-add would
+          // leave the ring (and the retry flush) out of startedAtMs order
+          val arrived = Iterator.continually(dequeue())
+            .takeWhile(_ != null).toSeq
+          (drained ++ arrived).foreach(enqueue)
+          while (ringSize.get() > maxRecords) dequeue()
           throw e
       }
     }
@@ -104,5 +126,7 @@ object Telemetry {
   }
 
   /** Test/maintenance hook. */
-  def clear(): Unit = records.clear()
+  def clear(): Unit = {
+    records.clear(); ringSize.set(0)
+  }
 }
