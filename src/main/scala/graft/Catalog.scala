@@ -50,7 +50,13 @@ object Catalog {
    * are visible.
    */
   def register(spark: SparkSession, spec: SwampSpec): Unit = {
-    registry.put(spec.name, spec)
+    // the spec must not enter the registry until the load attempt settles:
+    // a NON-tolerated failure (typo'd format, malformed options) must
+    // propagate AND leave no broken binding behind — otherwise
+    // isRegistered reports true, explore() FS-probes a dead entry, and
+    // destroyBulk counts it as a real swamp
+    val prev = registry.get(spec.name)
+    registry.put(spec.name, spec) // load() reads the spec from the registry
     try load(spark, spec.name)
     catch {
       // ONLY the two "no data yet" conditions are tolerated (that's the
@@ -62,6 +68,12 @@ object Catalog {
           if Option(e.getCondition).exists(c =>
                c.contains("PATH_NOT_FOUND") ||
                c.contains("UNABLE_TO_INFER_SCHEMA")) => () // no data yet
+      case e: Throwable =>
+        prev match { // roll the registry back to its pre-call binding
+          case Some(p) => registry.put(spec.name, p)
+          case None    => registry.remove(spec.name)
+        }
+        throw e
     }
   }
 

@@ -10,7 +10,11 @@ package graft.filters
  * (reference: app/server/gateway/filter.go:123-312, filter_native.go:80-877):
  *
  *  - empty FilterGroup          => pass-all
- *  - missing path / NULL value  => no match (except IS_EMPTY and negated forms)
+ *  - missing path / NULL value  => no match — even for negated compare /
+ *    contains / has-key forms (pinned by FilterSemanticsSpec: "null slice
+ *    never matches, even negated"). The exceptions are IS_EMPTY (absence
+ *    IS emptiness) and the PHRASE negated forms, which match docs lacking
+ *    the word map entirely
  *  - type mismatch              => no match
  *  - SLICE_CONTAINS_SUBSTRING   => case-INsensitive (scalar CONTAINS is sensitive)
  *  - empty slice under quantifier: ANY=false, ALL/NONE=true, COUNT compares 0

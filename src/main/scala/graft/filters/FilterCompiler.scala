@@ -61,11 +61,14 @@ object FilterCompiler {
     val labeled = collectLabels(node)
     val labelsCol =
       if (labeled.isEmpty) array().cast(ArrayType(StringType))
-      else array_sort(filter(
+      // array_distinct: two subtrees SHARING a label (or-ing two rules
+      // under one name) must not emit the label twice — array_sort alone
+      // would hand consumers ["hot","hot"]
+      else array_sort(array_distinct(filter(
         array(labeled.map { case (lbl, n) =>
           when(noNull(compileNode(n, ctx)), lit(lbl))
         }: _*),
-        e => e.isNotNull))
+        e => e.isNotNull)))
     (pred, labelsCol)
   }
 
@@ -97,9 +100,20 @@ object FilterCompiler {
 
   private def elemCtx(elem: Column, elemType: Option[DataType]): Ctx = Ctx(
     resolve = parts => parts.foldLeft(elem)((c, p) => c(p)),
-    typeOf = parts => elemType.flatMap {
-      case st: StructType => resolveType(st, parts) // head = element field name
-      case _ => None
+    typeOf = parts => elemType.map {
+      // call sites pass the SLICE's resolved type, which is the ArrayType
+      // itself (resolveType stops at the array for an exhausted path) —
+      // without this unwrap the StructType case below never matched and
+      // the type-mismatch / timestamp-seconds disciplines were silently
+      // lost inside every quantifier
+      case at: ArrayType => at.elementType
+      case dt => dt
+    }.flatMap { et =>
+      if (parts.isEmpty) Some(et) // empty relative path = the element itself
+      else et match {
+        case st: StructType => resolveType(st, parts) // head = element field
+        case _ => None
+      }
     })
 
   /** Walk a StructType along `parts` (head = top-level column). */
@@ -118,7 +132,13 @@ object FilterCompiler {
 
   private def fieldCol(ref: FieldRef, ctx: Ctx): Column = ref match {
     case FieldRef.Path(parts) => ctx.resolve(parts)
-    case FieldRef.Len(of)     => size(ctx.resolve(of.parts))
+    // explicit null guard (the Mutations.sliceSize discipline): under
+    // spark.sql.legacy.sizeOfNull — a supported deployment restore —
+    // size(NULL) is -1, not NULL, and a missing slice would MATCH every
+    // `#len < n` compare, violating the missing-path => no-match contract
+    case FieldRef.Len(of) =>
+      val c = ctx.resolve(of.parts)
+      when(c.isNull, lit(null).cast(IntegerType)).otherwise(size(c))
   }
 
   private def noNull(c: Column): Column = coalesce(c, lit(false))
@@ -273,8 +293,22 @@ object FilterCompiler {
       if (negate) !p else p
 
     case SliceContains(f, v, negate) =>
-      val p = array_contains(fieldCol(f, ctx), lit(v))
-      if (negate) !p else p
+      // same literal/type discipline as scalar Cmp: litOf widens U64 to
+      // Decimal(20,0) (a bare lit(U64) throws "Unsupported literal
+      // type"), and a cross-family value — known element type vs the
+      // literal — can never match, negated or not (the pinned
+      // null-and-mismatch-never-match rule), instead of Spark's
+      // implicit-cast behavior
+      val elemFam = (f match {
+        case FieldRef.Path(parts) => ctx.typeOf(parts)
+        case _                    => None
+      }).collect { case at: ArrayType => colFamily(at.elementType) }
+      val fam = litFamily(v)
+      if (elemFam.exists(ef => ef != '?' && fam != '?' && ef != fam)) lit(false)
+      else {
+        val p = array_contains(fieldCol(f, ctx), litOf(v))
+        if (negate) !p else p
+      }
 
     case SliceContainsSubstring(f, sub, negate) =>
       // case-INsensitive by spec (proto:2042-2043) vs case-sensitive CONTAINS.
@@ -310,7 +344,10 @@ object FilterCompiler {
         case Quantifier.All  => forall(arr, pred)
         case Quantifier.None => !exists(arr, pred)
         case Quantifier.Count(op, n) =>
-          val cnt = size(filter(arr, pred(_))) // size(NULL)=NULL => no match
+          // null-guarded like FieldRef.Len: legacy sizeOfNull deployments
+          // get -1 from size(NULL), which would MATCH <, <=, != compares
+          val cnt = when(arr.isNull, lit(null).cast(IntegerType))
+            .otherwise(size(filter(arr, pred(_)))) // NULL => no match
           (op match {
             case CmpOp.Equal              => cnt === n
             case CmpOp.NotEqual           => cnt =!= n

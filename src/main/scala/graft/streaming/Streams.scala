@@ -45,10 +45,23 @@ object Streams {
         val cur = state.getOrElse(
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
             batch.drop("op", seqCol).schema))
+        // Null-key commands are unaddressable (the engine-wide probe
+        // discipline): they can never match the anti-join OR the diff's
+        // presence checks, so without this strip each batch would append
+        // one more NULL-key row to state FOREVER while never emitting an
+        // event for it. An unknown op is refused loudly in the plan: the
+        // anti-join removes every touched key and only "U" rows re-enter,
+        // so a malformed op ("u", "UPSERT") would silently DELETE live
+        // state and emit a spurious DELETED event.
+        val checked = batch.filter(col(keyCol).isNotNull)
+          .withColumn("op", when(col("op").isin("U", "D"), col("op"))
+            .otherwise(raise_error(concat(
+              lit("unknown command op '"), col("op"),
+              lit("' — expected U (upsert) or D (delete)")))))
         // last command per key wins inside one batch (FIFO per key by seq)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
-        val lastPerKey = batch.withColumn("_rn", row_number().over(w))
+        val lastPerKey = checked.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", seqCol)
         val upserts = lastPerKey.filter(col("op") === "U").select(dataCols.map(col): _*)
         // (deletes need no separate frame: the left_anti below removes every
@@ -116,9 +129,18 @@ object Streams {
   def subscribeToInfo(events: DataFrame, groupCol: String): DataFrame =
     events.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
 
-  /** TTL expiration in event time: rows whose expiry passed the watermark
-    * are dropped from downstream windows (beacon ExpiredAt semantics,
-    * proto:986-1001, moved onto watermarks). */
+  /** TTL expiration in event time (beacon ExpiredAt semantics,
+    * proto:986-1001, moved onto watermarks). TWO distinct effects, be
+    * precise about which applies: (1) the WATERMARK makes downstream
+    * STATEFUL operators (windows, dedup, joins) drop rows arriving more
+    * than `ttl` behind the observed max event time — that is late-DATA
+    * eviction relative to stream progress, and it is all a map-only
+    * pipeline gets from this call; (2) the `_expires_at` column is each
+    * row's own absolute expiry instant, exposed for sinks and batch
+    * readers to filter on (`_expires_at <= now`), which is the per-row
+    * TTL semantics — this helper deliberately does not apply that filter
+    * itself, because "now" in a deterministic pipeline is the CALLER's
+    * replay-stable reference instant, not a wall clock read mid-plan. */
   def withTtl(stream: DataFrame, tsCol: String, ttl: String): DataFrame =
     stream
       .withWatermark(tsCol, ttl)

@@ -275,6 +275,50 @@ class FilterSemanticsSpec extends SparkSpec {
     assert(a("a") == "n10,w")
   }
 
+  test("type-mismatch discipline applies INSIDE quantifiers (per-element type)") {
+    // array<struct<v:long>>: a STRING literal against the long field must
+    // compile to no-match inside the quantifier, exactly as it does at
+    // top level — the elemCtx unwrap regression (the slice's ArrayType
+    // reaching the struct matcher lost per-element typing entirely)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", Seq(Row(1L), Row(2L))),
+        Row("b", Seq(Row(3L))))),
+      StructType(Seq(
+        StructField("k", StringType),
+        StructField("xs", ArrayType(StructType(Seq(
+          StructField("v", LongType))))))))
+    val mism = NestedSliceWhere(FieldRef("xs"), Quantifier.Any,
+      Cmp(FieldRef.Path(Seq("v")), CmpOp.Equal, "1"))
+    assert(keysMatching(mism, df) == Set.empty,
+      "string-vs-long inside a quantifier must be no-match, not implicit-cast")
+    val ok = NestedSliceWhere(FieldRef("xs"), Quantifier.Any,
+      Cmp(FieldRef.Path(Seq("v")), CmpOp.Equal, 3L))
+    assert(keysMatching(ok, df) == Set("b"))
+    // empty relative path: the element itself is the comparand, and its
+    // leaf type participates in the discipline
+    val leaf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a", Seq(5L, 7L)))),
+      StructType(Seq(StructField("k", StringType),
+        StructField("ns", ArrayType(LongType)))))
+    val leafMism = NestedSliceWhere(FieldRef("ns"), Quantifier.Any,
+      Cmp(FieldRef.Path(Seq.empty), CmpOp.Equal, "5"))
+    assert(keysMatching(leafMism, leaf) == Set.empty)
+    val leafOk = NestedSliceWhere(FieldRef("ns"), Quantifier.Any,
+      Cmp(FieldRef.Path(Seq.empty), CmpOp.Equal, 7L))
+    assert(keysMatching(leafOk, leaf) == Set("a"))
+  }
+
+  test("shared label across OR branches reports once (distinct labels)") {
+    val node = Group.or(
+      Labeled("hot", Cmp(FieldRef("num"), CmpOp.Equal, 10L)),
+      Labeled("hot", Cmp(FieldRef("s"), CmpOp.Contains, "hello")))
+    val (p, l) = FilterCompiler.compileWithLabels(node, scalars)
+    val a = scalars.filter(p).select(col("k"), array_join(l, ",").as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a("a") == "hot", s"duplicate label leaked: $a")
+  }
+
   // --- vector / geo ---------------------------------------------------------
 
   test("vector: dimension mismatch never matches; threshold respected") {
