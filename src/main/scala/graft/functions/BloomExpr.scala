@@ -37,11 +37,15 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
       s"bloom probe supports integral or string keys, got ${other.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = child.dataType match {
-    case StringType => bf.mightContainBinary(
+  // hoisted: the input type is plan-invariant — matching dataType per ROW
+  // on the interpreted path is pure wasted work (the DotProductConst
+  // elementIsDouble pattern)
+  @transient private lazy val isString: Boolean = child.dataType == StringType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isString) bf.mightContainBinary(
       input.asInstanceOf[UTF8String].getBytes)
-    case _ => bf.mightContainLong(input.asInstanceOf[Number].longValue())
-  }
+    else bf.mightContainLong(input.asInstanceOf[Number].longValue())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // one deserialized filter per task, shared by all rows via the
@@ -55,6 +59,18 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
         defineCodeGen(ctx, ev, c => s"$bfRef.mightContainLong((long) $c)")
     }
   }
+
+  // the serialized filter is an ARRAY param: case-class reference equality
+  // would make two probes with the same filter semantically distinct,
+  // defeating CSE and exchange reuse and re-running the probe per site
+  // (the TokenSlotFoldExpr precedent)
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)

@@ -110,7 +110,12 @@ case class GopherCountsExpr(child: Expression, stops: Seq[String])
 }
 
 object GopherFunctions {
-  /** Column wrapper for [[GopherCountsExpr]]. */
+  /** Column wrapper for [[GopherCountsExpr]]. `stops` dedups here: the
+    * n_stop count is DISTINCT stop hits (the array_intersect semantics
+    * this expression replaced), and a duplicated list entry would count
+    * one stopword twice — passing the r_stop >= 2 gate on a single
+    * distinct hit. */
   def gopherCounts(tokens: Column, stops: Seq[String]): Column =
-    GraftBridge.column(GopherCountsExpr(GraftBridge.expression(tokens), stops))
+    GraftBridge.column(
+      GopherCountsExpr(GraftBridge.expression(tokens), stops.distinct))
 }

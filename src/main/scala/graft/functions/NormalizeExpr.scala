@@ -38,7 +38,12 @@ object TextNorm {
       if (t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
           t == Character.ENCLOSING_MARK) {
         () // combining marks NFD split off the base char: the accents
-      } else if (Character.isWhitespace(cp)) {
+      } else if (Character.isWhitespace(cp) ||
+                 Character.getType(cp) == Character.SPACE_SEPARATOR) {
+        // isWhitespace alone EXCLUDES the non-breaking space family
+        // (U+00A0/U+2007/U+202F — ubiquitous in HTML-scraped corpora);
+        // leaving them in place defeats exactly the visually-identical
+        // folding this pass exists for
         pendingSpace = sb.length > 0 // leading runs vanish = trim-left
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }

@@ -24,6 +24,20 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TokensContainPhrase(child: Expression, words: Seq[String])
     extends UnaryExpression with Predicate {
 
+  // SQL-registered (graft_phrase): without the type check a wrong-typed
+  // argument passes analysis and dies at execution with a cast error
+  // instead of a clean AnalysisException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_phrase needs an array<string> token column, got $other")
+    }
+
   @transient private lazy val wordsU: Array[UTF8String] =
     words.map(UTF8String.fromString).toArray
 

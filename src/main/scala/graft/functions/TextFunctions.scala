@@ -357,6 +357,18 @@ case class RollingGramHashExpr(child: org.apache.spark.sql.catalyst.expressions.
 
   require(k >= 1, "k must be >= 1")
 
+  // SQL-registered (graft_gram_hashes): a wrong-typed argument must fail
+  // analysis cleanly, not execution with a cast error
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_gram_hashes needs an array<string> token column, got $other")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 

@@ -40,8 +40,12 @@ object TokenSlots {
     h % buckets
   }
 
-  /** Every token's slot, as a long array (null tokens — impossible from
-    * `split`, guarded anyway — are skipped). */
+  /** Every token's slot, as a long array. Null tokens — impossible from
+    * `split`, guarded anyway — are SKIPPED, so on a null-bearing token
+    * array the output is SHORTER than the input (the transform+hash32
+    * Column form would emit null elements instead; both contribute
+    * nothing to [[fold]], but do not zip this positionally against a
+    * token array that can carry nulls). */
   def slots(arr: ArrayData, buckets: Long): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -48,11 +49,15 @@ object VectorFunctions {
     aggregate(zip_with(a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)),
       (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** L2-normalize a float/double array column. */
+  /** L2-normalize a float/double array column. A zero vector stays zeros:
+    * dividing by its zero norm would yield all-NaN, and Spark sorts NaN
+    * as the LARGEST double — every cosine top-k would rank the garbage
+    * row first (the quantizeInt8 zero-vector guard, applied here). */
   def l2normalize(v: Column): Column = {
     val d = v.cast(ArrayType(DoubleType))
     val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-    transform(d, x => x / norm)
+    val safe = when(norm === 0.0, lit(1.0)).otherwise(norm)
+    transform(d, x => x / safe)
   }
 
   /** Product-quantization encode of a float/double vector column against a
@@ -60,8 +65,19 @@ object VectorFunctions {
     * subspace argmin-L2 in ONE codegen'd primitive loop. See
     * [[PqEncodeExpr]] for the semantics contract. */
   def pqEncode(v: Column, codebook: Array[Array[Long]], m: Int,
-               scale: Double): Column =
+               scale: Double): Column = {
+    // construction-time validation (Similarity.pqEncode re-checks; this
+    // public entry must too): an m that does not divide the codebook dim
+    // would silently IGNORE the tail dimensions of every vector —
+    // plausible but wrong codes written to a serving index — and an
+    // empty codebook would throw per-row at eval instead of here
+    require(codebook.nonEmpty, "codebook must not be empty")
+    require(codebook.forall(_.length == codebook.head.length),
+      "codebook rows must share one dimension")
+    require(m >= 1 && codebook.head.length % m == 0,
+      s"codebook dim ${codebook.head.length} must divide into m=$m subspaces")
     GraftBridge.column(PqEncodeExpr(GraftBridge.expression(v), codebook, m, scale))
+  }
 }
 
 /**
@@ -72,6 +88,13 @@ case class DotProductConst(child: Expression, query: Array[Float])
     extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft dot product needs an array<float|double> input, got $other")
+  }
 
   private lazy val elementIsDouble: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
@@ -86,10 +109,15 @@ case class DotProductConst(child: Expression, query: Array[Float])
       // where float*float would round the product to float first
       var acc = 0.0
       var i = 0
-      if (elementIsDouble) {
-        while (i < n) { acc += arr.getDouble(i) * query(i).toDouble; i += 1 }
-      } else {
-        while (i < n) { acc += arr.getFloat(i).toDouble * query(i).toDouble; i += 1 }
+      while (i < n) {
+        // NULL element => NULL result (the PqEncodeExpr discipline — the
+        // unchecked getter would NPE interpreted but read garbage 0.0
+        // under codegen: same data, engine-dependent answers)
+        if (arr.isNullAt(i)) return null
+        val x = if (elementIsDouble) arr.getDouble(i)
+                else arr.getFloat(i).toDouble
+        acc += x * query(i).toDouble
+        i += 1
       }
       acc
     }
@@ -106,7 +134,8 @@ case class DotProductConst(child: Expression, query: Array[Float])
          |final int $n = $c.numElements();
          |double $acc = 0.0;
          |if ($n == $qRef.length) {
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($c.isNullAt($i)) { ${ev.isNull} = true; continue; }
          |    $acc += ((double) $c.$getter($i)) * ((double) $qRef[$i]);
          |  }
          |}
@@ -115,24 +144,49 @@ case class DotProductConst(child: Expression, query: Array[Float])
     })
   }
 
+  // case-class equality compares the query ARRAY by reference, which
+  // defeats semanticEquals / subexpression elimination / exchange reuse —
+  // two probes with equal query vectors must compare equal (the
+  // TokenSlotFoldExpr precedent)
+  override def equals(other: Any): Boolean = other match {
+    case d: DotProductConst =>
+      child == d.child && java.util.Arrays.equals(query, d.query)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(query)
+
   override protected def withNewChildInternal(newChild: Expression): DotProductConst =
     copy(child = newChild)
 }
 
 /**
  * `dot(a, b)` between two array columns as a codegen'd scalar expression.
- * NULL on either side => NULL; dimension mismatch => 0.0. Element types may
- * be float or double on either side independently; all arithmetic is done
- * in double (bit-identical to DuckDB's DOUBLE[] list_dot_product).
- * Null ELEMENTS are not supported (embeddings are dense).
+ * NULL on either side — or a NULL ELEMENT on either side — => NULL;
+ * dimension mismatch => 0.0. Element types may be float or double on
+ * either side independently; all arithmetic is done in double
+ * (bit-identical to DuckDB's DOUBLE[] list_dot_product, including its
+ * NULL-element => NULL propagation).
  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
-  private def isDouble(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft dot product needs two array<float|double> inputs, got ($l, $r)")
+    }
+
+  private lazy val aIsD: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  private lazy val bIsD: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -140,10 +194,12 @@ case class DotProduct(left: Expression, right: Expression)
     val n = a.numElements()
     if (n != b.numElements()) 0.0
     else {
-      val aIsD = isDouble(left); val bIsD = isDouble(right)
       var acc = 0.0
       var i = 0
       while (i < n) {
+        // NULL element => NULL (see DotProductConst — keeps interpreted
+        // and codegen answers identical on containsNull=true inputs)
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         val x = if (aIsD) a.getDouble(i) else a.getFloat(i).toDouble
         val y = if (bIsD) b.getDouble(i) else b.getFloat(i).toDouble
         acc += x * y
@@ -154,8 +210,8 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aGet = if (isDouble(left)) "getDouble" else "getFloat"
-    val bGet = if (isDouble(right)) "getDouble" else "getFloat"
+    val aGet = if (aIsD) "getDouble" else "getFloat"
+    val bGet = if (bIsD) "getDouble" else "getFloat"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -164,7 +220,8 @@ case class DotProduct(left: Expression, right: Expression)
          |final int $n = $a.numElements();
          |double $acc = 0.0;
          |if ($n == $b.numElements()) {
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; continue; }
          |    $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
          |  }
          |}
@@ -204,11 +261,30 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Array[Long]],
                         m: Int, scale: Double)
     extends UnaryExpression {
 
-  private lazy val dim = codebook.head.length
-  private lazy val sd = dim / m
-  private lazy val ksub = codebook.length
+  // @transient: the codebook field itself ships with the expression; a
+  // materialized cbFlat would double the serialized payload (128 KB of
+  // int64 codebook becomes 256 KB per task) — the sibling expressions'
+  // wordsU/stopsU/bf discipline
+  @transient private lazy val dim = codebook.head.length
+  @transient private lazy val sd = dim / m
+  @transient private lazy val ksub = codebook.length
   // flattened row-major (code, dim) for cache-friendly scans
-  private lazy val cbFlat: Array[Long] = codebook.flatten
+  @transient private lazy val cbFlat: Array[Long] = codebook.flatten
+
+  // array-typed constructor params need value equality or semanticEquals /
+  // CSE / exchange reuse never fire (the TokenSlotFoldExpr precedent)
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncodeExpr =>
+      child == p.child && m == p.m && scale == p.scale &&
+        codebook.length == p.codebook.length &&
+        codebook.indices.forall(i =>
+          java.util.Arrays.equals(codebook(i), p.codebook(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(m), Double.box(scale),
+      Int.box(java.util.Arrays.hashCode(codebook.map(
+        java.util.Arrays.hashCode))))
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
