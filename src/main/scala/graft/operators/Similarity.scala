@@ -1333,12 +1333,29 @@ object Similarity {
             slice(col("_qv"), col("_s") * lit(sd) + lit(1), lit(sd)),
             col("_cv"), (a, b) => a * b),
           lit(0L), (acc, v) => acc + v).as("_l"))
-    val codes = spark.read.parquet(s"$dir/codes")
-      .select(col("key"), posexplode(col("codes")).as(Seq("_s", "_c")))
-    codes.join(broadcast(luts), Seq("_s", "_c"))
-      .groupBy(col("_qid"), col("key"))
-      .agg(sum(col("_l")).as("_si"))
+    // Per-query LUT ARRAYS + a scan-stage fold, not posexplode + join +
+    // hash-agg: exploding the codes m-ways and re-aggregating per
+    // (query, key) pushed m·|codes|·|q| rows through a join and a hash
+    // aggregate to compute what is per row just m array lookups. The
+    // (s, c)-sorted collect puts entry (s, c) at position s·ksub + c + 1
+    // BY ORDER (no ksub constant needed to build it — the construction
+    // stays action-free), and ksub is recovered at fold time as
+    // size(lut)/m. Scores are the identical integer sums (pinned by the
+    // batch == single probe test).
+    val lutArr = luts
+      .groupBy(col("_qid"))
+      .agg(array_sort(collect_list(struct(
+        col("_s"), col("_c"), col("_l")))).as("_sl"))
+      .select(col("_qid"), transform(col("_sl"), x => x("_l")).as("_lut"))
+    val ksubCol = size(col("_lut")) / m
+    val scoreInt = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("_lut"), (s * ksubCol + c + 1).cast("int"))),
+      lit(0L), (acc, v) => acc + v)
+    spark.read.parquet(s"$dir/codes")
+      .filter(size(col("codes")) === m) // the posexplode form's implicit width contract
+      .crossJoin(broadcast(lutArr))
       .select(col("_qid"), col("key"),
-        round(col("_si").cast("double") / lit(scale * scale), 6).as("score"))
+        round(scoreInt.cast("double") / lit(scale * scale), 6).as("score"))
   }
 }

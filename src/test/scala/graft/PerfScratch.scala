@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Patch
 
 /**
  * Scratch variant A/B bench (test scope, never shipped): candidate plan
@@ -22,45 +21,46 @@ object PerfScratch {
       (System.nanoTime() - t0) / 1e9
     }
     def bench(name: String, df: => DataFrame): Unit = {
-      val xs = (1 to 3).map(_ => once(df))
+      val xs = (1 to 4).map(_ => once(df))
       println(f"$name%-28s min=${xs.min}%.3f  ${xs.map(x => f"$x%.3f").mkString("/")}")
     }
 
-    // 5x-wider orders fixture (shifted keys so they stay unique)
-    val wide = "/tmp/graft_orders_5x.parquet"
-    if (!new java.io.File(wide).exists()) {
-      val o = Tables(spark, sfDir, "orders")
-      (0 until 5).map(i => o.withColumn("o_orderkey",
-          col("o_orderkey") + lit(i.toLong * 10000000L)))
-        .reduce(_ unionByName _)
-        .repartition(8).write.mode("overwrite").parquet(wide)
+    import spark.implicits._
+    import graft.operators.{TermStats, Similarity}
+    val textQs = Seq(
+      (0L, Seq("data", "spark", "index")),
+      (1L, Seq("spark", "table")),
+      (2L, Seq("index", "data"))).toDF("qid", "terms")
+    def vecQs = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val tIdx = SparkEntry.textIndexPath(spark, sfDir)
+    val pIdx = SparkEntry.pqIndexPath(spark, sfDir)
+
+    // force index builds once
+    TermStats.bm25TopKBatchPrebuilt(spark, tIdx, "doc_id", textQs, "qid",
+      "terms", k = 20).collect()
+    Similarity.pqTopKBatchPrebuilt(spark, pIdx, vecQs, "qid", "embedding",
+      "vec_id", k = 20).collect()
+
+    def postingsScan: DataFrame = {
+      val d = graft.operators.IndexLifecycle.resolveDir(spark, tIdx)
+      val qterms = textQs.select(col("qid").as("_qid"),
+        explode(array_distinct(col("terms"))).as("term"))
+      val dict = qterms.select(col("term")).distinct()
+      spark.read.parquet(s"$d/postings").join(broadcast(dict), Seq("term"), "left_semi")
     }
+    def bm25Full: DataFrame = TermStats.bm25TopKBatchPrebuilt(spark, tIdx,
+      "doc_id", textQs, "qid", "terms", k = 20, rankCol = Some("_rank"))
+    def pqFull: DataFrame = Similarity.pqTopKBatchPrebuilt(spark, pIdx, vecQs,
+      "qid", "embedding", "vec_id", k = 20, rankCol = Some("_rank"))
+    def hybridFull: DataFrame = SparkEntry.queries("q_hybrid_batch")(spark, sfDir)
 
-    def patchIndexed(src: DataFrame): DataFrame = {
-      val base = src.withColumn("body", struct(
-        array(
-          struct(col("o_totalprice").as("price"), lit(1).as("qty")),
-          struct((col("o_totalprice") + 1000.0).as("price"), lit(2).as("qty")),
-          struct((col("o_totalprice") + 2000.0).as("price"), lit(3).as("qty"))
-        ).as("items")))
-      Patch.applyPatch(base, "body",
-        Seq(Patch.SetField("items[0].qty", lit(9)),
-          Patch.IncField("items[1].price", lit(10.0)),
-          Patch.DeleteField("items[2]")),
-        condition = col("o_totalprice") > 200000.0)
-        .select(col("o_orderkey"),
-          col("body.items").getItem(0).getField("qty").as("i0_qty"),
-          round(col("body.items").getItem(1).getField("price"), 2).as("i1_price"),
-          size(col("body.items")).as("n_items"))
-    }
-
-    def ordersSf01 = Tables(spark, sfDir, "orders")
-    def orders5x = spark.read.parquet(wide)
-
-    bench("patch_indexed_sf01", patchIndexed(ordersSf01))
-    bench("patch_indexed_5x", patchIndexed(orders5x))
-    bench("patch_indexed_sf01", patchIndexed(ordersSf01))
-    bench("patch_indexed_5x", patchIndexed(orders5x))
+    bench("postingsScan", postingsScan)
+    bench("bm25Full", bm25Full)
+    bench("pqFull", pqFull)
+    bench("hybridFull", hybridFull)
+    bench("bm25Full", bm25Full)
+    bench("pqFull", pqFull)
     spark.stop()
   }
 }
