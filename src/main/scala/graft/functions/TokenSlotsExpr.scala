@@ -59,6 +59,60 @@ object TokenSlots {
     new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
   }
 
+  private val SpaceU = UTF8String.fromString(" ")
+
+  /** DSIR feature slots: every unigram's slot, then every adjacent
+    * bigram's ("a b", single-space joint) — the fused form of
+    * `concat(tokens, wordBigrams(tokens))` mapped through
+    * `pmod(hash32(f), buckets)`, one md5 loop per row instead of
+    * interpreted transform lambdas building a hex string + BigInteger
+    * parse per feature. Null-involving features are skipped (the [[slots]]
+    * discipline — impossible from `split`). */
+  def dsirSlots(arr: ArrayData, buckets: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](math.max(0, 2 * n - 1))
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) { out(m) = slot(t, buckets); m += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      val a = arr.getUTF8String(i); val b = arr.getUTF8String(i + 1)
+      if (a != null && b != null) {
+        out(m) = slot(UTF8String.concat(a, SpaceU, b), buckets); m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == out.length) out
+      else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Σ_f lut(slot(f)) over the [[dsirSlots]] feature set — the DSIR
+    * scoring fold, one loop per row with no intermediate slots array and
+    * no interpreted `aggregate` over a buckets-sized array literal. */
+  def dsirFold(arr: ArrayData, lut: Array[Long]): Long = {
+    val buckets = lut.length.toLong
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) acc += lut(slot(t, buckets).toInt)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      val a = arr.getUTF8String(i); val b = arr.getUTF8String(i + 1)
+      if (a != null && b != null)
+        acc += lut(slot(UTF8String.concat(a, SpaceU, b), buckets).toInt)
+      i += 1
+    }
+    acc
+  }
+
   /** Σ_tok lut(slot(tok)) — the NB scoring fold, one loop per row. */
   def fold(arr: ArrayData, lut: Array[Long]): Long = {
     val n = arr.numElements()
@@ -133,6 +187,60 @@ case class TokenSlotFoldExpr(child: Expression, lut: Array[Long])
     copy(child = newChild)
 }
 
+/**
+ * Fused DSIR feature slots over a token array — [[TokenSlots.dsirSlots]]
+ * as a codegen-callable expression. NULL array => NULL.
+ */
+case class DsirFeatureSlotsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets > 0, "buckets must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenSlots.dsirSlots(input.asInstanceOf[ArrayData], buckets.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.TokenSlots.dsirSlots($arr, ${buckets}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirFeatureSlotsExpr =
+    copy(child = newChild)
+}
+
+/**
+ * Fused DSIR scoring fold — [[TokenSlots.dsirFold]] as an expression
+ * (the [[TokenSlotFoldExpr]] shape over the unigram+bigram feature set).
+ * NULL array => NULL.
+ */
+case class DsirFeatureFoldExpr(child: Expression, lut: Array[Long])
+    extends UnaryExpression {
+  require(lut.nonEmpty, "lut must be non-empty")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TokenSlots.dsirFold(input.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("lut", lut, "long[]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.TokenSlots.dsirFold($arr, $lutRef);")
+  }
+
+  // two folds are equal iff they fold the same table, not the same object
+  override def equals(o: Any): Boolean = o match {
+    case DsirFeatureFoldExpr(c, l) =>
+      c == child && java.util.Arrays.equals(l, lut)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(lut)
+
+  override protected def withNewChildInternal(newChild: Expression): DsirFeatureFoldExpr =
+    copy(child = newChild)
+}
+
 object TokenSlotFunctions {
   /** Column wrapper for [[TokenSlotsExpr]]. */
   def tokenSlots(tokens: Column, buckets: Int): Column =
@@ -141,4 +249,12 @@ object TokenSlotFunctions {
   /** Column wrapper for [[TokenSlotFoldExpr]]. */
   def tokenSlotFold(tokens: Column, lut: Array[Long]): Column =
     GraftBridge.column(TokenSlotFoldExpr(GraftBridge.expression(tokens), lut))
+
+  /** Column wrapper for [[DsirFeatureSlotsExpr]]. */
+  def dsirFeatureSlots(tokens: Column, buckets: Int): Column =
+    GraftBridge.column(DsirFeatureSlotsExpr(GraftBridge.expression(tokens), buckets))
+
+  /** Column wrapper for [[DsirFeatureFoldExpr]]. */
+  def dsirFeatureFold(tokens: Column, lut: Array[Long]): Column =
+    GraftBridge.column(DsirFeatureFoldExpr(GraftBridge.expression(tokens), lut))
 }

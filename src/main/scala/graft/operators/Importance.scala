@@ -45,15 +45,15 @@ object Importance {
     * each mapped to `hash32(feature) % buckets`. The token array is bound
     * to a real column before the bigram lambda (see TF.wordBigrams' doc —
     * inlining the split re-evaluates it per element). */
-  def bucketArray(text: Column, buckets: Int): Column = {
-    // bind toks via the array/transform "let" idiom used by TF.shingles
-    element_at(
-      transform(array(TF.tokens(text)), toks =>
-        transform(
-          concat(toks, TF.wordBigrams(toks)),
-          f => pmod(TF.hash32(f), lit(buckets.toLong)))),
-      1)
-  }
+  def bucketArray(text: Column, buckets: Int): Column =
+    // fused unigram+bigram slot expression (one md5 loop per row) — the
+    // transform(concat(toks, wordBigrams(toks)), f => pmod(hash32(f), B))
+    // Column chain it replaces ran interpreted lambdas building a 32-char
+    // hex string + a BigInteger parse PER FEATURE (the nbFit TokenSlots
+    // lesson applied to DSIR); bit-identity to that chain is
+    // property-pinned in CurationMlSpec
+    graft.functions.TokenSlotFunctions
+      .dsirFeatureSlots(TF.tokens(text), buckets)
 
   /** Per-bucket feature-occurrence counts for a corpus: ≤ `buckets` rows of
     * (bucket, cnt). The ONLY shuffle is the bounded (bucket, partial-count)
@@ -187,8 +187,11 @@ object Importance {
       val b = r.getLong(0).toInt
       if (b >= 0 && b < buckets) lut(b) = r.getLong(1)
     }
+    // fused fold straight from the token array — no intermediate slots
+    // array, no interpreted aggregate over a buckets-sized array literal
     docs.select(col(keyCol),
-      round(lutFold(bucketArray(col(textCol), buckets), lut)
+      round(graft.functions.TokenSlotFunctions
+        .dsirFeatureFold(TF.tokens(col(textCol)), lut)
         .cast("double") / lit(1e6), 6).as(weightCol))
   }
 

@@ -94,6 +94,39 @@ class PropertiesSpec extends SparkSpec {
       }
   }
 
+  test("DsirFeatureSlots/FoldExpr == the unigram+bigram hash32 Column chain " +
+       "on 200 random texts (incl. empty strings, non-ASCII, 1-token docs)") {
+    import graft.functions.{TextFunctions => TF, TokenSlotFunctions => TS}
+    val B = 97
+    val alphabet = Seq("a", "bb", "", "Zebra", "héllo", "日本語", "x#y", "...")
+    val texts = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString(" "))
+    val lut = Array.fill(B)(rnd.nextLong() % 1000000L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.zipWithIndex.map { case (s, i) => Row(i.toLong, s) }),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val lutCol = typedlit(lut.toSeq)
+    def refFeatures = element_at(
+      transform(array(TF.tokens(col("text"))), toks =>
+        concat(toks, TF.wordBigrams(toks))), 1)
+    df.select(
+        TS.dsirFeatureSlots(TF.tokens(col("text")), B).as("fast"),
+        transform(refFeatures,
+          f => pmod(TF.hash32(f), lit(B.toLong))).as("ref"),
+        TS.dsirFeatureFold(TF.tokens(col("text")), lut).as("fastSum"),
+        aggregate(refFeatures, lit(0L), (acc, f) =>
+          acc + element_at(lutCol,
+            (pmod(TF.hash32(f), lit(B.toLong)) + lit(1L)).cast(IntegerType)))
+          .as("refSum"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"dsir slots diverged: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+        assert(r.getLong(2) == r.getLong(3),
+          s"dsir fold diverged: ${r.getLong(2)} vs ${r.getLong(3)}")
+      }
+  }
+
   test("TokensContainPhrase == Scala sliding check on 300 random token arrays") {
     val vocab = Vector("a", "b", "c", "ab")
     def randToks() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
