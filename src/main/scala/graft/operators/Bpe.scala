@@ -135,13 +135,21 @@ object Bpe {
             val neighborBound = top.iterator
               .filter(p => p.t2 == c.t1 || p.t1 == c.t2)
               .map(_.count).maxOption.getOrElse(0L)
-            // created pairs are bounded by neighborBound; an UNCOLLECTED
-            // old pair that happens to involve a token spelled `product`
-            // could additionally carry its own ≤ tailBound count on top —
+            // a pair CREATED by this merge, (x, product) or (product, y),
+            // inherits its count from the source pair (x, t1) / (t2, y) —
+            // which may be COLLECTED (≤ neighborBound) or UNCOLLECTED
+            // (≤ tailBound), so the creation side is bounded by
+            // max(neighborBound, tailBound), NOT neighborBound alone
+            // (with neighborBound < tailBound the old `tailBound +
+            // neighborBound` undercounted and a later batch pick could
+            // diverge from the sequential merge sequence). An UNCOLLECTED
+            // old pair that already involves a token spelled `product`
+            // can additionally carry its own ≤ tailBound count on top —
             // the sum covers both. A COLLECTED pair already naming the
             // product symbol can be boosted past any bound we can compute
             // from here, so the batch conservatively ends with this pick.
-            interference = math.max(interference, tailBound + neighborBound)
+            interference = math.max(interference,
+              tailBound + math.max(neighborBound, tailBound))
             if (top.exists(p => p.t1 == product || p.t2 == product))
               stop = true
             repr = repr.withColumn("repr", replace(col("repr"),
@@ -221,13 +229,17 @@ object Bpe {
    * Persist a learned merge list as the tokenizer artifact — merge ORDER
    * is the tokenizer (applying the same merges in a different order
    * segments differently), so the row carries its index explicitly and
-   * [[loadMerges]] restores exactly that order. Same build-once
-   * lifecycle as every other artifact here: train once per corpus,
-   * apply from the artifact on every encode job after.
+   * [[loadMerges]] restores exactly that order. CAS-versioned like every
+   * other artifact (IndexLifecycle): the list stages under an immutable
+   * `v=N` and the pointer flips last — a retrain over a live tokenizer
+   * can never hand a concurrent encode job a torn/truncated merge list
+   * (merge order IS the tokenizer; a truncated list segments every
+   * document differently, silently).
    */
   def saveMerges(spark: org.apache.spark.sql.SparkSession,
                  merges: Seq[Merge], path: String): Unit = {
     import scala.jdk.CollectionConverters._
+    val next = IndexLifecycle.nextVersion(spark, path)
     spark.createDataFrame(
       merges.zipWithIndex.map { case (m, i) =>
         org.apache.spark.sql.Row(i, m.t1, m.t2, m.count)
@@ -241,14 +253,17 @@ object Bpe {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("cnt",
           org.apache.spark.sql.types.LongType, nullable = false))))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/v=$next")
+    IndexLifecycle.flipPointer(spark, path, next)
   }
 
   /** Restore a merge list in its learned order (bounded: merge lists are
-    * vocabulary-scale — tens of thousands of rows). */
+    * vocabulary-scale — tens of thousands of rows). Resolves the CAS
+    * pointer; a legacy flat artifact (pre-versioning) reads as-is. */
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
                  path: String): Seq[Merge] =
-    spark.read.parquet(path).orderBy(org.apache.spark.sql.functions.col("idx"))
+    spark.read.parquet(IndexLifecycle.resolveDir(spark, path))
+      .orderBy(org.apache.spark.sql.functions.col("idx"))
       .collect()
       .map(r => Merge(r.getString(1), r.getString(2), r.getLong(3))).toSeq
 }

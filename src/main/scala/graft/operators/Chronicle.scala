@@ -61,12 +61,26 @@ object Chronicle {
     lastWriteWins(log.filter(col(seqCol) <= asOfSeq),
       keyCol, seqCol, opCol, deleteOp)
 
-  /** Compaction (`OPTIMIZE`-style rewrite): replace the log at `outPath`
-    * with its LWW state — the batch twin of the reference's compactor. */
+  /** Compaction (`OPTIMIZE`-style rewrite): write the log's LWW state to
+    * `outPath` — a NEW path (the compactGramIndex discipline), enforced:
+    * compacting onto the path being read either throws Spark's
+    * self-overwrite error mid-write or tears the log on a crash between
+    * delete and write, and an existing unrelated dir must not be
+    * clobbered. Swap the reader to the compacted path once written (or
+    * stage under an IndexLifecycle-versioned root for pointer-flip
+    * semantics). */
   def compact(log: DataFrame, keyCol: String, seqCol: String, opCol: String,
-              outPath: String, deleteOp: String = "D"): Unit =
+              outPath: String, deleteOp: String = "D"): Unit = {
+    val spark = log.sparkSession
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"compact target $outPath already holds data — compaction writes a " +
+        "NEW log (in-place overwrite would tear the log it is reading); " +
+        "compact to a fresh path and swap readers over")
     lastWriteWins(log, keyCol, seqCol, opCol, deleteOp)
       .write.mode("overwrite").parquet(outPath)
+  }
 
   /** Log-integrity audit: per-key holes in the sequence — one row per gap
     * `(key, gap_after, resumes_at)` where `resumes_at > gap_after + 1`.

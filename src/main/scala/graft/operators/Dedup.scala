@@ -108,6 +108,13 @@ object Dedup {
     spreadModest(df)
       .select(col(keyCol), array_distinct(TF.shingles(col(textCol), shingleN)).as("_sh"))
       .withColumn("_sig", TF.minhashSignature(col("_sh"), numHashes))
+      // the shingle width rides IN the table (constant column — parquet
+      // RLE makes it free): numHashes is recoverable from the stored
+      // signature length, shingleN is NOT recoverable from anything, and
+      // an append/probe with a different shingleN silently collapses the
+      // exact-Jaccard verify (3-gram vs 5-gram sets share ~no shingles ⇒
+      // every true near-dup passes the gate). requireSigParams reads it.
+      .withColumn("_sn", lit(shingleN))
 
   /**
    * Materialize the signature table to `path` — the cluster-scale form of
@@ -145,10 +152,23 @@ object Dedup {
     * duplicate twice (dedup verdicts are unchanged); exactly-once
     * maintenance belongs in [[Snapshots.mergeCommit]]'s versioned world. */
   def appendSignatures(df: DataFrame, textCol: String, keyCol: String,
-                       path: String, shingleN: Int = 3, numHashes: Int = 16): Unit =
-    signaturePlan(df, textCol, keyCol, shingleN, numHashes)
-      .write.mode("append")
-      .parquet(IndexLifecycle.resolveDir(df.sparkSession, path))
+                       path: String, shingleN: Int = 3, numHashes: Int = 16): Unit = {
+    val spark = df.sparkSession
+    val dir = IndexLifecycle.resolveDir(spark, path)
+    val existing = spark.read.parquet(dir)
+    // BOTH build parameters must match the artifact: numHashes via the
+    // stored signature width, shingleN via the stored _sn column — a
+    // shingle-width mismatch silently zeroes every exact-Jaccard verify
+    // (3-gram vs 5-gram sets share ~no shingles), letting every true
+    // near-dup of an appended doc into the corpus
+    requireSigParams(existing, numHashes, shingleN, path)
+    val plan = signaturePlan(df, textCol, keyCol, shingleN, numHashes)
+    // a pre-_sn legacy artifact must not grow schema-divergent parquet
+    // (the appendTextIndex pre-dl rule): keep the dir uniform, legacy
+    // stays legacy until its next rebuild
+    (if (existing.columns.contains("_sn")) plan else plan.drop("_sn"))
+      .write.mode("append").parquet(dir)
+  }
 
   /** Band projection of a signature table: (key, _band, _bh) — the ONLY
     * rows that enter any LSH candidate shuffle. */
@@ -231,13 +251,33 @@ object Dedup {
     * verify — only the job explodes). One limit-1 probe of the stored
     * width turns that into an immediate require() failure. */
   private def requireSigWidth(base: DataFrame, numHashes: Int,
-                              src: String): DataFrame = {
-    base.select(size(col("_sig")).as("n")).head(1).foreach { r =>
+                              src: String): DataFrame =
+    requireSigParams(base, numHashes, shingleN = -1, src)
+
+  /** One limit-1 probe checks BOTH stored build parameters: the signature
+    * width (a mismatch collapses banding into all-pairs — see the
+    * requireSigWidth scaladoc above) and, where the artifact carries the
+    * `_sn` column (post-round-13 builds), the shingle width (a mismatch
+    * silently zeroes exact-Jaccard verification). shingleN = -1 skips the
+    * shingle check for callers that only band. */
+  private def requireSigParams(base: DataFrame, numHashes: Int,
+                               shingleN: Int, src: String): DataFrame = {
+    val hasSn = base.columns.contains("_sn")
+    val cols =
+      if (hasSn) Seq(size(col("_sig")).as("n"), col("_sn"))
+      else Seq(size(col("_sig")).as("n"))
+    base.select(cols: _*).head(1).foreach { r =>
       require(r.getInt(0) == numHashes,
         s"signature table $src stores ${r.getInt(0)}-hash signatures, but " +
           s"numHashes=$numHashes was requested — rebuild the artifact or " +
           "match the build parameter (a mismatch collapses LSH banding " +
           "into an all-pairs join)")
+      if (hasSn && shingleN > 0)
+        require(r.getInt(1) == shingleN,
+          s"signature table $src was built with shingleN=${r.getInt(1)}, " +
+            s"but shingleN=$shingleN was requested — a shingle-width " +
+            "mismatch makes every exact-Jaccard verify ~0 (silent " +
+            "recall collapse); rebuild or match the build parameter")
     }
     base
   }
@@ -292,7 +332,9 @@ object Dedup {
                                  shingleN: Int = 3, numHashes: Int = 16,
                                  bands: Int = 4, threshold: Double = 0.8): DataFrame =
     dedupAgainstSignatures(
-      requireSigWidth(spark.read.parquet(IndexLifecycle.resolveDir(spark, corpusSigPath)), numHashes, corpusSigPath),
+      requireSigParams(spark.read.parquet(
+          IndexLifecycle.resolveDir(spark, corpusSigPath)),
+        numHashes, shingleN, corpusSigPath),
       incoming, textCol, keyCol, shingleN, numHashes, bands, threshold)
 
   private def dedupAgainstSignatures(corSig: DataFrame, incoming: DataFrame,
@@ -401,30 +443,14 @@ object Dedup {
                            textCol: String, keyCol: String,
                            shingleN: Int = 3,
                            maxBroadcastDocs: Long = 100000L,
-                           maxBroadcastShingles: Long = 2000000L): DataFrame = {
-    val benchSh = benchmark
-      .select(explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
-      .distinct()
-    // the broadcast payload is the SHINGLE set, not the doc rows: 100k
-    // LONG documents pass a row gate while their distinct shingles run to
-    // 1e8 strings — the exact forced-broadcast OOM cliff the un-hinted
-    // joins elsewhere refuse. So the row probe is backed by one linear
-    // aggregation over the benchmark (trivially cheaper than the
-    // broadcast it prevents) bounding the shingle volume itself; past
-    // either gate the hint is withheld and AQE still broadcasts at
-    // runtime if the set measures small.
-    val fits = fitsBroadcast(benchmark, maxBroadcastDocs) && {
-      val est = benchmark.select(sum(greatest(
-        size(split(col(textCol), " ")) - (shingleN - 1), lit(0))).as("n")).head()
-      est.isNullAt(0) || est.getLong(0) <= maxBroadcastShingles
-    }
-    val probe = if (fits) broadcast(benchSh) else benchSh
-    spreadModest(docs)
-      .select(col(keyCol), explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("_sh"))
-      .join(probe, Seq("_sh"))
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("overlap"))
-  }
+                           maxBroadcastShingles: Long = 2000000L): DataFrame =
+    // one shared kernel with [[contaminationMulti]] (constant set tag,
+    // dropped on output) — the subtle broadcast-gate logic must not live
+    // twice and silently diverge
+    contaminationMulti(docs,
+        benchmark.withColumn("_one_set", lit("_")), textCol, keyCol,
+        "_one_set", shingleN, maxBroadcastDocs, maxBroadcastShingles)
+      .select(col(keyCol), col("overlap"))
 
   /**
    * Multi-benchmark decontamination in ONE corpus pass: per (document,
@@ -696,7 +722,12 @@ object Dedup {
     * never the text. */
   private def segIndex(df: DataFrame, textCol: String, keyCol: String,
                        segTokens: Int): DataFrame =
-    df.withColumn("_toks", split(col(textCol), " "))
+    // null-key strip (the exact() discipline): struct ordering sorts null
+    // fields FIRST, so a null-keyed doc would WIN every first-occurrence
+    // election in segmentDedup — and then match nothing in the reassemble
+    // join, deleting the segment from every real document that shares it
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("_toks", split(col(textCol), " "))
       .select(col(keyCol).as("_k"),
         posexplode(segmentsOf(col("_toks"), segTokens)).as(Seq("_i", "_seg")))
       .select(col("_k"), col("_i"), xxhash64(col("_seg")).as("_h"))

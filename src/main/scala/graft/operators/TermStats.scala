@@ -39,6 +39,18 @@ object TermStats {
                       indexPath: String): String =
     IndexLifecycle.resolveDir(spark, indexPath)
 
+  /** The BM25 per-(term, doc) score expression (k1/b, Lucene-style
+    * non-negative idf), shared by every serving variant — one definition
+    * makes the single/batch/prebuilt "identical results by construction"
+    * equivalence STRUCTURAL instead of test-enforced. Expects columns
+    * tf, df, dl, and the 1-row stats (n, sdl) already joined in. */
+  private def bm25TermScore(k1: Double, b: Double): org.apache.spark.sql.Column = {
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+  }
+
   /**
    * Top-k terms per document by smoothed TF-IDF:
    * `tf * (ln((N + 1) / (df + 1)) + 1)`, rounded to 6 decimals BEFORE
@@ -380,10 +392,7 @@ object TermStats {
     val tf = toks.filter(col("term").isin(query: _*))
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val avgdl = col("sdl").cast("double") / col("n").cast("double")
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val termScore = idf * (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val termScore = bm25TermScore(k1, b)
     tf.join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq(keyCol))
       .crossJoin(broadcast(stats))
@@ -427,10 +436,7 @@ object TermStats {
     val tf = toks.join(broadcast(dict), Seq("term"), "left_semi")
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val avgdl = col("sdl").cast("double") / col("n").cast("double")
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val termScore = idf * (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val termScore = bm25TermScore(k1, b)
     val perDoc = qterms
       .join(tf, Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
@@ -504,7 +510,7 @@ object TermStats {
   def buildTextIndex(docs: DataFrame, textCol: String, keyCol: String,
                      outPath: String): Unit = {
     val spark = docs.sparkSession
-    val next = currentIndexVersion(spark, outPath).getOrElse(0L) + 1
+    val next = IndexLifecycle.nextVersion(spark, outPath)
     val vdir = s"$outPath/v=$next"
     val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
     docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
@@ -587,10 +593,7 @@ object TermStats {
     val dfreq = dfreqFor(spark, dir, query, tf)
     val stats = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
-    val avgdl = col("sdl").cast("double") / col("n").cast("double")
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val termScore = idf * (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val termScore = bm25TermScore(k1, b)
     tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("_ts", round(termScore * 1e6).cast("long"))
@@ -667,10 +670,7 @@ object TermStats {
       else tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
-    val avgdl = col("sdl").cast("double") / col("n").cast("double")
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val termScore = idf * (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val termScore = bm25TermScore(k1, b)
     qterms.join(tf, Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -871,7 +871,7 @@ object TermStats {
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, outPath: String): Unit = {
     val src = resolveIndexDir(spark, indexPath)
-    val next = currentIndexVersion(spark, outPath).getOrElse(0L) + 1
+    val next = IndexLifecycle.nextVersion(spark, outPath)
     val vdir = s"$outPath/v=$next"
     // repartitionByRange first: sortWithinPartitions alone would only sort
     // each read-back partition, leaving terms interleaved ACROSS files —
@@ -924,7 +924,7 @@ object TermStats {
   def buildPhraseIndex(docs: DataFrame, textCol: String, keyCol: String,
                        outPath: String): Unit = {
     val spark = docs.sparkSession
-    val next = currentIndexVersion(spark, outPath).getOrElse(0L) + 1
+    val next = IndexLifecycle.nextVersion(spark, outPath)
     val vdir = s"$outPath/v=$next"
     docs.select(col(keyCol), posexplode(TF.tokens(col(textCol))))
       .toDF(keyCol, "pos", "term")
