@@ -509,18 +509,8 @@ object Gob {
 
   /** Analysis-time supportability walk (driver error, never a task throw).
     * Interface payloads and non-string map keys have no gob mapping here. */
-  private[functions] def unsupported(dt: DataType): Option[String] = dt match {
-    case BooleanType | ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | StringType | BinaryType => None
-    case d: DecimalType =>
-      if (d.scale == 0) None
-      else Some(s"$d (gob has no decimal; only scale-0 uint64 carriers)")
-    case ArrayType(et, _) => unsupported(et)
-    case MapType(StringType, vt, _) => unsupported(vt)
-    case m: MapType => Some(s"$m (gob bridge requires string map keys)")
-    case st: StructType => st.fields.flatMap(f => unsupported(f.dataType)).headOption
-    case other => Some(other.toString)
-  }
+  private[functions] def unsupported(dt: DataType): Option[String] =
+    CodecTypes.unsupported(dt, "gob") // shared walk — see CodecTypes
 }
 
 /** `gob_pack(value)`: a Go-readable gob stream of any packable column. */

@@ -185,7 +185,14 @@ object MsgPack {
 
   private[functions] def decode(bytes: Array[Byte], dt: DataType): Any =
     try {
-      // reference-SDK wire framing: ext8(len 0) magic prefix (filter.go:58-70)
+      // reference-SDK wire framing: 2-byte ext8(len 0) magic prefix,
+      // stripped EXACTLY as the reference's unwrapMsgpack does
+      // (filter.go:59-70 — isMsgpackEncoded checks the two bytes,
+      // unwrapMsgpack returns data[2:]). A BARE body that is itself a
+      // zero-length ext8 value ([C7 00 TT]) is indistinguishable from a
+      // framed 1-byte body by construction — the reference inherits the
+      // same ambiguity, and matching its behavior byte-for-byte is the
+      // contract here.
       val off = if (bytes.length >= 2 && bytes(0) == 0xC7.toByte && bytes(1) == 0x00.toByte) 2 else 0
       val b = ByteBuffer.wrap(bytes, off, bytes.length - off).order(ByteOrder.BIG_ENDIAN)
       convert(parse(b), dt)
@@ -299,18 +306,8 @@ object MsgPack {
   /** First unsupported type in a type tree, or None — both expressions
     * validate at ANALYSIS time so a bad schema is an AnalysisException on
     * the driver, never a per-row throw on an executor. */
-  private[functions] def unsupported(dt: DataType): Option[String] = dt match {
-    case BooleanType | ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | StringType | BinaryType => None
-    case d: DecimalType =>
-      if (d.scale == 0) None
-      else Some(s"$d (msgpack has no decimal; only scale-0 uint64 carriers)")
-    case ArrayType(et, _) => unsupported(et)
-    case MapType(StringType, vt, _) => unsupported(vt)
-    case m: MapType => Some(s"$m (msgpack bridge requires string map keys)")
-    case st: StructType => st.fields.flatMap(f => unsupported(f.dataType)).headOption
-    case other => Some(other.toString)
-  }
+  private[functions] def unsupported(dt: DataType): Option[String] =
+    CodecTypes.unsupported(dt, "msgpack") // shared walk — see CodecTypes
 }
 
 /** `pack(value)`: msgpack bytes of any packable column. Interpreted — an

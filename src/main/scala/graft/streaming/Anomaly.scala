@@ -52,6 +52,11 @@ object Anomaly {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[Obs], state: GroupState[Moments]) =>
           var m = state.getOption.getOrElse(Moments(0L, 0.0, 0.0, Long.MinValue))
+          // the sentinel lastSeq == Long.MinValue guards only once a key
+          // HAS state: a first observation carrying seq = Long.MinValue
+          // must not be swallowed by the sentinel comparing equal to it
+          // (the ShiftQueue hasSeq discipline)
+          var hasSeq = state.getOption.isDefined
           val out = scala.collection.mutable.ArrayBuffer.empty[Flag]
           it.toSeq.sortBy(_.seq)
             // non-finite observations never reach the moments — see class doc
@@ -61,7 +66,8 @@ object Anomaly {
             // seq: a strict pre-filter reads the batch-initial value, so a
             // duplicated observation within one micro-batch would be
             // absorbed into the moments twice (double-weighted outlier)
-            if (o.seq > m.lastSeq) {
+            if (!hasSeq || o.seq > m.lastSeq) {
+              hasSeq = true
               if (m.n >= minSamples) {
                 val variance = m.m2 / (m.n - 1) // sample variance
                 val sd = math.sqrt(variance)

@@ -25,19 +25,29 @@ object ChangeFeed {
    * per changed key with status + old/new value columns (`<c>` = new,
    * `old_<c>` = old). Unchanged keys emit nothing — same as the reference,
    * which only notifies on actual content change (swamp.go:2152,2214).
+   *
+   * Null-key rows are EXCLUDED by contract (the batch Shift null-key
+   * rule, stated here because it was previously only implicit): a null
+   * key can never pair in the equi-join, and presence is detected by key
+   * non-nullness — without the explicit strip such rows silently fell
+   * through every status branch and their changes never surfaced.
    */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame = {
     val valueCols = oldSnap.columns.filter(_ != keyCol).toSeq
-    val o = oldSnap.as("o")
-    val n = newSnap.as("n")
-    val joined = o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+    // backtick-quote resolution paths: a value column named "price.usd"
+    // would otherwise parse as field `usd` of column `price`
+    def oc(c: String) = col(s"o.`$c`")
+    def nc(c: String) = col(s"n.`$c`")
+    val o = oldSnap.filter(col(keyCol).isNotNull).as("o")
+    val n = newSnap.filter(col(keyCol).isNotNull).as("n")
+    val joined = o.join(n, oc(keyCol) === nc(keyCol), "full_outer")
 
-    val inOld = col(s"o.$keyCol").isNotNull
-    val inNew = col(s"n.$keyCol").isNotNull
+    val inOld = oc(keyCol).isNotNull
+    val inNew = nc(keyCol).isNotNull
     // foldLeft, not reduce: a key-only table (presence set) has NO value
     // columns and reduce throws on the empty list — NEW/DELETED still
     // apply there, MODIFIED is simply never possible (lit(false))
-    val changed = valueCols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+    val changed = valueCols.map(c => !(oc(c) <=> nc(c)))
       .foldLeft(lit(false))(_ || _)
 
     val status = when(!inOld && inNew, New)
@@ -48,8 +58,8 @@ object ChangeFeed {
       .withColumn("_status", status)
       .filter(col("_status").isNotNull)
       .select(
-        Seq(coalesce(col(s"n.$keyCol"), col(s"o.$keyCol")).as(keyCol), col("_status")) ++
-          valueCols.map(c => col(s"n.$c").as(c)) ++
-          valueCols.map(c => col(s"o.$c").as(s"old_$c")): _*)
+        Seq(coalesce(nc(keyCol), oc(keyCol)).as(keyCol), col("_status")) ++
+          valueCols.map(c => nc(c).as(c)) ++
+          valueCols.map(c => oc(c).as(s"old_$c")): _*)
   }
 }

@@ -124,6 +124,14 @@ object ShiftQueue {
           // execute (the second would re-claim under a stale claimId)
           cmds.toSeq.sortBy(_.seq).foreach {
             case c if hasSeq && c.seq <= lastSeq => () // redelivery, incl. in-batch dup
+            // a null-id enqueue is unaddressable (the batch Shift null-key
+            // rule) — and worse, a CHECKPOINTED poison pill: the claim
+            // path's (expireAtMs, id) sort NPEs on the null id whenever
+            // two expired items tie on expiry, and the crash replays on
+            // every restart because the item persists in state. Consume
+            // the seq, skip the item.
+            case c if c.op == "E" && c.id == null =>
+              lastSeq = c.seq; hasSeq = true
             case c if c.op == "E" =>
               lastSeq = c.seq; hasSeq = true
               if (!ids(c.id)) {
