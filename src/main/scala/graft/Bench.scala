@@ -109,7 +109,10 @@ object Bench {
       if (v < 0) Double.MaxValue else v
     }.map { case (k, v) => JsonUtil.str(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).filter(_ >= 0).sum)
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // sfDir escaped like every other string in the record: a quote or
+    // backslash in the env value must not emit invalid JSON
+    val sfJ = JsonUtil.str(sfDir)
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":$sfJ}""")
 
     // The driver keeps only the stdout TAIL (~2 KB), which truncates the
     // per-query map past ~80 entries — so the COMPLETE record is also
@@ -143,7 +146,7 @@ object Bench {
         s""""_ratio_total": ${if (commonDuck > 0) fmt(commonSpark / commonDuck, 2) else -1}"""
       )) ++ Seq(
         s""""_total_sec": $total""",
-        s""""_sf": "$sfDir"""",
+        s""""_sf": ${JsonUtil.str(sfDir)}""",
         s""""_n_queries": ${results.size}""")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
         entries.mkString("{\n  ", ",\n  ", "\n}\n"))
@@ -175,7 +178,7 @@ object Bench {
       println(s"""{"queries":${kept.mkString("{", ",", "}")},""" +
         s""""queries_omitted":${results.size - kept.size},""" +
         s""""full_record":"bench_full.json",""" + ratioTail +
-        s""""metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+        s""""metric":"total","value":$total,"unit":"sec","sf":$sfJ}""")
     }
 
     spark.stop()

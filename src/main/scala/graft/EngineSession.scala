@@ -13,20 +13,15 @@ import org.apache.spark.sql.SparkSession
  */
 object EngineSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // The fixture generator writes naive (no-timezone) parquet timestamps;
-      // Spark 4 would infer those as TIMESTAMP_NTZ, which half the timestamp
-      // function surface (unix_micros, to_unix_timestamp, ...) rejects and
-      // the DuckDB oracle treats as plain TIMESTAMP. Read them as session-tz
-      // instants instead — with the UTC session pin above this is exactly
-      // DuckDB's naive-timestamp arithmetic, and one type serves the whole
-      // query surface.
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    Tables.RequiredConf.foldLeft( // Tables owns the fixture-read confs —
+      // consuming the map here (instead of a hand-copied twin) is what
+      // keeps "required" meaning applied; see Tables.RequiredConf
+      SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    ) { case (b, (k, v)) => b.config(k, v) }
       .withExtensions(new GraftExtensions)
 }

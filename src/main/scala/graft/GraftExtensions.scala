@@ -58,6 +58,11 @@ object GraftExtensions {
             case f: Float => f
             case d: Double => d.toFloat
             case n: Number => n.floatValue()
+            // SQL types bare numeric literals as DECIMAL — array(0.1, 0.2)
+            // yields types.Decimal, which is NOT a java Number; without
+            // this case the natural graft_cosine(v, array(0.1, 0.2)) call
+            // was rejected as "non-numeric"
+            case dec: org.apache.spark.sql.types.Decimal => dec.toFloat
             case other => throw new IllegalArgumentException(
               s"$fn: non-numeric vector element $other")
           }
@@ -71,7 +76,10 @@ object GraftExtensions {
     ("graft_phrase",
       new ExpressionInfo(classOf[TokensContainPhrase].getName, "graft_phrase"),
       (exprs: Seq[Expression]) => {
-        require(exprs.nonEmpty, "graft_phrase(tokens, w1, ...)")
+        // >= 2: a word-less graft_phrase(toks) matches EVERY row (empty
+        // phrase is vacuously contained) — an accident this SQL surface
+        // turns into a clean analysis error instead of a silent select-all
+        require(exprs.length >= 2, "graft_phrase(tokens, w1, ...)")
         TokensContainPhrase(exprs.head,
           exprs.tail.map(foldableString(_, "graft_phrase")))
       }),

@@ -7,13 +7,19 @@ import org.apache.spark.sql.types._
 /** Fixture table loader (driver parquet, TESTDATA.md). */
 object Tables {
 
-  /** Session config every entry point must set: the `events` fixture stores
-    * TIMESTAMP(NANOS), which Spark's parquet reader rejects by default
-    * (PARQUET_TYPE_ILLEGAL). Applied at session CONSTRUCTION (Verify/Bench/
-    * Explain/test builders) — a library read path must not mutate shared
-    * session conf as a side effect. */
-  val RequiredConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  /** Session config every entry point must set, CONSUMED by
+    * [[graft.EngineSession]] (one source of truth — a drifted copy is how
+    * a "required" conf silently stops being applied): nanos-as-long for
+    * the TIMESTAMP(NANOS) fixture columns (Spark's parquet reader rejects
+    * them by default, PARQUET_TYPE_ILLEGAL), and NTZ inference off so
+    * naive parquet timestamps read as session-tz instants — with the UTC
+    * session pin this is exactly the DuckDB oracle's naive-timestamp
+    * arithmetic, and one type serves the whole timestamp function
+    * surface. Applied at session CONSTRUCTION — a library read path must
+    * not mutate shared session conf as a side effect. */
+  val RequiredConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
 
   /**
    * Read nanos as long (legacy flag, see [[RequiredConf]]) and convert to a

@@ -25,6 +25,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's dump behind: a
+        // reused outDir would hand the differential compare a stale —
+        // possibly green — result, masking the very regression that just
+        // threw
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        } catch { case _: Throwable => () }
       }
       // release engine-held caches between queries — the same block-manager
       // discipline Bench applies: ~173 dumps otherwise accumulate every

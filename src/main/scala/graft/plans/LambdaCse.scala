@@ -67,19 +67,52 @@ object LambdaCse extends Rule[LogicalPlan] {
     n
   }
 
-  /** Hoist the largest duplicated qualifying subtree; recurse until none. */
-  private def dedup(e: Expression): Expression = {
+  /** Census with CONDITIONALITY: walk `e` counting qualifying subtrees,
+    * and record which canonical forms occur at least once at a position
+    * that is UNCONDITIONALLY evaluated whenever `e` is. Spark's own
+    * subexpression elimination refuses to hoist out of conditional
+    * branches for a reason: binding a subtree that only ever runs inside
+    * a CASE branch evaluates it on EVERY row — rows the original guarded
+    * away now pay the cost and, under ANSI, can throw where the original
+    * was correct. Hoisting stays safe when >= 1 occurrence is
+    * unconditional (the original already ran it per row); conditional
+    * occurrences then merely reuse the bound value. The conditional set
+    * comes from Spark's own ConditionalExpression.alwaysEvaluatedInputs
+    * (If/CaseWhen/Coalesce/...), so the two CSEs agree on what
+    * "conditional" means. */
+  private def census(e: Expression)
+      : (mutable.HashMap[Expression, (Expression, Int)], mutable.HashSet[Expression]) = {
     val counts = mutable.HashMap.empty[Expression, (Expression, Int)]
-    e.foreach { sub =>
-      if (qualifies(sub)) {
-        val k = sub.canonicalized
+    val uncond = mutable.HashSet.empty[Expression]
+    def walk(ex: Expression, isUncond: Boolean): Unit = {
+      if (qualifies(ex)) {
+        val k = ex.canonicalized
         counts.get(k) match {
           case Some((r, c)) => counts.update(k, (r, c + 1))
-          case None         => counts.update(k, (sub, 1))
+          case None         => counts.update(k, (ex, 1))
         }
+        if (isUncond) uncond += k
+      }
+      ex match {
+        case ce: ConditionalExpression =>
+          val always = ce.alwaysEvaluatedInputs
+          always.foreach(walk(_, isUncond))
+          ce.children.filterNot(c => always.exists(_ eq c))
+            .foreach(walk(_, isUncond = false))
+        case other => other.children.foreach(walk(_, isUncond))
       }
     }
-    val dups = counts.values.collect { case (repr, c) if c >= 2 => repr }
+    walk(e, isUncond = true)
+    (counts, uncond)
+  }
+
+  /** Hoist the largest duplicated qualifying subtree; recurse until none. */
+  private def dedup(e: Expression): Expression = {
+    if (!containsHof(e)) return e // fast path: the common HOF-free expression
+    val (counts, uncond) = census(e)
+    val dups = counts.collect {
+      case (k, (repr, c)) if c >= 2 && uncond(k) => repr
+    }
     if (dups.isEmpty) e
     else {
       val target = dups.maxBy(nodeCount)
@@ -133,18 +166,15 @@ object LambdaCse extends Rule[LogicalPlan] {
     * duplicated subtree (grouped, so cross-conjunct sharing still hoists),
     * and leave the rest — still splittable, still pushable — alone. */
   private def dedupCondition(cond: Expression): Expression = {
+    if (!containsHof(cond)) return cond // fast path
     val conjuncts = splitAnd(cond)
     if (conjuncts.length == 1) return dedup(cond)
     // duplicated qualifying subtrees across the WHOLE condition (the same
-    // census dedup runs, minus the rewrite)
-    val counts = mutable.HashMap.empty[Expression, Int]
-    cond.foreach { sub =>
-      if (qualifies(sub)) {
-        val k = sub.canonicalized
-        counts.update(k, counts.getOrElse(k, 0) + 1)
-      }
-    }
-    val dupKeys = counts.collect { case (k, c) if c >= 2 => k }.toSet
+    // conditionality-aware census dedup runs, minus the rewrite)
+    val (counts, uncond) = census(cond)
+    val dupKeys = counts.collect {
+      case (k, (_, c)) if c >= 2 && uncond(k) => k
+    }.toSet
     if (dupKeys.isEmpty) return cond
     val (hit, clean) = conjuncts.partition(c =>
       c.exists(sub => dupKeys.contains(sub.canonicalized)))

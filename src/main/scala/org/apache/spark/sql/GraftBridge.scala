@@ -12,15 +12,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Is this column the literal `true` (the `lit(true)` default-condition
-    * sentinel)? Matched on the ColumnNode, not the Catalyst expression —
-    * Spark 4 wraps unanalyzed columns in ColumnNodeExpression, so a
-    * Catalyst Literal pattern never fires pre-analysis. */
   /** DataType equality ignoring nullability (and respecting the session's
     * case-sensitivity rule) — `DataType.sameType` is private[sql]. */
   def sameType(a: org.apache.spark.sql.types.DataType,
                b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
 
+  /** Is this column the literal `true` (the `lit(true)` default-condition
+    * sentinel)? Matched on the ColumnNode, not the Catalyst expression —
+    * Spark 4 wraps unanalyzed columns in ColumnNodeExpression, so a
+    * Catalyst Literal pattern never fires pre-analysis. */
   def isTrueLiteral(c: Column): Boolean = c.node match {
     case l: internal.Literal => l.value == true
     case _ => false

@@ -110,6 +110,45 @@ class LambdaCseSpec extends SparkSpec {
     }
   }
 
+  test("subtrees duplicated ONLY inside conditional branches are NOT hoisted " +
+       "(hoisting would evaluate them on rows the guard excludes)") {
+    // the guarded element_at(transform(a,...), 1) throws under ANSI for
+    // empty arrays — hoisting it out of the CASE branches evaluates it on
+    // the empty-array rows the original never touched
+    val df = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 0, split(col("text"), " "))
+          .otherwise(array().cast("array<string>")).as("a"))
+      .limit(40)
+    val guarded = when(size(col("a")) > 0,
+        element_at(transform(col("a"), x => concat(x, lit("!"))), 1))
+      .otherwise(lit("-"))
+    val guarded2 = when(size(col("a")) > 0,
+        element_at(transform(col("a"), x => concat(x, lit("!"))), 1))
+      .otherwise(lit("?"))
+    val out = withRule {
+      df.select(col("id"), guarded.as("g1"), guarded2.as("g2"))
+        .collect() // must not throw INVALID_ARRAY_INDEX on the empty rows
+    }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val even = r.getLong(0) % 2 == 0
+      if (!even) assert(r.getString(1) == "-" && r.getString(2) == "?")
+      else assert(r.getString(1).endsWith("!"))
+    }
+    // and an UNCONDITIONAL occurrence still licenses the hoist: one bare
+    // use + one branch use dedups fine (the bare use ran per row anyway)
+    val mixed = withRule {
+      df.select(col("id"),
+          size(transform(col("a"), x => concat(x, lit("!")))).as("n"),
+          when(size(col("a")) > 0,
+            element_at(transform(col("a"), x => concat(x, lit("!"))), 1))
+            .otherwise(lit("-")).as("g"))
+        .collect()
+    }
+    assert(mixed.nonEmpty)
+  }
+
   test("oracle queries unaffected by the rule (spot check)") {
     val out = withRule {
       SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")
