@@ -49,7 +49,20 @@ object GeoFunctions {
     else {
       val lonDelta = math.min(
         math.toDegrees(math.asin(math.min(sinR / cosMax, 1.0))) * 1.05, 180.0)
-      latBound && lon.between(refLon - lonDelta, refLon + lonDelta)
+      val lo = refLon - lonDelta
+      val hi = refLon + lonDelta
+      // antimeridian: a box crossing ±180 is TWO longitude ranges — the
+      // single between() would exclude in-radius points on the far side
+      // of the seam (refLon 179.5, radius 100 km excludes lon -179.8 at
+      // 78 km), breaking the never-exclude invariant. Wrap the
+      // overhanging end around; degenerate full wrap falls back to
+      // lat-only.
+      if (lo < -180.0 && hi > 180.0) latBound
+      else if (lo < -180.0)
+        latBound && (lon <= hi || lon >= lo + 360.0)
+      else if (hi > 180.0)
+        latBound && (lon >= lo || lon <= hi - 360.0)
+      else latBound && lon.between(lo, hi)
     }
   }
 }

@@ -40,8 +40,14 @@ object TextFunctions {
     require(windowSize > 0 && stride > 0, "windowSize and stride must be positive")
     val toks = tokens(text)
     val n = size(toks)
+    // clamp the count to starts that actually land inside the doc: with
+    // stride > windowSize (legal — gapped subsampling) the coverage
+    // formula can schedule a start past n, whose slice is empty and whose
+    // array_join is a PHANTOM "" chunk entering the corpus
+    val covering = ceil((n - lit(windowSize)).cast("double") / stride).cast("int") + 1
+    val inDoc = floor((n - 1).cast("double") / stride).cast("int") + 1
     val numChunks = when(n <= windowSize, lit(1))
-      .otherwise(ceil((n - lit(windowSize)).cast("double") / stride).cast("int") + 1)
+      .otherwise(least(covering, inDoc))
     transform(sequence(lit(0), numChunks - 1), i =>
       array_join(slice(toks, i * stride + 1, lit(windowSize)), " "))
   }

@@ -30,9 +30,18 @@ object Existence {
     * storage (reference checks the filesystem the same way). Storage is
     * probed through the session's Hadoop FileSystem so HDFS/S3/file: paths
     * all work — `java.io.File` would silently answer false off-local. */
-  def isSwampExist(spark: SparkSession, dir: String, name: String): Boolean =
-    graft.Catalog.isRegistered(name) || {
+  def isSwampExist(spark: SparkSession, dir: String, name: String): Boolean = {
+    // the registry short-circuit must respect `dir`: a binding registered
+    // under a DIFFERENT root must not make this dir answer true for a
+    // swamp it does not hold (the dir parameter exists to locate the
+    // swamp, not to be bypassed)
+    val registeredHere = graft.Catalog.spec(name).exists { s =>
+      val specParent = new org.apache.hadoop.fs.Path(s.path).getParent
+      specParent != null && specParent.toString == new org.apache.hadoop.fs.Path(dir).toString
+    }
+    registeredHere || {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+  }
 }

@@ -16,6 +16,14 @@ import graft.filters.{FilterCompiler, FilterNode}
  * survivor set is what gets written back. Concurrent disjointness is a
  * storage-transaction concern (Delta/Iceberg optimistic commit), documented
  * as such in SURVEY.md §7.4.
+ *
+ * KEY CONTRACT (the [[Snapshots.mergeCommit]] delta-key rule): `keyCol`
+ * must be UNIQUE — it is the swamp's primary key in the reference, and
+ * the survivor set is computed as an ANTI-JOIN on it, so a duplicate key
+ * whose copies straddle the claim boundary would have its UNCLAIMED
+ * copies silently removed from both outputs (neither claimed nor written
+ * back). Tables flowing out of [[Snapshots]] commits hold this by
+ * construction.
  */
 object Shift {
 

@@ -115,17 +115,27 @@ object Snapshots {
     val next = expected.map(_ + 1).getOrElse(0L)
     val f = fs(spark, dir)
     val staged = new Path(s"$dir/.staging-v$next-${java.util.UUID.randomUUID()}")
+    // metadata round-trip validation runs BEFORE the (potentially
+    // full-base-rewrite) parquet write: validating after wasted the whole
+    // staged write, and under CAS contention the permanent
+    // IllegalArgumentException could surface as a retryable None — the
+    // caller's loop would then repeat the doomed write to maxRetries and
+    // misreport "write contention" instead of the invalid meta. The line
+    // format is unescaped, so reject what it cannot round-trip: '=' in a
+    // key, and BOTH newline flavors in either side (versionMeta reads via
+    // linesIterator, which splits on '\r' too — a carriage return would
+    // silently shear one entry into a phantom pair).
+    meta.foreach { case (k, v) =>
+      require(!k.contains('=') && !k.exists(c => c == '\n' || c == '\r') &&
+          !v.exists(c => c == '\n' || c == '\r'),
+        s"version meta cannot round-trip key '$k' ('=' in keys / newline " +
+          "or carriage-return characters are not representable)")
+    }
     try {
       df.write.parquet(staged.toString)
       // metadata travels INSIDE the version dir, so it becomes visible
       // atomically with the rename — underscore-prefixed, ignored by scans.
-      // The line format is unescaped, so reject what it cannot round-trip
-      // (a newline in a value or '=' in a key would silently corrupt it).
       if (meta.nonEmpty) {
-        meta.foreach { case (k, v) =>
-          require(!k.contains('=') && !k.contains('\n') && !v.contains('\n'),
-            s"version meta cannot round-trip key '$k' / newline values")
-        }
         val out = f.create(new Path(staged, "_meta"), true)
         try out.write(meta.map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
         finally out.close()
@@ -301,7 +311,13 @@ object Snapshots {
    * by that column wins before the matrix applies — the same LWW-by-seq
    * rule [[Chronicle.lastWriteWins]] uses, at delta (not corpus) size. The
    * seq column is transport metadata, dropped before the merge — it must
-   * not be one of the table's value columns.
+   * not be one of the table's value columns. PRECONDITION: (key, seq)
+   * pairs must be UNIQUE — two delta rows tying on both have no defined
+   * winner (the rank is partition-order-dependent), and a CAS-conflict
+   * retry recomputes the merge, so the tie could durably commit a
+   * DIFFERENT row than the first attempt chose. Producers that cannot
+   * guarantee per-key seq uniqueness must disambiguate upstream (a
+   * composite seq, an arrival counter).
    *
    * [[Mutations.DryRun]] is rejected: its contract is "nothing is ever
    * written", and a durable commit of the unchanged base would still
@@ -431,29 +447,33 @@ object Snapshots {
     val frag = if (total == 0) 0.0 else (total - live).toDouble / total
     val due = frag >= fragmentationThreshold || versions.length > maxVersions
     if (!due) return MaintainReport(compacted = false, frag, versions.length, 0L, None)
-    // Carry meta across the vacuum as ATOMIC PER-VERSION GROUPS, newest
-    // first: an older version's map is carried ONLY when its key set is
-    // fully disjoint from everything newer already carried. A per-key fold
-    // would stitch values from different commits into one version's meta
-    // — exactly the cross-commit pairing latestMetaValues refuses — and
-    // bake it where the same-version guarantee can no longer detect it
-    // (e.g. a partial commit's runId paired with an older batchId would
-    // make the sink SKIP batches it never committed). Dropping the
-    // partially-overlapped older group instead fails in the safe
-    // direction: the high-water mark reads absent and the sink re-merges
-    // (idempotent), never skips.
-    val carried = versions.sorted(Ordering[Long].reverse)
-      .foldLeft(Map.empty[String, String]) { (acc, v) =>
-        val m = versionMeta(spark, dir, Some(v))
-        if (m.nonEmpty && m.keySet.intersect(acc.keySet).isEmpty) acc ++ m
-        else acc
-      }
+    // Carry ONLY the newest version's non-empty meta map, whole. Even the
+    // previous disjoint-GROUP carry could stitch a pair of keys from two
+    // different commits when each commit wrote only one key of the pair
+    // (v=7 {runId} + v=6 {batchId} are disjoint, yet (runId, batchId) as
+    // one map is a same-version pair that never co-existed — the sink
+    // would then SKIP batches it never committed). Key-level pairing
+    // semantics are invisible here, so one commit's map is the only thing
+    // safe to present as one commit's map. Older metadata is dropped in
+    // the safe direction: a high-water mark reads absent and the sink
+    // re-merges (idempotent), never skips.
+    val carried = versions.sorted(Ordering[Long].reverse).iterator
+      .map(v => versionMeta(spark, dir, Some(v)))
+      .find(_.nonEmpty)
+      .getOrElse(Map.empty[String, String])
     val files = math.max(1L, (live + targetBytesPerFile - 1) / targetBytesPerFile).toInt
     val compacted = read(spark, dir, Some(cur)).coalesce(files)
     commitIf(compacted, dir, Some(cur), carried) match {
       case Some(nv) =>
         vacuum(spark, dir, keepFrom = nv)
-        val after = f.getContentSummary(new Path(s"$dir/v=$nv")).getLength
+        // telemetry probe only, and the compaction already SUCCEEDED: a
+        // racing maintain can commit nv+1 and vacuum nv away between our
+        // commit and this size read — that is the documented two-scheduler
+        // overlap, not a failure (the measurement loop above concedes the
+        // same way on FNF)
+        val after =
+          try f.getContentSummary(new Path(s"$dir/v=$nv")).getLength
+          catch { case _: java.io.FileNotFoundException => live }
         MaintainReport(compacted = true, frag, versions.length, total - after, Some(nv))
       case None => // a racing commit moved the pointer — concede, report
         MaintainReport(compacted = false, frag, versions.length, 0L, None)
