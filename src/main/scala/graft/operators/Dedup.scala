@@ -165,7 +165,15 @@ object Dedup {
     val plan = signaturePlan(df, textCol, keyCol, shingleN, numHashes)
     // a pre-_sn legacy artifact must not grow schema-divergent parquet
     // (the appendTextIndex pre-dl rule): keep the dir uniform, legacy
-    // stays legacy until its next rebuild
+    // stays legacy until its next rebuild — which means the shingleN
+    // guard above can only check numHashes for it. Nudge loudly: the
+    // artifacts most likely to carry a forgotten non-default shingleN are
+    // exactly the ones the guard cannot protect
+    if (!existing.columns.contains("_sn"))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"appendSignatures: $path is a pre-_sn legacy artifact — shingleN=" +
+          s"$shingleN is UNVERIFIED against its build; rebuild with " +
+          "buildSignatures to enable the mismatch guard")
     (if (existing.columns.contains("_sn")) plan else plan.drop("_sn"))
       .write.mode("append").parquet(dir)
   }

@@ -35,9 +35,18 @@ object Existence {
     // under a DIFFERENT root must not make this dir answer true for a
     // swamp it does not hold (the dir parameter exists to locate the
     // swamp, not to be bypassed)
+    // qualify BOTH sides through the FileSystem before comparing — raw
+    // Path.toString treats equivalent spellings (trailing slash, bare vs
+    // scheme-qualified, relative vs absolute) as different dirs, which
+    // would answer false for a registered-but-no-data-yet swamp whose dir
+    // the caller spelled differently than register did
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: org.apache.hadoop.fs.Path): String =
+      p.getFileSystem(hconf).makeQualified(p).toString
     val registeredHere = graft.Catalog.spec(name).exists { s =>
       val specParent = new org.apache.hadoop.fs.Path(s.path).getParent
-      specParent != null && specParent.toString == new org.apache.hadoop.fs.Path(dir).toString
+      specParent != null &&
+        qualified(specParent) == qualified(new org.apache.hadoop.fs.Path(dir))
     }
     registeredHere || {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")

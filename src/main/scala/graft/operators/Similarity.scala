@@ -1352,8 +1352,17 @@ object Similarity {
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (c, s) => element_at(col("_lut"), (s * ksubCol + c + 1).cast("int"))),
       lit(0L), (acc, v) => acc + v)
+    // pqAdcTopK's loud-refusal guard, batch side: a silent width filter
+    // here would drop EVERY code row under a wrong-m probe (the codebook
+    // dim check passes when m differs but dim matches), and
+    // hybridRrfBatchPrebuilt would degrade to BM25-only unnoticed
+    val codesChecked = when(size(col("codes")) === m, col("codes"))
+      .otherwise(raise_error(concat(
+        lit("code row width "), size(col("codes")).cast("string"),
+        lit(s" does not match the declared m=$m — wrong (m, dim) for " +
+          "this index"))))
     spark.read.parquet(s"$dir/codes")
-      .filter(size(col("codes")) === m) // the posexplode form's implicit width contract
+      .withColumn("codes", codesChecked)
       .crossJoin(broadcast(lutArr))
       .select(col("_qid"), col("key"),
         round(scoreInt.cast("double") / lit(scale * scale), 6).as("score"))

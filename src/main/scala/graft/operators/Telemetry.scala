@@ -41,9 +41,13 @@ object Telemetry {
   }
   // install() must be per SESSION, not process-global: a singleton boolean
   // silently no-ops the second session (spark.newSession(), a test
-  // harness's fresh session) and its queries are never recorded
+  // harness's fresh session) and its queries are never recorded. Weak keys
+  // on the session OBJECT, not identityHashCode: two live sessions can
+  // share a hash (silently skipping the second), and a stopped session's
+  // hash lingering in a plain set would skip a future session that reuses
+  // it — weak references cannot collide and clear themselves on GC
   private val installedSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
   @volatile private var subscriber: QueryRecord => Unit = _ => ()
 
   private def record(r: QueryRecord): Unit = {
@@ -64,9 +68,12 @@ object Telemetry {
   }
 
   /** Install the listener on the session (idempotent per session). */
-  def install(spark: SparkSession): Unit =
-    if (installedSessions.add(System.identityHashCode(spark)))
-      spark.listenerManager.register(listener)
+  def install(spark: SparkSession): Unit = {
+    val first = installedSessions.synchronized {
+      installedSessions.put(spark, java.lang.Boolean.TRUE) == null
+    }
+    if (first) spark.listenerManager.register(listener)
+  }
 
   /** SubscribeToTelemetry: live per-record callback (single subscriber). */
   def subscribe(f: QueryRecord => Unit): Unit = subscriber = f
@@ -104,20 +111,26 @@ object Telemetry {
     // drain FIRST (atomic per record): nothing recorded during the write —
     // including the flush's own actions — can be lost or double-flushed.
     // On a failed write the drained batch is put back, so telemetry is
-    // never silently dropped by a bad path / full disk.
-    val drained = Iterator.continually(dequeue()).takeWhile(_ != null).toSeq
+    // never silently dropped by a bad path / full disk. Flushed rows are
+    // SORTED by startedAtMs so the durable table is time-ordered no matter
+    // how the ring was interleaved by concurrent listener threads.
+    val drained = Iterator.continually(dequeue()).takeWhile(_ != null)
+      .toSeq.sortBy(_.startedAtMs)
     if (drained.nonEmpty) {
       import spark.implicits._
       try drained.toDF().write.mode("append").parquet(path)
       catch {
         case e: Throwable =>
-          // restore chronological order: records that arrived DURING the
-          // failed write drain out, the old batch goes back first, and the
-          // newer arrivals re-append behind it — a plain tail re-add would
-          // leave the ring (and the retry flush) out of startedAtMs order
+          // restore the ring on failure. Ordering here is BEST-EFFORT: the
+          // listener thread can enqueue between this second drain and the
+          // re-add below, landing an out-of-order record — harmless,
+          // because the durable order is imposed by the sort at the NEXT
+          // flush, not by ring position. If drained + arrived exceeds the
+          // ring bound the OLDEST restored records are trimmed (the same
+          // record the ring would have evicted had the flush never run).
           val arrived = Iterator.continually(dequeue())
             .takeWhile(_ != null).toSeq
-          (drained ++ arrived).foreach(enqueue)
+          (drained ++ arrived).sortBy(_.startedAtMs).foreach(enqueue)
           while (ringSize.get() > maxRecords) dequeue()
           throw e
       }

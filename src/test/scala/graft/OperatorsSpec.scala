@@ -638,6 +638,22 @@ class OperatorsSpec extends SparkSpec {
     Telemetry.subscribe(_ => ())
   }
 
+  test("telemetry install is per session object: a second live session " +
+       "records too (no identityHashCode collisions / stale skips)") {
+    Telemetry.clear()
+    Telemetry.install(spark)
+    val other = spark.newSession()
+    Telemetry.install(other) // must register, not silently no-op
+    import other.implicits._
+    Seq((1L, "x")).toDF("id", "v").count()
+    val deadline = System.currentTimeMillis() + 15000
+    while (Telemetry.history(spark).count() < 1 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(Telemetry.history(spark).count() >= 1,
+      "second session's actions must be recorded")
+    Telemetry.clear()
+  }
+
   test("telemetry flushHistory persists the ring to parquet and clears it") {
     Telemetry.clear()
     Telemetry.install(spark)
@@ -1078,6 +1094,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!Catalog.isRegistered("destroy_t"))
     assert(!Existence.isSwampExist(spark, tmp, "d"))
     assert(!new java.io.File(s"$tmp/d.parquet").exists())
+  }
+
+  test("isSwampExist: registered-but-no-data swamp answers true for every " +
+       "spelling of its dir (qualified-path compare, not raw string)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exist_q").toString
+    Catalog.register(spark, Catalog.SwampSpec("exist_q", s"$tmp/exist_q.parquet"))
+    try {
+      // no data on disk yet — only the registry can answer true, and it
+      // must do so for bare, scheme-qualified, and trailing-slash forms
+      assert(Existence.isSwampExist(spark, tmp, "exist_q"), "bare dir")
+      assert(Existence.isSwampExist(spark, s"file:$tmp", "exist_q"), "file: dir")
+      assert(Existence.isSwampExist(spark, s"file://$tmp", "exist_q"), "file:// dir")
+      assert(Existence.isSwampExist(spark, s"$tmp/", "exist_q"), "trailing slash")
+      // a different root must still answer false (dir is not bypassed)
+      assert(!Existence.isSwampExist(spark, s"$tmp/elsewhere", "exist_q"))
+    } finally Catalog.deregister(spark, "exist_q")
   }
 
   test("compaction round-trip: fewer files, state equivalent to LWW") {

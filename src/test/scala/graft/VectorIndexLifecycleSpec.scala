@@ -240,6 +240,21 @@ class VectorIndexLifecycleSpec extends SparkSpec {
           _.getMessage.contains("does not match the declared m"))),
       s"wrong-m probe must name the mismatch: $probeErr")
 
+    // batch path: same (m=16, dim=64) mismatch — the codebook dim check
+    // passes, so a silent width filter here would return ZERO vector
+    // candidates and a hybrid probe would degrade to BM25-only unnoticed
+    val batchQueries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batchErr = intercept[Exception] {
+      Similarity.pqTopKBatchPrebuilt(spark, idx, batchQueries, "qid",
+        "embedding", "vec_id", k = 5, m = 16, dim = 64).collect()
+    }
+    def mentionsM(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(
+        _.contains("does not match the declared m")) || mentionsM(t.getCause))
+    assert(mentionsM(batchErr),
+      s"wrong-m BATCH probe must name the mismatch: $batchErr")
+
     val ivf = tmp("graft-ivf-dimguard")
     Similarity.ivfBuild(emb, "embedding", "vec_id", ivf, dim = 64, nlist = 8)
     val short = emb.limit(5).select(col("vec_id"),
