@@ -3760,9 +3760,10 @@ object SparkEntry {
             inserts.unionByName(modNew), deletes.unionByName(modOld),
             "o_orderstatus", "price")
           .select(col("o_orderstatus"), col("cnt"),
-            col("sum_v").cast("decimal(38,2)").as("sum_v"))
+            col("sum_v").cast("decimal(38,2)").as("sum_v"), col("cnt_v"))
       },
-      Some("""SELECT o_orderstatus, count(*) AS cnt, sum(price) AS sum_v
+      Some("""SELECT o_orderstatus, count(*) AS cnt, sum(price) AS sum_v,
+            count(price) AS cnt_v
           FROM (
             SELECT o_orderstatus,
               CASE WHEN o_custkey % 17 = 0 AND o_custkey % 13 <> 0

@@ -28,9 +28,30 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Join two bucketed tables on their bucket key. With matching bucket
-    * counts the plan contains no Exchange (verify via explain). */
+  /** Join two bucketed tables on their bucket key. The whole point of
+    * this operator is the ABSENT Exchange, so a spec mismatch (different
+    * bucket counts, a table not bucketed on `keyCol`, or one never
+    * bucketed at all) refuses loudly instead of silently planning the
+    * full shuffle the caller bucketed to avoid — at 100 TB that silent
+    * shuffle IS the cost of the job. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-                   keyCol: String, joinType: String = "inner"): DataFrame =
+                   keyCol: String, joinType: String = "inner"): DataFrame = {
+    def spec(table: String) = {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sessionState.catalog.getTableMetadata(id).bucketSpec
+    }
+    val specs = Seq(leftTable, rightTable).map { tbl =>
+      val s = spec(tbl)
+      require(s.exists(_.bucketColumnNames == Seq(keyCol)),
+        s"table $tbl is not bucketed on '$keyCol' " +
+          s"(bucketSpec=${s.orNull}) — the join would silently shuffle; " +
+          "rewrite it with writeBucketed first")
+      s.get
+    }
+    require(specs(0).numBuckets == specs(1).numBuckets,
+      s"bucket counts differ (${specs(0).numBuckets} vs " +
+        s"${specs(1).numBuckets}) — the smaller side would " +
+        "silently shuffle; rebucket to a common count")
     spark.table(leftTable).join(spark.table(rightTable), Seq(keyCol), joinType)
+  }
 }

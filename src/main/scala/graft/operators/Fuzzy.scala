@@ -31,7 +31,11 @@ object Fuzzy {
    * Canonical near-match pairs `(name_a, name_b, dist)` over the DISTINCT
    * values of `valueCol`, where both share `blockKey(value)` and
    * `levenshtein <= maxDist`. `blockKey` is a SQL-expressible Column
-   * function so the oracle can mirror the blocking exactly.
+   * function so the oracle can mirror the blocking exactly. Values whose
+   * block key evaluates to NULL never pair (equi-join semantics — the
+   * same in the SQL mirror); a blockKey that can null out real values
+   * (e.g. a regexp extract with no match) should coalesce to a sentinel
+   * block if those values must still meet.
    */
   def pairs(df: DataFrame, valueCol: String,
             blockKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column,

@@ -60,11 +60,15 @@ object IncrementalAgg {
     state.select(explode(expr(s"approx_top_k_estimate(sketch, $k)")).as("e"))
       .select(col("e.item").as("item"), col("e.count").as("cnt"))
 
-  /** A (count, sum) rollup of `df` by `groupCol` — the shape
-    * [[applyChanges]] maintains. */
+  /** A (count, sum, non-null-value count) rollup of `df` by `groupCol` —
+    * the shape [[applyChanges]] maintains. `cnt_v` exists for NULL
+    * exactness: SQL `sum` is NULL (not 0) over a group with zero non-null
+    * values, and after deletes the maintained sum cannot distinguish
+    * "cancelled to 0" from "no values left" without it. */
   def rollup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_v"))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_v"),
+        count(col(valueCol)).as("cnt_v"))
 
   /** `prev` (a [[rollup]] output) advanced by one change batch. The
     * delta sums use the SAME `sum(valueCol)` widening as [[rollup]] —
@@ -74,18 +78,23 @@ object IncrementalAgg {
   def applyChanges(prev: DataFrame, inserted: DataFrame, removed: DataFrame,
                    groupCol: String, valueCol: String): DataFrame = {
     val adds = inserted.select(col(groupCol),
-      lit(1L).as("_dc"), col(valueCol).as("_dv"))
+      lit(1L).as("_dc"), col(valueCol).as("_dv"),
+      when(col(valueCol).isNotNull, 1L).otherwise(0L).as("_dcv"))
     val drops = removed.select(col(groupCol),
-      lit(-1L).as("_dc"), (-col(valueCol)).as("_dv"))
+      lit(-1L).as("_dc"), (-col(valueCol)).as("_dv"),
+      when(col(valueCol).isNotNull, -1L).otherwise(0L).as("_dcv"))
     val delta = adds.unionByName(drops)
       .groupBy(col(groupCol))
-      .agg(sum(col("_dc")).as("_dcnt"), sum(col("_dv")).as("_dsum"))
+      .agg(sum(col("_dc")).as("_dcnt"), sum(col("_dv")).as("_dsum"),
+        sum(col("_dcv")).as("_dcntv"))
     val sumType = prev.schema("sum_v").dataType
     val sumZero = lit(0).cast(sumType)
     // null-safe equi-join (<=>): groupBy treats NULL as one real group, so
     // the maintenance join must too — a plain USING join never equi-matches
     // NULL keys and would split the NULL group into two output rows (one
     // carrying prev state, one the delta), diverging from a recompute
+    val cntV = (coalesce(col("cnt_v"), lit(0L)) +
+      coalesce(col("_dcntv"), lit(0L)))
     prev.withColumnRenamed(groupCol, "_pg")
       .join(delta.withColumnRenamed(groupCol, "_dg"),
         col("_pg") <=> col("_dg"), "full_outer")
@@ -94,9 +103,14 @@ object IncrementalAgg {
         // cast the recombined sum BACK to prev's type: decimal addition
         // widens precision by one, and without the cast a maintained view
         // fed back through applyChanges would change schema every batch —
-        // breaking any fixed-schema sink holding it
-        (coalesce(col("sum_v"), sumZero) + coalesce(col("_dsum"), sumZero))
-          .cast(sumType).as("sum_v"))
+        // breaking any fixed-schema sink holding it. NULL exactness: SQL
+        // sum over zero non-null values is NULL, not 0 — a group whose
+        // last non-null value was deleted must report NULL like the
+        // recompute, which the cancelled-to-zero sum alone cannot know
+        when(cntV === 0, lit(null).cast(sumType))
+          .otherwise((coalesce(col("sum_v"), sumZero) +
+            coalesce(col("_dsum"), sumZero)).cast(sumType)).as("sum_v"),
+        cntV.as("cnt_v"))
       .filter(col("cnt") > 0)
   }
 }

@@ -356,6 +356,23 @@ class OperatorsSpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
         s"expected a bucketed sort-merge join:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // spec-mismatch refusals: a silent shuffle is the failure bucketing
+    // exists to remove, so it must be loud
+    spark.sql("DROP TABLE IF EXISTS bkt_c")
+    Bucketing.writeBucketed(
+      (1L to 100L).map(i => (i, s"c$i")).toDF("k", "vc"), "bkt_c", "k", 8)
+    val cntErr = intercept[IllegalArgumentException] {
+      Bucketing.bucketedJoin(spark, "bkt_a", "bkt_c", "k")
+    }
+    assert(cntErr.getMessage.contains("bucket counts differ"), s"$cntErr")
+    spark.sql("DROP TABLE IF EXISTS bkt_plain")
+    (1L to 10L).map(i => (i, i)).toDF("k", "vp")
+      .write.mode("overwrite").saveAsTable("bkt_plain")
+    val specErr = intercept[IllegalArgumentException] {
+      Bucketing.bucketedJoin(spark, "bkt_a", "bkt_plain", "k")
+    }
+    assert(specErr.getMessage.contains("not bucketed on 'k'"), s"$specErr")
+    Seq("bkt_c", "bkt_plain").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("deleteStatuses: DELETED for existing keys, NOT_FOUND otherwise") {
@@ -2545,10 +2562,30 @@ class OperatorsSpec extends SparkSpec {
       "d" -> (1L, 1.0)))  // new group appears
     // removing a group's last row drops the group entirely (recompute parity)
     val gone = IncrementalAgg.applyChanges(out.keys.toSeq.map(k =>
-        (k, out(k)._1, out(k)._2)).toDF("g", "cnt", "sum_v"),
+        (k, out(k)._1, out(k)._2, out(k)._1)).toDF("g", "cnt", "sum_v", "cnt_v"),
       Seq.empty[(String, Double)].toDF("g", "v"),
       Seq(("d", 1.0)).toDF("g", "v"), "g", "v")
     assert(!gone.collect().map(_.getString(0)).contains("d"))
+  }
+
+  test("incremental agg: a group whose last NON-NULL value is deleted " +
+       "reports NULL sum like a recompute, not a cancelled 0") {
+    val base = Seq(("a", Some(10.0)), ("a", None), ("b", Some(1.0)))
+      .toDF("g", "v")
+    val prev = IncrementalAgg.rollup(base, "g", "v")
+    // delete a's only non-null value; insert a null-valued row into b
+    val inserted = Seq(("b", Option.empty[Double])).toDF("g", "v")
+    val removed = Seq(("a", Some(10.0))).toDF("g", "v")
+    val out = IncrementalAgg.applyChanges(prev, inserted, removed, "g", "v")
+    val recomputed = IncrementalAgg.rollup(
+      base.unionByName(inserted).exceptAll(removed), "g", "v")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getLong(3))).toMap
+    assert(m(out) == m(recomputed), s"${m(out)} vs ${m(recomputed)}")
+    assert(m(out)("a") == ((1L, None, 0L)), "all-null group must sum to NULL")
+    assert(m(out)("b") == ((2L, Some(1.0), 1L)))
   }
 
   test("incremental agg: NULL group key stays ONE group, matching recompute") {

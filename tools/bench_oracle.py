@@ -17,6 +17,7 @@ has no DuckDB dependency; graft.Bench shells out to this script and
 degrades gracefully when python3/duckdb are unavailable.
 """
 import json
+import os
 import sys
 import threading
 import time
@@ -61,8 +62,12 @@ def timed_run(con, sql, budget):
 def main(sf_dir, oracle_path):
     con = duckdb.connect()
     for tbl in TABLES:
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+        # driver fixtures are single-FILE parquet; locally-generated
+        # multi-split fixtures (graft.FixtureGen) are DIRECTORIES of part
+        # files — glob those so the same oracle runs on both layouts
+        path = f"{sf_dir}/{tbl}.parquet"
+        src = f"'{path}/**/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM {src}")
     oracle = json.load(open(oracle_path))
     out = {}
     seen = {}  # sql text -> seconds: byte-identical oracle SQL (e.g. a

@@ -45,8 +45,11 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for tbl in ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+        # driver fixtures are single-FILE parquet; locally-generated
+        # multi-split fixtures (graft.FixtureGen) are DIRECTORIES — glob
+        path = f"{sf_dir}/{tbl}.parquet"
+        src = f"'{path}/**/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
@@ -86,7 +89,9 @@ def main(sf_dir, out_dir):
             print(f"OK   {name} ({len(wr)} rows)")
             n_ok += 1
     # queries without oracle: just report row counts
-    import glob, os
+    import glob  # os already imported at module scope (an inner
+    # `import os` would make it function-local and unbind the view-glob
+    # reference above)
     for p in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(p.rstrip("/"))
         if name not in oracle:

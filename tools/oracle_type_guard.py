@@ -35,10 +35,14 @@ def spark_decimal_cols(con, out_dir, name):
 
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for tbl in TABLES:
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+        # driver fixtures are single-FILE parquet; locally-generated
+        # multi-split fixtures (graft.FixtureGen) are DIRECTORIES — glob
+        path = f"{sf_dir}/{tbl}.parquet"
+        src = f"'{path}/**/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     bad = 0
     for name, sql in sorted(oracle.items()):
