@@ -1625,21 +1625,27 @@ object SparkEntry {
     val bandIdx = (0 until bands).mkString(", ")
     val bandTerms = (0 until bands).map(bd =>
       s"md5(array_to_string(sig[${bd * r + 1}:${bd * r + r}], ','))")
+    // the verify runs over HASHED shingle sets, mirroring the engine's
+    // signature table exactly (Dedup.signaturePlan stores hash32 ints):
+    // both engines hash identically, so the jaccard values — collisions
+    // included — are bit-identical by construction
     s"""WITH sh AS (SELECT doc_id, list_distinct($sqlShingles3) AS s FROM documents),
+        hset AS (SELECT doc_id,
+                 list_distinct(list_transform(s, x -> ${sqlHash32("x")})) AS h FROM sh),
         sg AS (SELECT doc_id, [${sigTerms.mkString(", ")}] AS sig
-               FROM (SELECT doc_id, list_transform(s, x -> ${sqlHash32("x")}) AS hs FROM sh)),
+               FROM (SELECT doc_id, h AS hs FROM hset)),
         banded AS (SELECT doc_id, unnest([$bandIdx]) AS band,
                    unnest([${bandTerms.mkString(", ")}]) AS bh FROM sg),
         cand AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
                  FROM banded a JOIN banded b
                  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
         scored AS (SELECT key_a, key_b,
-            CASE WHEN len(list_distinct(sa.s || sb.s)) = 0 THEN 0.0
-                 ELSE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE
+            CASE WHEN len(list_distinct(sa.h || sb.h)) = 0 THEN 0.0
+                 ELSE len(list_intersect(sa.h, sb.h))::DOUBLE / len(list_distinct(sa.h || sb.h))::DOUBLE
             END AS j
           FROM cand
-          JOIN sh sa ON cand.key_a = sa.doc_id
-          JOIN sh sb ON cand.key_b = sb.doc_id)
+          JOIN hset sa ON cand.key_a = sa.doc_id
+          JOIN hset sb ON cand.key_b = sb.doc_id)
         SELECT key_a, key_b, round(j, 6) AS jaccard FROM scored WHERE j >= $threshold"""
   }
 

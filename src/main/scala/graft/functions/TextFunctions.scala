@@ -164,6 +164,20 @@ object TextFunctions {
       1)
   }
 
+  /** [[minhashSignature]] over an ALREADY-HASHED shingle array (the
+    * signature-table plan hashes once and shares the array between the
+    * signature and the stored verify set). min over the distinct hash set
+    * equals min over the raw multiset, so signatures are bit-identical
+    * to the from-strings form. */
+  def minhashSignatureFromHashes(hashArr: Column, k: Int,
+                                 seed: Long = 42L): Column = {
+    val params = array(minhashParams(k, seed).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    transform(params, p =>
+      array_min(transform(hashArr, h => (h * p("a") + p("b")) % MinhashPrime)))
+  }
+
   /** Jaccard similarity of the distinct-shingle sets of two texts. */
   def jaccard(shinglesA: Column, shinglesB: Column): Column = {
     val a = array_distinct(shinglesA)

@@ -100,14 +100,34 @@ object Dedup {
   // MinHash signature table — the shared artifact of every LSH consumer
   // ==========================================================================
 
-  /** The signature-table plan: (keyCol, _sh = distinct shingles, _sig =
-    * `numHashes`-element minhash signature). One scan over the text; every
-    * LSH consumer (banding, verify join) derives from this shape. */
+  /** The signature-table plan: (keyCol, _sh = distinct HASHED shingles,
+    * _sig = `numHashes`-element minhash signature). One scan over the
+    * text; every LSH consumer (banding, verify join) derives from this
+    * shape. `_sh` stores hash32 INTS, not shingle strings: the exact-
+    * Jaccard verify is invariant under the (engine-and-oracle-identical)
+    * hashing — |A∩B|/|A∪B| over hashed sets equals the string-set value
+    * wherever hashes don't collide, and where they DO collide both
+    * engines see the same collided sets, so parity holds bit-for-bit —
+    * while the artifact shrinks ~10x and the verify joins decode int
+    * arrays instead of string arrays (measured 8.0 → ~1.5 s on the
+    * prebuilt LSH probe at a 5x fixture: parquet string-array decode of
+    * the shingle sets was ~95% of the probe). The signature derives from
+    * the same hash array, so build cost is unchanged. */
   private def signaturePlan(df: DataFrame, textCol: String, keyCol: String,
-                            shingleN: Int, numHashes: Int): DataFrame =
+                            shingleN: Int, numHashes: Int): DataFrame = {
+    // let-bind the hashed set ONCE per row (array(x) + transform — the
+    // minhashSignature idiom): the signature references the set k times,
+    // and Catalyst's project collapse would otherwise re-inline the whole
+    // shingle→hash pipeline into every one of the k min-terms (the 12 s
+    // naive form the binding exists to prevent)
+    val hs = array_distinct(
+      transform(TF.shingles(col(textCol), shingleN), TF.hash32(_)))
     spreadModest(df)
-      .select(col(keyCol), array_distinct(TF.shingles(col(textCol), shingleN)).as("_sh"))
-      .withColumn("_sig", TF.minhashSignature(col("_sh"), numHashes))
+      .select(col(keyCol), element_at(
+        transform(array(hs), h => struct(
+          h.as("sh"),
+          TF.minhashSignatureFromHashes(h, numHashes).as("sig"))), 1).as("_t"))
+      .select(col(keyCol), col("_t.sh").as("_sh"), col("_t.sig").as("_sig"))
       // the shingle width rides IN the table (constant column — parquet
       // RLE makes it free): numHashes is recoverable from the stored
       // signature length, shingleN is NOT recoverable from anything, and
@@ -115,6 +135,7 @@ object Dedup {
       // exact-Jaccard verify (3-gram vs 5-gram sets share ~no shingles ⇒
       // every true near-dup passes the gate). requireSigParams reads it.
       .withColumn("_sn", lit(shingleN))
+  }
 
   /**
    * Materialize the signature table to `path` — the cluster-scale form of
@@ -174,8 +195,32 @@ object Dedup {
         s"appendSignatures: $path is a pre-_sn legacy artifact — shingleN=" +
           s"$shingleN is UNVERIFIED against its build; rebuild with " +
           "buildSignatures to enable the mismatch guard")
+    // a pre-hashed-verify artifact stores _sh as shingle STRINGS; the
+    // current plan emits hash32 ints. Appending would write two
+    // incompatible parquet element types into one directory, corrupting
+    // every later read — refuse with the rebuild instruction instead
+    existing.schema("_sh").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) =>
+        throw new IllegalArgumentException(
+          s"signature table $path stores legacy STRING shingle sets; this " +
+            "build writes hashed sets — rebuild the artifact with " +
+            "buildSignatures before appending")
+      case _ => ()
+    }
     (if (existing.columns.contains("_sn")) plan else plan.drop("_sn"))
       .write.mode("append").parquet(dir)
+  }
+
+  /** Jaccard over columns KNOWN to be distinct sets (signature-table
+    * `_sh`): |A∩B| / (|A|+|B|−|A∩B|). [[TF.jaccard]] re-distincts both
+    * sides and materializes the union array — on set inputs that is pure
+    * overhead (measured ~40% of the whole LSH verify stage at a 5x
+    * fixture). Values are identical on set inputs by |A∪B| = |A|+|B|−|A∩B|. */
+  private def setJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
   }
 
   /** Band projection of a signature table: (key, _band, _bh) — the ONLY
@@ -208,7 +253,7 @@ object Dedup {
     cand
       .join(base.select(col(keyCol).as("key_a"), col("_sh").as("_sha")), Seq("key_a"))
       .join(base.select(col(keyCol).as("key_b"), col("_sh").as("_shb")), Seq("key_b"))
-      .withColumn("jaccard", TF.jaccard(col("_sha"), col("_shb")))
+      .withColumn("jaccard", setJaccard(col("_sha"), col("_shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -349,6 +394,16 @@ object Dedup {
                                      textCol: String, keyCol: String,
                                      shingleN: Int, numHashes: Int, bands: Int,
                                      threshold: Double): DataFrame = {
+    // a legacy (string-shingle) corpus artifact cannot exact-verify
+    // against the freshly HASHED incoming sets — the jaccard would be a
+    // type error deep in analysis; name the fix here instead
+    require(!(corSig.schema("_sh").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => true
+        case _ => false
+      }),
+      "corpus signature table stores legacy STRING shingle sets — rebuild " +
+        "it with buildSignatures (current builds store hashed sets)")
     val inSig = tracked(signaturePlan(incoming, textCol, keyCol, shingleN, numHashes))
     val cand = bandedOf(inSig, keyCol, numHashes, bands).as("i")
       .join(bandedOf(corSig, keyCol, numHashes, bands).as("c"),
@@ -358,7 +413,7 @@ object Dedup {
     val matched = cand
       .join(inSig.select(col(keyCol).as("_ik"), col("_sh").as("_sha")), Seq("_ik"))
       .join(corSig.select(col(keyCol).as("_ck"), col("_sh").as("_shb")), Seq("_ck"))
-      .filter(TF.jaccard(col("_sha"), col("_shb")) >= threshold)
+      .filter(setJaccard(col("_sha"), col("_shb")) >= threshold)
       .select(col("_ik").as(keyCol)).distinct()
     incoming.join(matched, Seq(keyCol), "left_anti")
   }

@@ -1455,6 +1455,29 @@ class OperatorsSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("legacy STRING-shingle signature artifacts refuse append and " +
+       "prebuilt incremental dedup with a rebuild hint") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigleg").toString
+    // hand-built legacy artifact: _sh as shingle STRINGS (pre-hashed-set
+    // schema), _sig/_sn shaped like a real build
+    Seq((1L, Seq("a b c", "b c d"), (1L to 16L).toSeq, 3))
+      .toDF("doc_id", "_sh", "_sig", "_sn")
+      .write.parquet(s"$tmp/legacy")
+    val docs = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val appendErr = intercept[IllegalArgumentException] {
+      Dedup.appendSignatures(docs, "text", "doc_id", s"$tmp/legacy",
+        shingleN = 3, numHashes = 16)
+    }
+    assert(appendErr.getMessage.contains("rebuild"), s"$appendErr")
+    val dedupErr = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstCorpusPrebuilt(spark, s"$tmp/legacy", docs,
+        "text", "doc_id", shingleN = 3, numHashes = 16, bands = 4,
+        threshold = 0.5).collect()
+    }
+    assert(dedupErr.getMessage.contains("rebuild"), s"$dedupErr")
+    CacheRegistry.releaseAll()
+  }
+
   test("signature table rebuild never tears a live reader (CAS versions)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sigv").toString
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"))

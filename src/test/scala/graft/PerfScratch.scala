@@ -25,42 +25,58 @@ object PerfScratch {
       println(f"$name%-28s min=${xs.min}%.3f  ${xs.map(x => f"$x%.3f").mkString("/")}")
     }
 
-    import spark.implicits._
-    import graft.operators.{TermStats, Similarity}
-    val textQs = Seq(
-      (0L, Seq("data", "spark", "index")),
-      (1L, Seq("spark", "table")),
-      (2L, Seq("index", "data"))).toDF("qid", "terms")
-    def vecQs = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("embedding"))
-    val tIdx = SparkEntry.textIndexPath(spark, sfDir)
-    val pIdx = SparkEntry.pqIndexPath(spark, sfDir)
+    import graft.operators.Dedup
+    import graft.functions.{TextFunctions => TF}
 
-    // force index builds once
-    TermStats.bm25TopKBatchPrebuilt(spark, tIdx, "doc_id", textQs, "qid",
-      "terms", k = 20).collect()
-    Similarity.pqTopKBatchPrebuilt(spark, pIdx, vecQs, "qid", "embedding",
-      "vec_id", k = 20).collect()
+    val sigPath = java.nio.file.Files
+      .createTempDirectory("graft_scratch_sig_").resolve("sigs").toString
+    Dedup.buildSignatures(Tables(spark, sfDir, "documents"), "text", "doc_id",
+      sigPath, shingleN = 3, numHashes = 16)
+    val dir = graft.operators.IndexLifecycle.resolveDir(spark, sigPath)
 
-    def postingsScan: DataFrame = {
-      val d = graft.operators.IndexLifecycle.resolveDir(spark, tIdx)
-      val qterms = textQs.select(col("qid").as("_qid"),
-        explode(array_distinct(col("terms"))).as("term"))
-      val dict = qterms.select(col("term")).distinct()
-      spark.read.parquet(s"$d/postings").join(broadcast(dict), Seq("term"), "left_semi")
+    val bands = 4; val rpb = 4; val threshold = 0.5
+
+    def bandedOf(base: DataFrame): DataFrame =
+      base.select(col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          md5(concat_ws(",", slice(col("_sig"), b * rpb + 1, rpb)))
+        }: _*)).as(Seq("_band", "_bh")))
+
+    def cand: DataFrame = {
+      val banded = bandedOf(spark.read.parquet(dir))
+      banded.as("a").join(banded.as("b"),
+          col("a._band") === col("b._band") && col("a._bh") === col("b._bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("key_a"), col("b.doc_id").as("key_b"))
+        .dropDuplicates("key_a", "key_b")
     }
-    def bm25Full: DataFrame = TermStats.bm25TopKBatchPrebuilt(spark, tIdx,
-      "doc_id", textQs, "qid", "terms", k = 20, rankCol = Some("_rank"))
-    def pqFull: DataFrame = Similarity.pqTopKBatchPrebuilt(spark, pIdx, vecQs,
-      "qid", "embedding", "vec_id", k = 20, rankCol = Some("_rank"))
-    def hybridFull: DataFrame = SparkEntry.queries("q_hybrid_batch")(spark, sfDir)
+    def withSets: DataFrame = {
+      val base = spark.read.parquet(dir)
+      cand
+        .join(base.select(col("doc_id").as("key_a"), col("_sh").as("_sha")), Seq("key_a"))
+        .join(base.select(col("doc_id").as("key_b"), col("_sh").as("_shb")), Seq("key_b"))
+    }
 
-    bench("postingsScan", postingsScan)
-    bench("bm25Full", bm25Full)
-    bench("pqFull", pqFull)
-    bench("hybridFull", hybridFull)
-    bench("bm25Full", bm25Full)
-    bench("pqFull", pqFull)
+    bench("s1_cand_only", cand)
+    bench("s2_joins_sizes_only", withSets
+      .select((size(col("_sha")) + size(col("_shb"))).as("n")))
+    bench("s3_plus_jaccard", withSets
+      .withColumn("jaccard", TF.jaccard(col("_sha"), col("_shb")))
+      .select(col("key_a"), col("key_b"), col("jaccard")))
+    bench("s4_full_filterthresh", withSets
+      .withColumn("jaccard", TF.jaccard(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard")))
+    // raw-intersect jaccard (no redundant array_distinct — inputs are sets)
+    def jacRaw(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val inter = size(array_intersect(a, b)).cast("double")
+      val uni = (size(a) + size(b)).cast("double") - inter
+      when(uni === 0, lit(0.0)).otherwise(inter / uni)
+    }
+    bench("s5_jaccard_no_distinct", withSets
+      .withColumn("jaccard", jacRaw(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard")))
     spark.stop()
   }
 }
