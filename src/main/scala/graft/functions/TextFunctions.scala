@@ -285,11 +285,21 @@ object TextFunctions {
    * pipeline applies, reduced to a deterministic closed form.
    */
   def qualityScore(text: Column): Column = {
-    // repeated split subtrees are lambda-free => CSE'd by codegen (see
-    // langId note); keep the flat form
-    val lenScore = least(tokenCount(text).cast(DoubleType) / lit(50.0), lit(1.0))
-    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
-    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
+    // counters fused into ONE byte loop (QualityCountsExpr — the
+    // gopherCounts discipline): the split + interpreted filter/isin HOF
+    // walk was the measured floor of every calibration-family query. The
+    // score arithmetic stays in Columns so the round(6) boundary
+    // discipline is byte-identical to the SQL mirror.
+    val c = QualityFunctions.qualityCounts(text, Stopwords)
+    val nWords = c.getField("n_words")
+    val lenScore = least(nWords.cast(DoubleType) / lit(50.0), lit(1.0))
+    val stopScore = least(
+      c.getField("n_stop").cast(DoubleType) /
+        greatest(nWords, lit(1L)).cast(DoubleType) * lit(5.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) -
+      c.getField("n_punct").cast(DoubleType) /
+        greatest(c.getField("n_chars"), lit(1L)).cast(DoubleType) * lit(5.0),
+      lit(0.0))
     round((lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3)), 6)
   }
 

@@ -325,7 +325,12 @@ object Sampling {
       // pass (score once, buffer (key, quality), read the threshold off
       // the same sorted buffer, explode back gated) instead of scoring
       // the corpus twice and joining. Null-group rows can't join in the
-      // broadcast form; the filter keeps that contract here.
+      // broadcast form; the filter keeps that contract here. (Re-A/B'd
+      // after the QualityCountsExpr fusion made scoring 3x cheaper: the
+      // score-twice + broadcast-threshold form is STILL slower — 0.60 vs
+      // 0.41 s isolated at sf0.1 — because the threshold subtree
+      // serializes ahead of the probe stage; the buffer machinery
+      // overlaps in one job.)
       scored.filter(col(groupCol).isNotNull)
         .groupBy(col(groupCol))
         .agg(collect_list(struct(col(keyCol), col("quality"))).as("_rows"),

@@ -207,8 +207,13 @@ object StatefulFeed {
    * proto/hydraide.proto:755-801): every [[Change]] row is handed to
    * `onEvent` individually as its partition is processed, under
    * `Trigger.ProcessingTime(0)` so the next micro-batch plans as soon as
-   * the previous commits. Latency is therefore one batch cycle (tens of
-   * ms locally — the documented engine floor vs the reference's µs push);
+   * the previous commits. Latency is therefore one batch cycle — measured
+   * (graft.LatencyProbe, local[8], unloaded worst case: every write waits
+   * out the in-flight batch) p50 ≈ 197 ms / p95 ≈ 279 ms event→delivery,
+   * the documented engine floor vs the reference's µs in-process push
+   * (BENCH_NOTES r14); a loaded feed amortizes the cycle over the whole
+   * micro-batch, so per-event OVERHEAD falls with throughput even though
+   * the floor stands;
    * ORDER is exact: a key's events all come from its state-store
    * partition and emit in seq order, so per-key delivery order equals
    * write order across batches (StreamingSpec-pinned).

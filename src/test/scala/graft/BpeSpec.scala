@@ -88,16 +88,19 @@ class BpeSpec extends SparkSpec {
       "xy xy xz zx yx",
       "pq pq qr rs st")
     val many = 12
-    def jobs(): Int = spark.sparkContext.statusTracker
-      .getJobIdsForGroup(null).length
-    graft.CacheRegistry.releaseAll()
-    val j0 = jobs()
-    val (seqMs, seqVocab) = Bpe.train(d, "text", many, batchSize = 1)
-    val seqJobs = jobs() - j0
-    graft.CacheRegistry.releaseAll()
-    val j1 = jobs()
-    val (batMs, batVocab) = Bpe.train(d, "text", many, batchSize = 16)
-    val batJobs = jobs() - j1
+    // count jobs in a DEDICATED job group, not by differencing the default
+    // group's retained-job list: the status store evicts old entries, so
+    // late in a long suite the "after" count can be SMALLER than the
+    // "before" count (observed: sequential=-74) — eviction, not physics
+    def trainCounted(group: String, batchSize: Int) = {
+      graft.CacheRegistry.releaseAll()
+      spark.sparkContext.setJobGroup(group, group)
+      val r = try Bpe.train(d, "text", many, batchSize = batchSize)
+      finally spark.sparkContext.clearJobGroup()
+      (r, spark.sparkContext.statusTracker.getJobIdsForGroup(group).length)
+    }
+    val ((seqMs, seqVocab), seqJobs) = trainCounted("bpe_seq", 1)
+    val ((batMs, batVocab), batJobs) = trainCounted("bpe_bat", 16)
     assert(batMs == seqMs,
       s"batched selection diverged from sequential:\n$batMs\n$seqMs")
     val sv = seqVocab.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq

@@ -127,6 +127,36 @@ class PropertiesSpec extends SparkSpec {
       }
   }
 
+  test("QualityCountsExpr == the split/HOF quality formula on 300 random " +
+       "texts (incl. empty, repeated spaces, unicode, punct runs)") {
+    import graft.functions.{TextFunctions => TF, QualityFunctions => QF}
+    val words = Seq("the", "a", "of", "robot", "Zebra", "héllo", "日本語",
+      "x#y...", "!!!", "", "in", "it", "a.b,c;d", "(parens)", "e@mail")
+    val texts = Seq.fill(298)(
+      Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.length)))
+        .mkString(" ")) ++ Seq("", "   ")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.zipWithIndex.map { case (s, i) => Row(i.toLong, s) }),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val toks = TF.tokens(col("text"))
+    val refWords = size(toks).cast(LongType)
+    val refStop = size(filter(toks, t => t.isin(TF.Stopwords: _*))).cast(LongType)
+    val refPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast(LongType)
+    val refChars = length(col("text")).cast(LongType)
+    df.select(QF.qualityCounts(col("text"), TF.Stopwords).as("c"),
+        refWords.as("w"), refStop.as("s"), refPunct.as("p"), refChars.as("n"))
+      .select(col("c.n_words"), col("c.n_stop"), col("c.n_punct"),
+        col("c.n_chars"), col("w"), col("s"), col("p"), col("n"),
+        col("c"))
+      .collect().foreach { r =>
+        assert(r.getLong(0) == r.getLong(4), s"n_words: $r")
+        assert(r.getLong(1) == r.getLong(5), s"n_stop: $r")
+        assert(r.getLong(2) == r.getLong(6), s"n_punct: $r")
+        assert(r.getLong(3) == r.getLong(7), s"n_chars: $r")
+      }
+  }
+
   test("TokensContainPhrase == Scala sliding check on 300 random token arrays") {
     val vocab = Vector("a", "b", "c", "ab")
     def randToks() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
@@ -346,7 +376,10 @@ class PropertiesSpec extends SparkSpec {
       case (null, null) => true
       case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
       case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) == 0
-      case (x: Seq[_], y: Seq[_]) =>
+      // collection.Seq, not the 2.13 immutable alias: Spark hands back
+      // mutable.ArraySeq, which the immutable pattern silently skips —
+      // nested byte arrays then compare by REFERENCE in the == fallback
+      case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
         x.length == y.length && x.zip(y).forall { case (p, q) => same(p, q) }
       case (x: scala.collection.Map[_, _], y: scala.collection.Map[_, _]) =>
         val xm = x.asInstanceOf[scala.collection.Map[Any, Any]]

@@ -695,8 +695,9 @@ class StreamingSpec extends SparkSpec {
     var view = IncrementalAgg.rollup(
       Seq.empty[(String, Double)].toDF("g", "v"), "g", "v")
       .collect().toSeq
-    def viewDf = view.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      .toDF("g", "cnt", "sum_v")
+    def viewDf = view.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+      .toDF("g", "cnt", "sum_v", "cnt_v")
     val q = input.toDF().toDF("g", "v", "op").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         view = IncrementalAgg.applyChanges(viewDf,
