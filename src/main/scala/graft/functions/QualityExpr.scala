@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -86,6 +87,11 @@ case class QualityCountsExpr(child: Expression, stops: Seq[String])
     extends UnaryExpression {
 
   override def dataType: DataType = QualityCount.schema
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quality_counts expects STRING, got ${child.dataType.sql}")
 
   @transient private lazy val stopsU: Array[UTF8String] =
     stops.map(UTF8String.fromString).toArray

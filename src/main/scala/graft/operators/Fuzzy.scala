@@ -44,10 +44,17 @@ object Fuzzy {
       .withColumn("bk", blockKey(col("v")))
     val a = vocab.select(col("v").as("name_a"), col("bk"))
     val b = vocab.select(col("v").as("name_b"), col("bk"))
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
     a.join(b, "bk")
       .filter(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // bounded Levenshtein: the threshold form short-circuits the DP once
+      // the running distance exceeds maxDist — O(len * maxDist) per pair
+      // instead of O(len^2), the dominant cost of every in-block pair that
+      // does NOT match (most of them). Returns -1 above the threshold and
+      // the exact distance at or below it, so the kept rows are identical
+      // to the unbounded form filtered by <= maxDist (the oracle's shape).
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("name_a"), col("name_b"), col("dist"))
   }
 }

@@ -32,6 +32,10 @@ object Profile {
   def getStream(long: DataFrame, entityCol: String, fieldCol: String,
                 valueCol: String, fields: Seq[String]): DataFrame = {
     require(fields.nonEmpty, "profile read needs at least one field")
+    // a repeated TreasureKey would surface as two identically-named output
+    // columns — ambiguous to every downstream reference; refuse loudly
+    require(fields.distinct.size == fields.size,
+      s"duplicate profile fields: ${fields.diff(fields.distinct).distinct.mkString(", ")}")
     val aggs = fields.map(f => max(when(col(fieldCol) === f, col(valueCol))).as(f))
     long.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -1732,6 +1732,23 @@ class OperatorsSpec extends SparkSpec {
       ("red widget", "rod widget", 1)))
   }
 
+  test("fuzzy pairs: bounded levenshtein == unbounded filtered (threshold edge kept)") {
+    // dist("abcd","abXY") = 2 == maxDist — the threshold form must return
+    // the exact distance AT the bound, not -1 (off-by-one would drop it)
+    val df = Seq("abcd z", "abXY z", "QRSTU z").toDF("p_name")
+    val out = Fuzzy.pairs(df, "p_name", v => element_at(split(v, " "), 2), 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(("abXY z", "abcd z", 2))) // QRSTU: dist 5 and 4 — both cut
+  }
+
+  test("profile pivot refuses duplicate fields") {
+    val long = Seq((1L, "name", "alice")).toDF("entity", "field", "value")
+    val e = intercept[IllegalArgumentException] {
+      Profile.getStream(long, "entity", "field", "value", Seq("name", "name"))
+    }
+    assert(e.getMessage.contains("duplicate profile fields"))
+  }
+
   test("deterministicShuffle: reproducible permutation, engine-portable key") {
     val df = (1 to 100).toDF("id")
     val s1 = Sampling.deterministicShuffle(df, "id", "seed7").collect()
