@@ -99,6 +99,15 @@ object LambdaCse extends Rule[LogicalPlan] {
           always.foreach(walk(_, isUncond))
           ce.children.filterNot(c => always.exists(_ eq c))
             .foreach(walk(_, isUncond = false))
+        case l: LambdaFunction =>
+          // a lambda body runs 0..n times per row (zero for an empty
+          // array), so an occurrence inside it is CONDITIONAL exactly like
+          // a CASE branch: hoisting on its evidence alone evaluates the
+          // subtree on rows whose original never ran it — wasted work, and
+          // an ANSI throw where the original was correct. An occurrence
+          // outside any lambda still licenses the hoist, and the rewrite
+          // then reuses the bound value inside the body too.
+          l.children.foreach(walk(_, isUncond = false))
         case other => other.children.foreach(walk(_, isUncond))
       }
     }

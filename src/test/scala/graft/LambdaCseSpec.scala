@@ -149,6 +149,31 @@ class LambdaCseSpec extends SparkSpec {
     assert(mixed.nonEmpty)
   }
 
+  test("subtrees duplicated ONLY inside lambda bodies are NOT hoisted " +
+       "(a lambda runs zero times on empty arrays — same rule as branches)") {
+    // E = element_at(transform(a, ...), 1) throws under ANSI when `a` is
+    // empty. Inside the outer transform's body E never evaluates for the
+    // empty-array rows (the body runs per element); hoisting E to a
+    // per-row binding on the evidence of body-only occurrences would
+    // evaluate it on exactly those rows
+    val df = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 0, split(col("text"), " "))
+          .otherwise(array().cast("array<string>")).as("a"))
+      .limit(40)
+    def e = element_at(transform(col("a"), x => concat(x, lit("!"))), 1)
+    val out = withRule {
+      df.select(col("id"),
+          transform(col("a"), x => concat(e, x, e)).as("t"))
+        .collect() // must not throw INVALID_ARRAY_INDEX on the empty rows
+    }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      if (r.getLong(0) % 2 != 0) assert(r.getSeq[String](1).isEmpty)
+      else assert(r.getSeq[String](1).nonEmpty)
+    }
+  }
+
   test("oracle queries unaffected by the rule (spot check)") {
     val out = withRule {
       SparkEntry.queries("q_minhash_sig")(spark, "/root/testdata/sf0.001")
