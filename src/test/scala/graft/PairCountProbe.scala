@@ -1,0 +1,30 @@
+package graft
+
+/** Scratch probe (test scope): output-row counts of the pair-producing
+  * queries at two fixtures — the denominator for reading the wide scale
+  * curve. The sf05 fixture replicates every document as k=5 NEAR-dup
+  * copies (FixtureGen), so the true near-dup pair set grows ~C(k,2)/row
+  * by construction; a time flag on those queries must be normalized by
+  * output pairs before it can be called a plan defect. */
+object PairCountProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PairCountProbe <smallDir> <bigDir> [out.json]")
+    val spark = EngineSession.builder("local[32]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = Seq("q_minhash_neardup", "q_minhash_prebuilt",
+      "q_ngram_jaccard", "q_dup_matrix", "q_geo_pairs", "q_neardup_dedup",
+      "q_simhash_neardup", "q_embedding_neardup")
+    val counts = names.map { n =>
+      val cs = args.take(2).map(d => SparkEntry.queries(n)(spark, d).count())
+      println(s"[paircount] $n small=${cs(0)} big=${cs(1)}")
+      s"""${JsonUtil.str(n)}: [${cs(0)}, ${cs(1)}]"""
+    }
+    val json = counts.mkString("{", ", ", "}")
+    if (args.length > 2) {
+      java.nio.file.Files.write(java.nio.file.Paths.get(args(2)),
+        json.getBytes("UTF-8"))
+      println(s"[paircount] wrote ${args(2)}")
+    }
+    spark.stop()
+  }
+}

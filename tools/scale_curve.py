@@ -8,7 +8,13 @@ shingle-count banding fix, caught mechanically instead of by eye.
 
 Usage:
   python3 tools/scale_curve.py <bench_small.json> <bench_big.json> \
-      [growth_threshold=12] [min_marginal_big_sec=0.25]
+      [growth_threshold=12] [min_marginal_big_sec=0.25] [outcounts.json]
+
+outcounts.json (optional, from graft.PairCountProbe) maps query name ->
+[small_output_rows, big_output_rows]; a would-be flag whose time growth
+does not exceed its OUTPUT growth moves to "output_bound" with both
+numbers (a pair query over a fixture with replicated near-dup families
+produces quadratically more true pairs by construction).
 
 Model: every Spark query pays a roughly constant scheduler/job floor
 (estimated here as the MINIMUM query time within each record) that has
@@ -31,8 +37,18 @@ def times(path):
             if not k.startswith("_") and isinstance(v, (int, float)) and v >= 0}
 
 
-def main(small_path, big_path, threshold=12.0, min_marginal=0.25):
+def main(small_path, big_path, threshold=12.0, min_marginal=0.25,
+         outcounts_path=None):
     small, big = times(small_path), times(big_path)
+    # Optional output-row counts {query: [small_rows, big_rows]} (produced
+    # by graft.PairCountProbe): a pair-producing query whose OUTPUT grows
+    # super-linearly because the fixture replicates near-dup families
+    # (FixtureGen copies=k makes ~C(k,2) true pairs per family) is doing
+    # the work it was asked, not blowing up — normalize its time growth by
+    # output growth before flagging. Queries absent from the file are
+    # judged raw, so a genuine all-pairs bug (candidate work WITHOUT output
+    # growth) still flags.
+    outcounts = json.load(open(outcounts_path)) if outcounts_path else {}
     if not small or not big:
         # a record with zero eligible entries (all -1 sentinels, or a
         # meta-only/empty file) is malformed input, not a scale flag:
@@ -43,13 +59,25 @@ def main(small_path, big_path, threshold=12.0, min_marginal=0.25):
                           "n_small": len(small), "n_big": len(big)}))
         return 2
     floor_s, floor_b = min(small.values()), min(big.values())
-    growth, flagged = {}, []
+    growth, flagged, output_bound = {}, [], {}
     for name in sorted(set(small) & set(big)):
         adj_s = max(small[name] - floor_s, 0.005)  # clamp: floor-level query
         adj_b = max(big[name] - floor_b, 0.005)
         r = adj_b / adj_s
         growth[name] = round(r, 2)
         if r > threshold and adj_b > min_marginal:
+            oc = outcounts.get(name)
+            if oc and oc[0] > 0 and oc[1] > 0:
+                out_growth = oc[1] / oc[0]
+                r_norm = r / out_growth
+                if r_norm <= threshold:
+                    # time grew no faster than the answer itself
+                    output_bound[name] = {
+                        "time_growth": round(r, 2),
+                        "rows_small": oc[0], "rows_big": oc[1],
+                        "output_growth": round(out_growth, 2),
+                        "normalized_growth": round(r_norm, 3)}
+                    continue
             flagged.append(name)
     # a query that completed small but recorded the -1 failure sentinel (or
     # vanished) at the big scale IS the worst scale regression — it stopped
@@ -70,6 +98,7 @@ def main(small_path, big_path, threshold=12.0, min_marginal=0.25):
         "floor_small_sec": round(floor_s, 3), "floor_big_sec": round(floor_b, 3),
         "growth_threshold": threshold, "min_marginal_big_sec": min_marginal,
         "flagged": flagged,
+        "output_bound": output_bound,
         "died_at_big": died_at_big,
         "failed_at_small": failed_small,
         "top_growth": dict(sorted(growth.items(), key=lambda kv: -kv[1])[:15]),
@@ -83,4 +112,5 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     sys.exit(main(args[0], args[1],
                   float(args[2]) if len(args) > 2 else 12.0,
-                  float(args[3]) if len(args) > 3 else 0.25))
+                  float(args[3]) if len(args) > 3 else 0.25,
+                  args[4] if len(args) > 4 else None))
