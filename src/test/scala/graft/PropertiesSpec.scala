@@ -777,4 +777,111 @@ class PropertiesSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(gotVocab == refVocab)
   }
+
+  // --- RangeJoin: binned equi-join == brute-force nested loop ------------
+  // The binning rewrite has three classic failure surfaces: the half-open
+  // end (an interval must NOT claim the bin of its exclusive endpoint),
+  // floor-division on PRE-EPOCH timestamps (negative micros), and the
+  // first-shared-bin dedup (a pair sharing several bins must surface
+  // exactly once). Brute force over random data hits all three.
+
+  private def randTs(r: scala.util.Random): java.sql.Timestamp =
+    // ±200 h around the epoch — crosses zero (floor-division binning on
+    // negative times), lands on and off whole-hour bin boundaries because
+    // of the millisecond jitter
+    new java.sql.Timestamp(
+      (r.nextInt(401) - 200).toLong * 3600L * 1000L + r.nextInt(3600000))
+
+  test("rangeJoin pointInInterval == brute force on 150x60 random rows " +
+       "(pre-epoch, boundary, empty/null intervals)") {
+    import spark.implicits._
+    val r = new scala.util.Random(0xD1CE)
+    val points = (0 until 150).map(i => (i.toLong,
+      if (r.nextInt(20) == 0) null else randTs(r)))
+    val intervals = (0 until 60).map { j =>
+      val s = randTs(r)
+      // mix: genuine spans, empty (e == s), inverted (e < s), null ends,
+      // and spans snapped to whole bin widths (boundary == boundary)
+      val e = r.nextInt(6) match {
+        case 0 => s // empty: matches nothing (half-open)
+        case 1 => new java.sql.Timestamp(s.getTime - 3600000L) // inverted
+        case 2 => null
+        case 3 => new java.sql.Timestamp(s.getTime + 2L * 3600000L) // 1 bin-width exactly at "2 hours"
+        case _ => new java.sql.Timestamp(s.getTime + (r.nextInt(10) + 1).toLong * 1800000L)
+      }
+      (1000L + j, s, e)
+    }
+    val pDf = points.toDF("pid", "ts")
+    val iDf = intervals.toDF("iid", "s", "e")
+    for (width <- Seq("2 hours", "1 day")) {
+      val got = graft.operators.RangeJoin
+        .pointInInterval(pDf, iDf, "ts", "s", "e", width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size, s"duplicate pairs at width $width")
+      val want = (for {
+        (pid, ts) <- points if ts != null
+        (iid, s, e) <- intervals if s != null && e != null
+        if ts.getTime >= s.getTime && ts.getTime < e.getTime
+      } yield (pid, iid)).toSet
+      assert(got.toSet == want, s"width $width: got ${got.size} want ${want.size}")
+    }
+  }
+
+  test("rangeJoin intervalOverlap == brute force on 60x60 random intervals " +
+       "(first-shared-bin dedup exact)") {
+    import spark.implicits._
+    val r = new scala.util.Random(0xFACE)
+    def mk(base: Long): Seq[(Long, java.sql.Timestamp, java.sql.Timestamp)] =
+      (0 until 60).map { j =>
+        val s = randTs(r)
+        val e = if (r.nextInt(8) == 0) s // empty — overlaps nothing
+          else new java.sql.Timestamp(s.getTime + (r.nextInt(16) + 1).toLong * 1800000L)
+        (base + j, s, e)
+      }
+    val ls = mk(0); val rs = mk(500)
+    val got = graft.operators.RangeJoin.intervalOverlap(
+        ls.toDF("lid", "ls", "le"), rs.toDF("rid", "rs", "re"),
+        "ls", "le", "rs", "re", "2 hours")
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.size == got.toSet.size, "a pair surfaced in more than one bin")
+    val want = (for {
+      (lid, a, b) <- ls if b.getTime > a.getTime
+      (rid, c, d) <- rs if d.getTime > c.getTime
+      if a.getTime < d.getTime && c.getTime < b.getTime
+    } yield (lid, rid)).toSet
+    assert(got.toSet == want, s"got ${got.size} want ${want.size}")
+  }
+
+  test("fuzzy pairs == plain-Scala levenshtein brute force on 120 random names") {
+    import spark.implicits._
+    // independent oracle: textbook DP, not Spark's levenshtein on either
+    // side — pins the bounded (threshold) form's early-exit against a
+    // reference that has no early exit to get wrong
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val r = new scala.util.Random(0xFEED)
+    val alphabet = "abcde"
+    val blocks = Seq("x", "y", "z")
+    val names = (0 until 120).map { _ =>
+      val w = (0 until (r.nextInt(6) + 1)).map(_ => alphabet(r.nextInt(5))).mkString
+      s"$w ${blocks(r.nextInt(3))}"
+    }.distinct
+    for (maxDist <- Seq(0, 1, 2)) {
+      val got = graft.operators.Fuzzy.pairs(names.toDF("p_name"), "p_name",
+          v => element_at(split(v, " "), 2), maxDist)
+        .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2))).toSet
+      val want = (for {
+        a <- names; b <- names
+        if a < b && a.split(" ")(1) == b.split(" ")(1)
+        d = lev(a, b) if d <= maxDist
+      } yield (a, b, d)).toSet
+      assert(got == want, s"maxDist=$maxDist: got ${got.size} want ${want.size}")
+    }
+  }
 }
