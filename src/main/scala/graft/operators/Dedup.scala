@@ -173,7 +173,31 @@ object Dedup {
     * duplicate twice (dedup verdicts are unchanged); exactly-once
     * maintenance belongs in [[Snapshots.mergeCommit]]'s versioned world. */
   def appendSignatures(df: DataFrame, textCol: String, keyCol: String,
-                       path: String, shingleN: Int = 3, numHashes: Int = 16): Unit = {
+                       path: String, shingleN: Int = 3, numHashes: Int = 16): Unit =
+    signatureAppendPlan(df, textCol, keyCol, path, shingleN, numHashes)
+      .write.mode("append")
+      .parquet(IndexLifecycle.resolveDir(df.sparkSession, path))
+
+  /** [[appendSignatures]] with EXACTLY-ONCE effect under micro-batch
+    * replay ([[IndexLifecycle.appendOnce]] — a replayed raw append leaves
+    * duplicate signature rows: dedup verdicts stay right but every band
+    * join and verify pays the duplicates forever). Returns false on the
+    * replay no-op. `runId`: restart-stable (checkpoint path / `query.id`). */
+  def appendSignaturesOnce(df: DataFrame, textCol: String, keyCol: String,
+                           path: String, runId: String, batchId: Long,
+                           shingleN: Int = 3, numHashes: Int = 16): Boolean = {
+    val plan = signatureAppendPlan(df, textCol, keyCol, path, shingleN, numHashes)
+    IndexLifecycle.appendOnce(df.sparkSession, path, runId, batchId) {
+      staging => plan.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** The shared append body: the batch's signature plan, parameter- and
+    * schema-guarded against the LIVE artifact at `path` (both commit
+    * disciplines write identical bytes; only where/how differs). */
+  private def signatureAppendPlan(df: DataFrame, textCol: String,
+                                  keyCol: String, path: String,
+                                  shingleN: Int, numHashes: Int): DataFrame = {
     val spark = df.sparkSession
     val dir = IndexLifecycle.resolveDir(spark, path)
     val existing = spark.read.parquet(dir)
@@ -208,8 +232,7 @@ object Dedup {
             "buildSignatures before appending")
       case _ => ()
     }
-    (if (existing.columns.contains("_sn")) plan else plan.drop("_sn"))
-      .write.mode("append").parquet(dir)
+    if (existing.columns.contains("_sn")) plan else plan.drop("_sn")
   }
 
   /** Jaccard over columns KNOWN to be distinct sets (signature-table
@@ -672,6 +695,19 @@ object Dedup {
       .write.mode("append")
       .parquet(IndexLifecycle.resolveDir(df.sparkSession, path))
 
+  /** [[appendShinglePostings]] with EXACTLY-ONCE effect under micro-batch
+    * replay ([[IndexLifecycle.appendOnce]] — duplicated posting rows
+    * inflate every containment count AND each doc's own shingle total,
+    * skewing containment ratios, not just costs). Returns false on the
+    * replay no-op. `runId`: restart-stable (checkpoint path / `query.id`). */
+  def appendShinglePostingsOnce(df: DataFrame, textCol: String,
+                                keyCol: String, path: String, runId: String,
+                                batchId: Long, shingleN: Int = 3): Boolean =
+    IndexLifecycle.appendOnce(df.sparkSession, path, runId, batchId) {
+      staging => postingsPlan(df, textCol, keyCol, shingleN)
+        .write.mode("overwrite").parquet(staging)
+    }
+
   /** [[containmentPairs]] served from a posting table materialized by
     * [[buildShinglePostings]] — the production shape for the heaviest
     * dedup kernel: the corpus text is NEVER rescanned, the scan reads two
@@ -1004,6 +1040,21 @@ object Dedup {
       .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
       .write.mode("append")
       .parquet(IndexLifecycle.resolveDir(batch.sparkSession, indexPath))
+
+  /** [[appendGramIndex]] with EXACTLY-ONCE effect under micro-batch replay
+    * ([[IndexLifecycle.appendOnce]] — replayed count partials DOUBLE the
+    * batch's gram counts, pushing grams over `minCount` that never
+    * repeated: silently over-aggressive substring stripping). Returns
+    * false on the replay no-op. `runId`: restart-stable (checkpoint path
+    * / `query.id`). */
+  def appendGramIndexOnce(batch: DataFrame, textCol: String, keyCol: String,
+                          indexPath: String, runId: String, batchId: Long,
+                          k: Int = 8): Boolean =
+    IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
+      staging => gramIndex(batch, textCol, keyCol, k)
+        .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+        .write.mode("overwrite").parquet(staging)
+    }
 
   /** The consumer view of a gram-index artifact: total counts per hash
     * (sums the partials the append-mode maintenance leaves behind),

@@ -140,9 +140,34 @@ object Similarity {
     * a rebuild ([[IndexLifecycle]]'s contract). */
   def appendIvfIndex(batch: DataFrame, vecCol: String, keyCol: String,
                      indexPath: String): Unit = {
-    val spark = batch.sparkSession
-    val dir = IndexLifecycle.resolveDir(spark, indexPath)
-    val centroids = readCentroids(spark, dir)
+    val dir = IndexLifecycle.resolveDir(batch.sparkSession, indexPath)
+    ivfAppendPlan(batch, vecCol, dir)
+      .write.mode("append").partitionBy("_list").parquet(dir)
+  }
+
+  /** [[appendIvfIndex]] with EXACTLY-ONCE effect under micro-batch replay
+    * ([[IndexLifecycle.appendOnce]] — a replayed raw append leaves
+    * duplicate rows in the routed lists: duplicated probe hits and doubled
+    * list scans). Returns false on the replay no-op. `runId`:
+    * restart-stable (checkpoint path / `query.id`). */
+  def appendIvfIndexOnce(batch: DataFrame, vecCol: String, keyCol: String,
+                         indexPath: String, runId: String,
+                         batchId: Long): Boolean = {
+    val dir = IndexLifecycle.resolveDir(batch.sparkSession, indexPath)
+    val plan = ivfAppendPlan(batch, vecCol, dir)
+    IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
+      staging =>
+        plan.write.mode("overwrite").partitionBy("_list").parquet(staging)
+    }
+  }
+
+  /** The shared append body: the batch routed on the index's own FROZEN
+    * `_centroids`, dim-guarded (both commit disciplines write identical
+    * bytes and the staged `_list=` layout mirrors the live one, so the
+    * move lands each file in its right list directory). */
+  private def ivfAppendPlan(batch: DataFrame, vecCol: String,
+                            dir: String): DataFrame = {
+    val centroids = readCentroids(batch.sparkSession, dir)
     val dim = centroids.head.length
     val assign = centroids.indices.map { i =>
       struct(VF.cosine(col(vecCol), centroids(i)).as("s"), lit(i).as("i"))
@@ -150,7 +175,6 @@ object Similarity {
     requireAppendDim(batch, vecCol, dim)
       .filter(col(vecCol).isNotNull)
       .withColumn("_list", array_max(array(assign: _*))("i"))
-      .write.mode("append").partitionBy("_list").parquet(dir)
   }
 
   /** Loud-refusal dim guard for the APPEND paths: a batch whose vectors
@@ -970,13 +994,35 @@ object Similarity {
   def appendPqIndex(batch: DataFrame, vecCol: String, keyCol: String,
                     indexPath: String, m: Int = 8, dim: Int = 64,
                     scale: Double = 1e6): Unit = {
+    val dir = IndexLifecycle.resolveDir(batch.sparkSession, indexPath)
+    pqAppendPlan(batch, vecCol, keyCol, dir, m, dim, scale)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** [[appendPqIndex]] with EXACTLY-ONCE effect under micro-batch replay
+    * ([[IndexLifecycle.appendOnce]] — a replayed raw append leaves
+    * duplicate code rows: duplicated ADC hits crowd real neighbors out of
+    * every top-k). Returns false on the replay no-op. `runId`:
+    * restart-stable (checkpoint path / `query.id`). */
+  def appendPqIndexOnce(batch: DataFrame, vecCol: String, keyCol: String,
+                        indexPath: String, runId: String, batchId: Long,
+                        m: Int = 8, dim: Int = 64,
+                        scale: Double = 1e6): Boolean = {
+    val dir = IndexLifecycle.resolveDir(batch.sparkSession, indexPath)
+    val plan = pqAppendPlan(batch, vecCol, keyCol, dir, m, dim, scale)
+    IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
+      staging => plan.write.mode("overwrite").parquet(s"$staging/codes")
+    }
+  }
+
+  private def pqAppendPlan(batch: DataFrame, vecCol: String, keyCol: String,
+                           dir: String, m: Int, dim: Int,
+                           scale: Double): DataFrame = {
     val spark = batch.sparkSession
-    val dir = IndexLifecycle.resolveDir(spark, indexPath)
     val cb = readCodebook(spark, dir)
     requireMatchingM(spark, dir, m)
     pqEncode(requireAppendDim(batch, vecCol, dim), vecCol, keyCol,
-        cb, m, dim, scale)
-      .write.mode("append").parquet(s"$dir/codes")
+      cb, m, dim, scale)
   }
 
   /** Refuse an append whose `m` disagrees with the index's build-time
@@ -1005,10 +1051,33 @@ object Similarity {
   def appendPqIvfIndex(batch: DataFrame, vecCol: String, keyCol: String,
                        indexPath: String, m: Int = 8, dim: Int = 64,
                        scale: Double = 1e6): Unit = {
+    val dir = IndexLifecycle.resolveDir(batch.sparkSession, indexPath)
+    pqIvfAppendPlan(batch, vecCol, keyCol, dir, m, dim, scale)
+      .write.mode("append").partitionBy("_list").parquet(s"$dir/codes")
+  }
+
+  /** [[appendPqIvfIndex]] with EXACTLY-ONCE effect under micro-batch
+    * replay ([[IndexLifecycle.appendOnce]] — the [[appendPqIndexOnce]]
+    * rationale on the routed layout). Returns false on the replay no-op.
+    * `runId`: restart-stable (checkpoint path / `query.id`). */
+  def appendPqIvfIndexOnce(batch: DataFrame, vecCol: String, keyCol: String,
+                           indexPath: String, runId: String, batchId: Long,
+                           m: Int = 8, dim: Int = 64,
+                           scale: Double = 1e6): Boolean = {
+    val dir = IndexLifecycle.resolveDir(batch.sparkSession, indexPath)
+    val plan = pqIvfAppendPlan(batch, vecCol, keyCol, dir, m, dim, scale)
+    IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
+      staging => plan.write.mode("overwrite").partitionBy("_list")
+        .parquet(s"$staging/codes")
+    }
+  }
+
+  private def pqIvfAppendPlan(batch: DataFrame, vecCol: String,
+                              keyCol: String, dir: String, m: Int, dim: Int,
+                              scale: Double): DataFrame = {
     require(!batch.columns.contains("_list"),
       "input must not contain the reserved column _list")
     val spark = batch.sparkSession
-    val dir = IndexLifecycle.resolveDir(spark, indexPath)
     val cb = readCodebook(spark, dir)
     requireMatchingM(spark, dir, m)
     val cents = readCentroids(spark, dir)
@@ -1016,9 +1085,8 @@ object Similarity {
       struct(VF.cosine(col(vecCol), cents(i)).as("s"), lit(i).as("i"))
     }
     pqEncode(requireAppendDim(batch, vecCol, dim)
-          .withColumn("_list", array_max(array(assign: _*))("i")),
-        vecCol, keyCol, cb, m, dim, scale, keep = Seq("_list"))
-      .write.mode("append").partitionBy("_list").parquet(s"$dir/codes")
+        .withColumn("_list", array_max(array(assign: _*))("i")),
+      vecCol, keyCol, cb, m, dim, scale, keep = Seq("_list"))
   }
 
   /** Delete every non-current version of a PQ/IVF artifact (plus

@@ -819,6 +819,46 @@ object TermStats {
     // a reader that listed before the append sees a consistent older
     // state (single-writer contract: never concurrent with a compact)
     val dir = resolveIndexDir(batch.sparkSession, indexPath)
+    stageTextAppend(batch, textCol, keyCol, indexPath, dir,
+      (df, t) => df.write.mode("append").parquet(s"$dir/$t"))
+  }
+
+  /** [[appendTextIndex]] with EXACTLY-ONCE effect under micro-batch replay
+    * (the [[IndexLifecycle.appendOnce]] protocol — foreachBatch is
+    * at-least-once, and a raw re-append of a replayed batch double-counts
+    * df/tf partials: silently inflated BM25 scores, not a crash). Returns
+    * false on the replay no-op. `runId` must be restart-stable (checkpoint
+    * path or `query.id`, never `query.runId`). */
+  def appendTextIndexOnce(batch: DataFrame, textCol: String, keyCol: String,
+                          indexPath: String, runId: String,
+                          batchId: Long): Boolean =
+    appendTextIndexOnceAt(batch, textCol, keyCol, indexPath, runId, batchId,
+      failAt = "")
+
+  /** [[appendTextIndexOnce]] with the protocol's crash-injection point
+    * exposed — the replay tests crash between the staged write, the
+    * intent commit, and the live-dir moves, then pin replay == rebuild. */
+  private[graft] def appendTextIndexOnceAt(batch: DataFrame, textCol: String,
+                                           keyCol: String, indexPath: String,
+                                           runId: String, batchId: Long,
+                                           failAt: String): Boolean = {
+    val dir = resolveIndexDir(batch.sparkSession, indexPath)
+    IndexLifecycle.appendOnceImpl(batch.sparkSession, indexPath, runId,
+      batchId,
+      staging => stageTextAppend(batch, textCol, keyCol, indexPath, dir,
+        (df, t) => df.write.mode("overwrite").parquet(s"$staging/$t")),
+      failAt)
+  }
+
+  /** The shared append body: computes the batch's postings/lengths/stats
+    * (+ conditional terms) frames against the LIVE index at `dir` and
+    * hands each to `write` — mode("append") into the live tables for the
+    * raw path, mode("overwrite") into a staging dir for the replay-safe
+    * path (identical bytes either way; only the commit discipline
+    * differs). */
+  private def stageTextAppend(batch: DataFrame, textCol: String,
+                              keyCol: String, indexPath: String, dir: String,
+                              write: (DataFrame, String) => Unit): Unit = {
     // a pre-dl legacy index must not grow schema-divergent parquet (dl-
     // bearing rows beside dl-less ones read back inconsistently without
     // mergeSchema) — rebuild it once with buildTextIndex instead
@@ -839,20 +879,17 @@ object TermStats {
       .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
     try {
-      tf.join(dl, Seq(keyCol))
-        .sortWithinPartitions(col("term"))
-        .write.mode("append").parquet(s"$dir/postings")
-      dl.write.mode("append").parquet(s"$dir/lengths")
-      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-        .write.mode("append").parquet(s"$dir/stats")
+      write(tf.join(dl, Seq(keyCol)).sortWithinPartitions(col("term")),
+        "postings")
+      write(dl, "lengths")
+      write(dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")), "stats")
       // maintain the terms/ dictionary with the batch's own df partials —
       // but ONLY where the build created one: writing partials into a
       // legacy index with no base counts would serve undercounted df
       // (readers sum whatever rows exist). Legacy indexes keep the
       // recompute-from-postings fallback until their next rebuild.
       if (IndexLifecycle.tableExists(batch.sparkSession, s"$dir/terms"))
-        tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-          .write.mode("append").parquet(s"$dir/terms")
+        write(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "terms")
     } finally {
       tf.unpersist(blocking = false)
       dl.unpersist(blocking = false)
@@ -942,13 +979,30 @@ object TermStats {
   def appendPhraseIndex(batch: DataFrame, textCol: String, keyCol: String,
                         indexPath: String): Unit = {
     val dir = resolveIndexDir(batch.sparkSession, indexPath)
+    phraseAppendPlan(batch, textCol, keyCol)
+      .write.mode("append").parquet(s"$dir/postings")
+  }
+
+  /** [[appendPhraseIndex]] with EXACTLY-ONCE effect under micro-batch
+    * replay ([[IndexLifecycle.appendOnce]] — a replayed raw append leaves
+    * duplicate positional postings, doubling phrase_hits). Returns false
+    * on the replay no-op. `runId`: restart-stable (checkpoint path /
+    * `query.id`). */
+  def appendPhraseIndexOnce(batch: DataFrame, textCol: String,
+                            keyCol: String, indexPath: String,
+                            runId: String, batchId: Long): Boolean =
+    IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
+      staging => phraseAppendPlan(batch, textCol, keyCol)
+        .write.mode("overwrite").parquet(s"$staging/postings")
+    }
+
+  private def phraseAppendPlan(batch: DataFrame, textCol: String,
+                               keyCol: String): DataFrame =
     batch.select(col(keyCol), posexplode(TF.tokens(col(textCol))))
       .toDF(keyCol, "pos", "term")
       .groupBy(col(keyCol), col("term"))
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
       .sortWithinPartitions(col("term"))
-      .write.mode("append").parquet(s"$dir/postings")
-  }
 
   /**
    * Exact phrase search over a prebuilt positional index: documents

@@ -2366,6 +2366,132 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == full)
   }
 
+  test("replay-guarded appends for signatures / shingle postings / grams / " +
+       "phrase index: replayed (runId, batchId) no-ops, artifacts read as " +
+       "exactly-once appends") {
+    import graft.operators.TermStats
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every morning"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog every evening"),
+      (3L, "completely unrelated prose about spark shuffles"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-once").toString
+    val run = "crawl-run"
+
+    // signatures: Once-append twin vs raw-append twin, probe equality
+    Dedup.buildSignatures(base, "text", "doc_id", s"$dir/sig")
+    assert(Dedup.appendSignaturesOnce(batch, "text", "doc_id", s"$dir/sig",
+      run, 0L))
+    assert(!Dedup.appendSignaturesOnce(batch, "text", "doc_id", s"$dir/sig",
+      run, 0L), "signature replay must no-op")
+    Dedup.buildSignatures(base, "text", "doc_id", s"$dir/sig2")
+    Dedup.appendSignatures(batch, "text", "doc_id", s"$dir/sig2")
+    val crawl = Seq((9L, "the quick brown fox jumps over the lazy dog every evening too"))
+      .toDF("doc_id", "text")
+    def sigVerdicts(p: String) = Dedup
+      .dedupAgainstCorpusPrebuilt(spark, p, crawl, "text", "doc_id", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(sigVerdicts(s"$dir/sig") == sigVerdicts(s"$dir/sig2"))
+
+    // shingle postings: containment equality
+    Dedup.buildShinglePostings(base, "text", "doc_id", s"$dir/sh")
+    assert(Dedup.appendShinglePostingsOnce(batch, "text", "doc_id",
+      s"$dir/sh", run, 3L))
+    assert(!Dedup.appendShinglePostingsOnce(batch, "text", "doc_id",
+      s"$dir/sh", run, 3L))
+    Dedup.buildShinglePostings(base.union(batch), "text", "doc_id", s"$dir/sh2")
+    def contain(p: String) = Dedup
+      .containmentPairsPrebuilt(spark, p, minContainment = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(contain(s"$dir/sh") == contain(s"$dir/sh2"))
+
+    // grams: count equality with the one-shot rebuild
+    Dedup.buildGramIndex(base, "text", "doc_id", s"$dir/g", k = 3)
+    assert(Dedup.appendGramIndexOnce(batch, "text", "doc_id", s"$dir/g",
+      run, 0L, k = 3))
+    assert(!Dedup.appendGramIndexOnce(batch, "text", "doc_id", s"$dir/g",
+      run, 0L, k = 3))
+    Dedup.buildGramIndex(base.union(batch), "text", "doc_id", s"$dir/g2", k = 3)
+    def gcounts(p: String) = Dedup.readGramIndex(spark, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gcounts(s"$dir/g") == gcounts(s"$dir/g2"))
+
+    // phrase index: a replayed raw append would DOUBLE phrase_hits —
+    // the Once guard keeps the count exact
+    TermStats.buildPhraseIndex(base, "text", "doc_id", s"$dir/ph")
+    assert(TermStats.appendPhraseIndexOnce(batch, "text", "doc_id",
+      s"$dir/ph", run, 0L))
+    assert(!TermStats.appendPhraseIndexOnce(batch, "text", "doc_id",
+      s"$dir/ph", run, 0L))
+    val hits = TermStats.phraseSearchPrebuilt(spark, s"$dir/ph", "doc_id",
+        Seq("quick", "brown", "fox"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 2L -> 1L),
+      s"phrase hits must count each doc's occurrence exactly once: $hits")
+  }
+
+  test("auditArtifacts inventories kinds, versions, legacy flags, stale " +
+       "versions and torn-append intents across an artifact root") {
+    import graft.operators.{IndexLifecycle, TermStats}
+    val root = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+
+    TermStats.buildTextIndex(docs, "text", "doc_id", s"$root/text")
+    TermStats.buildPhraseIndex(docs, "text", "doc_id", s"$root/phrase")
+    Dedup.buildGramIndex(docs, "text", "doc_id", s"$root/gram", k = 3)
+    Dedup.buildShinglePostings(docs, "text", "doc_id", s"$root/shingle")
+    Dedup.buildSignatures(docs, "text", "doc_id", s"$root/sig")
+    // stale version: compact the gram index once (v=1 left behind)
+    Dedup.compactGramIndex(spark, s"$root/gram")
+    // pending intent: a torn replay-safe append that never replayed
+    intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnceAt(
+        Seq((2L, "more text")).toDF("doc_id", "text"),
+        "text", "doc_id", s"$root/text", "dead-run", 0L, failAt = "intent")
+    }
+    // legacy signature table: flat layout, STRING shingles, no _sn
+    Seq((1L, Seq("ab", "bc"), Seq(7L, 9L)))
+      .toDF("doc_id", "_sh", "_sig")
+      .write.parquet(s"$root/oldsig")
+    // legacy pre-dl text index: flat layout, postings without dl
+    Seq((1L, "fox", 1L)).toDF("doc_id", "term", "tf")
+      .write.parquet(s"$root/oldtext/postings")
+
+    val audit = IndexLifecycle.auditArtifacts(spark, root).collect()
+      .map(r => new java.io.File(r.getString(0)).getName ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getSeq[String](3), r.getInt(4), r.getInt(5))).toMap
+    assert(audit.keySet == Set("text", "phrase", "gram", "shingle", "sig",
+      "oldsig", "oldtext"), s"every artifact inventoried: ${audit.keySet}")
+    assert(audit("text")._1 == "text-index" && audit("text")._2 == Some(1L))
+    assert(audit("text")._5 == 1, "the torn intent must surface")
+    assert(audit("phrase")._1 == "phrase-index")
+    assert(audit("gram")._1 == "gram-index" && audit("gram")._2 == Some(2L)
+      && audit("gram")._4 == 1, "compacted gram index carries one stale version")
+    assert(audit("shingle")._1 == "shingle-postings")
+    assert(audit("sig")._1 == "signature-table" && audit("sig")._3.isEmpty,
+      s"a current-format signature table has no flags: ${audit("sig")._3}")
+    assert(audit("oldsig")._1 == "signature-table" &&
+      audit("oldsig")._2.isEmpty &&
+      audit("oldsig")._3.exists(_.contains("pre-_sn")) &&
+      audit("oldsig")._3.exists(_.contains("STRING shingle")),
+      s"legacy signature flags: ${audit("oldsig")._3}")
+    assert(audit("oldtext")._1 == "text-index" &&
+      audit("oldtext")._3.exists(_.contains("pre-dl")) &&
+      audit("oldtext")._3.exists(_.contains("terms dictionary")),
+      s"legacy text flags: ${audit("oldtext")._3}")
+    // the torn append self-heals on replay; the audit then shows it clean
+    assert(TermStats.appendTextIndexOnce(
+      Seq((2L, "more text")).toDF("doc_id", "text"),
+      "text", "doc_id", s"$root/text", "dead-run", 0L))
+    val healed = IndexLifecycle.auditArtifacts(spark, root).collect()
+      .find(r => r.getString(0).endsWith("/text")).get
+    assert(healed.getInt(5) == 0, "replayed intent must clear from the audit")
+  }
+
   // --- sessionize ---------------------------------------------------------------
 
   test("sessionize: gap >= threshold starts a session; ids are per-user running counts") {

@@ -1161,6 +1161,152 @@ class StreamingSpec extends SparkSpec {
       s"signature index drifted: ${verdicts(sigIdx)} vs ${verdicts(sigIdx2)}")
   }
 
+  test("replayed micro-batch after a mid-batch crash (text appended, grams " +
+       "not) appends exactly once: the replay no-ops the committed artifact, " +
+       "completes the torn one, and every probe == one-shot rebuild") {
+    // foreachBatch is at-least-once: a batch that dies BETWEEN artifact
+    // appends is re-delivered wholesale, and raw re-appends double-count
+    // BM25 df/tf (silently inflated scores). This drives the real
+    // crash-restart-replay loop through a checkpointed query: batch 1's
+    // first attempt throws after the text append, the restarted query
+    // replays batch 1, and the (runId, batchId) guards make the net effect
+    // exactly-once on BOTH artifacts.
+    import graft.operators.{Dedup, TermStats}
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-replay-maint").toString
+    val textIdx = s"$dir/text"; val gramIdx = s"$dir/grams"
+    val ckpt = s"$dir/ckpt"
+    val runId = ckpt // restart-stable (the SnapshotSink rule)
+
+    val seed = Seq((100L, "spark engine overview with storage details"))
+    TermStats.buildTextIndex(seed.toDF("doc_id", "text"), "text", "doc_id", textIdx)
+    Dedup.buildGramIndex(seed.toDF("doc_id", "text"), "text", "doc_id", gramIdx)
+
+    val batch1 = Seq(
+      (1L, "spark spark tuning notes for shuffle heavy pipelines at scale"),
+      (2L, "the quick brown fox jumps over the lazy dog every single morning"))
+
+    @volatile var crashOnce = true
+    val input = MemoryStream[(Long, String)]
+    def mkQuery() = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        TermStats.appendTextIndexOnce(b.toDF(), "text", "doc_id", textIdx,
+          runId, id)
+        if (id == 1L && crashOnce) {
+          crashOnce = false
+          throw new RuntimeException("injected crash between artifact appends")
+        }
+        Dedup.appendGramIndexOnce(b.toDF(), "text", "doc_id", gramIdx,
+          runId, id)
+        ()
+      }
+      .start()
+
+    val q1 = mkQuery()
+    input.addData((10L, "warmup batch so the crash batch is a replayed id"))
+    q1.processAllAvailable()
+    input.addData(batch1: _*)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(!crashOnce, "the injected crash must have fired on batch 1")
+
+    // restart from the same checkpoint: batch 1 is re-delivered (at-least-
+    // once), the text append no-ops on its marker, the gram append lands
+    val q2 = mkQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val all = (seed ++ Seq((10L, "warmup batch so the crash batch is a replayed id")) ++ batch1)
+      .toDF("doc_id", "text")
+    val textIdx2 = s"$dir/text2"; val gramIdx2 = s"$dir/grams2"
+    TermStats.buildTextIndex(all, "text", "doc_id", textIdx2)
+    Dedup.buildGramIndex(all, "text", "doc_id", gramIdx2)
+
+    def bm25(idx: String) = TermStats
+      .bm25TopKPrebuilt(spark, idx, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm25(textIdx) == bm25(textIdx2),
+      s"replayed text append double-counted: ${bm25(textIdx)} vs ${bm25(textIdx2)}")
+
+    val incoming = Seq(
+      (50L, "intro words then the quick brown fox jumps over the lazy dog every single morning"))
+      .toDF("doc_id", "text")
+    def strip(idx: String) = Dedup
+      .substringDedupPrebuilt(spark, idx, incoming, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(strip(gramIdx) == strip(gramIdx2),
+      s"torn gram append not completed by the replay: ${strip(gramIdx)} vs ${strip(gramIdx2)}")
+  }
+
+  test("crash INSIDE an append at every protocol step (staged / intent / " +
+       "half-moved / all-moved-no-marker) replays without double-counting: " +
+       "final index == one-shot rebuild") {
+    // the intra-artifact tear: an appendTextIndexOnce writes FOUR tables;
+    // dying after some postings files moved but before the marker leaves a
+    // torn live dir. The intent manifest must let the replay remove exactly
+    // the torn attempt's files — the "moved" point is the sharpest case:
+    // every file landed, only the marker is missing, and a naive replay
+    // would double every df/tf partial.
+    import graft.operators.{IndexLifecycle, TermStats}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-replay-torn").toString
+    val idx = s"$dir/idx"
+    val runId = "torn-run"
+    TermStats.buildTextIndex(
+      Seq((100L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+
+    val batches = Seq(
+      (1L, Seq((1L, "spark spark tuning notes")), "staged"),
+      (2L, Seq((2L, "unrelated text entirely")), "intent"),
+      (3L, Seq((3L, "more spark content here")), "half-moved"),
+      (4L, Seq((4L, "spark at scale again")), "moved"))
+    batches.foreach { case (id, rows, failAt) =>
+      intercept[IllegalStateException] {
+        TermStats.appendTextIndexOnceAt(rows.toDF("doc_id", "text"),
+          "text", "doc_id", idx, runId, id, failAt)
+      }
+      assert(IndexLifecycle.lastAppendedBatch(spark, idx, runId) != Some(id),
+        s"batch $id must NOT be marked committed after failpoint $failAt")
+      assert(TermStats.appendTextIndexOnce(rows.toDF("doc_id", "text"),
+        "text", "doc_id", idx, runId, id),
+        s"replay of torn batch $id (failpoint $failAt) must append")
+    }
+    assert(IndexLifecycle.lastAppendedBatch(spark, idx, runId) == Some(4L))
+
+    // replays of committed batches are pure no-ops
+    batches.foreach { case (id, rows, _) =>
+      assert(!TermStats.appendTextIndexOnce(rows.toDF("doc_id", "text"),
+        "text", "doc_id", idx, runId, id),
+        s"re-replay of committed batch $id must no-op")
+    }
+
+    val all = (Seq((100L, "spark engine overview")) ++
+      batches.flatMap(_._2)).toDF("doc_id", "text")
+    val idx2 = s"$dir/idx2"
+    TermStats.buildTextIndex(all, "text", "doc_id", idx2)
+    def bm25(p: String) = TermStats
+      .bm25TopKPrebuilt(spark, p, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm25(idx) == bm25(idx2),
+      s"torn-replay index drifted from rebuild: ${bm25(idx)} vs ${bm25(idx2)}")
+
+    // a DIFFERENT run's batch 1 is new progress, not a replay (batchIds
+    // are only compared within one runId — the fresh-checkpoint rule)
+    assert(TermStats.appendTextIndexOnce(
+      Seq((5L, "fresh checkpoint run")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, "other-run", 1L),
+      "a new runId's batch 1 must append, not no-op on the old run's marker")
+  }
+
   test("streaming crawl keeps the PQ serving index fresh: appended " +
        "micro-batches == one-shot rebuild with the same frozen codebook") {
     // the vector half of the maintenance loop (the text half is the test
