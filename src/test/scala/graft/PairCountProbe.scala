@@ -14,12 +14,26 @@ object PairCountProbe {
     val names = Seq("q_minhash_neardup", "q_minhash_prebuilt",
       "q_ngram_jaccard", "q_dup_matrix", "q_geo_pairs", "q_neardup_dedup",
       "q_simhash_neardup", "q_embedding_neardup")
+    // renames in SparkEntry must fail LOUDLY here, not as a bare
+    // NoSuchElementException mid-run — and any name silently dropped from
+    // the suite would otherwise leave the gate reading stale denominators
+    val missing = names.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty,
+      s"PairCountProbe names not in SparkEntry.queries (renamed/removed?): " +
+        missing.mkString(", "))
     val counts = names.map { n =>
       val cs = args.take(2).map(d => SparkEntry.queries(n)(spark, d).count())
       println(s"[paircount] $n small=${cs(0)} big=${cs(1)}")
       s"""${JsonUtil.str(n)}: [${cs(0)}, ${cs(1)}]"""
     }
-    val json = counts.mkString("{", ", ", "}")
+    // provenance rides in the file ("_"-prefixed keys are invisible to the
+    // gate's per-query lookups): which fixtures and when — scale_curve.py
+    // echoes this into its report so a record reader can check the
+    // denominators came from the run being judged
+    val meta = s""""_meta": {"small_dir": ${JsonUtil.str(args(0))}, """ +
+      s""""big_dir": ${JsonUtil.str(args(1))}, """ +
+      s""""generated_utc": ${JsonUtil.str(java.time.Instant.now().toString)}}"""
+    val json = (meta +: counts).mkString("{", ", ", "}")
     if (args.length > 2) {
       java.nio.file.Files.write(java.nio.file.Paths.get(args(2)),
         json.getBytes("UTF-8"))

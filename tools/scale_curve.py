@@ -70,8 +70,11 @@ def main(small_path, big_path, threshold=12.0, min_marginal=0.25,
             if oc and oc[0] > 0 and oc[1] > 0:
                 out_growth = oc[1] / oc[0]
                 r_norm = r / out_growth
-                if r_norm <= threshold:
-                    # time grew no faster than the answer itself
+                # excused ONLY when time grew no faster than the answer
+                # itself (r <= out_growth, i.e. r_norm <= 1): a pair query
+                # emitting 219x the rows may take up to 219x the time; a
+                # super-linear-per-output-row regression still flags.
+                if r <= out_growth:
                     output_bound[name] = {
                         "time_growth": round(r, 2),
                         "rows_small": oc[0], "rows_big": oc[1],
@@ -99,6 +102,11 @@ def main(small_path, big_path, threshold=12.0, min_marginal=0.25,
         "growth_threshold": threshold, "min_marginal_big_sec": min_marginal,
         "flagged": flagged,
         "output_bound": output_bound,
+        # provenance: which fixtures/run produced the output-count
+        # denominators (PairCountProbe embeds them as "_meta") — a stale
+        # outcounts file generated from different fixtures would silently
+        # excuse flags with wrong denominators otherwise
+        "outcounts_meta": outcounts.get("_meta") if outcounts_path else None,
         "died_at_big": died_at_big,
         "failed_at_small": failed_small,
         "top_growth": dict(sorted(growth.items(), key=lambda kv: -kv[1])[:15]),
