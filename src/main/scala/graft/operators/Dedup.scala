@@ -719,7 +719,16 @@ object Dedup {
                                postingsPath: String,
                                minContainment: Double = 0.5,
                                maxDf: Int = 20): DataFrame =
-    containmentFromPostings(tracked(spark.read.parquet(IndexLifecycle.resolveDir(spark, postingsPath))),
+    // spreadModest on the read: AQE right-sizes the build's shuffle to ONE
+    // file at modest volume, so the cache fill and every map side downstream
+    // would run single-threaded off the raw scan (the signature-scan lesson,
+    // Tables.spread) — and unlike the text scans, what shuffles here is the
+    // 8-byte (key, hash) rows, so the spread is cheap where it fires and
+    // identity at cluster scale where the artifact already has >= cores
+    // splits.
+    containmentFromPostings(
+      tracked(spreadModest(spark.read.parquet(
+        IndexLifecycle.resolveDir(spark, postingsPath)))),
       minContainment, maxDf)
 
   private def containmentFromPostings(sh: DataFrame, minContainment: Double,

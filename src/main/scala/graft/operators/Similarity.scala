@@ -816,36 +816,71 @@ object Similarity {
                       seed: Long = 7L): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
       s"nprobes must be within [1, nlist=$nlist]")
-    // truth: per-query exact top-k — queries broadcast, corpus scans once
+    // ONE corpus scan serves the truth AND every nprobe: the brute-force
+    // truth must score all (query, row) pairs anyway, and a routed probe's
+    // candidate set is exactly "rows whose _list ranks within the query's
+    // first np routing choices" — so score once, tag each pair with the
+    // routing RANK of its list (position in the query's ranked max(np)
+    // prefix, 0 = outside), and each probe is a filter + window over the
+    // shared cached frame instead of its own partition-pruned scan+join
+    // (the q_lsh_recall share-the-heavy-input fix applied to routing:
+    // before, truth + each probe re-scanned; bytes were ~(1 + Σnp/nlist)×
+    // the corpus, now 1×). Candidate sets are IDENTICAL by construction:
+    // [[ivfTopKBatchPrebuilt]] derives probe lists from the same ranked
+    // centroid array this prefix slices (equality unit-pinned).
+    val maxNp = nprobes.max
+    val dir = IndexLifecycle.resolveDir(spark, indexPath)
+    val centroids = routingCentroids(spark, dir, nlist, dim, seed)
+    val scoredC = array(centroids.indices.map { i =>
+      struct(VF.cosine(col("_qv"), centroids(i)).as("s"), lit(i).as("i"))
+    }: _*)
     val q = queries.filter(size(col(queryVecCol)) === dim)
       .select(col(queryKeyCol).as("_qid"), col(queryVecCol).as("_qv"))
-    val corpus = spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
-      .select(col(keyCol), col(vecCol))
+      .withColumn("_qlists",
+        transform(slice(udfFreeComparatorSort(scoredC), 1, maxNp), x => x("i")))
+    val corpus = spark.read.parquet(dir)
+      .select(col(keyCol), col(vecCol), col("_list"))
+    val scored = corpus.join(broadcast(q))
+      .select(col("_qid"), col(keyCol),
+        VF.dot(col(vecCol), col("_qv")).as("_s"),
+        array_position(col("_qlists"), col("_list")).as("_prank"))
+    // ONE window pass computes everything: the truth rank is a row_number
+    // over (score desc, key asc), and a row's rank WITHIN the nprobe=np
+    // probe (what [[ivfTopKBatchPrebuilt]]'s per-probe window would
+    // assign) is the running count of prefix-rank<=np rows up to and
+    // including itself over the SAME ordering — so each probe's top-k
+    // membership is a per-row flag, recall is one conditional sum, and
+    // the report is a single exchange + aggregate: no per-probe windows,
+    // no semi-joins, no caches.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_qid")).orderBy(col("_s").desc, col(keyCol).asc)
-    val truth = corpus.join(broadcast(q))
-      .withColumn("_s", VF.dot(col(vecCol), col("_qv")))
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
-      .select(col("_qid"), col(keyCol))
-    val truthHits = graft.CacheRegistry.track(truth)
-    val perProbe = nprobes.map { np =>
-      val routed = ivfTopKBatchPrebuilt(spark, indexPath, queries,
-          queryKeyCol, queryVecCol, vecCol, keyCol, k, dim, nlist, np, seed)
-        .select(col("qid").as("_qid"), col(keyCol))
-      val hit = truthHits.join(routed, Seq("_qid", keyCol), "left_semi")
-        .groupBy(col("_qid")).agg(count(lit(1)).as("_hits"))
-      // micro-averaged recall: one division of two EXACT integers (total
-      // hits / total truth rows), so the number is engine-deterministic —
-      // a per-query double average would sum inexact x/k terms in
-      // arbitrary order. Every query has exactly k truth rows when the
-      // corpus has >= k rows, so micro == macro.
-      q.select(col("_qid")).join(hit, Seq("_qid"), "left")
-        .agg(lit(np).as("nprobe"),
-          round(sum(coalesce(col("_hits"), lit(0L))).cast("double") /
-            (count(lit(1)) * k), 4).as("mean_recall"),
-          count(lit(1)).as("n_queries"))
+    val flagged = scored
+      .withColumn("_rn_truth", row_number().over(w))
+      .withColumns(nprobes.map { np =>
+        s"_hit_$np" -> (col("_rn_truth") <= k &&
+          col("_prank").between(1, np) &&
+          sum(when(col("_prank").between(1, np), 1L).otherwise(0L))
+            .over(w) <= k).cast("long")
+      }.toMap)
+    // micro-averaged recall: one division of two EXACT integers (total
+    // hits / total truth rows), so the number is engine-deterministic —
+    // a per-query double average would sum inexact x/k terms in
+    // arbitrary order. Every query has exactly k truth rows when the
+    // corpus has >= k rows, so micro == macro. n_queries counts distinct
+    // qids in the scored cross — identical to |queries| against any
+    // non-empty index (the only kind a recall report is meaningful on).
+    val totals = flagged.agg(
+      count_distinct(col("_qid")).as("_nq"),
+      nprobes.map(np => sum(col(s"_hit_$np")).as(s"_h_$np")): _*)
+    val probeCols = nprobes.flatMap { np =>
+      Seq(lit(np), round(coalesce(col(s"_h_$np"), lit(0L)).cast("double") /
+        (col("_nq") * k), 4), col("_nq"))
     }
-    perProbe.reduce(_ unionByName _)
+    totals
+      .select(probeCols.zipWithIndex.map { case (c, i) => c.as(s"_c$i") }: _*)
+      .select(expr(s"stack(${nprobes.size}, " +
+        probeCols.indices.map(i => s"_c$i").mkString(", ") +
+        ") as (nprobe, mean_recall, n_queries)"))
   }
 
   // =========================================================================

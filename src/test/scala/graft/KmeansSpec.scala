@@ -328,6 +328,34 @@ class KmeansSpec extends SparkSpec {
       s"recall must be monotone in nprobe: $rep")
     assert(rep(16) == 1.0, s"probing every list must recover brute force: $rep")
     assert(rep(1) > 0.0, "even one probed list finds the query's own vector")
+
+    // the shared-scan report's candidate sets must be IDENTICAL to the
+    // per-nprobe routed probes it replaced: recompute each recall from
+    // ivfTopKBatchPrebuilt (the serving probe itself) and pin equality
+    val truth = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_qid")).orderBy(col("_s").desc, col("vec_id").asc)
+      emb.select(col("vec_id"), col("embedding")).join(
+          broadcast(queries.select(col("vec_id").as("_qid"),
+            col("embedding").as("_qv"))))
+        .withColumn("_s", graft.functions.VectorFunctions
+          .dot(col("embedding"), col("_qv")))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 10)
+        .select(col("_qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    Seq(1, 4, 16).foreach { np =>
+      val routed = Similarity.ivfTopKBatchPrebuilt(spark, s"$path/idx",
+          queries, "vec_id", "embedding", "embedding", "vec_id",
+          k = 10, dim = 64, nprobe = np)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = BigDecimal(truth.count(routed.contains).toDouble /
+        truth.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rep(np) == expect,
+        s"report recall at nprobe=$np drifted from the routed probe: " +
+          s"${rep(np)} vs $expect")
+    }
   }
 
   test("pq: malformed rows (wrong dim, null key) excluded; dim must divide m") {
