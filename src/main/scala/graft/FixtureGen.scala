@@ -63,13 +63,17 @@ object FixtureGen {
 
     // key bases: i-th copy shifts key k to k + i*base; base = max+1 keeps
     // copies disjoint. Collected once per keyed table (bounded: one long).
+    // cast("long") tolerates int-typed keys, and an EMPTY source table
+    // yields base 1 (max over nothing is NULL) instead of an opaque NPE —
+    // replicating an empty table is a no-op either way.
+    def keyBase(tbl: String, pk: String): Long =
+      Option(load(tbl).agg(max(col(pk).cast("long"))).head().get(0))
+        .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
     val base: Map[String, Long] =
       if (copies == 1) Map.empty
       else keyedTables.collect { case (tbl, pk) if pk.nonEmpty =>
-        tbl -> (load(tbl).agg(max(col(pk))).head().getLong(0) + 1L)
-      }.toMap ++ (if (copies == 1) Map.empty else Map(
-        "events.user_id" ->
-          (load("events").agg(max(col("user_id"))).head().getLong(0) + 1L)))
+        tbl -> keyBase(tbl, pk)
+      }.toMap + ("events.user_id" -> keyBase("events", "user_id"))
 
     def offset(c: String, b: Long, i: Int) = (col(c) + lit(i * b)).as(c)
 

@@ -42,8 +42,12 @@ class CurationRulesSpec extends SparkSpec {
   test("fused GopherCountsExpr == HOF formulation on 200 random docs " +
     "(letters, symbols, stops, unicode)") {
     val rnd = new scala.util.Random(0xC0FFEE)
+    // includes the byte-walk attack cases: 4-byte emoji (1 char, 0 alpha
+    // bytes), multi-byte adjacent to '#'/'...', stopword look-alikes with
+    // accents, and non-ASCII symbols that must NOT count as # or ...
     val vocab = Seq("the", "a", "have", "#tag", "...", "x#y", "abc...",
-      "123", "9-9", "zzz", "Ünïcode", "中文", "", "Mixed1", "the")
+      "123", "9-9", "zzz", "Ünïcode", "中文", "", "Mixed1", "the",
+      "🎉", "中#文", "日...", "thé", "…", "éclair", "日a日")
     val texts = (0 until 200).map { i =>
       (i.toLong, Seq.fill(1 + rnd.nextInt(20))(
         vocab(rnd.nextInt(vocab.length))).mkString(" "))

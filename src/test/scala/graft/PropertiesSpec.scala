@@ -130,8 +130,16 @@ class PropertiesSpec extends SparkSpec {
   test("QualityCountsExpr == the split/HOF quality formula on 300 random " +
        "texts (incl. empty, repeated spaces, unicode, punct runs)") {
     import graft.functions.{TextFunctions => TF, QualityFunctions => QF}
+    // the UTF-8 byte-walk invariants under attack: continuation bytes can
+    // never alias ' ' or ASCII punct (multi-byte adjacent to both), 4-byte
+    // code points (emoji) count 1 char, non-ASCII punctuation (… 。 « ¡ —)
+    // is NOT \p{Punct} on either side, combining accents count as their
+    // own code point, and a stopword must match by BYTES not by prefix
+    // ("the" vs "thé" vs "theá")
     val words = Seq("the", "a", "of", "robot", "Zebra", "héllo", "日本語",
-      "x#y...", "!!!", "", "in", "it", "a.b,c;d", "(parens)", "e@mail")
+      "x#y...", "!!!", "", "in", "it", "a.b,c;d", "(parens)", "e@mail",
+      "日本語。テスト", "héllo!", "¡hola!", "🎉", "🎉!!!", "a日b", "…—«»",
+      "éclair", "thé", "theá", "日,日;日", "(日)")
     val texts = Seq.fill(298)(
       Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.length)))
         .mkString(" ")) ++ Seq("", "   ")

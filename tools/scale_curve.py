@@ -48,7 +48,28 @@ def main(small_path, big_path, threshold=12.0, min_marginal=0.25,
     # output growth before flagging. Queries absent from the file are
     # judged raw, so a genuine all-pairs bug (candidate work WITHOUT output
     # growth) still flags.
-    outcounts = json.load(open(outcounts_path)) if outcounts_path else {}
+    # malformed outcounts must be a loud exit-2 diagnostic (like an empty
+    # record), never a traceback and never a silent excusal with garbage
+    # denominators; per-entry garbage downgrades that query to raw
+    # judgement (the safe direction) and is listed in the report
+    outcounts, bad_outcounts = {}, []
+    if outcounts_path:
+        try:
+            raw_oc = json.load(open(outcounts_path))
+            if not isinstance(raw_oc, dict):
+                raise ValueError("outcounts root is not an object")
+        except (OSError, ValueError) as e:
+            print(json.dumps({"error": f"malformed outcounts file: {e}",
+                              "outcounts": outcounts_path}))
+            return 2
+        for k, v in raw_oc.items():
+            if k.startswith("_"):
+                outcounts[k] = v  # _meta provenance
+            elif (isinstance(v, list) and len(v) == 2
+                    and all(isinstance(x, (int, float)) for x in v)):
+                outcounts[k] = v
+            else:
+                bad_outcounts.append(k)
     if not small or not big:
         # a record with zero eligible entries (all -1 sentinels, or a
         # meta-only/empty file) is malformed input, not a scale flag:
@@ -107,6 +128,7 @@ def main(small_path, big_path, threshold=12.0, min_marginal=0.25,
         # outcounts file generated from different fixtures would silently
         # excuse flags with wrong denominators otherwise
         "outcounts_meta": outcounts.get("_meta") if outcounts_path else None,
+        "outcounts_malformed": sorted(bad_outcounts),
         "died_at_big": died_at_big,
         "failed_at_small": failed_small,
         "top_growth": dict(sorted(growth.items(), key=lambda kv: -kv[1])[:15]),
