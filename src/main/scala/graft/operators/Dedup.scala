@@ -168,10 +168,11 @@ object Dedup {
     * accepted into the corpus, append their signatures so the NEXT batch
     * dedups against them too. Same parameters as the original build or
     * the banding widths diverge ([[requireSigWidth]] guards the read
-    * side). Append is at-least-once on failure/retry — a duplicated key
-    * only makes the corpus side of the band join report the same
-    * duplicate twice (dedup verdicts are unchanged); exactly-once
-    * maintenance belongs in [[Snapshots.mergeCommit]]'s versioned world. */
+    * side). This RAW form is at-least-once on failure/retry — a
+    * duplicated key only makes the corpus side of the band join report
+    * the same duplicate twice (dedup verdicts unchanged, costs not);
+    * a micro-batch driver should call [[appendSignaturesOnce]], which
+    * rides the [[IndexLifecycle.appendOnce]] replay guard. */
   def appendSignatures(df: DataFrame, textCol: String, keyCol: String,
                        path: String, shingleN: Int = 3, numHashes: Int = 16): Unit =
     signatureAppendPlan(df, textCol, keyCol, path, shingleN, numHashes)

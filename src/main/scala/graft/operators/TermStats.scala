@@ -811,7 +811,11 @@ object TermStats {
    * read. Document keys must be NEW (an appended duplicate key would
    * double-count its tf rows); appended postings files are term-sorted
    * within themselves, so pruning degrades gracefully rather than
-   * breaking. Append == rebuild equality is unit-pinned.
+   * breaking. Append == rebuild equality is unit-pinned. This RAW form is
+   * at-least-once under failure/retry — a micro-batch driver should call
+   * [[appendTextIndexOnce]] (the [[IndexLifecycle.appendOnce]] replay
+   * guard): a replayed batch here double-counts df/tf partials, which is
+   * silently wrong ranking, not a crash.
    */
   def appendTextIndex(batch: DataFrame, textCol: String, keyCol: String,
                       indexPath: String): Unit = {

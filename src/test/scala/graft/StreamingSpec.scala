@@ -1067,7 +1067,10 @@ class StreamingSpec extends SparkSpec {
     // carries corpus writes; foreachBatch diffs the keyed snapshot with
     // ChangeFeed (the reference's per-write NEW/MODIFIED/DELETED algebra,
     // per-batch here), and the NEW rows drive all three append paths under
-    // the single-writer contract (sequential inside one batch callback)
+    // the single-writer contract (sequential inside one batch callback).
+    // This pins the RAW appends' happy path (N batches == rebuild); the
+    // production form of this exact loop uses the appendXxxOnce replay
+    // guards — crash/replay behavior is pinned by the two tests below.
     import graft.operators.{Dedup, TermStats}
     import graft.streaming.ChangeFeed
     import org.apache.spark.sql.streaming.Trigger
