@@ -63,12 +63,21 @@ object FixtureGen {
 
     // key bases: i-th copy shifts key k to k + i*base; base = max+1 keeps
     // copies disjoint. Collected once per keyed table (bounded: one long).
-    // cast("long") tolerates int-typed keys, and an EMPTY source table
-    // yields base 1 (max over nothing is NULL) instead of an opaque NPE —
-    // replicating an empty table is a no-op either way.
-    def keyBase(tbl: String, pk: String): Long =
-      Option(load(tbl).agg(max(col(pk).cast("long"))).head().get(0))
-        .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
+    // cast("long") tolerates int-typed keys; an EMPTY source table yields
+    // base 1 (replicating nothing is a no-op) — but a NON-empty table
+    // whose max casts to NULL (string keys, all-null keys) must fail
+    // LOUDLY: a silent base of 1 would collide every copy's key space.
+    def keyBase(tbl: String, pk: String): Long = {
+      val r = load(tbl)
+        .agg(max(col(pk).cast("long")).as("m"), count(lit(1)).as("n")).head()
+      if (r.getLong(1) == 0L) 1L
+      else {
+        require(!r.isNullAt(0),
+          s"$tbl.$pk has no numeric max on a non-empty table (non-numeric " +
+            "or all-null keys) — cannot derive a collision-free copy offset")
+        r.getLong(0) + 1L
+      }
+    }
     val base: Map[String, Long] =
       if (copies == 1) Map.empty
       else keyedTables.collect { case (tbl, pk) if pk.nonEmpty =>

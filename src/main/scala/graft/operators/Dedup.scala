@@ -186,12 +186,14 @@ object Dedup {
     * replay no-op. `runId`: restart-stable (checkpoint path / `query.id`). */
   def appendSignaturesOnce(df: DataFrame, textCol: String, keyCol: String,
                            path: String, runId: String, batchId: Long,
-                           shingleN: Int = 3, numHashes: Int = 16): Boolean = {
-    val plan = signatureAppendPlan(df, textCol, keyCol, path, shingleN, numHashes)
+                           shingleN: Int = 3, numHashes: Int = 16): Boolean =
+    // plan construction (and its eager artifact guards — a head(1) job)
+    // stays inside the callback: a no-op replay must run no Spark action
     IndexLifecycle.appendOnce(df.sparkSession, path, runId, batchId) {
-      staging => plan.write.mode("overwrite").parquet(staging)
+      staging =>
+        signatureAppendPlan(df, textCol, keyCol, path, shingleN, numHashes)
+          .write.mode("overwrite").parquet(staging)
     }
-  }
 
   /** The shared append body: the batch's signature plan, parameter- and
     * schema-guarded against the LIVE artifact at `path` (both commit
@@ -669,6 +671,39 @@ object Dedup {
         explode(TF.shingles(col(textCol), shingleN)).as("_sraw"))
       .select(col("_k"), TF.hash32(col("_sraw")).as("_s"))
       .distinct()
+      // the shingle width rides IN the table (constant column, parquet-RLE
+      // free — the signature `_sn` discipline): hashes of 3-gram and 5-gram
+      // shingles share ~nothing, so a mismatched append silently collapses
+      // every containment ratio; storing the parameter lets appends refuse
+      .withColumn("_sn", lit(shingleN))
+
+  /** Append-side guard: where the artifact carries `_sn` (post-r15
+    * builds), a width mismatch refuses loudly; a legacy artifact keeps
+    * its schema uniform (plan drops `_sn`) and gets the unverifiable
+    * warning — the [[appendSignatures]] legacy rules verbatim. */
+  private def postingsPlanGuarded(df: DataFrame, textCol: String,
+                                  keyCol: String, path: String,
+                                  shingleN: Int): DataFrame = {
+    val spark = df.sparkSession
+    val existing = spark.read.parquet(IndexLifecycle.resolveDir(spark, path))
+    val plan = postingsPlan(df, textCol, keyCol, shingleN)
+    if (existing.columns.contains("_sn")) {
+      existing.select(col("_sn")).head(1).foreach { r =>
+        require(r.getInt(0) == shingleN,
+          s"shingle-posting table $path was built with shingleN=${r.getInt(0)}, " +
+            s"but shingleN=$shingleN was requested — mixed widths share ~no " +
+            "hashes and collapse every containment ratio; rebuild or match " +
+            "the build parameter")
+      }
+      plan
+    } else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"appendShinglePostings: $path is a pre-_sn legacy artifact — " +
+          s"shingleN=$shingleN is UNVERIFIED against its build; rebuild " +
+          "with buildShinglePostings to enable the mismatch guard")
+      plan.drop("_sn")
+    }
+  }
 
   /** Materialize the shingle-posting table once per corpus — the same
     * build-once artifact discipline as [[buildSignatures]]: text is
@@ -692,7 +727,7 @@ object Dedup {
     * one append-mode write into the current version, nothing re-read. */
   def appendShinglePostings(df: DataFrame, textCol: String, keyCol: String,
                             path: String, shingleN: Int = 3): Unit =
-    postingsPlan(df, textCol, keyCol, shingleN)
+    postingsPlanGuarded(df, textCol, keyCol, path, shingleN)
       .write.mode("append")
       .parquet(IndexLifecycle.resolveDir(df.sparkSession, path))
 
@@ -700,12 +735,14 @@ object Dedup {
     * replay ([[IndexLifecycle.appendOnce]] — duplicated posting rows
     * inflate every containment count AND each doc's own shingle total,
     * skewing containment ratios, not just costs). Returns false on the
-    * replay no-op. `runId`: restart-stable (checkpoint path / `query.id`). */
+    * replay no-op (plan construction and the artifact guards stay inside
+    * the callback, so a no-op replay runs no Spark action). `runId`:
+    * restart-stable (checkpoint path / `query.id`). */
   def appendShinglePostingsOnce(df: DataFrame, textCol: String,
                                 keyCol: String, path: String, runId: String,
                                 batchId: Long, shingleN: Int = 3): Boolean =
     IndexLifecycle.appendOnce(df.sparkSession, path, runId, batchId) {
-      staging => postingsPlan(df, textCol, keyCol, shingleN)
+      staging => postingsPlanGuarded(df, textCol, keyCol, path, shingleN)
         .write.mode("overwrite").parquet(staging)
     }
 
@@ -1032,8 +1069,7 @@ object Dedup {
                      outPath: String, k: Int = 8): Unit = {
     val spark = df.sparkSession
     val next = IndexLifecycle.nextVersion(spark, outPath)
-    gramIndex(df, textCol, keyCol, k)
-      .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+    gramAppendPlan(df, textCol, keyCol, k)
       .write.mode("overwrite").parquet(s"$outPath/v=$next")
     IndexLifecycle.flipPointer(spark, outPath, next)
   }
@@ -1046,8 +1082,7 @@ object Dedup {
     * state (single-writer contract: never concurrent with a compact). */
   def appendGramIndex(batch: DataFrame, textCol: String, keyCol: String,
                       indexPath: String, k: Int = 8): Unit =
-    gramIndex(batch, textCol, keyCol, k)
-      .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+    gramPlanGuarded(batch, textCol, keyCol, indexPath, k)
       .write.mode("append")
       .parquet(IndexLifecycle.resolveDir(batch.sparkSession, indexPath))
 
@@ -1055,16 +1090,53 @@ object Dedup {
     * ([[IndexLifecycle.appendOnce]] — replayed count partials DOUBLE the
     * batch's gram counts, pushing grams over `minCount` that never
     * repeated: silently over-aggressive substring stripping). Returns
-    * false on the replay no-op. `runId`: restart-stable (checkpoint path
-    * / `query.id`). */
+    * false on the replay no-op (plan + guards stay inside the callback,
+    * so a no-op replay runs no Spark action). `runId`: restart-stable
+    * (checkpoint path / `query.id`). */
   def appendGramIndexOnce(batch: DataFrame, textCol: String, keyCol: String,
                           indexPath: String, runId: String, batchId: Long,
                           k: Int = 8): Boolean =
     IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
-      staging => gramIndex(batch, textCol, keyCol, k)
-        .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+      staging => gramPlanGuarded(batch, textCol, keyCol, indexPath, k)
         .write.mode("overwrite").parquet(staging)
     }
+
+  /** The shared gram append body (both commit disciplines write identical
+    * bytes): the batch's (hash, count) partials, with the gram width `k`
+    * riding as the `_gk` constant (the `_sn` discipline — mixed-k hashes
+    * fire substring stripping on phantom repeats). */
+  private def gramAppendPlan(batch: DataFrame, textCol: String,
+                             keyCol: String, k: Int): DataFrame =
+    gramIndex(batch, textCol, keyCol, k)
+      .groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+      .withColumn("_gk", lit(k))
+
+  /** Append-side guard: a `_gk`-bearing artifact (post-r15 build) refuses
+    * a mismatched k; a legacy artifact keeps its schema uniform (plan
+    * drops `_gk`) and warns — the [[appendSignatures]] legacy rules. */
+  private def gramPlanGuarded(batch: DataFrame, textCol: String,
+                              keyCol: String, indexPath: String,
+                              k: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val existing =
+      spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
+    val plan = gramAppendPlan(batch, textCol, keyCol, k)
+    if (existing.columns.contains("_gk")) {
+      existing.select(col("_gk")).head(1).foreach { r =>
+        require(r.getInt(0) == k,
+          s"gram index $indexPath was built with k=${r.getInt(0)}, but k=$k " +
+            "was requested — mixed gram widths fire substring stripping on " +
+            "phantom repeats; rebuild or match the build parameter")
+      }
+      plan
+    } else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"appendGramIndex: $indexPath is a pre-_gk legacy artifact — k=$k " +
+          "is UNVERIFIED against its build; rebuild with buildGramIndex " +
+          "to enable the mismatch guard")
+      plan.drop("_gk")
+    }
+  }
 
   /** The consumer view of a gram-index artifact: total counts per hash
     * (sums the partials the append-mode maintenance leaves behind),
@@ -1086,7 +1158,15 @@ object Dedup {
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String): Unit = {
     val next = IndexLifecycle.nextVersion(spark, indexPath)
-    readGramIndex(spark, indexPath)
+    // readGramIndex aggregates `_gk` away — re-attach it (one limit-1
+    // probe) so a compact never DOWNGRADES a guarded artifact to legacy
+    val src = spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
+    val gk =
+      if (src.columns.contains("_gk"))
+        src.select(col("_gk")).head(1).headOption.map(_.getInt(0))
+      else None
+    gk.foldLeft(readGramIndex(spark, indexPath))(
+        (df, k) => df.withColumn("_gk", lit(k)))
       .write.mode("overwrite").parquet(s"$indexPath/v=$next")
     IndexLifecycle.flipPointer(spark, indexPath, next)
   }
@@ -1113,6 +1193,18 @@ object Dedup {
                              k: Int = 8, minCount: Int = 2): DataFrame = {
     require(minCount >= 2, "minCount must be >= 2 (1 would remove everything)")
     requireNoGramReserved(incoming)
+    // probe-side width guard (post-r15 artifacts carry `_gk`): a wrong k
+    // here joins incomparable hashes — every corpus count misses, so the
+    // clean silently degrades to incoming-only dedup
+    val corpusRaw =
+      spark.read.parquet(IndexLifecycle.resolveDir(spark, gramIndexPath))
+    if (corpusRaw.columns.contains("_gk"))
+      corpusRaw.select(col("_gk")).head(1).foreach { r =>
+        require(r.getInt(0) == k,
+          s"gram index $gramIndexPath was built with k=${r.getInt(0)}, but " +
+            s"k=$k was requested — the corpus evidence would silently not " +
+            "match; rebuild or match the build parameter")
+      }
     val idx = tracked(gramIndex(incoming, textCol, keyCol, k))
     val inCounts = idx.groupBy(col("_h")).agg(count(lit(1)).as("_in"))
     // full outer is NOT needed: a gram absent from the incoming index

@@ -62,9 +62,23 @@ object IndexLifecycle {
   def tableExists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
-  /** The version number the next build/compaction should stage under. */
-  def nextVersion(spark: SparkSession, root: String): Long =
+  /** The version number the next build/compaction should stage under.
+    * REFUSES while a torn replay-safe append is pending ([[appendOnce]]'s
+    * intent manifests): a rebuild/compact folds the torn batch's partial
+    * files into the next version under NEW file names, where the replay's
+    * recovery can no longer find them — the replay would then re-append
+    * the whole batch on top, silently double-counting (the exact
+    * corruption the protocol exists to prevent). Resolve first: replay
+    * the batch (self-heals), or [[abandonTornAppends]] to discard it. */
+  def nextVersion(spark: SparkSession, root: String): Long = {
+    val torn = pendingIntents(spark, root)
+    require(torn.isEmpty,
+      s"$root has ${torn.size} torn append(s) pending (${torn.mkString(", ")}) " +
+        "— a rebuild/compact would orphan their partial files and a later " +
+        "replay would double-count; replay the batch to self-heal, or " +
+        "IndexLifecycle.abandonTornAppends(root) to discard it")
     currentVersion(spark, root).getOrElse(0L) + 1
+  }
 
   /** Atomic pointer flip: write-temp + rename-overwrite (FileContext
     * exposes the atomic-overwrite rename publicly). Also sweeps any
@@ -273,6 +287,41 @@ object IndexLifecycle {
       if (s.isDirectory) listFilesRec(f, s.getPath) else Seq(s)
     }
 
+  /** Intent-manifest names of torn (crashed-mid-protocol, not yet
+    * replayed) [[appendOnce]] batches pending on this artifact. */
+  def pendingIntents(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("intent-")).sorted
+  }
+
+  /** Discard every torn append as if its batch never ran: delete the
+    * intent-listed live files (the partial move), the staging debris, and
+    * the manifests. The artifact is then exactly its last consistent
+    * state; the abandoned batchIds stay UNMARKED, so a later replay of
+    * the same (runId, batchId) appends cleanly rather than no-opping —
+    * abandon discards the ATTEMPT, not the data's claim to exist. Use
+    * before a rebuild/compact when the maintaining stream is gone for
+    * good ([[nextVersion]] refuses while intents are pending). */
+  def abandonTornAppends(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = resolveDir(spark, root)
+    pendingIntents(spark, root).map { name =>
+      val intentP = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
+      val in = f.open(intentP)
+      val rels = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList finally in.close()
+      rels.foreach(rel =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+      f.delete(new org.apache.hadoop.fs.Path(
+        s"$root/$StagingName/${name.stripPrefix("intent-")}"), true)
+      f.delete(intentP, false)
+      name
+    }
+  }
+
   // ───────────────────────── artifact audit ─────────────────────────
 
   /**
@@ -316,7 +365,18 @@ object IndexLifecycle {
               s.getPath.getName.endsWith(".parquet"))
         if (selfIsArtifact) Seq(root) else children
       }
-    val rows = candidates.map(auditOne(spark, f, _))
+    // a corrupt artifact (non-numeric _current pointer, unreadable
+    // footer) must SURFACE in the inventory, not kill the sweep whose
+    // purpose is finding exactly such breakage
+    val rows = candidates.map { c =>
+      scala.util.Try(auditOne(spark, f, c)) match {
+        case scala.util.Success(row) => row
+        case scala.util.Failure(e) =>
+          org.apache.spark.sql.Row(c, "unknown", null,
+            Seq(s"unreadable artifact: ${e.getMessage}"), 0,
+            scala.util.Try(pendingIntents(spark, c).size).getOrElse(0))
+      }
+    }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -370,9 +430,15 @@ object IndexLifecycle {
               case _ => ()
             }
             "signature-table"
-          case Some(s) if s.fieldNames.sorted.toSeq == Seq("_h", "_n") =>
+          case Some(s) if s.fieldNames.contains("_h") &&
+              s.fieldNames.contains("_n") =>
+            if (!s.fieldNames.contains("_gk"))
+              flags += "pre-_gk gram index: gram width unverifiable on append/probe; rebuild with buildGramIndex"
             "gram-index"
-          case Some(s) if s.fieldNames.sorted.toSeq == Seq("_k", "_s") =>
+          case Some(s) if s.fieldNames.contains("_k") &&
+              s.fieldNames.contains("_s") =>
+            if (!s.fieldNames.contains("_sn"))
+              flags += "pre-_sn shingle postings: shingle width unverifiable on append; rebuild with buildShinglePostings"
             "shingle-postings"
           case _ => "unknown"
         }

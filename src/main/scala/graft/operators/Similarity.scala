@@ -152,14 +152,15 @@ object Similarity {
     * restart-stable (checkpoint path / `query.id`). */
   def appendIvfIndexOnce(batch: DataFrame, vecCol: String, keyCol: String,
                          indexPath: String, runId: String,
-                         batchId: Long): Boolean = {
-    val dir = IndexLifecycle.resolveDir(batch.sparkSession, indexPath)
-    val plan = ivfAppendPlan(batch, vecCol, dir)
+                         batchId: Long): Boolean =
+    // plan construction (the centroid collect) stays inside the callback:
+    // a no-op replay must run no Spark action
     IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
       staging =>
-        plan.write.mode("overwrite").partitionBy("_list").parquet(staging)
+        ivfAppendPlan(batch, vecCol,
+            IndexLifecycle.resolveDir(batch.sparkSession, indexPath))
+          .write.mode("overwrite").partitionBy("_list").parquet(staging)
     }
-  }
 
   /** The shared append body: the batch routed on the index's own FROZEN
     * `_centroids`, dim-guarded (both commit disciplines write identical
@@ -854,13 +855,21 @@ object Similarity {
     // no semi-joins, no caches.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_qid")).orderBy(col("_s").desc, col(keyCol).asc)
+    // the running count needs an explicit ROWS frame: the default RANGE
+    // frame counts ORDER-BY PEERS together, and a duplicated key row (the
+    // documented at-least-once residue of the raw append path) ties with
+    // its twin on (_s, key) — RANGE would count both at both rows and
+    // diverge from ivfTopKBatchPrebuilt's row_number at the k boundary
+    val wRows = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
     val flagged = scored
       .withColumn("_rn_truth", row_number().over(w))
       .withColumns(nprobes.map { np =>
         s"_hit_$np" -> (col("_rn_truth") <= k &&
           col("_prank").between(1, np) &&
           sum(when(col("_prank").between(1, np), 1L).otherwise(0L))
-            .over(w) <= k).cast("long")
+            .over(wRows) <= k).cast("long")
       }.toMap)
     // micro-averaged recall: one division of two EXACT integers (total
     // hits / total truth rows), so the number is engine-deterministic —
@@ -1042,13 +1051,16 @@ object Similarity {
   def appendPqIndexOnce(batch: DataFrame, vecCol: String, keyCol: String,
                         indexPath: String, runId: String, batchId: Long,
                         m: Int = 8, dim: Int = 64,
-                        scale: Double = 1e6): Boolean = {
-    val dir = IndexLifecycle.resolveDir(batch.sparkSession, indexPath)
-    val plan = pqAppendPlan(batch, vecCol, keyCol, dir, m, dim, scale)
+                        scale: Double = 1e6): Boolean =
+    // plan construction (codebook collect + m probe) stays inside the
+    // callback: a no-op replay must run no Spark action
     IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
-      staging => plan.write.mode("overwrite").parquet(s"$staging/codes")
+      staging =>
+        pqAppendPlan(batch, vecCol, keyCol,
+            IndexLifecycle.resolveDir(batch.sparkSession, indexPath),
+            m, dim, scale)
+          .write.mode("overwrite").parquet(s"$staging/codes")
     }
-  }
 
   private def pqAppendPlan(batch: DataFrame, vecCol: String, keyCol: String,
                            dir: String, m: Int, dim: Int,
@@ -1098,14 +1110,17 @@ object Similarity {
   def appendPqIvfIndexOnce(batch: DataFrame, vecCol: String, keyCol: String,
                            indexPath: String, runId: String, batchId: Long,
                            m: Int = 8, dim: Int = 64,
-                           scale: Double = 1e6): Boolean = {
-    val dir = IndexLifecycle.resolveDir(batch.sparkSession, indexPath)
-    val plan = pqIvfAppendPlan(batch, vecCol, keyCol, dir, m, dim, scale)
+                           scale: Double = 1e6): Boolean =
+    // plan construction (codebook + centroid collects) stays inside the
+    // callback: a no-op replay must run no Spark action
     IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
-      staging => plan.write.mode("overwrite").partitionBy("_list")
-        .parquet(s"$staging/codes")
+      staging =>
+        pqIvfAppendPlan(batch, vecCol, keyCol,
+            IndexLifecycle.resolveDir(batch.sparkSession, indexPath),
+            m, dim, scale)
+          .write.mode("overwrite").partitionBy("_list")
+          .parquet(s"$staging/codes")
     }
-  }
 
   private def pqIvfAppendPlan(batch: DataFrame, vecCol: String,
                               keyCol: String, dir: String, m: Int, dim: Int,

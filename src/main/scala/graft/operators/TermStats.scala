@@ -911,6 +911,15 @@ object TermStats {
    */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, outPath: String): Unit = {
+    // the in-place form's torn-append refusal (IndexLifecycle.nextVersion)
+    // guards outPath; when compacting to a DIFFERENT path the SOURCE must
+    // be consistent too — a torn batch's partial postings would silently
+    // ride into the compacted artifact
+    val srcTorn = IndexLifecycle.pendingIntents(spark, indexPath)
+    require(srcTorn.isEmpty,
+      s"$indexPath has torn append(s) pending (${srcTorn.mkString(", ")}) — " +
+        "compacting would fold partial batch files into the output; replay " +
+        "the batch or IndexLifecycle.abandonTornAppends first")
     val src = resolveIndexDir(spark, indexPath)
     val next = IndexLifecycle.nextVersion(spark, outPath)
     val vdir = s"$outPath/v=$next"

@@ -358,6 +358,26 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("ivfRecallReport is exact when the index carries a duplicated key " +
+       "row (the raw append path's at-least-once residue): the running " +
+       "probe-rank count uses a ROWS frame, so tied twins straddling the " +
+       "k boundary cannot erase a hit") {
+    // k=1 makes the hazard sharp: the query's own row duplicated ties at
+    // the top, and a RANGE-framed running count would see 2 at BOTH rows
+    // (order-by peers), flag neither as a probe hit, and report recall 0
+    // where the routed probe (row_number) admits one copy — 1.0 is right.
+    val path = java.nio.file.Files.createTempDirectory("graft-recdup").toString
+    Similarity.ivfBuild(emb, "embedding", "vec_id", s"$path/idx", dim = 64)
+    val self = emb.filter(col("vec_id") === 0)
+    Similarity.appendIvfIndex(self, "embedding", "vec_id", s"$path/idx")
+    val rep = Similarity.ivfRecallReport(spark, s"$path/idx", self,
+        "vec_id", "embedding", "embedding", "vec_id", k = 1, dim = 64,
+        nprobes = Seq(16))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rep(16) == 1.0,
+      s"duplicated top row must not erase the hit (RANGE-frame bug): $rep")
+  }
+
   test("pq: malformed rows (wrong dim, null key) excluded; dim must divide m") {
     val bad = emb.limit(5)
       .union(emb.limit(1).select(lit(null).cast("bigint").as("vec_id"),

@@ -2432,6 +2432,63 @@ class OperatorsSpec extends SparkSpec {
       s"phrase hits must count each doc's occurrence exactly once: $hits")
   }
 
+  test("gram and shingle artifacts store their build width (_gk/_sn): " +
+       "mismatched appends and probes refuse loudly, compaction preserves " +
+       "the stamp, legacy artifacts warn-and-append unguarded") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val more = Seq((2L, "a b c d e f g h i k")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-widths").toString
+
+    Dedup.buildGramIndex(docs, "text", "doc_id", s"$dir/g", k = 3)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.appendGramIndex(more, "text", "doc_id", s"$dir/g", k = 4)
+    }
+    assert(e1.getMessage.contains("k=3") && e1.getMessage.contains("k=4"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendGramIndexOnce(more, "text", "doc_id", s"$dir/g",
+        "run", 0L, k = 8)
+    }
+    assert(e2.getMessage.contains("k=3"))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.substringDedupPrebuilt(spark, s"$dir/g", more, "text", "doc_id",
+        k = 8)
+    }
+    assert(e3.getMessage.contains("k=3"), s"probe must refuse too: $e3")
+    // matching k appends; compaction keeps the stamp so the guard survives
+    Dedup.appendGramIndex(more, "text", "doc_id", s"$dir/g", k = 3)
+    Dedup.compactGramIndex(spark, s"$dir/g")
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.appendGramIndex(more, "text", "doc_id", s"$dir/g", k = 4)
+    }
+    assert(e4.getMessage.contains("k=3"),
+      "compaction must not downgrade the guarded artifact to legacy")
+
+    Dedup.buildShinglePostings(docs, "text", "doc_id", s"$dir/sh", shingleN = 3)
+    val e5 = intercept[IllegalArgumentException] {
+      Dedup.appendShinglePostings(more, "text", "doc_id", s"$dir/sh",
+        shingleN = 5)
+    }
+    assert(e5.getMessage.contains("shingleN=3") &&
+      e5.getMessage.contains("shingleN=5"))
+    val e6 = intercept[IllegalArgumentException] {
+      Dedup.appendShinglePostingsOnce(more, "text", "doc_id", s"$dir/sh",
+        "run", 0L, shingleN = 5)
+    }
+    assert(e6.getMessage.contains("shingleN=3"))
+    Dedup.appendShinglePostings(more, "text", "doc_id", s"$dir/sh", shingleN = 3)
+
+    // legacy artifacts (no stamp column) stay appendable with uniform
+    // schema — the guard cannot fire, the append must not grow _gk/_sn
+    Seq((11L, 5L)).toDF("_h", "_n").write.parquet(s"$dir/gleg")
+    Dedup.appendGramIndex(more, "text", "doc_id", s"$dir/gleg", k = 4)
+    assert(spark.read.parquet(s"$dir/gleg").columns.sorted.toSeq ==
+      Seq("_h", "_n"), "legacy gram append must not mix schemas")
+    Seq((1L, 7)).toDF("_k", "_s").write.parquet(s"$dir/shleg")
+    Dedup.appendShinglePostings(more, "text", "doc_id", s"$dir/shleg")
+    assert(spark.read.parquet(s"$dir/shleg").columns.sorted.toSeq ==
+      Seq("_k", "_s"), "legacy shingle append must not mix schemas")
+  }
+
   test("auditArtifacts inventories kinds, versions, legacy flags, stale " +
        "versions and torn-append intents across an artifact root") {
     import graft.operators.{IndexLifecycle, TermStats}

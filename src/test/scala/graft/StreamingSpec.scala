@@ -1310,6 +1310,60 @@ class StreamingSpec extends SparkSpec {
       "a new runId's batch 1 must append, not no-op on the old run's marker")
   }
 
+  test("a rebuild/compact REFUSES while a torn append is pending (it would " +
+       "orphan the partial files and the replay would double-count); " +
+       "abandonTornAppends discards the attempt and un-marks the batch") {
+    import graft.operators.{IndexLifecycle, TermStats}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-torn-compact").toString
+    val idx = s"$dir/idx"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    val batch = Seq((2L, "spark spark tuning")).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnceAt(batch, "text", "doc_id", idx,
+        "dead-run", 0L, failAt = "half-moved")
+    }
+    // both compaction forms must refuse (in-place via nextVersion, the
+    // cross-path form via its source check) and a rebuild too
+    val e1 = intercept[IllegalArgumentException] {
+      TermStats.compactTextIndexInPlace(spark, idx)
+    }
+    assert(e1.getMessage.contains("torn append"), s"$e1")
+    val e2 = intercept[IllegalArgumentException] {
+      TermStats.compactTextIndex(spark, idx, s"$dir/out")
+    }
+    assert(e2.getMessage.contains("torn append"), s"$e2")
+    val e3 = intercept[IllegalArgumentException] {
+      TermStats.buildTextIndex(
+        Seq((1L, "x")).toDF("doc_id", "text"), "text", "doc_id", idx)
+    }
+    assert(e3.getMessage.contains("torn append"), s"$e3")
+
+    // abandon: the artifact reads as if the batch never ran, the batch id
+    // is NOT marked committed (abandon discards the attempt, not the
+    // data's claim), and a later replay of the same id appends cleanly
+    val dropped = IndexLifecycle.abandonTornAppends(spark, idx)
+    assert(dropped.nonEmpty, "abandon must report what it discarded")
+    assert(IndexLifecycle.pendingIntents(spark, idx).isEmpty)
+    assert(IndexLifecycle.lastAppendedBatch(spark, idx, "dead-run").isEmpty)
+    def bm25(p: String) = TermStats
+      .bm25TopKPrebuilt(spark, p, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cleanIdx = s"$dir/clean"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", cleanIdx)
+    assert(bm25(idx) == bm25(cleanIdx),
+      "abandoned artifact must equal its pre-batch state")
+    assert(TermStats.appendTextIndexOnce(batch, "text", "doc_id", idx,
+      "dead-run", 0L), "post-abandon replay must append, not no-op")
+    TermStats.compactTextIndexInPlace(spark, idx) // now clean: compacts fine
+    TermStats.appendTextIndex(batch.withColumn("doc_id", col("doc_id") + 10),
+      "text", "doc_id", idx)
+  }
+
   test("streaming crawl keeps the PQ serving index fresh: appended " +
        "micro-batches == one-shot rebuild with the same frozen codebook") {
     // the vector half of the maintenance loop (the text half is the test
