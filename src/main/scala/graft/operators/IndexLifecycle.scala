@@ -203,9 +203,10 @@ object IndexLifecycle {
     appendOnceImpl(spark, root, runId, batchId, stage, failAt = "")
 
   /** [[appendOnce]] with a crash-injection point for the replay tests:
-    * `failAt` ∈ {"staged", "intent", "half-moved", "moved"} throws after
-    * that protocol step, leaving exactly the torn state a real crash
-    * there would leave. */
+    * `failAt` ∈ {"staged", "intent", "half-moved", "moved", "marked"}
+    * throws after that protocol step, leaving exactly the torn (or, for
+    * "marked", committed-with-debris) state a real crash there would
+    * leave. */
   private[graft] def appendOnceImpl(spark: SparkSession, root: String,
                                     runId: String, batchId: Long,
                                     stage: String => Unit,
@@ -263,6 +264,7 @@ object IndexLifecycle {
     }
     if (failAt == "moved") throw new IllegalStateException("failpoint: moved")
     writeAtomic(spark, s"$root/$AppendsName", s"run-$tag", s"$batchId\n$runId")
+    if (failAt == "marked") throw new IllegalStateException("failpoint: marked")
     f.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
     f.delete(intentP, false)
     // committed batches never revisit their intent files — sweep this
@@ -288,13 +290,44 @@ object IndexLifecycle {
     }
 
   /** Intent-manifest names of torn (crashed-mid-protocol, not yet
-    * replayed) [[appendOnce]] batches pending on this artifact. */
-  def pendingIntents(spark: SparkSession, root: String): Seq[String] = {
+    * replayed) [[appendOnce]] batches pending on this artifact. An intent
+    * whose batch IS marked committed (a crash landed between the marker
+    * write and the debris cleanup) is NOT torn — its files are live data;
+    * it is excluded here and [[abandonTornAppends]] only sweeps its
+    * manifest. Without this distinction, abandoning such debris would
+    * DELETE COMMITTED DATA. */
+  def pendingIntents(spark: SparkSession, root: String): Seq[String] =
+    intentStatus(spark, root).collect { case (name, false) => name }
+
+  /** Every intent manifest under the artifact with its committed flag:
+    * (name, true) = stale debris of a committed batch (files are live),
+    * (name, false) = genuinely torn attempt (files are partial). */
+  private def intentStatus(spark: SparkSession,
+                           root: String): Seq[(String, Boolean)] = {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
     if (!f.exists(p)) Nil
-    else f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("intent-")).sorted
+    else {
+      val names = f.listStatus(p).toSeq.map(_.getPath.getName)
+      val lastByTag: Map[String, Long] = names
+        .filter(_.startsWith("run-"))
+        .flatMap { n =>
+          val mp = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n")
+          val in = f.open(mp)
+          val first = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().next().trim finally in.close()
+          first.toLongOption.map(n.stripPrefix("run-") -> _)
+        }.toMap
+      names.filter(_.startsWith("intent-")).sorted.map { n =>
+        val rest = n.stripPrefix("intent-")
+        val dash = rest.lastIndexOf('-')
+        val committed = dash > 0 &&
+          rest.substring(dash + 1).toLongOption.exists { b =>
+            lastByTag.get(rest.substring(0, dash)).exists(_ >= b)
+          }
+        (n, committed)
+      }
+    }
   }
 
   /** Discard every torn append as if its batch never ran: delete the
@@ -308,13 +341,18 @@ object IndexLifecycle {
   def abandonTornAppends(spark: SparkSession, root: String): Seq[String] = {
     val f = fs(spark, root)
     val dir = resolveDir(spark, root)
-    pendingIntents(spark, root).map { name =>
+    intentStatus(spark, root).map { case (name, committed) =>
       val intentP = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
-      val in = f.open(intentP)
-      val rels = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.nonEmpty).toList finally in.close()
-      rels.foreach(rel =>
-        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+      if (!committed) {
+        // genuinely torn: remove the partial live files the attempt moved
+        val in = f.open(intentP)
+        val rels = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toList finally in.close()
+        rels.foreach(rel =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+      }
+      // committed debris: the files are LIVE DATA — sweep only the
+      // manifest and staging leftovers
       f.delete(new org.apache.hadoop.fs.Path(
         s"$root/$StagingName/${name.stripPrefix("intent-")}"), true)
       f.delete(intentP, false)
@@ -449,10 +487,8 @@ object IndexLifecycle {
         .count(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
           s.getPath.getName.stripPrefix("v=").toLongOption.exists(_ != cur))
     }.getOrElse(0)
-    val appends = new org.apache.hadoop.fs.Path(s"$artifact/$AppendsName")
-    val pending =
-      if (!f.exists(appends)) 0
-      else f.listStatus(appends).count(_.getPath.getName.startsWith("intent-"))
+    // torn only: an intent whose batch committed is debris, not pending
+    val pending = pendingIntents(spark, artifact).size
     org.apache.spark.sql.Row(artifact, kind,
       version.map(Long.box).orNull, flags.toSeq, stale, pending)
   }

@@ -1364,6 +1364,56 @@ class StreamingSpec extends SparkSpec {
       "text", "doc_id", idx)
   }
 
+  test("an intent left by a crash AFTER the marker write is committed " +
+       "debris, not a torn append: compaction is not blocked, and abandon " +
+       "sweeps only the manifest — NEVER the committed batch's live files") {
+    import graft.operators.{IndexLifecycle, TermStats}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-marked-debris").toString
+    val idx = s"$dir/idx"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    val batch = Seq((2L, "spark spark tuning")).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnceAt(batch, "text", "doc_id", idx,
+        "run-a", 0L, failAt = "marked")
+    }
+    // committed: marker written, data live, only cleanup was lost
+    assert(IndexLifecycle.lastAppendedBatch(spark, idx, "run-a") == Some(0L))
+    assert(IndexLifecycle.pendingIntents(spark, idx).isEmpty,
+      "a committed batch's leftover intent must not read as torn")
+    // compaction proceeds over committed debris (nextVersion must not
+    // refuse on it) — run BEFORE the replay, which cleans the debris
+    TermStats.compactTextIndexInPlace(spark, idx)
+    assert(!TermStats.appendTextIndexOnce(batch, "text", "doc_id", idx,
+      "run-a", 0L), "replay must still no-op on the marker")
+
+    // recreate the debris state, then abandon: the manifest goes, the
+    // committed batch's rows must SURVIVE (the data-loss hazard)
+    val idx2 = s"$dir/idx2"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", idx2)
+    intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnceAt(batch, "text", "doc_id", idx2,
+        "run-a", 0L, failAt = "marked")
+    }
+    IndexLifecycle.abandonTornAppends(spark, idx2)
+    def bm25(p: String) = TermStats
+      .bm25TopKPrebuilt(spark, p, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = s"$dir/rebuilt"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview"), (2L, "spark spark tuning"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", rebuilt)
+    assert(bm25(idx2) == bm25(rebuilt),
+      "abandon deleted a COMMITTED batch's live files")
+    assert(bm25(idx) == bm25(rebuilt),
+      "compacted-over-debris artifact must carry the committed batch")
+  }
+
   test("streaming crawl keeps the PQ serving index fresh: appended " +
        "micro-batches == one-shot rebuild with the same frozen codebook") {
     // the vector half of the maintenance loop (the text half is the test
