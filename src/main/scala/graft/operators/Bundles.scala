@@ -137,6 +137,19 @@ object Bundles {
       if (allVersions) listVersions(f, artifactRoot)
       else Seq(version.getOrElse(cur))
     require(versions.nonEmpty, s"$artifactRoot holds no version directories")
+    // a torn replay-safe append leaves PARTIAL batch files inside the
+    // CURRENT version dir — a bundle including it would certify an
+    // inconsistent state as a backup (restored during a disaster, noticed
+    // never). Pinned non-current versions are immutable and unaffected.
+    if (versions.contains(cur)) {
+      val torn = IndexLifecycle.pendingIntents(spark, artifactRoot)
+      require(torn.isEmpty,
+        s"$artifactRoot has ${torn.size} torn append(s) pending " +
+          s"(${torn.mkString(", ")}) — the current version holds partial " +
+          "batch files; replay the batch to self-heal or " +
+          "IndexLifecycle.abandonTornAppends first (or export a pinned " +
+          "non-current version)")
+    }
     versions.foreach(v => require(
       f.exists(new Path(s"$artifactRoot/v=$v")),
       s"requested version $v missing under $artifactRoot"))
@@ -210,6 +223,15 @@ object Bundles {
    * back by flipping the pointer to the old version). Importing a
    * `_latest`-family bundle onto a `_current`-family artifact (or vice
    * versa) is a category error and refused.
+   *
+   * Replay contract: bundles carry VERSION DIRS only — no `_appends`
+   * replay markers — so a restored artifact has no memory of which
+   * (runId, batchId) appends its data already contains. A streaming
+   * query that maintained the original MUST redeploy against the restore
+   * with a FRESH checkpoint (new runId): resuming the old checkpoint
+   * would replay its last in-flight batch, and with the markers gone the
+   * replay guard cannot no-op it — the batch's rows, already inside the
+   * bundled version, would append again.
    */
   def importBundle(spark: SparkSession, bundlePath: String,
                    targetRoot: String, overwrite: Boolean = false): BundleInfo = {

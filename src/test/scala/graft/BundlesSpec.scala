@@ -37,6 +37,42 @@ class BundlesSpec extends SparkSpec {
     assert(bm25(dst) == want, "restored index must serve identically")
   }
 
+  test("export refuses a torn-append current version (a backup of partial " +
+       "batch files would certify an inconsistent artifact); pinned " +
+       "non-current versions and committed debris still export") {
+    val docs = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")
+    val src = tmp("graft-btorn") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    TermStats.compactTextIndexInPlace(spark, src) // v=2 current, v=1 pinned
+    intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnceAt(
+        Seq((3L, "d d b")).toDF("doc_id", "text"),
+        "text", "doc_id", src, "dead-run", 0L, failAt = "half-moved")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Bundles.exportBundle(spark, src, tmp("graft-btornb") + "/b")
+    }
+    assert(e.getMessage.contains("torn append"), s"$e")
+    // the immutable pinned version is unaffected by the current's tear
+    Bundles.exportBundle(spark, src, tmp("graft-bpin") + "/b",
+      version = Some(1L))
+    // self-heal, then export proceeds; committed debris (crash after the
+    // marker, intent left) must NOT block an export either
+    TermStats.appendTextIndexOnce(Seq((3L, "d d b")).toDF("doc_id", "text"),
+      "text", "doc_id", src, "dead-run", 0L)
+    intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnceAt(
+        Seq((4L, "e e")).toDF("doc_id", "text"),
+        "text", "doc_id", src, "dead-run", 1L, failAt = "marked")
+    }
+    val bundle = tmp("graft-bheal") + "/b"
+    Bundles.exportBundle(spark, src, bundle)
+    val dst = tmp("graft-bhealdst") + "/idx"
+    Bundles.importBundle(spark, bundle, dst)
+    assert(bm25(dst) == bm25(src),
+      "post-heal export must round trip the appended corpus")
+  }
+
   test("snapshot bundle round trip (the _latest pointer family): read() " +
        "and a version-pinned read come back equal") {
     val dir = tmp("graft-bsnap") + "/snap"
