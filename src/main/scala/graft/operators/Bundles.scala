@@ -224,14 +224,20 @@ object Bundles {
    * `_latest`-family bundle onto a `_current`-family artifact (or vice
    * versa) is a category error and refused.
    *
-   * Replay contract: bundles carry VERSION DIRS only — no `_appends`
-   * replay markers — so a restored artifact has no memory of which
-   * (runId, batchId) appends its data already contains. A streaming
-   * query that maintained the original MUST redeploy against the restore
-   * with a FRESH checkpoint (new runId): resuming the old checkpoint
-   * would replay its last in-flight batch, and with the markers gone the
-   * replay guard cannot no-op it — the batch's rows, already inside the
-   * bundled version, would append again.
+   * Replay contract — MACHINE-ENFORCED: bundles carry VERSION DIRS only —
+   * no `_appends` replay markers — so a restored artifact has no memory
+   * of which (runId, batchId) appends its data already contains. A
+   * streaming query that maintained the original MUST redeploy against
+   * the restore with a FRESH checkpoint (new runId): resuming the old
+   * checkpoint would replay its last in-flight batch, and with the
+   * markers gone the replay guard cannot no-op it — the batch's rows,
+   * already inside the bundled version, would append again. Every import
+   * therefore bumps the target's restore epoch
+   * ([[IndexLifecycle.markRestored]], written BEFORE the pointer flip so
+   * a crash between the two fails safe — a spurious refusal, never a
+   * silent double-append), and [[IndexLifecycle.appendOnce]] REFUSES any
+   * run whose marker predates the restore (or that resumes mid-stream
+   * with no post-restore marker) with the fresh-checkpoint instruction.
    */
   def importBundle(spark: SparkSession, bundlePath: String,
                    targetRoot: String, overwrite: Boolean = false): BundleInfo = {
@@ -338,6 +344,13 @@ object Bundles {
         }
         throw e
     }
+    // restore sentinel BEFORE the flip: once the imported data can be
+    // seen, the epoch fence is already up (a crash between the two leaves
+    // a bumped epoch over unchanged data — a loud spurious refusal for
+    // the maintaining stream, which is the safe direction; the reverse
+    // order would leave restored data an old checkpoint could silently
+    // double-append into)
+    IndexLifecycle.markRestored(spark, targetRoot, s"bundle=$bundlePath")
     // flip LAST — the import becomes visible atomically or not at all
     // (IndexLifecycle's atomic write-temp + rename + stale-tmp sweep, so a
     // crashed earlier import's pointer debris is also cleaned here)

@@ -159,30 +159,125 @@ object IndexLifecycle {
 
   private val AppendsName = "_appends"
   private val StagingName = "_staging"
+  private val RestoredName = "_restored"
 
   /** Filesystem-safe tag for a runId (which is often a checkpoint PATH —
-    * slashes and all); the raw id rides inside the marker file for audit. */
-  private def runTag(runId: String): String =
+    * slashes and all); the raw id rides inside the marker file so the tag
+    * is only an ADDRESS, never an identity — every read that acts on a
+    * marker re-compares the stored raw runId ([[lastAppendedBatch]]).
+    * Package-visible so the collision tests can plant a same-tag marker. */
+  private[graft] def runTag(runId: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(runId.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
 
-  /** Highest batchId committed into `root` by [[appendOnce]] under this
-    * runId — None if this run never committed here (raw append*
-    * maintenance leaves no markers). */
-  def lastAppendedBatch(spark: SparkSession, root: String,
-                        runId: String): Option[Long] = {
+  /** All lines of a small driver-side protocol file (markers, intents,
+    * sentinels — each a handful of short lines by construction). */
+  private def readLines(f: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Vector[String] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  /** Parse a marker file: (batchId, raw runId if recorded, restore-epoch
+    * stamp — 0 for a pre-epoch marker). Line 1 must be numeric (a marker
+    * holding garbage is corruption worth crashing on, not guessing at). */
+  private def parseMarker(f: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path)
+      : (Long, Option[String], Long) = {
+    val lines = readLines(f, p)
+    val first = lines.headOption.getOrElse("").trim
+    val batch = first.toLongOption.getOrElse(throw new IllegalStateException(
+      s"replay marker $p holds '$first', not a batch id"))
+    val raw = lines.lift(1).map(_.trim).filter(_.nonEmpty)
+    val epoch = lines.lift(2).flatMap(_.trim.toLongOption).getOrElse(0L)
+    (batch, raw, epoch)
+  }
+
+  /** This run's marker, COLLISION-CHECKED: the marker file is addressed
+    * by the 8-hex md5 tag, but acted on only when its stored raw runId
+    * (line 2) matches the caller's — a 2⁻³² tag collision between two
+    * distinct runIds must read as "no marker" (the colliding run's batch
+    * APPENDS — at worst a duplicate the verify layer sees — rather than
+    * silently no-opping on another run's high-water mark: data loss).
+    * Returns (batchId, marker's restore-epoch stamp). */
+  private def markerFor(spark: SparkSession, root: String,
+                        runId: String): Option[(Long, Long)] = {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(
       s"$root/$AppendsName/run-${runTag(runId)}")
     if (!f.exists(p)) None
     else {
-      val in = f.open(p)
-      val first = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next().trim finally in.close()
-      Some(first.toLongOption.getOrElse(throw new IllegalStateException(
-        s"replay marker $p holds '$first', not a batch id")))
+      val (batch, raw, epoch) = parseMarker(f, p)
+      if (raw.exists(_ != runId)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).error(
+          s"replay marker $p stores runId '${raw.get}' but resolved for " +
+            s"'$runId' — a 32-bit runTag collision between two live runIds; " +
+            "treating the marker as ABSENT so this run's batches append " +
+            "(the safe direction) instead of silently no-opping on the " +
+            "other run's progress")
+        None
+      } else Some((batch, epoch))
     }
+  }
+
+  /** Highest batchId committed into `root` by [[appendOnce]] under this
+    * runId — None if this run never committed here (raw append*
+    * maintenance leaves no markers), or if the tag-addressed marker
+    * belongs to a DIFFERENT runId (tag collision — logged loudly). */
+  def lastAppendedBatch(spark: SparkSession, root: String,
+                        runId: String): Option[Long] =
+    markerFor(spark, root, runId).map(_._1)
+
+  /** Every replay marker on the artifact: (tag, raw runId — "" for a
+    * legacy 1-line marker, last committed batchId). The fleet-audit view
+    * of "which stream last maintained this artifact and how far it got"
+    * ([[auditArtifacts]] exposes it per artifact). */
+  def runMarkers(spark: SparkSession, root: String)
+      : Seq[(String, String, Long)] = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("run-")).sorted
+      .map { n =>
+        val (batch, raw, _) = parseMarker(f,
+          new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"))
+        (n.stripPrefix("run-"), raw.getOrElse(""), batch)
+      }
+  }
+
+  /** How many times this artifact has been restored from a bundle — 0 for
+    * never. Bumped by [[markRestored]] (which [[graft.operators.Bundles]]
+    * calls on every import); [[appendOnce]] compares it against the
+    * epoch stamped into this run's marker to machine-enforce the
+    * "restore needs a fresh checkpoint" contract. */
+  def restoreEpoch(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$RestoredName")
+    if (!f.exists(p)) 0L
+    else {
+      val first = readLines(f, p).headOption.getOrElse("").trim
+      first.toLongOption.getOrElse(throw new IllegalStateException(
+        s"restore sentinel $p holds '$first', not an epoch number"))
+    }
+  }
+
+  /** Record that the artifact's data was just replaced by a restore
+    * (bundle import): bumps the restore epoch atomically and notes the
+    * source. From this point every [[appendOnce]] whose run has no
+    * post-restore marker (or a pre-restore one) REFUSES until the
+    * maintaining stream redeploys with a fresh checkpoint — the restored
+    * version dirs carry no memory of which (runId, batchId) appends they
+    * already contain, so replaying an old checkpoint would double-append
+    * committed batches and no-op genuinely new ones. */
+  def markRestored(spark: SparkSession, root: String,
+                   source: String): Long = {
+    val next = restoreEpoch(spark, root) + 1
+    writeAtomic(spark, s"$root/$AppendsName", RestoredName,
+      s"$next\n${source.replace('\n', ' ')}")
+    next
   }
 
   /**
@@ -197,6 +292,23 @@ object IndexLifecycle {
    * rule). BatchIds are only compared within one runId, so a redeployment
    * with a fresh checkpoint (batchIds restart at 0) is a NEW run — never
    * mistaken for the old run's progress.
+   *
+   * BatchIds MUST be monotone within a runId — the protocol classifies
+   * `batchId <= marker` as "already committed" (the no-op guard) and an
+   * intent below the marker as committed debris, both of which are only
+   * sound when a run never delivers a NEW batch under an old id.
+   * Spark's checkpointed micro-batch ids satisfy this by construction
+   * (a restart resumes AT the failed id, never below it); a hand-rolled
+   * caller inventing non-monotone ids would silently lose those batches.
+   *
+   * Two hard refusals guard the protocol's blind spots:
+   *  - a torn intent from ANOTHER run/batch pending on the artifact
+   *    (appending on top would bury partial files its replay must find —
+   *    the single-writer contract, enforced instead of assumed);
+   *  - a restore sentinel ([[markRestored]]) newer than this run's
+   *    marker (restored data has no memory of this run's appends — only
+   *    a FRESH checkpoint may maintain it; the machine-enforced form of
+   *    the [[graft.operators.Bundles.importBundle]] replay contract).
    */
   def appendOnce(spark: SparkSession, root: String, runId: String,
                  batchId: Long)(stage: String => Unit): Boolean =
@@ -218,21 +330,57 @@ object IndexLifecycle {
     val stagingRoot = s"$root/$StagingName/$tag-$batchId"
     val intentP = new org.apache.hadoop.fs.Path(
       s"$root/$AppendsName/intent-$tag-$batchId")
-    if (lastAppendedBatch(spark, root, runId).exists(_ >= batchId)) {
+    // restore enforcement FIRST — before the committed no-op guard: a
+    // marker predating the restore describes data this artifact no longer
+    // holds, so no-opping on it would silently DROP the replayed batch
+    val epoch = restoreEpoch(spark, root)
+    val marker = markerFor(spark, root, runId)
+    if (epoch > 0) marker match {
+      case Some((_, mEpoch)) if mEpoch < epoch =>
+        throw new IllegalStateException(
+          s"$root was restored from a bundle (restore epoch $epoch) after " +
+            s"this run's last committed append (marker epoch $mEpoch) — the " +
+            "restored version dirs have no memory of this run's batches, so " +
+            "resuming the old checkpoint would double-append batches already " +
+            "inside the bundle and silently no-op new ones; redeploy the " +
+            "maintaining stream with a FRESH checkpoint (new runId, batchIds " +
+            "from 0)")
+      case None if batchId > 0 =>
+        throw new IllegalStateException(
+          s"$root was restored from a bundle (restore epoch $epoch) and run " +
+            s"'$runId' has no post-restore marker yet delivers batchId=" +
+            s"$batchId — an OLD checkpoint resumed against restored data (a " +
+            "fresh checkpoint's batchIds restart at 0); redeploy with a " +
+            "FRESH checkpoint. If this run is fresh, call appendOnce for " +
+            "every batch from 0 (empty ones included) so the marker records " +
+            "post-restore progress")
+      case _ => ()
+    }
+    if (marker.exists(_._1 >= batchId)) {
       // committed — a crash between marker write and debris cleanup may
       // have left this batch's staging/intent behind; finish the cleanup
       f.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
       f.delete(intentP, false)
       return false
     }
+    // a torn intent from a DIFFERENT run/batch: appending on top would
+    // bury partial files ITS replay recovery must find — refuse (the
+    // single-writer contract enforced, mirroring the nextVersion guard)
+    val foreign = pendingIntents(spark, root)
+      .filterNot(_ == s"intent-$tag-$batchId")
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"$root has ${foreign.size} torn append(s) pending from another " +
+        s"run/batch (${foreign.mkString(", ")}) — appending on top would " +
+        "bury the partial files that run's replay must remove; let it " +
+        "replay to self-heal, or IndexLifecycle.abandonTornAppends(root) " +
+        "if its stream is gone for good")
     // torn previous attempt: the intent manifest lists every live file it
     // may have moved — delete them all (absent ones are no-ops), restage
     if (f.exists(intentP)) {
-      val in = f.open(intentP)
-      val rels = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.nonEmpty).toList finally in.close()
-      rels.foreach(rel =>
-        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+      readLines(f, intentP).map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .foreach(rel =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
     }
     f.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
     stage(stagingRoot)
@@ -251,8 +399,11 @@ object IndexLifecycle {
             rel.substring(slash + 1)
         (s.getPath, destRel)
       }
+    // header line carries the raw runId so intent↔marker classification
+    // ([[pendingIntents]]) compares identities, not 32-bit tags; readers
+    // skip '#' lines (no live file is ever named with a '#' prefix)
     writeAtomic(spark, s"$root/$AppendsName", s"intent-$tag-$batchId",
-      moves.map(_._2).mkString("\n"))
+      (s"#runId:$runId" +: moves.map(_._2)).mkString("\n"))
     if (failAt == "intent") throw new IllegalStateException("failpoint: intent")
     moves.zipWithIndex.foreach { case ((src, destRel), i) =>
       if (failAt == "half-moved" && i >= (moves.size + 1) / 2)
@@ -263,7 +414,12 @@ object IndexLifecycle {
         throw new IllegalStateException(s"append move $src -> $dest failed")
     }
     if (failAt == "moved") throw new IllegalStateException("failpoint: moved")
-    writeAtomic(spark, s"$root/$AppendsName", s"run-$tag", s"$batchId\n$runId")
+    // line 3 stamps the restore epoch the commit happened under — the
+    // proof appendOnce needs that this run's progress postdates the last
+    // restore (epoch read at call start: a restore racing this append is
+    // caught on the NEXT batch, which is the earliest anything could act)
+    writeAtomic(spark, s"$root/$AppendsName", s"run-$tag",
+      s"$batchId\n$runId\n$epoch")
     if (failAt == "marked") throw new IllegalStateException("failpoint: marked")
     f.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
     f.delete(intentP, false)
@@ -301,7 +457,12 @@ object IndexLifecycle {
 
   /** Every intent manifest under the artifact with its committed flag:
     * (name, true) = stale debris of a committed batch (files are live),
-    * (name, false) = genuinely torn attempt (files are partial). */
+    * (name, false) = genuinely torn attempt (files are partial).
+    * Classification matches intent to marker by the 8-hex tag AND — when
+    * both sides recorded it (post-r16 intents carry a `#runId:` header,
+    * markers line 2) — by the raw runId, so a 2⁻³² tag collision cannot
+    * launder another run's torn attempt into "committed debris" (whose
+    * partial files [[abandonTornAppends]] would then keep as live data). */
   private def intentStatus(spark: SparkSession,
                            root: String): Seq[(String, Boolean)] = {
     val f = fs(spark, root)
@@ -309,21 +470,29 @@ object IndexLifecycle {
     if (!f.exists(p)) Nil
     else {
       val names = f.listStatus(p).toSeq.map(_.getPath.getName)
-      val lastByTag: Map[String, Long] = names
+      val markerByTag: Map[String, (Long, Option[String])] = names
         .filter(_.startsWith("run-"))
         .flatMap { n =>
-          val mp = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n")
-          val in = f.open(mp)
-          val first = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().next().trim finally in.close()
-          first.toLongOption.map(n.stripPrefix("run-") -> _)
+          val (batch, raw, _) = parseMarker(f,
+            new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"))
+          Some(n.stripPrefix("run-") -> (batch, raw))
         }.toMap
       names.filter(_.startsWith("intent-")).sorted.map { n =>
         val rest = n.stripPrefix("intent-")
         val dash = rest.lastIndexOf('-')
+        val intentRunId = readLines(f,
+          new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"))
+          .headOption.filter(_.startsWith("#runId:"))
+          .map(_.stripPrefix("#runId:"))
         val committed = dash > 0 &&
           rest.substring(dash + 1).toLongOption.exists { b =>
-            lastByTag.get(rest.substring(0, dash)).exists(_ >= b)
+            markerByTag.get(rest.substring(0, dash)).exists {
+              case (mb, mraw) =>
+                mb >= b && ((intentRunId, mraw) match {
+                  case (Some(i), Some(m)) => i == m
+                  case _ => true // pre-r16 legacy: tag-only match
+                })
+            }
           }
         (n, committed)
       }
@@ -345,11 +514,10 @@ object IndexLifecycle {
       val intentP = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
       if (!committed) {
         // genuinely torn: remove the partial live files the attempt moved
-        val in = f.open(intentP)
-        val rels = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().map(_.trim).filter(_.nonEmpty).toList finally in.close()
-        rels.foreach(rel =>
-          f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+        readLines(f, intentP).map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .foreach(rel =>
+            f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
       }
       // committed debris: the files are LIVE DATA — sweep only the
       // manifest and staging leftovers
@@ -366,7 +534,7 @@ object IndexLifecycle {
    * Inventory every artifact under `root` (each child directory is an
    * artifact root; `root` itself counts when it directly holds a pointer
    * or parquet): (artifact, kind, version, legacy_flags, stale_versions,
-   * pending_intents) as a DataFrame. The legacy formats this engine
+   * pending_intents, run_markers, restore_epoch) as a DataFrame. The legacy formats this engine
    * REFUSES to grow (pre-dl text postings, pre-`_sn` / STRING-shingle
    * signature tables, term-dictionary-less text indexes) refuse loudly at
    * the call that would corrupt them — but nothing short of hitting that
@@ -412,7 +580,10 @@ object IndexLifecycle {
         case scala.util.Failure(e) =>
           org.apache.spark.sql.Row(c, "unknown", null,
             Seq(s"unreadable artifact: ${e.getMessage}"), 0,
-            scala.util.Try(pendingIntents(spark, c).size).getOrElse(0))
+            scala.util.Try(pendingIntents(spark, c).size).getOrElse(0),
+            scala.util.Try(runMarkers(spark, c).map { case (t, r, b) =>
+              org.apache.spark.sql.Row(t, r, b) }).getOrElse(Seq.empty),
+            scala.util.Try(restoreEpoch(spark, c)).getOrElse(0L))
       }
     }
     import scala.jdk.CollectionConverters._
@@ -431,7 +602,22 @@ object IndexLifecycle {
         org.apache.spark.sql.types.StructField("stale_versions",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("pending_intents",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        // which stream last maintained each artifact, and how far it got
+        // — a dead stream shows up as a marker whose batch stops moving
+        // while its peers advance (plus any pending_intents it left)
+        org.apache.spark.sql.types.StructField("run_markers",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("tag",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("run_id",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("last_batch",
+                org.apache.spark.sql.types.LongType, nullable = false))),
+            containsNull = false), nullable = false),
+        org.apache.spark.sql.types.StructField("restore_epoch",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   private def auditOne(spark: SparkSession,
@@ -489,8 +675,12 @@ object IndexLifecycle {
     }.getOrElse(0)
     // torn only: an intent whose batch committed is debris, not pending
     val pending = pendingIntents(spark, artifact).size
+    val markers = runMarkers(spark, artifact).map { case (t, r, b) =>
+      org.apache.spark.sql.Row(t, r, b)
+    }
     org.apache.spark.sql.Row(artifact, kind,
-      version.map(Long.box).orNull, flags.toSeq, stale, pending)
+      version.map(Long.box).orNull, flags.toSeq, stale, pending,
+      markers, restoreEpoch(spark, artifact))
   }
 
   /** Delete every non-current version directory plus any crashed-flip

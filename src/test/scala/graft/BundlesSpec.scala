@@ -194,6 +194,69 @@ class BundlesSpec extends SparkSpec {
     assert(TermStats.resolveIndexDir(spark, flat) == flat)
   }
 
+  test("restore replay contract is MACHINE-ENFORCED: an old checkpoint " +
+       "replaying against a restored artifact refuses loudly (never a " +
+       "silent double-append); a fresh checkpoint proceeds") {
+    val docs = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")
+    val src = tmp("graft-brc") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    val oldRun = "old-checkpoint"
+    assert(TermStats.appendTextIndexOnce(
+      Seq((3L, "d d b")).toDF("doc_id", "text"),
+      "text", "doc_id", src, oldRun, 0L))
+    assert(TermStats.appendTextIndexOnce(
+      Seq((4L, "b c d")).toDF("doc_id", "text"),
+      "text", "doc_id", src, oldRun, 1L))
+    val want = bm25(src)
+    val bundle = tmp("graft-brcb") + "/b"
+    Bundles.exportBundle(spark, src, bundle)
+
+    // DR restore to a fresh root: the resumed old checkpoint re-delivers
+    // its last in-flight batch (id 1, already inside the bundle). With no
+    // markers in the bundle this used to double-append on the scaladoc's
+    // honor system; the restore epoch now refuses it mechanically.
+    val dst = tmp("graft-brcd") + "/idx"
+    Bundles.importBundle(spark, bundle, dst)
+    val e1 = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((4L, "b c d")).toDF("doc_id", "text"),
+        "text", "doc_id", dst, oldRun, 1L)
+    }
+    assert(e1.getMessage.contains("FRESH checkpoint"), s"$e1")
+    assert(bm25(dst) == want, "the refused replay must not touch the data")
+
+    // import ONTO the live original (rollback shape): the old run's
+    // marker survives at the root but PREDATES the restore — equally
+    // refused (no-opping batch 2 on a pre-restore marker would drop it)
+    Bundles.importBundle(spark, bundle, src, overwrite = true)
+    val e2 = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((5L, "d d d")).toDF("doc_id", "text"),
+        "text", "doc_id", src, oldRun, 2L)
+    }
+    assert(e2.getMessage.contains("FRESH checkpoint"), s"$e2")
+
+    // the documented remediation works: a fresh checkpoint (batchIds
+    // restart at 0) appends, continues, and its own replays still no-op
+    val fresh = Seq((5L, "d d d")).toDF("doc_id", "text")
+    assert(TermStats.appendTextIndexOnce(fresh, "text", "doc_id", dst,
+      "new-checkpoint", 0L))
+    assert(TermStats.appendTextIndexOnce(
+      Seq((6L, "b b d")).toDF("doc_id", "text"),
+      "text", "doc_id", dst, "new-checkpoint", 1L))
+    assert(!TermStats.appendTextIndexOnce(
+      Seq((6L, "b b d")).toDF("doc_id", "text"),
+      "text", "doc_id", dst, "new-checkpoint", 1L),
+      "the fresh run's replay guard still no-ops its committed batches")
+    val rebuilt = tmp("graft-brcr") + "/idx"
+    TermStats.buildTextIndex(
+      docs.union(Seq((3L, "d d b"), (4L, "b c d"), (5L, "d d d"),
+        (6L, "b b d")).toDF("doc_id", "text")),
+      "text", "doc_id", rebuilt)
+    assert(bm25(dst) == bm25(rebuilt),
+      "restored + fresh-checkpoint-maintained artifact == rebuild")
+  }
+
   test("pinned-version export refuses a missing version; bundle paths are " +
        "write-once; pointer-family mixing is refused") {
     val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")

@@ -1414,6 +1414,130 @@ class StreamingSpec extends SparkSpec {
       "compacted-over-debris artifact must carry the committed batch")
   }
 
+  test("a 32-bit runTag collision cannot silently no-op another run's " +
+       "batch: the marker's stored raw runId is compared, a mismatch reads " +
+       "as NO marker, and the batch appends") {
+    // the r15 known nit: markers are ADDRESSED by an 8-hex md5 tag; two
+    // distinct runIds colliding on the tag (p ≈ 2⁻³²) must not let run B
+    // no-op on run A's high-water mark — that is silent data loss inside
+    // the very protocol built to prevent it. Simulate the collision by
+    // planting a marker at MY tag address stamped with ANOTHER raw runId.
+    import graft.operators.{IndexLifecycle, TermStats}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tag-collision").toString
+    val idx = s"$dir/idx"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    val myRun = "my-checkpoint"
+    val tag = IndexLifecycle.runTag(myRun)
+    val appends = java.nio.file.Paths.get(idx, "_appends")
+    java.nio.file.Files.createDirectories(appends)
+    java.nio.file.Files.write(appends.resolve(s"run-$tag"),
+      "7\nother-colliding-run\n0".getBytes("UTF-8"))
+    assert(IndexLifecycle.lastAppendedBatch(spark, idx, myRun).isEmpty,
+      "a marker stamped with another runId must read as absent")
+    // batchId 3 ≤ 7: a first-line-only read would no-op (dropping the
+    // batch); the collision-checked read must APPEND
+    val batch = Seq((2L, "spark spark tuning")).toDF("doc_id", "text")
+    assert(TermStats.appendTextIndexOnce(batch, "text", "doc_id", idx,
+      myRun, 3L), "colliding-tag batch must append, not no-op")
+    assert(IndexLifecycle.lastAppendedBatch(spark, idx, myRun) == Some(3L),
+      "the committed marker now belongs to THIS run")
+    val idx2 = s"$dir/rebuilt"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview"), (2L, "spark spark tuning"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx2)
+    def bm25(p: String) = TermStats
+      .bm25TopKPrebuilt(spark, p, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm25(idx) == bm25(idx2),
+      "post-collision artifact must equal the exactly-once rebuild")
+
+    // the torn-intent classifier is equally collision-proof: an intent
+    // whose #runId header differs from the same-tag marker's raw runId
+    // must classify TORN (committed-debris status would hand its partial
+    // files to abandonTornAppends as live data)
+    java.nio.file.Files.write(appends.resolve(s"intent-$tag-2"),
+      "#runId:some-other-run".getBytes("UTF-8"))
+    assert(IndexLifecycle.pendingIntents(spark, idx)
+      .contains(s"intent-$tag-2"),
+      "a same-tag/different-runId intent below the marker must stay torn")
+    // while a matching-runId intent below the marker IS committed debris
+    java.nio.file.Files.write(appends.resolve(s"intent-$tag-1"),
+      s"#runId:$myRun".getBytes("UTF-8"))
+    assert(!IndexLifecycle.pendingIntents(spark, idx)
+      .contains(s"intent-$tag-1"),
+      "a matching-runId intent below the marker is committed debris")
+    IndexLifecycle.abandonTornAppends(spark, idx)
+  }
+
+  test("appendOnce REFUSES while a torn append from ANOTHER run is " +
+       "pending (appending on top would bury the partial files its replay " +
+       "must remove); the torn run's own replay still self-heals") {
+    import graft.operators.TermStats
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-foreign-intent").toString
+    val idx = s"$dir/idx"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    val torn = Seq((2L, "spark spark tuning")).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnceAt(torn, "text", "doc_id", idx,
+        "dead-run", 0L, failAt = "half-moved")
+    }
+    val mine = Seq((3L, "more spark content")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(mine, "text", "doc_id", idx,
+        "live-run", 0L)
+    }
+    assert(e.getMessage.contains("another run"), s"$e")
+    // the torn run's own replay self-heals, after which the other run
+    // proceeds — final state == exactly-once rebuild of all three docs
+    assert(TermStats.appendTextIndexOnce(torn, "text", "doc_id", idx,
+      "dead-run", 0L))
+    assert(TermStats.appendTextIndexOnce(mine, "text", "doc_id", idx,
+      "live-run", 0L))
+    val idx2 = s"$dir/rebuilt"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview"), (2L, "spark spark tuning"),
+        (3L, "more spark content")).toDF("doc_id", "text"),
+      "text", "doc_id", idx2)
+    def bm25(p: String) = TermStats
+      .bm25TopKPrebuilt(spark, p, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm25(idx) == bm25(idx2))
+  }
+
+  test("auditArtifacts reports replay state per artifact: run markers " +
+       "(tag, raw runId, last batch) and the restore epoch") {
+    import graft.operators.{IndexLifecycle, TermStats}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-audit-replay").toString
+    val idx = s"$dir/idx"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    TermStats.appendTextIndexOnce(
+      Seq((2L, "spark tuning")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, "audit-run", 0L)
+    TermStats.appendTextIndexOnce(
+      Seq((3L, "spark at scale")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, "audit-run", 1L)
+    def auditRow() = IndexLifecycle.auditArtifacts(spark, dir)
+      .collect().find(_.getString(0).endsWith("/idx")).get
+    val row = auditRow()
+    val markers = row.getSeq[org.apache.spark.sql.Row](6)
+    assert(markers.map(m => (m.getString(0), m.getString(1), m.getLong(2)))
+      == Seq((IndexLifecycle.runTag("audit-run"), "audit-run", 1L)),
+      s"unexpected run_markers: $markers")
+    assert(row.getLong(7) == 0L, "never-restored artifact: epoch 0")
+    IndexLifecycle.markRestored(spark, idx, "test-restore")
+    assert(auditRow().getLong(7) == 1L,
+      "restore epoch must surface in the audit")
+  }
+
   test("streaming crawl keeps the PQ serving index fresh: appended " +
        "micro-batches == one-shot rebuild with the same frozen codebook") {
     // the vector half of the maintenance loop (the text half is the test
