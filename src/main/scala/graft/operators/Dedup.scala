@@ -174,8 +174,10 @@ object Dedup {
     * a micro-batch driver should call [[appendSignaturesOnce]], which
     * rides the [[IndexLifecycle.appendOnce]] replay guard. */
   def appendSignatures(df: DataFrame, textCol: String, keyCol: String,
-                       path: String, shingleN: Int = 3, numHashes: Int = 16): Unit =
-    signatureAppendPlan(df, textCol, keyCol, path, shingleN, numHashes)
+                       path: String, shingleN: Int = 3, numHashes: Int = 16,
+                       allowUnverifiedWidth: Boolean = false): Unit =
+    signatureAppendPlan(df, textCol, keyCol, path, shingleN, numHashes,
+        allowUnverifiedWidth)
       .write.mode("append")
       .parquet(IndexLifecycle.resolveDir(df.sparkSession, path))
 
@@ -186,12 +188,14 @@ object Dedup {
     * replay no-op. `runId`: restart-stable (checkpoint path / `query.id`). */
   def appendSignaturesOnce(df: DataFrame, textCol: String, keyCol: String,
                            path: String, runId: String, batchId: Long,
-                           shingleN: Int = 3, numHashes: Int = 16): Boolean =
+                           shingleN: Int = 3, numHashes: Int = 16,
+                           allowUnverifiedWidth: Boolean = false): Boolean =
     // plan construction (and its eager artifact guards — a head(1) job)
     // stays inside the callback: a no-op replay must run no Spark action
     IndexLifecycle.appendOnce(df.sparkSession, path, runId, batchId) {
       staging =>
-        signatureAppendPlan(df, textCol, keyCol, path, shingleN, numHashes)
+        signatureAppendPlan(df, textCol, keyCol, path, shingleN, numHashes,
+            allowUnverifiedWidth)
           .write.mode("overwrite").parquet(staging)
     }
 
@@ -200,7 +204,8 @@ object Dedup {
     * disciplines write identical bytes; only where/how differs). */
   private def signatureAppendPlan(df: DataFrame, textCol: String,
                                   keyCol: String, path: String,
-                                  shingleN: Int, numHashes: Int): DataFrame = {
+                                  shingleN: Int, numHashes: Int,
+                                  allowUnverifiedWidth: Boolean): DataFrame = {
     val spark = df.sparkSession
     val dir = IndexLifecycle.resolveDir(spark, path)
     val existing = spark.read.parquet(dir)
@@ -217,11 +222,18 @@ object Dedup {
     // guard above can only check numHashes for it. Nudge loudly: the
     // artifacts most likely to carry a forgotten non-default shingleN are
     // exactly the ones the guard cannot protect
-    if (!existing.columns.contains("_sn"))
+    if (!existing.columns.contains("_sn")) {
+      require(allowUnverifiedWidth,
+        s"appendSignatures: $path is a pre-_sn legacy artifact, so shingleN=" +
+          s"$shingleN CANNOT be verified against its build — a mismatch " +
+          "silently zeroes every exact-Jaccard verify. Rebuild with " +
+          "buildSignatures (stamps _sn), or pass allowUnverifiedWidth=true " +
+          "after confirming the original build parameter out-of-band")
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"appendSignatures: $path is a pre-_sn legacy artifact — shingleN=" +
-          s"$shingleN is UNVERIFIED against its build; rebuild with " +
-          "buildSignatures to enable the mismatch guard")
+          s"$shingleN is UNVERIFIED against its build (allowUnverifiedWidth" +
+          "=true); rebuild with buildSignatures to enable the mismatch guard")
+    }
     // a pre-hashed-verify artifact stores _sh as shingle STRINGS; the
     // current plan emits hash32 ints. Appending would write two
     // incompatible parquet element types into one directory, corrupting
@@ -683,7 +695,8 @@ object Dedup {
     * warning — the [[appendSignatures]] legacy rules verbatim. */
   private def postingsPlanGuarded(df: DataFrame, textCol: String,
                                   keyCol: String, path: String,
-                                  shingleN: Int): DataFrame = {
+                                  shingleN: Int,
+                                  allowUnverifiedWidth: Boolean): DataFrame = {
     val spark = df.sparkSession
     val existing = spark.read.parquet(IndexLifecycle.resolveDir(spark, path))
     val plan = postingsPlan(df, textCol, keyCol, shingleN)
@@ -697,10 +710,18 @@ object Dedup {
       }
       plan
     } else {
+      require(allowUnverifiedWidth,
+        s"appendShinglePostings: $path is a pre-_sn legacy artifact, so " +
+          s"shingleN=$shingleN CANNOT be verified against its build — " +
+          "mixed widths share ~no hashes and collapse every containment " +
+          "ratio. Rebuild with buildShinglePostings (stamps _sn), or pass " +
+          "allowUnverifiedWidth=true after confirming the original build " +
+          "parameter out-of-band")
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"appendShinglePostings: $path is a pre-_sn legacy artifact — " +
-          s"shingleN=$shingleN is UNVERIFIED against its build; rebuild " +
-          "with buildShinglePostings to enable the mismatch guard")
+          s"shingleN=$shingleN is UNVERIFIED against its build " +
+          "(allowUnverifiedWidth=true); rebuild with buildShinglePostings " +
+          "to enable the mismatch guard")
       plan.drop("_sn")
     }
   }
@@ -726,8 +747,10 @@ object Dedup {
     * postings are per-(doc, shingle) rows, so new docs only ADD rows —
     * one append-mode write into the current version, nothing re-read. */
   def appendShinglePostings(df: DataFrame, textCol: String, keyCol: String,
-                            path: String, shingleN: Int = 3): Unit =
-    postingsPlanGuarded(df, textCol, keyCol, path, shingleN)
+                            path: String, shingleN: Int = 3,
+                            allowUnverifiedWidth: Boolean = false): Unit =
+    postingsPlanGuarded(df, textCol, keyCol, path, shingleN,
+        allowUnverifiedWidth)
       .write.mode("append")
       .parquet(IndexLifecycle.resolveDir(df.sparkSession, path))
 
@@ -740,9 +763,11 @@ object Dedup {
     * restart-stable (checkpoint path / `query.id`). */
   def appendShinglePostingsOnce(df: DataFrame, textCol: String,
                                 keyCol: String, path: String, runId: String,
-                                batchId: Long, shingleN: Int = 3): Boolean =
+                                batchId: Long, shingleN: Int = 3,
+                                allowUnverifiedWidth: Boolean = false): Boolean =
     IndexLifecycle.appendOnce(df.sparkSession, path, runId, batchId) {
-      staging => postingsPlanGuarded(df, textCol, keyCol, path, shingleN)
+      staging => postingsPlanGuarded(df, textCol, keyCol, path, shingleN,
+          allowUnverifiedWidth)
         .write.mode("overwrite").parquet(staging)
     }
 
@@ -1081,8 +1106,10 @@ object Dedup {
     * a reader that listed before the append sees a consistent older
     * state (single-writer contract: never concurrent with a compact). */
   def appendGramIndex(batch: DataFrame, textCol: String, keyCol: String,
-                      indexPath: String, k: Int = 8): Unit =
-    gramPlanGuarded(batch, textCol, keyCol, indexPath, k)
+                      indexPath: String, k: Int = 8,
+                      allowUnverifiedWidth: Boolean = false): Unit =
+    gramPlanGuarded(batch, textCol, keyCol, indexPath, k,
+        allowUnverifiedWidth)
       .write.mode("append")
       .parquet(IndexLifecycle.resolveDir(batch.sparkSession, indexPath))
 
@@ -1095,9 +1122,11 @@ object Dedup {
     * (checkpoint path / `query.id`). */
   def appendGramIndexOnce(batch: DataFrame, textCol: String, keyCol: String,
                           indexPath: String, runId: String, batchId: Long,
-                          k: Int = 8): Boolean =
+                          k: Int = 8,
+                          allowUnverifiedWidth: Boolean = false): Boolean =
     IndexLifecycle.appendOnce(batch.sparkSession, indexPath, runId, batchId) {
-      staging => gramPlanGuarded(batch, textCol, keyCol, indexPath, k)
+      staging => gramPlanGuarded(batch, textCol, keyCol, indexPath, k,
+          allowUnverifiedWidth)
         .write.mode("overwrite").parquet(staging)
     }
 
@@ -1116,7 +1145,8 @@ object Dedup {
     * drops `_gk`) and warns — the [[appendSignatures]] legacy rules. */
   private def gramPlanGuarded(batch: DataFrame, textCol: String,
                               keyCol: String, indexPath: String,
-                              k: Int): DataFrame = {
+                              k: Int,
+                              allowUnverifiedWidth: Boolean): DataFrame = {
     val spark = batch.sparkSession
     val existing =
       spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
@@ -1130,10 +1160,16 @@ object Dedup {
       }
       plan
     } else {
+      require(allowUnverifiedWidth,
+        s"appendGramIndex: $indexPath is a pre-_gk legacy artifact, so " +
+          s"k=$k CANNOT be verified against its build — mixed gram widths " +
+          "fire substring stripping on phantom repeats. Rebuild with " +
+          "buildGramIndex (stamps _gk), or pass allowUnverifiedWidth=true " +
+          "after confirming the original build parameter out-of-band")
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"appendGramIndex: $indexPath is a pre-_gk legacy artifact — k=$k " +
-          "is UNVERIFIED against its build; rebuild with buildGramIndex " +
-          "to enable the mismatch guard")
+          "is UNVERIFIED against its build (allowUnverifiedWidth=true); " +
+          "rebuild with buildGramIndex to enable the mismatch guard")
       plan.drop("_gk")
     }
   }

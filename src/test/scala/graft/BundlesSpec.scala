@@ -257,6 +257,31 @@ class BundlesSpec extends SparkSpec {
       "restored + fresh-checkpoint-maintained artifact == rebuild")
   }
 
+  test("import onto a live target REFUSES while the target has torn " +
+       "appends pending (post-import abandon would sweep the intent while " +
+       "the partial files stay in the old version — a rollback would then " +
+       "serve them with no record left)") {
+    val docs = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")
+    val src = tmp("graft-btt-src") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    val bundle = tmp("graft-btt-b") + "/b"
+    Bundles.exportBundle(spark, src, bundle)
+    val live = tmp("graft-btt-live") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", live)
+    intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnceAt(
+        Seq((3L, "d d b")).toDF("doc_id", "text"),
+        "text", "doc_id", live, "dead-run", 0L, failAt = "half-moved")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Bundles.importBundle(spark, bundle, live, overwrite = true)
+    }
+    assert(e.getMessage.contains("torn append"), s"$e")
+    IndexLifecycle.abandonTornAppends(spark, live)
+    Bundles.importBundle(spark, bundle, live, overwrite = true)
+    assert(bm25(live) == bm25(src))
+  }
+
   test("pinned-version export refuses a missing version; bundle paths are " +
        "write-once; pointer-family mixing is refused") {
     val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")

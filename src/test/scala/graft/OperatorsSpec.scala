@@ -2434,7 +2434,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("gram and shingle artifacts store their build width (_gk/_sn): " +
        "mismatched appends and probes refuse loudly, compaction preserves " +
-       "the stamp, legacy artifacts warn-and-append unguarded") {
+       "the stamp, legacy appends need an explicit unverified-width opt-in") {
     val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val more = Seq((2L, "a b c d e f g h i k")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-widths").toString
@@ -2477,16 +2477,41 @@ class OperatorsSpec extends SparkSpec {
     assert(e6.getMessage.contains("shingleN=3"))
     Dedup.appendShinglePostings(more, "text", "doc_id", s"$dir/sh", shingleN = 3)
 
-    // legacy artifacts (no stamp column) stay appendable with uniform
-    // schema — the guard cannot fire, the append must not grow _gk/_sn
+    // legacy artifacts (no stamp column): the guard CANNOT verify the
+    // width, so a bare append refuses with the rebuild/override hint —
+    // a wrong k silently collapses ratios, the one failure mode worse
+    // than an exception. The explicit opt-in appends with uniform schema
+    // (must not grow _gk/_sn into a stampless directory).
     Seq((11L, 5L)).toDF("_h", "_n").write.parquet(s"$dir/gleg")
-    Dedup.appendGramIndex(more, "text", "doc_id", s"$dir/gleg", k = 4)
+    val e7 = intercept[IllegalArgumentException] {
+      Dedup.appendGramIndex(more, "text", "doc_id", s"$dir/gleg", k = 4)
+    }
+    assert(e7.getMessage.contains("allowUnverifiedWidth"), s"$e7")
+    Dedup.appendGramIndex(more, "text", "doc_id", s"$dir/gleg", k = 4,
+      allowUnverifiedWidth = true)
     assert(spark.read.parquet(s"$dir/gleg").columns.sorted.toSeq ==
       Seq("_h", "_n"), "legacy gram append must not mix schemas")
     Seq((1L, 7)).toDF("_k", "_s").write.parquet(s"$dir/shleg")
-    Dedup.appendShinglePostings(more, "text", "doc_id", s"$dir/shleg")
+    val e8 = intercept[IllegalArgumentException] {
+      Dedup.appendShinglePostings(more, "text", "doc_id", s"$dir/shleg")
+    }
+    assert(e8.getMessage.contains("allowUnverifiedWidth"), s"$e8")
+    Dedup.appendShinglePostings(more, "text", "doc_id", s"$dir/shleg",
+      allowUnverifiedWidth = true)
     assert(spark.read.parquet(s"$dir/shleg").columns.sorted.toSeq ==
       Seq("_k", "_s"), "legacy shingle append must not mix schemas")
+    // the signature family has the same discipline (pre-_sn artifact)
+    Seq((1L, Seq(101, 102), (1L to 16L).toSeq))
+      .toDF("doc_id", "_sh", "_sig").write.parquet(s"$dir/sigleg")
+    val e9 = intercept[IllegalArgumentException] {
+      Dedup.appendSignatures(more, "text", "doc_id", s"$dir/sigleg",
+        shingleN = 5, numHashes = 16)
+    }
+    assert(e9.getMessage.contains("allowUnverifiedWidth"), s"$e9")
+    Dedup.appendSignatures(more, "text", "doc_id", s"$dir/sigleg",
+      shingleN = 3, numHashes = 16, allowUnverifiedWidth = true)
+    assert(!spark.read.parquet(s"$dir/sigleg").columns.contains("_sn"),
+      "legacy signature append must not mix schemas")
   }
 
   test("auditArtifacts inventories kinds, versions, legacy flags, stale " +

@@ -133,6 +133,14 @@ def main(small_path, big_path, threshold=12.0, min_marginal=0.25,
         "failed_at_small": failed_small,
         "top_growth": dict(sorted(growth.items(), key=lambda kv: -kv[1])[:15]),
         "n_compared": len(growth),
+        # shared-box context recorded by Bench alongside each record: a
+        # flag produced under heavy outside load carries its explanation
+        "env": {
+            which: {k: rec.get("_" + k) for k in
+                    ("load_before", "load_after", "load_peak_1m",
+                     "cpu_steal_pct") if "_" + k in rec}
+            for which, rec in (("small", raw_small), ("big", raw_big))
+        },
     }
     print(json.dumps(report, indent=1))
     return 1 if flagged else 0
