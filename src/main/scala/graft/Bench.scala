@@ -221,8 +221,11 @@ object Bench {
       val cpu = try stat.getLines().find(_.startsWith("cpu ")).getOrElse("")
       finally stat.close()
       val ticks = cpu.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
+      // total = first 8 fields (user..steal): guest/guest_nice are already
+      // folded into user/nice by the kernel — summing them too would
+      // deflate the steal%% exactly when the shared box is busiest
       (la(0).toDouble, la(1).toDouble,
-        if (ticks.length > 7) ticks(7) else 0L, ticks.sum)
+        if (ticks.length > 7) ticks(7) else 0L, ticks.take(8).sum)
     } catch { case scala.util.control.NonFatal(_) => (0.0, 0.0, 0L, 0L) }
 
   /** Run tools/bench_oracle.py (DuckDB, driver-side) over this suite's

@@ -193,8 +193,22 @@ object Bundles {
           s"source after the inventory listing (e.g. ${missed.head}) — " +
           "re-run the export (or export a pinned non-current version, " +
           "which is immutable)")
+      // old-run inventory: the raw runIds of every replay marker on the
+      // source ride in the manifest so importBundle can BLOCK exactly
+      // those runs on the restored artifact — closing the batch-0 replay
+      // window no fresh-vs-resumed heuristic can close (a redelivered
+      // batch 0 and a fresh run's batch 0 look identical by batchId).
+      // A raw-less legacy marker makes the inventory incomplete, and the
+      // import falls back to the strict mid-stream heuristic.
+      val markerIds = IndexLifecycle.runMarkers(spark, artifactRoot)
+      val runLines =
+        Seq(s"runs=${if (markerIds.forall(_._2.nonEmpty)) "complete"
+                     else "incomplete"}") ++
+          markerIds.collect { case (_, id, _) if id.nonEmpty =>
+            s"run=${id.replace('\n', ' ')}" }
       // manifest LAST: its presence certifies a complete bundle
       val lines = Seq(Header, s"pointer=$pname", s"current=$bundleCurrent") ++
+        runLines ++
         versions.sorted.map(v => s"version=$v") ++
         inv.sorted.map { case (p, n) => s"file\t$p\t$n" }
       val out = bf.create(new Path(s"$bundlePath/$ManifestName"), false)
@@ -236,8 +250,14 @@ object Bundles {
    * ([[IndexLifecycle.markRestored]], written BEFORE the pointer flip so
    * a crash between the two fails safe — a spurious refusal, never a
    * silent double-append), and [[IndexLifecycle.appendOnce]] REFUSES any
-   * run whose marker predates the restore (or that resumes mid-stream
-   * with no post-restore marker) with the fresh-checkpoint instruction.
+   * run whose marker predates the restore with the fresh-checkpoint
+   * instruction. The manifest additionally ships the SOURCE's marker
+   * inventory (`runs=`/`run=` lines — run identity, not batch progress),
+   * so the import can block exactly the runs whose appends the bundled
+   * data already contains, even at batchId 0 (where a redelivery and a
+   * fresh start are indistinguishable by batchId); a legacy manifest
+   * without the inventory falls back to refusing markerless runs that
+   * resume mid-stream (batchId > 0).
    */
   def importBundle(spark: SparkSession, bundlePath: String,
                    targetRoot: String, overwrite: Boolean = false): BundleInfo = {
@@ -364,8 +384,16 @@ object Bundles {
     // a bumped epoch over unchanged data — a loud spurious refusal for
     // the maintaining stream, which is the safe direction; the reverse
     // order would leave restored data an old checkpoint could silently
-    // double-append into)
-    IndexLifecycle.markRestored(spark, targetRoot, s"bundle=$bundlePath")
+    // double-append into). Blocked runs = the bundle's shipped inventory
+    // plus the target's own pre-import markers; completeness holds only
+    // when the bundle recorded its source's runs (post-r16 manifests).
+    val bundleRuns = lines.filter(_.startsWith("run="))
+      .map(_.stripPrefix("run="))
+    val runsComplete = lines.exists(_.trim == "runs=complete")
+    val targetRuns = IndexLifecycle.runMarkers(spark, targetRoot)
+      .map(_._2).filter(_.nonEmpty)
+    IndexLifecycle.markRestored(spark, targetRoot, s"bundle=$bundlePath",
+      oldRunsComplete = runsComplete, oldRuns = bundleRuns ++ targetRuns)
     // flip LAST — the import becomes visible atomically or not at all
     // (IndexLifecycle's atomic write-temp + rename + stale-tmp sweep, so a
     // crashed earlier import's pointer debris is also cleaned here)

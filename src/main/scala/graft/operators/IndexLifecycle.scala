@@ -233,18 +233,28 @@ object IndexLifecycle {
   /** Every replay marker on the artifact: (tag, raw runId — "" for a
     * legacy 1-line marker, last committed batchId). The fleet-audit view
     * of "which stream last maintained this artifact and how far it got"
-    * ([[auditArtifacts]] exposes it per artifact). */
+    * ([[auditArtifacts]] exposes it per artifact); also the source of the
+    * old-run inventory [[graft.operators.Bundles.exportBundle]] ships so
+    * a restore can block exactly those runs. Crashed-writeAtomic
+    * `*.tmp.*` debris and corrupt (unparseable) markers are skipped with
+    * a warning — an audit view must degrade, not crash. */
   def runMarkers(spark: SparkSession, root: String)
       : Seq[(String, String, Long)] = {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
     if (!f.exists(p)) Nil
     else f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("run-")).sorted
-      .map { n =>
-        val (batch, raw, _) = parseMarker(f,
-          new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"))
-        (n.stripPrefix("run-"), raw.getOrElse(""), batch)
+      .filter(n => n.startsWith("run-") && !n.contains(".tmp.")).sorted
+      .flatMap { n =>
+        val mp = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n")
+        scala.util.Try(parseMarker(f, mp)).toOption match {
+          case Some((batch, raw, _)) =>
+            Some((n.stripPrefix("run-"), raw.getOrElse(""), batch))
+          case None =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"skipping corrupt replay marker $mp in the marker inventory")
+            None
+        }
       }
   }
 
@@ -253,30 +263,53 @@ object IndexLifecycle {
     * calls on every import); [[appendOnce]] compares it against the
     * epoch stamped into this run's marker to machine-enforce the
     * "restore needs a fresh checkpoint" contract. */
-  def restoreEpoch(spark: SparkSession, root: String): Long = {
+  def restoreEpoch(spark: SparkSession, root: String): Long =
+    restoreInfo(spark, root)._1
+
+  /** Parsed `_restored` sentinel: (epoch, old-run inventory complete?,
+    * blocked old runIds). (0, true, empty) when never restored. */
+  private def restoreInfo(spark: SparkSession, root: String)
+      : (Long, Boolean, Set[String]) = {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$RestoredName")
-    if (!f.exists(p)) 0L
-    else {
-      val first = readLines(f, p).headOption.getOrElse("").trim
-      first.toLongOption.getOrElse(throw new IllegalStateException(
-        s"restore sentinel $p holds '$first', not an epoch number"))
-    }
+    if (!f.exists(p)) (0L, true, Set.empty)
+    else parseRestored(readLines(f, p), p.toString)
+  }
+
+  private def parseRestored(lines: Vector[String],
+                            where: String): (Long, Boolean, Set[String]) = {
+    val first = lines.headOption.getOrElse("").trim
+    val epoch = first.toLongOption.getOrElse(throw new IllegalStateException(
+      s"restore sentinel $where holds '$first', not an epoch number"))
+    (epoch, lines.exists(_.trim == "runs=complete"),
+      lines.filter(_.startsWith("run:")).map(_.stripPrefix("run:")).toSet)
   }
 
   /** Record that the artifact's data was just replaced by a restore
-    * (bundle import): bumps the restore epoch atomically and notes the
-    * source. From this point every [[appendOnce]] whose run has no
-    * post-restore marker (or a pre-restore one) REFUSES until the
-    * maintaining stream redeploys with a fresh checkpoint — the restored
-    * version dirs carry no memory of which (runId, batchId) appends they
-    * already contain, so replaying an old checkpoint would double-append
-    * committed batches and no-op genuinely new ones. */
-  def markRestored(spark: SparkSession, root: String,
-                   source: String): Long = {
-    val next = restoreEpoch(spark, root) + 1
+    * (bundle import): bumps the restore epoch atomically, notes the
+    * source, and records which old runIds the restored data already
+    * contains appends from (`oldRuns`, typically the bundle's shipped
+    * marker inventory plus the target's own pre-import markers). From
+    * this point [[appendOnce]] REFUSES any blocked run at ANY batchId
+    * (even 0 — the one case a fresh-vs-resumed heuristic cannot tell
+    * apart) and any run whose marker predates the restore; when
+    * `oldRunsComplete` is false (a legacy bundle that shipped no
+    * inventory) it falls back to refusing every markerless run that
+    * resumes mid-stream (batchId > 0). The blocked set and the
+    * completeness flag accumulate across successive imports —
+    * completeness survives only if EVERY import knew its source's runs. */
+  def markRestored(spark: SparkSession, root: String, source: String,
+                   oldRunsComplete: Boolean = false,
+                   oldRuns: Seq[String] = Nil): Long = {
+    val (prevEpoch, prevKnown, prevRuns) = restoreInfo(spark, root)
+    val next = prevEpoch + 1
+    val known = (prevEpoch == 0L || prevKnown) && oldRunsComplete
+    val runs = prevRuns ++ oldRuns.filter(_.nonEmpty)
     writeAtomic(spark, s"$root/$AppendsName", RestoredName,
-      s"$next\n${source.replace('\n', ' ')}")
+      (Seq(next.toString, source.replace('\n', ' '),
+        if (known) "runs=complete" else "runs=unknown") ++
+        runs.toSeq.sorted.map("run:" + _.replace('\n', ' ')))
+        .mkString("\n"))
     next
   }
 
@@ -330,11 +363,21 @@ object IndexLifecycle {
     val stagingRoot = s"$root/$StagingName/$tag-$batchId"
     val intentP = new org.apache.hadoop.fs.Path(
       s"$root/$AppendsName/intent-$tag-$batchId")
+    // ONE _appends listing serves the restore guard, the replay guard,
+    // and the foreign-intent check — on an object store each listing is
+    // a network round trip, and this path runs once per micro-batch
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
+    val names: Seq[String] =
+      if (!f.exists(appendsPath)) Nil
+      else f.listStatus(appendsPath).toSeq.map(_.getPath.getName)
     // restore enforcement FIRST — before the committed no-op guard: a
     // marker predating the restore describes data this artifact no longer
     // holds, so no-opping on it would silently DROP the replayed batch
-    val epoch = restoreEpoch(spark, root)
-    val marker = markerFor(spark, root, runId)
+    val (epoch, runsComplete, blockedRuns) =
+      if (!names.contains(RestoredName)) (0L, true, Set.empty[String])
+      else restoreInfo(spark, root)
+    val marker =
+      if (names.contains(s"run-$tag")) markerFor(spark, root, runId) else None
     if (epoch > 0) marker match {
       case Some((_, mEpoch)) if mEpoch < epoch =>
         throw new IllegalStateException(
@@ -345,12 +388,24 @@ object IndexLifecycle {
             "inside the bundle and silently no-op new ones; redeploy the " +
             "maintaining stream with a FRESH checkpoint (new runId, batchIds " +
             "from 0)")
-      case None if batchId > 0 =>
+      case None if blockedRuns.contains(runId) =>
+        // the bundle shipped its source's marker inventory, so even a
+        // batch-0 redelivery — indistinguishable from a fresh start by
+        // batchId alone — is refused for a run the data already contains
         throw new IllegalStateException(
-          s"$root was restored from a bundle (restore epoch $epoch) and run " +
-            s"'$runId' has no post-restore marker yet delivers batchId=" +
-            s"$batchId — an OLD checkpoint resumed against restored data (a " +
-            "fresh checkpoint's batchIds restart at 0); redeploy with a " +
+          s"$root was restored from a bundle (restore epoch $epoch) whose " +
+            s"source run '$runId' maintained BEFORE the restore — its " +
+            "appends are already inside the restored data (the bundle's " +
+            "run inventory records it), so replaying the old checkpoint " +
+            "would double-append even at batchId 0; redeploy with a FRESH " +
+            "checkpoint (new runId)")
+      case None if !runsComplete && batchId > 0 =>
+        throw new IllegalStateException(
+          s"$root was restored from a bundle (restore epoch $epoch) with " +
+            s"an incomplete old-run inventory, and run '$runId' has no " +
+            s"post-restore marker yet delivers batchId=$batchId — an OLD " +
+            "checkpoint resumed against restored data (a fresh " +
+            "checkpoint's batchIds restart at 0); redeploy with a " +
             "FRESH checkpoint. If this run is fresh, call appendOnce for " +
             "every batch from 0 (empty ones included) so the marker records " +
             "post-restore progress")
@@ -366,7 +421,8 @@ object IndexLifecycle {
     // a torn intent from a DIFFERENT run/batch: appending on top would
     // bury partial files ITS replay recovery must find — refuse (the
     // single-writer contract enforced, mirroring the nextVersion guard)
-    val foreign = pendingIntents(spark, root)
+    val foreign = intentStatusFrom(f, root, names)
+      .collect { case (name, false) => name }
       .filterNot(_ == s"intent-$tag-$batchId")
     if (foreign.nonEmpty) throw new IllegalStateException(
       s"$root has ${foreign.size} torn append(s) pending from another " +
@@ -468,34 +524,56 @@ object IndexLifecycle {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
     if (!f.exists(p)) Nil
-    else {
-      val names = f.listStatus(p).toSeq.map(_.getPath.getName)
-      val markerByTag: Map[String, (Long, Option[String])] = names
-        .filter(_.startsWith("run-"))
-        .flatMap { n =>
-          val (batch, raw, _) = parseMarker(f,
-            new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"))
-          Some(n.stripPrefix("run-") -> (batch, raw))
-        }.toMap
-      names.filter(_.startsWith("intent-")).sorted.map { n =>
-        val rest = n.stripPrefix("intent-")
-        val dash = rest.lastIndexOf('-')
-        val intentRunId = readLines(f,
-          new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"))
-          .headOption.filter(_.startsWith("#runId:"))
-          .map(_.stripPrefix("#runId:"))
-        val committed = dash > 0 &&
-          rest.substring(dash + 1).toLongOption.exists { b =>
-            markerByTag.get(rest.substring(0, dash)).exists {
-              case (mb, mraw) =>
-                mb >= b && ((intentRunId, mraw) match {
-                  case (Some(i), Some(m)) => i == m
-                  case _ => true // pre-r16 legacy: tag-only match
-                })
-            }
+    else intentStatusFrom(f, root, f.listStatus(p).toSeq.map(_.getPath.getName))
+  }
+
+  private def intentStatusFrom(f: org.apache.hadoop.fs.FileSystem,
+                               root: String,
+                               allNames: Seq[String])
+      : Seq[(String, Boolean)] = {
+    // crashed-writeAtomic `<name>.tmp.<uuid>` debris is NOT protocol
+    // state: a zero-byte marker tmp is unparseable, and an intent tmp
+    // can never match its own run's intent name — classifying either
+    // would wedge replay until manual cleanup ([[abandonTornAppends]]
+    // sweeps the debris; the next writeAtomic of the same name does too)
+    val names = allNames.filterNot(_.contains(".tmp."))
+    val markerByTag: Map[String, (Long, Option[String])] = names
+      .filter(_.startsWith("run-"))
+      .flatMap { n =>
+        val mp = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n")
+        // a corrupt/truncated FOREIGN marker degrades to "no marker for
+        // that tag" — its intents stay torn, producing the orderly
+        // torn-append refusal, instead of one bad file killing every
+        // operation on the artifact (the run's OWN reads via markerFor
+        // still fail loudly — corruption there risks double-appends)
+        scala.util.Try(parseMarker(f, mp)).toOption match {
+          case Some((batch, raw, _)) =>
+            Some(n.stripPrefix("run-") -> (batch, raw))
+          case None =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"skipping corrupt replay marker $mp during intent " +
+                "classification — its intents will classify as torn")
+            None
+        }
+      }.toMap
+    names.filter(_.startsWith("intent-")).sorted.map { n =>
+      val rest = n.stripPrefix("intent-")
+      val dash = rest.lastIndexOf('-')
+      val intentRunId = readLines(f,
+        new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"))
+        .headOption.filter(_.startsWith("#runId:"))
+        .map(_.stripPrefix("#runId:"))
+      val committed = dash > 0 &&
+        rest.substring(dash + 1).toLongOption.exists { b =>
+          markerByTag.get(rest.substring(0, dash)).exists {
+            case (mb, mraw) =>
+              mb >= b && ((intentRunId, mraw) match {
+                case (Some(i), Some(m)) => i == m
+                case _ => true // pre-r16 legacy: tag-only match
+              })
           }
-        (n, committed)
-      }
+        }
+      (n, committed)
     }
   }
 
@@ -510,6 +588,16 @@ object IndexLifecycle {
   def abandonTornAppends(spark: SparkSession, root: String): Seq[String] = {
     val f = fs(spark, root)
     val dir = resolveDir(spark, root)
+    // crashed-writeAtomic `*.tmp.*` debris under _appends (a writer died
+    // between create and rename): not protocol state — classification
+    // ignores it, and this is the operator-invoked cleanup that removes
+    // it when the writer is gone for good (the healing-path sweep in
+    // writeAtomic only fires when the same file is written again)
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
+    if (f.exists(appendsPath))
+      f.listStatus(appendsPath).toSeq
+        .filter(s => !s.isDirectory && s.getPath.getName.contains(".tmp."))
+        .foreach(s => f.delete(s.getPath, false))
     intentStatus(spark, root).map { case (name, committed) =>
       val intentP = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
       if (!committed) {

@@ -224,6 +224,16 @@ class BundlesSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("FRESH checkpoint"), s"$e1")
     assert(bm25(dst) == want, "the refused replay must not touch the data")
+    // even a batch-0 redelivery is refused: by batchId alone it is
+    // indistinguishable from a fresh start, but the bundle shipped the
+    // source's run inventory and this runId is in it
+    val e0 = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((3L, "d d b")).toDF("doc_id", "text"),
+        "text", "doc_id", dst, oldRun, 0L)
+    }
+    assert(e0.getMessage.contains("FRESH checkpoint") &&
+      e0.getMessage.contains("batchId 0"), s"$e0")
 
     // import ONTO the live original (rollback shape): the old run's
     // marker survives at the root but PREDATES the restore — equally
@@ -255,6 +265,41 @@ class BundlesSpec extends SparkSpec {
       "text", "doc_id", rebuilt)
     assert(bm25(dst) == bm25(rebuilt),
       "restored + fresh-checkpoint-maintained artifact == rebuild")
+  }
+
+  test("a legacy bundle without the run inventory falls back to the " +
+       "strict heuristic: markerless mid-stream resumes refuse, a fresh " +
+       "run starting at batch 0 proceeds") {
+    val docs = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")
+    val src = tmp("graft-blg-src") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    assert(TermStats.appendTextIndexOnce(
+      Seq((3L, "d d b")).toDF("doc_id", "text"),
+      "text", "doc_id", src, "old-run", 0L))
+    val bundle = tmp("graft-blg-b") + "/b"
+    Bundles.exportBundle(spark, src, bundle)
+    // strip the runs=/run= lines — the pre-r16 manifest format
+    val mf = java.nio.file.Paths.get(bundle, "_manifest")
+    val legacy = java.nio.file.Files.readAllLines(mf).toArray.map(_.toString)
+      .filterNot(l => l.startsWith("runs=") || l.startsWith("run="))
+    java.nio.file.Files.write(mf, legacy.mkString("\n").getBytes("UTF-8"))
+    // drop the LocalFileSystem checksum sidecar the rewrite invalidated
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(bundle, "._manifest.crc"))
+    val dst = tmp("graft-blg-d") + "/idx"
+    Bundles.importBundle(spark, bundle, dst)
+    // no inventory: a mid-stream resume refuses (heuristic)...
+    val e = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((4L, "b c d")).toDF("doc_id", "text"),
+        "text", "doc_id", dst, "old-run", 1L)
+    }
+    assert(e.getMessage.contains("incomplete old-run inventory"), s"$e")
+    // ...and batch 0 proceeds (the documented residual window of the
+    // legacy format — the inventory exists to close it for new bundles)
+    assert(TermStats.appendTextIndexOnce(
+      Seq((5L, "d d d")).toDF("doc_id", "text"),
+      "text", "doc_id", dst, "fresh-run", 0L))
   }
 
   test("import onto a live target REFUSES while the target has torn " +

@@ -1510,6 +1510,56 @@ class StreamingSpec extends SparkSpec {
     assert(bm25(idx) == bm25(idx2))
   }
 
+  test("crashed-writeAtomic tmp debris and corrupt foreign markers do " +
+       "not wedge the protocol: classification skips them, replay " +
+       "proceeds, abandonTornAppends sweeps the debris") {
+    // a writer dying between create and rename inside writeAtomic leaves
+    // `<name>.tmp.<uuid>` in _appends; a FS glitch can truncate a marker.
+    // Neither is this run's problem: classifying them would block every
+    // replay (the self-heal contract) until manual cleanup.
+    import graft.operators.{IndexLifecycle, TermStats}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tmp-debris").toString
+    val idx = s"$dir/idx"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    val appends = java.nio.file.Paths.get(idx, "_appends")
+    java.nio.file.Files.createDirectories(appends)
+    // zero-byte marker tmp (crash mid-write), torn-looking intent tmp,
+    // and a corrupt (non-numeric) marker of some dead foreign run
+    java.nio.file.Files.write(
+      appends.resolve("run-00000000.tmp.deadbeef"), Array.empty[Byte])
+    java.nio.file.Files.write(
+      appends.resolve("intent-00000000-3.tmp.deadbeef"),
+      "#runId:ghost".getBytes("UTF-8"))
+    java.nio.file.Files.write(appends.resolve("run-ffffffff"),
+      "garbage-not-a-number".getBytes("UTF-8"))
+    // none of it is pending, none of it blocks an append or a compact
+    assert(IndexLifecycle.pendingIntents(spark, idx).isEmpty,
+      "tmp debris must not classify as torn intents")
+    assert(TermStats.appendTextIndexOnce(
+      Seq((2L, "spark spark tuning")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, "live-run", 0L),
+      "debris must not block a live run's append")
+    TermStats.compactTextIndexInPlace(spark, idx)
+    // a corrupt marker's OWN intents classify torn (no laundering into
+    // committed debris), keeping the orderly refusal path
+    java.nio.file.Files.write(appends.resolve("intent-ffffffff-0"),
+      "#runId:dead".getBytes("UTF-8"))
+    assert(IndexLifecycle.pendingIntents(spark, idx)
+      .contains("intent-ffffffff-0"),
+      "an intent under a corrupt marker must stay torn")
+    // the audit view degrades rather than crashes, and abandon sweeps
+    // both the torn intent and the tmp debris
+    assert(IndexLifecycle.runMarkers(spark, idx).exists(_._2 == "live-run"))
+    IndexLifecycle.abandonTornAppends(spark, idx)
+    assert(IndexLifecycle.pendingIntents(spark, idx).isEmpty)
+    val left = java.nio.file.Files.list(appends).toArray.map(_.toString)
+    assert(!left.exists(_.contains(".tmp.")),
+      s"abandon must sweep writeAtomic debris: ${left.mkString(", ")}")
+  }
+
   test("auditArtifacts reports replay state per artifact: run markers " +
        "(tag, raw runId, last batch) and the restore epoch") {
     import graft.operators.{IndexLifecycle, TermStats}
