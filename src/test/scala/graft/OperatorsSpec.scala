@@ -2572,6 +2572,26 @@ class OperatorsSpec extends SparkSpec {
     val healed = IndexLifecycle.auditArtifacts(spark, root).collect()
       .find(r => r.getString(0).endsWith("/text")).get
     assert(healed.getInt(5) == 0, "replayed intent must clear from the audit")
+
+    // adversarial layouts must SURFACE as rows, not kill the sweep whose
+    // purpose is finding exactly such breakage: a garbage _current
+    // pointer, and a directory holding nothing recognizable
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/corrupt"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/corrupt", "_current"),
+      "banana".getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/empty"))
+    val hostile = IndexLifecycle.auditArtifacts(spark, root).collect()
+      .map(r => new java.io.File(r.getString(0)).getName ->
+        (r.getString(1), r.getSeq[String](3))).toMap
+    assert(hostile("corrupt")._1 == "unknown" &&
+      hostile("corrupt")._2.exists(_.contains("unreadable artifact")),
+      s"corrupt pointer must surface: ${hostile("corrupt")}")
+    assert(hostile("empty")._1 == "unknown" && hostile("empty")._2.isEmpty,
+      s"an empty dir is unknown, not an error: ${hostile("empty")}")
+    assert(hostile.contains("text"), "the rest of the fleet still audits")
   }
 
   // --- sessionize ---------------------------------------------------------------

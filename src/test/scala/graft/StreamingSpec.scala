@@ -1560,6 +1560,37 @@ class StreamingSpec extends SparkSpec {
       s"abandon must sweep writeAtomic debris: ${left.mkString(", ")}")
   }
 
+  test("an EMPTY micro-batch commits through appendOnce: the marker " +
+       "advances (so later batches are not mistaken for a resume) and " +
+       "the artifact serves unchanged") {
+    // foreachBatch delivers empty batches (idle triggers); the protocol
+    // must record their progress — a driver that skips them leaves holes
+    // the restore fence reads as a mid-stream resume
+    import graft.operators.{IndexLifecycle, TermStats}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-empty-batch").toString
+    val idx = s"$dir/idx"
+    TermStats.buildTextIndex(
+      Seq((1L, "spark engine overview")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    def bm25() = TermStats
+      .bm25TopKPrebuilt(spark, idx, "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = bm25()
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TermStats.appendTextIndexOnce(empty, "text", "doc_id", idx,
+      "empty-run", 0L), "an empty batch still commits")
+    assert(IndexLifecycle.lastAppendedBatch(spark, idx, "empty-run")
+      == Some(0L), "the marker must advance past the empty batch")
+    assert(bm25() == before, "an empty append must not change the served data")
+    assert(IndexLifecycle.pendingIntents(spark, idx).isEmpty)
+    // and the next real batch appends normally on top
+    assert(TermStats.appendTextIndexOnce(
+      Seq((2L, "spark spark tuning")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, "empty-run", 1L))
+    assert(bm25() != before)
+  }
+
   test("auditArtifacts reports replay state per artifact: run markers " +
        "(tag, raw runId, last batch) and the restore epoch") {
     import graft.operators.{IndexLifecycle, TermStats}
