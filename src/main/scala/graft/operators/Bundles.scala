@@ -198,14 +198,24 @@ object Bundles {
       // those runs on the restored artifact — closing the batch-0 replay
       // window no fresh-vs-resumed heuristic can close (a redelivered
       // batch 0 and a fresh run's batch 0 look identical by batchId).
-      // A raw-less legacy marker makes the inventory incomplete, and the
-      // import falls back to the strict mid-stream heuristic.
-      val markerIds = IndexLifecycle.runMarkers(spark, artifactRoot)
+      // The source's OWN restore sentinel is merged in: a restored-then-
+      // maintained artifact carries its pre-restore blocked runs forward
+      // (markers never travel, so the markers alone would launder them
+      // out). `complete` only when markers all carry raw runIds, none
+      // was skipped as corrupt, AND the source's own inventory was
+      // complete — anything less and the import keeps the strict
+      // mid-stream heuristic alongside the partial blocked set.
+      val (markerIds, sawCorrupt) =
+        IndexLifecycle.runMarkersWithHealth(spark, artifactRoot)
+      val (_, srcComplete, srcBlocked) =
+        IndexLifecycle.restoreInfo(spark, artifactRoot)
+      val allRuns = (markerIds.collect { case (_, id, _) if id.nonEmpty => id }
+        ++ srcBlocked).distinct.sorted
+      val complete =
+        !sawCorrupt && srcComplete && markerIds.forall(_._2.nonEmpty)
       val runLines =
-        Seq(s"runs=${if (markerIds.forall(_._2.nonEmpty)) "complete"
-                     else "incomplete"}") ++
-          markerIds.collect { case (_, id, _) if id.nonEmpty =>
-            s"run=${id.replace('\n', ' ')}" }
+        Seq(s"runs=${if (complete) "complete" else "incomplete"}") ++
+          allRuns.map(id => s"run=${id.replace('\n', ' ')}")
       // manifest LAST: its presence certifies a complete bundle
       val lines = Seq(Header, s"pointer=$pname", s"current=$bundleCurrent") ++
         runLines ++

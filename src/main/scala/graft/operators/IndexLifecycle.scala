@@ -207,19 +207,25 @@ object IndexLifecycle {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(
       s"$root/$AppendsName/run-${runTag(runId)}")
-    if (!f.exists(p)) None
-    else {
-      val (batch, raw, epoch) = parseMarker(f, p)
-      if (raw.exists(_ != runId)) {
-        org.slf4j.LoggerFactory.getLogger(getClass).error(
-          s"replay marker $p stores runId '${raw.get}' but resolved for " +
-            s"'$runId' — a 32-bit runTag collision between two live runIds; " +
-            "treating the marker as ABSENT so this run's batches append " +
-            "(the safe direction) instead of silently no-opping on the " +
-            "other run's progress")
-        None
-      } else Some((batch, epoch))
-    }
+    if (!f.exists(p)) None else markerRead(f, p, runId)
+  }
+
+  /** [[markerFor]] for a marker the caller's directory listing already
+    * proved present — skips the exists() round trip ([[appendOnce]] runs
+    * this once per micro-batch against object stores). */
+  private def markerRead(f: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path,
+                         runId: String): Option[(Long, Long)] = {
+    val (batch, raw, epoch) = parseMarker(f, p)
+    if (raw.exists(_ != runId)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).error(
+        s"replay marker $p stores runId '${raw.get}' but resolved for " +
+          s"'$runId' — a 32-bit runTag collision between two live runIds; " +
+          "treating the marker as ABSENT so this run's batches append " +
+          "(the safe direction) instead of silently no-opping on the " +
+          "other run's progress")
+      None
+    } else Some((batch, epoch))
   }
 
   /** Highest batchId committed into `root` by [[appendOnce]] under this
@@ -239,23 +245,37 @@ object IndexLifecycle {
     * `*.tmp.*` debris and corrupt (unparseable) markers are skipped with
     * a warning — an audit view must degrade, not crash. */
   def runMarkers(spark: SparkSession, root: String)
-      : Seq[(String, String, Long)] = {
+      : Seq[(String, String, Long)] = runMarkersWithHealth(spark, root)._1
+
+  /** [[runMarkers]] plus whether any marker had to be SKIPPED as corrupt —
+    * [[graft.operators.Bundles.exportBundle]] must not certify its run
+    * inventory `complete` over a run whose marker it could not read (the
+    * skipped run's checkpoint may be intact and would bypass a falsely
+    * complete inventory after a restore). */
+  private[operators] def runMarkersWithHealth(spark: SparkSession,
+                                              root: String)
+      : (Seq[(String, String, Long)], Boolean) = {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
-    if (!f.exists(p)) Nil
-    else f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("run-") && !n.contains(".tmp.")).sorted
-      .flatMap { n =>
-        val mp = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n")
-        scala.util.Try(parseMarker(f, mp)).toOption match {
-          case Some((batch, raw, _)) =>
-            Some((n.stripPrefix("run-"), raw.getOrElse(""), batch))
-          case None =>
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"skipping corrupt replay marker $mp in the marker inventory")
-            None
+    if (!f.exists(p)) (Nil, false)
+    else {
+      var sawCorrupt = false
+      val markers = f.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("run-") && !n.contains(".tmp.")).sorted
+        .flatMap { n =>
+          val mp = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n")
+          scala.util.Try(parseMarker(f, mp)).toOption match {
+            case Some((batch, raw, _)) =>
+              Some((n.stripPrefix("run-"), raw.getOrElse(""), batch))
+            case None =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"skipping corrupt replay marker $mp in the marker inventory")
+              sawCorrupt = true
+              None
+          }
         }
-      }
+      (markers, sawCorrupt)
+    }
   }
 
   /** How many times this artifact has been restored from a bundle — 0 for
@@ -267,8 +287,12 @@ object IndexLifecycle {
     restoreInfo(spark, root)._1
 
   /** Parsed `_restored` sentinel: (epoch, old-run inventory complete?,
-    * blocked old runIds). (0, true, empty) when never restored. */
-  private def restoreInfo(spark: SparkSession, root: String)
+    * blocked old runIds). (0, true, empty) when never restored.
+    * Package-visible so [[graft.operators.Bundles.exportBundle]] can
+    * carry a restored source's blocked set forward into its own bundle
+    * (markers never travel, so without this a re-export would launder
+    * the pre-restore runs out of the inventory). */
+  private[operators] def restoreInfo(spark: SparkSession, root: String)
       : (Long, Boolean, Set[String]) = {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$RestoredName")
@@ -281,8 +305,12 @@ object IndexLifecycle {
     val first = lines.headOption.getOrElse("").trim
     val epoch = first.toLongOption.getOrElse(throw new IllegalStateException(
       s"restore sentinel $where holds '$first', not an epoch number"))
-    (epoch, lines.exists(_.trim == "runs=complete"),
-      lines.filter(_.startsWith("run:")).map(_.stripPrefix("run:")).toSet)
+    // POSITIONAL parse: line 2 is the free-form source note (written
+    // unescaped), so flags and run entries are read from line 3 on — a
+    // source value of "runs=complete" or "run:x" must not inject state
+    val tail = lines.drop(2)
+    (epoch, tail.exists(_.trim == "runs=complete"),
+      tail.filter(_.startsWith("run:")).map(_.stripPrefix("run:")).toSet)
   }
 
   /** Record that the artifact's data was just replaced by a restore
@@ -375,9 +403,15 @@ object IndexLifecycle {
     // holds, so no-opping on it would silently DROP the replayed batch
     val (epoch, runsComplete, blockedRuns) =
       if (!names.contains(RestoredName)) (0L, true, Set.empty[String])
-      else restoreInfo(spark, root)
+      else {
+        val sp = new org.apache.hadoop.fs.Path(
+          s"$root/$AppendsName/$RestoredName")
+        parseRestored(readLines(f, sp), sp.toString)
+      }
     val marker =
-      if (names.contains(s"run-$tag")) markerFor(spark, root, runId) else None
+      if (!names.contains(s"run-$tag")) None
+      else markerRead(f, new org.apache.hadoop.fs.Path(
+        s"$root/$AppendsName/run-$tag"), runId)
     if (epoch > 0) marker match {
       case Some((_, mEpoch)) if mEpoch < epoch =>
         throw new IllegalStateException(

@@ -302,6 +302,100 @@ class BundlesSpec extends SparkSpec {
       "text", "doc_id", dst, "fresh-run", 0L))
   }
 
+  test("re-exporting a restored-then-maintained artifact carries the " +
+       "pre-restore blocked runs forward (markers never travel; without " +
+       "the sentinel merge a second-generation restore would launder " +
+       "them out of the inventory)") {
+    val docs = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")
+    val src = tmp("graft-bgen-src") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    assert(TermStats.appendTextIndexOnce(
+      Seq((3L, "d d b")).toDF("doc_id", "text"),
+      "text", "doc_id", src, "gen1-run", 0L))
+    val b1 = tmp("graft-bgen-b1") + "/b"
+    Bundles.exportBundle(spark, src, b1)
+    // first restore + fresh maintenance under a NEW run
+    val mid = tmp("graft-bgen-mid") + "/idx"
+    Bundles.importBundle(spark, b1, mid)
+    assert(TermStats.appendTextIndexOnce(
+      Seq((4L, "b c d")).toDF("doc_id", "text"),
+      "text", "doc_id", mid, "gen2-run", 0L))
+    // second-generation bundle of the restored artifact
+    val b2 = tmp("graft-bgen-b2") + "/b"
+    Bundles.exportBundle(spark, mid, b2)
+    val dst = tmp("graft-bgen-dst") + "/idx"
+    Bundles.importBundle(spark, b2, dst)
+    // BOTH generations' runs are blocked — gen1 only via the carried
+    // sentinel (its marker never existed on mid), even at batch 0
+    val e1 = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((3L, "d d b")).toDF("doc_id", "text"),
+        "text", "doc_id", dst, "gen1-run", 0L)
+    }
+    assert(e1.getMessage.contains("FRESH checkpoint"), s"$e1")
+    val e2 = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((4L, "b c d")).toDF("doc_id", "text"),
+        "text", "doc_id", dst, "gen2-run", 0L)
+    }
+    assert(e2.getMessage.contains("FRESH checkpoint"), s"$e2")
+    // the inventory stayed COMPLETE, so a genuinely new run proceeds
+    // even when its driver skipped early empty batches
+    assert(TermStats.appendTextIndexOnce(
+      Seq((5L, "d d d")).toDF("doc_id", "text"),
+      "text", "doc_id", dst, "gen3-run", 2L))
+  }
+
+  test("a corrupt (unreadable) marker on the source forces the bundle's " +
+       "run inventory to incomplete — the import keeps the strict " +
+       "mid-stream heuristic instead of certifying false completeness") {
+    val docs = Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text")
+    val src = tmp("graft-bcm-src") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", src)
+    assert(TermStats.appendTextIndexOnce(
+      Seq((3L, "d d b")).toDF("doc_id", "text"),
+      "text", "doc_id", src, "known-run", 0L))
+    // a truncated marker of some other run the export cannot read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "_appends", "run-ffffffff"),
+      "garbage-not-a-number".getBytes("UTF-8"))
+    val bundle = tmp("graft-bcm-b") + "/b"
+    Bundles.exportBundle(spark, src, bundle)
+    val dst = tmp("graft-bcm-dst") + "/idx"
+    Bundles.importBundle(spark, bundle, dst)
+    // the readable run is still blocked outright...
+    val e1 = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((3L, "d d b")).toDF("doc_id", "text"),
+        "text", "doc_id", dst, "known-run", 0L)
+    }
+    assert(e1.getMessage.contains("FRESH checkpoint"), s"$e1")
+    // ...and the unreadable one's intact checkpoint cannot slip through:
+    // incomplete inventory keeps the batchId>0 refusal for unknown runs
+    val e2 = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((4L, "b c d")).toDF("doc_id", "text"),
+        "text", "doc_id", dst, "unreadable-marker-run", 1L)
+    }
+    assert(e2.getMessage.contains("incomplete old-run inventory"), s"$e2")
+  }
+
+  test("the restore sentinel's free-form source note cannot inject " +
+       "protocol state: a source string of 'runs=complete' does not " +
+       "flip the inventory to complete") {
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val idx = tmp("graft-binj") + "/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", idx)
+    IndexLifecycle.markRestored(spark, idx, "runs=complete")
+    val e = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((2L, "a c c")).toDF("doc_id", "text"),
+        "text", "doc_id", idx, "some-run", 1L)
+    }
+    assert(e.getMessage.contains("incomplete old-run inventory"),
+      s"source-line injection must not disable the heuristic: $e")
+  }
+
   test("import onto a live target REFUSES while the target has torn " +
        "appends pending (post-import abandon would sweep the intent while " +
        "the partial files stay in the old version — a rollback would then " +
