@@ -13,7 +13,24 @@ object PairCountProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val names = Seq("q_minhash_neardup", "q_minhash_prebuilt",
       "q_ngram_jaccard", "q_dup_matrix", "q_geo_pairs", "q_neardup_dedup",
-      "q_simhash_neardup", "q_embedding_neardup")
+      "q_simhash_neardup", "q_embedding_neardup", "q_range_join",
+      "q_substring_dedup")
+    // q_range_join aggregates its matches per user, so its ROW count
+    // hides the join's true output: the replicated fixture grows both
+    // points and overlapping intervals k×, making TRUE matches ~k² by
+    // construction. The work denominator is the matched-pair total =
+    // sum(n_in_window) over the final frame (exactly the rows the
+    // binned join produced and the aggregate consumed).
+    // q_substring_dedup likewise: rows stay ~docs, but the replicated
+    // fixture turns almost every token into part of a repeated passage,
+    // so the kernel's true work — tokens it must find and remove — is
+    // sum(n_removed), not the row count.
+    val workMeasure: Map[String, org.apache.spark.sql.DataFrame => Long] =
+      Map(
+        "q_range_join" -> (df => df.agg(
+          org.apache.spark.sql.functions.sum("n_in_window")).head().getLong(0)),
+        "q_substring_dedup" -> (df => df.agg(
+          org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)))
     // renames in SparkEntry must fail LOUDLY here, not as a bare
     // NoSuchElementException mid-run — and any name silently dropped from
     // the suite would otherwise leave the gate reading stale denominators
@@ -22,7 +39,9 @@ object PairCountProbe {
       s"PairCountProbe names not in SparkEntry.queries (renamed/removed?): " +
         missing.mkString(", "))
     val counts = names.map { n =>
-      val cs = args.take(2).map(d => SparkEntry.queries(n)(spark, d).count())
+      val measure = workMeasure.getOrElse(n,
+        (df: org.apache.spark.sql.DataFrame) => df.count())
+      val cs = args.take(2).map(d => measure(SparkEntry.queries(n)(spark, d)))
       println(s"[paircount] $n small=${cs(0)} big=${cs(1)}")
       s"""${JsonUtil.str(n)}: [${cs(0)}, ${cs(1)}]"""
     }
