@@ -54,9 +54,22 @@ object Export {
   def writeShards(df: DataFrame, keyCol: String, nShards: Int, outPath: String,
                   seed: String, format: String = "parquet"): Unit = {
     require(format == "parquet" || format == "json", s"unsupported format $format")
-    withShard(df, keyCol, nShards, seed)
+    // duplicate keys share an ord_key, and NULL salts like the empty
+    // string: ties would otherwise sort in shuffle-arrival order, which
+    // varies with partition layout — breaking the byte-identical-rerun
+    // contract for exactly re-run corpora. Tiebreak on every ORDERABLE
+    // payload column (maps are not orderable; rows differing only in an
+    // unorderable column remain tied, and identical rows tie harmlessly
+    // — identical bytes either way).
+    val sharded = withShard(df, keyCol, nShards, seed)
+    val tiebreak = df.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name)).toSeq
+    sharded
       .repartition(col("shard"))           // one task per shard directory
-      .sortWithinPartitions(col("shard"), col("ord_key"))
+      .sortWithinPartitions(
+        (Seq(col("shard"), col("ord_key")) ++ tiebreak): _*)
       .write.mode("overwrite").partitionBy("shard").format(format).save(outPath)
   }
 

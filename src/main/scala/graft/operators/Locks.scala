@@ -79,7 +79,15 @@ object Locks {
    * delete + exclusive create, and the create arbitrates racing stealers.
    */
   def tryAcquire(spark: SparkSession, dir: String, name: String,
-                 ttlMs: Long): Option[Lease] = {
+                 ttlMs: Long): Option[Lease] =
+    tryAcquireImpl(spark, dir, name, ttlMs, () => ())
+
+  /** [[tryAcquire]] with a race-injection point for the steal tests:
+    * `beforeSteal` runs after the pre-steal re-read passes and before the
+    * rename-away — the one window where a holder's renew can land. */
+  private[graft] def tryAcquireImpl(spark: SparkSession, dir: String,
+                                    name: String, ttlMs: Long,
+                                    beforeSteal: () => Unit): Option[Lease] = {
     require(ttlMs > ExpiryMarginMs,
       s"ttlMs must exceed the ${ExpiryMarginMs}ms expiry margin — a shorter " +
         "lease could never be released or renewed (safelyHeld would always " +
@@ -108,6 +116,7 @@ object Locks {
         if (!readLease(f, p, name).exists(l =>
           l.lockId == stale.lockId && l.expiresAtMs == stale.expiresAtMs))
           return None // changed under us: someone else acted
+        beforeSteal()
         val tomb = new Path(s"$dir/_lock_$name.tomb.${java.util.UUID.randomUUID()}")
         try fc(spark, p).rename(p, tomb)
         catch { case _: java.io.IOException => return None } // lost steal race
@@ -127,9 +136,15 @@ object Locks {
           moved = readLease(f, tomb, name)
         }
         moved match {
-          case Some(m) if m.expiresAtMs > System.currentTimeMillis() &&
-                          m.lockId != stale.lockId =>
-            // we moved someone's FRESH lease: put it back
+          case Some(m) if m.expiresAtMs > System.currentTimeMillis() =>
+            // we moved someone's FRESH lease: put it back. ANY unexpired
+            // tomb qualifies — the stale lease this steal decided on was
+            // expired by construction, so a fresh one is a DIFFERENT
+            // lease even when the lockId matches (the holder RENEWED
+            // between the re-read and the rename: same id, new expiry;
+            // a lockId-only guard would delete the renewed lease and
+            // seat two holders — the disaster this branch exists to
+            // prevent)
             try fc(spark, p).rename(tomb, p)
             catch { case _: java.io.IOException => () } // keep tomb: see above
             None
@@ -297,6 +312,17 @@ object Locks {
     val lease = acquire(spark, dir, name, ttlMs, waitMs).getOrElse(
       throw new IllegalStateException(
         s"lock '$name' not acquired within ${waitMs}ms"))
-    try body finally release(spark, dir, lease)
+    try body finally {
+      // a release failure must not MASK the body's own exception: the
+      // lock self-heals via TTL, but a business failure suppressed by a
+      // transient delete IOException from this finally block is lost
+      try release(spark, dir, lease)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"withLock: releasing '${lease.name}' failed (the lease " +
+              s"expires by TTL): $e")
+      }
+    }
   }
 }

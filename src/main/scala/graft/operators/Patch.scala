@@ -59,7 +59,9 @@ object Patch {
         s"patch on '$structCol' changes the struct's SCHEMA (field added/" +
           "dropped/retyped) — a per-row condition cannot keep the old shape " +
           "for unmatched rows (one column, one schema). Apply it " +
-          "unconditionally, or pre-filter the rows into a separate frame.")
+          "unconditionally (condition = lit(true) — a computed always-true " +
+          "expression is not recognized), or pre-filter the rows into a " +
+          "separate frame.")
       df.withColumn(structCol, patched)
     }
   }
@@ -155,9 +157,15 @@ object Patch {
     // `_patched` would be silently clobbered by the output flag
     val hit = df.columns.toSeq.intersect(Seq("_hit", "_patched"))
     require(hit.isEmpty, s"input must not contain reserved columns: $hit")
+    // claim KEYS, not rows: with duplicate keys the old row-level limit
+    // put the same key into `claimed` more than once, and the equi-join
+    // below fanned the frame out (more output rows than input — silent
+    // duplication). groupBy dedups; min(expiry) keeps the oldest-first
+    // claim order the reference uses.
     val claimed = df
       .filter(col(expiryCol).isNotNull && col(expiryCol) < lit(now) && selection)
-      .orderBy(col(expiryCol).asc, col(keyCol).asc)
+      .groupBy(col(keyCol)).agg(min(col(expiryCol)).as("_exp"))
+      .orderBy(col("_exp").asc, col(keyCol).asc)
       .limit(howMany)
       .select(col(keyCol))
       .withColumn("_hit", lit(true))

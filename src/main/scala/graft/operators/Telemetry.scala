@@ -58,9 +58,14 @@ object Telemetry {
 
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
-                           durationNs: Long): Unit =
-      record(QueryRecord(funcName, System.currentTimeMillis(),
-        durationNs / 1e6, null))
+                           durationNs: Long): Unit = {
+      // the listener fires at COMPLETION: the start is now - duration
+      // (stamping now as startedAtMs shifted every record by its own
+      // duration and could order overlapping queries backwards)
+      val ms = durationNs / 1e6
+      record(QueryRecord(funcName,
+        System.currentTimeMillis() - math.round(ms), ms, null))
+    }
     override def onFailure(funcName: String, qe: QueryExecution,
                            exception: Exception): Unit =
       record(QueryRecord(funcName, System.currentTimeMillis(), 0.0,

@@ -1639,6 +1639,112 @@ class OperatorsSpec extends SparkSpec {
     assert(out("b") == Seq("only three tokens"))
   }
 
+  test("a renew landing inside the steal window is RESTORED, not deleted: " +
+       "same lockId + fresh expiry is a different lease (two-holder guard)") {
+    // the stealer re-reads, then renames away; a holder's renew (same
+    // lockId, new expiry) landing between the two used to fall through a
+    // lockId-only restore guard into delete+create — two seated holders.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_rn").toString
+    val p = java.nio.file.Paths.get(dir, "_lock_job")
+    val holderId = "holder-1"
+    val renewed = s"$holderId,${System.currentTimeMillis() + 600000}"
+    // plant an EXPIRED lease, then simulate the renew landing in the gap
+    java.nio.file.Files.write(p,
+      s"$holderId,${System.currentTimeMillis() - 1000}".getBytes("UTF-8"))
+    val stolen = Locks.tryAcquireImpl(spark, dir, "job", 60000L, () =>
+      java.nio.file.Files.write(p, renewed.getBytes("UTF-8")))
+    assert(stolen.isEmpty, "the steal must abort when it moved a fresh lease")
+    assert(new String(java.nio.file.Files.readAllBytes(p), "UTF-8") == renewed,
+      "the renewed lease must be restored verbatim")
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).exists(_.contains(".tomb.")), "no tomb debris")
+    // control: with no interleaving renew, the expired lease IS stolen
+    java.nio.file.Files.write(p,
+      s"$holderId,${System.currentTimeMillis() - 1000}".getBytes("UTF-8"))
+    assert(Locks.tryAcquire(spark, dir, "job", 60000L).isDefined)
+  }
+
+  test("withLock: a release failure does not mask the body's exception") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_wm").toString
+    val boom = intercept[RuntimeException] {
+      Locks.withLock(spark, dir, "job", ttlMs = 60000L) {
+        // sabotage release: replace the lease so release() sees a foreign
+        // holder and returns false — and even a throwing release path
+        // must surface THIS exception, not its own
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "_lock_job"),
+          s"other,${System.currentTimeMillis() + 60000}".getBytes("UTF-8"))
+        throw new RuntimeException("business failure")
+      }
+    }
+    assert(boom.getMessage == "business failure")
+  }
+
+  test("patchExpired with duplicate keys claims KEYS (howMany bounds " +
+       "distinct keys) and never fans out the frame") {
+    import java.sql.Timestamp
+    val now = new Timestamp(100000L)
+    val df = Seq(
+      (1L, Timestamp.valueOf("2020-01-01 00:00:00"), "a"),
+      (1L, Timestamp.valueOf("2020-01-01 00:00:00"), "b"), // dup key, expired
+      (2L, Timestamp.valueOf("2020-01-02 00:00:00"), "c"),
+      (3L, Timestamp.valueOf("2099-01-01 00:00:00"), "d"))
+      .toDF("id", "exp", "v")
+      .withColumn("s", struct(col("v").as("v")))
+    val out = Patch.patchExpired(df, "s",
+      Seq(Patch.SetField("v", lit("patched"))),
+      expiryCol = "exp", keyCol = "id",
+      now = Timestamp.valueOf("2021-01-01 00:00:00"), howMany = 2)
+    assert(out.count() == 4, "output must have exactly the input's rows")
+    val patched = out.filter(col("_patched")).select("id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // 2 claimed KEYS = key 1 (both rows) + key 2: 3 patched rows
+    assert(patched == Seq(1L, 1L, 2L), s"claimed rows: $patched")
+    assert(out.filter(col("_patched") && col("s.v") =!= "patched").count() == 0)
+  }
+
+  test("writeShards is byte-identical across upstream partition layouts " +
+       "even with duplicate keys (orderable-column tiebreak)") {
+    val rows = Seq((1L, "alpha"), (1L, "beta"), (2L, "gamma"), (2L, "delta"),
+      (3L, "epsilon"), (3L, "zeta"), (4L, "eta"))
+    def bytes(parts: Int, out: String): Map[String, Seq[Byte]] = {
+      Export.writeShards(rows.toDF("doc_id", "text").repartition(parts),
+        "doc_id", 4, out, seed = "tb", format = "json")
+      val root = java.nio.file.Paths.get(out)
+      java.nio.file.Files.walk(root).toArray.map(_.toString)
+        .filter(_.endsWith(".json")).sorted.zipWithIndex.map { case (f, i) =>
+          s"shard-$i" -> java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)).toSeq
+        }.toMap
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft_shard_tb").toString
+    val a = bytes(7, s"$d/a")
+    val b = bytes(3, s"$d/b")
+    assert(a == b, "shard bytes must not depend on upstream layout")
+  }
+
+  test("telemetry records the query's START time, not its completion time") {
+    Telemetry.clear()
+    Telemetry.install(spark)
+    val t0 = System.currentTimeMillis()
+    spark.range(0, 3000000L, 1, 4)
+      .selectExpr("bit_xor(xxhash64(cast(id as string), 'pad'))").collect()
+    val deadline = System.currentTimeMillis() + 15000
+    while (Telemetry.history(spark).count() < 1 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val tAfter = System.currentTimeMillis()
+    // pick the HEAVIEST record (the range query above — the polling
+    // count()s also get recorded and their tiny durations can't
+    // distinguish start-stamped-at-completion from the fix)
+    val r = Telemetry.history(spark).orderBy(col("durationMs").desc)
+      .collect().head
+    val started = r.getLong(1); val dur = r.getDouble(2)
+    assert(started >= t0 - 5, s"start $started before the action began $t0")
+    assert(started + dur <= tAfter + 5,
+      s"startedAtMs + durationMs ($started + $dur) must not exceed " +
+        s"completion ($tAfter): started is stamped at completion")
+  }
+
   test("business locks: exclusive acquire, TTL steal, safe release/renew") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString
     val a = Locks.tryAcquire(spark, dir, "job", ttlMs = 60000)
