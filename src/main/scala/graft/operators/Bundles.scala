@@ -149,6 +149,14 @@ object Bundles {
           "batch files; replay the batch to self-heal or " +
           "IndexLifecycle.abandonTornAppends first (or export a pinned " +
           "non-current version)")
+      // an abandon sweep mid-deletion would race the copy below — the
+      // inventory re-checks catch files that GROW or APPEAR, not ones
+      // that vanish (the copy would fail loudly, but refuse up front)
+      require(!IndexLifecycle.abandonSweepInfo(spark, artifactRoot)._2,
+        s"$artifactRoot has an abandonTornAppends sweep in flight (or one " +
+          "crashed mid-sweep) — its deletions would race the export copy; " +
+          "wait for it (or rerun abandonTornAppends to complete a crashed " +
+          "sweep), then re-run the export")
     }
     versions.foreach(v => require(
       f.exists(new Path(s"$artifactRoot/v=$v")),

@@ -160,6 +160,43 @@ object IndexLifecycle {
   private val AppendsName = "_appends"
   private val StagingName = "_staging"
   private val RestoredName = "_restored"
+  private val AbandonedName = "_abandoned"
+
+  /** How long a post-marker fence loser waits for an in-flight abandon
+    * sweep to publish `done` before adjudicating on file survival alone.
+    * Abandon is a driver-side FS sweep (ms–seconds); a sweep still
+    * `running` after this is crashed, and the file check decides. */
+  private[graft] val AbandonFenceWaitMs: Long = 60000L
+
+  /** Parsed `_abandoned` fence sentinel: (epoch, sweep running?). The
+    * epoch is compared by EQUALITY only (any change since the append's
+    * opening read means a sweep started), so it needs no ordering
+    * guarantee across corruption recoveries. */
+  private def parseAbandoned(lines: Vector[String],
+                             where: String): (Long, Boolean) = {
+    val first = lines.headOption.getOrElse("").trim
+    val epoch = first.toLongOption.getOrElse(throw new IllegalStateException(
+      s"abandon fence sentinel $where holds '$first', not an epoch number"))
+    (epoch, lines.lift(1).exists(_.trim == "running"))
+  }
+
+  /** Current abandon-fence state; (0, false) when no sweep ever ran. */
+  private def abandonInfoRead(f: org.apache.hadoop.fs.FileSystem,
+                              root: String): (Long, Boolean) = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$root/$AppendsName/$AbandonedName")
+    val lines =
+      try readLines(f, p)
+      catch { case _: java.io.FileNotFoundException => return (0L, false) }
+    parseAbandoned(lines, p.toString)
+  }
+
+  /** (abandon epoch, sweep in flight?) — package-visible so
+    * [[graft.operators.Bundles.exportBundle]] can refuse to certify a
+    * bundle copied while a sweep is mid-deletion. */
+  private[operators] def abandonSweepInfo(spark: SparkSession,
+                                          root: String): (Long, Boolean) =
+    abandonInfoRead(fs(spark, root), root)
 
   /** Filesystem-safe tag for a runId (which is often a checkpoint PATH —
     * slashes and all); the raw id rides inside the marker file so the tag
@@ -379,12 +416,22 @@ object IndexLifecycle {
     * `failAt` ∈ {"staged", "intent", "half-moved", "moved", "marked"}
     * throws after that protocol step, leaving exactly the torn (or, for
     * "marked", committed-with-debris) state a real crash there would
-    * leave. */
+    * leave. `onStep` is the RACE-injection hook: it fires with "moved"
+    * (files moved, abandon fence not yet re-checked) and "pre-marker"
+    * (fence re-checked, marker not yet written) so the fence tests can
+    * run a whole [[abandonTornAppends]] inside each window. */
   private[graft] def appendOnceImpl(spark: SparkSession, root: String,
                                     runId: String, batchId: Long,
                                     stage: String => Unit,
-                                    failAt: String): Boolean = {
+                                    failAt: String,
+                                    onStep: String => Unit = _ => ()): Boolean = {
     require(runId.nonEmpty, "appendOnce needs a restart-stable runId")
+    // markers, intents and drop records store the raw runId line-oriented;
+    // a newline inside it would make every identity compare fail-unsafe
+    // (first-line reads see a truncated id ⇒ mismatch ⇒ marker treated as
+    // absent ⇒ every replay re-appends)
+    require(!runId.contains('\n') && !runId.contains('\r'),
+      "appendOnce runId must not contain newline characters")
     val f = fs(spark, root)
     val tag = runTag(runId)
     val dir = resolveDir(spark, root)
@@ -408,10 +455,37 @@ object IndexLifecycle {
           s"$root/$AppendsName/$RestoredName")
         parseRestored(readLines(f, sp), sp.toString)
       }
+    // abandon fence, opening read: [[abandonTornAppends]] bumps this
+    // sentinel to `running` BEFORE it classifies or deletes anything, and
+    // this append re-reads it around the marker write — so a sweep that
+    // starts mid-append is always observed on one side or the other
+    val fence0: (Long, Boolean) =
+      if (!names.contains(AbandonedName)) (0L, false)
+      else parseAbandoned(readLines(f, new org.apache.hadoop.fs.Path(
+        s"$root/$AppendsName/$AbandonedName")), s"$root/$AppendsName/$AbandonedName")
+    if (fence0._2) throw new IllegalStateException(
+      s"$root has an abandonTornAppends sweep in flight (or one crashed " +
+        "mid-sweep, which leaves the fence 'running') — appending now " +
+        "could race its deletions; wait for it, or rerun " +
+        "abandonTornAppends to complete the crashed sweep, then replay " +
+        "this batch")
     val marker =
       if (!names.contains(s"run-$tag")) None
       else markerRead(f, new org.apache.hadoop.fs.Path(
         s"$root/$AppendsName/run-$tag"), runId)
+    // drop records: a sweep that deleted this batch's files after losing
+    // the fence race against a crashed append leaves `dropped-<tag>-<b>`
+    // (written BEFORE any deletion, so the record survives every crash
+    // interleaving). A marker covering a dropped batch is LYING — the
+    // batch's files are gone — and the replay must re-append, not no-op.
+    def droppedRecordMatches(name: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
+      val stored = scala.util.Try(
+        readLines(f, p).headOption.getOrElse("").trim).getOrElse("")
+      stored.isEmpty || stored == runId // empty = legacy tag-only record
+    }
+    val droppedThisBatch = names.contains(s"dropped-$tag-$batchId") &&
+      droppedRecordMatches(s"dropped-$tag-$batchId")
     if (epoch > 0) marker match {
       case Some((_, mEpoch)) if mEpoch < epoch =>
         throw new IllegalStateException(
@@ -445,13 +519,20 @@ object IndexLifecycle {
             "post-restore progress")
       case _ => ()
     }
-    if (marker.exists(_._1 >= batchId)) {
+    if (marker.exists(_._1 >= batchId) && !droppedThisBatch) {
       // committed — a crash between marker write and debris cleanup may
       // have left this batch's staging/intent behind; finish the cleanup
       f.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
       f.delete(intentP, false)
       return false
     }
+    if (droppedThisBatch && marker.exists(_._1 >= batchId))
+      org.slf4j.LoggerFactory.getLogger(getClass).error(
+        s"$root marker for run '$runId' claims batch $batchId committed, " +
+          "but an abandonTornAppends sweep recorded dropping that batch's " +
+          "files (the append lost the fence race and crashed before it " +
+          "could roll the marker back) — HEALING: re-appending the batch " +
+          "instead of no-opping on the lying marker")
     // a torn intent from a DIFFERENT run/batch: appending on top would
     // bury partial files ITS replay recovery must find — refuse (the
     // single-writer contract enforced, mirroring the nextVersion guard)
@@ -504,6 +585,21 @@ object IndexLifecycle {
         throw new IllegalStateException(s"append move $src -> $dest failed")
     }
     if (failAt == "moved") throw new IllegalStateException("failpoint: moved")
+    onStep("moved")
+    // abandon fence, pre-marker re-check: a sweep that started during the
+    // stage/move above classified this attempt TORN (no marker yet) and
+    // deleted the just-moved files — writing the marker now would certify
+    // a batch whose files are gone. Refuse instead; the replay re-appends
+    // cleanly (the sweep also removed the intent, or recovery removes the
+    // leftovers).
+    val fence1 = abandonInfoRead(f, root)
+    if (fence1 != fence0) throw new IllegalStateException(
+      s"appendOnce lost the abandon fence on $root: an abandonTornAppends " +
+        s"sweep started during this append (fence $fence0 -> $fence1) and " +
+        "may have deleted this batch's just-moved files — no marker is " +
+        "written; replay the batch once the sweep completes (it re-appends " +
+        "cleanly)")
+    onStep("pre-marker")
     // line 3 stamps the restore epoch the commit happened under — the
     // proof appendOnce needs that this run's progress postdates the last
     // restore (epoch read at call start: a restore racing this append is
@@ -511,6 +607,56 @@ object IndexLifecycle {
     writeAtomic(spark, s"$root/$AppendsName", s"run-$tag",
       s"$batchId\n$runId\n$epoch")
     if (failAt == "marked") throw new IllegalStateException("failpoint: marked")
+    // abandon fence, post-marker re-check: a sweep that started inside the
+    // one-write window between the pre-check and the marker may have read
+    // the marker state BEFORE our write (⇒ classified torn, deleted files)
+    // or after (⇒ committed debris, kept them). Wait for the sweep to
+    // publish `done`, then adjudicate on what survived: all files present
+    // ⇒ the commit stands; any missing ⇒ roll the marker back to its
+    // pre-batch state and refuse, so the replay re-appends. (If the append
+    // instead CRASHES before this check, the sweep's `dropped-` record —
+    // written before its deletions — makes the replay heal via the
+    // lying-marker path above.)
+    val fence2 = abandonInfoRead(f, root)
+    if (fence2 != fence0) {
+      var cur = fence2
+      val deadline = System.currentTimeMillis() + AbandonFenceWaitMs
+      while (cur._2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100L)
+        cur = abandonInfoRead(f, root)
+      }
+      val missing = moves.map(_._2).filterNot(rel =>
+        f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))
+      if (missing.isEmpty) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"an abandonTornAppends sweep raced this append on $root " +
+            s"(fence $fence0 -> $cur) but every moved file survived (the " +
+            "sweep saw the marker, or never touched this batch) — the " +
+            "commit stands")
+      } else {
+        marker match {
+          case Some((b0, e0)) =>
+            writeAtomic(spark, s"$root/$AppendsName", s"run-$tag",
+              s"$b0\n$runId\n$e0")
+          case None =>
+            f.delete(new org.apache.hadoop.fs.Path(
+              s"$root/$AppendsName/run-$tag"), false)
+        }
+        throw new IllegalStateException(
+          s"appendOnce lost the abandon fence on $root AFTER writing its " +
+            s"marker: the sweep deleted ${missing.size} of ${moves.size} " +
+            "moved files; the marker was rolled back to its pre-batch " +
+            "state — replay the batch (it re-appends cleanly)")
+      }
+    }
+    // this commit supersedes any drop records at or below it for this run
+    // — remove them so a later crash-redelivery is a plain marker no-op,
+    // not a spurious heal (records of OTHER runs/tags are left alone)
+    names.filter(_.startsWith(s"dropped-$tag-"))
+      .filter(_.stripPrefix(s"dropped-$tag-").toLongOption.exists(_ <= batchId))
+      .filter(droppedRecordMatches)
+      .foreach(n => f.delete(
+        new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"), false))
     f.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
     f.delete(intentP, false)
     // committed batches never revisit their intent files — sweep this
@@ -618,35 +764,121 @@ object IndexLifecycle {
     * the same (runId, batchId) appends cleanly rather than no-opping —
     * abandon discards the ATTEMPT, not the data's claim to exist. Use
     * before a rebuild/compact when the maintaining stream is gone for
-    * good ([[nextVersion]] refuses while intents are pending). */
-  def abandonTornAppends(spark: SparkSession, root: String): Seq[String] = {
+    * good ([[nextVersion]] refuses while intents are pending).
+    *
+    * FENCED against a maintaining stream that is NOT gone (the contract
+    * violation): the sweep bumps the `_abandoned` epoch sentinel to
+    * `running` BEFORE classifying or deleting anything and publishes
+    * `done` when finished; [[appendOnce]] refuses to start while the
+    * fence is `running` and re-checks it on both sides of its marker
+    * write, so an append that loses the race refuses (or rolls its
+    * marker back) instead of certifying a batch whose files this sweep
+    * deleted. Each torn intent additionally gets a `dropped-<tag>-<batch>`
+    * record written BEFORE its files die — if the racing append crashed
+    * right after its marker write (the one window neither of its fence
+    * checks covers), the record makes its replay re-append instead of
+    * no-opping on the lying marker. A sweep that crashes mid-run leaves
+    * the fence `running`, which BLOCKS all appends until the sweep is
+    * rerun to completion — the refusing direction, never silent.
+    *
+    * Immediately before deleting a torn intent's files the sweep re-reads
+    * that tag's marker once more: a racing append that committed between
+    * classification and now reclassifies as committed debris and keeps
+    * its files (the last-instant check that shrinks the stale-decision
+    * window to one read→delete step). */
+  def abandonTornAppends(spark: SparkSession, root: String): Seq[String] =
+    abandonTornAppendsImpl(spark, root, _ => ())
+
+  /** [[abandonTornAppends]] with a race-injection hook: `onIntent` fires
+    * per torn intent after classification and before the last-instant
+    * marker re-read — the window where a racing append's marker write
+    * can land. */
+  private[graft] def abandonTornAppendsImpl(spark: SparkSession, root: String,
+                                            onIntent: String => Unit)
+      : Seq[String] = {
     val f = fs(spark, root)
     val dir = resolveDir(spark, root)
-    // crashed-writeAtomic `*.tmp.*` debris under _appends (a writer died
-    // between create and rename): not protocol state — classification
-    // ignores it, and this is the operator-invoked cleanup that removes
-    // it when the writer is gone for good (the healing-path sweep in
-    // writeAtomic only fires when the same file is written again)
-    val appendsPath = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
-    if (f.exists(appendsPath))
-      f.listStatus(appendsPath).toSeq
-        .filter(s => !s.isDirectory && s.getPath.getName.contains(".tmp."))
-        .foreach(s => f.delete(s.getPath, false))
-    intentStatus(spark, root).map { case (name, committed) =>
-      val intentP = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
-      if (!committed) {
-        // genuinely torn: remove the partial live files the attempt moved
-        readLines(f, intentP).map(_.trim)
-          .filter(l => l.nonEmpty && !l.startsWith("#"))
-          .foreach(rel =>
-            f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+    // fence UP before anything is read or deleted (see scaladoc above);
+    // the epoch is equality-compared only, so corruption recovery can
+    // safely restart it (any CHANGE trips a concurrent append's checks)
+    val prevEpoch = scala.util.Try(abandonInfoRead(f, root)._1).getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass).error(
+        s"$root abandon fence sentinel is corrupt — rewriting it; any " +
+          "outstanding dropped-batch records are preserved")
+      0L
+    }
+    val epoch = prevEpoch + 1
+    writeAtomic(spark, s"$root/$AppendsName", AbandonedName, s"$epoch\nrunning")
+    try {
+      // crashed-writeAtomic `*.tmp.*` debris under _appends (a writer died
+      // between create and rename): not protocol state — classification
+      // ignores it, and this is the operator-invoked cleanup that removes
+      // it when the writer is gone for good (the healing-path sweep in
+      // writeAtomic only fires when the same file is written again)
+      val appendsPath = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
+      if (f.exists(appendsPath))
+        f.listStatus(appendsPath).toSeq
+          .filter(s => !s.isDirectory && s.getPath.getName.contains(".tmp."))
+          .foreach(s => f.delete(s.getPath, false))
+      intentStatus(spark, root).map { case (name, committed) =>
+        val intentP = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
+        var keepFiles = committed
+        if (!committed) {
+          onIntent(name)
+          // last-instant reclassification: re-read this tag's marker — a
+          // racing appendOnce may have committed between the classification
+          // listing and now, and deleting its files would orphan a
+          // committed batch (the marker re-read mirrors the append's own
+          // post-marker fence check from the other side)
+          val rest = name.stripPrefix("intent-")
+          val dash = rest.lastIndexOf('-')
+          val tagPart = if (dash > 0) rest.substring(0, dash) else rest
+          val batchPart = if (dash > 0)
+            rest.substring(dash + 1).toLongOption else None
+          val intentRunId = scala.util.Try(readLines(f, intentP)).toOption
+            .flatMap(_.headOption).filter(_.startsWith("#runId:"))
+            .map(_.stripPrefix("#runId:"))
+          val freshMarker = scala.util.Try(parseMarker(f,
+            new org.apache.hadoop.fs.Path(
+              s"$root/$AppendsName/run-$tagPart"))).toOption
+          keepFiles = (batchPart, freshMarker) match {
+            case (Some(b), Some((mb, mraw, _))) =>
+              mb >= b && ((intentRunId, mraw) match {
+                case (Some(i), Some(m)) => i == m
+                case _ => true // pre-r16 legacy: tag-only match
+              })
+            case _ => false
+          }
+          if (keepFiles)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"abandon sweep on $root: intent $name committed between " +
+                "classification and deletion (a racing append won the " +
+                "fence) — keeping its files as live data, sweeping only " +
+                "the manifest")
+          else {
+            // record the drop BEFORE any file dies: if the racing append
+            // crashed right after writing its marker, this record is what
+            // lets its replay detect the lying marker and re-append
+            writeAtomic(spark, s"$root/$AppendsName", s"dropped-$rest",
+              intentRunId.getOrElse(""))
+            readLines(f, intentP).map(_.trim)
+              .filter(l => l.nonEmpty && !l.startsWith("#"))
+              .foreach(rel =>
+                f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+          }
+        }
+        // committed debris: the files are LIVE DATA — sweep only the
+        // manifest and staging leftovers
+        f.delete(new org.apache.hadoop.fs.Path(
+          s"$root/$StagingName/${name.stripPrefix("intent-")}"), true)
+        f.delete(intentP, false)
+        name
       }
-      // committed debris: the files are LIVE DATA — sweep only the
-      // manifest and staging leftovers
-      f.delete(new org.apache.hadoop.fs.Path(
-        s"$root/$StagingName/${name.stripPrefix("intent-")}"), true)
-      f.delete(intentP, false)
-      name
+    } finally {
+      // fence DOWN even when the sweep failed mid-way: every deletion is
+      // preceded by its drop record, so replays heal; leaving the fence
+      // `running` would wedge appends behind a sweep that already stopped
+      writeAtomic(spark, s"$root/$AppendsName", AbandonedName, s"$epoch\ndone")
     }
   }
 

@@ -1,0 +1,183 @@
+package graft
+
+import graft.operators.IndexLifecycle
+
+/**
+ * The abandon fence: `abandonTornAppends` racing a LIVE maintaining
+ * stream was excluded only by the single-writer contract through r16 —
+ * if the sweep fired between an append's stage-move and its marker
+ * write, it classified the in-flight intent as torn, deleted the
+ * just-moved files, and the append then wrote a marker claiming a batch
+ * whose files were gone (replays no-op on it: silent data loss). These
+ * tests drive the race deterministically through appendOnceImpl's
+ * `onStep` hook and pin the machine-enforced outcome: the batch either
+ * re-appends cleanly on replay or refuses loudly — NEVER a surviving
+ * marker over missing files.
+ */
+class AbandonFenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** A minimal CAS-versioned artifact: one `rows` table under v=1. */
+  private def mkArtifact(dir: String): String = {
+    val root = s"$dir/art"
+    Seq((1L, "seed")).toDF("id", "txt").write.parquet(s"$root/v=1/rows")
+    IndexLifecycle.flipPointer(spark, root, 1L)
+    root
+  }
+
+  private def stageBatch(rows: Seq[(Long, String)])(staging: String): Unit =
+    rows.toDF("id", "txt").write.mode("overwrite").parquet(s"$staging/rows")
+
+  private def readRows(root: String): Set[(Long, String)] =
+    spark.read.parquet(s"${IndexLifecycle.resolveDir(spark, root)}/rows")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def appendsFiles(root: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(root, "_appends")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.list(p).toArray.toSeq
+      .map(_.toString.split('/').last)
+  }
+
+  test("abandon firing between stage-move and marker write: the append " +
+       "REFUSES (no marker over deleted files) and the replay re-appends " +
+       "cleanly") {
+    val root = mkArtifact(tmp("graft-fence-premarker"))
+    val runId = "live-stream"
+    val batch = Seq((2L, "two"), (3L, "three"))
+    val e = intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+        stageBatch(batch), failAt = "",
+        onStep = s => if (s == "moved")
+          IndexLifecycle.abandonTornAppends(spark, root))
+    }
+    assert(e.getMessage.contains("lost the abandon fence"), s"$e")
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId).isEmpty,
+      "NEVER a marker over missing files")
+    assert(readRows(root) == Set((1L, "seed")),
+      "the artifact must read as if the batch never ran")
+    // replay re-appends cleanly and clears the sweep's drop record
+    assert(IndexLifecycle.appendOnce(spark, root, runId, 0L)(stageBatch(batch)),
+      "the replay must append")
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two"), (3L, "three")))
+    assert(IndexLifecycle.pendingIntents(spark, root).isEmpty)
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")),
+      "a healed batch's drop record must be cleared")
+    // a redelivery is a plain no-op again
+    assert(!IndexLifecycle.appendOnce(spark, root, runId, 0L)(stageBatch(batch)))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two"), (3L, "three")))
+  }
+
+  test("abandon firing in the window between the fence pre-check and the " +
+       "marker write: the append detects it POST-marker, rolls the marker " +
+       "back to its pre-batch state, and refuses") {
+    val root = mkArtifact(tmp("graft-fence-postmarker"))
+    val runId = "live-stream"
+    assert(IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two")))))
+    val e = intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, runId, 1L,
+        stageBatch(Seq((3L, "three"))), failAt = "",
+        onStep = s => if (s == "pre-marker")
+          IndexLifecycle.abandonTornAppends(spark, root))
+    }
+    assert(e.getMessage.contains("AFTER writing its marker"), s"$e")
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId) == Some(0L),
+      "the marker must roll back to the last real commit, not claim batch 1")
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
+    // replay of batch 1 re-appends cleanly on top
+    assert(IndexLifecycle.appendOnce(spark, root, runId, 1L)(
+      stageBatch(Seq((3L, "three")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two"), (3L, "three")))
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId) == Some(1L))
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")))
+  }
+
+  test("the CRASH hole: append loses the fence, writes its marker, and " +
+       "dies before the post-check — the sweep's drop record makes the " +
+       "replay re-append instead of no-opping on the lying marker") {
+    val root = mkArtifact(tmp("graft-fence-lying-marker"))
+    val runId = "live-stream"
+    val e = intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+        stageBatch(Seq((2L, "two"))), failAt = "marked",
+        onStep = s => if (s == "pre-marker")
+          IndexLifecycle.abandonTornAppends(spark, root))
+    }
+    assert(e.getMessage.contains("failpoint: marked"), s"$e")
+    // the worst state the race can leave: a marker claiming a batch whose
+    // files are gone, plus the sweep's drop record
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId) == Some(0L))
+    assert(readRows(root) == Set((1L, "seed")))
+    assert(appendsFiles(root).exists(_.startsWith("dropped-")),
+      "the sweep must have recorded the drop before deleting")
+    // the replay HEALS: re-appends despite the covering marker
+    assert(IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two")))),
+      "the replay must re-append, not no-op on the lying marker")
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")))
+    // a SECOND redelivery is a plain no-op again (record cleared)
+    assert(!IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
+  }
+
+  test("appendOnce refuses while the fence reads 'running' (in-flight or " +
+       "crashed sweep); rerunning the sweep completes it and unblocks") {
+    val root = mkArtifact(tmp("graft-fence-running"))
+    val appends = java.nio.file.Paths.get(root, "_appends")
+    java.nio.file.Files.createDirectories(appends)
+    java.nio.file.Files.write(appends.resolve("_abandoned"),
+      "7\nrunning".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      IndexLifecycle.appendOnce(spark, root, "r", 0L)(
+        stageBatch(Seq((2L, "x"))))
+    }
+    assert(e.getMessage.contains("in flight"), s"$e")
+    IndexLifecycle.abandonTornAppends(spark, root) // completes the sweep
+    assert(IndexLifecycle.appendOnce(spark, root, "r", 0L)(
+      stageBatch(Seq((2L, "x")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "x")))
+  }
+
+  test("the sweep's LAST-INSTANT marker re-read: a racing append that " +
+       "commits between classification and deletion reclassifies as " +
+       "committed debris — its files survive, no drop record is written") {
+    val root = mkArtifact(tmp("graft-fence-lastinstant"))
+    val runId = "racer"
+    val tag = IndexLifecycle.runTag(runId)
+    intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+        stageBatch(Seq((2L, "two"))), failAt = "moved")
+    }
+    // classification sees the intent torn; before the sweep's per-intent
+    // re-read, the racing append's marker lands (simulated by hand — the
+    // real appendOnce would be blocked by the 'running' fence, which is
+    // exactly why this last-instant path only matters for pre-fence
+    // appends already past their own checks)
+    IndexLifecycle.abandonTornAppendsImpl(spark, root, _ =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_appends", s"run-$tag"),
+        s"0\n$runId\n0".getBytes("UTF-8")))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")),
+      "the last-instant re-read must keep the committed racer's files")
+    assert(IndexLifecycle.pendingIntents(spark, root).isEmpty)
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")),
+      "no drop record for a batch whose files were kept")
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId) == Some(0L))
+  }
+
+  test("a runId containing a newline is refused up front (markers, " +
+       "intents and drop records store it line-oriented)") {
+    val root = mkArtifact(tmp("graft-fence-newline"))
+    val e = intercept[IllegalArgumentException] {
+      IndexLifecycle.appendOnce(spark, root, "bad\nrun", 0L)(
+        stageBatch(Seq((2L, "x"))))
+    }
+    assert(e.getMessage.contains("newline"), s"$e")
+  }
+}
