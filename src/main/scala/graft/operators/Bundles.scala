@@ -419,4 +419,137 @@ object Bundles {
     BundleInfo(pname, remap(current), versions.map(remap).sorted,
       files.size, files.map(_._2).sum)
   }
+
+  /**
+   * OFFLINE bundle integrity check — the operator-side mirror of
+   * [[importBundle]]'s refusal battery, runnable BEFORE shipping a bundle
+   * offsite (a DR backup whose unrestorability is discovered during the
+   * disaster was verified never). Every defect is REPORTED as a row, not
+   * thrown — the whole point is a complete damage inventory:
+   *
+   *   (check, ok, detail) rows for: manifest presence and header, pointer
+   *   family, version declarations (non-empty, current within them),
+   *   run-inventory presence + completeness (a pre-r16 bundle without one
+   *   restores under the weaker mid-stream heuristic — worth knowing
+   *   before it ships), per-file presence, per-file byte counts, files
+   *   escaping the declared version set, and files on the medium the
+   *   manifest never listed (a partial second export, foreign debris).
+   *
+   * A clean bundle yields all-ok rows. Nothing on the bundle or any
+   * target is modified; the check reads the manifest plus one file
+   * listing (statuses only — no data bytes move).
+   */
+  def verifyBundle(spark: SparkSession, bundlePath: String)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    def check(name: String, ok: Boolean, detail: String): Unit =
+      rows += ((name, ok, detail))
+    val bf = fsFor(spark, bundlePath)
+    val mp = new Path(s"$bundlePath/$ManifestName")
+    val manifestLines: Option[Vector[String]] =
+      if (!bf.exists(mp)) None
+      else scala.util.Try {
+        val in = bf.open(mp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      }.toOption
+    manifestLines match {
+      case None =>
+        check("manifest", ok = false,
+          s"no readable $ManifestName — torn or foreign bundle (the " +
+            "manifest is written last; its absence means the export never " +
+            "completed)")
+      case Some(lines) =>
+        check("manifest", ok = true, s"${lines.size} lines")
+        check("header", lines.headOption.contains(Header),
+          lines.headOption.getOrElse("<empty>"))
+        val pname = lines.collectFirst {
+          case l if l.startsWith("pointer=") => l.stripPrefix("pointer=") }
+        check("pointer-family",
+          pname.exists(PointerNames.contains),
+          pname.getOrElse("<missing>"))
+        val current = lines.collectFirst {
+          case l if l.startsWith("current=") => l.stripPrefix("current=") }
+          .flatMap(_.toLongOption)
+        val versions = lines.filter(_.startsWith("version="))
+          .flatMap(_.stripPrefix("version=").toLongOption)
+        check("versions",
+          versions.nonEmpty && current.exists(versions.contains),
+          s"declared=${versions.sorted.mkString(",")} " +
+            s"current=${current.map(_.toString).getOrElse("<missing>")}")
+        val hasInventory = lines.exists(_.startsWith("runs="))
+        val complete = lines.exists(_.trim == "runs=complete")
+        check("run-inventory", hasInventory,
+          if (!hasInventory)
+            "pre-r16 manifest: no run inventory — a restore keeps only " +
+              "the mid-stream heuristic; re-export from the source to " +
+              "ship the blocked-run set"
+          else if (complete)
+            s"complete (${lines.count(_.startsWith("run="))} runs)"
+          else s"INCOMPLETE (${lines.count(_.startsWith("run="))} runs " +
+            "recorded — the source had unreadable or runId-less markers)")
+        val files = lines.filter(_.startsWith("file\t")).flatMap { l =>
+          l.split('\t') match {
+            case Array(_, p, n) => n.toLongOption.map(p -> _)
+            case _ => check("manifest-line", ok = false,
+              s"malformed: $l"); None
+          }
+        }
+        check("file-count", files.nonEmpty, s"${files.size} listed")
+        val declared = versions.toSet
+        var missing = 0; var sizeBad = 0; var escaped = 0
+        files.foreach { case (relp, len) =>
+          val p = new Path(s"$bundlePath/$relp")
+          val st = scala.util.Try(bf.getFileStatus(p)).toOption
+          if (st.isEmpty) { missing += 1
+            check("file-missing", ok = false, relp)
+          } else if (st.get.getLen != len) { sizeBad += 1
+            check("file-size", ok = false,
+              s"$relp is ${st.get.getLen} bytes, manifest says $len " +
+                "(truncated or corrupt transfer)")
+          }
+          val slash = relp.indexOf('/')
+          if (slash <= 0 || !relp.startsWith("v=") ||
+              relp.substring(2, slash).toLongOption
+                .forall(!declared.contains(_))) { escaped += 1
+            check("file-version", ok = false,
+              s"$relp is outside the declared version set")
+          }
+        }
+        if (missing == 0) check("files-present", ok = true,
+          s"all ${files.size} listed files exist")
+        if (sizeBad == 0) check("file-sizes", ok = true,
+          "all byte counts match the manifest")
+        if (escaped == 0) check("file-versions", ok = true,
+          "every file is inside a declared version")
+        // files the manifest never listed: a racing second export, a
+        // partial retry, foreign debris — not fatal (import ignores
+        // them), but a write-once medium should hold exactly the export
+        val listed = files.map(_._1).toSet
+        val rootQ = bf.makeQualified(new Path(bundlePath)).toString
+        val onMedium = scala.util.Try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = bf.listFiles(new Path(bundlePath), true)
+          while (it.hasNext) out += it.next().getPath.toString
+            .stripPrefix(rootQ + "/")
+          out.toSeq
+        }.getOrElse(Nil).filterNot(_ == ManifestName)
+        val unlisted = onMedium.filterNot(listed.contains)
+        check("unlisted-files", unlisted.isEmpty,
+          if (unlisted.isEmpty) "medium holds exactly the manifest's files"
+          else s"${unlisted.size} file(s) on the medium the manifest " +
+            s"never listed (e.g. ${unlisted.head})")
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.toSeq.map { case (c, ok, d) =>
+        org.apache.spark.sql.Row(c, ok, d) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("check",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("ok",
+          org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("detail",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
 }

@@ -979,6 +979,28 @@ object IndexLifecycle {
                        artifact: String): org.apache.spark.sql.Row = {
     val version = currentVersion(spark, artifact)
     val dir = resolveDir(spark, artifact)
+    val (kind, flagSeq) = detectKind(spark, dir)
+    val stale = version.map { cur =>
+      f.listStatus(new org.apache.hadoop.fs.Path(artifact)).toSeq
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+          s.getPath.getName.stripPrefix("v=").toLongOption.exists(_ != cur))
+    }.getOrElse(0)
+    // torn only: an intent whose batch committed is debris, not pending
+    val pending = pendingIntents(spark, artifact).size
+    val markers = runMarkers(spark, artifact).map { case (t, r, b) =>
+      org.apache.spark.sql.Row(t, r, b)
+    }
+    org.apache.spark.sql.Row(artifact, kind,
+      version.map(Long.box).orNull, flagSeq, stale, pending,
+      markers, restoreEpoch(spark, artifact))
+  }
+
+  /** Structural (kind, legacy flags) classification of one RESOLVED
+    * artifact directory — the [[auditArtifacts]] detector, exposed so
+    * [[graft.operators.Migrate.migrateArtifact]] can act on exactly the
+    * same rows the audit reports. */
+  private[operators] def detectKind(spark: SparkSession,
+                                    dir: String): (String, Seq[String]) = {
     def schemaOf(path: String)
         : Option[org.apache.spark.sql.types.StructType] =
       if (!tableExists(spark, path)) None
@@ -1022,19 +1044,7 @@ object IndexLifecycle {
         }
       }
     }
-    val stale = version.map { cur =>
-      f.listStatus(new org.apache.hadoop.fs.Path(artifact)).toSeq
-        .count(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
-          s.getPath.getName.stripPrefix("v=").toLongOption.exists(_ != cur))
-    }.getOrElse(0)
-    // torn only: an intent whose batch committed is debris, not pending
-    val pending = pendingIntents(spark, artifact).size
-    val markers = runMarkers(spark, artifact).map { case (t, r, b) =>
-      org.apache.spark.sql.Row(t, r, b)
-    }
-    org.apache.spark.sql.Row(artifact, kind,
-      version.map(Long.box).orNull, flags.toSeq, stale, pending,
-      markers, restoreEpoch(spark, artifact))
+    (kind, flags.toSeq)
   }
 
   /** Delete every non-current version directory plus any crashed-flip

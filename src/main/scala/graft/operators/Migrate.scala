@@ -294,4 +294,211 @@ object Migrate {
     import spark.implicits._
     r.perSwamp.toDS().toDF()
   }
+
+  // =========================================================================
+  // Legacy serving-artifact migration — the operator-side sweep that ends
+  // the documented pre-stamp ambiguities ([[IndexLifecycle.auditArtifacts]]
+  // legacy_flags). Each migration rebuilds the flagged tables under a NEW
+  // CAS version with the width stamps / denormalized columns current builds
+  // write, flips the pointer last, and leaves the old version readable for
+  // rollback (vacuum when validated). After migration the append-side
+  // `allowUnverifiedWidth` escape hatch is unnecessary: every width is
+  // machine-verified again.
+  // =========================================================================
+
+  /** One artifact's migration outcome. `actions` narrates exactly what was
+    * rebuilt/stamped and from which evidence (declared vs inferred). */
+  final case class ArtifactMigration(
+      artifact: String, kind: String,
+      fromVersion: Option[Long], toVersion: Option[Long],
+      actions: Seq[String])
+
+  /**
+   * Rebuild a legacy serving artifact into its fully-stamped modern form,
+   * in place (new CAS version + pointer flip — concurrent readers keep the
+   * old version; roll back by re-flipping the pointer):
+   *
+   *  - signature table, legacy STRING shingle sets: `_sh` is re-hashed to
+   *    the 32-bit int form ([[graft.functions.TextFunctions.hash32]] —
+   *    bit-identical to what a fresh build writes), `_sig` is recomputed
+   *    from the hashed sets (identical values by construction), and `_sn`
+   *    is stamped — INFERRED from the stored shingle strings (an n-gram
+   *    shingle is n space-joined tokens) and cross-checked against
+   *    `declaredShingleN` when given.
+   *  - signature table, pre-`_sn` hashed sets: the width is NOT recoverable
+   *    from hashes — `declaredShingleN` is REQUIRED (confirm the original
+   *    build parameter out-of-band) and stamped.
+   *  - shingle postings, pre-`_sn`: same rule; `declaredShingleN` required,
+   *    stamped as the `_sn` constant.
+   *  - gram index, pre-`_gk`: `declaredGramK` required, stamped.
+   *  - text index, pre-`dl` postings and/or missing `terms/` dictionary:
+   *    postings are rewritten with the doc length denormalized in (joined
+   *    from the `lengths/` table when present, else derived as Σtf per
+   *    key — identical by the tokenizer's definition of dl), re-clustered
+   *    by term (the build layout), and the `terms/` dictionary is
+   *    materialized. `lengths/` and `stats/` are carried into the new
+   *    version unchanged (versions are self-contained).
+   *
+   * An artifact with NO legacy flags is a no-op (reported, not an error);
+   * an `unknown` kind with flags refuses. Torn replay-safe appends must be
+   * resolved first ([[IndexLifecycle.nextVersion]] refuses while intents
+   * are pending — the compaction rule, same reason).
+   */
+  def migrateArtifact(spark: SparkSession, root: String,
+                      declaredShingleN: Option[Int] = None,
+                      declaredGramK: Option[Int] = None): ArtifactMigration = {
+    val dir = IndexLifecycle.resolveDir(spark, root)
+    val (kind, flags) = IndexLifecycle.detectKind(spark, dir)
+    val from = IndexLifecycle.currentVersion(spark, root)
+    if (flags.isEmpty)
+      return ArtifactMigration(root, kind, from, from,
+        Seq("no legacy flags — already current, nothing to migrate"))
+    val next = IndexLifecycle.nextVersion(spark, root)
+    val vdir = s"$root/v=$next"
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    kind match {
+      case "signature-table" =>
+        val base = spark.read.parquet(dir)
+        val isStringSh = base.schema("_sh").dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType, _) => true
+          case _ => false
+        }
+        val shN: Int =
+          if (isStringSh) {
+            // a shingle string is n space-joined tokens; docs SHORTER than
+            // n produce one under-width shingle, so the corpus-wide MAX is
+            // the build width (exact unless every document was shorter
+            // than n — in which case the declared value must carry it)
+            val inferred = base.select(explode(col("_sh")).as("_s"))
+              .agg(max(size(split(col("_s"), " "))).as("n"))
+              .head(1).headOption.flatMap(r => Option(r.get(0)))
+              .map(_.asInstanceOf[Int])
+            (declaredShingleN, inferred) match {
+              case (Some(d), Some(i)) =>
+                require(i <= d,
+                  s"declaredShingleN=$d but the stored shingle strings " +
+                    s"contain $i-token shingles — the artifact was built " +
+                    "with a LARGER width than declared; fix the declaration")
+                actions += s"shingleN=$d declared, consistent with stored " +
+                  s"shingle strings (max $i tokens)"
+                d
+              case (None, Some(i)) =>
+                actions += s"shingleN=$i inferred from stored shingle strings"
+                i
+              case (Some(d), None) =>
+                actions += s"shingleN=$d declared (empty table, nothing to infer)"
+                d
+              case (None, None) => throw new IllegalArgumentException(
+                s"$root is empty and pre-_sn — pass declaredShingleN")
+            }
+          } else declaredShingleN.getOrElse(throw new IllegalArgumentException(
+            s"$root stores HASHED shingle sets without an _sn stamp — the " +
+              "shingle width is not recoverable from hashes; pass " +
+              "declaredShingleN after confirming the original build " +
+              "parameter out-of-band"))
+        val rehashed =
+          if (isStringSh) {
+            val numHashes = base.select(size(col("_sig")).as("k"))
+              .head(1).headOption.map(_.getInt(0)).getOrElse(16)
+            actions += "string shingle sets re-hashed to int32 form; " +
+              s"signatures recomputed ($numHashes hashes, identical values " +
+              "by construction)"
+            base
+              .withColumn("_sh", array_distinct(transform(col("_sh"),
+                s => graft.functions.TextFunctions.hash32(s))))
+              .withColumn("_sig", graft.functions.TextFunctions
+                .minhashSignatureFromHashes(col("_sh"), numHashes))
+          } else {
+            if (!isStringSh) actions += "hashed sets kept as stored"
+            base
+          }
+        actions += s"_sn=$shN stamped"
+        rehashed.withColumn("_sn", lit(shN))
+          .write.mode("overwrite").parquet(vdir)
+
+      case "shingle-postings" =>
+        val n = declaredShingleN.getOrElse(throw new IllegalArgumentException(
+          s"$root shingle postings are pre-_sn — the width is not " +
+            "recoverable from hashes; pass declaredShingleN"))
+        actions += s"_sn=$n stamped onto the postings"
+        spark.read.parquet(dir).withColumn("_sn", lit(n))
+          .write.mode("overwrite").parquet(vdir)
+
+      case "gram-index" =>
+        val k = declaredGramK.getOrElse(throw new IllegalArgumentException(
+          s"$root gram index is pre-_gk — the gram width is not " +
+            "recoverable from hashes; pass declaredGramK"))
+        actions += s"_gk=$k stamped onto the gram rows"
+        spark.read.parquet(dir).withColumn("_gk", lit(k))
+          .write.mode("overwrite").parquet(vdir)
+
+      case "text-index" =>
+        val postings = spark.read.parquet(s"$dir/postings")
+        val hasLengths = IndexLifecycle.tableExists(spark, s"$dir/lengths")
+        val keyCol = postings.columns
+          .filterNot(Set("term", "tf", "dl").contains) match {
+          case Array(k) => k
+          case other => throw new IllegalStateException(
+            s"$root postings carry ambiguous key columns: ${other.mkString(",")}")
+        }
+        val withDl =
+          if (postings.columns.contains("dl")) {
+            actions += "postings already carry dl"
+            postings
+          } else if (hasLengths) {
+            actions += "dl denormalized into postings from lengths/"
+            postings.join(
+              spark.read.parquet(s"$dir/lengths"), Seq(keyCol))
+          } else {
+            actions += "dl derived as sum(tf) per doc (no lengths/ table)"
+            postings.join(
+              postings.groupBy(col(keyCol)).agg(sum(col("tf")).as("dl")),
+              Seq(keyCol))
+          }
+        withDl.repartitionByRange(col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite").parquet(s"$vdir/postings")
+        if (hasLengths)
+          spark.read.parquet(s"$dir/lengths")
+            .write.mode("overwrite").parquet(s"$vdir/lengths")
+        if (IndexLifecycle.tableExists(spark, s"$dir/stats"))
+          spark.read.parquet(s"$dir/stats")
+            .write.mode("overwrite").parquet(s"$vdir/stats")
+        TermStats.writeTermsTable(spark, vdir)
+        actions += "terms/ dictionary materialized"
+
+      case other => throw new IllegalArgumentException(
+        s"$root: no migration path for kind '$other' with flags " +
+          flags.mkString("[", "; ", "]"))
+    }
+    IndexLifecycle.flipPointer(spark, root, next)
+    if (from.isEmpty)
+      actions += "legacy flat tables left in place at the root (now " +
+        "shadowed by the versioned layout); remove them after validating"
+    ArtifactMigration(root, kind, from, Some(next), actions.toSeq)
+  }
+
+  /** [[migrateArtifact]] fleet-wide: every artifact under `root` that
+    * [[IndexLifecycle.auditArtifacts]] flags, one report row each.
+    * Artifacts whose migration needs a width the caller didn't supply are
+    * REPORTED (kind + the refusal message), not thrown — a fleet sweep
+    * must surface every blocker in one pass. */
+  def migrateFlagged(spark: SparkSession, root: String,
+                     declaredShingleN: Option[Int] = None,
+                     declaredGramK: Option[Int] = None): Seq[ArtifactMigration] = {
+    import scala.jdk.CollectionConverters._
+    val flagged = IndexLifecycle.auditArtifacts(spark, root)
+      .select("artifact", "legacy_flags").collectAsList().asScala.toSeq
+      .filter(_.getSeq[String](1).nonEmpty).map(_.getString(0))
+    flagged.map { a =>
+      scala.util.Try(
+        migrateArtifact(spark, a, declaredShingleN, declaredGramK)) match {
+        case scala.util.Success(m) => m
+        case scala.util.Failure(e) =>
+          ArtifactMigration(a, "unmigrated", None, None,
+            Seq(s"refused: ${e.getMessage}"))
+      }
+    }
+  }
 }

@@ -136,17 +136,25 @@ object Patch {
   /**
    * `PatchExpiredTreasures(Many)` — the lease/renew pattern (reference:
    * app/server/gateway/gateway_patch_expired.go:31-270,
-   * app/core/hydra/swamp/swamp_patch_expired.go:34-173): select up to
-   * `howMany` rows whose `expiryCol` is before `now` (optionally narrowed by
-   * `selection`), oldest expiry first with a deterministic key tie-break,
-   * and apply the patch ops to exactly those rows in place; everything else
-   * is untouched. Adds `_patched` so callers see which rows were claimed
-   * (the reference returns the patched keys).
+   * app/core/hydra/swamp/swamp_patch_expired.go:34-173): claim up to
+   * `howMany` distinct KEYS whose `expiryCol` is before `now` (optionally
+   * narrowed by `selection`), oldest expiry first with a deterministic key
+   * tie-break, and apply the patch ops to EVERY row of each claimed key in
+   * place; everything else is untouched. Adds `_patched` so callers see
+   * which rows were claimed (the reference returns the patched keys).
    *
-   * Scale shape: the claim set is `filter → orderBy → limit` — a
-   * per-partition top-K (TakeOrderedAndProject) merging `howMany` keys on
-   * the driver, then BROADCAST back onto the table, so the big table never
-   * shuffles. The row cap makes the broadcast safe by construction.
+   * Duplicate-key semantics (changed in r16): the claim unit is the key,
+   * not the row — a key with 3 expired rows counts ONCE against `howMany`
+   * and all 3 of its rows are patched. (The old row-level limit both
+   * under-claimed and silently DUPLICATED output rows via the claim join's
+   * fan-out; callers relying on an exact row cap should de-duplicate keys
+   * upstream.)
+   *
+   * Scale shape: the claim set is `filter → groupBy(key) → orderBy →
+   * limit` — a hash-agg then top-K (TakeOrderedAndProject) merging
+   * `howMany` keys on the driver, then BROADCAST back onto the table, so
+   * the big table never shuffles. The KEY cap makes the broadcast safe by
+   * construction (`howMany` keys, whatever their row multiplicity).
    */
   def patchExpired(df: DataFrame, structCol: String, ops: Seq[PatchOp],
                    expiryCol: String, keyCol: String,

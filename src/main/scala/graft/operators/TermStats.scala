@@ -534,9 +534,11 @@ object TermStats {
   }
 
   /** (term, df) partials for every posting row under `vdir/postings` —
-    * the build/compact-time dictionary writer. */
-  private def writeTermsTable(spark: org.apache.spark.sql.SparkSession,
-                              vdir: String): Unit =
+    * the build/compact-time dictionary writer (package-visible so
+    * [[graft.operators.Migrate.migrateArtifact]] can materialize the
+    * dictionary for a legacy index). */
+  private[operators] def writeTermsTable(spark: org.apache.spark.sql.SparkSession,
+                                         vdir: String): Unit =
     spark.read.parquet(s"$vdir/postings")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$vdir/terms")

@@ -25,12 +25,18 @@ object PairCountProbe {
     // fixture turns almost every token into part of a repeated passage,
     // so the kernel's true work — tokens it must find and remove — is
     // sum(n_removed), not the row count.
+    // coalesce(sum, 0): sum() over an empty frame is NULL and getLong
+    // would NPE — a fixture change emptying these queries must record 0
+    // (and trip the gate's sanity checks), not crash the probe and leave
+    // the gate reading stale denominators
+    def sumOf(colName: String)(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(colName),
+        org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
     val workMeasure: Map[String, org.apache.spark.sql.DataFrame => Long] =
       Map(
-        "q_range_join" -> (df => df.agg(
-          org.apache.spark.sql.functions.sum("n_in_window")).head().getLong(0)),
-        "q_substring_dedup" -> (df => df.agg(
-          org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)))
+        "q_range_join" -> sumOf("n_in_window"),
+        "q_substring_dedup" -> sumOf("n_removed"))
     // renames in SparkEntry must fail LOUDLY here, not as a bare
     // NoSuchElementException mid-run — and any name silently dropped from
     // the suite would otherwise leave the gate reading stale denominators
