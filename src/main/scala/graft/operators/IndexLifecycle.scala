@@ -661,15 +661,16 @@ object IndexLifecycle {
     f.delete(intentP, false)
     // committed batches never revisit their intent files — sweep this
     // run's older debris (a crash after an earlier marker write but
-    // before ITS cleanup) so `_appends` stays one marker + live intents
-    val appendsDir = new org.apache.hadoop.fs.Path(s"$root/$AppendsName")
-    f.listStatus(appendsDir).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        n.startsWith(s"intent-$tag-") &&
-          n.stripPrefix(s"intent-$tag-").toLongOption.exists(_ <= batchId)
-      }
-      .foreach(s => f.delete(s.getPath, false))
+    // before ITS cleanup) so `_appends` stays one marker + live intents.
+    // The OPENING listing is the evidence (no re-list: single-writer
+    // means nothing else created intents for this tag since, and this
+    // batch's own intent was just deleted above) — one listing per batch
+    // total, the object-store budget the file-op census law pins.
+    names.filter { n =>
+      n.startsWith(s"intent-$tag-") && !n.contains(".tmp.") &&
+        n.stripPrefix(s"intent-$tag-").toLongOption.exists(_ <= batchId)
+    }.foreach(n => f.delete(
+      new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"), false))
     true
   }
 
@@ -717,6 +718,10 @@ object IndexLifecycle {
     // would wedge replay until manual cleanup ([[abandonTornAppends]]
     // sweeps the debris; the next writeAtomic of the same name does too)
     val names = allNames.filterNot(_.contains(".tmp."))
+    // no intents ⇒ nothing to classify: skip the marker parses entirely —
+    // this path runs once per micro-batch (the appendOnce foreign-intent
+    // check), and each marker parse is an object-store read round trip
+    if (!names.exists(_.startsWith("intent-"))) return Nil
     val markerByTag: Map[String, (Long, Option[String])] = names
       .filter(_.startsWith("run-"))
       .flatMap { n =>
