@@ -201,6 +201,16 @@ object Bundles {
           s"source after the inventory listing (e.g. ${missed.head}) — " +
           "re-run the export (or export a pinned non-current version, " +
           "which is immutable)")
+      // ...and files that VANISHED: an abandon sweep starting after the
+      // fence pre-check above can delete a torn batch's files the copy
+      // already shipped — the manifest would then certify partial batch
+      // files a restore serves as live data with no record left
+      val vanished = inv.map(_._1).toSet -- after
+      if (vanished.nonEmpty) throw new IllegalStateException(
+        s"export raced a deleter: ${vanished.size} file(s) vanished from " +
+          s"the source after the inventory listing (e.g. ${vanished.head}" +
+          ") — an abandonTornAppends sweep or vacuum ran mid-copy; " +
+          "re-run the export once it completes")
       // old-run inventory: the raw runIds of every replay marker on the
       // source ride in the manifest so importBundle can BLOCK exactly
       // those runs on the restored artifact — closing the batch-0 replay

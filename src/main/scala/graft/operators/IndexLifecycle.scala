@@ -480,8 +480,14 @@ object IndexLifecycle {
     // batch's files are gone — and the replay must re-append, not no-op.
     def droppedRecordMatches(name: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
-      val stored = scala.util.Try(
-        readLines(f, p).headOption.getOrElse("").trim).getOrElse("")
+      // FNF = the record vanished since the listing (a concurrent heal
+      // already cleared it) ⇒ no match, plain no-op — the safe reading.
+      // Any OTHER read failure must PROPAGATE: defaulting an unreadable
+      // record to "matches" would launder a transient store error into
+      // the re-append (duplicate) direction
+      val stored =
+        try readLines(f, p).headOption.getOrElse("").trim
+        catch { case _: java.io.FileNotFoundException => return false }
       stored.isEmpty || stored == runId // empty = legacy tag-only record
     }
     val droppedThisBatch = names.contains(s"dropped-$tag-$batchId") &&
@@ -633,6 +639,14 @@ object IndexLifecycle {
             s"(fence $fence0 -> $cur) but every moved file survived (the " +
             "sweep saw the marker, or never touched this batch) — the " +
             "commit stands")
+        // the racing sweep may have written a drop record for this batch
+        // (classified torn, then stopped before deleting anything) — with
+        // every file just verified present, that record is a stale lie,
+        // and leaving it would make a later crash-redelivery "heal"
+        // (re-append) on top of the live files. The opening listing
+        // predates the sweep, so delete unconditionally.
+        f.delete(new org.apache.hadoop.fs.Path(
+          s"$root/$AppendsName/dropped-$tag-$batchId"), false)
       } else {
         marker match {
           case Some((b0, e0)) =>
@@ -742,25 +756,53 @@ object IndexLifecycle {
         }
       }.toMap
     names.filter(_.startsWith("intent-")).sorted.map { n =>
-      val rest = n.stripPrefix("intent-")
-      val dash = rest.lastIndexOf('-')
-      val intentRunId = readLines(f,
-        new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$n"))
-        .headOption.filter(_.startsWith("#runId:"))
-        .map(_.stripPrefix("#runId:"))
-      val committed = dash > 0 &&
-        rest.substring(dash + 1).toLongOption.exists { b =>
-          markerByTag.get(rest.substring(0, dash)).exists {
-            case (mb, mraw) =>
-              mb >= b && ((intentRunId, mraw) match {
-                case (Some(i), Some(m)) => i == m
-                case _ => true // pre-r16 legacy: tag-only match
-              })
-          }
-        }
+      val (_, batchPart, intentRunId) = parseIntentName(f, root, n)
+      val committed = markerCoversIntent(batchPart,
+        intentTag(n).flatMap(markerByTag.get), intentRunId)
       (n, committed)
     }
   }
+
+  /** (tag, batchId, `#runId:` header) parsed out of one intent manifest —
+    * the shared decomposition behind classification and the sweep. */
+  private def parseIntentName(f: org.apache.hadoop.fs.FileSystem,
+                              root: String, name: String)
+      : (String, Option[Long], Option[String]) = {
+    val rest = name.stripPrefix("intent-")
+    val dash = rest.lastIndexOf('-')
+    val tagPart = if (dash > 0) rest.substring(0, dash) else rest
+    val batchPart =
+      if (dash > 0) rest.substring(dash + 1).toLongOption else None
+    val intentRunId = scala.util.Try(readLines(f,
+        new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name"))).toOption
+      .flatMap(_.headOption).filter(_.startsWith("#runId:"))
+      .map(_.stripPrefix("#runId:"))
+    (tagPart, batchPart, intentRunId)
+  }
+
+  private def intentTag(name: String): Option[String] = {
+    val rest = name.stripPrefix("intent-")
+    val dash = rest.lastIndexOf('-')
+    if (dash > 0) Some(rest.substring(0, dash)) else None
+  }
+
+  /** THE intent↔marker commit rule — ONE implementation shared by
+    * [[intentStatusFrom]]'s classification and the sweep's last-instant
+    * re-read (two sites silently diverging here is a deleted-committed-
+    * data bug): the marker covers the intent's batch AND, when both
+    * sides recorded identities, the raw runIds match (pre-r16 legacy
+    * artifacts fall back to the tag-only match). */
+  private def markerCoversIntent(batch: Option[Long],
+                                 marker: Option[(Long, Option[String])],
+                                 intentRunId: Option[String]): Boolean =
+    (batch, marker) match {
+      case (Some(b), Some((mb, mraw))) =>
+        mb >= b && ((intentRunId, mraw) match {
+          case (Some(i), Some(m)) => i == m
+          case _ => true // pre-r16 legacy: tag-only match
+        })
+      case _ => false
+    }
 
   /** Discard every torn append as if its batch never ran: delete the
     * intent-listed live files (the partial move), the staging debris, and
@@ -825,8 +867,9 @@ object IndexLifecycle {
         f.listStatus(appendsPath).toSeq
           .filter(s => !s.isDirectory && s.getPath.getName.contains(".tmp."))
           .foreach(s => f.delete(s.getPath, false))
-      intentStatus(spark, root).map { case (name, committed) =>
+      val swept = intentStatus(spark, root).map { case (name, committed) =>
         val intentP = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
+        val rest = name.stripPrefix("intent-")
         var keepFiles = committed
         if (!committed) {
           onIntent(name)
@@ -834,26 +877,15 @@ object IndexLifecycle {
           // racing appendOnce may have committed between the classification
           // listing and now, and deleting its files would orphan a
           // committed batch (the marker re-read mirrors the append's own
-          // post-marker fence check from the other side)
-          val rest = name.stripPrefix("intent-")
-          val dash = rest.lastIndexOf('-')
-          val tagPart = if (dash > 0) rest.substring(0, dash) else rest
-          val batchPart = if (dash > 0)
-            rest.substring(dash + 1).toLongOption else None
-          val intentRunId = scala.util.Try(readLines(f, intentP)).toOption
-            .flatMap(_.headOption).filter(_.startsWith("#runId:"))
-            .map(_.stripPrefix("#runId:"))
+          // post-marker fence check from the other side; the commit rule
+          // itself is THE shared markerCoversIntent)
+          val (tagPart, batchPart, intentRunId) =
+            parseIntentName(f, root, name)
           val freshMarker = scala.util.Try(parseMarker(f,
             new org.apache.hadoop.fs.Path(
               s"$root/$AppendsName/run-$tagPart"))).toOption
-          keepFiles = (batchPart, freshMarker) match {
-            case (Some(b), Some((mb, mraw, _))) =>
-              mb >= b && ((intentRunId, mraw) match {
-                case (Some(i), Some(m)) => i == m
-                case _ => true // pre-r16 legacy: tag-only match
-              })
-            case _ => false
-          }
+            .map { case (mb, mraw, _) => (mb, mraw) }
+          keepFiles = markerCoversIntent(batchPart, freshMarker, intentRunId)
           if (keepFiles)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"abandon sweep on $root: intent $name committed between " +
@@ -872,18 +904,56 @@ object IndexLifecycle {
                 f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
           }
         }
+        if (keepFiles) {
+          // a PREVIOUS crashed sweep may have left a drop record for this
+          // now-committed intent. Adjudicate it against the intent's file
+          // list: every file alive ⇒ the record is a stale lie (the
+          // racing append won cleanly) — delete it, or a later crash-
+          // redelivery would "heal" (re-append) over live data. Any file
+          // dead ⇒ the crashed sweep got partway — FINISH its deletion
+          // and keep the record, so the heal replays the whole batch
+          // against a clean slate (keeping the partial files would make
+          // the heal duplicate the survivors).
+          val recordP = new org.apache.hadoop.fs.Path(
+            s"$root/$AppendsName/dropped-$rest")
+          if (f.exists(recordP)) {
+            val listed = readLines(f, intentP).map(_.trim)
+              .filter(l => l.nonEmpty && !l.startsWith("#"))
+            val dead = listed.filterNot(rel =>
+              f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))
+            if (dead.isEmpty) f.delete(recordP, false)
+            else {
+              org.slf4j.LoggerFactory.getLogger(getClass).error(
+                s"abandon sweep on $root: intent $name is marker-covered " +
+                  s"but a previous crashed sweep already deleted " +
+                  s"${dead.size} of ${listed.size} of its files — " +
+                  "finishing the deletion and keeping the drop record so " +
+                  "the replay heals the lying marker cleanly")
+              listed.foreach(rel =>
+                f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+            }
+          }
+        }
         // committed debris: the files are LIVE DATA — sweep only the
         // manifest and staging leftovers
         f.delete(new org.apache.hadoop.fs.Path(
-          s"$root/$StagingName/${name.stripPrefix("intent-")}"), true)
+          s"$root/$StagingName/$rest"), true)
         f.delete(intentP, false)
         name
       }
-    } finally {
-      // fence DOWN even when the sweep failed mid-way: every deletion is
-      // preceded by its drop record, so replays heal; leaving the fence
-      // `running` would wedge appends behind a sweep that already stopped
+      // fence DOWN only on SUCCESS — a sweep that failed mid-run leaves
+      // it `running`, BLOCKING all appends until a rerun completes (the
+      // refusing direction the scaladoc promises; every deletion above is
+      // preceded by its drop record, so the rerun and the replays heal)
       writeAtomic(spark, s"$root/$AppendsName", AbandonedName, s"$epoch\ndone")
+      swept
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).error(
+          s"abandon sweep on $root FAILED mid-run — the fence stays " +
+            "'running' and appendOnce refuses until a rerun completes " +
+            s"(rerunning is safe and idempotent): $e")
+        throw e
     }
   }
 

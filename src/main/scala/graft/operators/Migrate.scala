@@ -376,10 +376,22 @@ object Migrate {
               .map(_.asInstanceOf[Int])
             (declaredShingleN, inferred) match {
               case (Some(d), Some(i)) =>
-                require(i <= d,
-                  s"declaredShingleN=$d but the stored shingle strings " +
-                    s"contain $i-token shingles — the artifact was built " +
-                    "with a LARGER width than declared; fix the declaration")
+                // i is EXACT evidence of the build width whenever any doc
+                // produced more than one shingle (t tokens ≥ n ⇒ n-token
+                // shingles); d may only exceed i when EVERY doc was
+                // shorter than n, i.e. every stored set is a single
+                // under-width shingle. Trusting a larger declaration over
+                // contradicting evidence would stamp a lie the width
+                // guards then enforce.
+                val maxSetSize = base.agg(max(size(col("_sh"))).as("m"))
+                  .head(1).headOption.flatMap(r => Option(r.get(0)))
+                  .map(_.asInstanceOf[Int]).getOrElse(0)
+                require(i == d || (i < d && maxSetSize <= 1),
+                  s"declaredShingleN=$d contradicts the stored shingle " +
+                    s"strings: documents produced multiple $i-token " +
+                    s"shingles, which only a shingleN=$i build does — " +
+                    "fix the declaration (or drop it; the width is " +
+                    "inferable here)")
                 actions += s"shingleN=$d declared, consistent with stored " +
                   s"shingle strings (max $i tokens)"
                 d
@@ -442,19 +454,29 @@ object Migrate {
           case other => throw new IllegalStateException(
             s"$root postings carry ambiguous key columns: ${other.mkString(",")}")
         }
+        // Σtf per key IS dl by the tokenizer's definition (every token is
+        // indexed) — always computed as the fallback so a lengths/ table
+        // missing some keys (exactly the unhygienic population this sweep
+        // targets) cannot silently DROP their postings rows through an
+        // inner join: unmatched keys fall back to the derived length
+        val derived = postings.groupBy(col(keyCol))
+          .agg(sum(col("tf")).as("_dl_derived"))
         val withDl =
           if (postings.columns.contains("dl")) {
             actions += "postings already carry dl"
             postings
           } else if (hasLengths) {
-            actions += "dl denormalized into postings from lengths/"
-            postings.join(
-              spark.read.parquet(s"$dir/lengths"), Seq(keyCol))
+            actions += "dl denormalized into postings from lengths/ " +
+              "(keys missing there fall back to the derived sum(tf))"
+            postings
+              .join(spark.read.parquet(s"$dir/lengths"), Seq(keyCol), "left")
+              .join(derived, Seq(keyCol))
+              .withColumn("dl", coalesce(col("dl"), col("_dl_derived")))
+              .drop("_dl_derived")
           } else {
             actions += "dl derived as sum(tf) per doc (no lengths/ table)"
-            postings.join(
-              postings.groupBy(col(keyCol)).agg(sum(col("tf")).as("dl")),
-              Seq(keyCol))
+            postings.join(derived, Seq(keyCol))
+              .withColumnRenamed("_dl_derived", "dl")
           }
         withDl.repartitionByRange(col("term"))
           .sortWithinPartitions(col("term"))
@@ -483,7 +505,18 @@ object Migrate {
     * [[IndexLifecycle.auditArtifacts]] flags, one report row each.
     * Artifacts whose migration needs a width the caller didn't supply are
     * REPORTED (kind + the refusal message), not thrown — a fleet sweep
-    * must surface every blocker in one pass. */
+    * must surface every blocker in one pass.
+    *
+    * A declared width is applied to AT MOST ONE artifact whose build it
+    * cannot be cross-checked against (hashed pre-`_sn` signatures /
+    * shingle postings for `declaredShingleN`, pre-`_gk` gram indexes for
+    * `declaredGramK`): a heterogeneous fleet swept with one fleet-wide
+    * width would get wrong widths certified on every other member —
+    * exactly the lie the stamps exist to prevent. When several such
+    * artifacts are flagged, each is reported for an individual
+    * [[migrateArtifact]] call with its own confirmed width. (Artifacts
+    * whose width is inferable — string-shingle tables — are unaffected:
+    * their evidence cross-checks any declaration.) */
   def migrateFlagged(spark: SparkSession, root: String,
                      declaredShingleN: Option[Int] = None,
                      declaredGramK: Option[Int] = None): Seq[ArtifactMigration] = {
@@ -491,8 +524,35 @@ object Migrate {
     val flagged = IndexLifecycle.auditArtifacts(spark, root)
       .select("artifact", "legacy_flags").collectAsList().asScala.toSeq
       .filter(_.getSeq[String](1).nonEmpty).map(_.getString(0))
-    flagged.map { a =>
-      scala.util.Try(
+    val classified = flagged.map { a =>
+      a -> IndexLifecycle.detectKind(spark, IndexLifecycle.resolveDir(spark, a))
+    }
+    // the artifacts that would CONSUME a declared width with no
+    // evidence to cross-check it against
+    val shingleConsumers = classified.collect {
+      case (a, (k, fl))
+        if (k == "signature-table" && fl.exists(_.contains("pre-_sn")) &&
+            !fl.exists(_.contains("STRING"))) ||
+           (k == "shingle-postings" && fl.exists(_.contains("pre-_sn"))) => a
+    }
+    val gramConsumers = classified.collect {
+      case (a, (k, fl))
+        if k == "gram-index" && fl.exists(_.contains("pre-_gk")) => a
+    }
+    val ambiguousShingle =
+      declaredShingleN.nonEmpty && shingleConsumers.size > 1
+    val ambiguousGram = declaredGramK.nonEmpty && gramConsumers.size > 1
+    classified.map { case (a, (k, _)) =>
+      val ambiguous =
+        (ambiguousShingle && shingleConsumers.contains(a)) ||
+          (ambiguousGram && gramConsumers.contains(a))
+      if (ambiguous)
+        ArtifactMigration(a, k, None, None, Seq(
+          "refused: multiple flagged artifacts would receive the same " +
+            "fleet-wide declared width, and their builds cannot be " +
+            "cross-checked from hashes — run migrateArtifact on each " +
+            "with its own confirmed width"))
+      else scala.util.Try(
         migrateArtifact(spark, a, declaredShingleN, declaredGramK)) match {
         case scala.util.Success(m) => m
         case scala.util.Failure(e) =>

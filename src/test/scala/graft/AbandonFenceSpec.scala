@@ -171,6 +171,93 @@ class AbandonFenceSpec extends SparkSpec {
     assert(IndexLifecycle.lastAppendedBatch(spark, root, runId) == Some(0L))
   }
 
+  test("a sweep that THROWS mid-run leaves the fence 'running' (appends " +
+       "refuse — the documented direction) until a rerun completes") {
+    val root = mkArtifact(tmp("graft-fence-throwing"))
+    intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, "dead-run", 0L,
+        stageBatch(Seq((2L, "two"))), failAt = "moved")
+    }
+    intercept[RuntimeException] {
+      IndexLifecycle.abandonTornAppendsImpl(spark, root,
+        _ => throw new RuntimeException("injected sweep failure"))
+    }
+    val e = intercept[IllegalStateException] {
+      IndexLifecycle.appendOnce(spark, root, "other-run", 0L)(
+        stageBatch(Seq((3L, "x"))))
+    }
+    assert(e.getMessage.contains("in flight"),
+      s"a failed sweep must leave the fence blocking: $e")
+    IndexLifecycle.abandonTornAppends(spark, root) // the rerun completes
+    assert(IndexLifecycle.appendOnce(spark, root, "other-run", 0L)(
+      stageBatch(Seq((3L, "x")))))
+    assert(readRows(root) == Set((1L, "seed"), (3L, "x")))
+  }
+
+  test("rerun adjudication of a crashed sweep's drop record: files all " +
+       "alive ⇒ the record is a stale lie and is cleared (no phantom " +
+       "heal); files partially dead ⇒ the deletion is finished and the " +
+       "record kept, so the heal replays against a clean slate") {
+    // CASE 1: crashed sweep wrote the record, deleted nothing; the racing
+    // append's marker landed. The rerun must keep the files, clear the
+    // record, and a redelivery must be a plain no-op — NOT a heal that
+    // would duplicate live rows.
+    val root = mkArtifact(tmp("graft-fence-stale-record"))
+    val runId = "racer"
+    val tag = IndexLifecycle.runTag(runId)
+    intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+        stageBatch(Seq((2L, "two"))), failAt = "moved")
+    }
+    val appends = java.nio.file.Paths.get(root, "_appends")
+    java.nio.file.Files.write(appends.resolve(s"dropped-$tag-0"),
+      runId.getBytes("UTF-8"))
+    java.nio.file.Files.write(appends.resolve(s"run-$tag"),
+      s"0\n$runId\n0".getBytes("UTF-8"))
+    IndexLifecycle.abandonTornAppends(spark, root)
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")),
+      "all-alive ⇒ the stale record must be cleared")
+    assert(!IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two")))),
+      "redelivery must no-op — a phantom heal would duplicate live rows")
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
+
+    // CASE 2: the crashed sweep got PARTWAY (one of two files deleted)
+    // before the marker landed. Keeping the survivor would make the heal
+    // duplicate it — the rerun must finish the deletion and keep the
+    // record; the heal then replays the whole batch cleanly.
+    val root2 = mkArtifact(tmp("graft-fence-partial-record"))
+    intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root2, runId, 0L,
+        staging => Seq((2L, "two"), (3L, "three")).toDF("id", "txt")
+          .repartition(2).write.mode("overwrite").parquet(s"$staging/rows"),
+        failAt = "moved")
+    }
+    val appends2 = java.nio.file.Paths.get(root2, "_appends")
+    java.nio.file.Files.write(appends2.resolve(s"dropped-$tag-0"),
+      runId.getBytes("UTF-8"))
+    java.nio.file.Files.write(appends2.resolve(s"run-$tag"),
+      s"0\n$runId\n0".getBytes("UTF-8"))
+    // simulate the crashed sweep's partial deletion: one moved file gone
+    val intentLines = java.nio.file.Files.readAllLines(
+      appends2.resolve(s"intent-$tag-0")).toArray.map(_.toString)
+      .filterNot(_.startsWith("#")).filter(_.nonEmpty)
+    assert(intentLines.length >= 2, s"need ≥2 moved files: ${intentLines.toSeq}")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root2, "v=1", intentLines.head))
+    IndexLifecycle.abandonTornAppends(spark, root2)
+    assert(readRows(root2) == Set((1L, "seed")),
+      "the rerun must finish the partial deletion, not keep survivors")
+    assert(appendsFiles(root2).contains(s"dropped-$tag-0"),
+      "the record is TRUTH here and must survive the rerun")
+    assert(IndexLifecycle.appendOnce(spark, root2, runId, 0L)(
+      stageBatch(Seq((2L, "two"), (3L, "three")))),
+      "the heal must re-append against the clean slate")
+    assert(readRows(root2) == Set((1L, "seed"), (2L, "two"), (3L, "three")))
+    assert(!appendsFiles(root2).exists(_.startsWith("dropped-")))
+  }
+
   test("a runId containing a newline is refused up front (markers, " +
        "intents and drop records store it line-oriented)") {
     val root = mkArtifact(tmp("graft-fence-newline"))

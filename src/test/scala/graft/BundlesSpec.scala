@@ -443,4 +443,84 @@ class BundlesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("family"))
   }
+
+  test("CHAINED imports: one legacy (inventory-less) import in the chain " +
+       "poisons completeness forever — a later complete import cannot " +
+       "launder it back — while the blocked-run set keeps accumulating; " +
+       "tmp debris alone does NOT force incompleteness") {
+    def mkSrc(prefix: String, run: String): String = {
+      val src = tmp(prefix) + "/idx"
+      TermStats.buildTextIndex(
+        Seq((1L, "a b a c"), (2L, "a c c")).toDF("doc_id", "text"),
+        "text", "doc_id", src)
+      assert(TermStats.appendTextIndexOnce(
+        Seq((3L, "d d b")).toDF("doc_id", "text"),
+        "text", "doc_id", src, run, 0L))
+      src
+    }
+    def stripInventory(bundle: String): Unit = {
+      val mf = java.nio.file.Paths.get(bundle, "_manifest")
+      val legacy = java.nio.file.Files.readAllLines(mf).toArray
+        .map(_.toString)
+        .filterNot(l => l.startsWith("runs=") || l.startsWith("run="))
+      java.nio.file.Files.write(mf, legacy.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(bundle, "._manifest.crc"))
+    }
+    def manifestRunsLine(bundle: String): String =
+      java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(bundle, "_manifest")).toArray
+        .map(_.toString).find(_.startsWith("runs=")).getOrElse("<none>")
+
+    // crashed-writeAtomic tmp debris beside a healthy marker must NOT
+    // read as a corrupt marker: the inventory stays complete
+    val src1 = mkSrc("graft-bchain-s1", "r1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src1, "_appends", "run-00000000.tmp.dead"),
+      Array.empty[Byte])
+    val b1 = tmp("graft-bchain-b1") + "/b"
+    Bundles.exportBundle(spark, src1, b1)
+    assert(manifestRunsLine(b1) == "runs=complete",
+      "tmp debris alone must not poison the inventory")
+
+    val b2 = tmp("graft-bchain-b2") + "/b"
+    Bundles.exportBundle(spark, mkSrc("graft-bchain-s2", "r2"), b2)
+    stripInventory(b2) // the pre-r16 legacy bundle in the middle
+    val b3 = tmp("graft-bchain-b3") + "/b"
+    Bundles.exportBundle(spark, mkSrc("graft-bchain-s3", "r3"), b3)
+
+    val target = tmp("graft-bchain-t") + "/idx"
+    Bundles.importBundle(spark, b1, target)                    // complete
+    // complete chain so far: a fresh run skipping early batches proceeds
+    assert(TermStats.appendTextIndexOnce(
+      Seq((6L, "x y")).toDF("doc_id", "text"),
+      "text", "doc_id", target, "fresh-a", 1L))
+    Bundles.importBundle(spark, b2, target, overwrite = true)  // INCOMPLETE
+    Bundles.importBundle(spark, b3, target, overwrite = true)  // complete
+    // the middle legacy import lost r2's identity — a later complete
+    // import must NOT restore the complete flag (r2 would slip through
+    // at batch 0); the strict mid-stream heuristic stays on
+    val eH = intercept[IllegalStateException] {
+      TermStats.appendTextIndexOnce(
+        Seq((4L, "b c d")).toDF("doc_id", "text"),
+        "text", "doc_id", target, "never-seen-run", 2L)
+    }
+    assert(eH.getMessage.contains("incomplete old-run inventory"), s"$eH")
+    // the blocked set still ACCUMULATED across all three imports: r1
+    // (gen-1 inventory), fresh-a (the target's own pre-import-2 marker),
+    // and r3 are refused even at batch 0
+    Seq("r1", "fresh-a", "r3").foreach { run =>
+      val e = intercept[IllegalStateException] {
+        TermStats.appendTextIndexOnce(
+          Seq((5L, "e f")).toDF("doc_id", "text"),
+          "text", "doc_id", target, run, 0L)
+      }
+      assert(e.getMessage.contains("FRESH checkpoint"), s"$run: $e")
+    }
+    // and a re-export of the poisoned target says so
+    val b4 = tmp("graft-bchain-b4") + "/b"
+    Bundles.exportBundle(spark, target, b4)
+    assert(manifestRunsLine(b4) == "runs=incomplete",
+      "re-export must surface the chain's lost completeness")
+  }
 }

@@ -195,6 +195,93 @@ class MigrationSweepSpec extends SparkSpec {
     assert(flagsOf(s"$fleet/hashsig").nonEmpty, "blocked artifact stays flagged")
   }
 
+  test("a declared shingleN CONTRADICTED by the stored shingle strings " +
+       "refuses (evidence beats declaration); it is accepted only when " +
+       "every document was shorter than the declared width") {
+    // docs produced multiple 3-token shingles ⇒ the build width is
+    // provably 3; declaring 5 must refuse, not stamp the lie
+    val root = s"${tmp("graft-mig-contradict")}/sig"
+    docs.select(col("doc_id"),
+        array_distinct(TF.shingles(col("text"), 3)).as("_sh"),
+        TF.minhashSignature(TF.shingles(col("text"), 3), 16).as("_sig"))
+      .write.parquet(s"$root/v=1")
+    IndexLifecycle.flipPointer(spark, root, 1L)
+    val e = intercept[IllegalArgumentException] {
+      Migrate.migrateArtifact(spark, root, declaredShingleN = Some(5))
+    }
+    assert(e.getMessage.contains("contradicts"), s"$e")
+    // all-short corpus: every doc < n tokens ⇒ single under-width
+    // shingle per doc ⇒ a larger declaration is legitimate
+    val short = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val root2 = s"${tmp("graft-mig-short")}/sig"
+    short.select(col("doc_id"),
+        array_distinct(TF.shingles(col("text"), 5)).as("_sh"),
+        TF.minhashSignature(TF.shingles(col("text"), 5), 16).as("_sig"))
+      .write.parquet(s"$root2/v=1")
+    IndexLifecycle.flipPointer(spark, root2, 1L)
+    val m = Migrate.migrateArtifact(spark, root2, declaredShingleN = Some(5))
+    assert(m.actions.exists(_.contains("shingleN=5 declared")), s"$m")
+  }
+
+  test("text-index migration must not DROP postings of keys missing from " +
+       "lengths/ — they fall back to the derived sum(tf) doc length") {
+    val root = s"${tmp("graft-mig-holey")}/idx"
+    val modern = s"${tmp("graft-mig-holey-src")}/idx"
+    TermStats.buildTextIndex(docs, "text", "doc_id", modern)
+    val mdir = IndexLifecycle.resolveDir(spark, modern)
+    spark.read.parquet(s"$mdir/postings").drop("dl")
+      .write.parquet(s"$root/v=1/postings")
+    // the unhygienic artifact: lengths/ lost doc 3
+    spark.read.parquet(s"$mdir/lengths").filter(col("doc_id") =!= 3L)
+      .write.parquet(s"$root/v=1/lengths")
+    spark.read.parquet(s"$mdir/stats").write.parquet(s"$root/v=1/stats")
+    IndexLifecycle.flipPointer(spark, root, 1L)
+    val before = spark.read.parquet(s"$root/v=1/postings").count()
+    Migrate.migrateArtifact(spark, root)
+    val after = spark.read.parquet(
+      s"${IndexLifecycle.resolveDir(spark, root)}/postings")
+    assert(after.count() == before,
+      "no postings row may vanish in migration")
+    // doc 3's dl fell back to sum(tf) — which IS its token count, so the
+    // migrated index still scores identically to the modern build
+    def bm25(p: String) = TermStats
+      .bm25TopKPrebuilt(spark, p, "doc_id", Seq("quick", "fox"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm25(root) == bm25(modern))
+  }
+
+  test("migrateFlagged refuses to stamp ONE fleet-wide declared width " +
+       "onto MULTIPLE unverifiable artifacts (a heterogeneous fleet " +
+       "would get wrong widths certified)") {
+    val fleet = tmp("graft-mig-hetero")
+    // two hashed pre-_sn artifacts, built with DIFFERENT widths
+    Seq(3, 5).foreach { n =>
+      val modern = s"${tmp(s"graft-mig-hetero-src$n")}/sig"
+      Dedup.buildSignatures(docs, "text", "doc_id", modern,
+        shingleN = n, numHashes = 16)
+      spark.read.parquet(IndexLifecycle.resolveDir(spark, modern))
+        .drop("_sn").write.parquet(s"$fleet/sig$n/v=1")
+      IndexLifecycle.flipPointer(spark, s"$fleet/sig$n", 1L)
+    }
+    val report = Migrate.migrateFlagged(spark, fleet,
+      declaredShingleN = Some(5))
+    assert(report.size == 2, s"$report")
+    assert(report.forall(_.actions.exists(_.contains("own confirmed width"))),
+      s"both must be refused with the per-artifact instruction: $report")
+    assert(flagsOf(s"$fleet/sig3").nonEmpty && flagsOf(s"$fleet/sig5").nonEmpty,
+      "neither may have been stamped")
+    // a SINGLE unverifiable artifact still accepts the fleet-wide width
+    val fleet2 = tmp("graft-mig-single")
+    val modern2 = s"${tmp("graft-mig-single-src")}/sig"
+    Dedup.buildSignatures(docs, "text", "doc_id", modern2,
+      shingleN = 3, numHashes = 16)
+    spark.read.parquet(IndexLifecycle.resolveDir(spark, modern2))
+      .drop("_sn").write.parquet(s"$fleet2/sig/v=1")
+    IndexLifecycle.flipPointer(spark, s"$fleet2/sig", 1L)
+    val r2 = Migrate.migrateFlagged(spark, fleet2, declaredShingleN = Some(3))
+    assert(r2.size == 1 && r2.head.toVersion == Some(2L), s"$r2")
+  }
+
   test("verifyBundle: a clean bundle passes every check; truncated and " +
        "missing files are REPORTED, not thrown; a manifest-less " +
        "directory and a pre-r16 inventory-less manifest are called out") {
