@@ -424,7 +424,9 @@ object IndexLifecycle {
                                     runId: String, batchId: Long,
                                     stage: String => Unit,
                                     failAt: String,
-                                    onStep: String => Unit = _ => ()): Boolean = {
+                                    onStep: String => Unit = _ => (),
+                                    fenceWaitMs: Long = AbandonFenceWaitMs)
+      : Boolean = {
     require(runId.nonEmpty, "appendOnce needs a restart-stable runId")
     // markers, intents and drop records store the raw runId line-oriented;
     // a newline inside it would make every identity compare fail-unsafe
@@ -626,10 +628,36 @@ object IndexLifecycle {
     val fence2 = abandonInfoRead(f, root)
     if (fence2 != fence0) {
       var cur = fence2
-      val deadline = System.currentTimeMillis() + AbandonFenceWaitMs
+      val deadline = System.currentTimeMillis() + fenceWaitMs
       while (cur._2 && System.currentTimeMillis() < deadline) {
         Thread.sleep(100L)
         cur = abandonInfoRead(f, root)
+      }
+      def rollBackMarker(): Unit = marker match {
+        case Some((b0, e0)) =>
+          writeAtomic(spark, s"$root/$AppendsName", s"run-$tag",
+            s"$b0\n$runId\n$e0")
+        case None =>
+          f.delete(new org.apache.hadoop.fs.Path(
+            s"$root/$AppendsName/run-$tag"), false)
+      }
+      if (cur._2) {
+        // the sweep never published `done` within the wait: its decision
+        // is UNKNOWABLE — it may still delete this batch's files minutes
+        // from now (committing would then need the drop record a commit
+        // path must delete: the silent-loss direction), or never (keeping
+        // the record would phantom-heal a crash-redelivery over live
+        // rows: the duplicate direction). The only sound move is to
+        // UNDO: roll the marker back and refuse — the intent stays for
+        // the replay's recovery, which re-appends cleanly whichever way
+        // the stalled sweep eventually lands.
+        rollBackMarker()
+        throw new IllegalStateException(
+          s"appendOnce lost the abandon fence on $root and the sweep is " +
+            s"still running after ${fenceWaitMs}ms — its decision about " +
+            "this batch is unknowable, so the marker was rolled back; " +
+            "replay the batch once the sweep completes (or rerun " +
+            "abandonTornAppends if it crashed)")
       }
       val missing = moves.map(_._2).filterNot(rel =>
         f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))
@@ -640,22 +668,17 @@ object IndexLifecycle {
             "sweep saw the marker, or never touched this batch) — the " +
             "commit stands")
         // the racing sweep may have written a drop record for this batch
-        // (classified torn, then stopped before deleting anything) — with
-        // every file just verified present, that record is a stale lie,
-        // and leaving it would make a later crash-redelivery "heal"
-        // (re-append) on top of the live files. The opening listing
-        // predates the sweep, so delete unconditionally.
+        // (classified torn, then failed before deleting anything) — the
+        // sweep is DONE and every file just verified present, so the
+        // record is a stale lie; leaving it would make a later crash-
+        // redelivery "heal" (re-append) on top of the live files. The
+        // opening listing predates the sweep, so delete unconditionally.
+        // (Only sound under an observed `done` — a still-running sweep
+        // took the refusal branch above.)
         f.delete(new org.apache.hadoop.fs.Path(
           s"$root/$AppendsName/dropped-$tag-$batchId"), false)
       } else {
-        marker match {
-          case Some((b0, e0)) =>
-            writeAtomic(spark, s"$root/$AppendsName", s"run-$tag",
-              s"$b0\n$runId\n$e0")
-          case None =>
-            f.delete(new org.apache.hadoop.fs.Path(
-              s"$root/$AppendsName/run-$tag"), false)
-        }
+        rollBackMarker()
         throw new IllegalStateException(
           s"appendOnce lost the abandon fence on $root AFTER writing its " +
             s"marker: the sweep deleted ${missing.size} of ${moves.size} " +
@@ -773,10 +796,17 @@ object IndexLifecycle {
     val tagPart = if (dash > 0) rest.substring(0, dash) else rest
     val batchPart =
       if (dash > 0) rest.substring(dash + 1).toLongOption else None
-    val intentRunId = scala.util.Try(readLines(f,
-        new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name"))).toOption
-      .flatMap(_.headOption).filter(_.startsWith("#runId:"))
-      .map(_.stripPrefix("#runId:"))
+    // FNF = the intent vanished since the listing (a racing append's
+    // commit cleanup) — classify with no header. Any OTHER read failure
+    // PROPAGATES: a swallowed transient error would downgrade the
+    // identity compare to the legacy tag-only match, the laundering
+    // direction (the droppedRecordMatches rule)
+    val intentRunId =
+      (try readLines(f,
+          new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name"))
+        catch { case _: java.io.FileNotFoundException => Vector.empty })
+        .headOption.filter(_.startsWith("#runId:"))
+        .map(_.stripPrefix("#runId:"))
     (tagPart, batchPart, intentRunId)
   }
 
@@ -895,10 +925,16 @@ object IndexLifecycle {
           else {
             // record the drop BEFORE any file dies: if the racing append
             // crashed right after writing its marker, this record is what
-            // lets its replay detect the lying marker and re-append
+            // lets its replay detect the lying marker and re-append.
+            // FNF on the intent read = it vanished under us (a racing
+            // append's commit cleanup) — nothing torn remains to delete;
+            // the replay/commit side owns the record's fate from here
             writeAtomic(spark, s"$root/$AppendsName", s"dropped-$rest",
               intentRunId.getOrElse(""))
-            readLines(f, intentP).map(_.trim)
+            val listed =
+              try readLines(f, intentP)
+              catch { case _: java.io.FileNotFoundException => Vector.empty }
+            listed.map(_.trim)
               .filter(l => l.nonEmpty && !l.startsWith("#"))
               .foreach(rel =>
                 f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
@@ -916,8 +952,15 @@ object IndexLifecycle {
           // the heal duplicate the survivors).
           val recordP = new org.apache.hadoop.fs.Path(
             s"$root/$AppendsName/dropped-$rest")
+          // FNF on the intent read = a racing append's commit cleanup got
+          // here first; its own commit path adjudicates the record (it
+          // deletes a stale one after observing our `done`) — nothing for
+          // this sweep to do, and throwing would wedge the fence
           if (f.exists(recordP)) {
-            val listed = readLines(f, intentP).map(_.trim)
+            val listed = (try readLines(f, intentP)
+              catch {
+                case _: java.io.FileNotFoundException => Vector.empty
+              }).map(_.trim)
               .filter(l => l.nonEmpty && !l.startsWith("#"))
             val dead = listed.filterNot(rel =>
               f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))

@@ -383,7 +383,10 @@ object Migrate {
                 // under-width shingle. Trusting a larger declaration over
                 // contradicting evidence would stamp a lie the width
                 // guards then enforce.
-                val maxSetSize = base.agg(max(size(col("_sh"))).as("m"))
+                // lazily: the extra full-table scan only runs when the
+                // declaration disagrees with the inferred width (the
+                // consistent common case pays one evidence pass)
+                lazy val maxSetSize = base.agg(max(size(col("_sh"))).as("m"))
                   .head(1).headOption.flatMap(r => Option(r.get(0)))
                   .map(_.asInstanceOf[Int]).getOrElse(0)
                 require(i == d || (i < d && maxSetSize <= 1),
@@ -521,28 +524,33 @@ object Migrate {
                      declaredShingleN: Option[Int] = None,
                      declaredGramK: Option[Int] = None): Seq[ArtifactMigration] = {
     import scala.jdk.CollectionConverters._
-    val flagged = IndexLifecycle.auditArtifacts(spark, root)
-      .select("artifact", "legacy_flags").collectAsList().asScala.toSeq
-      .filter(_.getSeq[String](1).nonEmpty).map(_.getString(0))
-    val classified = flagged.map { a =>
-      a -> IndexLifecycle.detectKind(spark, IndexLifecycle.resolveDir(spark, a))
-    }
+    // the audit already classified everything (kind + flags, Try-wrapped
+    // per artifact so one corrupt member cannot kill the sweep) — drive
+    // off ITS columns instead of re-probing footers per artifact, which
+    // would both double the object-store I/O and reintroduce the
+    // unguarded crash path auditOne exists to contain
+    val classified = IndexLifecycle.auditArtifacts(spark, root)
+      .select("artifact", "kind", "legacy_flags")
+      .collectAsList().asScala.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
+      .filter(_._3.nonEmpty)
     // the artifacts that would CONSUME a declared width with no
-    // evidence to cross-check it against
+    // evidence to cross-check it against (string-shingle tables infer
+    // and cross-check their own width — they never consume one)
     val shingleConsumers = classified.collect {
-      case (a, (k, fl))
+      case (a, k, fl)
         if (k == "signature-table" && fl.exists(_.contains("pre-_sn")) &&
             !fl.exists(_.contains("STRING"))) ||
            (k == "shingle-postings" && fl.exists(_.contains("pre-_sn"))) => a
     }
     val gramConsumers = classified.collect {
-      case (a, (k, fl))
+      case (a, k, fl)
         if k == "gram-index" && fl.exists(_.contains("pre-_gk")) => a
     }
     val ambiguousShingle =
       declaredShingleN.nonEmpty && shingleConsumers.size > 1
     val ambiguousGram = declaredGramK.nonEmpty && gramConsumers.size > 1
-    classified.map { case (a, (k, _)) =>
+    classified.map { case (a, k, _) =>
       val ambiguous =
         (ambiguousShingle && shingleConsumers.contains(a)) ||
           (ambiguousGram && gramConsumers.contains(a))
@@ -552,12 +560,19 @@ object Migrate {
             "fleet-wide declared width, and their builds cannot be " +
             "cross-checked from hashes — run migrateArtifact on each " +
             "with its own confirmed width"))
-      else scala.util.Try(
-        migrateArtifact(spark, a, declaredShingleN, declaredGramK)) match {
-        case scala.util.Success(m) => m
-        case scala.util.Failure(e) =>
-          ArtifactMigration(a, "unmigrated", None, None,
-            Seq(s"refused: ${e.getMessage}"))
+      else {
+        // a declared width reaches ONLY the artifacts that need one:
+        // handing it to an inferable artifact would turn a wrong fleet
+        // default into a spurious contradiction refusal there
+        val shingleFor =
+          if (shingleConsumers.contains(a)) declaredShingleN else None
+        val gramFor = if (gramConsumers.contains(a)) declaredGramK else None
+        scala.util.Try(migrateArtifact(spark, a, shingleFor, gramFor)) match {
+          case scala.util.Success(m) => m
+          case scala.util.Failure(e) =>
+            ArtifactMigration(a, "unmigrated", None, None,
+              Seq(s"refused: ${e.getMessage}"))
+        }
       }
     }
   }

@@ -171,6 +171,63 @@ class AbandonFenceSpec extends SparkSpec {
     assert(IndexLifecycle.lastAppendedBatch(spark, root, runId) == Some(0L))
   }
 
+  test("a sweep still RUNNING when the post-marker wait times out: the " +
+       "append rolls its marker back and refuses (the sweep's decision " +
+       "is unknowable — committing would be loss or duplicates depending " +
+       "on when it wakes); the replay re-appends exactly once") {
+    val root = mkArtifact(tmp("graft-fence-timeout"))
+    val runId = "live-stream"
+    val appends = java.nio.file.Paths.get(root, "_appends")
+    val e = intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+        stageBatch(Seq((2L, "two"))), failAt = "",
+        onStep = s => if (s == "pre-marker") {
+          // a sweep bumps the fence and stalls (never publishes done)
+          java.nio.file.Files.createDirectories(appends)
+          java.nio.file.Files.write(appends.resolve("_abandoned"),
+            "5\nrunning".getBytes("UTF-8"))
+        },
+        fenceWaitMs = 300L)
+    }
+    assert(e.getMessage.contains("still running"), s"$e")
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId).isEmpty,
+      "the marker must be rolled back — never a marker under an " +
+        "unadjudicated sweep")
+    // the stalled sweep completes (or is rerun); the replay then heals
+    IndexLifecycle.abandonTornAppends(spark, root)
+    assert(IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")),
+      "exactly-once after the stalled-sweep refusal")
+  }
+
+  test("a sweep observed DONE that never touched the batch: the commit " +
+       "stands and a stale drop record for the batch is cleared") {
+    val root = mkArtifact(tmp("graft-fence-done-survive"))
+    val runId = "live-stream"
+    val tag = IndexLifecycle.runTag(runId)
+    val appends = java.nio.file.Paths.get(root, "_appends")
+    assert(IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+      stageBatch(Seq((2L, "two"))), failAt = "",
+      onStep = s => if (s == "pre-marker") {
+        // a sweep ran to completion mid-append: fence bumped to done,
+        // plus a drop record it wrote before failing to delete anything
+        java.nio.file.Files.createDirectories(appends)
+        java.nio.file.Files.write(appends.resolve("_abandoned"),
+          "5\ndone".getBytes("UTF-8"))
+        java.nio.file.Files.write(appends.resolve(s"dropped-$tag-0"),
+          runId.getBytes("UTF-8"))
+      }))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId) == Some(0L))
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")),
+      "the stale record must be cleared by the surviving commit")
+    // redelivery: plain no-op, no phantom heal
+    assert(!IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
+  }
+
   test("a sweep that THROWS mid-run leaves the fence 'running' (appends " +
        "refuse — the documented direction) until a rerun completes") {
     val root = mkArtifact(tmp("graft-fence-throwing"))
