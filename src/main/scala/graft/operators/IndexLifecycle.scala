@@ -163,9 +163,13 @@ object IndexLifecycle {
   private val AbandonedName = "_abandoned"
 
   /** How long a post-marker fence loser waits for an in-flight abandon
-    * sweep to publish `done` before adjudicating on file survival alone.
-    * Abandon is a driver-side FS sweep (ms–seconds); a sweep still
-    * `running` after this is crashed, and the file check decides. */
+    * sweep to publish `done`. Abandon is a driver-side FS sweep
+    * (ms–seconds); a sweep still `running` after this is stalled or
+    * crashed, and the append adjudicates on the sweep's own per-batch
+    * artifacts (intent / drop record / file survival): commit stands
+    * only when the sweep provably ruled the batch committed, every
+    * other state rolls the marker back and refuses (the replay
+    * re-appends once the sweep completes or is rerun). */
   private[graft] val AbandonFenceWaitMs: Long = 60000L
 
   /** Parsed `_abandoned` fence sentinel: (epoch, sweep running?). The
@@ -216,6 +220,18 @@ object IndexLifecycle {
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     finally in.close()
   }
+
+  /** [[readLines]] tolerating EXACTLY a vanished file (None) — the shared
+    * rule for protocol files a racing actor may legitimately remove
+    * between a listing and the read. Every OTHER failure propagates: a
+    * swallowed transient error would launder "unreadable" into whichever
+    * default the caller picked, and each caller's safe default differs
+    * (the droppedRecordMatches lesson). */
+  private def readLinesIfPresent(f: org.apache.hadoop.fs.FileSystem,
+                                 p: org.apache.hadoop.fs.Path)
+      : Option[Vector[String]] =
+    try Some(readLines(f, p))
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** Parse a marker file: (batchId, raw runId if recorded, restore-epoch
     * stamp — 0 for a pre-epoch marker). Line 1 must be numeric (a marker
@@ -417,9 +433,11 @@ object IndexLifecycle {
     * throws after that protocol step, leaving exactly the torn (or, for
     * "marked", committed-with-debris) state a real crash there would
     * leave. `onStep` is the RACE-injection hook: it fires with "moved"
-    * (files moved, abandon fence not yet re-checked) and "pre-marker"
-    * (fence re-checked, marker not yet written) so the fence tests can
-    * run a whole [[abandonTornAppends]] inside each window. */
+    * (files moved, abandon fence not yet re-checked), "pre-marker"
+    * (fence re-checked, marker not yet written), and "marked" (marker
+    * written, post-marker fence not yet re-checked) so the fence tests
+    * can run a whole [[abandonTornAppends]] — or hand-build a racing
+    * sweep's intermediate state — inside each window. */
   private[graft] def appendOnceImpl(spark: SparkSession, root: String,
                                     runId: String, batchId: Long,
                                     stage: String => Unit,
@@ -482,18 +500,25 @@ object IndexLifecycle {
     // batch's files are gone — and the replay must re-append, not no-op.
     def droppedRecordMatches(name: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
-      // FNF = the record vanished since the listing (a concurrent heal
-      // already cleared it) ⇒ no match, plain no-op — the safe reading.
-      // Any OTHER read failure must PROPAGATE: defaulting an unreadable
-      // record to "matches" would launder a transient store error into
-      // the re-append (duplicate) direction
-      val stored =
-        try readLines(f, p).headOption.getOrElse("").trim
-        catch { case _: java.io.FileNotFoundException => return false }
-      stored.isEmpty || stored == runId // empty = legacy tag-only record
+      // vanished record (a concurrent heal already cleared it) ⇒ no
+      // match, plain no-op — the safe reading; other read failures
+      // propagate (defaulting unreadable to "matches" would launder a
+      // transient store error into the re-append/duplicate direction)
+      readLinesIfPresent(f, p) match {
+        case None => false
+        case Some(lines) =>
+          val stored = lines.headOption.getOrElse("").trim
+          stored.isEmpty || stored == runId // empty = legacy tag-only record
+      }
     }
     val droppedThisBatch = names.contains(s"dropped-$tag-$batchId") &&
       droppedRecordMatches(s"dropped-$tag-$batchId")
+    // FRESH re-check of the same record (the opening listing is stale by
+    // the time the post-marker fence adjudicates a racing sweep)
+    def droppedThisBatchNow(): Boolean =
+      f.exists(new org.apache.hadoop.fs.Path(
+        s"$root/$AppendsName/dropped-$tag-$batchId")) &&
+        droppedRecordMatches(s"dropped-$tag-$batchId")
     if (epoch > 0) marker match {
       case Some((_, mEpoch)) if mEpoch < epoch =>
         throw new IllegalStateException(
@@ -615,6 +640,7 @@ object IndexLifecycle {
     writeAtomic(spark, s"$root/$AppendsName", s"run-$tag",
       s"$batchId\n$runId\n$epoch")
     if (failAt == "marked") throw new IllegalStateException("failpoint: marked")
+    onStep("marked")
     // abandon fence, post-marker re-check: a sweep that started inside the
     // one-write window between the pre-check and the marker may have read
     // the marker state BEFORE our write (⇒ classified torn, deleted files)
@@ -642,22 +668,46 @@ object IndexLifecycle {
             s"$root/$AppendsName/run-$tag"), false)
       }
       if (cur._2) {
-        // the sweep never published `done` within the wait: its decision
-        // is UNKNOWABLE — it may still delete this batch's files minutes
-        // from now (committing would then need the drop record a commit
-        // path must delete: the silent-loss direction), or never (keeping
-        // the record would phantom-heal a crash-redelivery over live
-        // rows: the duplicate direction). The only sound move is to
-        // UNDO: roll the marker back and refuse — the intent stays for
-        // the replay's recovery, which re-appends cleanly whichever way
-        // the stalled sweep eventually lands.
+        // the sweep never published `done` within the wait. Its GLOBAL
+        // completion is unknowable, but its decision about THIS batch is
+        // readable from its own artifacts (each intent is processed
+        // exactly once: record-before-deletions, intent removed last).
+        // Roll the marker back FIRST — a sweep that has not read our
+        // intent yet will then classify it torn against the non-covering
+        // marker (record + delete + replay-heal, the clean path) — and
+        // only then adjudicate what the sweep already did:
+        //  - intent still present ⇒ not processed yet ⇒ stay rolled
+        //    back and refuse (the replay re-appends once the sweep is
+        //    done, whichever way it lands);
+        //  - intent gone + matching drop record ⇒ it dropped our files ⇒
+        //    stay rolled back and refuse (the replay heals);
+        //  - intent gone + no record + every file alive ⇒ it adjudicated
+        //    the batch COMMITTED (saw the marker before our rollback)
+        //    and will never revisit it ⇒ RESTORE the marker and let the
+        //    commit stand — refusing here would have the replay re-append
+        //    over the files the sweep just ruled live (duplicates).
         rollBackMarker()
-        throw new IllegalStateException(
+        val intentAlive = f.exists(intentP)
+        val droppedUs = !intentAlive && droppedThisBatchNow()
+        val allAlive = !intentAlive && !droppedUs && moves.forall(m =>
+          f.exists(new org.apache.hadoop.fs.Path(s"$dir/${m._2}")))
+        if (!intentAlive && !droppedUs && allAlive) {
+          writeAtomic(spark, s"$root/$AppendsName", s"run-$tag",
+            s"$batchId\n$runId\n$epoch")
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"a still-running abandonTornAppends sweep on $root already " +
+              s"adjudicated batch $batchId COMMITTED (intent swept, no " +
+              "drop record, every file alive) — the marker was restored " +
+              "and the commit stands")
+        } else throw new IllegalStateException(
           s"appendOnce lost the abandon fence on $root and the sweep is " +
-            s"still running after ${fenceWaitMs}ms — its decision about " +
-            "this batch is unknowable, so the marker was rolled back; " +
-            "replay the batch once the sweep completes (or rerun " +
-            "abandonTornAppends if it crashed)")
+            s"still running after ${fenceWaitMs}ms — the marker was " +
+            "rolled back (" +
+            (if (intentAlive) "the sweep has not adjudicated this batch yet"
+             else if (droppedUs) "the sweep dropped this batch's files"
+             else "this batch's files are partially gone") +
+            "); replay the batch once the sweep completes (or rerun " +
+            "abandonTornAppends if it crashed) — it re-appends cleanly")
       }
       val missing = moves.map(_._2).filterNot(rel =>
         f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))
@@ -796,17 +846,15 @@ object IndexLifecycle {
     val tagPart = if (dash > 0) rest.substring(0, dash) else rest
     val batchPart =
       if (dash > 0) rest.substring(dash + 1).toLongOption else None
-    // FNF = the intent vanished since the listing (a racing append's
-    // commit cleanup) — classify with no header. Any OTHER read failure
-    // PROPAGATES: a swallowed transient error would downgrade the
-    // identity compare to the legacy tag-only match, the laundering
-    // direction (the droppedRecordMatches rule)
-    val intentRunId =
-      (try readLines(f,
-          new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name"))
-        catch { case _: java.io.FileNotFoundException => Vector.empty })
-        .headOption.filter(_.startsWith("#runId:"))
-        .map(_.stripPrefix("#runId:"))
+    // a vanished intent (a racing append's commit cleanup) classifies
+    // with no header; other read failures propagate — a swallowed
+    // transient error would downgrade the identity compare to the
+    // legacy tag-only match, the laundering direction
+    val intentRunId = readLinesIfPresent(f,
+        new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name"))
+      .getOrElse(Vector.empty)
+      .headOption.filter(_.startsWith("#runId:"))
+      .map(_.stripPrefix("#runId:"))
     (tagPart, batchPart, intentRunId)
   }
 
@@ -926,15 +974,12 @@ object IndexLifecycle {
             // record the drop BEFORE any file dies: if the racing append
             // crashed right after writing its marker, this record is what
             // lets its replay detect the lying marker and re-append.
-            // FNF on the intent read = it vanished under us (a racing
-            // append's commit cleanup) — nothing torn remains to delete;
-            // the replay/commit side owns the record's fate from here
+            // A vanished intent (a racing append's commit cleanup) leaves
+            // nothing torn to delete; the commit side owns the record
             writeAtomic(spark, s"$root/$AppendsName", s"dropped-$rest",
               intentRunId.getOrElse(""))
-            val listed =
-              try readLines(f, intentP)
-              catch { case _: java.io.FileNotFoundException => Vector.empty }
-            listed.map(_.trim)
+            readLinesIfPresent(f, intentP).getOrElse(Vector.empty)
+              .map(_.trim)
               .filter(l => l.nonEmpty && !l.startsWith("#"))
               .foreach(rel =>
                 f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
@@ -952,15 +997,15 @@ object IndexLifecycle {
           // the heal duplicate the survivors).
           val recordP = new org.apache.hadoop.fs.Path(
             s"$root/$AppendsName/dropped-$rest")
-          // FNF on the intent read = a racing append's commit cleanup got
-          // here first; its own commit path adjudicates the record (it
-          // deletes a stale one after observing our `done`) — nothing for
-          // this sweep to do, and throwing would wedge the fence
-          if (f.exists(recordP)) {
-            val listed = (try readLines(f, intentP)
-              catch {
-                case _: java.io.FileNotFoundException => Vector.empty
-              }).map(_.trim)
+          // a VANISHED intent means a racing append's commit cleanup got
+          // here first; that commit path owns the record's fate — with no
+          // file list left there is nothing to adjudicate against, and
+          // deleting the record blind would erase another run's heal
+          // evidence (an empty list must NOT read as "all alive")
+          if (f.exists(recordP)) readLinesIfPresent(f, intentP) match {
+            case None => () // intent gone: leave the record alone
+            case Some(intentLines) =>
+            val listed = intentLines.map(_.trim)
               .filter(l => l.nonEmpty && !l.startsWith("#"))
             val dead = listed.filterNot(rel =>
               f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))

@@ -561,13 +561,15 @@ object Migrate {
             "cross-checked from hashes — run migrateArtifact on each " +
             "with its own confirmed width"))
       else {
-        // a declared width reaches ONLY the artifacts that need one:
-        // handing it to an inferable artifact would turn a wrong fleet
-        // default into a spurious contradiction refusal there
-        val shingleFor =
-          if (shingleConsumers.contains(a)) declaredShingleN else None
-        val gramFor = if (gramConsumers.contains(a)) declaredGramK else None
-        scala.util.Try(migrateArtifact(spark, a, shingleFor, gramFor)) match {
+        // the AMBIGUITY refusal above applies only to unverifiable
+        // consumers; every other artifact still receives the declared
+        // width — string-shingle tables cross-check it against their own
+        // evidence (a contradicting fleet default refuses LOUDLY there,
+        // which beats withholding: an all-short or empty string table
+        // NEEDS the declaration, and inferring without it would silently
+        // stamp an under-width _sn)
+        scala.util.Try(
+          migrateArtifact(spark, a, declaredShingleN, declaredGramK)) match {
           case scala.util.Success(m) => m
           case scala.util.Failure(e) =>
             ArtifactMigration(a, "unmigrated", None, None,

@@ -201,6 +201,77 @@ class AbandonFenceSpec extends SparkSpec {
       "exactly-once after the stalled-sweep refusal")
   }
 
+  test("timeout with the stalled sweep having ALREADY adjudicated the " +
+       "batch COMMITTED (intent swept, no record, files alive): the " +
+       "marker is restored and the commit stands — refusing would make " +
+       "the replay duplicate the files the sweep ruled live") {
+    val root = mkArtifact(tmp("graft-fence-timeout-committed"))
+    val runId = "live-stream"
+    val tag = IndexLifecycle.runTag(runId)
+    val appends = java.nio.file.Paths.get(root, "_appends")
+    assert(IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+      stageBatch(Seq((2L, "two"))), failAt = "",
+      onStep = s => if (s == "marked") {
+        // a sweep bumped the fence, saw the marker, classified the batch
+        // committed-debris (kept files, swept the intent, wrote no
+        // record), and is STILL running on other intents
+        java.nio.file.Files.createDirectories(appends)
+        java.nio.file.Files.write(appends.resolve("_abandoned"),
+          "5\nrunning".getBytes("UTF-8"))
+        java.nio.file.Files.deleteIfExists(appends.resolve(s"intent-$tag-0"))
+      },
+      fenceWaitMs = 300L))
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId) == Some(0L),
+      "the restored marker must stand")
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
+    // redelivery (fence published done meanwhile): plain no-op
+    java.nio.file.Files.write(appends.resolve("_abandoned"),
+      "5\ndone".getBytes("UTF-8"))
+    assert(!IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")),
+      "no duplicates after the restored commit")
+  }
+
+  test("timeout with the stalled sweep having DROPPED the batch (record " +
+       "written, files deleted, intent swept): refuse with the marker " +
+       "rolled back; the replay heals once the sweep completes") {
+    val root = mkArtifact(tmp("graft-fence-timeout-dropped"))
+    val runId = "live-stream"
+    val tag = IndexLifecycle.runTag(runId)
+    val appends = java.nio.file.Paths.get(root, "_appends")
+    val e = intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+        stageBatch(Seq((2L, "two"))), failAt = "",
+        onStep = s => if (s == "marked") {
+          java.nio.file.Files.createDirectories(appends)
+          java.nio.file.Files.write(appends.resolve("_abandoned"),
+            "5\nrunning".getBytes("UTF-8"))
+          java.nio.file.Files.write(appends.resolve(s"dropped-$tag-0"),
+            runId.getBytes("UTF-8"))
+          // the sweep's deletions: every file the intent listed
+          val intent = appends.resolve(s"intent-$tag-0")
+          java.nio.file.Files.readAllLines(intent).toArray.map(_.toString)
+            .filterNot(_.startsWith("#")).filter(_.nonEmpty)
+            .foreach(rel => java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(root, "v=1", rel)))
+          java.nio.file.Files.delete(intent)
+        },
+        fenceWaitMs = 300L)
+    }
+    assert(e.getMessage.contains("dropped this batch's files"), s"$e")
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId).isEmpty,
+      "the marker must be rolled back — it would lie about deleted files")
+    assert(readRows(root) == Set((1L, "seed")))
+    // the sweep completes; the replay heals via the record
+    java.nio.file.Files.write(appends.resolve("_abandoned"),
+      "5\ndone".getBytes("UTF-8"))
+    assert(IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")))
+  }
+
   test("a sweep observed DONE that never touched the batch: the commit " +
        "stands and a stale drop record for the batch is cleared") {
     val root = mkArtifact(tmp("graft-fence-done-survive"))
