@@ -165,11 +165,12 @@ object IndexLifecycle {
   /** How long a post-marker fence loser waits for an in-flight abandon
     * sweep to publish `done`. Abandon is a driver-side FS sweep
     * (ms–seconds); a sweep still `running` after this is stalled or
-    * crashed, and the append adjudicates on the sweep's own per-batch
-    * artifacts (intent / drop record / file survival): commit stands
-    * only when the sweep provably ruled the batch committed, every
-    * other state rolls the marker back and refuses (the replay
-    * re-appends once the sweep completes or is rerun). */
+    * crashed, its in-flight decision is NOT observable (a keep-decision
+    * persists nothing until its intent delete), so the append leaves a
+    * drop record, rolls the marker back, and refuses — the replay's
+    * heal path then sweeps any leftover of the batch by its stamped
+    * name prefix and re-appends exactly once, whichever way the sweep
+    * lands. A sweep observed `done` IS adjudicated on file survival. */
   private[graft] val AbandonFenceWaitMs: Long = 60000L
 
   /** Parsed `_abandoned` fence sentinel: (epoch, sweep running?). The
@@ -513,12 +514,6 @@ object IndexLifecycle {
     }
     val droppedThisBatch = names.contains(s"dropped-$tag-$batchId") &&
       droppedRecordMatches(s"dropped-$tag-$batchId")
-    // FRESH re-check of the same record (the opening listing is stale by
-    // the time the post-marker fence adjudicates a racing sweep)
-    def droppedThisBatchNow(): Boolean =
-      f.exists(new org.apache.hadoop.fs.Path(
-        s"$root/$AppendsName/dropped-$tag-$batchId")) &&
-        droppedRecordMatches(s"dropped-$tag-$batchId")
     if (epoch > 0) marker match {
       case Some((_, mEpoch)) if mEpoch < epoch =>
         throw new IllegalStateException(
@@ -585,6 +580,19 @@ object IndexLifecycle {
         .filter(l => l.nonEmpty && !l.startsWith("#"))
         .foreach(rel =>
           f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+    }
+    // drop-record HEAL is idempotent against ANY leftover of the batch,
+    // intent or no intent: a sweep's keep-decision racing a rolled-back
+    // marker can leave the full file set live with nothing to find it by
+    // except the batch-stamped names — one recursive live-dir listing
+    // (heal-only, never on the steady-state path) sweeps every
+    // `b-<tag>-<batchId>-` file before the re-append, so the heal is
+    // exactly-once whichever intermediate state the incident left
+    if (droppedThisBatch) {
+      val prefix = s"b-$tag-$batchId-"
+      listFilesRec(f, new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(s => f.delete(s.getPath, false))
     }
     f.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
     stage(stagingRoot)
@@ -668,46 +676,38 @@ object IndexLifecycle {
             s"$root/$AppendsName/run-$tag"), false)
       }
       if (cur._2) {
-        // the sweep never published `done` within the wait. Its GLOBAL
-        // completion is unknowable, but its decision about THIS batch is
-        // readable from its own artifacts (each intent is processed
-        // exactly once: record-before-deletions, intent removed last).
-        // Roll the marker back FIRST — a sweep that has not read our
-        // intent yet will then classify it torn against the non-covering
-        // marker (record + delete + replay-heal, the clean path) — and
-        // only then adjudicate what the sweep already did:
-        //  - intent still present ⇒ not processed yet ⇒ stay rolled
-        //    back and refuse (the replay re-appends once the sweep is
-        //    done, whichever way it lands);
-        //  - intent gone + matching drop record ⇒ it dropped our files ⇒
-        //    stay rolled back and refuse (the replay heals);
-        //  - intent gone + no record + every file alive ⇒ it adjudicated
-        //    the batch COMMITTED (saw the marker before our rollback)
-        //    and will never revisit it ⇒ RESTORE the marker and let the
-        //    commit stand — refusing here would have the replay re-append
-        //    over the files the sweep just ruled live (duplicates).
+        // the sweep never published `done` within the wait, and NO
+        // artifact state observable now can adjudicate its decision in
+        // every interleaving: a keep-decision is invisible between the
+        // sweep's last-instant marker re-read and its intent delete, and
+        // that window reads identically to a torn-decision before its
+        // record write. Refuse unconditionally — but FIRST leave a drop
+        // record of our own, so the replay's heal path (which sweeps any
+        // leftover `b-<tag>-<batchId>-` file by its stamped name before
+        // re-appending) is exactly-once whichever way the stalled sweep
+        // eventually lands: files it dropped are already gone, files it
+        // kept are removed and re-appended. Record BEFORE rollback — a
+        // crash between the two leaves record + covering marker, which
+        // the replay heals; the reverse order would leave a rolled-back
+        // marker with kept-alive files and nothing to find them by.
+        val recP = new org.apache.hadoop.fs.Path(
+          s"$root/$AppendsName/dropped-$tag-$batchId")
+        readLinesIfPresent(f, recP).map(_.headOption.getOrElse("").trim)
+          .filter(prev => prev.nonEmpty && prev != runId)
+          .foreach(prev => org.slf4j.LoggerFactory.getLogger(getClass).error(
+            s"overwriting drop record $recP that stored runId '$prev' — " +
+              "a 32-bit runTag collision between two dropped runs; the " +
+              "other run's heal evidence is lost (log retained here)"))
+        writeAtomic(spark, s"$root/$AppendsName", s"dropped-$tag-$batchId",
+          runId)
         rollBackMarker()
-        val intentAlive = f.exists(intentP)
-        val droppedUs = !intentAlive && droppedThisBatchNow()
-        val allAlive = !intentAlive && !droppedUs && moves.forall(m =>
-          f.exists(new org.apache.hadoop.fs.Path(s"$dir/${m._2}")))
-        if (!intentAlive && !droppedUs && allAlive) {
-          writeAtomic(spark, s"$root/$AppendsName", s"run-$tag",
-            s"$batchId\n$runId\n$epoch")
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"a still-running abandonTornAppends sweep on $root already " +
-              s"adjudicated batch $batchId COMMITTED (intent swept, no " +
-              "drop record, every file alive) — the marker was restored " +
-              "and the commit stands")
-        } else throw new IllegalStateException(
+        throw new IllegalStateException(
           s"appendOnce lost the abandon fence on $root and the sweep is " +
-            s"still running after ${fenceWaitMs}ms — the marker was " +
-            "rolled back (" +
-            (if (intentAlive) "the sweep has not adjudicated this batch yet"
-             else if (droppedUs) "the sweep dropped this batch's files"
-             else "this batch's files are partially gone") +
-            "); replay the batch once the sweep completes (or rerun " +
-            "abandonTornAppends if it crashed) — it re-appends cleanly")
+            s"still running after ${fenceWaitMs}ms — its decision about " +
+            "this batch is not observable, so the marker was rolled back " +
+            "and a drop record left; replay the batch once the sweep " +
+            "completes (or rerun abandonTornAppends if it crashed) — the " +
+            "heal re-appends exactly once")
       }
       val missing = moves.map(_._2).filterNot(rel =>
         f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))

@@ -374,6 +374,12 @@ object Migrate {
               .agg(max(size(split(col("_s"), " "))).as("n"))
               .head(1).headOption.flatMap(r => Option(r.get(0)))
               .map(_.asInstanceOf[Int])
+            // the extra full-table scan runs lazily — only when the
+            // declaration disagrees with the inferred width, or when
+            // inference must prove its own evidence is conclusive
+            lazy val maxSetSize = base.agg(max(size(col("_sh"))).as("m"))
+              .head(1).headOption.flatMap(r => Option(r.get(0)))
+              .map(_.asInstanceOf[Int]).getOrElse(0)
             (declaredShingleN, inferred) match {
               case (Some(d), Some(i)) =>
                 // i is EXACT evidence of the build width whenever any doc
@@ -383,12 +389,6 @@ object Migrate {
                 // under-width shingle. Trusting a larger declaration over
                 // contradicting evidence would stamp a lie the width
                 // guards then enforce.
-                // lazily: the extra full-table scan only runs when the
-                // declaration disagrees with the inferred width (the
-                // consistent common case pays one evidence pass)
-                lazy val maxSetSize = base.agg(max(size(col("_sh"))).as("m"))
-                  .head(1).headOption.flatMap(r => Option(r.get(0)))
-                  .map(_.asInstanceOf[Int]).getOrElse(0)
                 require(i == d || (i < d && maxSetSize <= 1),
                   s"declaredShingleN=$d contradicts the stored shingle " +
                     s"strings: documents produced multiple $i-token " +
@@ -399,6 +399,16 @@ object Migrate {
                   s"shingle strings (max $i tokens)"
                 d
               case (None, Some(i)) =>
+                // inference is only EVIDENCE when some document produced
+                // multiple shingles; an all-under-width corpus (every set
+                // a single shingle) would silently stamp an undershooting
+                // width — refuse and demand the confirmed parameter
+                require(maxSetSize > 1,
+                  s"$root width evidence is inconclusive: every stored " +
+                    s"shingle set is a single (possibly under-width) " +
+                    s"shingle, so the inferred $i may undershoot the " +
+                    "build width — pass declaredShingleN after confirming " +
+                    "the original build parameter out-of-band")
                 actions += s"shingleN=$i inferred from stored shingle strings"
                 i
               case (Some(d), None) =>
@@ -517,9 +527,12 @@ object Migrate {
     * width would get wrong widths certified on every other member —
     * exactly the lie the stamps exist to prevent. When several such
     * artifacts are flagged, each is reported for an individual
-    * [[migrateArtifact]] call with its own confirmed width. (Artifacts
-    * whose width is inferable — string-shingle tables — are unaffected:
-    * their evidence cross-checks any declaration.) */
+    * [[migrateArtifact]] call with its own confirmed width. String-
+    * shingle tables never receive the fleet default at all: conclusive
+    * evidence infers their width by itself, and inconclusive evidence
+    * (empty / all-under-width sets) refuses inference — reported for an
+    * individual call — rather than letting a fleet-wide number be
+    * stamped where nothing can cross-check it. */
   def migrateFlagged(spark: SparkSession, root: String,
                      declaredShingleN: Option[Int] = None,
                      declaredGramK: Option[Int] = None): Seq[ArtifactMigration] = {
@@ -550,31 +563,37 @@ object Migrate {
     val ambiguousShingle =
       declaredShingleN.nonEmpty && shingleConsumers.size > 1
     val ambiguousGram = declaredGramK.nonEmpty && gramConsumers.size > 1
-    classified.map { case (a, k, _) =>
+    classified.map { case (a, k, fl) =>
       val ambiguous =
         (ambiguousShingle && shingleConsumers.contains(a)) ||
           (ambiguousGram && gramConsumers.contains(a))
+      // string-shingle tables never receive the fleet default: with
+      // conclusive evidence they infer their own width (a wrong fleet
+      // default must not refuse them), and with INCONCLUSIVE evidence
+      // (empty / all-under-width sets) migrateArtifact now refuses
+      // inference outright — a fleet default reaching such a table
+      // would be stamped with nothing able to cross-check it, the same
+      // lie the ambiguity refusal exists to prevent
+      val stringTable =
+        k == "signature-table" && fl.exists(_.contains("STRING"))
+      val shingleFor = if (stringTable) None else declaredShingleN
       if (ambiguous)
         ArtifactMigration(a, k, None, None, Seq(
           "refused: multiple flagged artifacts would receive the same " +
             "fleet-wide declared width, and their builds cannot be " +
             "cross-checked from hashes — run migrateArtifact on each " +
             "with its own confirmed width"))
-      else {
-        // the AMBIGUITY refusal above applies only to unverifiable
-        // consumers; every other artifact still receives the declared
-        // width — string-shingle tables cross-check it against their own
-        // evidence (a contradicting fleet default refuses LOUDLY there,
-        // which beats withholding: an all-short or empty string table
-        // NEEDS the declaration, and inferring without it would silently
-        // stamp an under-width _sn)
-        scala.util.Try(
-          migrateArtifact(spark, a, declaredShingleN, declaredGramK)) match {
-          case scala.util.Success(m) => m
-          case scala.util.Failure(e) =>
-            ArtifactMigration(a, "unmigrated", None, None,
-              Seq(s"refused: ${e.getMessage}"))
-        }
+      else scala.util.Try(
+        migrateArtifact(spark, a, shingleFor, declaredGramK)) match {
+        case scala.util.Success(m) => m
+        case scala.util.Failure(e) =>
+          ArtifactMigration(a, "unmigrated", None, None, Seq(
+            s"refused: ${e.getMessage}" + (if (stringTable &&
+              declaredShingleN.nonEmpty)
+              " (the fleet-wide declaration is deliberately not applied " +
+                "where no stored evidence can cross-check it — run " +
+                "migrateArtifact on this artifact with its confirmed width)"
+            else "")))
       }
     }
   }

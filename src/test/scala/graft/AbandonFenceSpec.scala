@@ -201,39 +201,52 @@ class AbandonFenceSpec extends SparkSpec {
       "exactly-once after the stalled-sweep refusal")
   }
 
-  test("timeout with the stalled sweep having ALREADY adjudicated the " +
-       "batch COMMITTED (intent swept, no record, files alive): the " +
-       "marker is restored and the commit stands — refusing would make " +
-       "the replay duplicate the files the sweep ruled live") {
-    val root = mkArtifact(tmp("graft-fence-timeout-committed"))
+  test("timeout while the stalled sweep had KEEP-decided in flight (the " +
+       "invisible window: marker re-read done, intent not yet deleted): " +
+       "the append refuses with its own drop record, and the heal sweeps " +
+       "the kept files by name prefix before re-appending — exactly-once, " +
+       "never duplicates") {
+    val root = mkArtifact(tmp("graft-fence-timeout-keep"))
     val runId = "live-stream"
     val tag = IndexLifecycle.runTag(runId)
     val appends = java.nio.file.Paths.get(root, "_appends")
-    assert(IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
-      stageBatch(Seq((2L, "two"))), failAt = "",
-      onStep = s => if (s == "marked") {
-        // a sweep bumped the fence, saw the marker, classified the batch
-        // committed-debris (kept files, swept the intent, wrote no
-        // record), and is STILL running on other intents
-        java.nio.file.Files.createDirectories(appends)
-        java.nio.file.Files.write(appends.resolve("_abandoned"),
-          "5\nrunning".getBytes("UTF-8"))
-        java.nio.file.Files.deleteIfExists(appends.resolve(s"intent-$tag-0"))
-      },
-      fenceWaitMs = 300L))
-    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId) == Some(0L),
-      "the restored marker must stand")
-    assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
-    // redelivery (fence published done meanwhile): plain no-op
+    val e = intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+        stageBatch(Seq((2L, "two"), (3L, "three"))), failAt = "",
+        onStep = s => if (s == "marked") {
+          // the sweep bumped the fence and is mid-decision — nothing of
+          // its verdict is persisted yet
+          java.nio.file.Files.createDirectories(appends)
+          java.nio.file.Files.write(appends.resolve("_abandoned"),
+            "5\nrunning".getBytes("UTF-8"))
+        },
+        fenceWaitMs = 300L)
+    }
+    assert(e.getMessage.contains("not observable"), s"$e")
+    assert(IndexLifecycle.lastAppendedBatch(spark, root, runId).isEmpty,
+      "the marker must be rolled back")
+    assert(appendsFiles(root).contains(s"dropped-$tag-0"),
+      "the refusing append must leave its own drop record")
+    // the sweep lands on KEEP: it saw the (pre-rollback) marker, keeps
+    // the files as live data, sweeps the intent, publishes done
+    java.nio.file.Files.deleteIfExists(appends.resolve(s"intent-$tag-0"))
     java.nio.file.Files.write(appends.resolve("_abandoned"),
       "5\ndone".getBytes("UTF-8"))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two"), (3L, "three")),
+      "precondition: the kept files are live with no marker and no intent")
+    // the replay HEALS: prefix-sweeps the kept leftovers, re-appends once
+    assert(IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two"), (3L, "three")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two"), (3L, "three")),
+      "NEVER duplicates — the heal must remove the kept files first")
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")))
+    // a second redelivery is a plain no-op
     assert(!IndexLifecycle.appendOnce(spark, root, runId, 0L)(
-      stageBatch(Seq((2L, "two")))))
-    assert(readRows(root) == Set((1L, "seed"), (2L, "two")),
-      "no duplicates after the restored commit")
+      stageBatch(Seq((2L, "two"), (3L, "three")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two"), (3L, "three")))
   }
 
-  test("timeout with the stalled sweep having DROPPED the batch (record " +
+  test("timeout while the stalled sweep had DROPPED the batch (record " +
        "written, files deleted, intent swept): refuse with the marker " +
        "rolled back; the replay heals once the sweep completes") {
     val root = mkArtifact(tmp("graft-fence-timeout-dropped"))
@@ -259,7 +272,7 @@ class AbandonFenceSpec extends SparkSpec {
         },
         fenceWaitMs = 300L)
     }
-    assert(e.getMessage.contains("dropped this batch's files"), s"$e")
+    assert(e.getMessage.contains("still running"), s"$e")
     assert(IndexLifecycle.lastAppendedBatch(spark, root, runId).isEmpty,
       "the marker must be rolled back — it would lie about deleted files")
     assert(readRows(root) == Set((1L, "seed")))

@@ -223,6 +223,43 @@ class MigrationSweepSpec extends SparkSpec {
     assert(m.actions.exists(_.contains("shingleN=5 declared")), s"$m")
   }
 
+  test("inconclusive string-shingle evidence (all docs under-width, or " +
+       "empty) REFUSES inference without a declaration, and a fleet " +
+       "default never reaches such tables — no silent under-width stamp") {
+    // all-short corpus, NO declaration: inference would undershoot —
+    // must refuse, not stamp max-token-count as the width
+    val short = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val root = s"${tmp("graft-mig-inconclusive")}/sig"
+    short.select(col("doc_id"),
+        array_distinct(TF.shingles(col("text"), 5)).as("_sh"),
+        TF.minhashSignature(TF.shingles(col("text"), 5), 16).as("_sig"))
+      .write.parquet(s"$root/v=1")
+    IndexLifecycle.flipPointer(spark, root, 1L)
+    val e = intercept[IllegalArgumentException] {
+      Migrate.migrateArtifact(spark, root)
+    }
+    assert(e.getMessage.contains("inconclusive"), s"$e")
+    // the fleet sweep with a declared width must NOT stamp it onto the
+    // inconclusive string table — reported for an individual call
+    val fleet = tmp("graft-mig-fleet-inconclusive")
+    short.select(col("doc_id"),
+        array_distinct(TF.shingles(col("text"), 5)).as("_sh"),
+        TF.minhashSignature(TF.shingles(col("text"), 5), 16).as("_sig"))
+      .write.parquet(s"$fleet/strsig/v=1")
+    IndexLifecycle.flipPointer(spark, s"$fleet/strsig", 1L)
+    val report = Migrate.migrateFlagged(spark, fleet,
+      declaredShingleN = Some(5))
+    assert(report.size == 1, s"$report")
+    assert(report.head.actions.exists(a => a.startsWith("refused:") &&
+      a.contains("deliberately not applied")), s"$report")
+    assert(flagsOf(s"$fleet/strsig").nonEmpty, "nothing may be stamped")
+    // the per-artifact call WITH the operator's confirmed width migrates
+    val m = Migrate.migrateArtifact(spark, s"$fleet/strsig",
+      declaredShingleN = Some(5))
+    assert(m.actions.exists(_.contains("shingleN=5 declared")), s"$m")
+    assert(flagsOf(s"$fleet/strsig").isEmpty)
+  }
+
   test("text-index migration must not DROP postings of keys missing from " +
        "lengths/ — they fall back to the derived sum(tf) doc length") {
     val root = s"${tmp("graft-mig-holey")}/idx"
