@@ -701,6 +701,19 @@ object IndexLifecycle {
         writeAtomic(spark, s"$root/$AppendsName", s"dropped-$tag-$batchId",
           runId)
         rollBackMarker()
+        // the stalled sweep's record adjudication may have deleted our
+        // record in the one-op window between the write and the rollback
+        // (it saw the then-covering marker). It adjudicates each intent
+        // at most once and every LATER sweep re-reads the now-rolled-back
+        // marker and keeps records — so one re-write closes the window
+        if (!f.exists(new org.apache.hadoop.fs.Path(
+            s"$root/$AppendsName/dropped-$tag-$batchId"))) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"the racing sweep deleted this batch's drop record between " +
+              "the write and the marker rollback — re-writing it")
+          writeAtomic(spark, s"$root/$AppendsName",
+            s"dropped-$tag-$batchId", runId)
+        }
         throw new IllegalStateException(
           s"appendOnce lost the abandon fence on $root and the sweep is " +
             s"still running after ${fenceWaitMs}ms — its decision about " +
@@ -915,8 +928,9 @@ object IndexLifecycle {
     abandonTornAppendsImpl(spark, root, _ => ())
 
   /** [[abandonTornAppends]] with a race-injection hook: `onIntent` fires
-    * per torn intent after classification and before the last-instant
-    * marker re-read — the window where a racing append's marker write
+    * per intent after classification and before any adjudication or
+    * deletion — the window where a racing append's marker write (torn
+    * case) or marker ROLLBACK (committed case, the fence-timeout path)
     * can land. */
   private[graft] def abandonTornAppendsImpl(spark: SparkSession, root: String,
                                             onIntent: String => Unit)
@@ -948,9 +962,9 @@ object IndexLifecycle {
       val swept = intentStatus(spark, root).map { case (name, committed) =>
         val intentP = new org.apache.hadoop.fs.Path(s"$root/$AppendsName/$name")
         val rest = name.stripPrefix("intent-")
+        onIntent(name)
         var keepFiles = committed
         if (!committed) {
-          onIntent(name)
           // last-instant reclassification: re-read this tag's marker — a
           // racing appendOnce may have committed between the classification
           // listing and now, and deleting its files would orphan a
@@ -1009,7 +1023,25 @@ object IndexLifecycle {
               .filter(l => l.nonEmpty && !l.startsWith("#"))
             val dead = listed.filterNot(rel =>
               f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))
-            if (dead.isEmpty) f.delete(recordP, false)
+            if (dead.isEmpty) {
+              // delete the record ONLY while the marker STILL covers the
+              // batch, re-read fresh: a fence-timeout append may have
+              // rolled the marker back since classification and left
+              // this record as the replay's heal evidence — destroying
+              // it would have the heal skip its prefix sweep and
+              // re-append over the kept files (duplicates)
+              val (tp, bp, ir) = parseIntentName(f, root, name)
+              val freshCover = scala.util.Try(parseMarker(f,
+                new org.apache.hadoop.fs.Path(
+                  s"$root/$AppendsName/run-$tp"))).toOption
+                .map { case (mb, mraw, _) => (mb, mraw) }
+              if (markerCoversIntent(bp, freshCover, ir))
+                f.delete(recordP, false)
+              else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"abandon sweep on $root: keeping drop record for $name — " +
+                  "the marker no longer covers the batch (a fence-timeout " +
+                  "append rolled it back); the replay heals via the record")
+            }
             else {
               org.slf4j.LoggerFactory.getLogger(getClass).error(
                 s"abandon sweep on $root: intent $name is marker-covered " +
@@ -1158,6 +1190,15 @@ object IndexLifecycle {
       markers, restoreEpoch(spark, artifact))
   }
 
+  /** Structured flag markers — the machine-matched prefixes of the
+    * human-readable legacy_flags messages. [[graft.operators.Migrate]]
+    * dispatches on THESE constants, never on free message text, so a
+    * wording change cannot silently disconnect the fleet sweep's
+    * behavior from the audit's classification. */
+  private[operators] val FlagStringShingles = "legacy STRING shingle sets"
+  private[operators] val FlagPreSn = "pre-_sn"
+  private[operators] val FlagPreGk = "pre-_gk"
+
   /** Structural (kind, legacy flags) classification of one RESOLVED
     * artifact directory — the [[auditArtifacts]] detector, exposed so
     * [[graft.operators.Migrate.migrateArtifact]] can act on exactly the
@@ -1185,23 +1226,23 @@ object IndexLifecycle {
         case None => schemaOf(dir) match {
           case Some(s) if s.fieldNames.contains("_sig") =>
             if (!s.fieldNames.contains("_sn"))
-              flags += "pre-_sn signatures: shingleN unverifiable on append/probe; rebuild with buildSignatures"
+              flags += s"$FlagPreSn signatures: shingleN unverifiable on append/probe; rebuild with buildSignatures"
             s.fields.find(_.name == "_sh").map(_.dataType).foreach {
               case org.apache.spark.sql.types.ArrayType(
                   org.apache.spark.sql.types.StringType, _) =>
-                flags += "legacy STRING shingle sets: appends refuse, verifies pay string decode; rebuild with buildSignatures"
+                flags += s"$FlagStringShingles: appends refuse, verifies pay string decode; rebuild with buildSignatures"
               case _ => ()
             }
             "signature-table"
           case Some(s) if s.fieldNames.contains("_h") &&
               s.fieldNames.contains("_n") =>
             if (!s.fieldNames.contains("_gk"))
-              flags += "pre-_gk gram index: gram width unverifiable on append/probe; rebuild with buildGramIndex"
+              flags += s"$FlagPreGk gram index: gram width unverifiable on append/probe; rebuild with buildGramIndex"
             "gram-index"
           case Some(s) if s.fieldNames.contains("_k") &&
               s.fieldNames.contains("_s") =>
             if (!s.fieldNames.contains("_sn"))
-              flags += "pre-_sn shingle postings: shingle width unverifiable on append; rebuild with buildShinglePostings"
+              flags += s"$FlagPreSn shingle postings: shingle width unverifiable on append; rebuild with buildShinglePostings"
             "shingle-postings"
           case _ => "unknown"
         }

@@ -552,13 +552,16 @@ object Migrate {
     // and cross-check their own width — they never consume one)
     val shingleConsumers = classified.collect {
       case (a, k, fl)
-        if (k == "signature-table" && fl.exists(_.contains("pre-_sn")) &&
-            !fl.exists(_.contains("STRING"))) ||
-           (k == "shingle-postings" && fl.exists(_.contains("pre-_sn"))) => a
+        if (k == "signature-table" &&
+            fl.exists(_.contains(IndexLifecycle.FlagPreSn)) &&
+            !fl.exists(_.contains(IndexLifecycle.FlagStringShingles))) ||
+           (k == "shingle-postings" &&
+            fl.exists(_.contains(IndexLifecycle.FlagPreSn))) => a
     }
     val gramConsumers = classified.collect {
       case (a, k, fl)
-        if k == "gram-index" && fl.exists(_.contains("pre-_gk")) => a
+        if k == "gram-index" &&
+           fl.exists(_.contains(IndexLifecycle.FlagPreGk)) => a
     }
     val ambiguousShingle =
       declaredShingleN.nonEmpty && shingleConsumers.size > 1
@@ -574,8 +577,8 @@ object Migrate {
       // inference outright — a fleet default reaching such a table
       // would be stamped with nothing able to cross-check it, the same
       // lie the ambiguity refusal exists to prevent
-      val stringTable =
-        k == "signature-table" && fl.exists(_.contains("STRING"))
+      val stringTable = k == "signature-table" &&
+        fl.exists(_.contains(IndexLifecycle.FlagStringShingles))
       val shingleFor = if (stringTable) None else declaredShingleN
       if (ambiguous)
         ArtifactMigration(a, k, None, None, Seq(

@@ -246,6 +246,48 @@ class AbandonFenceSpec extends SparkSpec {
     assert(readRows(root) == Set((1L, "seed"), (2L, "two"), (3L, "three")))
   }
 
+  test("a REAL sweep whose committed classification raced a fence-timeout " +
+       "rollback must NOT delete the append's drop record (fresh marker " +
+       "re-check): the record survives, the heal prefix-sweeps the kept " +
+       "files, exactly-once") {
+    // the pass-5 interleaving: sweep classifies the intent COMMITTED off
+    // the then-covering marker; the timed-out append writes its record
+    // and rolls the marker back BEFORE the sweep's record adjudication;
+    // the stale-record delete must notice the rollback and keep the
+    // record — deleting it would leave (no marker, no record, files
+    // live) and the replay would duplicate the batch.
+    val root = mkArtifact(tmp("graft-fence-sweep-vs-rollback"))
+    val runId = "live-stream"
+    val tag = IndexLifecycle.runTag(runId)
+    val appends = java.nio.file.Paths.get(root, "_appends")
+    intercept[IllegalStateException] {
+      IndexLifecycle.appendOnceImpl(spark, root, runId, 0L,
+        stageBatch(Seq((2L, "two"), (3L, "three"))), failAt = "marked")
+    }
+    // marker written (covering), intent + files live — the committed-
+    // debris state a sweep classifies keepFiles from. Plant the append's
+    // drop record (its timeout path wrote it before rolling back)...
+    java.nio.file.Files.write(appends.resolve(s"dropped-$tag-0"),
+      runId.getBytes("UTF-8"))
+    // ...and run the REAL sweep, injecting the rollback in the window
+    // between its classification and its record adjudication
+    IndexLifecycle.abandonTornAppendsImpl(spark, root, name =>
+      if (name == s"intent-$tag-0")
+        java.nio.file.Files.deleteIfExists(appends.resolve(s"run-$tag")))
+    assert(appendsFiles(root).contains(s"dropped-$tag-0"),
+      "the sweep must keep the record — the marker no longer covers the batch")
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two"), (3L, "three")),
+      "precondition: kept files live, no marker, record present")
+    // the replay HEALS exactly-once: prefix-sweep then re-append
+    assert(IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two"), (3L, "three")))))
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two"), (3L, "three")),
+      "NEVER duplicates")
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")))
+    assert(!IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two"), (3L, "three")))))
+  }
+
   test("timeout while the stalled sweep had DROPPED the batch (record " +
        "written, files deleted, intent swept): refuse with the marker " +
        "rolled back; the replay heals once the sweep completes") {
