@@ -698,22 +698,13 @@ object IndexLifecycle {
             s"overwriting drop record $recP that stored runId '$prev' — " +
               "a 32-bit runTag collision between two dropped runs; the " +
               "other run's heal evidence is lost (log retained here)"))
+        // no re-verification needed after the rollback: ONLY the append
+        // side ever deletes drop records (the sweep's adjudication is
+        // deliberately create/finish-only), so the record written above
+        // cannot vanish out from under this refusal
         writeAtomic(spark, s"$root/$AppendsName", s"dropped-$tag-$batchId",
           runId)
         rollBackMarker()
-        // the stalled sweep's record adjudication may have deleted our
-        // record in the one-op window between the write and the rollback
-        // (it saw the then-covering marker). It adjudicates each intent
-        // at most once and every LATER sweep re-reads the now-rolled-back
-        // marker and keeps records — so one re-write closes the window
-        if (!f.exists(new org.apache.hadoop.fs.Path(
-            s"$root/$AppendsName/dropped-$tag-$batchId"))) {
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"the racing sweep deleted this batch's drop record between " +
-              "the write and the marker rollback — re-writing it")
-          writeAtomic(spark, s"$root/$AppendsName",
-            s"dropped-$tag-$batchId", runId)
-        }
         throw new IllegalStateException(
           s"appendOnce lost the abandon fence on $root and the sweep is " +
             s"still running after ${fenceWaitMs}ms — its decision about " +
@@ -1000,58 +991,38 @@ object IndexLifecycle {
           }
         }
         if (keepFiles) {
-          // a PREVIOUS crashed sweep may have left a drop record for this
-          // now-committed intent. Adjudicate it against the intent's file
-          // list: every file alive ⇒ the record is a stale lie (the
-          // racing append won cleanly) — delete it, or a later crash-
-          // redelivery would "heal" (re-append) over live data. Any file
-          // dead ⇒ the crashed sweep got partway — FINISH its deletion
-          // and keep the record, so the heal replays the whole batch
-          // against a clean slate (keeping the partial files would make
-          // the heal duplicate the survivors).
+          // a drop record may exist for this now-committed intent (a
+          // previous crashed sweep, or a fence-timeout append that rolled
+          // its marker back). The sweep NEVER deletes records — record
+          // deletion belongs exclusively to the single-writer append side
+          // (its commit path clears records at-or-below each committed
+          // batch), which is what makes it race-free: any check-then-
+          // delete here races a concurrent rollback+record one FS op wide
+          // (the Locks CAS-free lesson), and a lingering record is now
+          // harmless — the heal's prefix sweep makes a spurious
+          // redelivery heal idempotent. The ONE case needing action:
+          // a crashed sweep got PARTWAY through this batch's deletions —
+          // finish them, so the heal replays against a clean slate
+          // instead of duplicating the surviving files.
           val recordP = new org.apache.hadoop.fs.Path(
             s"$root/$AppendsName/dropped-$rest")
-          // a VANISHED intent means a racing append's commit cleanup got
-          // here first; that commit path owns the record's fate — with no
-          // file list left there is nothing to adjudicate against, and
-          // deleting the record blind would erase another run's heal
-          // evidence (an empty list must NOT read as "all alive")
           if (f.exists(recordP)) readLinesIfPresent(f, intentP) match {
-            case None => () // intent gone: leave the record alone
+            case None => () // intent gone: the commit path owns the record
             case Some(intentLines) =>
-            val listed = intentLines.map(_.trim)
-              .filter(l => l.nonEmpty && !l.startsWith("#"))
-            val dead = listed.filterNot(rel =>
-              f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))
-            if (dead.isEmpty) {
-              // delete the record ONLY while the marker STILL covers the
-              // batch, re-read fresh: a fence-timeout append may have
-              // rolled the marker back since classification and left
-              // this record as the replay's heal evidence — destroying
-              // it would have the heal skip its prefix sweep and
-              // re-append over the kept files (duplicates)
-              val (tp, bp, ir) = parseIntentName(f, root, name)
-              val freshCover = scala.util.Try(parseMarker(f,
-                new org.apache.hadoop.fs.Path(
-                  s"$root/$AppendsName/run-$tp"))).toOption
-                .map { case (mb, mraw, _) => (mb, mraw) }
-              if (markerCoversIntent(bp, freshCover, ir))
-                f.delete(recordP, false)
-              else org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"abandon sweep on $root: keeping drop record for $name — " +
-                  "the marker no longer covers the batch (a fence-timeout " +
-                  "append rolled it back); the replay heals via the record")
-            }
-            else {
-              org.slf4j.LoggerFactory.getLogger(getClass).error(
-                s"abandon sweep on $root: intent $name is marker-covered " +
-                  s"but a previous crashed sweep already deleted " +
-                  s"${dead.size} of ${listed.size} of its files — " +
-                  "finishing the deletion and keeping the drop record so " +
-                  "the replay heals the lying marker cleanly")
-              listed.foreach(rel =>
-                f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
-            }
+              val listed = intentLines.map(_.trim)
+                .filter(l => l.nonEmpty && !l.startsWith("#"))
+              val dead = listed.filterNot(rel =>
+                f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))
+              if (dead.nonEmpty) {
+                org.slf4j.LoggerFactory.getLogger(getClass).error(
+                  s"abandon sweep on $root: intent $name is marker-covered " +
+                    s"but a previous crashed sweep already deleted " +
+                    s"${dead.size} of ${listed.size} of its files — " +
+                    "finishing the deletion and keeping the drop record so " +
+                    "the replay heals the lying marker cleanly")
+                listed.foreach(rel =>
+                  f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+              }
           }
         }
         // committed debris: the files are LIVE DATA — sweep only the

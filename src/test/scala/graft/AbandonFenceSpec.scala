@@ -378,13 +378,15 @@ class AbandonFenceSpec extends SparkSpec {
   }
 
   test("rerun adjudication of a crashed sweep's drop record: files all " +
-       "alive ⇒ the record is a stale lie and is cleared (no phantom " +
-       "heal); files partially dead ⇒ the deletion is finished and the " +
-       "record kept, so the heal replays against a clean slate") {
+       "alive ⇒ the record SURVIVES the sweep (only the append side " +
+       "deletes records) and a redelivery heals idempotently; files " +
+       "partially dead ⇒ the deletion is finished and the record kept, " +
+       "so the heal replays against a clean slate") {
     // CASE 1: crashed sweep wrote the record, deleted nothing; the racing
-    // append's marker landed. The rerun must keep the files, clear the
-    // record, and a redelivery must be a plain no-op — NOT a heal that
-    // would duplicate live rows.
+    // append's marker landed. The rerun keeps the files AND the record
+    // (record deletion belongs to the append side alone); a redelivery
+    // HEALS — prefix-sweeping the live files before re-appending, so the
+    // data stays exactly-once — and its commit clears the record.
     val root = mkArtifact(tmp("graft-fence-stale-record"))
     val runId = "racer"
     val tag = IndexLifecycle.runTag(runId)
@@ -399,11 +401,17 @@ class AbandonFenceSpec extends SparkSpec {
       s"0\n$runId\n0".getBytes("UTF-8"))
     IndexLifecycle.abandonTornAppends(spark, root)
     assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
-    assert(!appendsFiles(root).exists(_.startsWith("dropped-")),
-      "all-alive ⇒ the stale record must be cleared")
-    assert(!IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+    assert(appendsFiles(root).contains(s"dropped-$tag-0"),
+      "the sweep must never delete records — the append side owns them")
+    assert(IndexLifecycle.appendOnce(spark, root, runId, 0L)(
       stageBatch(Seq((2L, "two")))),
-      "redelivery must no-op — a phantom heal would duplicate live rows")
+      "redelivery heals through the record")
+    assert(readRows(root) == Set((1L, "seed"), (2L, "two")),
+      "the heal is idempotent — never duplicates the live rows")
+    assert(!appendsFiles(root).exists(_.startsWith("dropped-")),
+      "the healing commit clears the record")
+    assert(!IndexLifecycle.appendOnce(spark, root, runId, 0L)(
+      stageBatch(Seq((2L, "two")))), "then a plain no-op again")
     assert(readRows(root) == Set((1L, "seed"), (2L, "two")))
 
     // CASE 2: the crashed sweep got PARTWAY (one of two files deleted)
