@@ -97,11 +97,22 @@ object IndexLifecycle {
 
   /** Atomic small-file write: sweep crashed-write debris, write-temp,
     * rename-overwrite (FileContext exposes the atomic-overwrite rename
-    * publicly). The pointer flip and the replay markers both ride this. */
+    * publicly). The pointer flip and the replay markers both ride this.
+    * `knownNames`: a directory listing the caller already holds — the
+    * debris sweep then filters IT instead of re-listing (debris from a
+    * crashed PREVIOUS attempt is in any later listing by definition, and
+    * a successful writeAtomic leaves none), saving one object-store
+    * round trip per call on the per-micro-batch hot path. */
   private def writeAtomic(spark: SparkSession, parent: String, name: String,
-                          content: String): Unit = {
+                          content: String,
+                          knownNames: Option[Seq[String]] = None): Unit = {
     val f = fs(spark, parent)
-    sweepStaleTmp(f, parent, name)
+    knownNames match {
+      case Some(ns) => ns.filter(_.startsWith(s"$name.tmp."))
+        .foreach(n => f.delete(
+          new org.apache.hadoop.fs.Path(s"$parent/$n"), false))
+      case None => sweepStaleTmp(f, parent, name)
+    }
     val tmp = new org.apache.hadoop.fs.Path(
       s"$parent/$name.tmp.${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
@@ -512,8 +523,20 @@ object IndexLifecycle {
           stored.isEmpty || stored == runId // empty = legacy tag-only record
       }
     }
-    val droppedThisBatch = names.contains(s"dropped-$tag-$batchId") &&
-      droppedRecordMatches(s"dropped-$tag-$batchId")
+    // the NO-OP decision (marker covers this batch) probes the record
+    // FRESH: the opening listing predates the fence read, and a sweep
+    // completing its tail in that gap (record written, files deleted,
+    // `done` published) would otherwise be invisible — the no-op would
+    // stand on a lying marker and the batch would be lost with no
+    // replay left to heal it. The fresh open costs one round trip ONLY
+    // on redeliveries (steady-state batches have batchId > marker and
+    // use the listing, where a gap-written record is harmless: the
+    // sweep that wrote it also deleted the files it describes).
+    val droppedThisBatch =
+      if (marker.exists(_._1 >= batchId))
+        droppedRecordMatches(s"dropped-$tag-$batchId")
+      else names.contains(s"dropped-$tag-$batchId") &&
+        droppedRecordMatches(s"dropped-$tag-$batchId")
     if (epoch > 0) marker match {
       case Some((_, mEpoch)) if mEpoch < epoch =>
         throw new IllegalStateException(
@@ -615,7 +638,8 @@ object IndexLifecycle {
     // ([[pendingIntents]]) compares identities, not 32-bit tags; readers
     // skip '#' lines (no live file is ever named with a '#' prefix)
     writeAtomic(spark, s"$root/$AppendsName", s"intent-$tag-$batchId",
-      (s"#runId:$runId" +: moves.map(_._2)).mkString("\n"))
+      (s"#runId:$runId" +: moves.map(_._2)).mkString("\n"),
+      knownNames = Some(names))
     if (failAt == "intent") throw new IllegalStateException("failpoint: intent")
     moves.zipWithIndex.foreach { case ((src, destRel), i) =>
       if (failAt == "half-moved" && i >= (moves.size + 1) / 2)
@@ -646,7 +670,7 @@ object IndexLifecycle {
     // restore (epoch read at call start: a restore racing this append is
     // caught on the NEXT batch, which is the earliest anything could act)
     writeAtomic(spark, s"$root/$AppendsName", s"run-$tag",
-      s"$batchId\n$runId\n$epoch")
+      s"$batchId\n$runId\n$epoch", knownNames = Some(names))
     if (failAt == "marked") throw new IllegalStateException("failpoint: marked")
     onStep("marked")
     // abandon fence, post-marker re-check: a sweep that started inside the
@@ -726,11 +750,14 @@ object IndexLifecycle {
         // sweep is DONE and every file just verified present, so the
         // record is a stale lie; leaving it would make a later crash-
         // redelivery "heal" (re-append) on top of the live files. The
-        // opening listing predates the sweep, so delete unconditionally.
+        // opening listing predates the sweep, so probe directly — and
+        // runId-checked, like every record read: a tag-colliding record
+        // belongs to ANOTHER run, whose heal evidence must survive.
         // (Only sound under an observed `done` — a still-running sweep
         // took the refusal branch above.)
-        f.delete(new org.apache.hadoop.fs.Path(
-          s"$root/$AppendsName/dropped-$tag-$batchId"), false)
+        if (droppedRecordMatches(s"dropped-$tag-$batchId"))
+          f.delete(new org.apache.hadoop.fs.Path(
+            s"$root/$AppendsName/dropped-$tag-$batchId"), false)
       } else {
         rollBackMarker()
         throw new IllegalStateException(
@@ -755,8 +782,9 @@ object IndexLifecycle {
     // before ITS cleanup) so `_appends` stays one marker + live intents.
     // The OPENING listing is the evidence (no re-list: single-writer
     // means nothing else created intents for this tag since, and this
-    // batch's own intent was just deleted above) — one listing per batch
-    // total, the object-store budget the file-op census law pins.
+    // batch's own intent was just deleted above) — the same listing also
+    // feeds both atomic writes' debris sweeps, so the steady-state batch
+    // pays ONE `_appends` listing total (the file-op census law pins it).
     names.filter { n =>
       n.startsWith(s"intent-$tag-") && !n.contains(".tmp.") &&
         n.stripPrefix(s"intent-$tag-").toLongOption.exists(_ <= batchId)
@@ -964,11 +992,27 @@ object IndexLifecycle {
           // itself is THE shared markerCoversIntent)
           val (tagPart, batchPart, intentRunId) =
             parseIntentName(f, root, name)
-          val freshMarker = scala.util.Try(parseMarker(f,
-            new org.apache.hadoop.fs.Path(
-              s"$root/$AppendsName/run-$tagPart"))).toOption
-            .map { case (mb, mraw, _) => (mb, mraw) }
-          keepFiles = markerCoversIntent(batchPart, freshMarker, intentRunId)
+          // this read gates DELETION, so its failure taxonomy is strict:
+          // absent file = genuinely no marker (torn); readable garbage =
+          // the documented corrupt-foreign degradation (its intents stay
+          // torn — the marker was never protocol-written, writeAtomic
+          // cannot tear one); a TRANSIENT store error must NOT read as
+          // "no marker" — retry, then fail the sweep (fence stays
+          // running, the refusing direction) rather than delete a
+          // possibly-committed batch's files on a read hiccup
+          val markerP = new org.apache.hadoop.fs.Path(
+            s"$root/$AppendsName/run-$tagPart")
+          def readFresh(attempt: Int): Option[(Long, Option[String])] =
+            try Some(parseMarker(f, markerP))
+              .map { case (mb, mraw, _) => (mb, mraw) }
+            catch {
+              case _: java.io.FileNotFoundException => None
+              case _: IllegalStateException => None // readable garbage
+              case e: java.io.IOException if attempt < 3 =>
+                Thread.sleep(50L); readFresh(attempt + 1)
+            }
+          keepFiles =
+            markerCoversIntent(batchPart, readFresh(0), intentRunId)
           if (keepFiles)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"abandon sweep on $root: intent $name committed between " +
@@ -1079,15 +1123,19 @@ object IndexLifecycle {
     val candidates: Seq[String] =
       if (!f.exists(rootPath)) Nil
       else {
-        val children = f.listStatus(rootPath).toSeq.filter(_.isDirectory)
+        // ONE listing serves both the child enumeration and the
+        // self-is-artifact probe (a second listStatus per root is a
+        // redundant object-store round trip on a fleet sweep)
+        val statuses = f.listStatus(rootPath).toSeq
+        val children = statuses.filter(_.isDirectory)
           .map(_.getPath.toString)
           .filterNot { p =>
             val n = new org.apache.hadoop.fs.Path(p).getName
             (n.startsWith("_") && !n.contains("=")) || n.startsWith(".")
           }
         val selfIsArtifact =
-          f.exists(new org.apache.hadoop.fs.Path(s"$root/_current")) ||
-            f.listStatus(rootPath).exists(s => !s.isDirectory &&
+          statuses.exists(_.getPath.getName == "_current") ||
+            statuses.exists(s => !s.isDirectory &&
               s.getPath.getName.endsWith(".parquet"))
         if (selfIsArtifact) Seq(root) else children
       }
@@ -1146,10 +1194,13 @@ object IndexLifecycle {
     val version = currentVersion(spark, artifact)
     val dir = resolveDir(spark, artifact)
     val (kind, flagSeq) = detectKind(spark, dir)
+    // `< cur` like [[vacuum]]: a version ABOVE the pointer may be a
+    // rebuild's staged-not-yet-flipped dir — counting it stale invites
+    // the vacuum this audit exists to schedule
     val stale = version.map { cur =>
       f.listStatus(new org.apache.hadoop.fs.Path(artifact)).toSeq
         .count(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
-          s.getPath.getName.stripPrefix("v=").toLongOption.exists(_ != cur))
+          s.getPath.getName.stripPrefix("v=").toLongOption.exists(_ < cur))
     }.getOrElse(0)
     // torn only: an intent whose batch committed is debris, not pending
     val pending = pendingIntents(spark, artifact).size
@@ -1222,9 +1273,14 @@ object IndexLifecycle {
     (kind, flags.toSeq)
   }
 
-  /** Delete every non-current version directory plus any crashed-flip
-    * `_current.tmp.*` files. Only safe once no reader still holds a
-    * pre-flip file list (the [[Snapshots.vacuum]] caveat verbatim). A
+  /** Delete every version directory BELOW the current one plus any
+    * crashed-flip `_current.tmp.*` files. Only safe once no reader still
+    * holds a pre-flip file list (the [[Snapshots.vacuum]] caveat, and
+    * the same `< current` rule: versions ABOVE the pointer are never
+    * touched — one may be a rebuild's fully-staged `v=N+1` whose pointer
+    * flip is in flight, and deleting it would flip the artifact onto a
+    * missing directory. An abandoned over-current stage is harmless:
+    * the next build re-stages the same number in overwrite mode). A
     * legacy flat layout has nothing to vacuum (tmp debris is still
     * swept — a flat root can carry it if a first versioning flip died). */
   def vacuum(spark: SparkSession, root: String): Unit = {
@@ -1234,7 +1290,7 @@ object IndexLifecycle {
       f.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
         .filter(_.isDirectory)
         .filter(s => s.getPath.getName.startsWith("v=") &&
-          s.getPath.getName.stripPrefix("v=").toLongOption.exists(_ != cur))
+          s.getPath.getName.stripPrefix("v=").toLongOption.exists(_ < cur))
         .foreach(s => f.delete(s.getPath, true))
     }
   }

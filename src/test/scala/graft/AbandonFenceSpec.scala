@@ -449,6 +449,27 @@ class AbandonFenceSpec extends SparkSpec {
     assert(!appendsFiles(root2).exists(_.startsWith("dropped-")))
   }
 
+  test("vacuum never deletes a version ABOVE the pointer: a rebuild's " +
+       "fully-staged v=N+1 survives a concurrent vacuum and the flip " +
+       "lands on intact data; versions below are dropped") {
+    val root = mkArtifact(tmp("graft-vacuum-staged"))
+    // grow history: v=2 becomes current, v=1 is genuinely stale
+    Seq((1L, "seed"), (2L, "more")).toDF("id", "txt")
+      .write.parquet(s"$root/v=2/rows")
+    IndexLifecycle.flipPointer(spark, root, 2L)
+    // a rebuild stages v=3 but has not flipped yet
+    Seq((1L, "seed"), (2L, "more"), (3L, "new"))
+      .toDF("id", "txt").write.parquet(s"$root/v=3/rows")
+    IndexLifecycle.vacuum(spark, root)
+    val left = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).toSet
+    assert(left == Set("v=2", "v=3"),
+      s"vacuum must drop only versions below current: $left")
+    // the in-flight rebuild completes — readers resolve intact data
+    IndexLifecycle.flipPointer(spark, root, 3L)
+    assert(readRows(root) == Set((1L, "seed"), (2L, "more"), (3L, "new")))
+  }
+
   test("a runId containing a newline is refused up front (markers, " +
        "intents and drop records store it line-oriented)") {
     val root = mkArtifact(tmp("graft-fence-newline"))

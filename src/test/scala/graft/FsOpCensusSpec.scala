@@ -135,8 +135,9 @@ class FsOpCensusSpec extends SparkSpec {
     // with extra getFileStatus probes, so `create` is not separately
     // countable and `stat` is bounded, not pinned.) Any protocol edit
     // that moves these numbers must update the law knowingly.
-    assert(appends1.getOrElse("appends:list", 0) == 3,
-      s"one opening listing + one stale-tmp sweep per atomic write: $appends1")
+    assert(appends1.getOrElse("appends:list", 0) == 1,
+      s"ONE opening listing per batch — both atomic writes sweep debris " +
+        s"from it instead of re-listing: $appends1")
     assert(appends1.getOrElse("appends:open", 0) == 3,
       s"marker read + two abandon-fence checks: $appends1")
     assert(appends1.getOrElse("appends:rename", 0) == 2,
@@ -144,12 +145,12 @@ class FsOpCensusSpec extends SparkSpec {
     assert(appends1.getOrElse("appends:delete", 0) == 2,
       s"intent cleanup + the FileContext overwrite-rename's delete of " +
         s"the previous marker: $appends1")
-    assert(appends1.getOrElse("appends:stat", 0) <= 18,
+    assert(appends1.getOrElse("appends:stat", 0) <= 15,
       s"stat bound blown (RawLocalFS internals pad this; the portable " +
-        s"protocol-authored stats are 4): $appends1")
+        s"protocol-authored stats are 2): $appends1")
     val core = Seq("list", "open", "rename", "delete")
       .map(op => appends1.getOrElse(s"appends:$op", 0)).sum
-    assert(core == 10, s"core _appends round-trip budget moved: $appends1")
+    assert(core == 8, s"core _appends round-trip budget moved: $appends1")
 
     // the replay NO-OP pays even less — the guard must stay cheap (it
     // runs on every redelivery): one listing + one marker read + the
