@@ -201,6 +201,9 @@ object SparkEntry {
       // at sf0.1: 0.91 -> 0.36 s. Safe because the column is a bounded
       // enum (the reference's slices are bounded per-key sets, §2.4), so
       // the per-group set state stays tiny at any corpus size
+      // NO spread: A/B'd r17 (same-harness PerfLab min-of-2) — spreading
+      // the scan before the set-partial agg read 0.44 → 0.73 s; the
+      // round-robin exchange costs more than the serial partials save
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(
@@ -215,6 +218,8 @@ object SparkEntry {
       // §2.4 slice contract as q_distinct_set — parts-per-supplier is a
       // fixed ratio at every TPC-H scale factor, so group state does not
       // grow with corpus size
+      // NO spread: same A/B verdict as q_distinct_set (0.61 → 1.08 s with
+      // a spread — the exchange dwarfs the serial set partials)
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_suppkey"))
         .agg(size(collect_set(col("l_partkey"))).cast("long").as("set_size")),
@@ -705,7 +710,11 @@ object SparkEntry {
       // candidates scale with band occupancy, never n^2 (the naive form
       // is a cross join). Oracle = the brute-force pair join, so the
       // banded kernel must find every qualifying pair
-      (s, d) => GeoJoin.withinDistance(withGeo(t(s, d, "customer")),
+      // spread: the banded self-join broadcasts one side, so ALL of the
+      // candidate-verify haversine compute runs in the probe side's scan
+      // stage — ONE split at sf0.1 (r17 census: 3 tasks total); identity
+      // at cluster scale (Tables.spread scaladoc)
+      (s, d) => GeoJoin.withinDistance(Tables.spread(withGeo(t(s, d, "customer"))),
         "c_custkey", "lat", "lon", maxKm = 100.0),
       Some(s"""WITH g AS (SELECT c_custkey, lat, lon FROM $geoSqlLatLon
             WHERE NOT (lat = 0.0 AND lon = 0.0))
@@ -2450,8 +2459,11 @@ object SparkEntry {
       // feared per-doc counting "melts on long documents" — true of the
       // O(n^2) nested-loop count, not of sort+run-length.)
       (s, d) => {
-        // bind the token array BEFORE the lambda — see wordBigrams' doc
-        t(s, d, "documents")
+        // bind the token array BEFORE the lambda — see wordBigrams' doc.
+        // spread: the per-doc sort+run-length kernel is the CPU cost and
+        // the sf0.1 corpus arrives as ONE split — identity at cluster
+        // scale (Tables.spread scaladoc; r17 census: 2 tasks total)
+        Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("_toks"))
           .select(col("doc_id"), TF.dupTokenFrac(col("text")).as("dup_token_frac"),
             TF.topBigramFrac(col("_toks")).as("top_bigram_frac"))
@@ -3484,8 +3496,11 @@ object SparkEntry {
       // never shuffles (the 100 TB shape: score in the scan stage)
       (s, d) => {
         val docs = t(s, d, "documents")
+        // tagged fused model (r17): target ⊆ raw here, so one corpus scan
+        // + one shuffle builds both count sides — identical lr table
+        // (Importance.dsirLogRatiosTagged scaladoc, unit-pinned)
         Importance.dsirScore(docs, "text", "doc_id",
-          Importance.dsirLogRatios(docs.filter(col("doc_id") < 25), docs,
+          Importance.dsirLogRatiosTagged(docs, col("doc_id") < 25,
             "text", buckets = 1024),
           buckets = 1024)
       },
@@ -3498,7 +3513,7 @@ object SparkEntry {
         val docs = t(s, d, "documents")
         Importance.dsirSelect(
           Importance.dsirScore(docs, "text", "doc_id",
-            Importance.dsirLogRatios(docs.filter(col("doc_id") < 25), docs,
+            Importance.dsirLogRatiosTagged(docs, col("doc_id") < 25,
               "text", buckets = 1024),
             buckets = 1024),
           "doc_id", "weight", n = 150)
@@ -3702,19 +3717,21 @@ object SparkEntry {
     Q("q_psi_drift", // population stability index per source vs the corpus
       // length distribution — the standard data-drift gate between a new
       // crawl and the corpus baseline. Buckets absent from a source
-      // contribute nothing (the practical PSI convention); the baseline
-      // share reuses the same bucket counts via a 10-row window, so the
-      // whole audit is two hash aggs and a bucket-key join
+      // contribute nothing (the practical PSI convention); ONE corpus scan
+      // + one (source, bkt) hash agg — the per-source totals, per-bucket
+      // marginals, and grand total are all EXACT integer sums of that
+      // fine-grained frame (≤ |sources|·10 rows), so they derive from it
+      // via windows instead of re-scanning the corpus (r17: was two full
+      // scans + two corpus-wide aggs + a join; guide §2.4)
       (s, d) => {
-        val b = t(s, d, "documents").select(col("source"),
-          least(floor(col("n_chars") / 50), lit(9)).cast("long").as("bkt"))
-        val p = b.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("c"))
-        val pt = p.groupBy(col("source")).agg(sum(col("c")).as("n"))
-        val q = b.groupBy(col("bkt")).agg(count(lit(1)).as("cq"))
-          .withColumn("nq", sum(col("cq")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()))
-        p.join(pt, "source").join(q, "bkt")
-          .select(col("source"),
+        val W = org.apache.spark.sql.expressions.Window
+        val p = t(s, d, "documents").select(col("source"),
+            least(floor(col("n_chars") / 50), lit(9)).cast("long").as("bkt"))
+          .groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("c"))
+          .withColumn("n", sum(col("c")).over(W.partitionBy(col("source"))))
+          .withColumn("cq", sum(col("c")).over(W.partitionBy(col("bkt"))))
+          .withColumn("nq", sum(col("c")).over(W.partitionBy()))
+        p.select(col("source"),
             ((col("c") / col("n") - col("cq") / col("nq")) *
               log((col("c") / col("n")) / (col("cq") / col("nq")))).as("term"))
           .groupBy(col("source")).agg(round(sum(col("term")), 6).as("psi"))
@@ -3782,19 +3799,26 @@ object SparkEntry {
           GROUP BY o_orderstatus""")),
 
     Q("q_cohort_retention", // cohort = first active day; distinct actives per
-      // (cohort, day offset). Two shuffles, both on user_id — the second
-      // groupBy reuses the first's partitioning under AQE
+      // (cohort, day offset). ONE user_id shuffle carrying mergeable
+      // per-user day SETS (bounded by the date span — the q_distinct_set
+      // §2.4 slice discipline), then a tiny (cohort, offset) agg: d0 and
+      // the distinct days both read off the one set, so the old
+      // distinct → groupBy → self-join → countDistinct-Expand chain (3
+      // corpus-wide exchanges + a join) collapses to one exchange + one
+      // bounded agg (r17, guide §2.3/§2.4). count(*) == countDistinct
+      // here BY CONSTRUCTION: days are distinct per user, so each user
+      // hits a (cohort_day, offset) cell at most once (user_id is
+      // non-null at every SF — the generator always sets it).
       (s, d) => {
-        val ev = t(s, d, "events")
-          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        val c = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
-        ev.join(c, "user_id")
+        t(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(collect_set(to_date(col("ts"))).as("_days"))
+          .select(array_min(col("_days")).as("d0"), explode(col("_days")).as("day"))
           .select(col("d0").as("cohort_day"),
-            datediff(col("day"), col("d0")).cast("long").as("day_offset"),
-            col("user_id"))
+            datediff(col("day"), col("d0")).cast("long").as("day_offset"))
           .filter(col("day_offset") <= 7)
           .groupBy("cohort_day", "day_offset")
-          .agg(countDistinct(col("user_id")).as("n_users"))
+          .agg(count(lit(1)).as("n_users"))
       },
       Some("""WITH ev AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day FROM events),
               c AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1)
@@ -4085,8 +4109,12 @@ object SparkEntry {
       (s, d) => {
         // additive fixture prices: they stay at 2 decimals, so round(_, 2)
         // agrees across engines (a multiplicative fixture lands on .xx5
-        // halfway cases where double-rounding conventions differ)
-        val base = t(s, d, "orders").withColumn("body", struct(
+        // halfway cases where double-rounding conventions differ).
+        // spread: the folded indexed-path rebuild is interpreted-HOF
+        // per-row compute (Patch.rebuild scaladoc) and sf0.1 orders is ONE
+        // split — the whole patch ran single-threaded (r17 census: 2
+        // tasks); identity at cluster scale (Tables.spread scaladoc)
+        val base = Tables.spread(t(s, d, "orders")).withColumn("body", struct(
           array(
             struct(col("o_totalprice").as("price"), lit(1).as("qty")),
             struct((col("o_totalprice") + 1000.0).as("price"), lit(2).as("qty")),

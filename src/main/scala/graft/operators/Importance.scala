@@ -99,6 +99,39 @@ object Importance {
         col("_T").as("t_total"), col("_R").as("r_total"))
   }
 
+  /**
+   * [[dsirLogRatios]] for the COMMON DSIR setup where the target corpus is
+   * a predicate over the raw pool (target = docs.filter(targetCond),
+   * raw = docs) — the two bucket-count aggregations fuse into ONE corpus
+   * scan and ONE shuffle: per bucket, `_tc` counts only target rows and
+   * `_rc` counts all rows, and the two totals are exact integer window
+   * sums of the ≤ `buckets`-row frame instead of two 1-row broadcast
+   * cross-joins (r17, guide §2.4 — the q_psi_drift marginals-from-the-
+   * fine-grained-agg discipline). Output rows and values are IDENTICAL to
+   * `dsirLogRatios(docs.filter(targetCond), docs, ...)` (unit-pinned):
+   * target ⊆ raw means the full-outer join's bucket set is exactly the
+   * raw bucket set, and a 0 target count feeds the same (+1) smoothing as
+   * the join's NULL did.
+   */
+  def dsirLogRatiosTagged(docs: DataFrame, targetCond: Column,
+                          textCol: String, buckets: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    docs
+      .select(targetCond.as("_t"), explode(bucketArray(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_tc"),
+        count(lit(1)).as("_rc"))
+      .withColumn("_T", sum(col("_tc")).over(W.partitionBy()))
+      .withColumn("_R", sum(col("_rc")).over(W.partitionBy()))
+      .select(col("bucket"),
+        round((log((col("_tc") + lit(1.0)) /
+                   (col("_T") + lit(buckets).cast("double"))) -
+               log((col("_rc") + lit(1.0)) /
+                   (col("_R") + lit(buckets).cast("double")))) * lit(1e6))
+          .cast("long").as("lr"),
+        col("_T").as("t_total"), col("_R").as("r_total"))
+  }
+
   /** Hard cap on the dense LUT the scoring pass collects: 2^20 buckets =
     * 8 MB of int64 — comfortably a task-literal broadcast. */
   val MaxLutBuckets = 1 << 20

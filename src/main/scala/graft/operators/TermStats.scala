@@ -386,15 +386,22 @@ object TermStats {
                query: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "BM25 needs at least one query term")
-    val toks = docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
-    val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    // dl RIDES the token explode (one extra int per pre-agg row, collapsed
+    // map-side): the old separate dl frame cost a third full text scan AND
+    // a (key, dl) join onto tf — at 100 TB each of those is a corpus pass
+    // (r17, guide §2.4; min(dl) is exact — every row of a doc's group
+    // carries the same dl). stats stays its own narrow scan: it needs
+    // ALL docs (corpus-wide avgdl), matched or not.
+    val toks = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"),
+      explode(TF.tokens(col(textCol))).as("term"))
+    val stats = docs.select(TF.tokenCount(col(textCol)).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val tf = toks.filter(col("term").isin(query: _*))
-      .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(keyCol), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val termScore = bm25TermScore(k1, b)
     tf.join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq(keyCol))
       .crossJoin(broadcast(stats))
       .withColumn("_ts", round(termScore * 1e6).cast("long"))
       .groupBy(col(keyCol))
@@ -430,17 +437,21 @@ object TermStats {
     val qterms = queries.select(col(queryKeyCol).as("_qid"),
       explode(array_distinct(col(termsCol))).as("term"))
     val dict = qterms.select(col("term")).distinct()
-    val toks = docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("term"))
-    val dl = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    // dl rides the explode, stats keeps its own narrow all-docs scan —
+    // the [[bm25TopK]] r17 single-pass shape (one text scan + one narrow
+    // scan instead of three text scans and a corpus-wide dl join)
+    val toks = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"),
+      explode(TF.tokens(col(textCol))).as("term"))
+    val stats = docs.select(TF.tokenCount(col(textCol)).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val tf = toks.join(broadcast(dict), Seq("term"), "left_semi")
-      .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(keyCol), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val termScore = bm25TermScore(k1, b)
     val perDoc = qterms
       .join(tf, Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq(keyCol))
       .crossJoin(broadcast(stats))
       .withColumn("_ts", round(termScore * 1e6).cast("long"))
       .groupBy(col("_qid"), col(keyCol))

@@ -45,6 +45,16 @@ class CurationMlSpec extends SparkSpec {
     assert(!sel.map(_.getLong(0)).contains(6L), "noise doc selected")
   }
 
+  test("dsirLogRatiosTagged == dsirLogRatios when target is a predicate over raw") {
+    // the r17 fused-model contract: same rows, same lr/t_total/r_total,
+    // for a target that is a filter of the raw pool (incl. 0-count buckets)
+    val classic = Importance.dsirLogRatios(target, pool, "text", B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val tagged = Importance.dsirLogRatiosTagged(pool, $"doc_id" <= 2, "text", B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(tagged == classic, s"fused model drifted:\n classic=$classic\n tagged=$tagged")
+  }
+
   test("dsirScore enforces the dense-LUT buckets contract") {
     val ratios = Importance.dsirLogRatios(target, pool, "text", B)
     intercept[IllegalArgumentException] {
