@@ -475,9 +475,16 @@ object SparkEntry {
     s"2.0 * 6371.0 * asin(sqrt(pow(sin(radians($refLat - lat) / 2), 2) + " +
       s"cos(radians(lat)) * cos(radians($refLat)) * pow(sin(radians($refLon - lon) / 2), 2)))"
 
+  /** The probe vector (vec_id = 0) — a fixture CONSTANT, memoized per
+    * (session, dir) like the index-path fixtures below: 18 queries take it
+    * as an input parameter, and each un-memoized call was one whole Spark
+    * action (scan + head) before the timed query proper began (r17). */
+  private val queryVecCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
   private def queryVec(s: SparkSession, d: String): Array[Float] =
-    t(s, d, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    queryVecCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d",
+      t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray)
 
   /** One IVF index build per (session, dir) — the prebuilt-ANN fixture.
     * The on-disk path embeds a per-(session, dir) unique token so a second
@@ -2435,7 +2442,10 @@ object SparkEntry {
           length(col("text")).as("n_chars_obs")),
       Some("SELECT doc_id, len(string_split(text,' ')) AS n_tokens, length(text) AS n_chars_obs FROM documents")),
 
-    Q("q_langid",
+    Q("q_langid", // NO spread: A/B'd r17 — the langId kernel is light
+      // enough that shuffling the text payload costs more than the serial
+      // scan saves (0.32 → 0.37 s; the q_distinct_set verdict, unlike
+      // q_repetition whose sort+run-length kernel dominates its shuffle)
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), TF.langId(col("text")).as("lang_pred")),
       Some(sqlLangId)),

@@ -26,15 +26,28 @@ object Tables {
    * microsecond TimestampType column — the fixture has no sub-microsecond
    * components (verified), and DuckDB exposes the same column as
    * microsecond TIMESTAMP, so both engines see identical values.
+   *
+   * The LAZY relation is memoized per (session, dir, name) — r17: every
+   * `spark.read.parquet` pays a driver-side file listing + footer schema
+   * read, and a 226-query bench re-paid it 2-3 times per query against
+   * the same immutable fixture files. The memo holds ONLY the analyzed
+   * plan (schema + file index) — no rows, no results; executions always
+   * recompute from the parquet (the no-result-caching rule). Keyed by the
+   * session so a stopped session's entry is never handed to a new one;
+   * fixtures are read-only by contract (TESTDATA.md).
    */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (cur, f) =>
-      if (f.name == "ts" && f.dataType == LongType)
-        cur.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else cur
-    }
-  }
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.fields.foldLeft(df) { (cur, f) =>
+        if (f.name == "ts" && f.dataType == LongType)
+          cur.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else cur
+      }
+    })
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /**
    * Small-input guard for CPU-heavy scan stages (shingling, hashing,

@@ -266,21 +266,46 @@ object TermStats {
    * BEFORE the per-doc sum — exact, order-independent accumulation, the
    * same cross-engine discipline as [[lmScore]].
    *
-   * Scale shape: one (key) shuffle of (key, pos, id) ints builds the
-   * bigram stream via a window lead — text never shuffles; the model is
-   * two bounded aggs; scoring is a broadcast join in the scan stage plus
-   * one (sum, count) row per doc. Docs with fewer than two tokens have
-   * no bigrams and no row (score undefined).
+   * Scale shape: the bigram stream is built in the SCAN stage — consecutive
+   * token pairs come straight off each row's own token array (zip with its
+   * tail), and both sides encode via the broadcast vocab, so NO shuffle
+   * carries per-token rows at all (r17: the previous form shuffled a
+   * (key, pos, id) row per corpus token through a window lead — at 100 TB
+   * that shuffle was the query; pair order inside an array IS pos order,
+   * so the streams are identical). The model is two bounded aggs; scoring
+   * is a broadcast join in the scan stage plus one (sum, count) row per
+   * doc. Docs with fewer than two tokens have no bigrams and no row
+   * (score undefined).
    */
   def lmScoreBigram(docs: DataFrame, textCol: String, keyCol: String,
                     vocabSize: Int = 64): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("pos"))
-    val bi = graft.CacheRegistry.track(
-      encodeTokens(docs, textCol, keyCol, vocabSize)
-        .withColumn("_id2", lead(col("token_id"), 1).over(w))
-        .filter(col("_id2").isNotNull)
-        .select(col(keyCol), col("token_id").as("_id1"), col("_id2")))
+    // same ranked vocabulary as [[encodeTokens]] (frequency desc, token
+    // asc, ids 1..vocabSize, OOV -> 0), pinned equal by the unit test
+    val toks = docs.select(col(keyCol), explode(TF.tokens(col(textCol))).as("_t"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_cnt").desc, col("_t").asc)
+    val vocab = toks.groupBy(col("_t")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_t").asc).limit(vocabSize)
+      .withColumn("_id", row_number().over(wv))
+      .select(col("_t"), col("_id"))
+    val pairs = docs
+      .select(col(keyCol), TF.tokens(col(textCol)).as("_ts"))
+      .select(col(keyCol), explode(zip_with(
+        col("_ts"),
+        slice(col("_ts"), lit(2), greatest(size(col("_ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("_t1"), b.as("_t2")))).as("_p"))
+      // zip_with pads the shorter side with null: the last element pairs
+      // the final token with null — exactly the rows the window form's
+      // "no next token" filter dropped
+      .filter(col("_p._t2").isNotNull)
+      .select(col(keyCol), col("_p._t1").as("_w1"), col("_p._t2").as("_w2"))
+    val bi = graft.CacheRegistry.track(pairs
+      .join(broadcast(vocab.select(col("_t").as("_w1"), col("_id").as("_i1"))),
+        Seq("_w1"), "left_outer")
+      .join(broadcast(vocab.select(col("_t").as("_w2"), col("_id").as("_i2"))),
+        Seq("_w2"), "left_outer")
+      .select(col(keyCol), coalesce(col("_i1"), lit(0)).as("_id1"),
+        coalesce(col("_i2"), lit(0)).as("_id2")))
     val c12 = bi.groupBy(col("_id1"), col("_id2")).agg(count(lit(1)).as("_c12"))
     val c1 = bi.groupBy(col("_id1")).agg(count(lit(1)).as("_c1"))
     val lp = c12.join(c1, Seq("_id1"))

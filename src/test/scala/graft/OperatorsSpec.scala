@@ -2789,6 +2789,41 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1L) == r(2L) && r(2L) == r(3L)) // identical docs, identical score
   }
 
+  test("lmScoreBigram scan-stage pair stream == window-lead replay (r17 form)") {
+    // OOV tokens, repeats, ties in the vocab cut, and 0/1/2-token docs —
+    // the zip-with-tail bigram stream must reproduce the (pos-ordered
+    // window lead over encodeTokens) stream exactly, score for score
+    val docs = Seq(
+      (1L, "a b a b c"), (2L, "zz a qq b"), (3L, ""), (4L, "only"),
+      (5L, "x y"), (6L, "b b b a a c zz zz"))
+      .toDF("doc_id", "text")
+    val vs = 3 // forces OOV (id 0) on the tail of the vocabulary
+    val got = TermStats.lmScoreBigram(docs, "text", "doc_id", vs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the pre-r17 formulation, verbatim: encode every token positionally,
+    // lead(1) over a (key, pos) window, drop the tail nulls
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = TermStats.encodeTokens(docs, "text", "doc_id", vs)
+      .withColumn("_id2", lead(col("token_id"), 1).over(w))
+      .filter(col("_id2").isNotNull)
+      .select(col("doc_id"), col("token_id").as("_id1"), col("_id2"))
+    val c12 = bi.groupBy(col("_id1"), col("_id2")).agg(count(lit(1)).as("_c12"))
+    val c1 = bi.groupBy(col("_id1")).agg(count(lit(1)).as("_c1"))
+    val lp = c12.join(c1, Seq("_id1"))
+      .select(col("_id1"), col("_id2"),
+        round(log((col("_c12") + 1.0) / (col("_c1") + vs + 1.0)) * 1e6)
+          .cast("long").as("_lp"))
+    val floor = math.round(math.log(1.0 / (vs + 1.0)) * 1e6)
+    val want = bi.join(broadcast(lp), Seq("_id1", "_id2"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("_lp"), lit(floor))).as("_s"), count(lit(1)).as("_nb"))
+      .select(col("doc_id"),
+        round(col("_s").cast("double") / col("_nb") / 1e6, 6).as("lm2_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"bigram stream drifted:\n got=$got\n want=$want")
+  }
+
   test("tokenEntropy: uniform tokens => ln(n); constant doc => 0") {
     val docs = Seq((1L, "a b c d"), (2L, "a a a a")).toDF("doc_id", "text")
     val e = TermStats.tokenEntropy(docs, "text", "doc_id")
