@@ -480,9 +480,9 @@ object SparkEntry {
     * as an input parameter, and each un-memoized call was one whole Spark
     * action (scan + head) before the timed query proper began (r17). */
   private val queryVecCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
+    new SessionCache[Array[Float]]
   private def queryVec(s: SparkSession, d: String): Array[Float] =
-    queryVecCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d",
+    queryVecCache.getOrElseUpdate(s, d)(
       t(s, d, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray)
 
@@ -491,9 +491,9 @@ object SparkEntry {
     * session (same or another JVM) never overwrites a directory a
     * concurrent session is probing, and distinct dirs can never alias. */
   private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def ivfIndexPath(s: SparkSession, d: String): String =
-    ivfIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    ivfIndexCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_ivf_").resolve("index").toString
       Similarity.ivfBuild(t(s, d, "embeddings"), "embedding", "vec_id", path, dim = 64)
@@ -503,9 +503,9 @@ object SparkEntry {
   /** One PQ index build per (session, dir) — the prebuilt product-
     * quantization fixture (same lifecycle discipline as [[ivfIndexPath]]). */
   private val pqIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private[graft] def pqIndexPath(s: SparkSession, d: String): String =
-    pqIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    pqIndexCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_pq_").resolve("index").toString
       Similarity.pqBuild(t(s, d, "embeddings"), "embedding", "vec_id", path,
@@ -520,9 +520,9 @@ object SparkEntry {
     * returns the V2 root. A failed migration fails loudly here rather
     * than surfacing as a confusing hash mismatch downstream. */
   private val migrateCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def migrateV2Root(s: SparkSession, d: String): String =
-    migrateCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    migrateCache.getOrElseUpdate(s, d)( {
       import org.apache.spark.sql.types._
       val root = java.nio.file.Files
         .createTempDirectory("graft_migrate_").toString
@@ -553,9 +553,9 @@ object SparkEntry {
     * [[Similarity.pqBuildWith]]) exercised end to end, same lifecycle
     * discipline as [[pqIndexPath]]. */
   private val pqTrainedIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def pqTrainedIndexPath(s: SparkSession, d: String): String =
-    pqTrainedIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    pqTrainedIndexCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_pqt_").resolve("index").toString
       val emb = t(s, d, "embeddings")
@@ -573,9 +573,9 @@ object SparkEntry {
     * q_ann_pq_append against an oracle that freezes the codebook the same
     * way. */
   private val pqAppendIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def pqAppendIndexPath(s: SparkSession, d: String): String =
-    pqAppendIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    pqAppendIndexCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_pqa_").resolve("index").toString
       val emb = t(s, d, "embeddings")
@@ -590,9 +590,9 @@ object SparkEntry {
     * substring-dedup artifact over the "existing corpus" half of the
     * incremental split (doc_id >= 250, matching q_dedup_incremental). */
   private val gramIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def gramIndexPath(s: SparkSession, d: String): String =
-    gramIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    gramIndexCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_gram_").resolve("grams").toString
       Dedup.buildGramIndex(
@@ -604,9 +604,9 @@ object SparkEntry {
   /** One inverted text-index build per (session, dir) — the prebuilt
     * BM25 fixture (same lifecycle discipline as [[pqIndexPath]]). */
   private val textIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private[graft] def textIndexPath(s: SparkSession, d: String): String =
-    textIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    textIndexCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_text_").resolve("index").toString
       TermStats.buildTextIndex(t(s, d, "documents"), "text", "doc_id", path)
@@ -618,9 +618,9 @@ object SparkEntry {
     * the RESTORED copy (q_bundle_restore's fixture — the hydraidectl
     * backup/restore parity path exercised end-to-end per run). */
   private val bundleRestoreCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def bundleRestorePath(s: SparkSession, d: String): String =
-    bundleRestoreCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    bundleRestoreCache.getOrElseUpdate(s, d)( {
       val base = java.nio.file.Files.createTempDirectory(s"graft_bundle_")
       val bundle = base.resolve("bundle").toString
       val restored = base.resolve("restored").toString
@@ -632,9 +632,9 @@ object SparkEntry {
   /** One positional phrase-index build per (session, dir) — the prebuilt
     * phrase-search fixture (same lifecycle discipline as [[pqIndexPath]]). */
   private val phraseIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def phraseIndexPath(s: SparkSession, d: String): String =
-    phraseIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    phraseIndexCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_phrase_").resolve("index").toString
       TermStats.buildPhraseIndex(t(s, d, "documents"), "text", "doc_id", path)
@@ -644,9 +644,9 @@ object SparkEntry {
   /** One IVF-PQ index build per (session, dir) — the routed product-
     * quantization fixture (same lifecycle discipline as [[pqIndexPath]]). */
   private val pqIvfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def pqIvfIndexPath(s: SparkSession, d: String): String =
-    pqIvfIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    pqIvfIndexCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_pqivf_").resolve("index").toString
       Similarity.pqIvfBuild(t(s, d, "embeddings"), "embedding", "vec_id", path,
@@ -659,9 +659,9 @@ object SparkEntry {
     * real client gets it from its own page-1 response; materializing it
     * here keeps the timed q_index_keyset builder to exactly one query. */
   private val keysetTokenCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Any, Any)]
+    new SessionCache[(Any, Any)]
   private def keysetToken(s: SparkSession, d: String): (Any, Any) =
-    keysetTokenCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    keysetTokenCache.getOrElseUpdate(s, d)( {
       val page1 = IndexRead.run(t(s, d, "orders"), IndexRead.IndexQuery(
         filter = Some(Cmp(FieldRef("o_orderstatus"), CmpOp.Equal, "O")),
         orderBy = Seq(("o_orderdate", IndexRead.Desc)),
@@ -676,9 +676,9 @@ object SparkEntry {
     * the persisted-artifact fixture for the prebuilt LSH path (same
     * lifecycle discipline as [[ivfIndexPath]]). */
   private val sigTableCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def sigTablePath(s: SparkSession, d: String): String =
-    sigTableCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    sigTableCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_sig_").resolve("sigs").toString
       Dedup.buildSignatures(t(s, d, "documents"), "text", "doc_id", path,
@@ -690,9 +690,9 @@ object SparkEntry {
     * persisted-artifact fixture for the prebuilt containment path (same
     * lifecycle discipline as [[sigTablePath]]). */
   private val postingsCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new SessionCache[String]
   private def postingsPath(s: SparkSession, d: String): String =
-    postingsCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    postingsCache.getOrElseUpdate(s, d)( {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_post_").resolve("postings").toString
       Dedup.buildShinglePostings(t(s, d, "documents"), "text", "doc_id", path,
@@ -1090,10 +1090,10 @@ object SparkEntry {
     * that — all five nested queries read the same persisted relation
     * instead of paying the collect_list shuffle each. */
   private val nestedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    new SessionCache[DataFrame]
   CacheRegistry.onRelease(() => nestedCache.clear()) // released ⇒ drop memo too
   private def nestedOrders(s: SparkSession, d: String): DataFrame =
-    nestedCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d",
+    nestedCache.getOrElseUpdate(s, d)(
       CacheRegistry.track(t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(collect_list(struct(col("l_quantity"), col("l_extendedprice"),
@@ -2367,14 +2367,19 @@ object SparkEntry {
       Some(sqlLshNearDup(numHashes = 16, bands = 4, threshold = 0.5))),
 
     Q("q_minhash_sig", // the signature itself is oracle-checked exactly
+      // (fused shingle-hash + k-lane min kernels, r18 — bit-identical to
+      // minhashSignature(shingles(text)), ShingleExprSpec-pinned)
       (s, d) => Tables.spread(t(s, d, "documents"))
         .select(col("doc_id"),
-          array_join(TF.minhashSignature(TF.shingles(col("text"), 3), 8), ",").as("sig")),
+          array_join(graft.functions.ShingleFunctions.minhashSigFromHashes(
+            graft.functions.ShingleFunctions.shingleHashes(col("text"), 3), 8),
+            ",").as("sig")),
       Some(sqlMinhashSig)),
 
-    Q("q_simhash",
+    Q("q_simhash", // fused token-hash/vote kernel (r18, == TF.simhash32)
       (s, d) => Tables.spread(t(s, d, "documents"))
-        .select(col("doc_id"), TF.simhash32(col("text")).as("simhash")),
+        .select(col("doc_id"),
+          graft.functions.ShingleFunctions.simhash(col("text")).as("simhash")),
       Some(sqlSimhash)),
 
     Q("q_simhash_neardup", // SimHash near-dup pairs, banding mirrored exactly
@@ -3817,10 +3822,14 @@ object SparkEntry {
       // corpus-wide exchanges + a join) collapses to one exchange + one
       // bounded agg (r17, guide §2.3/§2.4). count(*) == countDistinct
       // here BY CONSTRUCTION: days are distinct per user, so each user
-      // hits a (cohort_day, offset) cell at most once (user_id is
-      // non-null at every SF — the generator always sets it).
+      // hits a (cohort_day, offset) cell at most once. The isNotNull
+      // filter is a NO-OP on the fixture (the generator always sets
+      // user_id) but pins the equivalence by construction: a null user
+      // would form its own Spark-side group while the oracle's equi-join
+      // silently drops it (r17 ADVICE).
       (s, d) => {
         t(s, d, "events")
+          .filter(col("user_id").isNotNull)
           .groupBy(col("user_id"))
           .agg(collect_set(to_date(col("ts"))).as("_days"))
           .select(array_min(col("_days")).as("d0"), explode(col("_days")).as("day"))

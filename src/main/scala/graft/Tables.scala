@@ -37,17 +37,57 @@ object Tables {
    * fixtures are read-only by contract (TESTDATA.md).
    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, dir, name), { _ =>
+    memo.getOrElseUpdate(spark, s"$dir|$name") {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema.fields.foldLeft(df) { (cur, f) =>
         if (f.name == "ts" && f.dataType == LongType)
           cur.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else cur
       }
-    })
+    }
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val memo = new SessionCache[DataFrame]
+
+  /**
+   * Lazy analyzed relation for a MUTABLE artifact directory (postings,
+   * signature tables, index codes — anything maintenance can append to),
+   * memoized per (session, dir, content fingerprint). The fingerprint is
+   * ONE `listStatus` of the directory (names + lengths + mtimes — the
+   * [[graft.operators.Similarity]] model-table discipline), so the memo
+   * costs one FS round trip per probe and replaces Spark's full relation
+   * construction: driver-side recursive listing, parquet footer schema
+   * read, and re-analysis, re-paid per probe by every prebuilt serving
+   * query (r17's top not-taken item). An append-mode maintenance write
+   * adds files → the listing changes → the stale file index is REBUILT —
+   * the invalidation a plain memo would lack (unit-pinned: a post-append
+   * probe sees the new rows). Same no-result-caching contract as the
+   * fixture memo above: only the analyzed plan is held; every execution
+   * recomputes from the parquet files.
+   */
+  def artifact(spark: SparkSession, dir: String): DataFrame = {
+    val fp = fingerprint(spark, dir)
+    val cached = artifactMemo.getOrElseUpdate(spark, dir)((fp, spark.read.parquet(dir)))
+    if (cached._1 == fp) cached._2
+    else {
+      val fresh = (fp, spark.read.parquet(dir))
+      artifactMemo.put(spark, dir, fresh)
+      fresh._2
+    }
+  }
+
+  private val artifactMemo = new SessionCache[(String, DataFrame)]
+
+  /** Cheap content fingerprint of an artifact directory: the sorted
+    * (name, length, mtime) listing, hashed. Absent dir => "absent" (the
+    * read then fails exactly like an un-memoized read would). */
+  private def fingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString(",").hashCode.toString
+  }
 
   /**
    * Small-input guard for CPU-heavy scan stages (shingling, hashing,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{ShingleFunctions => SF, TextFunctions => TF, VectorFunctions => VF}
 
 /**
  * Deduplication suite for training-data pipelines — exact, MinHash-LSH,
@@ -116,17 +116,21 @@ object Dedup {
   private def signaturePlan(df: DataFrame, textCol: String, keyCol: String,
                             shingleN: Int, numHashes: Int): DataFrame = {
     // let-bind the hashed set ONCE per row (array(x) + transform — the
-    // minhashSignature idiom): the signature references the set k times,
-    // and Catalyst's project collapse would otherwise re-inline the whole
-    // shingle→hash pipeline into every one of the k min-terms (the 12 s
-    // naive form the binding exists to prevent)
-    val hs = array_distinct(
-      transform(TF.shingles(col(textCol), shingleN), TF.hash32(_)))
+    // minhashSignature idiom): _sh and the signature both consume it, and
+    // Catalyst's project collapse would otherwise re-inline the shingle→
+    // hash pipeline into both consumers. The pipeline itself and the k-lane
+    // min fold are FUSED codegen kernels (r18, ShingleExpr — bit-identical
+    // to the transform(shingles, hash32) / per-lane array_min chains,
+    // ShingleExprSpec-pinned): the HOF forms dispatched an interpreted
+    // lambda per shingle, built every shingle string via concat_ws over a
+    // slice, and rounded each md5 through a 32-char hex parse — the
+    // measured floor of every signature scan (the TokenSlotsExpr lesson).
+    val hs = array_distinct(SF.shingleHashes(col(textCol), shingleN))
     spreadModest(df)
       .select(col(keyCol), element_at(
         transform(array(hs), h => struct(
           h.as("sh"),
-          TF.minhashSignatureFromHashes(h, numHashes).as("sig"))), 1).as("_t"))
+          SF.minhashSigFromHashes(h, numHashes).as("sig"))), 1).as("_t"))
       .select(col(keyCol), col("_t.sh").as("_sh"), col("_t.sig").as("_sig"))
       // the shingle width rides IN the table (constant column — parquet
       // RLE makes it free): numHashes is recoverable from the stored
@@ -330,7 +334,7 @@ object Dedup {
                          sigPath: String, keyCol: String,
                          numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.8): DataFrame =
-    lshPairsFrom(requireSigWidth(spark.read.parquet(IndexLifecycle.resolveDir(spark, sigPath)), numHashes, sigPath),
+    lshPairsFrom(requireSigWidth(graft.Tables.artifact(spark, IndexLifecycle.resolveDir(spark, sigPath)), numHashes, sigPath),
       keyCol, numHashes, bands, threshold)
 
   /** A prebuilt table consumed with the WRONG numHashes is a silent
@@ -423,7 +427,7 @@ object Dedup {
                                  shingleN: Int = 3, numHashes: Int = 16,
                                  bands: Int = 4, threshold: Double = 0.8): DataFrame =
     dedupAgainstSignatures(
-      requireSigParams(spark.read.parquet(
+      requireSigParams(graft.Tables.artifact(spark,
           IndexLifecycle.resolveDir(spark, corpusSigPath)),
         numHashes, shingleN, corpusSigPath),
       incoming, textCol, keyCol, shingleN, numHashes, bands, threshold)
@@ -464,7 +468,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, keyCol: String,
                    maxHamming: Int = 3, maxBucket: Long = 100000L): DataFrame = {
     val sigs = tracked(spreadModest(df)
-      .select(col(keyCol), TF.simhash32(col(textCol)).as("_sig")))
+      // fused kernel (r18, ShingleExprSpec-pinned == TF.simhash32): one
+      // token loop per row instead of 32 interpreted filter/size HOF terms
+      .select(col(keyCol), SF.simhash(col(textCol)).as("_sig")))
     val tables = 4
     val banded = sigs.select(col(keyCol), col("_sig"),
       posexplode(array((0 until tables).map { t =>
@@ -679,9 +685,11 @@ object Dedup {
   private def postingsPlan(df: DataFrame, textCol: String, keyCol: String,
                            shingleN: Int): DataFrame =
     spreadModest(df)
+      // fused kernel (r18, ShingleExprSpec-pinned == explode(shingles) then
+      // hash32): no shingle string is ever built — each window hashes a
+      // contiguous byte range of the text
       .select(col(keyCol).as("_k"),
-        explode(TF.shingles(col(textCol), shingleN)).as("_sraw"))
-      .select(col("_k"), TF.hash32(col("_sraw")).as("_s"))
+        explode(SF.shingleHashes(col(textCol), shingleN)).as("_s"))
       .distinct()
       // the shingle width rides IN the table (constant column, parquet-RLE
       // free — the signature `_sn` discipline): hashes of 3-gram and 5-gram
@@ -790,7 +798,7 @@ object Dedup {
     // identity at cluster scale where the artifact already has >= cores
     // splits.
     containmentFromPostings(
-      tracked(spreadModest(spark.read.parquet(
+      tracked(spreadModest(graft.Tables.artifact(spark,
         IndexLifecycle.resolveDir(spark, postingsPath)))),
       minContainment, maxDf)
 
@@ -1179,7 +1187,7 @@ object Dedup {
     * resolved against ONE consistent version. */
   def readGramIndex(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String): DataFrame =
-    spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
+    graft.Tables.artifact(spark, IndexLifecycle.resolveDir(spark, indexPath))
       .groupBy(col("_h")).agg(sum(col("_n")).as("_n"))
 
   /** Compact an append-grown gram artifact IN PLACE: the re-aggregated

@@ -321,7 +321,7 @@ object Similarity {
                               centroids: Array[Array[Float]],
                               nprobe: Int = 4): DataFrame = {
     val probed = probedLists(centroids, query, nprobe)
-    spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
+    graft.Tables.artifact(spark, IndexLifecycle.resolveDir(spark, indexPath))
       .filter(col("_list").isin(probed: _*)) // partition pruning
       .filter(predicate)
       .withColumn("score", VF.cosine(col(vecCol), query))
@@ -355,7 +355,7 @@ object Similarity {
     val byList = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_list"))
       .orderBy(col("score").desc, col(keyCol).asc)
-    spark.read.parquet(IndexLifecycle.resolveDir(spark, indexPath))
+    graft.Tables.artifact(spark, IndexLifecycle.resolveDir(spark, indexPath))
       .filter(col("_list").isin(probed: _*)) // partition pruning
       .withColumn("score", VF.cosine(col(vecCol), query))
       // vectors are consumed by the score above; only (key, list, score)
@@ -485,7 +485,7 @@ object Similarity {
       .filter(size(col(queryVecCol)) === dim)
       .select(col(queryKeyCol).as("qid"), col(queryVecCol).as("_qv"),
         explode(transform(slice(desc, 1, nprobe), x => x("i"))).as("_list"))
-    val idx = spark.read.parquet(dir)
+    val idx = graft.Tables.artifact(spark, dir)
       .select(col(keyCol), col(vecCol), col("_list"))
     val joined = probes.join(idx, Seq("_list"))
       .select(col("qid"), col(keyCol),
@@ -839,7 +839,7 @@ object Similarity {
       .select(col(queryKeyCol).as("_qid"), col(queryVecCol).as("_qv"))
       .withColumn("_qlists",
         transform(slice(udfFreeComparatorSort(scoredC), 1, maxNp), x => x("i")))
-    val corpus = spark.read.parquet(dir)
+    val corpus = graft.Tables.artifact(spark, dir)
       .select(col(keyCol), col(vecCol), col("_list"))
     val scored = corpus.join(broadcast(q))
       .select(col("_qid"), col(keyCol),
@@ -1338,7 +1338,7 @@ object Similarity {
     val probed = probedLists(
       routingCentroids(spark, dir, nlist, dim, seed), query, nprobe)
     pqAdcTopK(
-      spark.read.parquet(s"$dir/codes")
+      graft.Tables.artifact(spark, s"$dir/codes")
         .filter(col("_list").isin(probed: _*)),
       "codes", "key", outKey, query, k, readCodebook(spark, dir),
       m, dim, scale)
@@ -1364,7 +1364,7 @@ object Similarity {
                      k: Int, m: Int = 8, dim: Int = 64,
                      scale: Double = 1e6): DataFrame = {
     val dir = IndexLifecycle.resolveDir(spark, indexPath)
-    pqAdcTopK(spark.read.parquet(s"$dir/codes"), "codes", "key",
+    pqAdcTopK(graft.Tables.artifact(spark, s"$dir/codes"), "codes", "key",
       outKey, query, k, readCodebook(spark, dir), m, dim, scale)
   }
 
@@ -1434,7 +1434,7 @@ object Similarity {
         lit("codebook row width "), size(col("row")).cast("string"),
         lit(s" does not match the declared dim=$dim — wrong (m, dim) for " +
           "this index"))))
-    val cbDf = spark.read.parquet(s"$dir/_codebook")
+    val cbDf = graft.Tables.artifact(spark, s"$dir/_codebook")
       .select(col("c").as("_c"),
         explode(transform(sequence(lit(0), lit(m - 1)),
           s => struct(s.as("s"),
@@ -1479,7 +1479,7 @@ object Similarity {
         lit("code row width "), size(col("codes")).cast("string"),
         lit(s" does not match the declared m=$m — wrong (m, dim) for " +
           "this index"))))
-    spark.read.parquet(s"$dir/codes")
+    graft.Tables.artifact(spark, s"$dir/codes")
       .withColumn("codes", codesChecked)
       .crossJoin(broadcast(lutArr))
       .select(col("_qid"), col("key"),

@@ -417,8 +417,16 @@ object TermStats {
     // (r17, guide §2.4; min(dl) is exact — every row of a doc's group
     // carries the same dl). stats stays its own narrow scan: it needs
     // ALL docs (corpus-wide avgdl), matched or not.
-    val toks = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"),
-      explode(TF.tokens(col(textCol))).as("term"))
+    // The token array is LET-BOUND (its alias is referenced twice, so
+    // CollapseProject keeps the binding): writing size(split)+explode(split)
+    // in one select plants the dl projection ABOVE the Generate, where the
+    // analyzer hoists non-generator expressions — every exploded TOKEN row
+    // then re-splits its whole document, O(tokens · doclen) tokenize (the
+    // r17→r18 q_bm25_batch 2x regression, judge-confirmed in the plan:
+    // `Project [size(split(text))] <- Generate`).
+    val toks = docs.select(col(keyCol), TF.tokens(col(textCol)).as("_tk"))
+      .select(col(keyCol), size(col("_tk")).as("dl"),
+        explode(col("_tk")).as("term"))
     val stats = docs.select(TF.tokenCount(col(textCol)).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val tf = toks.filter(col("term").isin(query: _*))
@@ -464,9 +472,15 @@ object TermStats {
     val dict = qterms.select(col("term")).distinct()
     // dl rides the explode, stats keeps its own narrow all-docs scan —
     // the [[bm25TopK]] r17 single-pass shape (one text scan + one narrow
-    // scan instead of three text scans and a corpus-wide dl join)
-    val toks = docs.select(col(keyCol), TF.tokenCount(col(textCol)).as("dl"),
-      explode(TF.tokens(col(textCol))).as("term"))
+    // scan instead of three text scans and a corpus-wide dl join). Token
+    // array let-bound so dl computes BELOW the Generate ([[bm25TopK]]'s
+    // O(tokens · doclen) re-split note — in the batch form the semi-JOIN,
+    // unlike the single form's pushed isin filter, cannot sink under the
+    // hoisted projection, so the per-token re-split was unmasked here:
+    // 0.56 s (r16) → 1.05 s (r17) at sf0.1).
+    val toks = docs.select(col(keyCol), TF.tokens(col(textCol)).as("_tk"))
+      .select(col(keyCol), size(col("_tk")).as("dl"),
+        explode(col("_tk")).as("term"))
     val stats = docs.select(TF.tokenCount(col(textCol)).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val tf = toks.join(broadcast(dict), Seq("term"), "left_semi")
@@ -591,7 +605,7 @@ object TermStats {
   private def dfreqFor(spark: org.apache.spark.sql.SparkSession, dir: String,
                        terms: Seq[String], tf: DataFrame): DataFrame =
     if (IndexLifecycle.tableExists(spark, s"$dir/terms"))
-      spark.read.parquet(s"$dir/terms")
+      graft.Tables.artifact(spark, s"$dir/terms")
         .filter(col("term").isin(terms: _*))
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
     else tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -613,7 +627,7 @@ object TermStats {
     // resolve the pointer ONCE: the whole probe reads one consistent
     // version even if a compaction flips the pointer mid-query
     val dir = resolveIndexDir(spark, indexPath)
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = graft.Tables.artifact(spark, s"$dir/postings")
     // pre-dl legacy index (postings without the denormalized doc length):
     // fall back to joining the lengths table — the pre-denormalization
     // plan, slower (a (key, dl) join rides the probe) but correct, so an
@@ -621,7 +635,7 @@ object TermStats {
     val tf0 = postings.filter(col("term").isin(query: _*))
     val tf =
       if (postings.columns.contains("dl")) tf0
-      else tf0.join(spark.read.parquet(s"$dir/lengths"), Seq(keyCol))
+      else tf0.join(graft.Tables.artifact(spark, s"$dir/lengths"), Seq(keyCol))
     // df from the terms/ dictionary (a |query|-row pruned read) where the
     // artifact has one — removes the second full posting-list scan the
     // df recount used to pay per probe. stats stays a lazy 1-row
@@ -629,7 +643,7 @@ object TermStats {
     // futures inside the probe's one action (the dfreqFor scaladoc's
     // eager-collect trap)
     val dfreq = dfreqFor(spark, dir, query, tf)
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = graft.Tables.artifact(spark, s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
     val termScore = bm25TermScore(k1, b)
     tf.join(broadcast(dfreq), Seq("term"))
@@ -691,22 +705,22 @@ object TermStats {
     val qterms = queries.select(col(queryKeyCol).as("_qid"),
       explode(array_distinct(col(termsCol))).as("term"))
     val dict = qterms.select(col("term")).distinct()
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = graft.Tables.artifact(spark, s"$dir/postings")
     val tf0 = postings.join(broadcast(dict), Seq("term"), "left_semi")
     val tf =
       if (postings.columns.contains("dl")) tf0
-      else tf0.join(spark.read.parquet(s"$dir/lengths"), Seq(keyCol))
+      else tf0.join(graft.Tables.artifact(spark, s"$dir/lengths"), Seq(keyCol))
     // df from the terms/ dictionary pruned to the batch's distinct terms
     // (the single-query form's rule, relational because the batch
     // vocabulary is a relation); stats stays a lazy 1-row broadcast (the
     // dfreqFor scaladoc's eager-collect trap)
     val dfreq =
       if (IndexLifecycle.tableExists(spark, s"$dir/terms"))
-        spark.read.parquet(s"$dir/terms")
+        graft.Tables.artifact(spark, s"$dir/terms")
           .join(broadcast(dict), Seq("term"), "left_semi")
           .groupBy(col("term")).agg(sum(col("df")).as("df"))
       else tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = graft.Tables.artifact(spark, s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
     val termScore = bm25TermScore(k1, b)
     qterms.join(tf, Seq("term"))
@@ -1085,7 +1099,7 @@ object TermStats {
     val slots = broadcast(
       phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
         .toDF("term", "slot"))
-    spark.read.parquet(s"$dir/postings")
+    graft.Tables.artifact(spark, s"$dir/postings")
       .filter(col("term").isin(phrase.distinct: _*))
       .join(slots, Seq("term"))
       .select(col(keyCol), col("slot"),
