@@ -3348,15 +3348,14 @@ object SparkEntry {
       Some(sqlBpeTrain)),
 
     Q("q_bpe_encode", // the APPLY half: segment the corpus with the 4
-      // learned merges. The merge chain runs once over the DISTINCT word
-      // vocabulary; the word→tokens dictionary broadcasts and the corpus
-      // tokenizes in its scan stage — text never shuffles. Out-of-scope
-      // words pass through as single opaque tokens (no silent drops).
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        Bpe.applyMerges(docs, "text", "doc_id",
-          Bpe.train(docs, "text", 4)._1)
-      },
+      // learned merges. The word→tokens dictionary broadcasts and the
+      // corpus tokenizes in its scan stage — text never shuffles.
+      // Out-of-scope words pass through as single opaque tokens (no silent
+      // drops). trainEncode reuses the trained working table as the
+      // dictionary (r18, == applyMerges(train(…)._1) BpeSpec-pinned):
+      // the apply half's corpus explode+distinct+merge-replay re-derived
+      // exactly what training materialized (guide §2.4).
+      (s, d) => Bpe.trainEncode(t(s, d, "documents"), "text", "doc_id", 4),
       Some(sqlBpeEncode)),
 
     Q("q_containment", // asymmetric duplication: a short doc quoted inside
@@ -3488,9 +3487,16 @@ object SparkEntry {
     Q("q_json_extract", // dynamic JSON body access — the schemaless-body
       // filter surface (reference filter.go's msgpack path walk) over JSON
       // wire format; extraction stays a string until the caller casts
+      // parse ONCE (r18, guide §4.4): the bare select+filter form lets
+      // predicate pushdown clone get_json_object below the projection, so
+      // every row parsed in the Filter and every survivor re-parsed in the
+      // Project; the evalOnce barrier keeps one parse per row (plan-pinned
+      // in PlanSpec). A derived-column predicate never reaches the parquet
+      // scan, so nothing is lost by holding the filter above the project.
       (s, d) => t(s, d, "events")
-        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
-        .filter(get_json_object(col("props"), "$.k").cast("int") > 80),
+        .select(col("event_id"), graft.functions.EvalOnceExpr.evalOnce(
+          get_json_object(col("props"), "$.k")).as("k"))
+        .filter(col("k").cast("int") > 80),
       Some("""SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
               WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80""")))
 
@@ -4104,7 +4110,11 @@ object SparkEntry {
         FROM orders""")),
 
     Q("q_patch_merge", // the 8th patch opcode (proto:3084-3089): map merge,
-      // incoming keys override, others survive
+      // incoming keys override, others survive.
+      // NO spread: the r17-stashed q_patch_indexed-style spread was
+      // A/B-rejected here (r18 PatchSpreadLab, same-JVM interleaved:
+      // plain 0.42-0.48 s vs spread 0.53-0.64 s warm) — the map merge is
+      // too light to pay for exchanging the struct payload
       (s, d) => {
         val base = t(s, d, "orders").withColumn("body", struct(
           map(lit("status"), col("o_orderstatus"),

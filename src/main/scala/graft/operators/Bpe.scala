@@ -102,6 +102,19 @@ object Bpe {
   def train(docs: DataFrame, textCol: String,
             merges: Int, checkpointEvery: Int = 16,
             batchSize: Int = 16): (Seq[Merge], DataFrame) = {
+    val (learned, repr) = trainCore(docs, textCol, merges, checkpointEvery, batchSize)
+    val vocab = repr
+      .select(col("f"), explode(split(trim(col("repr")), "  ")).as("token"))
+      .groupBy("token").agg(sum(col("f")).as("freq"))
+    (learned, vocab)
+  }
+
+  /** The train loop proper, returning the final WORKING TABLE (w, f, repr)
+    * alongside the merges — [[train]] derives the token vocabulary from it,
+    * [[trainEncode]] reuses it as the word→tokens dictionary. */
+  private def trainCore(docs: DataFrame, textCol: String,
+                        merges: Int, checkpointEvery: Int,
+                        batchSize: Int): (Seq[Merge], DataFrame) = {
     require(merges >= 0, "non-negative merge count")
     require(checkpointEvery >= 1, "positive checkpoint interval")
     require(batchSize >= 1, "positive selection batch size")
@@ -176,10 +189,24 @@ object Bpe {
         }
       }
     }
-    val vocab = repr
-      .select(col("f"), explode(split(trim(col("repr")), "  ")).as("token"))
-      .groupBy("token").agg(sum(col("f")).as("freq"))
-    (learned.result(), vocab)
+    (learned.result(), repr)
+  }
+
+  /**
+   * Train `merges` merges and tokenize the SAME corpus with them, reusing
+   * the trained working table as the word→tokens dictionary — result-
+   * identical to `applyMerges(docs, …, train(docs, …)._1)` (BpeSpec-pinned)
+   * because apply ≡ train segmentation by construction over the exact same
+   * `[a-z]+` word set, but one corpus explode+distinct shuffle and one
+   * vocabulary-sized merge replay cheaper (guide §2.4: the apply half's
+   * word table re-derived what training already materialized).
+   */
+  def trainEncode(docs: DataFrame, textCol: String, keyCol: String,
+                  merges: Int, checkpointEvery: Int = 16,
+                  batchSize: Int = 16): DataFrame = {
+    val (_, repr) = trainCore(docs, textCol, merges, checkpointEvery, batchSize)
+    encodeWithDict(docs, textCol, keyCol,
+      repr.select(col("w"), split(trim(col("repr")), "  ").as("toks")))
   }
 
   /**
@@ -214,8 +241,15 @@ object Bpe {
         org.apache.spark.sql.GraftBridge.dropLineageAndStats(next.localCheckpoint())
       else next
     }
-    val dict = segmented.select(col("w"),
-      split(trim(col("repr")), "  ").as("toks"))
+    encodeWithDict(docs, textCol, keyCol,
+      segmented.select(col("w"), split(trim(col("repr")), "  ").as("toks")))
+  }
+
+  /** Tokenize the corpus against a (w, toks) dictionary: the dictionary
+    * broadcasts, the corpus tokenizes in its scan stage (shared by
+    * [[applyMerges]] and [[trainEncode]]). */
+  private def encodeWithDict(docs: DataFrame, textCol: String, keyCol: String,
+                             dict: DataFrame): DataFrame =
     docs.select(col(keyCol),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
       .join(broadcast(dict), Seq("w"), "left_outer")
@@ -223,7 +257,6 @@ object Bpe {
       .withColumn("toks", coalesce(col("toks"), array(col("w"))))
       .select(col(keyCol), col("pos"),
         posexplode(col("toks")).as(Seq("subpos", "token")))
-  }
 
   /**
    * Persist a learned merge list as the tokenizer artifact — merge ORDER

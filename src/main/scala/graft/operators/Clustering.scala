@@ -164,27 +164,54 @@ object Clustering {
       .union(cleanPairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct())
 
-    // regime probe: count() over the just-materialized blocks, no recompute.
-    // Divide the COUNT instead of doubling the threshold: driverThreshold *
-    // 2 overflows Long for thresholds above Long.MaxValue/2, silently
-    // routing a "always driver" caller (threshold = Long.MaxValue) to the
-    // distributed kernel. Edges carry both directions, hence the / 2.
-    if (edges.count() / 2 <= driverThreshold) {
+    // regime probe FUSED with the driver collect: ONE job over the just-
+    // materialized blocks returns per-partition (directed count, bounded
+    // u <= v sample) — r18, replacing the count() job + collect() job pair
+    // (the quartet's per-call scheduling floor; at cluster scale, one
+    // fewer scheduling round-trip per clustering call). Decision math is
+    // unchanged: divide the COUNT instead of doubling the threshold
+    // (driverThreshold * 2 overflows Long for an "always driver"
+    // Long.MaxValue caller). Edges carry both directions, hence the / 2.
+    //
+    // The sample keeps ONE orientation only (u <= v in Catalyst, so string
+    // keys compare in UTF8String BYTE order exactly like the distributed
+    // kernel's min — the non-BMP regression test): self-loops (isolated
+    // nodes) and one copy of every undirected edge; every node still
+    // appears on some side. Tuples, not Rows: ~60 bytes/edge boxed longs,
+    // ~60 MB transient driver heap at the 500K default (see
+    // driverUnionFind). The per-partition cap makes the fused collect
+    // SAFE in the distributed regime, where the old count-first probe
+    // shipped nothing: a partition stops buffering at cap, so the
+    // driver's worst-case transient is partitions * cap ~= 4x threshold
+    // edges, not the whole graph. Distinct() hash-partitions edges
+    // near-uniformly, so a DRIVER-regime graph (<= threshold undirected
+    // rows in total) overflows a 4x-mean cap only under adversarial
+    // hash skew — and that overflow falls back to the distributed
+    // kernel, which computes the identical labels (regime equivalence is
+    // property-pinned), never to a wrong answer.
+    val nParts = math.max(1, edges.rdd.getNumPartitions)
+    val cap: Int =
+      if (driverThreshold >= Int.MaxValue.toLong * nParts / 4) Int.MaxValue
+      else math.max(1024L, 4L * driverThreshold / nParts).toInt
+    val perPart = edges
+      .select(col("u"), col("v"), (col("u") <= col("v")).as("_keep"))
+      .rdd.mapPartitions { it =>
+        var directed = 0L
+        var overflow = false
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+        it.foreach { r =>
+          directed += 1L
+          if (r.getBoolean(2)) {
+            if (buf.length < cap) buf += ((r.get(0), r.get(1)))
+            else overflow = true
+          }
+        }
+        Iterator.single((directed, buf.toArray, overflow))
+      }.collect()
+    val directedTotal = perPart.iterator.map(_._1).sum
+    if (directedTotal / 2 <= driverThreshold && !perPart.exists(_._3)) {
       val keyType = pairs.schema(aCol).dataType
-      // collect as plain (u, v) tuples, not Row: a collected GenericRow
-      // costs ~100+ bytes (object header + field array + boxing) per edge;
-      // a Tuple2 of boxed longs is ~60 bytes, strings their payload + ~56.
-      // At the 500K-edge default that is ~60 MB transient driver heap for
-      // long keys (plus the parallelize copy of one row per NODE) — fits a
-      // default 1-4 GiB cluster driver with headroom, which the old
-      // "~16 bytes/edge" claim only pretended to demonstrate
-      // collect ONE orientation only: edges carry (u,v) AND (v,u), and
-      // union-find is symmetric — both directions would double the
-      // transient driver heap at exactly the collect the threshold is
-      // sized for. u <= v keeps self-loops (isolated nodes) and one copy
-      // of every undirected edge; every node still appears on some side.
-      val tuples = edges.filter(col("u") <= col("v"))
-        .rdd.map(r => (r.get(0), r.get(1))).collect()
+      val tuples = perPart.flatMap(_._2)
       val result = driverUnionFind(tuples, session, keyType, outKey)
       deleteFiles(edgeFiles)
       return result

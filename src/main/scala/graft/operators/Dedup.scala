@@ -804,23 +804,42 @@ object Dedup {
 
   private def containmentFromPostings(sh: DataFrame, minContainment: Double,
                                       maxDf: Int): DataFrame = {
-    val hot = sh.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
-      .filter(col("_c") > maxDf)
-    // NO broadcast hint on the hot set: "shingles shared by >maxDf docs"
-    // grows with the corpus (every common phrase qualifies), so forcing
-    // it to the driver is an OOM cliff at exactly the scale this cap
-    // exists for. A shuffled anti-join on the 32-bit key is bounded.
-    // (Lazy cache kept deliberately even with THREE concurrent readers:
-    // an eager localCheckpoint A/B measured 1.73 -> 2.36 s at sf0.1 —
-    // the racing readers' duplicate work fully overlaps in wall-clock,
-    // the eager cut serializes it. [[buildShinglePostings]] +
-    // [[containmentPairsPrebuilt]] are the cluster-scale materialized
-    // alternative — the postings become a write-once artifact instead of
-    // a per-run cache.)
-    val f = tracked(sh.join(hot.select(col("_s")), Seq("_s"), "left_anti"))
-    val sizes = f.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
-    f.select(col("_s"), col("_k").as("key_a"))
-      .join(f.select(col("_s"), col("_k").as("key_b")), Seq("_s"))
+    // ONE exchange keyed on the shingle builds the per-shingle posting
+    // LIST, and the df cap becomes a size() filter on it — r18 (guide
+    // §2.3/§2.4), replacing the previous three-subtree form (a (count >
+    // maxDf) hot-set aggregation, an anti-join against it, and a two-sided
+    // self-join on _s). Candidate pairs now explode from each kept list
+    // (bounded: ≤ maxDf keys ⇒ ≤ maxDf(maxDf-1)/2 pairs per shingle)
+    // scan-side above that single exchange, so the posting table crosses
+    // the network ONCE instead of three times (hot agg + both join
+    // probes), and the skew ceiling per shingle group is the same bound
+    // the old maxDf anti-join enforced. Results are identical by
+    // construction: size(list) == the old per-shingle row count (postings
+    // are distinct (_k, _s) rows), sorted-list (i < j) pairs == the
+    // key_a < key_b self-join pairs, and the key_a < key_b guard is kept
+    // so even a (contract-violating) duplicate posting row degrades
+    // exactly like the join form did.
+    // (Lazy cache kept deliberately — the eager-checkpoint A/B history in
+    // the scaladoc of [[containmentPairs]]'s r17 form still applies: the
+    // two readers' duplicate work overlaps in wall-clock, an eager cut
+    // serializes it. [[buildShinglePostings]] + [[containmentPairsPrebuilt]]
+    // are the cluster-scale materialized alternative.)
+    // the cap filters on count(*), not size(_ks): collect_list SKIPS null
+    // keys while the old hot-set count included them — count(*) keeps the
+    // df measure bit-identical even on degenerate null-keyed rows (which
+    // then contribute no pairs, exactly like the old inner equi-joins
+    // dropped them)
+    val groups = tracked(sh.groupBy(col("_s"))
+      .agg(sort_array(collect_list(col("_k"))).as("_ks"),
+        count(lit(1)).as("_c"))
+      .filter(col("_c") <= maxDf))
+    val sizes = groups.select(explode(col("_ks")).as("_k"))
+      .groupBy(col("_k")).agg(count(lit(1)).as("_n"))
+    groups
+      .select(explode(flatten(transform(col("_ks"), (a, i) =>
+        transform(slice(col("_ks"), i + 2, greatest(size(col("_ks")) - i - 1, lit(0))),
+          b => struct(a.as("a"), b.as("b")))))).as("_p"))
+      .select(col("_p.a").as("key_a"), col("_p.b").as("key_b"))
       .filter(col("key_a") < col("key_b"))
       .groupBy(col("key_a"), col("key_b")).agg(count(lit(1)).as("_shared"))
       .join(sizes.select(col("_k").as("key_a"), col("_n").as("_na")), Seq("key_a"))

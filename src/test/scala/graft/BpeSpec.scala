@@ -147,4 +147,29 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).sorted.toSeq
     assert(direct == viaArtifact)
   }
+
+  test("trainEncode == applyMerges(train(..)._1) — the dictionary-reuse " +
+    "fast path is result-identical, incl. OOV passthrough") {
+    import spark.implicits._
+    // OOV tokens (digits, mixed case) + short docs + repeated words cover
+    // the passthrough, empty-merge-effect and multi-position paths
+    val docs = Seq((1L, "low lower lowest newest 42 Mixed"),
+      (2L, "low lowest new new"), (3L, ""), (4L, "zz")).toDF("doc_id", "text")
+    for (m <- Seq(0, 2, 6)) {
+      val slow = Bpe.applyMerges(docs, "text", "doc_id",
+          Bpe.train(docs, "text", m)._1)
+        .collect().map(_.toString).sorted.toSeq
+      val fast = Bpe.trainEncode(docs, "text", "doc_id", m)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fast == slow, s"divergence at merges=$m")
+    }
+    // and on real fixture data at sf0.001
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val slow = Bpe.applyMerges(real, "text", "doc_id",
+        Bpe.train(real, "text", 4)._1)
+      .collect().map(_.toString).sorted.toSeq
+    val fast = Bpe.trainEncode(real, "text", "doc_id", 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fast == slow)
+  }
 }

@@ -492,4 +492,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dictionary must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must tokenize in-scan:\n$p")
   }
+
+  test("json extract parses each row's props exactly once") {
+    // the evalOnce barrier (guide §4.4) must hold the filter ABOVE the
+    // projection — without it pushdown clones get_json_object into the
+    // Filter and survivors parse twice
+    val p = plan("q_json_extract")
+    val parses = "get_json_object".r.findAllIn(p).size
+    assert(parses == 1, s"expected exactly one get_json_object, got $parses:\n$p")
+    // and the barrier changes no values: same rows as the unwrapped form
+    import org.apache.spark.sql.functions._
+    val plain = Tables(spark, sf, "events")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+      .filter(get_json_object(col("props"), "$.k").cast("int") > 80)
+      .collect().map(_.toString).sorted
+    val wrapped = SparkEntry.queries("q_json_extract")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(wrapped.sameElements(plain))
+  }
 }
