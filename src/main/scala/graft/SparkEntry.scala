@@ -1039,8 +1039,13 @@ object SparkEntry {
           .select(col("vec_id"), col("embedding"))
         val a = e.as("a"); val b = e.as("b")
         a.join(b, col("a.vec_id") < col("b.vec_id"))
+          // EvalOnce (r18): bare, the >= 0.25 predicate is pushed into the
+          // join condition AND recomputed in the projection — survivors
+          // paid the dot twice (plan-verified); the vec_id < vec_id prune
+          // still rides the join
           .select(col("a.vec_id").as("key_a"), col("b.vec_id").as("key_b"),
-            round(VF.dot(col("a.embedding"), col("b.embedding")), 6).as("cosine"))
+            round(graft.functions.EvalOnceExpr.evalOnce(
+              VF.dot(col("a.embedding"), col("b.embedding"))), 6).as("cosine"))
           .filter(col("cosine") >= 0.25)
       },
       Some("SELECT a.vec_id AS key_a, b.vec_id AS key_b, round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine FROM embeddings a, embeddings b WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.25")),
@@ -3258,15 +3263,18 @@ object SparkEntry {
       // raw corpus — the real pipeline ordering).
       (s, d) => {
         val docs = t(s, d, "documents")
-        val gate = Curation.gopherRules(docs, "text", "doc_id",
+        // scan-side gate (r18): gopherGate filters the corpus in ITS OWN
+        // scan — the old flags-join form read every doc's text twice
+        // (gate branch + payload side of the join); row-identical under
+        // unique doc_id (CurationRulesSpec-pinned)
+        val gated = Curation.gopherGate(docs, "text",
           minWords = 30, maxWords = 100000, stops = Seq("the", "a"))
-          .filter(col("keep")).select(col("doc_id"))
         // the survivor set feeds the bigram scorer's SEVERAL passes
         // (vocab agg, encode, bigram counts, per-doc score) — cache it
-        // once instead of re-running the gate join + dedup per pass,
+        // once instead of re-running the gate + dedup per pass,
         // exactly the materialize-survivors step a 100 TB pipeline makes
         val deduped = graft.CacheRegistry.track(
-          Dedup.exact(docs.join(gate, Seq("doc_id")), "text", "doc_id"))
+          Dedup.exact(gated, "text", "doc_id"))
         val kept = TermStats.perplexityBuckets(deduped, "text", "doc_id",
           "lang", vocabSize = 64)
           .filter(col("bucket") =!= "tail")

@@ -85,6 +85,41 @@ object Curation {
   }
 
   /**
+   * The [[gopherRules]] gate as a single scan-stage FILTER that keeps all
+   * of the corpus row's columns — for pipelines that consume the survivors
+   * rather than the flags. `gopherGate(docs, …)` is row-identical to
+   * `docs.join(gopherRules(docs, …).filter(keep).select(key), key)` under
+   * unique keys (CurationRulesSpec-pinned, incl. null/empty text), but the
+   * corpus text is scanned ONCE: the join form re-reads every doc's text
+   * for the gate branch and again for the payload side (r18, guide §2.4).
+   *
+   * The counts struct rides an [[graft.functions.EvalOnceExpr]] barrier:
+   * a bare projection would let predicate pushdown substitute the whole
+   * counts expression into the Filter, where conjuncts are evaluated
+   * short-circuit WITHOUT subexpression elimination — the five rule
+   * conjuncts would tokenize the doc up to five times (FilterExec has no
+   * CSE; only Project/Aggregate do). Pinned above the filter, the struct
+   * computes once per row and the conjuncts read its fields.
+   */
+  def gopherGate(docs: DataFrame, textCol: String,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 stops: Seq[String] = GopherStops): DataFrame = {
+    require(stops.nonEmpty, "stop list must be non-empty")
+    val counts = graft.functions.EvalOnceExpr.evalOnce(
+      graft.functions.GopherFunctions.gopherCounts(TF.tokens(col(textCol)), stops))
+    val n = col("_gopher_c.n_words")
+    docs.withColumn("_gopher_c", counts)
+      .filter(
+        n >= minWords && n <= maxWords &&
+          lit(3L) * n <= col("_gopher_c.sum_len") &&
+          col("_gopher_c.sum_len") <= lit(10L) * n &&
+          lit(10L) * col("_gopher_c.n_alpha") >= lit(8L) * n &&
+          lit(10L) * col("_gopher_c.n_sym") <= n &&
+          col("_gopher_c.n_stop") >= 2)
+      .drop("_gopher_c")
+  }
+
+  /**
    * Data-constrained epoch allocation (Muennighoff 2023, "Scaling
    * Data-Constrained Language Models"): given a token budget and a
    * target mixture over groups, decide how many EPOCHS (repeats,

@@ -652,8 +652,14 @@ object Dedup {
 
     probes.join(home, Seq("_bkt", "_salt"))
       .filter(col("key_a") < col("key_b"))
+      // EvalOnce barrier (r18): bare, the threshold predicate is pushed
+      // into the banded join's condition AND recomputed in the projection,
+      // so every surviving pair pays the dot loop twice; pinned, each
+      // candidate pays it exactly once (the key_a < key_b prune still
+      // rides the join condition — only the dot stays above)
       .select(col("key_a"), col("key_b"),
-        round(VF.dot(col("_va"), col("_vb")), 6).as("cosine"))
+        round(graft.functions.EvalOnceExpr.evalOnce(
+          VF.dot(col("_va"), col("_vb"))), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -894,7 +900,10 @@ object Dedup {
         broadcast(benchProbes)
       else benchProbes
     corpusB.join(probes, Seq("_bkt"))
-      .withColumn("_cos", round(VF.dot(col(vecCol), col("_vb")), 6))
+      // EvalOnce barrier (r18): see [[embeddingNearDup]] — one dot per
+      // candidate instead of join-condition + projection copies
+      .withColumn("_cos", round(graft.functions.EvalOnceExpr.evalOnce(
+        VF.dot(col(vecCol), col("_vb"))), 6))
       .filter(col("_cos") >= minCosine)
       .groupBy(col(keyCol)).agg(max(col("_cos")).as("max_cosine"))
   }

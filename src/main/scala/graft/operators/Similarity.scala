@@ -29,11 +29,16 @@ object Similarity {
       .limit(k)
       .select(col(keyCol), round(col("score"), 6).as("score"))
 
-  /** Rows whose cosine vs the query clears a threshold (VectorFilter). */
+  /** Rows whose cosine vs the query clears a threshold (VectorFilter).
+    * The score rides an [[graft.functions.EvalOnceExpr]] barrier: bare,
+    * predicate pushdown clones the cosine below the projection and every
+    * SURVIVOR pays the dot loop twice (once in the pushed filter, again in
+    * the projection) — the q_json_extract duplication, vector-shaped. */
   def thresholdScan(df: DataFrame, vecCol: String, keyCol: String,
                     query: Array[Float], minSim: Double): DataFrame =
     df.filter(size(col(vecCol)) === query.length)
-      .withColumn("score", VF.cosine(col(vecCol), query))
+      .withColumn("score",
+        graft.functions.EvalOnceExpr.evalOnce(VF.cosine(col(vecCol), query)))
       .filter(col("score") >= minSim)
       .select(col(keyCol), round(col("score"), 6).as("score"))
 

@@ -39,6 +39,33 @@ class CurationRulesSpec extends SparkSpec {
     assert(!r(3).getAs[Boolean]("r_alpha") && !r(3).getAs[Boolean]("keep"))
   }
 
+  test("gopherGate == the flags-join gate, row for row (incl. null/empty " +
+    "text), and plans exactly one counts evaluation") {
+    val edge = Seq((1L, "the cake with have a lot of words to pass", "s1"),
+      (2L, "the #tag 123 cake bake", "s1"), (3L, null.asInstanceOf[String], "s2"),
+      (4L, "", "s2"), (5L, "the a b c d e f g h i j", "s3")
+    ).toDF("doc_id", "text", "source")
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+    for (docs <- Seq(edge, real)) {
+      val joined = docs.join(
+        Curation.gopherRules(docs, "text", "doc_id", minWords = 5,
+            maxWords = 100, stops = Seq("the", "a"))
+          .filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
+        .collect().map(_.toString).sorted.toSeq
+      val gated = Curation.gopherGate(docs, "text", minWords = 5,
+          maxWords = 100, stops = Seq("the", "a"))
+        .select(docs.columns.map(col): _*) // join moves doc_id first — align
+        .collect().map(_.toString).sorted.toSeq
+      assert(gated == joined)
+    }
+    // plan: counts evaluated once (the EvalOnceExpr barrier held the gate
+    // conjuncts above the projection)
+    val p = Curation.gopherGate(real, "text", minWords = 5, maxWords = 100,
+      stops = Seq("the", "a")).queryExecution.executedPlan.toString
+    val evals = "gophercounts".r.findAllIn(p.toLowerCase).size
+    assert(evals == 1, s"expected one gophercounts, got $evals:\n$p")
+  }
+
   test("fused GopherCountsExpr == HOF formulation on 200 random docs " +
     "(letters, symbols, stops, unicode)") {
     val rnd = new scala.util.Random(0xC0FFEE)
