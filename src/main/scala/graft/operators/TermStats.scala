@@ -845,6 +845,16 @@ object TermStats {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_qid")).orderBy(col("rrf").desc, col("_key").asc)
     text.unionByName(vec)
+      // ONE exchange for the whole fusion tail (r18, guide §2.4): hash
+      // partitioning on _qid alone satisfies every downstream clustering —
+      // the (qid, src) rank window, the (qid, key) fuse groupBy and the
+      // final (qid) top-k window (partitioning exprs ⊆ clustering keys) —
+      // so this explicit repartition replaces the THREE per-operator
+      // exchanges the tail otherwise plans (plan-verified; row-identical:
+      // window/groupBy semantics are partitioning-independent). Each
+      // partition still holds at most one query's candidate set, the same
+      // skew bound as the (qid, src) exchange it replaces.
+      .repartition(col("_qid"))
       .withColumn("_rn", row_number().over(wRank))
       .filter(col("_rn") <= kKernel)
       .groupBy(col("_qid"), col("_key"))
