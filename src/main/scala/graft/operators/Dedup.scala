@@ -295,7 +295,11 @@ object Dedup {
     cand
       .join(base.select(col(keyCol).as("key_a"), col("_sh").as("_sha")), Seq("key_a"))
       .join(base.select(col(keyCol).as("key_b"), col("_sh").as("_shb")), Seq("key_b"))
-      .withColumn("jaccard", setJaccard(col("_sha"), col("_shb")))
+      // EvalOnce barrier (r18): bare, the >= threshold predicate is pushed
+      // into the fetch join's condition and the set-intersect Jaccard is
+      // recomputed in the output projection for every surviving pair
+      .withColumn("jaccard", graft.functions.EvalOnceExpr.evalOnce(
+        setJaccard(col("_sha"), col("_shb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("key_a"), col("key_b"), round(col("jaccard"), 6).as("jaccard"))
   }

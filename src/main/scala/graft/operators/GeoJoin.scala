@@ -54,8 +54,12 @@ object GeoJoin {
       // cross band: single directed match => keep unconditionally
       .filter(when(col("_ba") === col("_pb"), col("_ka") < col("_kb"))
         .otherwise(lit(true)))
-      .withColumn("_d",
-        GF.haversineKm(col("_laa"), col("_loa"), col("_lab"), col("_lob")))
+      // EvalOnce barrier (r18): bare, the <= maxKm predicate is pushed
+      // into the banded join's condition AND the trig-heavy haversine is
+      // recomputed in the output projection for every surviving pair; the
+      // key/direction prunes above still ride the join
+      .withColumn("_d", graft.functions.EvalOnceExpr.evalOnce(
+        GF.haversineKm(col("_laa"), col("_loa"), col("_lab"), col("_lob"))))
       .filter(col("_d") <= maxKm)
       .select(least(col("_ka"), col("_kb")).as("key_a"),
         greatest(col("_ka"), col("_kb")).as("key_b"),
