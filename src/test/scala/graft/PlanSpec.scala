@@ -493,6 +493,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus must tokenize in-scan:\n$p")
   }
 
+  test("hybrid batch fusion tail plans ONE exchange: qid partitioning " +
+    "feeds rank window, fuse groupBy and final top-k") {
+    // r18: hash(qid) satisfies all three downstream clusterings (subset
+    // rule), so the explicit repartition replaces the three per-operator
+    // exchanges — the tail between the tagged Union and the output must
+    // contain exactly one shuffle
+    val p = plan("q_hybrid_batch")
+    val tail = p.substring(0, p.indexOf("Union"))
+    val tailExchanges = "Exchange hashpartitioning".r.findAllIn(tail).size
+    assert(tailExchanges == 1,
+      s"fusion tail should hold exactly one exchange, got $tailExchanges:\n$tail")
+    assert(tail.contains("hashpartitioning(_qid"),
+      s"the tail exchange must key on _qid alone:\n$tail")
+  }
+
+  test("containment pair kernel: no anti-join, no self-join — one " +
+    "collect_list exchange and bounded array pair explode") {
+    // r18 rewrite: the hot-set agg + LeftAnti + two-sided self-join on _s
+    // are gone; pairs explode from per-shingle sorted arrays
+    for (name <- Seq("q_containment", "q_containment_prebuilt")) {
+      val p = plan(name)
+      assert(!p.contains("LeftAnti"), s"$name: hot-set anti-join is back:\n$p")
+      assert(p.contains("collect_list"), s"$name: posting-list agg missing:\n$p")
+    }
+  }
+
   test("json extract parses each row's props exactly once") {
     // the evalOnce barrier (guide §4.4) must hold the filter ABOVE the
     // projection — without it pushdown clones get_json_object into the
